@@ -1,0 +1,74 @@
+"""Table catalog: zone-aware layout + loaders for the test star schema.
+
+The engine's durable layout is directory-per-zone of Parquet tables
+(medallion zones, mirroring the reference's storage prefixes — see
+/root/reference/glue_jobs/nyc_raw_to_validated_etl.py:29-32 and
+governance/lineage_schema.json:3). The synthetic star schema generated
+by the driver (TESTDATA.md) is the canonical input for correctness and
+bench runs.
+"""
+
+from __future__ import annotations
+
+import enum
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+# Driver-generated TPC-H-ish tables (one parquet file/dir each).
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+class Zone(enum.Enum):
+    """Medallion zones (reference: raw/validated/curated/analytics +
+    quarantine/master/governance/audit prefixes)."""
+
+    RAW = "raw"
+    VALIDATED = "validated"
+    CURATED = "curated"
+    ANALYTICS = "analytics"
+    QUARANTINE = "quarantine"
+    MASTER = "master"
+    GOVERNANCE = "governance"
+    AUDIT = "audit"
+
+
+def zone_path(root: str, zone: Zone, dataset: str) -> str:
+    return os.path.join(root, zone.value, dataset)
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Parquet scan (reference S1). Native reader: predicate pushdown,
+    column pruning, and partition discovery come free via Catalyst."""
+    return spark.read.parquet(table_path(sf_dir, name))
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in names}
+
+
+def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> dict[str, DataFrame]:
+    """Register each table as a temp view so ``spark.sql`` entry points
+    (the SQL workflow runner, oracle parity) see the same catalog the
+    DuckDB oracle does."""
+    dfs = load_tables(spark, sf_dir, names)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs

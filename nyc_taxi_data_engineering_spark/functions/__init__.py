@@ -1,0 +1,113 @@
+"""Scalar column-function library (reference §2.8 F1–F16).
+
+All JVM-side built-ins — no Python UDFs here. The only true UDF in the
+engine (token-sort-ratio fuzzy scorer) lives in operators/mdm.py as a
+pandas_udf.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Sentinel for open-ended SCD2 validity (reference:
+# glue_jobs/scd2_delta_vendors.py:31 `timestamp('9999-12-31')`).
+OPEN_END_TS = "9999-12-31 00:00:00"
+
+
+def stable_sum(col: Column | str, scale: int = 4, precision: int = 18) -> Column:
+    """Order-independent, engine-portable SUM over a double expression.
+
+    Summing doubles is order-dependent (1-ulp drift across engines flips
+    ROUND at .5 boundaries), so oracle-parity aggregates sum in exact
+    decimal and cast the exact total back to double. A double is never
+    exactly on a decimal half-boundary (10^-k has a 5^k factor, not
+    representable in binary), so the double→decimal rounding is identical
+    in Spark and DuckDB. At scale this is also the right plan: decimal
+    sums keep map-side partial aggregation and whole-stage codegen.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(f"decimal({precision},{scale})")).cast("double")
+
+
+def stable_sum_sql(expr: str, scale: int = 4, precision: int = 18) -> str:
+    """DuckDB-side twin of :func:`stable_sum`."""
+    return f"CAST(SUM(CAST({expr} AS DECIMAL({precision},{scale}))) AS DOUBLE)"
+
+
+def stable_avg(col: Column | str, scale: int = 4, precision: int = 18) -> Column:
+    """Order-independent AVG: exact decimal sum ÷ count, both as double."""
+    c = F.col(col) if isinstance(col, str) else col
+    return stable_sum(c, scale, precision) / F.count(c)
+
+
+def stable_avg_sql(expr: str, scale: int = 4, precision: int = 18) -> str:
+    return f"{stable_sum_sql(expr, scale, precision)} / COUNT({expr})"
+
+
+def record_hash(cols: Sequence[str], sep: str = "||") -> Column:
+    """sha2-256 change hash over a column subset (reference F1:
+    glue_jobs/scd2_delta_vendors.py:36-56). NULL-safe via coalesce to
+    empty string, cast-to-string first so any type participates."""
+    parts = [F.coalesce(F.col(c).cast("string"), F.lit("")) for c in cols]
+    return F.sha2(F.concat_ws(sep, *parts), 256)
+
+
+def record_hash_md5(cols: Sequence[str], sep: str = "|") -> Column:
+    """md5 variant (reference F2: sql/scd/02_scd_procedures.sql:36-41)."""
+    parts = [F.coalesce(F.col(c).cast("string"), F.lit("")) for c in cols]
+    return F.md5(F.concat_ws(sep, *parts))
+
+
+def open_end_ts() -> Column:
+    return F.lit(OPEN_END_TS).cast("timestamp")
+
+
+def normalize_text(col: Column | str) -> Column:
+    """MDM canonicalization (reference F8: normalize.py:7-13): lowercase,
+    strip non-[a-z0-9 ], collapse whitespace, trim — all native exprs."""
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.lower(c.cast("string"))
+    c = F.regexp_replace(c, "[^a-z0-9 ]", "")
+    c = F.regexp_replace(c, "\\s+", " ")
+    return F.trim(c)
+
+
+def confidence_bucket(score: Column, high: float = 95.0, medium: float = 80.0) -> Column:
+    """Score → HIGH/MEDIUM/LOW bucket (reference F11: fuzzy_match.py:72-89)."""
+    return (
+        F.when(score >= high, F.lit("HIGH"))
+        .when(score >= medium, F.lit("MEDIUM"))
+        .otherwise(F.lit("LOW"))
+    )
+
+
+def governance_action(bucket: Column) -> Column:
+    """Bucket → action routing (reference fuzzy_match.py:79-89)."""
+    return (
+        F.when(bucket == "HIGH", F.lit("AUTO_MERGE"))
+        .when(bucket == "MEDIUM", F.lit("STEWARD_REVIEW"))
+        .otherwise(F.lit("NO_ACTION"))
+    )
+
+
+def longest_string(a: Column, b: Column) -> Column:
+    """Longest-string survivorship (reference F12: fuzzy_match.py:121-131):
+    golden field = the longer of the two, ties keep the first."""
+    return F.when(F.length(F.coalesce(a, F.lit(""))) >= F.length(F.coalesce(b, F.lit(""))), a).otherwise(b)
+
+
+def pct(numerator: Column, denominator: Column, digits: int = 2) -> Column:
+    """Ratio metric as a rounded percentage (reference A8:
+    glue_jobs/glue_mdm.py:63-65); NULL-safe on zero denominators."""
+    return F.when(denominator == 0, F.lit(None).cast("double")).otherwise(
+        F.round(numerator * 100.0 / denominator, digits)
+    )
+
+
+def formatted_id(prefix: str, n: Column, width: int = 5) -> Column:
+    """Formatted surrogate id, e.g. MV-00001 (reference F15:
+    lifecycle_management.py:47-52)."""
+    return F.format_string(f"{prefix}-%0{width}d", n)

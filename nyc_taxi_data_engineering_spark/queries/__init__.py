@@ -1,0 +1,30 @@
+"""Query modules — importing them populates the registry."""
+
+from __future__ import annotations
+
+import importlib
+
+_MODULES = [
+    "revenue",
+]
+
+_loaded = False
+
+
+def _load_all() -> None:
+    global _loaded
+    if _loaded:
+        return
+    _loaded = True
+    for m in _MODULES:
+        importlib.import_module(f"nyc_taxi_data_engineering_spark.queries.{m}")
+
+
+from nyc_taxi_data_engineering_spark.queries.registry import (  # noqa: E402
+    all_oracles,
+    all_queries,
+    bench_queries,
+    registry,
+)
+
+__all__ = ["all_queries", "all_oracles", "bench_queries", "registry"]

@@ -1,0 +1,124 @@
+"""Local mirror of the driver's DuckDB-oracle correctness harness.
+
+For every registered query with an oracle: run the Spark query and the
+DuckDB SQL on the same parquet tables, then compare row count, sorted
+column names, and order-insensitive values (floats with tolerance).
+
+Usage: python tools/oracle_check.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from nyc_taxi_data_engineering_spark.catalog import TABLES, table_path  # noqa: E402
+
+
+def duckdb_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        p = table_path(sf_dir, t)
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    return con
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        s = df[c]
+        if pd.api.types.is_datetime64_any_dtype(s):
+            if getattr(s.dtype, "tz", None) is not None:
+                s = s.dt.tz_convert("UTC").dt.tz_localize(None)
+            df[c] = s.astype("datetime64[us]")
+        elif s.dtype == object:
+            df[c] = s.map(lambda v: tuple(v) if isinstance(v, (list, np.ndarray)) else v)
+    sort_key = df.astype(str)
+    order = sort_key.sort_values(by=list(df.columns), kind="mergesort").index
+    return df.loc[order].reset_index(drop=True)
+
+
+def compare(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, name: str) -> list[str]:
+    errs: list[str] = []
+    if sorted(map(str.lower, spark_pdf.columns)) != sorted(map(str.lower, oracle_pdf.columns)):
+        errs.append(f"columns differ: spark={sorted(spark_pdf.columns)} oracle={sorted(oracle_pdf.columns)}")
+        return errs
+    oracle_pdf = oracle_pdf.rename(columns={c: c.lower() for c in oracle_pdf.columns})
+    spark_pdf = spark_pdf.rename(columns={c: c.lower() for c in spark_pdf.columns})
+    if len(spark_pdf) != len(oracle_pdf):
+        errs.append(f"row count: spark={len(spark_pdf)} oracle={len(oracle_pdf)}")
+        return errs
+    a, b = _canon(spark_pdf), _canon(oracle_pdf)
+    for c in a.columns:
+        sa, sb = a[c], b[c]
+        if pd.api.types.is_float_dtype(sa) or pd.api.types.is_float_dtype(sb):
+            fa = sa.astype(float).to_numpy()
+            fb = sb.astype(float).to_numpy()
+            both_nan = np.isnan(fa) & np.isnan(fb)
+            close = np.isclose(fa, fb, rtol=1e-9, atol=1e-9) | both_nan
+            if not close.all():
+                i = int(np.argmin(close))
+                errs.append(f"col {c}: value mismatch at sorted-row {i}: {fa[i]} vs {fb[i]}")
+        else:
+            eq = (sa.astype(str) == sb.astype(str)) | (sa.isna() & sb.isna())
+            if not eq.all():
+                i = int(np.argmin(eq.to_numpy()))
+                errs.append(f"col {c}: value mismatch at sorted-row {i}: {sa.iloc[i]!r} vs {sb.iloc[i]!r}")
+    return errs
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    from nyc_taxi_data_engineering_spark.queries import registry
+    from nyc_taxi_data_engineering_spark.session import get_spark
+
+    reg = registry()
+    unknown = only - set(reg)
+    if unknown:
+        print(f"unknown queries: {sorted(unknown)}; available: {sorted(reg)}")
+        return 2
+
+    spark = get_spark("oracle_check")
+    con = duckdb_con(sf_dir)
+    failed = []
+    for name, spec in sorted(reg.items()):
+        if only and name not in only:
+            continue
+        try:
+            spark_pdf = spec.fn(spark, sf_dir).toPandas()
+        except Exception as e:  # noqa: BLE001
+            failed.append(name)
+            print(f"FAIL {name}: spark error: {e}")
+            continue
+        if spec.oracle is None:
+            print(f"SKIP {name}: no oracle (rows-only) — spark rows={len(spark_pdf)}")
+            continue
+        try:
+            oracle_pdf = con.execute(spec.oracle).fetchdf()
+        except Exception as e:  # noqa: BLE001
+            failed.append(name)
+            print(f"FAIL {name}: duckdb error: {e}")
+            continue
+        errs = compare(spark_pdf, oracle_pdf, name)
+        if errs:
+            failed.append(name)
+            print(f"FAIL {name}: " + "; ".join(errs))
+        else:
+            print(f"OK   {name}: rows={len(spark_pdf)}")
+    print(f"\n{len(failed)} failures" + (f": {failed}" if failed else ""))
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
