@@ -6,6 +6,8 @@ import importlib
 
 _MODULES = [
     "revenue",
+    "validation",
+    "integrity",
 ]
 
 _loaded = False

@@ -1,0 +1,185 @@
+"""Referential-integrity / set-op / partition-discovery queries
+(reference J3–J5, T1, S15, A3–A6 — SURVEY.md §2.3, §2.6, §2.7).
+
+Master dim for the FK gate = suppliers with positive account balance
+(the "active master" analog), which leaves real orphans in lineitem so
+the anti-join path is exercised non-trivially.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nyc_taxi_data_engineering_spark.catalog import load_table
+from nyc_taxi_data_engineering_spark.operators.integrity import (
+    except_quarantine,
+    fk_null_audit,
+    integrity_scorecard,
+    ri_gate,
+)
+from nyc_taxi_data_engineering_spark.queries.registry import query
+from nyc_taxi_data_engineering_spark.queries.validation import lineitem_checks
+
+_ACTIVE_SUPPLIERS = "SELECT s_suppkey FROM supplier WHERE s_acctbal > 0"
+
+
+def _active_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") > 0)
+
+
+@query(
+    "ri_gate_orphans",
+    oracle=f"""
+SELECT l_orderkey, l_linenumber, l_suppkey
+FROM lineitem l
+WHERE NOT EXISTS (SELECT 1 FROM ({_ACTIVE_SUPPLIERS}) s WHERE s.s_suppkey = l.l_suppkey)
+""",
+)
+def q_ri_gate_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    gate = ri_gate(li, _active_suppliers(spark, sf_dir), "l_suppkey", "s_suppkey")
+    return gate.orphans.select("l_orderkey", "l_linenumber", "l_suppkey")
+
+
+@query(
+    "ri_gate_kept_by_supplier",
+    oracle=f"""
+SELECT l_suppkey, COUNT(*) AS kept_rows
+FROM lineitem l
+WHERE EXISTS (SELECT 1 FROM ({_ACTIVE_SUPPLIERS}) s WHERE s.s_suppkey = l.l_suppkey)
+GROUP BY l_suppkey
+""",
+    bench=True,
+)
+def q_ri_gate_kept_by_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    gate = ri_gate(li, _active_suppliers(spark, sf_dir), "l_suppkey", "s_suppkey")
+    return gate.kept.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("kept_rows"))
+
+
+@query(
+    "fk_null_audit",
+    oracle=f"""
+SELECT COUNT(*) AS orphan_count
+FROM lineitem l
+WHERE NOT EXISTS (SELECT 1 FROM ({_ACTIVE_SUPPLIERS}) s WHERE s.s_suppkey = l.l_suppkey)
+""",
+)
+def q_fk_null_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return fk_null_audit(li, _active_suppliers(spark, sf_dir), "l_suppkey", "s_suppkey")
+
+
+@query(
+    "integrity_scorecard",
+    oracle=f"""
+SELECT 'lineitem' AS dataset,
+       COUNT(*) AS total_records,
+       COALESCE(SUM(CASE WHEN s.s_suppkey IS NOT NULL THEN 1 ELSE 0 END), 0) AS matched_records,
+       COALESCE(SUM(CASE WHEN s.s_suppkey IS NULL THEN 1 ELSE 0 END), 0) AS orphan_records,
+       ROUND(COALESCE(SUM(CASE WHEN s.s_suppkey IS NOT NULL THEN 1 ELSE 0 END), 0) * 100.0
+             / COUNT(*), 2) AS match_pct
+FROM lineitem l
+LEFT JOIN (SELECT DISTINCT s_suppkey FROM supplier WHERE s_acctbal > 0) s
+  ON l.l_suppkey = s.s_suppkey
+""",
+)
+def q_integrity_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return integrity_scorecard(
+        li, _active_suppliers(spark, sf_dir), "l_suppkey", "s_suppkey", dataset="lineitem"
+    )
+
+
+_VALID_SQL = (
+    "COALESCE(l_extendedprice > 0, FALSE) AND COALESCE(l_quantity BETWEEN 1 AND 45, FALSE) "
+    "AND COALESCE(l_discount BETWEEN 0 AND 0.08, FALSE) AND COALESCE(l_shipdate IS NOT NULL, FALSE)"
+)
+
+
+@query(
+    "except_quarantine",
+    oracle=f"""
+SELECT * FROM lineitem
+EXCEPT
+SELECT * FROM lineitem WHERE {_VALID_SQL}
+""",
+)
+def q_except_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    from nyc_taxi_data_engineering_spark.operators.validate import validate_split
+
+    valid = validate_split(li, lineitem_checks()).valid
+    return except_quarantine(li, valid)
+
+
+@query(
+    "latest_partition_orders",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice
+FROM orders
+WHERE o_orderdate = (SELECT MAX(o_orderdate) FROM orders)
+""",
+)
+def q_latest_partition_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-batch discovery (reference S15/A4) without a driver
+    round-trip: broadcast-join the 1-row max instead of collect()."""
+    orders = load_table(spark, sf_dir, "orders")
+    latest = orders.agg(F.max("o_orderdate").alias("o_orderdate"))
+    return orders.join(F.broadcast(latest), "o_orderdate").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+
+
+@query(
+    "frequent_customers",
+    oracle="""
+SELECT o_custkey, COUNT(*) AS order_count
+FROM orders
+GROUP BY o_custkey
+HAVING COUNT(*) >= 15
+""",
+)
+def q_frequent_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """group-by + HAVING invariant check (reference A3:
+    verify_delta_vendors_job.py:57-62)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .filter(F.col("order_count") >= 15)
+    )
+
+
+@query(
+    "conditional_counts_orders",
+    oracle="""
+SELECT COUNT(*) AS total_orders,
+       COALESCE(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END), 0) AS null_custkey,
+       COALESCE(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END), 0) AS nonpositive_total,
+       COALESCE(SUM(CASE WHEN o_totalprice > 400000 THEN 1 ELSE 0 END), 0) AS high_value,
+       ROUND(COALESCE(SUM(CASE WHEN o_totalprice > 400000 THEN 1 ELSE 0 END), 0) * 100.0
+             / COUNT(*), 2) AS high_value_pct
+FROM orders
+""",
+)
+def q_conditional_counts_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null/negative/ratio counters (reference A6/A8:
+    qc_positive_amounts.sql:27-29, test_no_null_vendor.sql:21-23,
+    glue_mdm.py:63-65) — one aggregate pass."""
+    orders = load_table(spark, sf_dir, "orders")
+    from nyc_taxi_data_engineering_spark.functions import pct
+
+    return orders.agg(
+        F.count(F.lit(1)).alias("total_orders"),
+        F.coalesce(F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0)), F.lit(0)).alias(
+            "null_custkey"
+        ),
+        F.coalesce(F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0)), F.lit(0)).alias(
+            "nonpositive_total"
+        ),
+        F.coalesce(F.sum(F.when(F.col("o_totalprice") > 400000, 1).otherwise(0)), F.lit(0)).alias(
+            "high_value"
+        ),
+    ).withColumn("high_value_pct", pct(F.col("high_value"), F.col("total_orders")))
