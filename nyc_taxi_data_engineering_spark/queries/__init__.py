@@ -8,6 +8,8 @@ _MODULES = [
     "revenue",
     "validation",
     "integrity",
+    "scd2",
+    "lifecycle",
 ]
 
 _loaded = False

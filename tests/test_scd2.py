@@ -1,0 +1,82 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from nyc_taxi_data_engineering_spark.operators.lifecycle import (
+    InvalidTransition,
+    lifecycle_transition,
+)
+from nyc_taxi_data_engineering_spark.operators.scd2 import (
+    Scd2Table,
+    approve_current,
+    audit_versions_between,
+    scd2_apply,
+    scd2_verify,
+)
+
+KEY, TRACKED = "vendor_id", ["vendor_name", "city"]
+T1, T2, T3 = "2024-01-01 00:00:00", "2024-02-01 00:00:00", "2024-03-01 00:00:00"
+
+
+def batch(spark, rows):
+    return spark.createDataFrame(rows, "vendor_id int, vendor_name string, city string")
+
+
+def test_scd2_merge_semantics(spark):
+    b1 = batch(spark, [(1, "Acme", "NYC"), (2, "Globex", "LA")])
+    t = scd2_apply(None, b1, KEY, TRACKED, T1)
+    # batch 2: 1 changed, 2 unchanged, 3 new, plus an intra-batch duplicate of 3
+    b2 = batch(spark, [(1, "Acme Corp", "NYC"), (2, "Globex", "LA"),
+                       (3, "Initech", "SF"), (3, "Initech", "SF")])
+    t2 = scd2_apply(t, b2, KEY, TRACKED, T2)
+    rows = {(r[KEY], r["version_no"]): r for r in t2.collect()}
+    assert len(rows) == 4  # v1×2 + expired→ no: (1,1),(1,2),(2,1),(3,1)
+    assert rows[(1, 1)]["is_current"] is False
+    assert str(rows[(1, 1)]["effective_end_ts"]) == "2024-02-01 00:00:00"
+    assert rows[(1, 2)]["is_current"] is True and rows[(1, 2)]["vendor_name"] == "Acme Corp"
+    assert rows[(2, 1)]["is_current"] is True  # unchanged carried over
+    assert rows[(3, 1)]["is_current"] is True  # new key, deduped
+    assert scd2_verify(t2, KEY).count() == 0
+
+
+def test_scd2_table_time_travel_and_history(spark, tmp_path):
+    tbl = Scd2Table(spark, str(tmp_path / "vendors"), KEY, TRACKED)
+    tbl.merge(batch(spark, [(1, "Acme", "NYC")]), T1)
+    tbl.merge(batch(spark, [(1, "Acme Corp", "NYC")]), T2)
+    assert tbl.latest_snapshot() == 2
+    assert tbl.read(version_as_of=1).count() == 1  # S4 time travel
+    assert tbl.read().count() == 2
+    cur = tbl.read_current().collect()
+    assert len(cur) == 1 and cur[0]["vendor_name"] == "Acme Corp"
+    ops = [h["operation"] for h in tbl.history()]  # S5 history audit
+    assert ops == ["SCD2_INIT", "SCD2_MERGE"]
+
+
+def test_approve_and_audit_range(spark):
+    b1 = batch(spark, [(1, "Acme", "NYC"), (2, "Globex", "LA")])
+    t = scd2_apply(None, b1, KEY, TRACKED, T1)
+    t = scd2_apply(t, batch(spark, [(1, "Acme Corp", "NYC")]), KEY, TRACKED, T2)
+    keys = spark.createDataFrame([(1,)], "vendor_id int")
+    approved = approve_current(t, keys, KEY, "steward", T3, "quarterly review")
+    rows = {(r[KEY], r["version_no"]): r for r in approved.collect()}
+    assert rows[(1, 2)]["approval_status"] == "APPROVED"
+    assert rows[(1, 2)]["approved_by"] == "steward"
+    assert rows[(1, 1)]["approval_status"] is None  # not current
+    assert rows[(2, 1)]["approval_status"] is None  # not in keys
+
+    audit = audit_versions_between(t, 1, KEY, T1, T2).collect()
+    assert [r["version_no"] for r in audit] == [1, 2]
+
+
+def test_lifecycle_strict_guard(spark):
+    master = spark.createDataFrame(
+        [(1, "RETIRED"), (2, "ACTIVE")], "id int, lifecycle_state string"
+    )
+    with pytest.raises(InvalidTransition, match="illegal transition"):
+        lifecycle_transition(master, "id", F.lit(True), "DEPRECATED", "me", T1, strict=True)
+    # non-strict skips the retired row
+    res = lifecycle_transition(master, "id", F.lit(True), "DEPRECATED", "me", T1, strict=False)
+    states = {r["id"]: r["lifecycle_state"] for r in res.master.collect()}
+    assert states == {1: "RETIRED", 2: "DEPRECATED"}
+    assert res.history.count() == 1
