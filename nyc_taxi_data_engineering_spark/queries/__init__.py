@@ -10,6 +10,8 @@ _MODULES = [
     "integrity",
     "scd2",
     "lifecycle",
+    "mdm",
+    "enrichment",
 ]
 
 _loaded = False

@@ -1,0 +1,157 @@
+"""MDM fuzzy-dedup queries (reference C5) on a deterministic vendor
+table derived from supplier.
+
+Construction: every supplier becomes a vendor; three dup classes are
+injected (dup id = suppkey + 10000, same block):
+
+- class A (suppkey%10==0): identical name + address   → score 100  → AUTO_MERGE
+- class B (suppkey%10==3): name + ' ltd', same addr   → score 92.3 → STEWARD_REVIEW
+- class C (suppkey%10==7): unrelated name, same addr  → score < 80 → NO_ACTION
+
+Blocking key = vendor_id % 10000, so each base/dup pair shares a block
+and distinct suppliers never pair — candidate generation, routing
+counts, golden records, and the scorecard are all exactly derivable in
+SQL even though scoring itself is the engine's one pandas UDF.
+(Class B's 92.3 = 0.7·89 + 0.3·100 with the difflib token-sort ratio —
+deterministic because all supplier names have equal length.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nyc_taxi_data_engineering_spark.catalog import load_table
+from nyc_taxi_data_engineering_spark.operators.mdm import (
+    candidate_pairs,
+    golden_records,
+    mdm_scorecard,
+    score_pairs,
+)
+from nyc_taxi_data_engineering_spark.queries.registry import query
+
+PAYLOAD = ["vendor_name", "vendor_address"]
+
+
+def _vendors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sup = load_table(spark, sf_dir, "supplier")
+    base = sup.select(
+        F.col("s_suppkey").alias("vendor_id"),
+        F.col("s_name").alias("vendor_name"),
+        F.concat(F.lit("No "), F.col("s_suppkey").cast("string"), F.lit(" Main Street")).alias(
+            "vendor_address"
+        ),
+    )
+    dup_a = base.filter(F.col("vendor_id") % 10 == 0).select(
+        (F.col("vendor_id") + 10000).alias("vendor_id"), "vendor_name", "vendor_address"
+    )
+    dup_b = base.filter(F.col("vendor_id") % 10 == 3).select(
+        (F.col("vendor_id") + 10000).alias("vendor_id"),
+        F.concat(F.col("vendor_name"), F.lit(" ltd")).alias("vendor_name"),
+        "vendor_address",
+    )
+    dup_c = base.filter(F.col("vendor_id") % 10 == 7).select(
+        (F.col("vendor_id") + 10000).alias("vendor_id"),
+        F.concat(F.lit("Totally Different Co "), F.col("vendor_id").cast("string")).alias(
+            "vendor_name"
+        ),
+        "vendor_address",
+    )
+    return (
+        base.unionByName(dup_a)
+        .unionByName(dup_b)
+        .unionByName(dup_c)
+        .withColumn("block_city", F.concat(F.lit("blk"), (F.col("vendor_id") % 10000).cast("string")))
+    )
+
+
+def _scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = _vendors(spark, sf_dir)
+    pairs = candidate_pairs(v, "vendor_id", ["block_city"], PAYLOAD)
+    return score_pairs(pairs, "vendor_id", "vendor_name", "vendor_address")
+
+
+@query(
+    "mdm_candidate_pairs",
+    oracle="""
+SELECT s_suppkey AS a_vendor_id, s_suppkey + 10000 AS b_vendor_id,
+       'blk' || CAST(s_suppkey AS VARCHAR) AS block_city
+FROM supplier WHERE s_suppkey % 10 IN (0, 3, 7)
+""",
+)
+def q_mdm_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = _vendors(spark, sf_dir)
+    return candidate_pairs(v, "vendor_id", ["block_city"], PAYLOAD).select(
+        "a_vendor_id", "b_vendor_id", "block_city"
+    )
+
+
+@query(
+    "mdm_routing_counts",
+    oracle="""
+SELECT action, COUNT(*) AS pair_count FROM (
+  SELECT CASE WHEN s_suppkey % 10 = 0 THEN 'AUTO_MERGE'
+              WHEN s_suppkey % 10 = 3 THEN 'STEWARD_REVIEW'
+              ELSE 'NO_ACTION' END AS action
+  FROM supplier WHERE s_suppkey % 10 IN (0, 3, 7)
+) GROUP BY action
+""",
+)
+def q_mdm_routing_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _scored(spark, sf_dir).groupBy("action").agg(F.count(F.lit(1)).alias("pair_count"))
+
+
+@query(
+    "mdm_match_scores",
+    oracle="""
+SELECT s_suppkey AS a_vendor_id, s_suppkey + 10000 AS b_vendor_id,
+       CASE WHEN s_suppkey % 10 = 0 THEN CAST(100.0 AS DOUBLE)
+            ELSE CAST(92.3 AS DOUBLE) END AS match_score,
+       CASE WHEN s_suppkey % 10 = 0 THEN 'HIGH' ELSE 'MEDIUM' END AS confidence
+FROM supplier WHERE s_suppkey % 10 IN (0, 3)
+""",
+)
+def q_mdm_match_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _scored(spark, sf_dir)
+        .filter(F.col("action") != "NO_ACTION")
+        .select("a_vendor_id", "b_vendor_id", "match_score", "confidence")
+    )
+
+
+@query(
+    "mdm_golden_records",
+    oracle="""
+SELECT s_suppkey AS golden_vendor_id, s_name AS vendor_name,
+       'No ' || CAST(s_suppkey AS VARCHAR) || ' Main Street' AS vendor_address,
+       CAST(s_suppkey AS VARCHAR) || ',' || CAST(s_suppkey + 10000 AS VARCHAR) AS source_ids,
+       CAST(100.0 AS DOUBLE) AS match_score
+FROM supplier WHERE s_suppkey % 10 = 0
+""",
+)
+def q_mdm_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = _vendors(spark, sf_dir)
+    return golden_records(v, _scored(spark, sf_dir), "vendor_id", PAYLOAD)
+
+
+@query(
+    "mdm_scorecard",
+    oracle="""
+WITH s AS (
+  SELECT COUNT(*) AS n_sup,
+         COALESCE(SUM(CASE WHEN s_suppkey % 10 IN (0, 3, 7) THEN 1 ELSE 0 END), 0) AS n_dup,
+         COALESCE(SUM(CASE WHEN s_suppkey % 10 = 0 THEN 1 ELSE 0 END), 0) AS n_a,
+         COALESCE(SUM(CASE WHEN s_suppkey % 10 = 3 THEN 1 ELSE 0 END), 0) AS n_b,
+         COALESCE(SUM(CASE WHEN s_suppkey % 10 = 7 THEN 1 ELSE 0 END), 0) AS n_c
+  FROM supplier
+)
+SELECT n_sup + n_dup AS total_records, n_dup AS candidate_pairs,
+       n_a AS auto_merge_pairs, n_b AS steward_review_pairs, n_c AS no_action_pairs,
+       ROUND(n_a * 100.0 / (n_sup + n_dup), 2) AS duplicate_rate_pct,
+       ROUND(n_b * 100.0 / n_dup, 2) AS review_rate_pct
+FROM s
+""",
+)
+def q_mdm_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = _vendors(spark, sf_dir)
+    return mdm_scorecard(v, _scored(spark, sf_dir))

@@ -1,0 +1,67 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from nyc_taxi_data_engineering_spark.operators.enrich import (
+    DimSpec,
+    EnrichmentIntegrityError,
+    assert_fully_enriched,
+    enrich_with_dims,
+    enrichment_null_audit,
+)
+from nyc_taxi_data_engineering_spark.operators.mdm import (
+    candidate_pairs,
+    score_pairs,
+    token_sort_ratio,
+)
+
+
+def test_token_sort_ratio_known_values(spark):
+    cases = [
+        ("new york mets", "new york mets", 100),  # identical
+        ("new york mets", "mets new york", 100),  # token order invariant
+        ("", "", 0),  # both empty -> 0 by convention
+        ("abcd", "", 0),  # one empty
+    ]
+    df = spark.createDataFrame([(a, b) for a, b, _ in cases], "a string, b string")
+    got = [r["s"] for r in df.select(token_sort_ratio("a", "b").alias("s")).collect()]
+    assert got == [e for _, _, e in cases]
+
+
+def test_score_pairs_buckets(spark):
+    records = spark.createDataFrame(
+        [
+            (1, "Acme Corp", "1 Main St", "b1"),
+            (2, "Acme Corp", "1 Main St", "b1"),  # exact dup -> AUTO_MERGE
+            (3, "Zeta Dynamics Inc", "9 Side St", "b2"),
+            (4, "Completely Other", "9 Side St", "b2"),  # addr same, name far
+        ],
+        "vendor_id int, vendor_name string, vendor_address string, block string",
+    )
+    pairs = candidate_pairs(records, "vendor_id", ["block"], ["vendor_name", "vendor_address"])
+    assert pairs.count() == 2  # only intra-block, a<b
+    scored = {(r["a_vendor_id"], r["b_vendor_id"]): r for r in
+              score_pairs(pairs, "vendor_id", "vendor_name", "vendor_address").collect()}
+    assert scored[(1, 2)]["match_score"] == 100.0
+    assert scored[(1, 2)]["action"] == "AUTO_MERGE"
+    assert scored[(3, 4)]["confidence"] == "LOW"
+    assert scored[(3, 4)]["action"] == "NO_ACTION"
+
+
+def test_enrich_and_null_audit(spark):
+    fact = spark.createDataFrame([(1, 10), (2, 20), (3, 99)], "id int, zone_id int")
+    dim = spark.createDataFrame(
+        [(10, "Manhattan"), (20, "Brooklyn")], "locationid int, borough string"
+    )
+    spec = DimSpec(dim=dim, fact_key="zone_id", dim_key="locationid",
+                   prefix="pu", carry=("borough",))
+    enriched = enrich_with_dims(fact, [spec])
+    vals = {r["id"]: r["pu_borough"] for r in enriched.collect()}
+    assert vals == {1: "Manhattan", 2: "Brooklyn", 3: None}
+    audit = enrichment_null_audit(enriched, ["pu_borough"]).collect()[0]
+    assert audit["total_rows"] == 3 and audit["null_pu_borough"] == 1
+    with pytest.raises(EnrichmentIntegrityError, match="pu_borough"):
+        assert_fully_enriched(enriched, ["pu_borough"])
+    # clean subset passes
+    assert_fully_enriched(enriched.filter(F.col("id") < 3), ["pu_borough"])
