@@ -12,6 +12,7 @@ _MODULES = [
     "lifecycle",
     "mdm",
     "enrichment",
+    "workflow",
 ]
 
 _loaded = False

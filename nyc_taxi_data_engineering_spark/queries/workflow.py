@@ -1,0 +1,103 @@
+"""SQL workflow-runner queries (reference C11 + the §5 test taxonomy:
+referential integrity, null validation, reconciliation, aggregate
+consistency — sql/docs/data_quality_strategy.md:5-9).
+
+The assertion suite runs through run_sql_workflow (fail_fast=False)
+over temp views, then reports per-check violation counts — the
+count-must-be-zero contract as data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from nyc_taxi_data_engineering_spark.catalog import register_views
+from nyc_taxi_data_engineering_spark.plans.sql_runner import SqlStep, run_sql_workflow
+from nyc_taxi_data_engineering_spark.queries.registry import query
+
+# The workflow: one transform building the aggregate, then the four
+# check kinds from the reference taxonomy.
+_STEPS = [
+    SqlStep(
+        "build_daily_revenue",
+        "transform",
+        """
+        CREATE OR REPLACE TEMP VIEW daily_revenue AS
+        SELECT l_suppkey, CAST(l_shipdate AS DATE) AS trip_date,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+                 AS total_revenue,
+               COUNT(*) AS trip_count
+        FROM lineitem GROUP BY l_suppkey, CAST(l_shipdate AS DATE)
+        """,
+    ),
+    SqlStep(
+        "qc_no_null_suppkey",
+        "quality",
+        "SELECT COUNT(*) FROM lineitem WHERE l_suppkey IS NULL",
+    ),
+    SqlStep(
+        "qc_positive_amounts",
+        "quality",
+        "SELECT COUNT(*) FROM lineitem WHERE l_extendedprice <= 0",
+    ),
+    SqlStep(
+        "qc_supplier_fk_orphans",
+        "quality",
+        """
+        SELECT COUNT(*) FROM lineitem l
+        LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        WHERE s.s_suppkey IS NULL
+        """,
+    ),
+    SqlStep(
+        "test_revenue_reconciliation",
+        "test",
+        # Sum(detail) must equal Sum(aggregate) — the reconciliation the
+        # reference declared but never implemented (SURVEY §7.4.4);
+        # decimal-exact sums make the equality exact, not approximate.
+        """
+        SELECT COUNT(*) FROM (
+          SELECT (SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                                       AS DECIMAL(18,4))) AS DOUBLE) FROM lineitem) AS d,
+                 (SELECT CAST(SUM(CAST(total_revenue AS DECIMAL(18,4))) AS DOUBLE)
+                  FROM daily_revenue) AS a
+        ) WHERE d <> a
+        """,
+    ),
+    SqlStep(
+        "test_rowcount_consistency",
+        "test",
+        """
+        SELECT COUNT(*) FROM (
+          SELECT (SELECT COUNT(*) FROM lineitem) AS d,
+                 (SELECT CAST(SUM(trip_count) AS BIGINT) FROM daily_revenue) AS a
+        ) WHERE d <> a
+        """,
+    ),
+]
+
+
+@query(
+    "sql_workflow_checks",
+    oracle="""
+SELECT 'build_daily_revenue' AS step_name, 'transform' AS kind, 'OK' AS status,
+       CAST(0 AS BIGINT) AS violations
+UNION ALL
+SELECT 'qc_no_null_suppkey', 'quality', 'OK', CAST(0 AS BIGINT)
+UNION ALL
+SELECT 'qc_positive_amounts', 'quality', 'OK', CAST(0 AS BIGINT)
+UNION ALL
+SELECT 'qc_supplier_fk_orphans', 'quality', 'OK', CAST(0 AS BIGINT)
+UNION ALL
+SELECT 'test_revenue_reconciliation', 'test', 'OK', CAST(0 AS BIGINT)
+UNION ALL
+SELECT 'test_rowcount_consistency', 'test', 'OK', CAST(0 AS BIGINT)
+""",
+)
+def q_sql_workflow_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("lineitem", "supplier"))
+    results = run_sql_workflow(spark, _STEPS, fail_fast=False)
+    return spark.createDataFrame(
+        [(r.name, r.kind, r.status, r.violations) for r in results],
+        "step_name string, kind string, status string, violations long",
+    )
