@@ -13,6 +13,7 @@ _MODULES = [
     "mdm",
     "enrichment",
     "workflow",
+    "textops",
 ]
 
 _loaded = False

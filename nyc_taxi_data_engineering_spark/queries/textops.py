@@ -1,0 +1,114 @@
+"""Text-analysis queries over the ``documents`` table (M7 training-data
+pipeline extensions): token counting, quality scoring, language ID,
+fingerprinting. All native Column expressions — zero Python UDFs.
+
+Oracles are generated from the same constants/regexes as the Spark
+expressions (functions/text.py) so both sides share one definition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nyc_taxi_data_engineering_spark.catalog import load_table
+from nyc_taxi_data_engineering_spark.functions import text as T
+from nyc_taxi_data_engineering_spark.queries.registry import query
+
+
+@query(
+    "text_token_stats",
+    oracle=f"""
+SELECT doc_id,
+       length(text) AS n_chars,
+       len({T.sql_tokens('text')}) AS ws_tokens,
+       {T.sql_token_count_bpe('text')} AS bpe_tokens,
+       round(length(text) * 1.0 / len({T.sql_tokens('text')}), 6) AS chars_per_token
+FROM documents
+""",
+    bench=True,
+)
+def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = F.col("text")
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.length(c).alias("n_chars"),
+        T.token_count_ws(c).alias("ws_tokens"),
+        T.token_count_bpe(c).alias("bpe_tokens"),
+        F.round(F.length(c) / T.token_count_ws(c), 6).alias("chars_per_token"),
+    )
+
+
+@query(
+    "text_quality_scores",
+    oracle=f"""
+SELECT doc_id,
+       len({T.sql_tokens('text')}) AS n_tokens,
+       round(len(list_distinct({T.sql_tokens('text')})) * 1.0 / len({T.sql_tokens('text')}), 6)
+           AS type_token_ratio,
+       round({T.sql_punct_count('text')} * 1.0 / length(text), 6) AS punct_ratio,
+       round({T.sql_stopword_count('text')} * 1.0 / len({T.sql_tokens('text')}), 6)
+           AS stopword_ratio,
+       {T.sql_quality_score('text')} AS quality_score,
+       CASE WHEN {T.sql_quality_score('text')} >= 0.7 THEN 'HIGH'
+            WHEN {T.sql_quality_score('text')} >= 0.5 THEN 'MEDIUM'
+            ELSE 'LOW' END AS quality_bucket
+FROM documents
+""",
+)
+def q_text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = F.col("text")
+    feats = T.quality_features(c)
+    score = T.quality_score(c)
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        feats["n_tokens"].alias("n_tokens"),
+        feats["type_token_ratio"].alias("type_token_ratio"),
+        feats["punct_ratio"].alias("punct_ratio"),
+        feats["stopword_ratio"].alias("stopword_ratio"),
+        score.alias("quality_score"),
+        T.quality_bucket(score).alias("quality_bucket"),
+    )
+
+
+@query(
+    "text_langid_confusion",
+    oracle=f"""
+SELECT lang AS labeled_lang, {T.sql_lang_id('text')} AS predicted_lang,
+       COUNT(*) AS n_docs
+FROM documents
+GROUP BY lang, predicted_lang
+""",
+)
+def q_text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the marker-word language-ID heuristic vs the
+    labeled ``lang`` column (heuristic + ground truth in one query)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.col("lang").alias("labeled_lang"),
+            T.lang_id(F.col("text")).alias("predicted_lang"),
+        )
+        .groupBy("labeled_lang", "predicted_lang")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+@query(
+    "text_fingerprints",
+    oracle=f"""
+SELECT doc_id,
+       {T.sql_fingerprint('text')} AS fingerprint,
+       len({T.sql_word_shingles('text')}) AS n_shingles
+FROM documents
+""",
+    bench=True,
+)
+def q_text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash doc fingerprint (min-md5 over char 8-shingles) plus
+    the word-shingle cardinality used by the dedup family."""
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        T.fingerprint("text").alias("fingerprint"),
+        F.size(T.word_shingles("text")).alias("n_shingles"),
+    )

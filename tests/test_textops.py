@@ -1,0 +1,61 @@
+"""Unit tests for the text-analysis functions (functions/text.py) on
+hand-built rows with known answers, plus lang-ID argmax semantics."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nyc_taxi_data_engineering_spark.functions import text as T
+
+
+def _one(spark, text, col):
+    df = spark.createDataFrame([(text,)], "text string")
+    return df.select(col.alias("v")).collect()[0]["v"]
+
+
+def test_token_counts(spark):
+    assert _one(spark, "  the quick  brown fox ", T.token_count_ws(F.col("text"))) == 4
+    # letter runs + digits + punctuation counted separately
+    assert _one(spark, "ab, cd! 9", T.token_count_bpe(F.col("text"))) == 5
+    assert _one(spark, "a.b.c", T.punct_count(F.col("text"))) == 2
+
+
+def test_stopword_and_markers(spark):
+    assert _one(spark, "the cat the hat", T.stopword_count(F.col("text"))) == 2
+    # marker_hits is distinct-based: repeated 'the' counts once
+    assert _one(spark, "the cat the hat", T.marker_hits(F.col("text"), ["the", "cat"])) == 2
+
+
+def test_lang_id_tie_breaks_to_first_list(spark):
+    # 'de' appears in both es and zh marker lists; es is earlier.
+    assert _one(spark, "de de de", T.lang_id(F.col("text"))) == "es"
+    assert _one(spark, "the of and", T.lang_id(F.col("text"))) == "en"
+    assert _one(spark, "der und das ist", T.lang_id(F.col("text"))) == "de"
+
+
+def test_quality_score_bounds(spark):
+    v = _one(spark, "the quick brown fox jumps over the lazy dog", T.quality_score(F.col("text")))
+    assert 0.0 <= v <= 1.0
+
+
+def test_fingerprint_stability(spark):
+    """Fingerprint is a min-hash over char shingles: unchanged when the
+    minimizing shingle survives an edit elsewhere, always 32 hex chars."""
+    a = _one(spark, "abcdefghijklmnop", T.fingerprint("text"))
+    assert len(a) == 32 and a == a.lower()
+    # identical text -> identical fingerprint
+    assert a == _one(spark, "abcdefghijklmnop", T.fingerprint("text"))
+
+
+def test_word_shingles(spark):
+    got = _one(spark, "a b c d", T.word_shingles("text", 3))
+    assert got == ["a b c", "b c d"]
+    # text shorter than the window -> single whole-text shingle
+    assert _one(spark, "a b", T.word_shingles("text", 3)) == ["a b"]
+
+
+def test_minhash_signature_shape(spark):
+    sig = _one(spark, "a b c d e f", T.minhash_signature(T.word_shingles("text"), 4))
+    assert len(sig) == 4 and all(len(h) == 32 for h in sig)
+    # different seeds -> (almost surely) different minima
+    assert len(set(sig)) > 1
