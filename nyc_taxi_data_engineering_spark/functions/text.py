@@ -175,15 +175,21 @@ def word_shingles(col_name: str, w: int = SHINGLE_WORDS) -> Column:
     )
 
 
+def seeded_min_hash(shingles: Column, seed: int) -> Column:
+    """min(md5("<seed>:" || shingle)) — one MinHash permutation.
+
+    NB: the seed must be captured by a real closure, NOT a
+    ``lambda s, i=i`` default — PySpark treats a two-parameter lambda
+    as (element, index) and would bind the array index over the
+    default, silently corrupting the seed."""
+    prefix = f"{seed}:"
+    return F.array_min(F.transform(shingles, lambda s: F.md5(F.concat(F.lit(prefix), s))))
+
+
 def minhash_signature(shingles: Column, num_hashes: int) -> Column:
     """MinHash signature as an array of num_hashes md5-min strings;
     permutation i is keyed by the seed prefix ``i:``."""
-    return F.array(
-        *[
-            F.array_min(F.transform(shingles, lambda s, i=i: F.md5(F.concat(F.lit(f"{i}:"), s))))
-            for i in range(num_hashes)
-        ]
-    )
+    return F.array(*[seeded_min_hash(shingles, i) for i in range(num_hashes)])
 
 
 def simhash_token_bit(hash_col: Column, bit: int) -> Column:
@@ -252,6 +258,22 @@ def sql_minhash_signature(shingles_expr: str, num_hashes: int) -> list[str]:
         f"list_min(list_transform({shingles_expr}, s -> md5('{i}:' || s)))"
         for i in range(num_hashes)
     ]
+
+
+def sql_simhash(col: str, bits: int = SIMHASH_BITS) -> str:
+    """DuckDB twin of operators/dedup.simhash: per-bit ±1 token sums
+    assembled into a BIGINT. O(bits) md5 calls per token is fine at
+    oracle scale; the Spark side hashes each token once."""
+    toks = sql_tokens(col)
+    hexes = ", ".join(f"'{h}'" for h in _HEX_HIGH)
+    terms = []
+    for b in range(bits):
+        bit_sum = (
+            f"list_sum(list_transform({toks}, t -> CASE WHEN substring(md5(t), {b + 1}, 1)"
+            f" IN ({hexes}) THEN 1 ELSE -1 END))"
+        )
+        terms.append(f"(CASE WHEN {bit_sum} >= 0 THEN {1 << b}::BIGINT ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"
 
 
 def sql_quality_score(col: str) -> str:

@@ -1,0 +1,231 @@
+"""Document deduplication family for the training-data pipeline
+extensions (SURVEY.md §7.2 M7): exact, n-gram Jaccard, MinHash+LSH,
+and SimHash near-dup detection. Seeds from the reference's fuzzy-match
+MDM chain (C5, /root/reference/fuzzy_match.py:10-200), rebuilt on
+shuffle-bounded set-similarity machinery instead of pandas pair loops.
+
+Scale design (the 100 TB story):
+
+- **Never O(n²).** Candidate generation is always a keyed equi-join —
+  inverted shingle index (Jaccard), band-bucket join (MinHash LSH), or
+  byte-block join (SimHash) — so the shuffle is proportional to the
+  number of *colliding* rows, not all pairs.
+- **Map-side combine everywhere.** The SimHash bit sums and the
+  common-shingle counts are hash aggregations; Spark's partial
+  aggregation halves shuffle volume before the exchange.
+- **Skew levers.** A stop-shingle (appearing in a huge fraction of
+  docs) makes one join key hot; ``df_cap`` drops shingles above a
+  document-frequency ceiling — the standard trick, exposed as an
+  explicit knob so callers can tune it per corpus. LSH band width
+  bounds collisions probabilistically.
+- **All-native expressions.** Shingling, hashing, banding, Hamming
+  distance are JVM-side Column expressions inside whole-stage codegen;
+  there is no Python in any hot path.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+from operator import add
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from nyc_taxi_data_engineering_spark.functions import text as T
+
+MINHASH_HASHES = 16
+LSH_BANDS = 4  # 4 bands x 4 rows: P(candidate) = 1-(1-j^4)^4
+SIMHASH_BYTE_BLOCKS = T.SIMHASH_BITS // 8
+
+
+def content_hash(c: Column) -> Column:
+    """md5 of the raw text — the exact-dup equivalence key."""
+    return F.md5(c)
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact dedup via hash-groupBy: every doc tagged with its content
+    hash, the canonical (minimum-id) doc of its group, and a duplicate
+    flag. One shuffle on the hash; at scale this is the cheapest pass
+    and always runs before the probabilistic family."""
+    w = Window.partitionBy("content_hash")
+    return (
+        docs.select(id_col, content_hash(F.col(text_col)).alias("content_hash"))
+        .withColumn("canonical_doc_id", F.min(id_col).over(w))
+        .withColumn("is_duplicate", F.col(id_col) != F.col("canonical_doc_id"))
+    )
+
+
+def _shingle_sets(docs: DataFrame, id_col: str, text_col: str, w: int) -> DataFrame:
+    return docs.select(id_col, T.word_shingles(text_col, w).alias("shingles"))
+
+
+def shingle_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    w: int = T.SHINGLE_WORDS,
+    threshold: float = 0.8,
+    df_cap: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via an inverted shingle
+    index: explode distinct word w-grams, equi-join docs sharing a
+    shingle, count common shingles per pair, then
+    ``jaccard = common / (|A| + |B| - common)``.
+
+    The join key is the shingle, so work scales with collisions (the
+    candidate pairs), not |docs|². ``df_cap`` drops shingles whose
+    document frequency exceeds the cap — the skew lever for corpora
+    with boilerplate n-grams."""
+    sets = _shingle_sets(docs, id_col, text_col, w).cache()
+    sizes = sets.select(id_col, F.size("shingles").alias("n"))
+    inv = sets.select(id_col, F.explode("shingles").alias("s"))
+    if df_cap is not None:
+        hot = inv.groupBy("s").count().filter(F.col("count") > df_cap).select("s")
+        inv = inv.join(hot, "s", "left_anti")
+    a = inv.alias("a")
+    b = inv.alias("b")
+    common = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("a_id"), F.col(f"b.{id_col}").alias("b_id"))
+        .agg(F.count("*").alias("common_shingles"))
+    )
+    na = sizes.select(F.col(id_col).alias("a_id"), F.col("n").alias("na"))
+    nb = sizes.select(F.col(id_col).alias("b_id"), F.col("n").alias("nb"))
+    jac = F.col("common_shingles") / (F.col("na") + F.col("nb") - F.col("common_shingles"))
+    return (
+        common.join(na, "a_id")
+        .join(nb, "b_id")
+        .select("a_id", "b_id", "common_shingles", F.round(jac, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = MINHASH_HASHES,
+) -> DataFrame:
+    """Per-doc MinHash signature as ``num_hashes`` columns s0..sN-1
+    (min md5 over seed-prefixed shingles). Shingles are materialized
+    in one projection then referenced by every hash column — Spark's
+    CollapseProject keeps multi-referenced expensive expressions from
+    being inlined, so shingling happens once per row."""
+    sets = _shingle_sets(docs, id_col, text_col, T.SHINGLE_WORDS)
+    mins = [T.seeded_min_hash(F.col("shingles"), i).alias(f"s{i}") for i in range(num_hashes)]
+    return sets.select(id_col, *mins)
+
+
+def lsh_candidate_pairs(
+    sig: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = MINHASH_HASHES,
+    bands: int = LSH_BANDS,
+) -> DataFrame:
+    """MinHash-LSH candidate pairs: hash each band of the signature to
+    a bucket key, equi-join on (band, bucket), dedupe pairs, and score
+    each candidate by signature agreement (estimated Jaccard).
+
+    The band join is the scale path: a pair shuffles together only if
+    it collides in ≥1 band, so candidate volume follows the S-curve
+    ``1-(1-j^r)^b`` instead of n²."""
+    r = num_hashes // bands
+    band_structs = [
+        F.struct(
+            F.lit(i).alias("band"),
+            F.md5(F.concat_ws("|", *[f"s{i * r + j}" for j in range(r)])).alias("bucket"),
+        )
+        for i in range(bands)
+    ]
+    banded = sig.select(id_col, F.explode(F.array(*band_structs)).alias("bk")).select(
+        id_col, F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("a_id"), F.col(f"b.{id_col}").alias("b_id"))
+        .distinct()
+    )
+    sa = sig.select(F.col(id_col).alias("a_id"), *[F.col(f"s{i}").alias(f"a_s{i}") for i in range(num_hashes)])
+    sb = sig.select(F.col(id_col).alias("b_id"), *[F.col(f"s{i}").alias(f"b_s{i}") for i in range(num_hashes)])
+    matches = reduce(
+        add,
+        [F.when(F.col(f"a_s{i}") == F.col(f"b_s{i}"), 1).otherwise(0) for i in range(num_hashes)],
+    )
+    return (
+        pairs.join(sa, "a_id")
+        .join(sb, "b_id")
+        .select("a_id", "b_id", (matches / F.lit(float(num_hashes))).alias("est_similarity"))
+    )
+
+
+def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-doc SimHash over whitespace tokens (with multiplicity):
+    md5 each token once, aggregate a ±1 sum per bit (32 conditional
+    sums in ONE hash aggregation — map-side partial combine applies),
+    then assemble the sign bits into a long.
+
+    This is the explode+agg formulation: work is proportional to total
+    tokens and parallelizes by (doc, token) rather than scanning the
+    token array 32 times per row."""
+    toks = docs.select(id_col, F.explode(T.tokens(F.col(text_col))).alias("tok")).select(
+        id_col, F.md5("tok").alias("h")
+    )
+    bit_sums = [
+        F.sum(T.simhash_token_bit(F.col("h"), b)).alias(f"b{b}") for b in range(T.SIMHASH_BITS)
+    ]
+    sums = toks.groupBy(id_col).agg(*bit_sums)
+    value = reduce(
+        add,
+        [F.when(F.col(f"b{b}") >= 0, F.lit(1 << b)).otherwise(F.lit(0)) for b in range(T.SIMHASH_BITS)],
+    )
+    return sums.select(id_col, value.cast("long").alias("simhash"))
+
+
+def simhash_neardup_pairs(
+    sim: DataFrame, id_col: str = "doc_id", max_hamming: int = 3
+) -> DataFrame:
+    """SimHash near-dup pairs, byte-blocked: split the 32-bit hash into
+    4 bytes and equi-join on (block, byte) instead of scanning all
+    pairs. By pigeonhole, any pair within Hamming distance 3 leaves at
+    least one of the 4 bytes untouched, so at the default threshold the
+    blocked join is EXACT (zero false negatives); above 3 it becomes
+    approximate. More blocks (e.g. 64-bit SimHash with 8 byte blocks)
+    raise the exact ceiling at the cost of more candidates."""
+    blocks = [
+        F.struct(
+            F.lit(i).alias("pos"),
+            F.shiftright("simhash", 8 * i).bitwiseAND(F.lit(255)).alias("byte"),
+        )
+        for i in range(SIMHASH_BYTE_BLOCKS)
+    ]
+    blocked = sim.select(id_col, "simhash", F.explode(F.array(*blocks)).alias("blk")).select(
+        id_col, "simhash", F.col("blk.pos").alias("pos"), F.col("blk.byte").alias("byte")
+    )
+    a, b = blocked.alias("a"), blocked.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.pos") == F.col("b.pos"))
+            & (F.col("a.byte") == F.col("b.byte"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("a_id"),
+            F.col(f"b.{id_col}").alias("b_id"),
+            F.col("a.simhash").alias("a_sim"),
+            F.col("b.simhash").alias("b_sim"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("a_sim").bitwiseXOR(F.col("b_sim")))
+    return (
+        pairs.select("a_id", "b_id", ham.cast("int").alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -14,6 +14,8 @@ _MODULES = [
     "enrichment",
     "workflow",
     "textops",
+    "dedup",
+    "similarity",
 ]
 
 _loaded = False

@@ -1,0 +1,157 @@
+"""Deduplication queries over the ``documents`` table: exact
+hash-groupBy, n-gram Jaccard, MinHash+LSH, SimHash. All oracle-checked
+— the DuckDB SQL is generated from the same constants as the Spark
+expressions so both sides share one definition of shingles, seeds,
+bands, and thresholds.
+
+The sf0.01 corpus plants 25 near-dup pairs at Jaccard ≥ 0.9 (measured)
+— the thresholds below are calibrated so each query surfaces them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from nyc_taxi_data_engineering_spark.catalog import load_table
+from nyc_taxi_data_engineering_spark.functions import text as T
+from nyc_taxi_data_engineering_spark.operators import dedup as D
+from nyc_taxi_data_engineering_spark.queries.registry import query
+
+_H = D.MINHASH_HASHES
+_B = D.LSH_BANDS
+_R = _H // _B
+
+# Shared oracle CTE: per-doc distinct word shingles + set size.
+_SHINGLES_CTE = f"""
+shingle_sets AS (
+    SELECT doc_id, {T.sql_word_shingles('text')} AS shingles FROM documents
+),
+inv AS (SELECT doc_id, unnest(shingles) AS s FROM shingle_sets),
+sizes AS (SELECT doc_id, len(shingles) AS n FROM shingle_sets)
+"""
+
+_SIG_COLS = ",\n           ".join(
+    f"{e} AS s{i}"
+    for i, e in enumerate(T.sql_minhash_signature(T.sql_word_shingles("text"), _H))
+)
+
+_SEP = " || '|' || "
+_BAND_SELECTS = "\n    UNION ALL ".join(
+    f"SELECT doc_id, {i} AS band, md5({_SEP.join(f's{i * _R + j}' for j in range(_R))}) AS bucket FROM sig"
+    for i in range(_B)
+)
+
+_SIG_MATCHES = " + ".join(f"(CASE WHEN sa.s{i} = sb.s{i} THEN 1 ELSE 0 END)" for i in range(_H))
+
+
+@query(
+    "exact_dedup_docs",
+    oracle="""
+SELECT doc_id,
+       md5(text) AS content_hash,
+       min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_doc_id,
+       doc_id <> min(doc_id) OVER (PARTITION BY md5(text)) AS is_duplicate
+FROM documents
+""",
+)
+def q_exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: one shuffle on the content hash (operators/dedup
+    exact_dedup). The always-first, cheapest dedup pass."""
+    return D.exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "ngram_jaccard_pairs",
+    oracle=f"""
+WITH {_SHINGLES_CTE},
+common AS (
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS common_shingles
+    FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+)
+SELECT a_id, b_id, common_shingles,
+       round(common_shingles * 1.0 / (na.n + nb.n - common_shingles), 6) AS jaccard
+FROM common
+JOIN sizes na ON na.doc_id = a_id
+JOIN sizes nb ON nb.doc_id = b_id
+WHERE round(common_shingles * 1.0 / (na.n + nb.n - common_shingles), 6) >= 0.8
+""",
+    bench=True,
+)
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard near-dup pairs at threshold 0.8 via
+    the inverted shingle index (keyed join, never n²)."""
+    return D.shingle_jaccard_pairs(load_table(spark, sf_dir, "documents"), threshold=0.8)
+
+
+@query(
+    "minhash_lsh_pairs",
+    oracle=f"""
+WITH sig AS (
+    SELECT doc_id,
+           {_SIG_COLS}
+    FROM documents
+),
+bands AS (
+    {_BAND_SELECTS}
+),
+pairs AS (
+    SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+)
+SELECT p.a_id, p.b_id, ({_SIG_MATCHES}) / {float(_H)} AS est_similarity
+FROM pairs p
+JOIN sig sa ON sa.doc_id = p.a_id
+JOIN sig sb ON sb.doc_id = p.b_id
+""",
+)
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16)+LSH(4x4 bands) candidate pairs scored by signature
+    agreement — the sub-quadratic scale path for Jaccard dedup."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.lsh_candidate_pairs(D.minhash_signatures(docs))
+
+
+@query(
+    "simhash_docs",
+    oracle=f"""
+SELECT doc_id, {T.sql_simhash('text')} AS simhash FROM documents
+""",
+    bench=True,
+)
+def q_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per document (explode + one hash-agg with 32
+    conditional sums; map-side combine keeps the shuffle small)."""
+    return D.simhash(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "simhash_neardup_pairs",
+    oracle=f"""
+WITH sim AS (
+    SELECT doc_id, {T.sql_simhash('text')} AS simhash FROM documents
+),
+blocked AS (
+    SELECT doc_id, simhash, 0 AS pos, (simhash >> 0) & 255 AS byte FROM sim
+    UNION ALL SELECT doc_id, simhash, 1, (simhash >> 8) & 255 FROM sim
+    UNION ALL SELECT doc_id, simhash, 2, (simhash >> 16) & 255 FROM sim
+    UNION ALL SELECT doc_id, simhash, 3, (simhash >> 24) & 255 FROM sim
+),
+pairs AS (
+    SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+           a.simhash AS a_sim, b.simhash AS b_sim
+    FROM blocked a JOIN blocked b
+      ON a.pos = b.pos AND a.byte = b.byte AND a.doc_id < b.doc_id
+)
+SELECT a_id, b_id, bit_count(xor(a_sim, b_sim))::INT AS hamming
+FROM pairs
+WHERE bit_count(xor(a_sim, b_sim)) <= 3
+""",
+)
+def q_simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs within Hamming distance 3 — the exact
+    regime of the 4-byte block join (pigeonhole: ≤3 flipped bits leave
+    one byte intact), so no false negatives vs the all-pairs scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.simhash_neardup_pairs(D.simhash(docs))

@@ -1,0 +1,100 @@
+"""Unit tests for the dedup family (operators/dedup.py) and the
+similarity-search primitives (queries/similarity.py) on hand-built
+rows with known answers."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from nyc_taxi_data_engineering_spark.operators import dedup as D
+from nyc_taxi_data_engineering_spark.queries.similarity import dot, sign_bucket
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def test_exact_dedup_groups_and_canonical(spark):
+    df = D.exact_dedup(_docs(spark, ["a b c", "x y", "a b c"]))
+    rows = {r["doc_id"]: r for r in df.collect()}
+    assert rows[0]["canonical_doc_id"] == 0 and not rows[0]["is_duplicate"]
+    assert rows[2]["canonical_doc_id"] == 0 and rows[2]["is_duplicate"]
+    assert not rows[1]["is_duplicate"]
+    assert rows[0]["content_hash"] == rows[2]["content_hash"] != rows[1]["content_hash"]
+
+
+def test_jaccard_identical_docs_is_one(spark):
+    df = D.shingle_jaccard_pairs(
+        _docs(spark, ["a b c d e", "a b c d e", "q r s t u"]), threshold=0.5
+    )
+    rows = df.collect()
+    assert len(rows) == 1
+    assert (rows[0]["a_id"], rows[0]["b_id"], rows[0]["jaccard"]) == (0, 1, 1.0)
+
+
+def test_jaccard_partial_overlap_value(spark):
+    # shingles(0) = {a b c, b c d}; shingles(1) = {b c d, c d e} -> J = 1/3
+    df = D.shingle_jaccard_pairs(_docs(spark, ["a b c d", "b c d e"]), threshold=0.1)
+    assert df.collect()[0]["jaccard"] == round(1 / 3, 6)
+
+
+def test_df_cap_drops_hot_shingles(spark):
+    # the shingle 'a b c' appears in all 3 docs; cap at 2 removes it
+    texts = ["a b c", "a b c", "a b c"]
+    assert D.shingle_jaccard_pairs(_docs(spark, texts), threshold=0.1).count() == 3
+    assert D.shingle_jaccard_pairs(_docs(spark, texts), threshold=0.1, df_cap=2).count() == 0
+
+
+def test_minhash_lsh_finds_identical_pair(spark):
+    docs = _docs(spark, ["a b c d e f g h", "a b c d e f g h", "z y x w v u t s"])
+    pairs = D.lsh_candidate_pairs(D.minhash_signatures(docs)).collect()
+    exact = [p for p in pairs if (p["a_id"], p["b_id"]) == (0, 1)]
+    assert exact and exact[0]["est_similarity"] == 1.0
+
+
+def test_minhash_signature_seeds_differ(spark):
+    """Guards the PySpark two-arg-lambda pitfall: each permutation must
+    use its own seed, so components of one signature differ."""
+    sig = D.minhash_signatures(_docs(spark, ["a b c d e f"])).collect()[0]
+    vals = [sig[f"s{i}"] for i in range(D.MINHASH_HASHES)]
+    assert len(set(vals)) > 1
+
+
+def test_simhash_identical_and_neardup(spark):
+    docs = _docs(spark, ["a b c d e f g h i j", "a b c d e f g h i j", "q r s t u v w x y z"])
+    sim = D.simhash(docs)
+    vals = {r["doc_id"]: r["simhash"] for r in sim.collect()}
+    assert vals[0] == vals[1] != vals[2]
+    pairs = D.simhash_neardup_pairs(sim).collect()
+    assert any((p["a_id"], p["b_id"], p["hamming"]) == (0, 1, 0) for p in pairs)
+
+
+def test_dot_and_sign_bucket(spark):
+    df = spark.createDataFrame(
+        [([1.0, 0.0, -2.0, 0.0, 0.0, 0.0, 0.0, 0.0],)], "v array<double>"
+    )
+    got = df.select(
+        dot(F.col("v"), F.col("v")).alias("d"), sign_bucket(F.col("v")).alias("b")
+    ).collect()[0]
+    assert got["d"] == 5.0
+    # signs: + + - + + + + + -> all bits except bit 2 -> 255 - 4
+    assert got["b"] == 251
+
+
+def test_cosine_of_parallel_vectors(spark):
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0, 3.0]), (1, [2.0, 4.0, 6.0])], "vec_id long, v array<double>"
+    )
+    n = df.select("vec_id", F.col("v"), F.sqrt(dot(F.col("v"), F.col("v"))).alias("nrm"))
+    a = n.select(F.col("vec_id").alias("a"), F.col("v").alias("av"), F.col("nrm").alias("an"))
+    b = n.select(F.col("vec_id").alias("b"), F.col("v").alias("bv"), F.col("nrm").alias("bn"))
+    cos = (
+        a.join(b, F.col("a") < F.col("b"))
+        .select((dot(F.col("av"), F.col("bv")) / (F.col("an") * F.col("bn"))).alias("c"))
+        .collect()[0]["c"]
+    )
+    assert math.isclose(cos, 1.0, rel_tol=1e-12)
