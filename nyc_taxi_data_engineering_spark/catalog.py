@@ -56,7 +56,21 @@ def table_path(sf_dir: str, name: str) -> str:
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Parquet scan (reference S1). Native reader: predicate pushdown,
-    column pruning, and partition discovery come free via Catalyst."""
+    column pruning, and partition discovery come free via Catalyst.
+
+    The ``events`` table is written with nanosecond timestamps
+    (TIMESTAMP_NS), which Spark's parquet reader rejects by default —
+    read them as long nanos and convert with integer division (float
+    division of epoch-nanos is lossy past 2^52, silently shifting
+    microseconds)."""
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(table_path(sf_dir, name))
+        if dict(df.dtypes).get("ts") == "bigint":
+            from pyspark.sql import functions as F
+
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        return df
     return spark.read.parquet(table_path(sf_dir, name))
 
 

@@ -16,6 +16,7 @@ _MODULES = [
     "textops",
     "dedup",
     "similarity",
+    "streamingq",
 ]
 
 _loaded = False

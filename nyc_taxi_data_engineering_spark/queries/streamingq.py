@@ -1,0 +1,106 @@
+"""Batch twins of the streaming window aggregations (streaming/
+windows.py), oracle-checked over the ``events`` table. The streaming
+path applies the IDENTICAL builders to ``readStream`` input (tests
+assert stream == batch), so these oracles gate both modes.
+
+Window-start arithmetic in the oracles uses explicit epoch-µs flooring
+(``make_timestamp(floor(epoch_us / width) * width)``) — the same
+epoch-aligned bucketing Spark's ``window()`` uses — rather than
+``time_bucket``, whose origin conventions differ by interval type.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from nyc_taxi_data_engineering_spark.catalog import load_table
+from nyc_taxi_data_engineering_spark.functions import stable_sum_sql
+from nyc_taxi_data_engineering_spark.queries.registry import query
+from nyc_taxi_data_engineering_spark.streaming import (
+    session_user_stats,
+    sliding_event_stats,
+    tumbling_event_stats,
+)
+
+_HOUR_US = 3_600 * 1_000_000
+_HALF_HOUR_US = 1_800 * 1_000_000
+
+
+def _bucket(col: str, width_us: int) -> str:
+    return f"make_timestamp((epoch_us({col}) // {width_us}) * {width_us})"
+
+
+@query(
+    "events_tumbling_stats",
+    oracle=f"""
+SELECT {_bucket('ts', _HOUR_US)} AS window_start,
+       {_bucket('ts', _HOUR_US)} + INTERVAL 1 HOUR AS window_end,
+       event_type,
+       COUNT(*) AS n_events,
+       {stable_sum_sql('value')} AS sum_value
+FROM events
+GROUP BY window_start, window_end, event_type
+""",
+    bench=True,
+)
+def q_events_tumbling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly tumbling windows per event_type — the flagship streaming
+    agg, run here on the bounded twin."""
+    return tumbling_event_stats(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "events_sliding_stats",
+    oracle=f"""
+WITH ex AS (
+    SELECT event_type, value,
+           unnest([{_bucket('ts', _HALF_HOUR_US)},
+                   {_bucket('ts', _HALF_HOUR_US)} - INTERVAL 30 MINUTE]) AS window_start
+    FROM events
+)
+SELECT window_start,
+       window_start + INTERVAL 1 HOUR AS window_end,
+       event_type,
+       COUNT(*) AS n_events,
+       {stable_sum_sql('value')} AS sum_value
+FROM ex
+GROUP BY window_start, window_end, event_type
+""",
+)
+def q_events_sliding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows sliding every 30 minutes: each event lands in
+    exactly 2 windows (oracle: explicit unnest of both starts)."""
+    return sliding_event_stats(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "events_user_sessions",
+    oracle=f"""
+WITH o AS (
+    SELECT user_id, ts, value,
+           CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 6 HOUR
+                THEN 1 ELSE 0 END AS new_s
+    FROM events
+),
+s AS (
+    SELECT user_id, ts, value,
+           SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS sid
+    FROM o
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 6 HOUR AS session_end,
+       COUNT(*) AS n_events,
+       {stable_sum_sql('value')} AS sum_value
+FROM s
+GROUP BY user_id, sid
+""",
+)
+def q_events_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based per-user sessions (6h): Spark session_window vs the
+    oracle's gaps-and-islands rewrite — session_end is last event +
+    gap, and an event exactly at the previous session's end starts a
+    new one (window end is exclusive, hence '>= gap' in the oracle)."""
+    return session_user_stats(load_table(spark, sf_dir, "events"))

@@ -1,0 +1,149 @@
+"""Structured Streaming tests: the streaming plans are the SAME
+builders the oracle-checked batch twins use, so these tests close the
+loop — stream output must equal batch output on identical data, the
+watermark must drop late rows across a checkpointed restart, and the
+custom stateful operator must reproduce the batch aggregate."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from nyc_taxi_data_engineering_spark.streaming import tumbling_event_stats
+from nyc_taxi_data_engineering_spark.streaming.runner import (
+    EVENTS_SCHEMA,
+    read_events_stream,
+    run_available_now,
+)
+from nyc_taxi_data_engineering_spark.streaming.stateful import running_user_totals
+from nyc_taxi_data_engineering_spark.streaming.windows import with_watermark
+
+
+def _mk_events(spark, rows):
+    data = [
+        (i, dt.datetime(2024, 1, 1) + dt.timedelta(minutes=m), uid, et, v, "{}")
+        for i, (m, uid, et, v) in enumerate(rows)
+    ]
+    return spark.createDataFrame(data, EVENTS_SCHEMA)
+
+
+def _write_batch(df, path):
+    df.coalesce(1).write.mode("append").parquet(path)
+
+
+@pytest.fixture()
+def stream_dirs(tmp_path):
+    src = os.path.join(str(tmp_path), "src")
+    ckpt = os.path.join(str(tmp_path), "ckpt")
+    return src, ckpt
+
+
+def test_stream_equals_batch_tumbling(spark, stream_dirs):
+    src, ckpt = stream_dirs
+    events = _mk_events(
+        spark,
+        [(0, 1, "click", 1.0), (10, 1, "click", 2.0), (65, 2, "view", 3.0), (70, 1, "click", 4.0)],
+    )
+    _write_batch(events, src)
+
+    batch = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in tumbling_event_stats(spark.read.parquet(src)).collect()
+    }
+    run_available_now(
+        tumbling_event_stats(with_watermark(read_events_stream(spark, src))),
+        "t_tumbling",
+        ckpt,
+        output_mode="complete",
+    )
+    stream = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in spark.sql("SELECT * FROM t_tumbling").collect()
+    }
+    assert stream == batch and len(batch) == 3
+
+
+def test_watermark_drops_late_rows_across_restart(spark, stream_dirs, tmp_path):
+    """Batch 1 advances the watermark to 02:00 (max ts 04:00, 2h
+    delay) and append mode finalizes the 00:00 window. The restarted
+    stream (same checkpoint: offsets AND watermark recover) reads
+    batch 2, whose 00:30 row is behind the watermark and must be
+    dropped — the finalized 00:00 window keeps n=2 and the late
+    sum_value=100 row never appears anywhere."""
+    from nyc_taxi_data_engineering_spark.streaming.runner import foreach_batch_sink
+
+    src, ckpt = stream_dirs
+    out = os.path.join(str(tmp_path), "emitted")
+    _write_batch(
+        _mk_events(spark, [(0, 1, "click", 1.0), (30, 1, "click", 1.0), (240, 1, "view", 1.0)]),
+        src,
+    )
+
+    def run():
+        # foreachBatch (not the memory sink) so the checkpoint is recoverable
+        foreach_batch_sink(
+            tumbling_event_stats(with_watermark(read_events_stream(spark, src), "2 hours")),
+            ckpt,
+            lambda df, _id: df.write.mode("append").parquet(out),
+        )
+
+    run()
+    # late row (00:30, behind the 02:00 watermark) + on-time row (03:30)
+    _write_batch(_mk_events(spark, [(30, 9, "click", 100.0), (210, 9, "view", 1.0)]), src)
+    run()
+
+    emitted = spark.read.parquet(out).collect()
+    w0 = [r for r in emitted if r["window_start"] == dt.datetime(2024, 1, 1, 0, 0)]
+    assert w0 and all(r["n_events"] == 2 and r["sum_value"] == 2.0 for r in w0)
+    assert not any(r["sum_value"] >= 100.0 for r in emitted)
+
+
+def test_stateful_running_totals_match_batch(spark, stream_dirs):
+    src, ckpt = stream_dirs
+    events = _mk_events(
+        spark,
+        [(0, 1, "click", 1.5), (10, 1, "view", 2.5), (20, 2, "click", 7.0), (30, 1, "click", 3.0)],
+    )
+    _write_batch(events, src)
+
+    run_available_now(
+        running_user_totals(read_events_stream(spark, src)),
+        "t_state",
+        ckpt,
+        output_mode="update",
+    )
+    # latest state row per user must equal the batch aggregate
+    got = {
+        r["user_id"]: (r["n_events"], r["sum_value"], r["last_ts"])
+        for r in spark.sql(
+            "SELECT user_id, n_events, sum_value, last_ts FROM ("
+            "  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY n_events DESC) AS rn"
+            "  FROM t_state) WHERE rn = 1"
+        ).collect()
+    }
+    want = {
+        r["user_id"]: (r["n"], r["s"], r["m"])
+        for r in spark.read.parquet(src)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("s"), F.max("ts").alias("m"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_foreach_batch_bridges_to_parquet(spark, stream_dirs, tmp_path):
+    src, ckpt = stream_dirs
+    out = os.path.join(str(tmp_path), "out")
+    _write_batch(_mk_events(spark, [(0, 1, "click", 1.0), (5, 2, "view", 2.0)]), src)
+
+    from nyc_taxi_data_engineering_spark.streaming.runner import foreach_batch_sink
+
+    foreach_batch_sink(
+        read_events_stream(spark, src),
+        ckpt,
+        lambda df, batch_id: df.write.mode("append").parquet(out),
+    )
+    assert spark.read.parquet(out).count() == 2
