@@ -17,6 +17,7 @@ _MODULES = [
     "dedup",
     "similarity",
     "streamingq",
+    "multimodalq",
 ]
 
 _loaded = False
