@@ -169,6 +169,94 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_CENTROIDS = 8
+IVF_CENTROID_LO, IVF_CENTROID_HI = N_QUERIES, N_QUERIES + N_CENTROIDS - 1
+N_PROBE = 2
+
+
+@query(
+    "ann_ivf_topk",
+    oracle=f"""
+WITH {_ORACLE_CORPUS},
+cent AS (
+    SELECT vec_id AS c_id, v AS cv, nrm AS cnrm FROM n
+    WHERE vec_id BETWEEN {IVF_CENTROID_LO} AND {IVF_CENTROID_HI}
+),
+assign AS (
+    SELECT vec_id, c_id,
+           row_number() OVER (
+               PARTITION BY vec_id
+               ORDER BY list_sum(list_transform(range(1, len(c.v) + 1), i -> c.v[i] * cent.cv[i]))
+                            / (c.nrm * cent.cnrm) DESC, c_id
+           ) AS crank
+    FROM n c, cent
+),
+lists AS (SELECT vec_id, c_id AS list_id FROM assign WHERE crank = 1),
+probes AS (
+    SELECT vec_id AS q_id, c_id AS list_id FROM assign
+    WHERE vec_id < {N_QUERIES} AND crank <= {N_PROBE}
+),
+s AS (
+    SELECT p.q_id, l.vec_id, {_ORACLE_COS} AS cos
+    FROM probes p
+    JOIN lists l ON l.list_id = p.list_id AND l.vec_id <> p.q_id
+    JOIN n q ON q.vec_id = p.q_id
+    JOIN n c ON c.vec_id = l.vec_id
+),
+r AS (
+    SELECT q_id, vec_id, cos,
+           row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+    FROM s
+)
+SELECT q_id, vec_id, rank::INT AS rank, round(cos, 6) AS cosine
+FROM r WHERE rank <= {TOP_K}
+""",
+)
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style approximate top-5: a deterministic coarse quantizer
+    (centroids = corpus vectors {IVF range}) partitions the corpus into
+    inverted lists by nearest centroid; each query probes its 2 nearest
+    lists and scores candidates exactly. At corpus scale the
+    assignment is an offline pass and queries touch ~nprobe/K of the
+    data — the classic ANN recall/cost dial, here with every step a
+    broadcast or keyed equi-join."""
+    corpus = _corpus(spark, sf_dir)
+    cent = corpus.filter(F.col("vec_id").between(IVF_CENTROID_LO, IVF_CENTROID_HI)).select(
+        F.col("vec_id").alias("c_id"), F.col("v").alias("cv"), F.col("nrm").alias("cnrm")
+    )
+    ccos = dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cnrm"))
+    cw = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("c_id"))
+    assign = (
+        corpus.crossJoin(F.broadcast(cent))
+        .select("vec_id", "c_id", ccos.alias("ccos"))
+        .withColumn("crank", F.row_number().over(cw))
+    )
+    lists = assign.filter(F.col("crank") == 1).select("vec_id", F.col("c_id").alias("list_id"))
+    probes = assign.filter(
+        (F.col("vec_id") < N_QUERIES) & (F.col("crank") <= N_PROBE)
+    ).select(F.col("vec_id").alias("q_id"), F.col("c_id").alias("list_id"))
+    q = corpus.select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), F.col("nrm").alias("qnrm")
+    )
+    cands = (
+        probes.join(lists, "list_id")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .join(F.broadcast(q), "q_id")
+        .join(corpus, "vec_id")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        cands.select(
+            "q_id",
+            "vec_id",
+            (dot(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm"))).alias("cos"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("q_id", "vec_id", F.col("rank").cast("int").alias("rank"), F.round("cos", 6).alias("cosine"))
+    )
+
+
 @query(
     "embedding_neardup_pairs",
     oracle=f"""
