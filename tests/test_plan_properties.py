@@ -1,0 +1,87 @@
+"""Physical-plan regression tests: correctness tests prove the WHAT,
+these pin the HOW — the plan properties that make the operators viable
+at cluster scale. If a refactor silently turns a broadcast join into a
+shuffled one, drops a parquet pushdown, or introduces a cartesian
+product into a dedup path, these fail before any benchmark notices."""
+
+from __future__ import annotations
+
+import pytest
+
+from nyc_taxi_data_engineering_spark.queries.registry import registry
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    df = registry()[name].fn(spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_flagship_pushdown_and_broadcast(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "daily_vendor_revenue")
+    # filter reaches the lineitem scan; supplier dim is broadcast
+    assert "PushedFilters: [IsNotNull(l_extendedprice), GreaterThan(l_extendedprice,0.0)" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # aggregation is partial+final (map-side combine)
+    assert "partial_sum" in plan
+
+
+def test_flagship_column_pruning(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "daily_vendor_revenue")
+    # lineitem has 16 columns; the scan must read only the 4 used
+    scan = next(line for line in plan.splitlines() if "FileScan" in line and "lineitem" in line)
+    read_schema = scan.split("ReadSchema:")[1]
+    assert read_schema.count(":") <= 5  # 4 fields (+1 for 'struct<')
+    assert "l_comment" not in read_schema
+
+
+def test_enrichment_broadcasts_both_dim_roles(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "enrich_lineitem_nations")
+    # every dim join (supplier->nation role-play x2, customer) broadcasts;
+    # only the fact-to-fact lineitem<->orders join may shuffle
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert plan.count("SortMergeJoin") <= 1
+
+
+def test_ri_gate_is_broadcast(spark, sf_dir):
+    for q in ("ri_gate_kept_by_supplier", "ri_gate_orphans"):
+        plan = _plan(spark, sf_dir, q)
+        assert "BroadcastHashJoin" in plan, q
+
+
+def test_dedup_paths_have_no_cartesian_product(spark, sf_dir):
+    """Candidate generation must stay a keyed equi-join at any scale."""
+    for q in ("ngram_jaccard_pairs", "minhash_lsh_pairs", "simhash_neardup_pairs"):
+        plan = _plan(spark, sf_dir, q)
+        assert "CartesianProduct" not in plan, q
+        assert "BroadcastNestedLoopJoin" not in plan, q
+
+
+def test_ann_broadcasts_query_side(spark, sf_dir):
+    """Brute-force top-k must broadcast the tiny query set (nested-loop
+    over the corpus scan), never shuffle the corpus."""
+    plan = _plan(spark, sf_dir, "ann_cosine_topk")
+    assert "BroadcastNestedLoopJoin BuildRight" in plan
+
+
+def test_text_scan_prunes_to_used_columns(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "text_token_stats")
+    scan = next(line for line in plan.splitlines() if "FileScan" in line)
+    assert "doc_id" in scan and "text" in scan
+    assert "source" not in scan and "lang" not in scan
+
+
+def test_scd2_verify_aggregates_with_partial_combine(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "scd2_verify_ok")
+    assert "partial_count" in plan or "partial_" in plan
+
+
+@pytest.mark.parametrize("q", ["events_tumbling_stats", "events_user_sessions"])
+def test_event_windows_single_shuffle(spark, sf_dir, q):
+    """Windowed aggs need exactly one exchange (the group-by); extra
+    exchanges would mean a lost pre-aggregation at scale."""
+    plan = _plan(spark, sf_dir, q)
+    n_exchanges = sum(
+        1 for line in plan.splitlines() if "Exchange hashpartitioning" in line
+    )
+    assert n_exchanges == 1, f"{q}: {n_exchanges} exchanges"
