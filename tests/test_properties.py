@@ -1,0 +1,107 @@
+"""Property-based tests (hypothesis): invariants that must hold for
+ANY input, not just fixtures — the SCD2 single-current/contiguous-
+version invariant under arbitrary batch sequences, the validate-split
+partition property, and text-function parity with a pure-Python
+reference model."""
+
+from __future__ import annotations
+
+import re
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from nyc_taxi_data_engineering_spark.functions import text as T
+from nyc_taxi_data_engineering_spark.operators import scd2
+
+SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+# small key/value spaces force collisions, updates, and no-op batches
+batches_strategy = st.lists(
+    st.lists(
+        st.tuples(st.integers(0, 3), st.sampled_from(["a", "b", "c"])),
+        min_size=1,
+        max_size=5,
+    ),
+    min_size=1,
+    max_size=4,
+)
+
+
+@given(batches=batches_strategy)
+@settings(**SETTINGS)
+def test_scd2_invariants_hold_for_any_batch_sequence(spark, batches):
+    """After any sequence of merges: exactly one current row per key,
+    version numbers contiguous from 1, and exactly the keys ever seen
+    are present."""
+    target = None
+    for i, batch in enumerate(batches):
+        df = spark.createDataFrame(batch, "k int, val string")
+        if target is None:
+            target = scd2.scd2_init(df, key="k", tracked=["val"], effective_ts=f"2024-01-0{i + 1}")
+        else:
+            target = scd2.scd2_apply(
+                target, df, key="k", tracked=["val"], effective_ts=f"2024-01-0{i + 1}"
+            )
+    rows = target.collect()
+    by_key: dict[int, list] = {}
+    for r in rows:
+        by_key.setdefault(r["k"], []).append(r)
+    seen_keys = {k for batch in batches for k, _ in batch}
+    assert set(by_key) == seen_keys
+    for k, versions in by_key.items():
+        assert sum(1 for r in versions if r["is_current"]) == 1, f"key {k}"
+        assert sorted(r["version_no"] for r in versions) == list(range(1, len(versions) + 1))
+    # the verify operator agrees
+    assert scd2.scd2_verify(target, "k").count() == 0
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab .!7\t", min_size=0, max_size=40), min_size=1, max_size=8
+    )
+)
+@settings(**SETTINGS)
+def test_text_functions_match_python_model(spark, texts):
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i long, text string")
+    got = {
+        r["i"]: r
+        for r in df.select(
+            "i",
+            T.token_count_ws(F.col("text")).alias("ws"),
+            T.token_count_bpe(F.col("text")).alias("bpe"),
+            T.punct_count(F.col("text")).alias("punct"),
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        # Spark's trim() (like DuckDB's) strips SPACES only, not \t/\n —
+        # the Python model must match that, not str.strip()
+        assert got[i]["ws"] == len(re.split(r"\s+", t.strip(" ")))
+        assert got[i]["bpe"] == len(re.findall(r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]", t))
+        assert got[i]["punct"] == len(re.findall(r"[^A-Za-z0-9\s]", t))
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(-5, 100), st.floats(-10, 10, allow_nan=False)),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(**SETTINGS)
+def test_validate_split_is_a_partition(spark, rows):
+    """good + bad rows re-assemble the input exactly; no row is in
+    both; the split predicate is total (no NULL leakage)."""
+    df = spark.createDataFrame([(i, q, v) for i, (q, v) in enumerate(rows)], "i long, q int, v double")
+    pred = (F.col("q") > 0) & (F.col("v") >= 0)
+    good = df.filter(pred)
+    bad = df.filter(~pred | pred.isNull())
+    ids_good = {r["i"] for r in good.select("i").collect()}
+    ids_bad = {r["i"] for r in bad.select("i").collect()}
+    assert ids_good | ids_bad == set(range(len(rows)))
+    assert not (ids_good & ids_bad)
