@@ -18,6 +18,7 @@ _MODULES = [
     "similarity",
     "streamingq",
     "multimodalq",
+    "analytics",
 ]
 
 _loaded = False

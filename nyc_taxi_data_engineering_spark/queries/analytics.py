@@ -1,0 +1,125 @@
+"""Beyond-reference analytic operators the engine should own as a
+query engine: ROLLUP/grouping-sets aggregation, top-k-per-group
+windows, and point-in-time (as-of) enrichment against SCD2 versions —
+all exact-oracle-checked.
+
+The reference has none of these (SURVEY §2.4: "Not present:
+grouping sets/cube/rollup"; §2.3: no as-of/range joins) — they are the
+standard next asks of any analytics engine, and the as-of join is what
+makes SCD2 masters leakage-safe for training-data assembly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nyc_taxi_data_engineering_spark.catalog import load_table
+from nyc_taxi_data_engineering_spark.functions import stable_sum, stable_sum_sql
+from nyc_taxi_data_engineering_spark.operators.scd2 import scd2_apply
+from nyc_taxi_data_engineering_spark.operators.temporal import point_in_time_join
+from nyc_taxi_data_engineering_spark.queries.registry import query
+from nyc_taxi_data_engineering_spark.queries.scd2 import KEY, TRACKED
+
+
+@query(
+    "orders_rollup_nation_year",
+    oracle=f"""
+SELECT COALESCE(n_name, '(all)') AS nation,
+       COALESCE(CAST(year(o_orderdate) AS INT), -1) AS order_year,
+       COUNT(*) AS n_orders,
+       {stable_sum_sql('o_totalprice')} AS total_sales
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY ROLLUP(n_name, year(o_orderdate))
+""",
+)
+def q_orders_rollup_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP(nation, year): per-(nation, year), per-nation, and grand
+    totals in ONE aggregation pass (Catalyst expands the grouping sets;
+    still a single shuffle with partial aggregation). Null grouping
+    slots are rewritten to sentinels so the oracle comparison is
+    unambiguous (dims are non-null here)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    base = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .select(F.col("n_name"), F.year("o_orderdate").alias("_yr"), F.col("o_totalprice"))
+    )
+    return (
+        base.rollup("n_name", "_yr")
+        .agg(F.count("*").alias("n_orders"), stable_sum("o_totalprice").alias("total_sales"))
+        .select(
+            F.coalesce(F.col("n_name"), F.lit("(all)")).alias("nation"),
+            F.coalesce(F.col("_yr").cast("int"), F.lit(-1)).alias("order_year"),
+            "n_orders",
+            "total_sales",
+        )
+    )
+
+
+@query(
+    "top_orders_per_customer",
+    oracle="""
+SELECT o_custkey, o_orderkey, o_totalprice, rnk
+FROM (
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           CAST(row_number() OVER (PARTITION BY o_custkey
+                                   ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rnk
+    FROM orders
+)
+WHERE rnk <= 3
+""",
+)
+def q_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer — the top-k-per-group window pattern
+    (single shuffle on the partition key; ties broken by order key so
+    the result is deterministic)."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.select("o_custkey", "o_orderkey", "o_totalprice")
+        .withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= 3)
+    )
+
+
+ASOF_T1, ASOF_T2 = "2024-01-01 00:00:00", "2024-01-15 00:00:00"
+
+
+@query(
+    "asof_customer_versions",
+    oracle=f"""
+SELECT e.event_id, e.user_id,
+       CAST(CASE WHEN e.user_id % 10 = 0 AND e.ts >= TIMESTAMP '{ASOF_T2}'
+                 THEN 2 ELSE 1 END AS INT) AS version_no,
+       c.c_acctbal + CASE WHEN e.user_id % 10 = 0 AND e.ts >= TIMESTAMP '{ASOF_T2}'
+                          THEN 100 ELSE 0 END AS acctbal_at_event
+FROM events e
+JOIN customer c ON c.c_custkey = e.user_id
+""",
+)
+def q_asof_customer_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time enrichment: each event joined to the customer
+    SCD2 version effective AT ITS TIMESTAMP (v2 exists from mid-month
+    for custkey%10==0). The leakage-safe way to attach master data to
+    training events; oracle derives the expected version in closed
+    form."""
+    cust = load_table(spark, sf_dir, "customer").select(KEY, *TRACKED)
+    changed = cust.withColumn(
+        "c_acctbal",
+        F.when(F.col(KEY) % 10 == 0, F.col("c_acctbal") + 100).otherwise(F.col("c_acctbal")),
+    )
+    versions = scd2_apply(scd2_apply(None, cust, KEY, TRACKED, ASOF_T1), changed, KEY, TRACKED, ASOF_T2)
+    events = load_table(spark, sf_dir, "events")
+    return point_in_time_join(events, versions, "user_id", KEY, "ts").select(
+        "event_id",
+        "user_id",
+        F.col("version_no").cast("int").alias("version_no"),
+        F.col("c_acctbal").alias("acctbal_at_event"),
+    )
