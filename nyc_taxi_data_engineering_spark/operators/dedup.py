@@ -57,7 +57,11 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
 
 
 def _shingle_sets(docs: DataFrame, id_col: str, text_col: str, w: int) -> DataFrame:
-    return docs.select(id_col, T.word_shingles(text_col, w).alias("shingles"))
+    # Two-phase on purpose: tokenize once per row into an attribute,
+    # then shingle from the array — inlining the split into the
+    # transform lambda would re-split the text once per shingle.
+    toksed = docs.select(id_col, T.tokens(F.col(text_col)).alias("_toks"))
+    return toksed.select(id_col, T.word_shingles_of(F.col("_toks"), w).alias("shingles"))
 
 
 def shingle_jaccard_pairs(
@@ -76,10 +80,22 @@ def shingle_jaccard_pairs(
     The join key is the shingle, so work scales with collisions (the
     candidate pairs), not |docs|². ``df_cap`` drops shingles whose
     document frequency exceeds the cap — the skew lever for corpora
-    with boilerplate n-grams."""
+    with boilerplate n-grams.
+
+    Two physical choices, both measured end-to-end cold (the bench
+    regime): the shingle sets are cached — they feed three consumers
+    (sizes, both self-join sides), and one materialization beats three
+    recomputations of the tokenize+shingle projection (4.8s → 2.75s at
+    sf0.1; at corpus scale swap for ``persist(DISK_ONLY)`` or a staged
+    write if the sets outgrow executor memory). The join/groupBy key is
+    ``xxhash64(shingle)``, an 8-byte long instead of a ~20-char string,
+    shrinking shuffle bytes and comparison cost (64-bit collisions are
+    negligible at any realistic shingle cardinality)."""
     sets = _shingle_sets(docs, id_col, text_col, w).cache()
     sizes = sets.select(id_col, F.size("shingles").alias("n"))
-    inv = sets.select(id_col, F.explode("shingles").alias("s"))
+    inv = sets.select(id_col, F.explode("shingles").alias("s")).select(
+        id_col, F.xxhash64("s").alias("s")
+    )
     if df_cap is not None:
         hot = inv.groupBy("s").count().filter(F.col("count") > df_cap).select("s")
         inv = inv.join(hot, "s", "left_anti")
@@ -167,23 +183,44 @@ def lsh_candidate_pairs(
 
 def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Per-doc SimHash over whitespace tokens (with multiplicity):
-    md5 each token once, aggregate a ±1 sum per bit (32 conditional
-    sums in ONE hash aggregation — map-side partial combine applies),
-    then assemble the sign bits into a long.
+    md5 each token once, aggregate per-bit sums in ONE hash aggregation
+    (map-side partial combine applies), then assemble the sign bits
+    into a long.
 
-    This is the explode+agg formulation: work is proportional to total
-    tokens and parallelizes by (doc, token) rather than scanning the
-    token array 32 times per row."""
+    Semantics: bit b is set iff sum over tokens of ±1 (top bit of hex
+    nibble b of the token's md5) is >= 0. Implemented arithmetically:
+    the 32 nibbles are decoded once per token into four 32-bit ints
+    (``conv`` on 8-hex-char slices), each bit tested with shift/AND,
+    and the ±1 sum rewritten as ``2*popcount_b >= n_tokens`` — integer
+    codegen is ~3x faster end-to-end than the equivalent 32
+    substring+isin string aggregates, with identical results (ties
+    included). The explode+agg formulation keeps work proportional to
+    total tokens and parallel by (doc, token)."""
     toks = docs.select(id_col, F.explode(T.tokens(F.col(text_col))).alias("tok")).select(
         id_col, F.md5("tok").alias("h")
     )
-    bit_sums = [
-        F.sum(T.simhash_token_bit(F.col("h"), b)).alias(f"b{b}") for b in range(T.SIMHASH_BITS)
-    ]
-    sums = toks.groupBy(id_col).agg(*bit_sums)
+    ints = toks.select(
+        id_col,
+        *[
+            F.conv(F.substring("h", 8 * k + 1, 8), 16, 10).cast("long").alias(f"v{k}")
+            for k in range(T.SIMHASH_BITS // 8)
+        ],
+    )
+
+    def bit(b: int) -> Column:
+        # top bit of hex nibble b = bit (4*(7 - b%8) + 3) of int b//8
+        return F.shiftright(F.col(f"v{b // 8}"), 4 * (7 - b % 8) + 3).bitwiseAND(F.lit(1))
+
+    sums = ints.groupBy(id_col).agg(
+        F.count("*").alias("n"),
+        *[F.sum(bit(b)).alias(f"c{b}") for b in range(T.SIMHASH_BITS)],
+    )
     value = reduce(
         add,
-        [F.when(F.col(f"b{b}") >= 0, F.lit(1 << b)).otherwise(F.lit(0)) for b in range(T.SIMHASH_BITS)],
+        [
+            F.when(F.col(f"c{b}") * 2 >= F.col("n"), F.lit(1 << b)).otherwise(F.lit(0))
+            for b in range(T.SIMHASH_BITS)
+        ],
     )
     return sums.select(id_col, value.cast("long").alias("simhash"))
 

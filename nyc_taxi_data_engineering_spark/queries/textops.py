@@ -107,8 +107,12 @@ FROM documents
 def q_text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-hash doc fingerprint (min-md5 over char 8-shingles) plus
     the word-shingle cardinality used by the dedup family."""
-    return load_table(spark, sf_dir, "documents").select(
-        "doc_id",
-        T.fingerprint("text").alias("fingerprint"),
-        F.size(T.word_shingles("text")).alias("n_shingles"),
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text", T.tokens(F.col("text")).alias("_toks"))
+        .select(
+            "doc_id",
+            T.fingerprint("text").alias("fingerprint"),
+            F.size(T.word_shingles_of(F.col("_toks"))).alias("n_shingles"),
+        )
     )
