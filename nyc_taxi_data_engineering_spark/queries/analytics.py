@@ -1,10 +1,11 @@
 """Beyond-reference analytic operators the engine should own as a
-query engine: ROLLUP/grouping-sets aggregation, top-k-per-group
-windows, and point-in-time (as-of) enrichment against SCD2 versions —
-all exact-oracle-checked.
+query engine: ROLLUP/CUBE grouping-sets aggregation, top-k-per-group
+and lag/lead windows, exact percentiles, INTERSECT, and point-in-time
+(as-of) enrichment against SCD2 versions — all exact-oracle-checked.
 
 The reference has none of these (SURVEY §2.4: "Not present:
-grouping sets/cube/rollup"; §2.3: no as-of/range joins) — they are the
+median/percentiles, grouping sets/cube/rollup"; §2.5: no lag/lead;
+§2.7: "No intersect"; §2.3: no as-of/range joins) — they are the
 standard next asks of any analytics engine, and the as-of join is what
 makes SCD2 masters leakage-safe for training-data assembly.
 """
@@ -86,6 +87,132 @@ def q_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.select("o_custkey", "o_orderkey", "o_totalprice")
         .withColumn("rnk", F.row_number().over(w).cast("int"))
         .filter(F.col("rnk") <= 3)
+    )
+
+
+@query(
+    "orders_cube_priority_status",
+    oracle=f"""
+SELECT COALESCE(o_orderpriority, '(all)') AS priority,
+       COALESCE(o_orderstatus, '(all)') AS status,
+       COUNT(*) AS n_orders,
+       {stable_sum_sql('o_totalprice')} AS total_sales
+FROM orders
+GROUP BY CUBE(o_orderpriority, o_orderstatus)
+""",
+)
+def q_orders_cube_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE(priority, status): all four grouping sets in one pass —
+    like rollup, Catalyst expands the sets before a single shuffle with
+    partial aggregation (Expand operator), so cost is rows x sets on
+    the map side, not four scans."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderpriority", "o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n_orders"), stable_sum("o_totalprice").alias("total_sales"))
+        .select(
+            F.coalesce(F.col("o_orderpriority"), F.lit("(all)")).alias("priority"),
+            F.coalesce(F.col("o_orderstatus"), F.lit("(all)")).alias("status"),
+            "n_orders",
+            "total_sales",
+        )
+    )
+
+
+@query(
+    "parts_returned_both_flags",
+    oracle="""
+SELECT l_partkey FROM lineitem WHERE l_returnflag = 'A'
+INTERSECT
+SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'
+""",
+)
+def q_parts_returned_both_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (set semantics): parts appearing under both return
+    flags A and R.
+    Catalyst plans intersect as an aggregate + left-semi join on the
+    full row — one keyed shuffle per side, no distinct-then-join
+    double shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_returnflag") == "A").select("l_partkey")
+    r = li.filter(F.col("l_returnflag") == "R").select("l_partkey")
+    return a.intersect(r)
+
+
+@query(
+    "nation_order_percentiles",
+    oracle="""
+SELECT n_name AS nation,
+       round(quantile_cont(o_totalprice, 0.5), 6) AS median_price,
+       round(quantile_cont(o_totalprice, 0.9), 6) AS p90_price,
+       COUNT(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+""",
+)
+def q_nation_order_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (median, p90) per nation. Spark's
+    ``percentile`` and DuckDB's ``quantile_cont`` share the linear-
+    interpolation definition, so the oracle match is exact. Exact
+    percentiles need the group's values together (sort-based agg under
+    the hood) — at corpus scale switch to ``percentile_approx`` and
+    drop the oracle to rows-only; this query pins the exact baseline."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.round(F.expr("percentile(o_totalprice, 0.5)"), 6).alias("median_price"),
+            F.round(F.expr("percentile(o_totalprice, 0.9)"), 6).alias("p90_price"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+@query(
+    "customer_order_gaps",
+    oracle="""
+WITH g AS (
+    SELECT o_custkey,
+           date_diff('day',
+                     lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                            ORDER BY o_orderdate, o_orderkey),
+                     o_orderdate) AS gap
+    FROM orders
+)
+SELECT o_custkey, COUNT(*) AS n_orders,
+       round(avg(gap), 6) AS avg_gap_days,
+       CAST(max(gap) AS INT) AS max_gap_days
+FROM g GROUP BY o_custkey HAVING COUNT(*) >= 2
+""",
+)
+def q_customer_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-order gap statistics per customer via ``lag`` (the
+    reference has no lag/lead anywhere — SURVEY §2.5). One shuffle on
+    the partition key serves both the window and the following
+    aggregation; ties on order date are broken by order key so the lag
+    sequence is deterministic."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = orders.select(
+        "o_custkey",
+        F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w)).alias("gap"),
+    )
+    return (
+        gaps.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.avg("gap"), 6).alias("avg_gap_days"),
+            F.max("gap").cast("int").alias("max_gap_days"),
+        )
+        .filter(F.col("n_orders") >= 2)
     )
 
 
