@@ -85,3 +85,47 @@ def test_event_windows_single_shuffle(spark, sf_dir, q):
         1 for line in plan.splitlines() if "Exchange hashpartitioning" in line
     )
     assert n_exchanges == 1, f"{q}: {n_exchanges} exchanges"
+
+
+@pytest.mark.parametrize("q", ["orders_rollup_nation_year", "orders_cube_priority_status"])
+def test_grouping_sets_expand_once(spark, sf_dir, q):
+    """ROLLUP/CUBE must plan as ONE Expand + one aggregation shuffle —
+    if Catalyst ever fell back to a union of per-set scans this would
+    multiply the 100 TB read by the number of grouping sets."""
+    plan = _plan(spark, sf_dir, q)
+    assert plan.count("Expand") >= 1, q
+    n_exchanges = sum(
+        1 for line in plan.splitlines() if "Exchange hashpartitioning" in line
+    )
+    assert n_exchanges == 1, f"{q}: {n_exchanges} agg exchanges"
+    assert plan.count("FileScan") <= 3, q  # one per input table, not per set
+
+
+def test_intersect_plans_as_semi_join(spark, sf_dir):
+    """INTERSECT must become aggregate + (semi) hash join, never a
+    nested-loop or cartesian comparison."""
+    plan = _plan(spark, sf_dir, "parts_returned_both_flags")
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_point_in_time_join_is_keyed(spark, sf_dir):
+    """The as-of enrichment must hash/sort-merge on the entity key with
+    the interval predicate as a post-join filter — an interval-only
+    join would be a cartesian product at scale."""
+    plan = _plan(spark, sf_dir, "asof_customer_versions")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_window_queries_single_shuffle(spark, sf_dir):
+    """Top-k-per-group and lag run off one exchange on the partition
+    key (the agg in customer_order_gaps reuses the window's
+    partitioning — no second shuffle)."""
+    for q in ("top_orders_per_customer", "customer_order_gaps"):
+        plan = _plan(spark, sf_dir, q)
+        n_exchanges = sum(
+            1 for line in plan.splitlines() if "Exchange hashpartitioning" in line
+        )
+        assert n_exchanges == 1, f"{q}: {n_exchanges} exchanges"
