@@ -1,0 +1,130 @@
+"""Deterministic sampling / dataset-split operators for training-data
+assembly: hash-bucket train/val/test splits, stratified (per-stratum
+rate) sampling, and weighted corpus mixtures.
+
+Beyond-reference extension (the reference has no sampling anywhere;
+its only row-selection ops are predicates — SURVEY §2.2). These are
+the operators a 100 TB pretraining pipeline runs on every corpus
+refresh, and the design constraints come from that scale:
+
+- **Content/key-hashed, not random.** ``randomSplit``/``sample`` are
+  nondeterministic across reruns, partition layouts, and cluster
+  sizes. Hashing a stable key means a document lands in the SAME split
+  on every rerun and on any cluster — splits stay leakage-safe when
+  the corpus is re-ingested incrementally.
+- **Narrow.** Bucket assignment is a per-row projection: no shuffle,
+  no sort, no driver round-trip. Splitting 100 TB costs one scan.
+- **Oracle-exact.** The bucket function is md5-prefix arithmetic that
+  DuckDB can evaluate verbatim (``('0x' || substr(md5(k),1,8))::BIGINT``),
+  so every split/sample decision is hash-checkable row by row.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Bucket space 10_000 → split fractions resolve to 0.01 % granularity.
+N_BUCKETS = 10_000
+
+
+def hash_bucket(key: Column, seed: str = "", n_buckets: int = N_BUCKETS) -> Column:
+    """Uniform bucket in [0, n_buckets) from the first 8 hex digits of
+    md5(seed|key). Changing ``seed`` re-draws every assignment (fresh
+    resample) without touching the data."""
+    h = F.md5(F.concat_ws("|", F.lit(seed), key.cast("string")))
+    return (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % n_buckets).cast("int")
+
+
+def hash_bucket_sql(key_expr: str, seed: str = "", n_buckets: int = N_BUCKETS) -> str:
+    """DuckDB-evaluable twin of :func:`hash_bucket` (same md5 prefix,
+    same modulus) for oracle SQL generation."""
+    concat = f"'{seed}' || '|' || CAST({key_expr} AS VARCHAR)"
+    return f"CAST(('0x' || substr(md5({concat}), 1, 8))::BIGINT % {n_buckets} AS INT)"
+
+
+def _split_edges(splits: Mapping[str, float]) -> list[tuple[str, int, int]]:
+    """[(name, lo, hi)) bucket ranges from fractional splits summing to 1."""
+    total = sum(splits.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split fractions must sum to 1, got {total}")
+    edges, lo = [], 0
+    names = list(splits)
+    for i, name in enumerate(names):
+        hi = N_BUCKETS if i == len(names) - 1 else lo + round(splits[name] * N_BUCKETS)
+        if hi <= lo:
+            raise ValueError(f"split {name!r} resolves to an empty bucket range")
+        edges.append((name, lo, hi))
+        lo = hi
+    return edges
+
+
+def assign_split(
+    df: DataFrame,
+    key: str,
+    splits: Mapping[str, float],
+    seed: str = "",
+    out_col: str = "split",
+) -> DataFrame:
+    """Label every row with a deterministic split name (e.g.
+    train/val/test) by hash bucket of ``key``. Pure projection —
+    no shuffle; write with ``partitionBy(out_col)`` to materialize
+    split-per-directory."""
+    bucket = hash_bucket(F.col(key), seed)
+    edges = _split_edges(splits)
+    expr = F.when(bucket < F.lit(edges[0][2]), F.lit(edges[0][0]))
+    for name, _lo, hi in edges[1:-1]:
+        expr = expr.when(bucket < F.lit(hi), F.lit(name))
+    expr = expr.otherwise(F.lit(edges[-1][0]))
+    return df.withColumn(out_col, expr)
+
+
+def assign_split_sql(key_expr: str, splits: Mapping[str, float], seed: str = "") -> str:
+    """DuckDB CASE expression matching :func:`assign_split`."""
+    bucket = hash_bucket_sql(key_expr, seed)
+    edges = _split_edges(splits)
+    whens = "".join(f" WHEN {bucket} < {hi} THEN '{name}'" for name, _lo, hi in edges[:-1])
+    return f"CASE{whens} ELSE '{edges[-1][0]}' END"
+
+
+def stratified_sample(
+    df: DataFrame,
+    key: str,
+    stratum: str,
+    fractions: Mapping[str, float],
+    default: float = 0.0,
+    seed: str = "",
+) -> DataFrame:
+    """Keep a deterministic per-stratum fraction of rows (hash-bucket
+    thresholding) — corpus rebalancing (downsample the dominant
+    language, keep the long tail) and weighted source mixtures are the
+    same operator with different stratum columns.
+
+    Still narrow: the per-stratum rate is a CASE over the stratum
+    column, compared against the row's hash bucket; no join against a
+    rate table, no shuffle, no sampling state."""
+    for name, frac in fractions.items():
+        if not 0.0 <= frac <= 1.0:
+            raise ValueError(f"fraction for stratum {name!r} must be in [0,1], got {frac}")
+    bucket = hash_bucket(F.col(key), seed)
+    rate: Column = F.lit(default)
+    for name, frac in fractions.items():
+        rate = F.when(F.col(stratum) == name, F.lit(frac)).otherwise(rate)
+    return df.filter(bucket < (rate * N_BUCKETS))
+
+
+def stratified_sample_sql(
+    key_expr: str,
+    stratum_expr: str,
+    fractions: Mapping[str, float],
+    default: float = 0.0,
+    seed: str = "",
+) -> str:
+    """DuckDB WHERE predicate matching :func:`stratified_sample`."""
+    bucket = hash_bucket_sql(key_expr, seed)
+    rate = f"{default}"
+    for name, frac in fractions.items():
+        rate = f"CASE WHEN {stratum_expr} = '{name}' THEN {frac} ELSE {rate} END"
+    return f"{bucket} < ({rate}) * {N_BUCKETS}"

@@ -19,6 +19,7 @@ _MODULES = [
     "streamingq",
     "multimodalq",
     "analytics",
+    "sampling",
 ]
 
 _loaded = False

@@ -1,0 +1,147 @@
+"""Deterministic sampling / split queries (operators/sampling.py):
+train/val/test assignment, stratified corpus rebalancing, weighted
+source mixtures, and a cross-split contamination audit. All
+exact-oracle-checked — the DuckDB SQL is generated from the SAME
+split-fraction constants and the same md5-bucket arithmetic as the
+Spark expressions, so a single definition drives both sides.
+
+Beyond-reference extension (the reference has no sampling; SURVEY
+§2.2 covers only predicates). These are the entry tickets of a
+training-data pipeline: every corpus refresh starts by splitting and
+rebalancing, and every release gates on train/test contamination.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nyc_taxi_data_engineering_spark.catalog import load_table
+from nyc_taxi_data_engineering_spark.functions import stable_sum, stable_sum_sql
+from nyc_taxi_data_engineering_spark.operators import sampling as S
+from nyc_taxi_data_engineering_spark.queries.registry import query
+
+SPLITS = {"train": 0.8, "val": 0.1, "test": 0.1}
+SPLIT_SEED = "r1"
+
+# Corpus rebalance: downsample dominant English, keep the tail whole.
+LANG_FRACTIONS = {"en": 0.25, "zh": 0.8, "de": 1.0, "es": 1.0, "fr": 1.0}
+
+# Source mixture weights (sampling rates) for the training blend.
+SOURCE_WEIGHTS = {"web": 0.3, "wiki": 1.0, "books": 0.9, "news": 0.6}
+
+
+@query(
+    "split_assignment_orders",
+    oracle=f"""
+SELECT {S.assign_split_sql('o_orderkey', SPLITS, SPLIT_SEED)} AS split,
+       COUNT(*) AS n_rows,
+       {stable_sum_sql('o_totalprice')} AS total_price
+FROM orders
+GROUP BY 1
+""",
+)
+def q_split_assignment_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/10/10 train/val/test assignment by hash bucket of the order
+    key — deterministic across reruns and cluster layouts (unlike
+    randomSplit), narrow (no shuffle for the assignment itself; the
+    audit aggregation here adds the only exchange). The per-split
+    price sum makes the oracle sensitive to any misassigned row."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        S.assign_split(orders, "o_orderkey", SPLITS, SPLIT_SEED)
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_rows"), stable_sum("o_totalprice").alias("total_price"))
+    )
+
+
+@query(
+    "stratified_sample_docs",
+    oracle=f"""
+SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents
+WHERE {S.stratified_sample_sql('doc_id', 'lang', LANG_FRACTIONS, seed=SPLIT_SEED)}
+GROUP BY lang
+""",
+)
+def q_stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-rebalanced corpus sample: per-language keep-rates
+    applied by hash-bucket thresholding — one narrow filter, no join
+    against a rate table, no sampling state, rerun-stable."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        S.stratified_sample(docs, "doc_id", "lang", LANG_FRACTIONS, seed=SPLIT_SEED)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+    )
+
+
+@query(
+    "corpus_mixture_by_source",
+    oracle=f"""
+SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents
+WHERE {S.stratified_sample_sql('doc_id', 'source', SOURCE_WEIGHTS, seed='mix1')}
+GROUP BY source
+""",
+)
+def q_corpus_mixture_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted source mixture for a training blend (web downweighted,
+    wiki kept whole): the same stratified-threshold operator keyed on
+    the source column. Composable with the split assignment — both are
+    projections/filters over one scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        S.stratified_sample(docs, "doc_id", "source", SOURCE_WEIGHTS, seed="mix1")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+    )
+
+
+@query(
+    "split_contamination_docs",
+    oracle=f"""
+WITH labeled AS (
+    SELECT md5(text) AS content_hash,
+           {S.assign_split_sql('doc_id', SPLITS, SPLIT_SEED)} AS split
+    FROM documents
+),
+hashes AS (
+    SELECT content_hash,
+           COUNT(DISTINCT CASE WHEN split = 'train' THEN 1 END) > 0 AS in_train,
+           COUNT(DISTINCT CASE WHEN split <> 'train' THEN 1 END) > 0 AS in_eval,
+           COUNT(*) AS n_copies
+    FROM labeled GROUP BY content_hash
+)
+SELECT content_hash, n_copies
+FROM hashes WHERE in_train AND in_eval
+""",
+)
+def q_split_contamination_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval contamination audit: content hashes that appear in
+    BOTH the train split and an eval split (exact-dup leakage across
+    the split boundary — hash-of-key splitting dedupes nothing, so
+    duplicated content can straddle splits). One shuffle on the
+    content hash; at corpus scale this is the release gate run after
+    every split, and its output feeds the dedup family
+    (queries/dedup.py) for near-dup leakage."""
+    docs = load_table(spark, sf_dir, "documents")
+    labeled = S.assign_split(docs, "doc_id", SPLITS, SPLIT_SEED).select(
+        F.md5("text").alias("content_hash"), "split"
+    )
+    return (
+        labeled.groupBy("content_hash")
+        .agg(
+            F.max(F.col("split") == "train").alias("in_train"),
+            F.max(F.col("split") != "train").alias("in_eval"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .filter(F.col("in_train") & F.col("in_eval"))
+        .select("content_hash", "n_copies")
+    )

@@ -1,0 +1,102 @@
+"""Property tests for the deterministic sampling/split operators
+(operators/sampling.py): bucket parity with the portable md5
+definition, split totality/disjointness, rerun determinism, seed
+independence, and per-stratum rate behavior."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from nyc_taxi_data_engineering_spark.operators import sampling as S
+
+SPLITS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def _py_bucket(key: object, seed: str = "", n: int = S.N_BUCKETS) -> int:
+    digest = hashlib.md5(f"{seed}|{key}".encode()).hexdigest()
+    return int(digest[:8], 16) % n
+
+
+@pytest.fixture(scope="module")
+def keyed(spark):
+    return spark.range(0, 2000).withColumnRenamed("id", "k")
+
+
+def test_hash_bucket_matches_portable_definition(keyed):
+    rows = (
+        keyed.limit(50)
+        .select("k", S.hash_bucket(F.col("k"), seed="s1").alias("b"))
+        .collect()
+    )
+    assert rows and all(r.b == _py_bucket(r.k, "s1") for r in rows)
+
+
+def test_assign_split_total_and_disjoint(keyed):
+    labeled = S.assign_split(keyed, "k", SPLITS, seed="s1")
+    counts = {r.split: r.n for r in labeled.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == set(SPLITS)  # every split non-empty
+    assert sum(counts.values()) == 2000  # total: every row labeled exactly once
+    # proportions near nominal (hash-uniformity; generous tolerance at n=2000)
+    assert abs(counts["train"] / 2000 - 0.8) < 0.05
+    assert abs(counts["val"] / 2000 - 0.1) < 0.03
+
+
+def test_assign_split_deterministic_and_seed_sensitive(keyed):
+    a = set(map(tuple, S.assign_split(keyed, "k", SPLITS, seed="s1").collect()))
+    b = set(map(tuple, S.assign_split(keyed, "k", SPLITS, seed="s1").collect()))
+    assert a == b  # rerun-stable
+    c = set(map(tuple, S.assign_split(keyed, "k", SPLITS, seed="s2").collect()))
+    assert a != c  # a new seed is a fresh draw
+
+
+def test_assign_split_stable_under_repartition(keyed):
+    """The property randomSplit lacks: assignment must not depend on
+    the physical partition layout."""
+    a = sorted(map(tuple, S.assign_split(keyed, "k", SPLITS, seed="s1").collect()))
+    b = sorted(map(tuple, S.assign_split(keyed.repartition(7), "k", SPLITS, seed="s1").collect()))
+    assert a == b
+
+
+def test_split_fractions_validated(keyed):
+    with pytest.raises(ValueError, match="sum to 1"):
+        S.assign_split(keyed, "k", {"a": 0.5, "b": 0.4})
+    with pytest.raises(ValueError, match="empty bucket range"):
+        S.assign_split(keyed, "k", {"a": 1.0, "b": 0.00001, "c": -0.00001})
+
+
+def test_stratified_sample_rates(spark):
+    df = spark.range(0, 3000).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 3 == 0, "big").otherwise("small").alias("g"),
+    )
+    kept = S.stratified_sample(df, "k", "g", {"big": 0.2, "small": 1.0}, seed="s")
+    counts = {r.g: r.n for r in kept.groupBy("g").agg(F.count("*").alias("n")).collect()}
+    assert counts["small"] == 2000  # rate 1.0 keeps everything
+    assert abs(counts["big"] / 1000 - 0.2) < 0.06
+    # default rate 0 drops unlisted strata entirely
+    none_kept = S.stratified_sample(df, "k", "g", {"small": 0.5}, seed="s")
+    assert none_kept.filter(F.col("g") == "big").count() == 0
+
+
+def test_stratified_sample_is_subset_and_deterministic(spark):
+    df = spark.range(0, 1000).select(F.col("id").alias("k"), F.lit("x").alias("g"))
+    kept1 = sorted(r.k for r in S.stratified_sample(df, "k", "g", {"x": 0.3}, seed="s").collect())
+    kept2 = sorted(r.k for r in S.stratified_sample(df, "k", "g", {"x": 0.3}, seed="s").collect())
+    assert kept1 == kept2
+    # nested rates: a higher rate keeps a superset of a lower rate
+    kept_half = {r.k for r in S.stratified_sample(df, "k", "g", {"x": 0.6}, seed="s").collect()}
+    assert set(kept1) <= kept_half
+
+
+def test_split_plan_is_narrow(keyed):
+    """Assignment must add no exchange — pure projection over the scan."""
+    plan = (
+        S.assign_split(keyed, "k", SPLITS, seed="s1")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
