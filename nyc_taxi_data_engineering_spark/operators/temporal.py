@@ -62,3 +62,51 @@ def asof_join(
     return (
         joined.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
     )
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: str,
+    start_col: str,
+    end_col: str,
+    bucket_seconds: int = 3600,
+    how: str = "inner",
+) -> DataFrame:
+    """KEYLESS interval-containment join: each left row matched to
+    every right interval with ``start <= ts < end`` (intervals may
+    overlap — a row can match several).
+
+    Without an equi key, Catalyst can only plan ``l.ts BETWEEN r.lo
+    AND r.hi`` as a (broadcast) nested-loop — rows x intervals
+    comparisons, a non-starter at corpus scale. This rewrites the
+    range predicate into an equi-join on a derived time bucket:
+    intervals explode to one row per ``bucket_seconds`` grain they
+    overlap, left rows compute their single containing bucket, and the
+    exact predicate runs as a post-join filter. Each match surfaces
+    exactly once (the left row has ONE bucket), so no dedup pass.
+
+    Cost model: the right side inflates by ~(interval span / grain),
+    the left side not at all — pick ``bucket_seconds`` near the median
+    interval span so inflation stays O(1). Requires
+    ``start <= end`` on every right row (``sequence`` would fail on a
+    negative step).
+    """
+    g = int(bucket_seconds)
+    lft = left.withColumn(
+        "_rj_bucket", F.floor(F.unix_timestamp(F.col(left_ts)) / g)
+    )
+    rgt = right.withColumn(
+        "_rj_bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_timestamp(F.col(start_col)) / g),
+                F.floor(F.unix_timestamp(F.col(end_col)) / g),
+            )
+        ),
+    )
+    return (
+        lft.join(rgt, "_rj_bucket", how)
+        .filter((F.col(start_col) <= F.col(left_ts)) & (F.col(left_ts) < F.col(end_col)))
+        .drop("_rj_bucket")
+    )

@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 from nyc_taxi_data_engineering_spark.catalog import load_table
 from nyc_taxi_data_engineering_spark.functions import stable_sum, stable_sum_sql
 from nyc_taxi_data_engineering_spark.operators.scd2 import scd2_apply
-from nyc_taxi_data_engineering_spark.operators.temporal import point_in_time_join
+from nyc_taxi_data_engineering_spark.operators.temporal import point_in_time_join, range_join
 from nyc_taxi_data_engineering_spark.queries.registry import query
 from nyc_taxi_data_engineering_spark.queries.scd2 import KEY, TRACKED
 
@@ -249,4 +249,62 @@ def q_asof_customer_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.col("version_no").cast("int").alias("version_no"),
         F.col("c_acctbal").alias("acctbal_at_event"),
+    )
+
+
+SURGE_BUCKET_S = 6 * 3600  # 6 h surge-detection windows
+SURGE_PAD_MIN = 30  # each surge window padded ±30 min (overlapping)
+
+
+@query(
+    "events_in_surge_windows",
+    oracle=f"""
+WITH wins AS (
+    SELECT TIMESTAMP '1970-01-01 00:00:00'
+           + to_seconds(CAST(floor(epoch(ts)/{SURGE_BUCKET_S})*{SURGE_BUCKET_S} AS BIGINT)) AS ws,
+           COUNT(*) AS n
+    FROM events GROUP BY 1
+),
+pad AS (
+    SELECT ws - INTERVAL {SURGE_PAD_MIN} MINUTE AS w_lo,
+           ws + INTERVAL {SURGE_BUCKET_S} SECOND + INTERVAL {SURGE_PAD_MIN} MINUTE AS w_hi
+    FROM wins WHERE n >= (SELECT 1.05 * avg(n) FROM wins)
+)
+SELECT strftime(w_lo, '%Y-%m-%d %H:%M:%S') AS window_start,
+       COUNT(*) AS n_events,
+       {stable_sum_sql('value')} AS total_value
+FROM pad JOIN events e ON e.ts >= w_lo AND e.ts < w_hi
+GROUP BY 1
+""",
+)
+def q_events_in_surge_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyless interval join (operators/temporal.range_join): detect
+    surge windows (6 h buckets with event count >= 1.05x the mean),
+    pad them ±30 min so they OVERLAP their neighbors, then match every
+    event falling inside any padded window. The range predicate is
+    rewritten to an hourly-bucket equi-join (nested-loop-free — see
+    the plan test), which is what keeps a
+    100 TB events x incident-windows join feasible."""
+    ev = load_table(spark, sf_dir, "events")
+    ws = F.timestamp_seconds(
+        F.floor(F.unix_timestamp(F.col("ts")) / SURGE_BUCKET_S) * SURGE_BUCKET_S
+    )
+    wins = ev.groupBy(ws.alias("ws")).agg(F.count(F.lit(1)).alias("n"))
+    thr = wins.agg((F.avg("n") * 1.05).alias("thr"))
+    pad = (
+        wins.join(F.broadcast(thr))
+        .filter(F.col("n") >= F.col("thr"))
+        .select(
+            (F.col("ws") - F.expr(f"INTERVAL {SURGE_PAD_MIN} MINUTES")).alias("w_lo"),
+            (
+                F.col("ws")
+                + F.expr(f"INTERVAL {SURGE_BUCKET_S} SECONDS")
+                + F.expr(f"INTERVAL {SURGE_PAD_MIN} MINUTES")
+            ).alias("w_hi"),
+        )
+    )
+    return (
+        range_join(ev, pad, "ts", "w_lo", "w_hi", bucket_seconds=3600)
+        .groupBy(F.date_format("w_lo", "yyyy-MM-dd HH:mm:ss").alias("window_start"))
+        .agg(F.count(F.lit(1)).alias("n_events"), stable_sum("value").alias("total_value"))
     )

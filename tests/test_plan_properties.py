@@ -129,3 +129,17 @@ def test_window_queries_single_shuffle(spark, sf_dir):
             1 for line in plan.splitlines() if "Exchange hashpartitioning" in line
         )
         assert n_exchanges == 1, f"{q}: {n_exchanges} exchanges"
+
+
+def test_range_join_is_equi_not_nested_loop(spark, sf_dir):
+    """The keyless interval join must plan as a bucket equi-join, never
+    a (broadcast) nested loop over events x windows."""
+    plan = _plan(spark, sf_dir, "events_in_surge_windows")
+    assert "CartesianProduct" not in plan
+    # the events x windows match is a hash join on the derived bucket
+    assert any("BroadcastHashJoin" in ln and "_rj_bucket" in ln for ln in plan.splitlines())
+    # the only nested loop allowed is the 1-row scalar-threshold compare
+    # against the already-aggregated (tiny) windows table
+    for ln in plan.splitlines():
+        if "BroadcastNestedLoopJoin" in ln or "CartesianProduct" in ln:
+            assert "thr" in ln, ln

@@ -6,7 +6,11 @@ from __future__ import annotations
 
 import datetime as dt
 
-from nyc_taxi_data_engineering_spark.operators.temporal import asof_join, point_in_time_join
+from nyc_taxi_data_engineering_spark.operators.temporal import (
+    asof_join,
+    point_in_time_join,
+    range_join,
+)
 
 
 def _ts(s):
@@ -52,3 +56,43 @@ def test_asof_join_picks_nearest_prior(spark):
     }
     # trade 7 sees the 01-05 quote; trade 8 sees the equal-timestamp 01-09 quote
     assert got == {7: 20.0, 8: 30.0}
+
+
+def test_range_join_overlapping_intervals_and_boundaries(spark):
+    # two overlapping windows; start inclusive, end exclusive
+    wins = spark.createDataFrame(
+        [
+            ("w1", _ts("2024-01-01 00:00:00"), _ts("2024-01-01 02:00:00")),
+            ("w2", _ts("2024-01-01 01:00:00"), _ts("2024-01-01 03:00:00")),
+        ],
+        "win string, lo timestamp, hi timestamp",
+    )
+    ev = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 00:30:00")),  # w1 only
+            (2, _ts("2024-01-01 01:30:00")),  # both (overlap)
+            (3, _ts("2024-01-01 02:00:00")),  # w1 end excluded -> w2 only
+            (4, _ts("2024-01-01 03:00:00")),  # w2 end excluded -> no match
+            (5, _ts("2024-01-01 01:00:00")),  # w2 start included -> w1 + w2
+        ],
+        "event_id long, ts timestamp",
+    )
+    got = sorted(
+        (r["event_id"], r["win"])
+        for r in range_join(ev, wins, "ts", "lo", "hi", bucket_seconds=1800).collect()
+    )
+    assert got == [(1, "w1"), (2, "w1"), (2, "w2"), (3, "w2"), (5, "w1"), (5, "w2")]
+
+
+def test_range_join_coarse_bucket_still_exact(spark):
+    # bucket far larger than the intervals: filter must still be exact
+    wins = spark.createDataFrame(
+        [("w1", _ts("2024-01-01 00:10:00"), _ts("2024-01-01 00:20:00"))],
+        "win string, lo timestamp, hi timestamp",
+    )
+    ev = spark.createDataFrame(
+        [(1, _ts("2024-01-01 00:15:00")), (2, _ts("2024-01-01 00:25:00"))],
+        "event_id long, ts timestamp",
+    )
+    got = [r["event_id"] for r in range_join(ev, wins, "ts", "lo", "hi", 86400).collect()]
+    assert got == [1]
