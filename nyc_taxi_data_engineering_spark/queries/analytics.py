@@ -12,7 +12,7 @@ makes SCD2 masters leakage-safe for training-data assembly.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from nyc_taxi_data_engineering_spark.catalog import load_table
@@ -307,4 +307,53 @@ def q_events_in_surge_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         range_join(ev, pad, "ts", "w_lo", "w_hi", bucket_seconds=3600)
         .groupBy(F.date_format("w_lo", "yyyy-MM-dd HH:mm:ss").alias("window_start"))
         .agg(F.count(F.lit(1)).alias("n_events"), stable_sum("value").alias("total_value"))
+    )
+
+
+@query(
+    "supplier_rolling_revenue_7d",
+    oracle=f"""
+WITH daily AS (
+    SELECT l_suppkey, CAST(l_shipdate AS DATE) AS d,
+           {stable_sum_sql('l_extendedprice * (1 - l_discount)', 4, 23)} AS rev
+    FROM lineitem GROUP BY 1, 2
+)
+SELECT l_suppkey, strftime(d, '%Y-%m-%d') AS ship_date,
+       CAST(SUM(CAST(rev AS DECIMAL(23,4))) OVER w AS DOUBLE) AS rev_7d,
+       COUNT(*) OVER w AS active_days_7d
+FROM daily
+WINDOW w AS (
+    PARTITION BY l_suppkey ORDER BY d
+    RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW
+)
+""",
+)
+def q_supplier_rolling_revenue_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day revenue per supplier — a RANGE frame spec
+    (rowsBetween/rangeBetween), absent from the reference (SURVEY §2.5
+    'no frame specs'). Two-level shape for scale: first a hash agg to
+    one row per (supplier, day) — the map-side combine shrinks 100 TB
+    of lineitem to |suppliers| x |days| rows — then the window frame
+    runs over the already-tiny daily series, partitioned by supplier so
+    state never concentrates on one task. The rolling re-sum is done in
+    exact decimal (see functions.stable_sum) so the window total is
+    order-independent and engine-portable."""
+    li = load_table(spark, sf_dir, "lineitem")
+    daily = li.groupBy(
+        "l_suppkey", F.col("l_shipdate").cast("date").alias("d")
+    ).agg(
+        stable_sum(
+            F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")), 4, 23
+        ).alias("rev")
+    )
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy(F.unix_date(F.col("d")))
+        .rangeBetween(-6, 0)
+    )
+    return daily.select(
+        "l_suppkey",
+        F.date_format("d", "yyyy-MM-dd").alias("ship_date"),
+        F.sum(F.col("rev").cast("decimal(23,4)")).over(w).cast("double").alias("rev_7d"),
+        F.count(F.lit(1)).over(w).alias("active_days_7d"),
     )

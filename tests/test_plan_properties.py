@@ -143,3 +143,19 @@ def test_range_join_is_equi_not_nested_loop(spark, sf_dir):
     for ln in plan.splitlines():
         if "BroadcastNestedLoopJoin" in ln or "CartesianProduct" in ln:
             assert "thr" in ln, ln
+
+
+def test_rolling_window_aggregates_before_shuffle(spark, sf_dir):
+    """supplier_rolling_revenue_7d: the lineitem shuffle must carry
+    partially-aggregated (supplier, day) rows, not raw lineitem — at
+    100 TB the exchange then moves |suppliers| x |days| rows. The
+    window's re-shuffle on supplier alone is over that tiny series, so
+    two exchanges total is the cheap plan (repartitioning raw data on
+    supplier first would collapse to one exchange but lose the
+    map-side combine)."""
+    plan = _plan(spark, sf_dir, "supplier_rolling_revenue_7d")
+    assert "partial_sum" in plan  # map-side combine present
+    n_exchanges = sum(
+        1 for ln in plan.splitlines() if "Exchange hashpartitioning" in ln
+    )
+    assert n_exchanges <= 2, n_exchanges
