@@ -357,3 +357,41 @@ def q_supplier_rolling_revenue_7d(spark: SparkSession, sf_dir: str) -> DataFrame
         F.sum(F.col("rev").cast("decimal(23,4)")).over(w).cast("double").alias("rev_7d"),
         F.count(F.lit(1)).over(w).alias("active_days_7d"),
     )
+
+
+@query(
+    "customer_reach_by_nation",
+    oracle=f"""
+SELECT n_name,
+       COUNT(DISTINCT o_custkey) AS active_customers,
+       COUNT(*) AS n_orders,
+       {stable_sum_sql('o_totalprice')} AS total_value
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY 1
+""",
+)
+def q_customer_reach_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregate (COUNT(DISTINCT) alongside plain aggs) —
+    absent from the reference (SURVEY §2.4 'not present: distinct
+    aggregates'). Catalyst plans the mixed distinct/non-distinct agg as
+    Expand + two-phase aggregation: partial per-key distinct happens
+    map-side, so the shuffle carries (nation, custkey) partials — never
+    raw orders. Nation is a broadcast dim; orders-customer is the one
+    real shuffle. For count-only use cases at 100 TB the HLL sketch
+    (approx_count_distinct, tested for error bounds in
+    tests/test_scale_mechanisms.py) replaces the exact Expand."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.countDistinct("o_custkey").alias("active_customers"),
+            F.count(F.lit(1)).alias("n_orders"),
+            stable_sum("o_totalprice").alias("total_value"),
+        )
+    )

@@ -85,3 +85,17 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
         spark.sql("DROP TABLE IF EXISTS li_b")
         spark.sql("DROP TABLE IF EXISTS od_b")
+
+
+def test_approx_count_distinct_error_bound(spark, sf_dir):
+    """The count-only scale path for customer_reach_by_nation: the HLL++
+    sketch must land within its configured relative error of the exact
+    Expand-based distinct count (rsd=0.02 -> assert a loose 3x slack)."""
+    from nyc_taxi_data_engineering_spark.catalog import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    exact, approx = orders.agg(
+        F.countDistinct("o_custkey").alias("e"),
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("a"),
+    ).first()
+    assert abs(approx - exact) / exact <= 0.06, (exact, approx)
