@@ -312,6 +312,7 @@ def q_events_in_surge_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "supplier_rolling_revenue_7d",
+    bench=True,
     oracle=f"""
 WITH daily AS (
     SELECT l_suppkey, CAST(l_shipdate AS DATE) AS d,
@@ -361,6 +362,7 @@ def q_supplier_rolling_revenue_7d(spark: SparkSession, sf_dir: str) -> DataFrame
 
 @query(
     "customer_reach_by_nation",
+    bench=True,
     oracle=f"""
 SELECT n_name,
        COUNT(DISTINCT o_custkey) AS active_customers,
