@@ -76,8 +76,8 @@ def q_fk_null_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 SELECT 'lineitem' AS dataset,
        COUNT(*) AS total_records,
-       COALESCE(SUM(CASE WHEN s.s_suppkey IS NOT NULL THEN 1 ELSE 0 END), 0) AS matched_records,
-       COALESCE(SUM(CASE WHEN s.s_suppkey IS NULL THEN 1 ELSE 0 END), 0) AS orphan_records,
+       CAST(COALESCE(SUM(CASE WHEN s.s_suppkey IS NOT NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS matched_records,
+       CAST(COALESCE(SUM(CASE WHEN s.s_suppkey IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS orphan_records,
        ROUND(COALESCE(SUM(CASE WHEN s.s_suppkey IS NOT NULL THEN 1 ELSE 0 END), 0) * 100.0
              / COUNT(*), 2) AS match_pct
 FROM lineitem l
@@ -156,9 +156,9 @@ def q_frequent_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "conditional_counts_orders",
     oracle="""
 SELECT COUNT(*) AS total_orders,
-       COALESCE(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END), 0) AS null_custkey,
-       COALESCE(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END), 0) AS nonpositive_total,
-       COALESCE(SUM(CASE WHEN o_totalprice > 400000 THEN 1 ELSE 0 END), 0) AS high_value,
+       CAST(COALESCE(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS null_custkey,
+       CAST(COALESCE(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS nonpositive_total,
+       CAST(COALESCE(SUM(CASE WHEN o_totalprice > 400000 THEN 1 ELSE 0 END), 0) AS BIGINT) AS high_value,
        ROUND(COALESCE(SUM(CASE WHEN o_totalprice > 400000 THEN 1 ELSE 0 END), 0) * 100.0
              / COUNT(*), 2) AS high_value_pct
 FROM orders

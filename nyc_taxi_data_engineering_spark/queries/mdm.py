@@ -145,8 +145,9 @@ WITH s AS (
          COALESCE(SUM(CASE WHEN s_suppkey % 10 = 7 THEN 1 ELSE 0 END), 0) AS n_c
   FROM supplier
 )
-SELECT n_sup + n_dup AS total_records, n_dup AS candidate_pairs,
-       n_a AS auto_merge_pairs, n_b AS steward_review_pairs, n_c AS no_action_pairs,
+SELECT CAST(n_sup + n_dup AS BIGINT) AS total_records, CAST(n_dup AS BIGINT) AS candidate_pairs,
+       CAST(n_a AS BIGINT) AS auto_merge_pairs, CAST(n_b AS BIGINT) AS steward_review_pairs,
+       CAST(n_c AS BIGINT) AS no_action_pairs,
        ROUND(n_a * 100.0 / (n_sup + n_dup), 2) AS duplicate_rate_pct,
        ROUND(n_b * 100.0 / n_dup, 2) AS review_rate_pct
 FROM s

@@ -65,8 +65,8 @@ def q_validate_split_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 SELECT 'r1' AS run_id, 'validate_lineitem' AS job_name,
        COUNT(*) AS records_read,
-       COALESCE(SUM(CASE WHEN {_ALL_PASS} THEN 1 ELSE 0 END), 0) AS records_valid,
-       COALESCE(SUM(CASE WHEN NOT ({_ALL_PASS}) THEN 1 ELSE 0 END), 0) AS records_quarantined,
+       CAST(COALESCE(SUM(CASE WHEN {_ALL_PASS} THEN 1 ELSE 0 END), 0) AS BIGINT) AS records_valid,
+       CAST(COALESCE(SUM(CASE WHEN NOT ({_ALL_PASS}) THEN 1 ELSE 0 END), 0) AS BIGINT) AS records_quarantined,
        CASE WHEN COALESCE(SUM(CASE WHEN NOT ({_ALL_PASS}) THEN 1 ELSE 0 END), 0) = 0
             THEN 'CLEAN' ELSE 'PARTIAL' END AS status
 FROM lineitem
@@ -113,7 +113,7 @@ def _rule_metrics_oracle() -> str:
         f"""SELECT '{n}' AS rule_name, '{c}' AS column_name, '{k}' AS kind,
             '{sev}' AS severity, '{act}' AS action, CAST({th} AS DOUBLE) AS threshold,
             COUNT(*) AS total_rows,
-            COALESCE(SUM(CASE WHEN {fail} THEN 1 ELSE 0 END), 0) AS violations
+            CAST(COALESCE(SUM(CASE WHEN {fail} THEN 1 ELSE 0 END), 0) AS BIGINT) AS violations
             FROM lineitem"""
         for n, c, k, sev, act, th, fail in rows
     ]
@@ -121,7 +121,7 @@ def _rule_metrics_oracle() -> str:
         """SELECT 'orderkey_unique' AS rule_name, 'l_orderkey' AS column_name,
            'unique' AS kind, 'WARN' AS severity, 'WARN' AS action,
            CAST(0.5 AS DOUBLE) AS threshold, COUNT(*) AS total_rows,
-           COUNT(*) - COUNT(DISTINCT l_orderkey) AS violations
+           CAST(COUNT(*) - COUNT(DISTINCT l_orderkey) AS BIGINT) AS violations
            FROM lineitem"""
     )
     union = " UNION ALL ".join(selects)
@@ -148,8 +148,8 @@ def q_dq_rule_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH m AS (
   SELECT 'r1' AS run_id, 'validate_lineitem' AS job_name,
          COUNT(*) AS records_read,
-         COALESCE(SUM(CASE WHEN {_ALL_PASS} THEN 1 ELSE 0 END), 0) AS records_valid,
-         COALESCE(SUM(CASE WHEN NOT ({_ALL_PASS}) THEN 1 ELSE 0 END), 0) AS records_quarantined
+         CAST(COALESCE(SUM(CASE WHEN {_ALL_PASS} THEN 1 ELSE 0 END), 0) AS BIGINT) AS records_valid,
+         CAST(COALESCE(SUM(CASE WHEN NOT ({_ALL_PASS}) THEN 1 ELSE 0 END), 0) AS BIGINT) AS records_quarantined
   FROM lineitem
 )
 SELECT run_id, job_name, records_read, records_valid, records_quarantined,

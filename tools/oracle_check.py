@@ -60,7 +60,19 @@ def compare(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, name: str) -> lis
     a, b = _canon(spark_pdf), _canon(oracle_pdf)
     for c in a.columns:
         sa, sb = a[c], b[c]
-        if pd.api.types.is_float_dtype(sa) or pd.api.types.is_float_dtype(sb):
+        # The driver hashes values exactly: an int64 Spark column vs a
+        # float64 oracle column (e.g. DuckDB SUM(int) -> HUGEINT -> float64)
+        # hash-mismatches even when values are numerically equal. Mirror that.
+        fa_f, fb_f = pd.api.types.is_float_dtype(sa), pd.api.types.is_float_dtype(sb)
+        ia_i = pd.api.types.is_integer_dtype(sa) or pd.api.types.is_bool_dtype(sa)
+        ib_i = pd.api.types.is_integer_dtype(sb) or pd.api.types.is_bool_dtype(sb)
+        if (fa_f and ib_i) or (ia_i and fb_f):
+            errs.append(
+                f"col {c}: dtype mismatch spark={sa.dtype} oracle={sb.dtype} "
+                "(driver hashes exactly; CAST the oracle to BIGINT/DOUBLE to match)"
+            )
+            continue
+        if fa_f or fb_f:
             fa = sa.astype(float).to_numpy()
             fb = sb.astype(float).to_numpy()
             both_nan = np.isnan(fa) & np.isnan(fb)
