@@ -257,32 +257,123 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_PLANTED = 32  # vec_id < 32 get a perturbed near-dup twin
+PLANT_OFFSET = 100_000
+NEARDUP_THRESHOLD = 0.95
+NEARDUP_BANDS = 8  # 8 bands x 8 sign bits cover all 64 dims
+NEARDUP_BAND_DIMS = 8
+
+
+def band_bucket(v: Column, band: int, dims: int = NEARDUP_BAND_DIMS) -> Column:
+    """Sign-LSH bucket for one band: the sign bits of dims
+    [band*dims, band*dims + dims)."""
+    off = band * dims
+    return reduce(
+        add,
+        [
+            F.when(F.element_at(v, off + i + 1) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+            for i in range(dims)
+        ],
+    ).cast("int")
+
+
+def _planted_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings plus deterministic near-dup twins of vec_id < 32
+    (tiny per-dimension additive perturbation, cos ~ 0.999). The twins
+    make near-dup detection a non-trivial, fully deterministic query on
+    a corpus whose organic pairs never exceed cos ~ 0.52."""
+    base = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    pert = base.filter(F.col("vec_id") < N_PLANTED).select(
+        (F.col("vec_id") + PLANT_OFFSET).alias("vec_id"),
+        F.transform(F.col("v"), lambda x, i: x + (i % 7 - 3) * F.lit(0.005)).alias("v"),
+    )
+    u = base.unionByName(pert)
+    return u.select("vec_id", "v", F.sqrt(dot(F.col("v"), F.col("v"))).alias("nrm"))
+
+
+_ORACLE_PLANTED = f"""
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+p AS (SELECT vec_id + {PLANT_OFFSET} AS vec_id,
+             list_transform(range(1, len(v) + 1), i -> v[i] + ((i - 1) % 7 - 3) * 0.005) AS v
+      FROM e WHERE vec_id < {N_PLANTED}),
+u AS (SELECT * FROM e UNION ALL SELECT * FROM p),
+n AS (SELECT vec_id, v,
+             sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+      FROM u)
+"""
+
+_ORACLE_BANDS = " UNION ALL ".join(
+    f"""SELECT vec_id, {j} AS band, ("""
+    + " + ".join(
+        f"(CASE WHEN v[{j * NEARDUP_BAND_DIMS + i + 1}] >= 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(NEARDUP_BAND_DIMS)
+    )
+    + ")::INT AS bucket FROM n"
+    for j in range(NEARDUP_BANDS)
+)
+
+
 @query(
     "embedding_neardup_pairs",
     oracle=f"""
-WITH {_ORACLE_CORPUS},
+WITH {_ORACLE_PLANTED},
+bands AS ({_ORACLE_BANDS}),
+cand AS (
+    SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+),
 s AS (
-    SELECT q.vec_id AS a_id, c.vec_id AS b_id, {_ORACLE_COS} AS cos
-    FROM n q JOIN n c ON q.vec_id < c.vec_id
+    SELECT cand.a_id, cand.b_id,
+           list_sum(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * c.v[i]))
+               / (q.nrm * c.nrm) AS cos
+    FROM cand JOIN n q ON q.vec_id = cand.a_id JOIN n c ON c.vec_id = cand.b_id
 )
 SELECT a_id, b_id, round(cos, 6) AS cosine
-FROM s WHERE cos >= 0.5
+FROM s WHERE cos >= {NEARDUP_THRESHOLD}
 """,
 )
 def q_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (exact, threshold 0.5). The
-    exact all-pairs baseline; at corpus scale swap the cross join for
-    the sign-LSH bucket join (ann_lsh_topk) to bound candidates."""
-    corpus = _corpus(spark, sf_dir)
+    """Embedding-cosine near-dup pairs over the planted corpus:
+    multi-band sign-LSH candidate generation (8 bands x 8 sign bits,
+    keyed equi-join on (band, bucket) — never an all-pairs product)
+    followed by exact cosine rescoring at threshold 0.95.
+
+    Scale: candidates shrink ~bands/buckets = n^2/64 on random data
+    while true near-dups (sign patterns almost identical) collide in
+    essentially every band — recall ~1 at this threshold. The exact
+    all-pairs variant survives only as a tiny-sf test oracle
+    (tests/test_dedup_similarity.py)."""
+    corpus = _planted_corpus(spark, sf_dir)
+    bands = corpus.select(
+        "vec_id",
+        F.posexplode(
+            F.array(*[band_bucket(F.col("v"), j) for j in range(NEARDUP_BANDS)])
+        ).alias("band", "bucket"),
+    )
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("a_id"), F.col("b.vec_id").alias("b_id"))
+        .distinct()
+    )
     a = corpus.select(F.col("vec_id").alias("a_id"), F.col("v").alias("av"), F.col("nrm").alias("anrm"))
     b = corpus.select(F.col("vec_id").alias("b_id"), F.col("v").alias("bv"), F.col("nrm").alias("bnrm"))
     return (
-        a.join(b, F.col("a_id") < F.col("b_id"))
+        cand.join(a, "a_id")
+        .join(b, "b_id")
         .select(
             "a_id",
             "b_id",
             (dot(F.col("av"), F.col("bv")) / (F.col("anrm") * F.col("bnrm"))).alias("cos"),
         )
-        .filter(F.col("cos") >= 0.5)
+        .filter(F.col("cos") >= NEARDUP_THRESHOLD)
         .select("a_id", "b_id", F.round("cos", 6).alias("cosine"))
     )

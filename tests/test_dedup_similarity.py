@@ -98,3 +98,31 @@ def test_cosine_of_parallel_vectors(spark):
         .collect()[0]["c"]
     )
     assert math.isclose(cos, 1.0, rel_tol=1e-12)
+
+
+def test_embedding_neardup_lsh_matches_exact_allpairs(spark, sf_dir):
+    """The LSH-bucketed near-dup operator must recover exactly the
+    pairs the all-pairs exact join finds at the same threshold (the
+    planted twins dominate; organic pairs sit far below 0.95). The
+    all-pairs join lives only here, as the tiny-sf recall oracle."""
+    from nyc_taxi_data_engineering_spark.queries.similarity import (
+        NEARDUP_THRESHOLD,
+        _planted_corpus,
+        q_embedding_neardup_pairs,
+    )
+
+    corpus = _planted_corpus(spark, sf_dir)
+    a = corpus.select(F.col("vec_id").alias("a_id"), F.col("v").alias("av"), F.col("nrm").alias("an"))
+    b = corpus.select(F.col("vec_id").alias("b_id"), F.col("v").alias("bv"), F.col("nrm").alias("bn"))
+    exact = {
+        (r["a_id"], r["b_id"])
+        for r in a.join(b, F.col("a_id") < F.col("b_id"))
+        .select(
+            "a_id", "b_id", (dot(F.col("av"), F.col("bv")) / (F.col("an") * F.col("bn"))).alias("cos")
+        )
+        .filter(F.col("cos") >= NEARDUP_THRESHOLD)
+        .collect()
+    }
+    lsh = {(r["a_id"], r["b_id"]) for r in q_embedding_neardup_pairs(spark, sf_dir).collect()}
+    assert lsh == exact
+    assert len(exact) > 0  # planted twins make the check non-vacuous

@@ -51,7 +51,12 @@ def test_ri_gate_is_broadcast(spark, sf_dir):
 
 def test_dedup_paths_have_no_cartesian_product(spark, sf_dir):
     """Candidate generation must stay a keyed equi-join at any scale."""
-    for q in ("ngram_jaccard_pairs", "minhash_lsh_pairs", "simhash_neardup_pairs"):
+    for q in (
+        "ngram_jaccard_pairs",
+        "minhash_lsh_pairs",
+        "simhash_neardup_pairs",
+        "embedding_neardup_pairs",
+    ):
         plan = _plan(spark, sf_dir, q)
         assert "CartesianProduct" not in plan, q
         assert "BroadcastNestedLoopJoin" not in plan, q
