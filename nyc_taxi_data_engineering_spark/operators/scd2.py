@@ -188,30 +188,50 @@ def audit_versions_between(table: DataFrame, key_value, key: str, lo: str, hi: s
 
 
 class Scd2Table:
-    """Snapshot-versioned parquet SCD2 table with Delta-style time
-    travel and history audit (reference S4/S5/S9/S10), no Delta jars.
+    """Bucket-partitioned, snapshot-versioned parquet SCD2 table with
+    Delta-style time travel and history audit (reference S4/S5/S9/S10),
+    no Delta jars.
 
     Layout::
 
         root/
-          _scd2_log.json      # one entry per merge: snapshot, ts, op, rows
-          snap=000001/*.parquet
-          snap=000002/*.parquet
+          _scd2_log.json      # one entry per merge: snapshot, manifest, rows
+          snap=000001/_scd2_bucket=0/*.parquet   # init: all buckets
+          snap=000002/_scd2_bucket=3/*.parquet   # merge: ONLY changed buckets
 
-    Each merge writes a full new snapshot (copy-on-write, like Delta's
-    full-overwrite mode S10); readers pin a snapshot dir so writers never
-    disturb them. For 100 TB tables you'd partition each snapshot by a
-    key range and rely on partition pruning; snapshots share nothing, so
-    concurrent readers of old versions are always consistent.
+    Keys are hash-assigned to ``n_buckets`` fixed buckets. A merge
+    detects which keys actually change (new key or record_hash diff),
+    rewrites only the buckets containing them, and records a manifest
+    mapping every bucket to the snapshot that owns its current data —
+    Delta's copy-on-write at file granularity, re-expressed at bucket
+    granularity. A merge of 0.1% of keys therefore writes O(changed
+    buckets), not O(table); a no-change merge writes nothing. Readers
+    resolve a manifest (latest or ``version_as_of``) to a list of
+    immutable bucket dirs, so time travel and concurrent reads need no
+    locking. Row counts are maintained incrementally from the affected
+    buckets — the full table is never re-scanned.
     """
 
     LOG = "_scd2_log.json"
 
-    def __init__(self, spark: SparkSession, root: str, key: str, tracked: Sequence[str]):
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        key: str,
+        tracked: Sequence[str],
+        n_buckets: int = 16,
+    ):
         self.spark = spark
         self.root = root
         self.key = key
         self.tracked = list(tracked)
+        h = self.history()
+        # a table's bucket count is fixed at init time by the log
+        self.n_buckets = h[0]["n_buckets"] if h else n_buckets
+
+    def _bucket_col(self) -> F.Column:
+        return F.pmod(F.xxhash64(F.col(self.key)), F.lit(self.n_buckets)).cast("int")
 
     # -- log helpers -------------------------------------------------
     def _log_path(self) -> str:
@@ -236,34 +256,133 @@ class Scd2Table:
     def _snap_dir(self, n: int) -> str:
         return os.path.join(self.root, f"snap={n:06d}")
 
+    def _bucket_dir(self, snap: int, bucket: int) -> str:
+        return os.path.join(self._snap_dir(snap), f"_scd2_bucket={bucket}")
+
+    def _manifest(self, version_as_of: int | None = None) -> dict[int, int]:
+        """bucket -> owning snapshot, as of a snapshot (default latest)."""
+        h = self.history()
+        if not h:
+            raise FileNotFoundError(f"no snapshots at {self.root}")
+        if version_as_of is not None:
+            h = [e for e in h if e["snapshot"] <= version_as_of]
+            if not h:
+                raise FileNotFoundError(f"no snapshot <= {version_as_of} at {self.root}")
+        return {int(b): s for b, s in h[-1]["manifest"].items()}
+
     # -- reads -------------------------------------------------------
     def read(self, version_as_of: int | None = None) -> DataFrame:
-        """Current snapshot, or time travel to an earlier one
-        (reference S4: .option('versionAsOf', n))."""
-        n = version_as_of if version_as_of is not None else self.latest_snapshot()
-        if n is None:
-            raise FileNotFoundError(f"no snapshots at {self.root}")
-        return self.spark.read.parquet(self._snap_dir(n))
+        """Current table, or time travel to an earlier snapshot
+        (reference S4: .option('versionAsOf', n)) — the union of each
+        bucket's owning dir per the manifest."""
+        manifest = self._manifest(version_as_of)
+        paths = [self._bucket_dir(s, b) for b, s in sorted(manifest.items())]
+        return self.spark.read.parquet(*paths)
 
     def read_current(self) -> DataFrame:
         return self.read().filter(F.col("is_current"))
 
+    def _read_buckets(self, manifest: dict[int, int], buckets: Sequence[int]) -> DataFrame | None:
+        paths = [self._bucket_dir(manifest[b], b) for b in buckets if b in manifest]
+        return self.spark.read.parquet(*paths) if paths else None
+
     # -- writes ------------------------------------------------------
     def merge(self, batch: DataFrame, effective_ts: str) -> int:
-        """Run one SCD2 merge and persist it as a new snapshot."""
+        """Run one SCD2 merge, rewriting only the buckets whose keys
+        actually change (reference J8 MERGE semantics,
+        glue_jobs/scd2_delta_vendors.py:143-155, without the full-table
+        rewrite)."""
         prev = self.latest_snapshot()
-        target = self.read() if prev is not None else None
-        new_table = scd2_apply(target, batch, self.key, self.tracked, effective_ts)
-        n = (prev or 0) + 1
-        new_table.write.mode("overwrite").parquet(self._snap_dir(n))
-        rows = self.spark.read.parquet(self._snap_dir(n)).count()
+        batch_h = dedup_batch(_with_hash(batch, self.tracked), self.key)
+        bucket = self._bucket_col()
+
+        if prev is None:
+            n = 1
+            out = scd2_init(batch, self.key, self.tracked, effective_ts)
+            out.withColumn("_scd2_bucket", bucket).write.partitionBy(
+                "_scd2_bucket"
+            ).parquet(self._snap_dir(n))
+            manifest = {
+                int(r[0]): n
+                for r in batch_h.select(bucket.alias("_b")).distinct().collect()
+            }
+            rows = self._count_buckets(n, sorted(manifest))
+            self._append_log(
+                {
+                    "snapshot": n,
+                    "effective_ts": effective_ts,
+                    "operation": "SCD2_INIT",
+                    "rows": rows,
+                    "n_buckets": self.n_buckets,
+                    "rewritten_buckets": sorted(manifest),
+                    "manifest": {str(b): s for b, s in manifest.items()},
+                    "wall_time": time.time(),
+                }
+            )
+            return n
+
+        manifest = self._manifest()
+        # which keys actually change? (new key, or current hash differs)
+        batch_buckets = sorted(
+            int(r[0]) for r in batch_h.select(bucket.alias("_b")).distinct().collect()
+        )
+        target_bb = self._read_buckets(manifest, batch_buckets)
+        if target_bb is None:
+            changed = batch_h
+        else:
+            cur_slim = target_bb.filter(F.col("is_current")).select(
+                F.col(self.key), F.col("record_hash").alias("_cur_hash")
+            )
+            changed = (
+                batch_h.join(cur_slim, on=self.key, how="left")
+                .filter(F.col("_cur_hash").isNull() | (F.col("record_hash") != F.col("_cur_hash")))
+            )
+        affected = sorted(
+            int(r[0]) for r in changed.select(bucket.alias("_b")).distinct().collect()
+        )
+        n = prev + 1
+        if not affected:  # no-op merge: reuse the manifest, write nothing
+            last = self.history()[-1]
+            self._append_log(
+                {
+                    "snapshot": n,
+                    "effective_ts": effective_ts,
+                    "operation": "SCD2_MERGE",
+                    "rows": last["rows"],
+                    "n_buckets": self.n_buckets,
+                    "rewritten_buckets": [],
+                    "manifest": {str(b): s for b, s in manifest.items()},
+                    "wall_time": time.time(),
+                }
+            )
+            return n
+
+        target_aff = self._read_buckets(manifest, affected)
+        old_rows = target_aff.count() if target_aff is not None else 0
+        batch_aff = batch.filter(bucket.isin(affected))
+        new_aff = scd2_apply(target_aff, batch_aff, self.key, self.tracked, effective_ts)
+        new_aff.withColumn("_scd2_bucket", bucket).write.partitionBy(
+            "_scd2_bucket"
+        ).parquet(self._snap_dir(n))
+        new_manifest = {**manifest, **{b: n for b in affected}}
+        new_rows = self._count_buckets(n, affected)
+        total = self.history()[-1]["rows"] - old_rows + new_rows
         self._append_log(
             {
                 "snapshot": n,
                 "effective_ts": effective_ts,
-                "operation": "SCD2_MERGE" if prev is not None else "SCD2_INIT",
-                "rows": rows,
+                "operation": "SCD2_MERGE",
+                "rows": total,
+                "n_buckets": self.n_buckets,
+                "rewritten_buckets": affected,
+                "manifest": {str(b): s for b, s in new_manifest.items()},
                 "wall_time": time.time(),
             }
         )
         return n
+
+    def _count_buckets(self, snap: int, buckets: Sequence[int]) -> int:
+        """Footer-metadata count over just-written bucket dirs —
+        O(affected buckets), never a full-table scan."""
+        paths = [self._bucket_dir(snap, b) for b in buckets if os.path.isdir(self._bucket_dir(snap, b))]
+        return self.spark.read.parquet(*paths).count() if paths else 0

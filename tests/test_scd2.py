@@ -80,3 +80,45 @@ def test_lifecycle_strict_guard(spark):
     states = {r["id"]: r["lifecycle_state"] for r in res.master.collect()}
     assert states == {1: "RETIRED", 2: "DEPRECATED"}
     assert res.history.count() == 1
+
+
+def test_scd2_table_incremental_bucket_rewrite(spark, tmp_path):
+    """A merge must rewrite only the buckets containing changed keys
+    (O(changed), not O(table)), reuse unchanged buckets from prior
+    snapshots, and write nothing at all for a no-change merge."""
+    import os
+
+    tbl = Scd2Table(spark, str(tmp_path / "vendors"), KEY, TRACKED, n_buckets=8)
+    rows = [(i, f"Vendor {i}", "NYC") for i in range(1, 41)]
+    tbl.merge(batch(spark, rows), T1)
+    init = tbl.history()[0]
+    assert init["rows"] == 40 and len(init["rewritten_buckets"]) > 1
+
+    # change ONE key -> only its bucket rewritten, all others reused
+    tbl.merge(batch(spark, [(7, "Vendor 7 Corp", "NYC")]), T2)
+    h2 = tbl.history()[1]
+    assert len(h2["rewritten_buckets"]) == 1
+    assert h2["rows"] == 41
+    [b7] = h2["rewritten_buckets"]
+    reused = {b: s for b, s in ((int(k), v) for k, v in h2["manifest"].items()) if b != b7}
+    assert set(reused.values()) == {1}
+    assert os.listdir(os.path.join(str(tmp_path / "vendors"), "snap=000002")) == [
+        f"_scd2_bucket={b7}"
+    ] or f"_scd2_bucket={b7}" in os.listdir(
+        os.path.join(str(tmp_path / "vendors"), "snap=000002")
+    )
+
+    # the merged table is correct across reused + rewritten buckets
+    assert tbl.read().count() == 41
+    cur = {r[KEY]: r["vendor_name"] for r in tbl.read_current().collect()}
+    assert len(cur) == 40 and cur[7] == "Vendor 7 Corp" and cur[8] == "Vendor 8"
+    assert scd2_verify(tbl.read(), KEY).count() == 0
+    # time travel still sees the pre-merge table
+    assert tbl.read(version_as_of=1).count() == 40
+
+    # no-change merge: nothing written, manifest reused
+    tbl.merge(batch(spark, [(8, "Vendor 8", "NYC")]), T3)
+    h3 = tbl.history()[2]
+    assert h3["rewritten_buckets"] == [] and h3["rows"] == 41
+    assert not os.path.exists(os.path.join(str(tmp_path / "vendors"), "snap=000003"))
+    assert tbl.read().count() == 41
