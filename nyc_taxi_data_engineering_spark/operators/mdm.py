@@ -58,15 +58,47 @@ def token_sort_ratio(a: pd.Series, b: pd.Series) -> pd.Series:
 
 
 def candidate_pairs(
-    records: DataFrame, id_col: str, block_cols: list[str], payload_cols: list[str]
+    records: DataFrame,
+    id_col: str,
+    block_cols: list[str],
+    payload_cols: list[str],
+    max_block_size: int | None = 10_000,
 ) -> DataFrame:
     """Blocked self-join producing unordered candidate pairs
     (reference J9: fuzzy_match.py:29-33). ``a_<id> < b_<id>`` keeps one
-    orientation per pair and excludes self-pairs."""
+    orientation per pair and excludes self-pairs.
+
+    Skew guard: one hot block (a mega-city) would concentrate its n²
+    pairs on a single task. Blocks larger than ``max_block_size`` are
+    excluded from pairing (mirroring dedup.py's df_cap on hot
+    shingles) — a block that big is a useless blocking key anyway, and
+    the bound keeps every task's pair count ≤ max_block_size²/2.
+    Inspect the skipped blocks with ``oversized_blocks`` and re-block
+    them on a tighter key. Pass ``None`` to disable."""
+    if max_block_size is not None:
+        ok = (
+            records.groupBy(*block_cols)
+            .agg(F.count(F.lit(1)).alias("_blk_n"))
+            .filter(F.col("_blk_n") <= max_block_size)
+            .drop("_blk_n")
+        )
+        records = records.join(ok, on=block_cols, how="left_semi")
     cols = [id_col, *payload_cols]
     a = records.select(*block_cols, *[F.col(c).alias(f"a_{c}") for c in cols])
     b = records.select(*block_cols, *[F.col(c).alias(f"b_{c}") for c in cols])
     return a.join(b, on=block_cols).filter(F.col(f"a_{id_col}") < F.col(f"b_{id_col}"))
+
+
+def oversized_blocks(
+    records: DataFrame, block_cols: list[str], max_block_size: int = 10_000
+) -> DataFrame:
+    """Audit of blocks skipped by the candidate_pairs skew guard —
+    candidates for re-blocking on a tighter key."""
+    return (
+        records.groupBy(*block_cols)
+        .agg(F.count(F.lit(1)).alias("block_size"))
+        .filter(F.col("block_size") > max_block_size)
+    )
 
 
 def score_pairs(

@@ -12,6 +12,7 @@ from nyc_taxi_data_engineering_spark.operators.enrich import (
 )
 from nyc_taxi_data_engineering_spark.operators.mdm import (
     candidate_pairs,
+    oversized_blocks,
     score_pairs,
     token_sort_ratio,
 )
@@ -65,3 +66,25 @@ def test_enrich_and_null_audit(spark):
         assert_fully_enriched(enriched, ["pu_borough"])
     # clean subset passes
     assert_fully_enriched(enriched.filter(F.col("id") < 3), ["pu_borough"])
+
+
+def test_candidate_pairs_hot_block_guard(spark):
+    """A hot block must not explode into n^2 pairs on one task: blocks
+    above max_block_size are excluded from pairing and surfaced via
+    oversized_blocks for re-blocking."""
+    rows = [(i, f"Vendor {i}", f"{i} Main St", "megacity") for i in range(50)]
+    rows += [(100, "Acme", "1 Elm St", "smalltown"), (101, "Acme", "1 Elm St", "smalltown")]
+    records = spark.createDataFrame(
+        rows, "vendor_id int, vendor_name string, vendor_address string, block string"
+    )
+    guarded = candidate_pairs(
+        records, "vendor_id", ["block"], ["vendor_name"], max_block_size=10
+    )
+    got = [(r["a_vendor_id"], r["b_vendor_id"]) for r in guarded.collect()]
+    assert got == [(100, 101)]  # hot block contributed nothing
+    hot = oversized_blocks(records, ["block"], max_block_size=10).collect()
+    assert [(r["block"], r["block_size"]) for r in hot] == [("megacity", 50)]
+    # unguarded keeps the quadratic blow-up (50*49/2 + 1)
+    assert candidate_pairs(
+        records, "vendor_id", ["block"], ["vendor_name"], max_block_size=None
+    ).count() == 1226
