@@ -47,17 +47,26 @@ def stable_avg_sql(expr: str, scale: int = 4, precision: int = 18) -> str:
     return f"{stable_sum_sql(expr, scale, precision)} / COUNT({expr})"
 
 
+# NULL marker for change hashes. The reference coalesces NULL to ''
+# (scd2_delta_vendors.py:42), which makes NULL<->'' edits hash-invisible
+# and skips the new SCD2 version; encode NULL as a value no real string
+# contains (NUL byte prefix) so such changes alter the hash.
+NULL_HASH_MARKER = "\x00NULL"
+
+
 def record_hash(cols: Sequence[str], sep: str = "||") -> Column:
     """sha2-256 change hash over a column subset (reference F1:
-    glue_jobs/scd2_delta_vendors.py:36-56). NULL-safe via coalesce to
-    empty string, cast-to-string first so any type participates."""
-    parts = [F.coalesce(F.col(c).cast("string"), F.lit("")) for c in cols]
+    glue_jobs/scd2_delta_vendors.py:36-56). Cast-to-string first so any
+    type participates; NULL encodes as NULL_HASH_MARKER, distinct from
+    the empty string (deliberate fix of the reference's coalesce-to-''
+    blindness)."""
+    parts = [F.coalesce(F.col(c).cast("string"), F.lit(NULL_HASH_MARKER)) for c in cols]
     return F.sha2(F.concat_ws(sep, *parts), 256)
 
 
 def record_hash_md5(cols: Sequence[str], sep: str = "|") -> Column:
     """md5 variant (reference F2: sql/scd/02_scd_procedures.sql:36-41)."""
-    parts = [F.coalesce(F.col(c).cast("string"), F.lit("")) for c in cols]
+    parts = [F.coalesce(F.col(c).cast("string"), F.lit(NULL_HASH_MARKER)) for c in cols]
     return F.md5(F.concat_ws(sep, *parts))
 
 

@@ -111,14 +111,19 @@ def scd2_apply(
 
 def scd2_verify(table: DataFrame, key: str) -> DataFrame:
     """The single most important invariant (reference
-    verify_delta_vendors_job.py:57-65): exactly one is_current row per
-    key. Returns violating keys with their current-row counts (empty =
-    healthy)."""
+    verify_delta_vendors_job.py:57-65): EXACTLY one is_current row per
+    key. Groups over all rows (not just current ones) so keys with zero
+    current rows — the corruption a bad rollback would cause — are
+    flagged too, not only duplicates. Returns violating keys with their
+    current-row counts (empty = healthy)."""
     return (
-        table.filter(F.col("is_current"))
-        .groupBy(key)
-        .agg(F.count(F.lit(1)).alias("current_rows"))
-        .filter(F.col("current_rows") > 1)
+        table.groupBy(key)
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("is_current"), 1).otherwise(0)), F.lit(0)
+            ).alias("current_rows")
+        )
+        .filter(F.col("current_rows") != 1)
     )
 
 
@@ -129,8 +134,20 @@ def scd2_rollback(
     sql/scd/03_version_procedures.sql:93-118): expire the current row of
     each key and re-insert a copy of ``to_version``'s business values as
     a brand-new max_version+1 row — history is append-only, never
-    rewritten."""
-    keys = keys.select(key).distinct()
+    rewritten.
+
+    Keys that have no ``to_version`` row are left untouched (the
+    reference procedure raises 'Target version not found',
+    03_version_procedures.sql:82-90; here the affected set is restricted
+    instead so a partially-bad key list can't expire a key's current row
+    without re-inserting one — that would break the exactly-one-current
+    invariant scd2_verify checks)."""
+    keys = (
+        table.filter(F.col("version_no") == to_version)
+        .join(keys.select(key).distinct(), on=key, how="left_semi")
+        .select(key)
+        .distinct()
+    )
     affected_cur = table.filter(F.col("is_current")).join(keys, on=key, how="left_semi")
     untouched = table.join(keys, on=key, how="left_anti").unionByName(
         table.filter(~F.col("is_current")).join(keys, on=key, how="left_semi")

@@ -54,7 +54,18 @@ def salted_join(
 ) -> DataFrame:
     """Equi-join where the shuffle key is (join keys + salt), spreading
     a hot join key over ``salt_n`` reducers. Result equals the unsalted
-    join (each fact row matches exactly its salt's dim replica)."""
+    join (each fact row matches exactly its salt's dim replica).
+
+    ``how`` is restricted to fact-preserving joins: under right/full,
+    each unmatched dim row would survive once per salt replica —
+    salt_n× the unsalted result. For dim-preserving semantics, swap the
+    sides or run the unsalted join."""
+    allowed = {"inner", "left", "left_outer", "left_semi", "left_anti", "semi", "anti"}
+    if how not in allowed:
+        raise ValueError(
+            f"salted_join how={how!r} not supported; use one of {sorted(allowed)} "
+            "(right/full would keep unmatched dim rows once per salt replica)"
+        )
     keys = [on] if isinstance(on, str) else list(on)
     fp = list(fingerprint_cols) if fingerprint_cols is not None else fact.columns
     f = with_salt(fact, fp, salt_n)

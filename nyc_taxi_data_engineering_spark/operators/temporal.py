@@ -91,11 +91,24 @@ def range_join(
     interval span so inflation stays O(1). Requires
     ``start <= end`` on every right row (``sequence`` would fail on a
     negative step).
+
+    ``how`` is restricted to left-preserving joins: the right side is
+    exploded per bucket, so right/full-outer would surface one
+    null-extended row PER UNMATCHED REPLICA of an interval — silently
+    wrong multiplicity. The containment predicate lives in the join
+    condition itself (not a post-join filter), so 'left' keeps
+    unmatched left rows null-extended instead of dropping them.
     """
+    allowed = {"inner", "left", "left_outer", "left_semi", "left_anti", "semi", "anti"}
+    if how not in allowed:
+        raise ValueError(
+            f"range_join how={how!r} not supported; use one of {sorted(allowed)} "
+            "(right/full would duplicate unmatched intervals per bucket replica)"
+        )
     g = int(bucket_seconds)
     lft = left.withColumn(
         "_rj_bucket", F.floor(F.unix_timestamp(F.col(left_ts)) / g)
-    )
+    ).alias("_rjl")
     rgt = right.withColumn(
         "_rj_bucket",
         F.explode(
@@ -104,9 +117,10 @@ def range_join(
                 F.floor(F.unix_timestamp(F.col(end_col)) / g),
             )
         ),
+    ).alias("_rjr")
+    cond = (
+        (F.col("_rjl._rj_bucket") == F.col("_rjr._rj_bucket"))
+        & (F.col(f"_rjr.{start_col}") <= F.col(f"_rjl.{left_ts}"))
+        & (F.col(f"_rjl.{left_ts}") < F.col(f"_rjr.{end_col}"))
     )
-    return (
-        lft.join(rgt, "_rj_bucket", how)
-        .filter((F.col(start_col) <= F.col(left_ts)) & (F.col(left_ts) < F.col(end_col)))
-        .drop("_rj_bucket")
-    )
+    return lft.join(rgt, cond, how).drop("_rj_bucket")

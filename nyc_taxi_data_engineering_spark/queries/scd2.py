@@ -154,10 +154,10 @@ def q_scd2_rollback_current(spark: SparkSession, sf_dir: str) -> DataFrame:
     "record_hashes_nation",
     oracle="""
 SELECT n_nationkey,
-       sha256(concat_ws('||', COALESCE(CAST(n_name AS VARCHAR), ''),
-                        COALESCE(CAST(n_regionkey AS VARCHAR), ''))) AS change_hash,
-       md5(concat_ws('|', COALESCE(CAST(n_name AS VARCHAR), ''),
-                     COALESCE(CAST(n_regionkey AS VARCHAR), ''))) AS change_hash_md5
+       sha256(concat_ws('||', COALESCE(CAST(n_name AS VARCHAR), chr(0) || 'NULL'),
+                        COALESCE(CAST(n_regionkey AS VARCHAR), chr(0) || 'NULL'))) AS change_hash,
+       md5(concat_ws('|', COALESCE(CAST(n_name AS VARCHAR), chr(0) || 'NULL'),
+                     COALESCE(CAST(n_regionkey AS VARCHAR), chr(0) || 'NULL'))) AS change_hash_md5
 FROM nation
 """,
 )

@@ -122,3 +122,43 @@ def test_scd2_table_incremental_bucket_rewrite(spark, tmp_path):
     assert h3["rewritten_buckets"] == [] and h3["rows"] == 41
     assert not os.path.exists(os.path.join(str(tmp_path / "vendors"), "snap=000003"))
     assert tbl.read().count() == 41
+
+
+def test_scd2_rollback_skips_keys_without_target_version(spark):
+    """A rollback request naming a key with no to_version row must leave
+    that key untouched (never expire-without-reinsert, which would break
+    the exactly-one-current invariant)."""
+    t = scd2_apply(None, batch(spark, [(1, "Acme", "NYC"), (2, "Globex", "LA")]), KEY, TRACKED, T1)
+    t = scd2_apply(t, batch(spark, [(1, "Acme Corp", "NYC")]), KEY, TRACKED, T2)
+    # key 2 has no version 2 -> must be untouched by a rollback to v2... use v1 target:
+    # roll BOTH keys back to version 2: only key 1 has it
+    from nyc_taxi_data_engineering_spark.operators.scd2 import scd2_rollback
+
+    keys = spark.createDataFrame([(1,), (2,)], "vendor_id int")
+    rolled = scd2_rollback(t, keys, KEY, to_version=2, effective_ts=T3)
+    rows = {(r[KEY], r["version_no"]): r for r in rolled.collect()}
+    assert rows[(2, 1)]["is_current"] is True  # untouched, still current
+    assert rows[(1, 3)]["is_current"] is True and rows[(1, 3)]["vendor_name"] == "Acme Corp"
+    assert scd2_verify(rolled, KEY).count() == 0
+
+
+def test_scd2_verify_flags_zero_current_keys(spark):
+    rows = [
+        (1, "Acme", "NYC", False, 1),  # zero current rows -> violation
+        (2, "Globex", "LA", True, 1),  # healthy
+        (3, "Initech", "SF", True, 1),
+        (3, "Initech2", "SF", True, 2),  # two current rows -> violation
+    ]
+    t = spark.createDataFrame(
+        rows, "vendor_id int, vendor_name string, city string, is_current boolean, version_no int"
+    )
+    bad = {r[KEY]: r["current_rows"] for r in scd2_verify(t, KEY).collect()}
+    assert bad == {1: 0, 3: 2}
+
+
+def test_record_hash_null_distinct_from_empty(spark):
+    from nyc_taxi_data_engineering_spark.functions import record_hash
+
+    df = spark.createDataFrame([(None, "x"), ("", "x")], "a string, b string")
+    hashes = [r["h"] for r in df.select(record_hash(["a", "b"]).alias("h")).collect()]
+    assert hashes[0] != hashes[1]
