@@ -40,6 +40,30 @@ def governance_gate(run_metrics: DataFrame, quality_threshold: float = 95.0) -> 
     )
 
 
+def freshness_gate(
+    df: DataFrame, ts_col: str, dataset: str, as_of: str, max_age_days: int = 30
+) -> DataFrame:
+    """Reference-data staleness check (reference lambda.py:21-28,96-108:
+    newest reference file older than N days ⇒ stale alert), re-expressed
+    over a timestamp/date column: one row with the newest timestamp, its
+    age in days as of ``as_of`` (injected clock — determinism per SURVEY
+    §7.4.1), and a FRESH/STALE decision. An aggregate-only plan: the
+    max() is a partial+final agg, no shuffle of data rows."""
+    age = F.datediff(F.lit(as_of).cast("date"), F.col("newest_ts").cast("date"))
+    return (
+        df.agg(F.max(F.col(ts_col).cast("timestamp")).alias("newest_ts"))
+        .select(
+            F.lit(dataset).alias("dataset"),
+            F.date_format("newest_ts", "yyyy-MM-dd HH:mm:ss").alias("newest_ts"),
+            age.cast("int").alias("age_days"),
+            F.lit(int(max_age_days)).alias("max_age_days"),
+            F.when(age <= int(max_age_days), F.lit("FRESH"))
+            .otherwise(F.lit("STALE"))
+            .alias("decision"),
+        )
+    )
+
+
 def latest_run_decision(run_metrics: DataFrame, quality_threshold: float = 95.0) -> DataFrame:
     """Gate only the latest run (reference O4: the Lambda lists metric
     prefixes and picks the newest, dq-governance-gate/lambda_function.py:30-34)

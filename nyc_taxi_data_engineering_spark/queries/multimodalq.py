@@ -67,11 +67,38 @@ def q_media_frame_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("media_features", oracle=None)
+@query(
+    "media_features",
+    oracle="""
+WITH chars AS (
+    SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS i FROM documents
+),
+hist AS (
+    SELECT doc_id, ord(substr(text, i, 1)) // 16 AS bin, COUNT(*) AS cnt
+    FROM chars GROUP BY doc_id, bin
+),
+ranked AS (
+    SELECT doc_id, bin, cnt, MAX(cnt) OVER (PARTITION BY doc_id) AS max_cnt FROM hist
+),
+best AS (
+    SELECT doc_id, MIN(bin) + 1 AS argmax_bin FROM ranked WHERE cnt = max_cnt GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(octet_length(encode(d.text)) AS BIGINT) AS n_bytes,
+       CAST(16 AS INT) AS n_components,
+       CAST(COALESCE(b.argmax_bin, 1) AS BIGINT) AS argmax_bin
+FROM documents d LEFT JOIN best b ON b.doc_id = d.doc_id
+""",
+)
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched feature extraction (byte-histogram stub): rows-
-    only check — numpy lives inside the UDF by design. Emits the
-    vector's argmax + component count so the schema stays stable."""
+    """Arrow-batched feature extraction. The byte-histogram stub is
+    deterministic, so the vector's shape and argmax are EXACTLY
+    oracle-checkable: the oracle recomputes the 16-bin histogram of the
+    payload bytes in SQL (documents are ASCII, so ord(char) == byte) and
+    takes the first max bin — matching array_position's first-match
+    semantics on normalized counts (count ties normalize to equal
+    floats; distinct counts stay distinct in float32 at any plausible
+    doc length)."""
     feats = M.extract_features(_media(spark, sf_dir))
     return feats.select(
         "doc_id",

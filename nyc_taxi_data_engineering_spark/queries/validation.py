@@ -167,3 +167,36 @@ def q_governance_gate_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
     split = validate_split(li, lineitem_checks())
     metrics = split_metrics(split.flagged, run_id="r1", job_name="validate_lineitem")
     return governance_gate(metrics, quality_threshold=75.0)
+
+
+_FRESH_AS_OF = "2024-02-05"
+_FRESH_MAX_AGE = 30
+
+
+def _freshness_oracle(table: str, ts_expr: str) -> str:
+    diff = f"date_diff('day', CAST(MAX({ts_expr}) AS DATE), DATE '{_FRESH_AS_OF}')"
+    return f"""SELECT '{table}' AS dataset,
+       strftime(CAST(MAX({ts_expr}) AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS newest_ts,
+       CAST({diff} AS INT) AS age_days,
+       CAST({_FRESH_MAX_AGE} AS INT) AS max_age_days,
+       CASE WHEN {diff} <= {_FRESH_MAX_AGE} THEN 'FRESH' ELSE 'STALE' END AS decision
+FROM {table}"""
+
+
+@query(
+    "freshness_gate_datasets",
+    oracle=_freshness_oracle("events", "ts") + "\nUNION ALL\n" + _freshness_oracle("orders", "o_orderdate"),
+)
+def q_freshness_gate_datasets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference-freshness gate (C8 family, reference lambda.py:96-108)
+    over two datasets with an injected as-of clock: events is FRESH
+    (days old), orders is STALE (decades old)."""
+    from nyc_taxi_data_engineering_spark.plans.governance import freshness_gate
+
+    ev = freshness_gate(
+        load_table(spark, sf_dir, "events"), "ts", "events", _FRESH_AS_OF, _FRESH_MAX_AGE
+    )
+    od = freshness_gate(
+        load_table(spark, sf_dir, "orders"), "o_orderdate", "orders", _FRESH_AS_OF, _FRESH_MAX_AGE
+    )
+    return ev.unionByName(od)

@@ -91,3 +91,39 @@ def test_latest_partition(spark):
     )
     latest = latest_partition(df, "run_date")
     assert sorted(r["v"] for r in latest.collect()) == [2, 3]
+
+
+def test_write_jdbc_roundtrip_embedded_derby(spark, tmp_path):
+    """S12 integration: the JDBC sink bulk-loads into an embedded Derby
+    database (bundled with Spark) and reads back identically — the same
+    write path a Postgres target would use (ppcurated_rds.py:64-72)."""
+    from nyc_taxi_data_engineering_spark.sources import write_jdbc
+
+    url = f"jdbc:derby:{tmp_path}/jdbc_db;create=true"
+    driver = "org.apache.derby.iapi.jdbc.AutoloadedDriver"
+    df = spark.createDataFrame(
+        [(1, "Acme", 10.5), (2, "Globex", -3.25)], "id int, name string, bal double"
+    )
+    write_jdbc(df, url, "curated_t", driver=driver)
+    # overwrite mode must replace, not append
+    write_jdbc(df, url, "curated_t", driver=driver)
+    back = (
+        spark.read.format("jdbc")
+        .option("url", url).option("dbtable", "curated_t").option("driver", driver)
+        .load()
+    )
+    assert sorted((r["id"], r["name"], r["bal"]) for r in back.collect()) == [
+        (1, "Acme", 10.5),
+        (2, "Globex", -3.25),
+    ]
+
+
+def test_freshness_gate_decisions(spark):
+    from nyc_taxi_data_engineering_spark.plans.governance import freshness_gate
+
+    df = spark.createDataFrame([("2024-01-20 12:00:00",), ("2024-01-30 00:00:00",)], "ts string")
+    fresh = freshness_gate(df, "ts", "refdata", as_of="2024-02-05", max_age_days=30).collect()[0]
+    assert (fresh["decision"], fresh["age_days"]) == ("FRESH", 6)
+    assert fresh["newest_ts"] == "2024-01-30 00:00:00"
+    stale = freshness_gate(df, "ts", "refdata", as_of="2024-12-01", max_age_days=30).collect()[0]
+    assert stale["decision"] == "STALE"
