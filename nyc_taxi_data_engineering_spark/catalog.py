@@ -81,9 +81,18 @@ def fan_out(df: DataFrame, spark: SparkSession, min_partitions: int | None = Non
     compute (hashing, shingling, vector math) onto one task — a 5x+
     wall-clock hit measured at sf0.1. No-op when the scan is already
     parallel, so at cluster scale (many row groups / files) this adds
-    no shuffle."""
+    no shuffle.
+
+    Parallelism is estimated from the scan's file count (metadata-only,
+    ``inputFiles``) instead of ``df.rdd.getNumPartitions()`` — the RDD
+    conversion materializes the plan's lineage per query for the same
+    answer. Small files don't split, so file count ≈ scan tasks for
+    the case this guards; a single LARGE multi-row-group file would be
+    repartitioned unnecessarily, which is still the right call for
+    per-row-compute-bound queries."""
     target = min_partitions or spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    n_files = len(df.inputFiles())
+    if n_files and n_files < target:
         return df.repartition(target)
     return df
 
