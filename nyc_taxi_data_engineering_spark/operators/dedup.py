@@ -266,3 +266,68 @@ def simhash_neardup_pairs(
         pairs.select("a_id", "b_id", ham.cast("int").alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    a_col: str = "a_id",
+    b_col: str = "b_id",
+    nodes: DataFrame | None = None,
+    node_col: str | None = None,
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over near-dup pairs — the step that turns
+    pairwise dedup output into CLUSTERS (keep one canonical doc per
+    component, drop the rest). Returns (id, component) where component
+    is the minimum node id in the cluster; ``nodes`` (optional) adds
+    isolated nodes as singleton components.
+
+    Algorithm: iterative min-label propagation — each round every node
+    takes the min label among itself and its neighbors, a keyed
+    join + hash-agg per round, converging in O(max cluster diameter)
+    rounds. Near-dup clusters are shallow (dups of one source), so
+    rounds stay in low single digits regardless of corpus size; for
+    adversarially long chains the alternating-star algorithm (Kiveris
+    et al., CC-MR) bounds rounds at O(log n) — this implementation
+    keeps the simpler propagation and exposes ``max_iter`` as the
+    safety valve (raises if not converged). Each round localCheckpoints
+    the labels: without it the iterated join lineage grows quadratically
+    and the driver, not the data, becomes the bottleneck.
+    """
+    sym = (
+        edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .distinct()
+    )
+    ids = sym.select(F.col("src").alias("id")).distinct()
+    if nodes is not None:
+        ids = ids.unionByName(nodes.select(F.col(node_col).alias("id"))).distinct()
+    labels = ids.withColumn("component", F.col("id")).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(labels.withColumnRenamed("id", "src"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("component").alias("_nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr_min, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("_nbr_min"), F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.join(
+                labels.withColumnRenamed("component", "_old"), "id"
+            )
+            .filter(F.col("component") != F.col("_old"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels
+    raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")

@@ -155,3 +155,57 @@ def q_simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     one byte intact), so no false negatives vs the all-pairs scan."""
     docs = load_table(spark, sf_dir, "documents")
     return D.simhash_neardup_pairs(D.simhash(docs))
+
+
+@query(
+    "dedup_clusters_docs",
+    oracle=f"""
+WITH RECURSIVE {_SHINGLES_CTE},
+common AS (
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS common_shingles
+    FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+),
+edges AS (
+    SELECT a_id, b_id FROM common
+    JOIN sizes na ON na.doc_id = a_id
+    JOIN sizes nb ON nb.doc_id = b_id
+    WHERE round(common_shingles * 1.0 / (na.n + nb.n - common_shingles), 6) >= 0.8
+),
+sym AS (
+    SELECT a_id AS src, b_id AS dst FROM edges
+    UNION SELECT b_id, a_id FROM edges
+),
+reach AS (
+    SELECT doc_id AS src, doc_id AS dst FROM documents
+    UNION
+    SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
+),
+comp AS (SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src),
+csize AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM comp GROUP BY cluster_id)
+SELECT c.doc_id, c.cluster_id, s.cluster_size, c.doc_id = c.cluster_id AS is_canonical
+FROM comp c JOIN csize s USING (cluster_id)
+""",
+)
+def q_dedup_clusters_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: connected components over the Jaccard>=0.8
+    pair graph (iterative min-label propagation), every document
+    assigned a cluster_id = min doc_id of its component, singletons
+    included. The oracle recomputes components with a recursive CTE —
+    the one genuinely iterative algorithm in the engine, still exactly
+    checkable."""
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    edges = D.shingle_jaccard_pairs(docs, threshold=0.8).select("a_id", "b_id")
+    comp = D.connected_components(edges, nodes=docs, node_col="doc_id")
+    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        comp.join(sizes, "component")
+        .select(
+            F.col("id").alias("doc_id"),
+            F.col("component").alias("cluster_id"),
+            "cluster_size",
+            (F.col("id") == F.col("component")).alias("is_canonical"),
+        )
+    )

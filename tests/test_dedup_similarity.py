@@ -126,3 +126,25 @@ def test_embedding_neardup_lsh_matches_exact_allpairs(spark, sf_dir):
     lsh = {(r["a_id"], r["b_id"]) for r in q_embedding_neardup_pairs(spark, sf_dir).collect()}
     assert lsh == exact
     assert len(exact) > 0  # planted twins make the check non-vacuous
+
+
+def test_connected_components_chain_and_singleton(spark):
+    """Transitivity across a 4-node chain (diameter 3, needs >1 round),
+    a separate pair, and an isolated node as a singleton."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "a_id long, b_id long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 10, 11, 99]], "doc_id long")
+    comp = {
+        r["id"]: r["component"]
+        for r in D.connected_components(edges, nodes=nodes, node_col="doc_id").collect()
+    }
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 99: 99}
+
+
+def test_connected_components_raises_without_convergence(spark):
+    import pytest
+
+    edges = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "a_id long, b_id long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        D.connected_components(edges, max_iter=1)
