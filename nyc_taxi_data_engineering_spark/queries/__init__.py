@@ -20,6 +20,7 @@ _MODULES = [
     "multimodalq",
     "analytics",
     "sampling",
+    "search",
 ]
 
 _loaded = False

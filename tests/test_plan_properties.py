@@ -164,3 +164,14 @@ def test_rolling_window_aggregates_before_shuffle(spark, sf_dir):
         1 for ln in plan.splitlines() if "Exchange hashpartitioning" in ln
     )
     assert n_exchanges <= 2, n_exchanges
+
+
+def test_bm25_query_side_broadcasts_no_corpus_cartesian(spark, sf_dir):
+    """BM25 must probe the inverted index with broadcast joins on the
+    tiny query/df/stats sides; the only nested-loop allowed is the
+    1-row corpus-stats attach."""
+    plan = _plan(spark, sf_dir, "bm25_search_topk")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+    nl = [ln for ln in plan.splitlines() if "BroadcastNestedLoopJoin" in ln]
+    assert len(nl) <= 1  # the broadcast 1-row stats cross join

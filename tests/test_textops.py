@@ -59,3 +59,25 @@ def test_minhash_signature_shape(spark):
     assert len(sig) == 4 and all(len(h) == 32 for h in sig)
     # different seeds -> (almost surely) different minima
     assert len(set(sig)) > 1
+
+
+def test_bm25_ranks_tf_and_brevity(spark):
+    """More query-term occurrences rank higher; at equal tf the shorter
+    doc wins (length normalization)."""
+    from nyc_taxi_data_engineering_spark.operators.search import bm25_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple apple apple pie"),
+            (2, "apple banana cherry durian elderberry fig grape"),
+            (3, "apple banana"),
+            (4, "banana cherry"),
+        ],
+        "doc_id long, text string",
+    )
+    got = bm25_topk(docs, [("q", "apple")], k=4).collect()
+    order = [r["doc_id"] for r in got]
+    assert order[0] == 1  # highest tf
+    assert order.index(3) < order.index(2)  # same tf, shorter doc first
+    assert 4 not in order  # no query term -> no score
+    assert [r["rank"] for r in got] == [1, 2, 3]
