@@ -21,6 +21,7 @@ _MODULES = [
     "analytics",
     "sampling",
     "search",
+    "curation",
 ]
 
 _loaded = False
