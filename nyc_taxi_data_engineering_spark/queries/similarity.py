@@ -377,3 +377,46 @@ def q_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cos") >= NEARDUP_THRESHOLD)
         .select("a_id", "b_id", F.round("cos", 6).alias("cosine"))
     )
+
+
+@query(
+    "embedding_centroids_by_lang",
+    oracle="""
+WITH j AS (
+    SELECT d.lang, e.embedding::DOUBLE[] AS v
+    FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+),
+expl AS (
+    SELECT lang, unnest(range(1, len(v) + 1)) AS i, v FROM j
+)
+SELECT lang, CAST(i AS INT) AS dim,
+       CAST(SUM(CAST(v[i] AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*) AS centroid,
+       CAST(COUNT(*) AS BIGINT) AS n_vectors
+FROM expl GROUP BY lang, i
+""",
+)
+def q_embedding_centroids_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language embedding centroids (element-wise mean), the
+    vector-aggregation primitive behind domain-mixture monitoring and
+    IVF coarse-quantizer training. posexplode + one hash agg on
+    (lang, dim) — map-side combine applies, components sum in exact
+    DECIMAL for engine parity; never a collect of vectors."""
+    from nyc_taxi_data_engineering_spark.catalog import load_table as load_plain
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    docs = load_plain(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("vec_id"), "lang"
+    )
+    expl = emb.join(docs, "vec_id").select(
+        "lang", F.posexplode("v").alias("pos", "x")
+    )
+    return expl.groupBy("lang", "pos").agg(
+        (F.sum(F.col("x").cast("decimal(18,9)")).cast("double") / F.count(F.lit(1))).alias(
+            "centroid"
+        ),
+        F.count(F.lit(1)).alias("n_vectors"),
+    ).select(
+        "lang", (F.col("pos") + 1).cast("int").alias("dim"), "centroid", "n_vectors"
+    )
