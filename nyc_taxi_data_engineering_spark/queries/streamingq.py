@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from nyc_taxi_data_engineering_spark.catalog import load_table
-from nyc_taxi_data_engineering_spark.functions import stable_sum_sql
+from nyc_taxi_data_engineering_spark.functions import stable_sum, stable_sum_sql
 from nyc_taxi_data_engineering_spark.queries.registry import query
 from nyc_taxi_data_engineering_spark.streaming import (
     session_user_stats,
@@ -104,3 +104,65 @@ def q_events_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     gap, and an event exactly at the previous session's end starts a
     new one (window end is exclusive, hence '>= gap' in the oracle)."""
     return session_user_stats(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "events_dedup_counts",
+    oracle="""
+WITH planted AS (
+    SELECT * FROM events
+    UNION ALL SELECT * FROM events WHERE event_id % 7 = 0
+)
+SELECT CAST((SELECT COUNT(*) FROM planted) AS BIGINT) AS rows_in,
+       CAST((SELECT COUNT(DISTINCT event_id) FROM planted) AS BIGINT) AS rows_deduped,
+       CAST((SELECT COUNT(*) FROM planted) - (SELECT COUNT(DISTINCT event_id) FROM planted)
+            AS BIGINT) AS dups_removed
+""",
+)
+def q_events_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once dedup metrics over a corpus with planted
+    redeliveries (every 7th event duplicated — identical full rows, as
+    a redelivery is). Batch twin of streaming/ingest.dedup_events; the
+    stream==batch test covers the stateful streaming path."""
+    from pyspark.sql import functions as F
+
+    from nyc_taxi_data_engineering_spark.streaming.ingest import dedup_events
+
+    events = load_table(spark, sf_dir, "events")
+    planted = events.unionByName(events.filter(F.col("event_id") % 7 == 0))
+    deduped = dedup_events(planted)
+    n_in = planted.agg(F.count(F.lit(1)).alias("rows_in"))
+    n_out = deduped.agg(F.count(F.lit(1)).alias("rows_deduped"))
+    return (
+        n_in.crossJoin(F.broadcast(n_out))
+        .withColumn("dups_removed", F.col("rows_in") - F.col("rows_deduped"))
+    )
+
+
+@query(
+    "events_value_by_segment",
+    oracle=f"""
+SELECT c.c_mktsegment AS mktsegment,
+       COUNT(*) AS n_events,
+       {stable_sum_sql('e.value')} AS sum_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c.c_mktsegment
+""",
+)
+def q_events_value_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment twin: events joined to the broadcast
+    customer dim, aggregated per market segment. In streaming form the
+    dim is re-read per micro-batch; the plan here is the same broadcast
+    join + hash agg."""
+    from pyspark.sql import functions as F
+
+    from nyc_taxi_data_engineering_spark.streaming.ingest import enrich_events_with_customers
+
+    events = load_table(spark, sf_dir, "events")
+    customers = load_table(spark, sf_dir, "customer")
+    enriched = enrich_events_with_customers(events, customers).filter(
+        F.col("mktsegment").isNotNull()
+    )
+    return enriched.groupBy("mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"), stable_sum("value").alias("sum_value")
+    )

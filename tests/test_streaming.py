@@ -147,3 +147,52 @@ def test_foreach_batch_bridges_to_parquet(spark, stream_dirs, tmp_path):
         lambda df, batch_id: df.write.mode("append").parquet(out),
     )
     assert spark.read.parquet(out).count() == 2
+
+
+def test_streaming_dedup_drops_cross_batch_redelivery(spark, stream_dirs):
+    """A redelivered event arriving in a LATER micro-batch (within the
+    watermark horizon) must still be dropped — dedup state persists
+    across batches."""
+    from nyc_taxi_data_engineering_spark.streaming.ingest import dedup_events
+
+    src, ckpt = stream_dirs
+    first = _mk_events(spark, [(0, 1, "click", 1.0), (10, 2, "view", 2.0)])
+    _write_batch(first, src)
+    # redeliver event_id 0 verbatim in a second file (= second micro-batch)
+    _write_batch(first.filter(F.col("event_id") == 0), src)
+
+    run_available_now(
+        dedup_events(read_events_stream(spark, src, max_files_per_trigger=1)),
+        "t_dedup",
+        ckpt,
+        output_mode="append",
+    )
+    got = spark.sql("SELECT event_id FROM t_dedup").collect()
+    assert sorted(r["event_id"] for r in got) == [0, 1]
+
+
+def test_stream_static_enrichment_equals_batch(spark, stream_dirs):
+    from nyc_taxi_data_engineering_spark.streaming.ingest import enrich_events_with_customers
+
+    src, ckpt = stream_dirs
+    _write_batch(
+        _mk_events(spark, [(0, 10, "click", 1.0), (5, 11, "view", 2.0), (9, 99, "view", 4.0)]),
+        src,
+    )
+    customers = spark.createDataFrame(
+        [(10, "AUTOMOBILE"), (11, "BUILDING")], "c_custkey long, c_mktsegment string"
+    )
+    run_available_now(
+        enrich_events_with_customers(read_events_stream(spark, src), customers),
+        "t_enrich",
+        ckpt,
+        output_mode="append",
+    )
+    stream = {
+        (r["event_id"], r["mktsegment"]) for r in spark.sql("SELECT * FROM t_enrich").collect()
+    }
+    batch = {
+        (r["event_id"], r["mktsegment"])
+        for r in enrich_events_with_customers(spark.read.parquet(src), customers).collect()
+    }
+    assert stream == batch == {(0, "AUTOMOBILE"), (1, "BUILDING"), (2, None)}
