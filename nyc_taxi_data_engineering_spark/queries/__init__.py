@@ -22,6 +22,8 @@ _MODULES = [
     "sampling",
     "search",
     "curation",
+    "eventsq",
+    "profiling",
 ]
 
 _loaded = False

@@ -397,3 +397,61 @@ def q_customer_reach_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
             stable_sum("o_totalprice").alias("total_value"),
         )
     )
+
+
+_OUTLIER_STATS_SQL = f"""
+  SELECT o_orderpriority AS grp, COUNT(*) AS n,
+         {stable_sum_sql('o_totalprice', 2, 18)} AS sm,
+         {stable_sum_sql('o_totalprice * o_totalprice', 4, 38)} AS smsq
+  FROM orders GROUP BY 1
+"""
+
+
+@query(
+    "order_price_outliers",
+    oracle=f"""
+WITH s AS ({_OUTLIER_STATS_SQL}),
+st AS (
+  SELECT grp, n, sm / n AS mean,
+         sqrt((smsq - sm * sm / n) / (n - 1)) AS std
+  FROM s
+)
+SELECT o_orderkey, o_orderpriority, o_totalprice,
+       ROUND((o_totalprice - mean) / std, 4) AS z_score
+FROM orders JOIN st ON o_orderpriority = grp
+WHERE abs(o_totalprice - mean) > 2.5 * std
+""",
+)
+def q_order_price_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score outlier detection: orders whose total price
+    sits >2.5 sigma from their priority-group mean. Group moments come
+    from ONE hash agg using exact decimal sums (order-independent, so
+    mean/std — and therefore the outlier SET — are bit-identical across
+    engines and runs; a plain double SUM here would make the boundary
+    rows flap). The per-group stats are a handful of rows → broadcast
+    join back onto orders, so the detector is one scan + one agg, no
+    extra shuffle of the fact table."""
+    orders = load_table(spark, sf_dir, "orders")
+    stats = orders.groupBy(F.col("o_orderpriority").alias("grp")).agg(
+        F.count(F.lit(1)).alias("n"),
+        stable_sum("o_totalprice", 2, 18).alias("sm"),
+        stable_sum(F.col("o_totalprice") * F.col("o_totalprice"), 4, 38).alias("smsq"),
+    )
+    st = stats.select(
+        "grp",
+        "n",
+        (F.col("sm") / F.col("n")).alias("mean"),
+        F.sqrt((F.col("smsq") - F.col("sm") * F.col("sm") / F.col("n")) / (F.col("n") - 1)).alias(
+            "std"
+        ),
+    )
+    return (
+        orders.join(F.broadcast(st), orders.o_orderpriority == st.grp)
+        .filter(F.abs(F.col("o_totalprice") - F.col("mean")) > 2.5 * F.col("std"))
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            "o_totalprice",
+            F.round((F.col("o_totalprice") - F.col("mean")) / F.col("std"), 4).alias("z_score"),
+        )
+    )

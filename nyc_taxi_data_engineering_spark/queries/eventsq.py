@@ -1,0 +1,198 @@
+"""Batch event-analytics queries over the ``events`` table:
+semi-structured JSON extraction, gap-based sessionization, and funnel
+conversion. Complements queries/streamingq.py (the streaming window
+family) with the batch-side shapes the reference's event pipelines
+lack entirely (SURVEY §2.4: no JSON parsing, no sessionization).
+
+Scale notes:
+- JSON parsing is ``from_json`` with an explicit schema — JVM-side
+  Jackson inside whole-stage codegen, no Python, no schema inference
+  scan. At 100 TB a permissive schema + a corrupt-record column is the
+  same plan.
+- Sessionization is lag + running-sum over (user_id) windows: state is
+  per-user and the shuffle is one hash exchange on user_id; no
+  single-partition window anywhere.
+- The funnel is two user-keyed aggregates joined on user_id — at scale
+  both sides pre-aggregate map-side before the one shuffle each.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from nyc_taxi_data_engineering_spark.catalog import load_table
+from nyc_taxi_data_engineering_spark.functions import stable_sum, stable_sum_sql
+from nyc_taxi_data_engineering_spark.queries.registry import query
+
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30-minute inactivity gap
+
+
+@query(
+    "events_props_by_type",
+    oracle="""
+WITH e AS (
+  SELECT event_type, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+  FROM events
+)
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(COUNT(k) AS BIGINT) AS n_with_k,
+       CAST(SUM(k) AS BIGINT) AS sum_k,
+       CAST(COUNT(DISTINCT k) AS BIGINT) AS distinct_k,
+       MIN(k) AS min_k,
+       MAX(k) AS max_k,
+       ROUND(SUM(k) * 1.0 / COUNT(k), 6) AS avg_k
+FROM e
+GROUP BY event_type
+""",
+)
+def q_events_props_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: parse the ``props`` JSON column with
+    an explicit schema and aggregate the extracted field per event
+    type. ``from_json`` returns NULL for missing/malformed fields,
+    matching ``json_extract_string``'s NULL — both sides agree on bad
+    input. avg is integer-sum / count: exact sums, so the double
+    division is order-independent."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.from_json("props", "k INT").getField("k")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count("k").alias("n_with_k"),
+            F.sum("k").alias("sum_k"),
+            F.countDistinct("k").alias("distinct_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.round(F.sum("k") * 1.0 / F.count("k"), 6).alias("avg_k"),
+        )
+    )
+
+
+@query(
+    "events_sessions",
+    oracle=f"""
+WITH flagged AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_seq
+  FROM flagged
+)
+SELECT user_id,
+       CAST(session_seq AS BIGINT) AS session_seq,
+       COUNT(*) AS n_events,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+       epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS duration_us,
+       {stable_sum_sql('value', 4, 18)} AS total_value
+FROM sessions
+GROUP BY user_id, session_seq
+""",
+)
+def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch gap-based sessionization: a new session starts after
+    >30 min of user inactivity. lag() flags session starts; the
+    running sum of flags numbers sessions per user (the classic
+    sessionize-without-UDF shape). Both windows partition by user_id
+    — one hash shuffle, per-user state, no global window. Ordering is
+    (ts, event_id): event_id breaks timestamp ties so the running sum
+    (and therefore session identity) is deterministic. Durations are
+    exact integer microseconds (epoch_us twin: unix_micros)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w)))
+                > SESSION_GAP_US
+            ),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("is_new"),
+    )
+    sessions = flagged.withColumn("session_seq", F.sum("is_new").over(w))
+    return sessions.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("duration_us"),
+        stable_sum("value", 4, 18).alias("total_value"),
+    )
+
+
+@query(
+    "events_funnel_signup_purchase",
+    oracle="""
+WITH su AS (
+  SELECT user_id, MIN(ts) AS signup_ts
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+),
+conv AS (
+  SELECT su.user_id, COUNT(e.event_id) AS n_purchases_after
+  FROM su LEFT JOIN events e
+    ON e.user_id = su.user_id AND e.event_type = 'purchase' AND e.ts >= su.signup_ts
+  GROUP BY su.user_id
+)
+SELECT (SELECT COUNT(DISTINCT user_id) FROM events) AS n_users,
+       (SELECT COUNT(*) FROM su) AS n_signup_users,
+       CAST(COALESCE(SUM(CASE WHEN n_purchases_after > 0 THEN 1 ELSE 0 END), 0) AS BIGINT)
+           AS n_converted,
+       ROUND(COALESCE(SUM(CASE WHEN n_purchases_after > 0 THEN 1 ELSE 0 END), 0) * 100.0
+             / (SELECT COUNT(*) FROM su), 2) AS conversion_pct
+FROM conv
+""",
+)
+def q_events_funnel_signup_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signup→purchase funnel: of users who ever signed up, how many
+    later purchased (at-or-after their first signup). Per-user signup
+    floor is one keyed agg; the conversion check is a user_id equi-join
+    against purchases with the time predicate in the join condition —
+    an AQE-friendly shuffle join at scale, never a range scan."""
+    ev = load_table(spark, sf_dir, "events")
+    signup = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user_id"), F.col("ts").alias("p_ts"), "event_id"
+    )
+    conv = (
+        signup.join(
+            purchases,
+            (F.col("user_id") == F.col("p_user_id")) & (F.col("p_ts") >= F.col("signup_ts")),
+            "left",
+        )
+        .groupBy("user_id")
+        .agg(F.count("event_id").alias("n_purchases_after"))
+    )
+    n_users = ev.agg(F.countDistinct("user_id").alias("n_users"))
+    funnel = conv.agg(
+        F.count(F.lit(1)).alias("n_signup_users"),
+        F.sum(F.when(F.col("n_purchases_after") > 0, 1).otherwise(0)).alias("n_converted"),
+    )
+    return (
+        n_users.crossJoin(funnel)  # 1-row x 1-row
+        .select(
+            "n_users",
+            "n_signup_users",
+            "n_converted",
+            F.round(F.col("n_converted") * 100.0 / F.col("n_signup_users"), 2).alias(
+                "conversion_pct"
+            ),
+        )
+    )

@@ -94,6 +94,75 @@ def q_text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TOP_TOKENS_K = 50
+
+
+@query(
+    "corpus_top_tokens",
+    oracle=f"""
+SELECT token,
+       COUNT(*) AS n_occurrences,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM (
+  SELECT doc_id, unnest({T.sql_tokens('text')}) AS token FROM documents
+)
+WHERE len(token) > 0
+GROUP BY token
+ORDER BY n_occurrences DESC, token
+LIMIT {TOP_TOKENS_K}
+""",
+)
+def q_corpus_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus heavy hitters: top-K tokens by occurrence count with
+    document frequency. explode → hash-agg (map-side combine shrinks
+    the shuffle to the vocabulary) → orderBy+limit, which Spark plans
+    as TakeOrderedAndProject: each task keeps only its local top-K, so
+    the driver merges |tasks|×K rows — no global sort, no single-task
+    window. Tie-break on token keeps the K-boundary deterministic."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("token"))
+        .filter(F.length("token") > 0)
+        .groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.col("n_occurrences").desc(), "token")
+        .limit(TOP_TOKENS_K)
+    )
+
+
+@query(
+    "token_length_histogram",
+    oracle=f"""
+SELECT len(token) AS token_len,
+       COUNT(*) AS n_tokens,
+       CAST(COUNT(DISTINCT token) AS BIGINT) AS n_distinct_tokens
+FROM (
+  SELECT unnest({T.sql_tokens('text')}) AS token FROM documents
+)
+WHERE len(token) > 0
+GROUP BY token_len
+""",
+)
+def q_token_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-length distribution over the corpus — the standard
+    pre-training length-diagnostics histogram. One explode + one
+    hash-agg keyed by length (tiny key domain → near-total map-side
+    combine; the shuffle carries |lengths| rows per task)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(T.tokens(F.col("text"))).alias("token"))
+        .filter(F.length("token") > 0)
+        .groupBy(F.length("token").alias("token_len"))
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.countDistinct("token").alias("n_distinct_tokens"),
+        )
+    )
+
+
 @query(
     "text_fingerprints",
     oracle=f"""
