@@ -23,6 +23,7 @@ _MODULES = [
     "search",
     "curation",
     "eventsq",
+    "timeseries",
     "profiling",
 ]
 

@@ -455,3 +455,101 @@ def q_order_price_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round((F.col("o_totalprice") - F.col("mean")) / F.col("std"), 4).alias("z_score"),
         )
     )
+
+
+_PIVOT_STATUSES = ["F", "O", "P"]
+
+
+def _pivot_oracle() -> str:
+    cols = []
+    for s in _PIVOT_STATUSES:
+        cols.append(
+            f"CAST(COALESCE(SUM(CASE WHEN o_orderstatus = '{s}' THEN 1 END), 0) AS BIGINT)"
+            f" AS {s}_n"
+        )
+        cols.append(
+            f"CAST(SUM(CASE WHEN o_orderstatus = '{s}'"
+            f" THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS {s}_rev"
+        )
+    return (
+        "SELECT o_orderpriority, " + ", ".join(cols) + " FROM orders GROUP BY o_orderpriority"
+    )
+
+
+@query("orders_priority_status_pivot", oracle=_pivot_oracle())
+def q_orders_priority_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-tab reshape: priority rows x status columns, count +
+    revenue per cell, via DataFrame ``pivot`` with an EXPLICIT value
+    list — no extra distinct-discovery job, and the plan stays one
+    hash agg with map-side combine (pivot compiles to conditional
+    aggregates, same as the SQL oracle spells out). Missing cells
+    coalesce to 0 for counts and stay NULL for sums, matching
+    SUM(CASE...END) semantics."""
+    orders = load_table(spark, sf_dir, "orders")
+    p = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", _PIVOT_STATUSES)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            stable_sum("o_totalprice", 2, 18).alias("rev"),
+        )
+    )
+    out_cols = [F.col("o_orderpriority")]
+    for s in _PIVOT_STATUSES:
+        out_cols.append(F.coalesce(F.col(f"{s}_n"), F.lit(0)).alias(f"{s}_n"))
+        out_cols.append(F.col(f"{s}_rev"))
+    return p.select(*out_cols)
+
+
+_DECILE_QS = [round(0.1 * i, 1) for i in range(1, 10)]
+
+
+@query(
+    "customer_spend_deciles",
+    oracle=f"""
+WITH totals AS (
+  SELECT o_custkey, {stable_sum_sql('o_totalprice', 2, 18)} AS spend
+  FROM orders GROUP BY 1
+),
+ths AS (SELECT quantile_cont(spend, {_DECILE_QS}) AS ths FROM totals),
+dec AS (
+  SELECT o_custkey, spend,
+         CAST(len(list_filter(ths.ths, t -> spend > t)) + 1 AS INTEGER) AS decile
+  FROM totals, ths
+)
+SELECT decile, COUNT(*) AS n_customers,
+       {stable_sum_sql('spend', 2, 18)} AS total_spend,
+       ROUND(MIN(spend), 2) AS min_spend,
+       ROUND(MAX(spend), 2) AS max_spend
+FROM dec GROUP BY 1
+""",
+)
+def q_customer_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile bucketing of customer lifetime spend WITHOUT a global
+    sort: a plain NTILE needs a single-partition window over all
+    customers (the classic scale-killer); instead the nine decile
+    thresholds come from one percentile aggregate, broadcast to every
+    task, and each customer's bucket is size(filter(thresholds, t ->
+    spend > t)) + 1 — embarrassingly parallel. Spark's ``percentile``
+    and DuckDB's ``quantile_cont`` share the linear-interpolation
+    definition, and spends are exact decimal sums, so bucket
+    boundaries agree bit-for-bit."""
+    orders = load_table(spark, sf_dir, "orders")
+    totals = orders.groupBy("o_custkey").agg(
+        stable_sum("o_totalprice", 2, 18).alias("spend")
+    )
+    qs = ", ".join(str(q) for q in _DECILE_QS)
+    ths = totals.agg(F.expr(f"percentile(spend, array({qs}))").alias("ths"))
+    dec = totals.crossJoin(F.broadcast(ths)).select(  # 1-row threshold side
+        "o_custkey",
+        "spend",
+        (F.size(F.filter(F.col("ths"), lambda t: F.col("spend") > t)) + 1)
+        .cast("int")
+        .alias("decile"),
+    )
+    return dec.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        stable_sum("spend", 2, 18).alias("total_spend"),
+        F.round(F.min("spend"), 2).alias("min_spend"),
+        F.round(F.max("spend"), 2).alias("max_spend"),
+    )

@@ -1,0 +1,74 @@
+"""Time-series regularization queries: calendar gap-fill + forward
+fill over the supplier daily-revenue series (operators/timeseries.py
+applied to the flagship revenue rollup)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nyc_taxi_data_engineering_spark.catalog import load_table
+from nyc_taxi_data_engineering_spark.functions import stable_sum, stable_sum_sql
+from nyc_taxi_data_engineering_spark.operators.timeseries import forward_fill, gap_fill
+from nyc_taxi_data_engineering_spark.queries.registry import query
+
+# One year keeps the dense spine ~365 x |suppliers| — representative
+# without exploding the oracle compare. The range predicate (not
+# year()) reaches the parquet scan as a pushed filter.
+_LO, _HI = "1994-01-01", "1995-01-01"
+
+
+@query(
+    "supplier_daily_gapfill",
+    oracle=f"""
+WITH daily AS (
+  SELECT l_suppkey, CAST(l_shipdate AS DATE) AS d,
+         {stable_sum_sql('l_extendedprice * (1 - l_discount)', 4, 23)} AS rev,
+         COUNT(*) AS n_trips
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '{_LO}' AND l_shipdate < TIMESTAMP '{_HI}'
+  GROUP BY 1, 2
+),
+bounds AS (SELECT l_suppkey, MIN(d) AS lo, MAX(d) AS hi FROM daily GROUP BY 1),
+spine AS (
+  SELECT l_suppkey, CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS d
+  FROM bounds
+)
+SELECT s.l_suppkey, strftime(s.d, '%Y-%m-%d') AS ship_date,
+       daily.rev IS NULL AS is_gap,
+       daily.rev AS rev,
+       last_value(daily.rev IGNORE NULLS) OVER (
+         PARTITION BY s.l_suppkey ORDER BY s.d
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rev_ff,
+       COALESCE(daily.n_trips, 0) AS n_trips
+FROM spine s LEFT JOIN daily ON s.l_suppkey = daily.l_suppkey AND s.d = daily.d
+""",
+)
+def q_supplier_daily_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense per-supplier daily revenue: every day in each supplier's
+    observed 1994 range appears, gaps flagged and forward-filled with
+    the last traded value. Spine generation is per-key sequence +
+    explode (distributed, no driver calendar); the fill is one
+    per-supplier running window. Dense output is |suppliers| x ~365
+    regardless of fact skew."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(_LO)) & (F.col("l_shipdate") < F.lit(_HI))
+    )
+    daily = li.groupBy(
+        "l_suppkey", F.col("l_shipdate").cast("date").alias("d")
+    ).agg(
+        stable_sum(
+            F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")), 4, 23
+        ).alias("rev"),
+        F.count(F.lit(1)).alias("n_trips"),
+    )
+    filled = gap_fill(daily, "l_suppkey", "d", ["rev"])
+    ff = forward_fill(filled, "l_suppkey", "d", ["rev"])
+    return ff.select(
+        "l_suppkey",
+        F.date_format("d", "yyyy-MM-dd").alias("ship_date"),
+        "is_gap",
+        "rev",
+        F.col("rev_ff"),
+        F.coalesce("n_trips", F.lit(0)).alias("n_trips"),
+    )
