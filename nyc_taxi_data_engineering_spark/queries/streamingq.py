@@ -166,3 +166,49 @@ def q_events_value_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return enriched.groupBy("mktsegment").agg(
         F.count(F.lit(1)).alias("n_events"), stable_sum("value").alias("sum_value")
     )
+
+
+@query(
+    "click_purchase_attribution",
+    oracle="""
+SELECT c.user_id,
+       c.event_id AS click_id,
+       p.event_id AS purchase_id,
+       strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_time,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_time,
+       p.value AS purchase_value,
+       epoch_us(p.ts) - epoch_us(c.ts) AS delay_us
+FROM events c
+JOIN events p
+  ON c.user_id = p.user_id
+ AND p.ts >= c.ts
+ AND p.ts <= c.ts + INTERVAL 1 HOUR
+WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+""",
+)
+def q_click_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the stream-stream interval join
+    (streaming/ingest.attribute_purchases_to_clicks): purchases
+    attributed to same-user clicks in the preceding hour. The
+    stream==batch test covers the watermarked streaming path; this
+    oracle gates the join semantics."""
+    from pyspark.sql import functions as F
+
+    from nyc_taxi_data_engineering_spark.streaming.ingest import (
+        attribute_purchases_to_clicks,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    pairs = attribute_purchases_to_clicks(
+        events.filter(F.col("event_type") == "click"),
+        events.filter(F.col("event_type") == "purchase"),
+    )
+    return pairs.select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        F.date_format("click_ts", "yyyy-MM-dd HH:mm:ss").alias("click_time"),
+        F.date_format("purchase_ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_time"),
+        "purchase_value",
+        (F.unix_micros("purchase_ts") - F.unix_micros("click_ts")).alias("delay_us"),
+    )

@@ -36,6 +36,56 @@ def dedup_events(events: DataFrame, keys: Sequence[str] = ("event_id",)) -> Data
     return events.dropDuplicates(list(keys))
 
 
+ATTRIBUTION_HORIZON = "1 hour"
+
+
+def attribute_purchases_to_clicks(
+    clicks: DataFrame, purchases: DataFrame, horizon: str = ATTRIBUTION_HORIZON
+) -> DataFrame:
+    """Stream-stream interval join: each purchase is attributed to every
+    click by the same user in the preceding ``horizon``.
+
+    Streaming input: BOTH sides carry watermarks and the join condition
+    bounds purchase_ts to [click_ts, click_ts + horizon], which is what
+    lets Spark evict click state once the purchase-side watermark passes
+    click_ts + horizon — without the time bound, stream-stream join
+    state grows forever. Batch input: the identical plan is a plain
+    inner join (the oracle-checked twin).
+
+    Scale: the join shuffles both sides on user_id only; the time
+    predicate is evaluated inside the join, so there is no range-scan
+    blowup — per-user candidate sets stay small because the horizon
+    bounds them.
+    """
+    c = clicks.select(
+        F.col("user_id"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = purchases.select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    if clicks.isStreaming:
+        c = c.withWatermark("click_ts", "2 hours")
+        p = p.withWatermark("purchase_ts", "2 hours")
+    cond = (
+        (c.user_id == p.p_user_id)
+        & (p.purchase_ts >= c.click_ts)
+        & (p.purchase_ts <= c.click_ts + F.expr(f"INTERVAL {horizon}"))
+    )
+    return c.join(p, cond, "inner").select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        "click_ts",
+        "purchase_ts",
+        "purchase_value",
+    )
+
+
 def enrich_events_with_customers(events: DataFrame, customers: DataFrame) -> DataFrame:
     """Stream-static left join onto the customer dim (broadcast): every
     event tagged with the customer's market segment. The static side is

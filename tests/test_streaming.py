@@ -196,3 +196,48 @@ def test_stream_static_enrichment_equals_batch(spark, stream_dirs):
         for r in enrich_events_with_customers(spark.read.parquet(src), customers).collect()
     }
     assert stream == batch == {(0, "AUTOMOBILE"), (1, "BUILDING"), (2, None)}
+
+
+def test_stream_stream_interval_join_equals_batch(spark, stream_dirs):
+    """Purchases join to same-user clicks within the horizon; the
+    watermarked stream-stream join must emit exactly the batch pairs —
+    including dropping the purchase 2h after the click (outside the
+    1h horizon) and the other-user purchase."""
+    from nyc_taxi_data_engineering_spark.streaming.ingest import (
+        attribute_purchases_to_clicks,
+    )
+
+    src, ckpt = stream_dirs
+    events = _mk_events(
+        spark,
+        [
+            (0, 1, "click", 0.0),      # click @00:00
+            (30, 1, "purchase", 5.0),  # +30min -> attributed
+            (120, 1, "purchase", 7.0),  # +2h -> outside horizon
+            (10, 2, "purchase", 9.0),  # other user, no click
+            (40, 2, "click", 0.0),     # click after purchase -> no pair
+        ],
+    )
+    _write_batch(events, src)
+
+    def split(df):
+        return (
+            df.filter(F.col("event_type") == "click"),
+            df.filter(F.col("event_type") == "purchase"),
+        )
+
+    batch_pairs = {
+        (r["click_id"], r["purchase_id"])
+        for r in attribute_purchases_to_clicks(*split(spark.read.parquet(src))).collect()
+    }
+    run_available_now(
+        attribute_purchases_to_clicks(*split(read_events_stream(spark, src))),
+        "t_ssjoin",
+        ckpt,
+        output_mode="append",
+    )
+    stream_pairs = {
+        (r["click_id"], r["purchase_id"])
+        for r in spark.sql("SELECT * FROM t_ssjoin").collect()
+    }
+    assert stream_pairs == batch_pairs == {(0, 1)}

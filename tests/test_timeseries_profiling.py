@@ -1,0 +1,103 @@
+"""Unit tests for the time-series regularization operators, the table
+profiler, and batch sessionization edge cases."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from nyc_taxi_data_engineering_spark.operators.profiling import profile
+from nyc_taxi_data_engineering_spark.operators.timeseries import (
+    calendar_spine,
+    forward_fill,
+    gap_fill,
+)
+
+
+def _series(spark):
+    d = dt.date
+    return spark.createDataFrame(
+        [
+            (1, d(2024, 1, 1), 10.0),
+            (1, d(2024, 1, 4), 40.0),  # 2-day gap before this
+            (2, d(2024, 2, 1), 99.0),  # single-day key
+        ],
+        "k int, d date, v double",
+    )
+
+
+def test_calendar_spine_is_dense_per_key(spark):
+    spine = calendar_spine(_series(spark), "k", "d").collect()
+    by_key = {}
+    for r in spine:
+        by_key.setdefault(r["k"], []).append(r["d"])
+    assert sorted(by_key[1]) == [dt.date(2024, 1, 1 + i) for i in range(4)]
+    assert by_key[2] == [dt.date(2024, 2, 1)]
+
+
+def test_gap_fill_flags_missing_days(spark):
+    got = {(r["k"], r["d"]): r["is_gap"] for r in gap_fill(_series(spark), "k", "d", ["v"]).collect()}
+    assert got[(1, dt.date(2024, 1, 2))] is True
+    assert got[(1, dt.date(2024, 1, 1))] is False
+    assert len(got) == 5
+
+
+def test_forward_fill_carries_last_value_and_keeps_leading_nulls(spark):
+    df = spark.createDataFrame(
+        [(1, 1, None), (1, 2, 5.0), (1, 3, None), (1, 4, None), (2, 1, None)],
+        "k int, seq int, v double",
+    )
+    got = {
+        (r["k"], r["seq"]): r["v_ff"]
+        for r in forward_fill(df, "k", "seq", ["v"]).collect()
+    }
+    assert got[(1, 1)] is None  # leading null: nothing to carry
+    assert got[(1, 3)] == 5.0 and got[(1, 4)] == 5.0
+    assert got[(2, 1)] is None  # fill never crosses keys
+
+
+def test_profile_counts_nulls_distinct_minmax(spark):
+    df = spark.createDataFrame(
+        [("a", 1, 1.5), ("b", None, 2.5), ("a", 3, None)],
+        "s string, i int, f double",
+    )
+    rows = {r["column_name"]: r for r in profile(df).collect()}
+    assert rows["s"]["n_nulls"] == 0 and rows["s"]["n_distinct"] == 2
+    assert rows["i"]["n_nulls"] == 1 and rows["i"]["min_value"] == "1"
+    assert rows["f"]["max_value"] == "2.500000"  # decimal(24,6) rendering
+    assert rows["i"]["null_pct"] == 33.33
+
+
+def test_profile_approx_distinct_close_to_exact(spark):
+    df = spark.range(1000).select(F.col("id").alias("x"))
+    row = profile(df, ["x"], exact_distinct=False).collect()[0]
+    assert abs(row["n_distinct"] - 1000) / 1000 < 0.05
+    # and no Expand in the plan (HLL path keeps a single-pass agg)
+    plan = profile(df, ["x"], exact_distinct=False)._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in plan
+
+
+def test_sessionization_gap_boundary(spark):
+    """An event EXACTLY at the 30-min gap stays in the same session
+    (strict > starts a new one); one microsecond past splits."""
+    from nyc_taxi_data_engineering_spark.queries.eventsq import SESSION_GAP_US
+
+    from pyspark.sql import Window
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (0, base, 7, "click", 1.0, "{}"),
+        (1, base + dt.timedelta(microseconds=SESSION_GAP_US), 7, "click", 1.0, "{}"),
+        (2, base + dt.timedelta(microseconds=2 * SESSION_GAP_US + 1), 7, "click", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    is_new = F.when(
+        prev.isNull() | ((F.unix_micros("ts") - F.unix_micros(prev)) > SESSION_GAP_US), 1
+    ).otherwise(0)
+    got = [r["n"] for r in df.select(is_new.alias("n")).orderBy("ts").collect()]
+    assert got == [1, 0, 1]
