@@ -175,3 +175,59 @@ def test_bm25_query_side_broadcasts_no_corpus_cartesian(spark, sf_dir):
     assert plan.count("BroadcastHashJoin") >= 2
     nl = [ln for ln in plan.splitlines() if "BroadcastNestedLoopJoin" in ln]
     assert len(nl) <= 1  # the broadcast 1-row stats cross join
+
+
+def test_top_tokens_uses_take_ordered_not_global_sort(spark, sf_dir):
+    """Top-K must plan as TakeOrderedAndProject (per-task partial
+    top-K), never a full Sort + Limit of the vocabulary."""
+    plan = _plan(spark, sf_dir, "corpus_top_tokens")
+    assert "TakeOrderedAndProject" in plan
+    # no global single-partition sort of the aggregated vocabulary
+    assert "Sort [n_occurrences" not in plan
+
+
+def test_sessionization_single_user_shuffle(spark, sf_dir):
+    """Both windows and the session aggregate share ONE hash exchange
+    on user_id — sessionization must not re-shuffle per stage."""
+    plan = _plan(spark, sf_dir, "events_sessions")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_deciles_have_no_global_sort(spark, sf_dir):
+    """Decile bucketing must use broadcast thresholds, not an NTILE
+    window (which would force all customers into one task)."""
+    plan = _plan(spark, sf_dir, "customer_spend_deciles")
+    # NTILE is a window function — no Window node means no NTILE
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_outlier_stats_broadcast_back(spark, sf_dir):
+    """Per-group moments join back to the fact table as a broadcast —
+    the detector must not shuffle orders twice."""
+    plan = _plan(spark, sf_dir, "order_price_outliers")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_gapfill_window_is_per_key(spark, sf_dir):
+    """Forward-fill must run per-supplier — a windowspec without the
+    key would serialize the dense spine onto one task."""
+    plan = _plan(spark, sf_dir, "supplier_daily_gapfill")
+    assert "windowspecdefinition(l_suppkey" in plan
+
+
+def test_profiler_is_single_scan(spark, sf_dir):
+    """The profiler computes every per-column stat in one pass — the
+    plan must contain exactly one FileScan of orders."""
+    plan = _plan(spark, sf_dir, "profile_orders")
+    assert plan.count("FileScan parquet") == 1
+
+
+def test_stream_stream_join_shuffles_on_user_only(spark, sf_dir):
+    """The attribution join must be a keyed join on user_id with the
+    interval predicate inside the join — no nested loop."""
+    plan = _plan(spark, sf_dir, "click_purchase_attribution")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
