@@ -25,6 +25,7 @@ _MODULES = [
     "eventsq",
     "timeseries",
     "profiling",
+    "cdcq",
 ]
 
 _loaded = False

@@ -553,3 +553,40 @@ def q_customer_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("spend"), 2).alias("min_spend"),
         F.round(F.max("spend"), 2).alias("max_spend"),
     )
+
+
+_MELT_AGG_SQL = """
+  SELECT o_orderpriority,
+         CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 END), 0) AS BIGINT) AS F,
+         CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 END), 0) AS BIGINT) AS O,
+         CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 END), 0) AS BIGINT) AS P
+  FROM orders GROUP BY 1
+"""
+
+
+@query(
+    "orders_status_melt",
+    oracle=f"""
+WITH a AS ({_MELT_AGG_SQL})
+SELECT o_orderpriority, 'F' AS o_orderstatus, F AS n_orders FROM a
+UNION ALL SELECT o_orderpriority, 'O', O FROM a
+UNION ALL SELECT o_orderpriority, 'P', P FROM a
+""",
+)
+def q_orders_status_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt — the inverse reshape of the pivot query: the wide
+    per-priority status counts go back to long (priority, status, n)
+    rows via DataFrame.unpivot, which plans as Expand (3 output rows
+    per input row, no shuffle beyond the source agg)."""
+    orders = load_table(spark, sf_dir, "orders")
+    wide = orders.groupBy("o_orderpriority").agg(
+        *[
+            F.coalesce(
+                F.sum(F.when(F.col("o_orderstatus") == s, 1)), F.lit(0)
+            ).alias(s)
+            for s in _PIVOT_STATUSES
+        ]
+    )
+    return wide.unpivot(
+        ["o_orderpriority"], _PIVOT_STATUSES, "o_orderstatus", "n_orders"
+    )
