@@ -128,3 +128,53 @@ def stratified_sample_sql(
     for name, frac in fractions.items():
         rate = f"CASE WHEN {stratum_expr} = '{name}' THEN {frac} ELSE {rate} END"
     return f"{bucket} < ({rate}) * {N_BUCKETS}"
+
+
+# Continuous-uniform denominator: md5 32-bit prefix + 1 over 2^32 + 1,
+# so u lies in (0, 1] and ln(u) is always finite.
+_U_DENOM = 4_294_967_297.0
+
+
+def uniform_from_hash(key: Column, seed: str = "") -> Column:
+    """Deterministic u ~ U(0, 1] from md5(seed|key) — the rerun-stable
+    stand-in for rand() that both engines evaluate identically."""
+    h = F.md5(F.concat_ws("|", F.lit(seed), key.cast("string")))
+    return (F.conv(F.substring(h, 1, 8), 16, 10).cast("double") + 1) / F.lit(_U_DENOM)
+
+
+def uniform_from_hash_sql(key_expr: str, seed: str = "") -> str:
+    concat = f"'{seed}' || '|' || CAST({key_expr} AS VARCHAR)"
+    return f"((('0x' || substr(md5({concat}), 1, 8))::BIGINT + 1) / {_U_DENOM})"
+
+
+def weighted_sample(
+    df: DataFrame, key: str, weight_col: str, k: int, seed: str = ""
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, k rows, selection
+    probability proportional to ``weight_col`` — the
+    Efraimidis–Spirakis A-Res scheme: rank by -ln(u)/w ascending and
+    keep the k smallest. With hash-derived u the draw is deterministic
+    across reruns and cluster layouts (same guarantee as the split
+    operators above), which is what makes weighted corpus subsampling
+    auditable. Plans as TakeOrderedAndProject: per-task partial top-k,
+    no global sort. Adds ``rank_key`` (rounded) to the output."""
+    u = uniform_from_hash(F.col(key), seed)
+    rk = -F.log(u) / F.col(weight_col)
+    return (
+        df.withColumn("rank_key", rk)
+        .orderBy(F.col("rank_key").asc(), F.col(key).asc())
+        .limit(k)
+        .withColumn("rank_key", F.round(F.col("rank_key"), 9))
+    )
+
+
+def weighted_sample_sql(
+    table: str, cols: str, key_expr: str, weight_expr: str, k: int, seed: str = ""
+) -> str:
+    """DuckDB twin of :func:`weighted_sample`."""
+    u = uniform_from_hash_sql(key_expr, seed)
+    return f"""
+SELECT {cols}, ROUND(-ln({u}) / {weight_expr}, 9) AS rank_key
+FROM {table}
+ORDER BY -ln({u}) / {weight_expr}, {key_expr}
+LIMIT {k}"""

@@ -145,3 +145,18 @@ def q_split_contamination_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("in_train") & F.col("in_eval"))
         .select("content_hash", "n_copies")
     )
+
+
+@query(
+    "weighted_sample_docs",
+    oracle=S.weighted_sample_sql(
+        "documents", "doc_id, lang, n_chars", "doc_id", "n_chars", 50, seed="ws"
+    ),
+)
+def q_weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted doc sample (50 without replacement, probability
+    proportional to n_chars) — deterministic Efraimidis–Spirakis via
+    hash-derived uniforms, so the drawn set is identical on every rerun
+    and in the DuckDB oracle."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return S.weighted_sample(docs, "doc_id", "n_chars", 50, seed="ws")

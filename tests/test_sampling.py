@@ -100,3 +100,29 @@ def test_split_plan_is_narrow(keyed):
         .toString()
     )
     assert "Exchange" not in plan
+
+
+def test_weighted_sample_favors_heavy_weights(spark):
+    """One item carries 1000x the weight of 99 others; across 30
+    independent draws (different seeds) of k=1 it must win the large
+    majority — and every draw must be rerun-stable."""
+    from nyc_taxi_data_engineering_spark.operators.sampling import weighted_sample
+
+    rows = [(i, 1000.0 if i == 0 else 1.0) for i in range(100)]
+    df = spark.createDataFrame(rows, "id int, w double")
+    wins = 0
+    for s in range(30):
+        got = weighted_sample(df, "id", "w", 1, seed=str(s)).collect()
+        again = weighted_sample(df, "id", "w", 1, seed=str(s)).collect()
+        assert [r["id"] for r in got] == [r["id"] for r in again]
+        wins += got[0]["id"] == 0
+    # P(win) = 1000/1099 ~ 0.91; 30 draws below 20 wins is ~impossible
+    assert wins >= 20
+
+
+def test_weighted_sample_is_without_replacement(spark):
+    from nyc_taxi_data_engineering_spark.operators.sampling import weighted_sample
+
+    df = spark.createDataFrame([(i, 1.0) for i in range(10)], "id int, w double")
+    got = [r["id"] for r in weighted_sample(df, "id", "w", 10, seed="x").collect()]
+    assert sorted(got) == list(range(10))
