@@ -1,0 +1,70 @@
+"""Layout-operator tests: Z-order clustering must yield file-level
+min/max pruning on BOTH clustered columns (vs a 1-column sort, which
+helps only its own column), and compaction must hit the target file
+count."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import functions as F
+
+from nyc_taxi_data_engineering_spark.operators.layout import compact_parquet, zorder_write
+
+N_FILES = 8
+
+
+def _per_file_span_frac(spark, path, col):
+    """Mean (file max - file min) / (global max - global min) — the
+    data-skipping proxy: small span = a point/range predicate on the
+    column prunes most files."""
+    df = spark.read.parquet(path).withColumn("_f", F.input_file_name())
+    spans = (
+        df.groupBy("_f")
+        .agg((F.max(col) - F.min(col)).alias("span"))
+        .agg(F.avg("span").alias("mean_span"))
+        .collect()[0]["mean_span"]
+    )
+    g = df.agg((F.max(col) - F.min(col)).alias("g")).collect()[0]["g"]
+    return float(spans) / float(g)
+
+
+def test_zorder_prunes_both_dimensions(spark, tmp_path):
+    """100k rows over two INDEPENDENT uniform dims: sorted-by-x packs x
+    tightly (span ~1/N_FILES) but leaves y unpruned (~1); z-order gives
+    BOTH dims a span well below the unclustered baseline."""
+    df = (
+        spark.range(100_000)
+        .withColumn("x", (F.col("id") * 2654435761) % 100_000)
+        .withColumn("y", (F.col("id") * 40503) % 100_000)
+        .drop("id")
+    )
+    zpath, spath = str(tmp_path / "z"), str(tmp_path / "s")
+    zorder_write(df, zpath, ["x", "y"], N_FILES)
+    df.repartitionByRange(N_FILES, "x").sortWithinPartitions("x").write.parquet(spath)
+
+    sx, sy = _per_file_span_frac(spark, spath, "x"), _per_file_span_frac(spark, spath, "y")
+    zx, zy = _per_file_span_frac(spark, zpath, "x"), _per_file_span_frac(spark, zpath, "y")
+    assert sx < 0.2 and sy > 0.8  # 1-col sort: only x prunes
+    assert zx < 0.6 and zy < 0.6  # z-order: both dims prune
+    assert len(glob.glob(os.path.join(zpath, "*.parquet"))) == N_FILES
+
+
+def test_zorder_preserves_rows(spark, tmp_path):
+    df = spark.range(1000).withColumn("x", F.col("id") % 37).withColumn("y", F.col("id") % 11)
+    path = str(tmp_path / "zr")
+    zorder_write(df, path, ["x", "y"], 4)
+    back = spark.read.parquet(path)
+    assert back.count() == 1000
+    assert back.agg(F.sum("id")).collect()[0][0] == 999 * 1000 // 2
+    assert "_z" not in back.columns
+
+
+def test_compaction_reduces_file_count(spark, tmp_path):
+    src, dst = str(tmp_path / "frag"), str(tmp_path / "compact")
+    spark.range(10_000).repartition(64).write.parquet(src)  # 64 tiny files
+    n = compact_parquet(spark, src, dst, target_file_bytes=10 * 1024 * 1024)
+    files = glob.glob(os.path.join(dst, "*.parquet"))
+    assert n == 1 and len(files) == 1
+    assert spark.read.parquet(dst).count() == 10_000
