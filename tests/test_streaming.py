@@ -241,3 +241,32 @@ def test_stream_stream_interval_join_equals_batch(spark, stream_dirs):
         for r in spark.sql("SELECT * FROM t_ssjoin").collect()
     }
     assert stream_pairs == batch_pairs == {(0, 1)}
+
+
+def test_incremental_rollup_equals_batch_recompute(spark, stream_dirs):
+    """The maintained rollup after N micro-batches must equal the
+    from-scratch aggregate over all ingested data — regardless of how
+    rows were chunked into batches."""
+    from nyc_taxi_data_engineering_spark.streaming.rollup import RollupTable
+
+    src, ckpt = stream_dirs
+    table = os.path.join(os.path.dirname(ckpt), "rollup")
+    # two files -> two micro-batches (maxFilesPerTrigger=1)
+    _write_batch(_mk_events(spark, [(0, 1, "click", 1.5), (10, 2, "view", 2.0)]), src)
+    _write_batch(_mk_events(spark, [(20, 1, "click", 3.25), (30, 1, "view", 4.0)]), src)
+
+    rt = RollupTable(spark, table, ["user_id", "event_type"], "value")
+    rt.sink(read_events_stream(spark, src, max_files_per_trigger=1), ckpt)
+
+    got = {
+        (r["user_id"], r["event_type"]): (r["n_events"], float(r["sum_value"]))
+        for r in rt.read().collect()
+    }
+    want = {
+        (r["user_id"], r["event_type"]): (r["n"], float(r["s"]))
+        for r in spark.read.parquet(src)
+        .groupBy("user_id", "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    assert got == want and len(got) == 3
