@@ -590,3 +590,81 @@ def q_orders_status_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.unpivot(
         ["o_orderpriority"], _PIVOT_STATUSES, "o_orderstatus", "n_orders"
     )
+
+
+_TREND_MOMENTS_SQL = f"""
+  SELECT l_suppkey,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(x AS DECIMAL(18,0))) AS DOUBLE) AS sx,
+         {stable_sum_sql('y', 4, 23)} AS sy,
+         CAST(SUM(CAST(x * x AS DECIMAL(28,0))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(x * y AS DECIMAL(38,8))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(y * y AS DECIMAL(38,8))) AS DOUBLE) AS syy
+  FROM (
+    SELECT l_suppkey, date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS x,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(23,4))) AS DOUBLE) AS y
+    FROM lineitem GROUP BY 1, 2
+  )
+  GROUP BY 1
+"""
+
+
+@query(
+    "supplier_revenue_trend",
+    oracle=f"""
+WITH m AS ({_TREND_MOMENTS_SQL})
+SELECT l_suppkey, n,
+       ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+       ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 4) AS intercept,
+       ROUND((n * sxy - sx * sy)
+             / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS r
+FROM m
+WHERE n >= 30
+""",
+)
+def q_supplier_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-supplier revenue trend: OLS slope/intercept + Pearson r of
+    daily revenue vs time, computed from DECIMAL-EXACT moment sums
+    (Σx, Σy, Σxy, Σx², Σy²) rather than the built-in regr_slope/corr
+    aggregates — the streaming-float built-ins are order-dependent, so
+    their last ulp differs across engines and partition layouts; exact
+    moments make the fit bit-reproducible. One hash agg to daily
+    revenue, one to the moments; the closed-form fit is per-row
+    arithmetic on the exact sums."""
+    li = load_table(spark, sf_dir, "lineitem")
+    daily = li.groupBy(
+        "l_suppkey", F.unix_date(F.col("l_shipdate").cast("date")).alias("x")
+    ).agg(
+        F.sum(
+            (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).cast(
+                "decimal(23,4)"
+            )
+        )
+        .cast("double")
+        .alias("y")
+    )
+    m = daily.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast("decimal(18,0)")).cast("double").alias("sx"),
+        stable_sum("y", 4, 23).alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(28,0)")).cast("double").alias("sxx"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,8)")).cast("double").alias("sxy"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(38,8)")).cast("double").alias("syy"),
+    )
+    slope = (m.n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        m.n * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    r = (m.n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.sqrt(m.n * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * F.sqrt(m.n * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return (
+        m.filter(F.col("n") >= 30)
+        .select(
+            "l_suppkey",
+            "n",
+            F.round(slope, 6).alias("slope"),
+            F.round((F.col("sy") - slope * F.col("sx")) / m.n, 4).alias("intercept"),
+            F.round(r, 6).alias("r"),
+        )
+    )
