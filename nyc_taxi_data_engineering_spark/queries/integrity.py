@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from nyc_taxi_data_engineering_spark.catalog import load_table
+from nyc_taxi_data_engineering_spark.functions import stable_sum, stable_sum_sql
 from nyc_taxi_data_engineering_spark.operators.integrity import (
     except_quarantine,
     fk_null_audit,
@@ -183,3 +184,62 @@ def q_conditional_counts_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             "high_value"
         ),
     ).withColumn("high_value_pct", pct(F.col("high_value"), F.col("total_orders")))
+
+
+@query(
+    "orders_lineitem_reconciliation",
+    oracle=f"""
+WITH o AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 5 <> 0),
+la AS (
+  SELECT l_orderkey, COUNT(*) AS n_lines,
+         {stable_sum_sql('l_extendedprice')} AS gross
+  FROM lineitem WHERE l_orderkey % 3 <> 0 GROUP BY 1
+)
+SELECT CASE WHEN o.o_orderkey IS NULL THEN 'LINEITEM_ONLY'
+            WHEN la.l_orderkey IS NULL THEN 'ORDER_ONLY'
+            ELSE 'BOTH' END AS status,
+       COUNT(*) AS n_keys,
+       CAST(COALESCE(SUM(n_lines), 0) AS BIGINT) AS n_lines,
+       CAST(SUM(CAST(gross AS DECIMAL(18,4))) AS DOUBLE) AS gross_value
+FROM o FULL OUTER JOIN la ON o.o_orderkey = la.l_orderkey
+GROUP BY 1
+""",
+)
+def q_orders_lineitem_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided reconciliation via FULL OUTER join — the audit shape
+    for 'does every order have lines and every line an order', with
+    planted one-sided keys on both sides (%5 orders dropped, %3
+    lineitems dropped). The fact side pre-aggregates to one row per
+    orderkey before the join, so the full-outer carries |keys| rows,
+    not |lineitem| — at 100 TB the join input is already the rollup.
+    Null-side detection must use the JOIN KEYS (never payload columns,
+    which can be legitimately null)."""
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 5 != 0)
+        .select("o_orderkey")
+    )
+    la = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 3 != 0)
+        .groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            stable_sum("l_extendedprice").alias("gross"),
+        )
+    )
+    joined = o.join(la, o.o_orderkey == la.l_orderkey, "full_outer")
+    status = (
+        F.when(F.col("o_orderkey").isNull(), F.lit("LINEITEM_ONLY"))
+        .when(F.col("l_orderkey").isNull(), F.lit("ORDER_ONLY"))
+        .otherwise(F.lit("BOTH"))
+    )
+    return (
+        joined.select(status.alias("status"), "n_lines", "gross")
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.coalesce(F.sum("n_lines"), F.lit(0)).alias("n_lines"),
+            F.sum(F.col("gross").cast("decimal(18,4)")).cast("double").alias("gross_value"),
+        )
+    )

@@ -156,3 +156,40 @@ FROM s
 def q_mdm_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = _vendors(spark, sf_dir)
     return mdm_scorecard(v, _scored(spark, sf_dir))
+
+
+@query(
+    "mdm_levenshtein_scores",
+    oracle="""
+WITH v AS (
+  SELECT s_suppkey, s_name AS a_name,
+         CASE WHEN s_suppkey % 10 = 0 THEN s_name
+              WHEN s_suppkey % 10 = 3 THEN s_name || ' ltd'
+              ELSE 'Totally Different Co ' || CAST(s_suppkey AS VARCHAR) END AS b_name
+  FROM supplier WHERE s_suppkey % 10 IN (0, 3, 7)
+)
+SELECT s_suppkey AS a_vendor_id, s_suppkey + 10000 AS b_vendor_id,
+       levenshtein(a_name, b_name) AS edit_distance,
+       ROUND(100.0 * (1 - levenshtein(a_name, b_name) * 1.0
+             / greatest(length(a_name), length(b_name))), 2) AS lev_similarity
+FROM v
+""",
+)
+def q_mdm_levenshtein_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JVM-native fuzzy scoring: Levenshtein edit distance over the
+    candidate pairs — the zero-UDF alternative to the pandas
+    token-sort scorer (same classic DP in both engines, integer-exact).
+    At scale this keeps fuzzy matching inside whole-stage codegen."""
+    pairs = candidate_pairs(
+        _vendors(spark, sf_dir), "vendor_id", ["block_city"], PAYLOAD
+    )
+    a, b = F.col("a_vendor_name"), F.col("b_vendor_name")
+    lev = F.levenshtein(a, b)
+    return pairs.select(
+        "a_vendor_id",
+        "b_vendor_id",
+        lev.alias("edit_distance"),
+        F.round(
+            100.0 * (F.lit(1) - lev * 1.0 / F.greatest(F.length(a), F.length(b))), 2
+        ).alias("lev_similarity"),
+    )
