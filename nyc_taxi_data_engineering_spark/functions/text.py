@@ -219,12 +219,38 @@ def simhash_token_bit(hash_col: Column, bit: int) -> Column:
     return F.when(F.substring(hash_col, bit + 1, 1).isin(*_HEX_HIGH), F.lit(1)).otherwise(F.lit(-1))
 
 
+def word_ngrams(toks: Column, n: int) -> Column:
+    """All word n-grams (space-joined, with multiplicity, in order) of a
+    token array; empty array when the doc has fewer than ``n`` tokens.
+    Pure Column expression — evaluated inside whole-stage codegen, no
+    UDF. The ``size >= n`` guard matters: ``sequence(1, 0)`` in Spark
+    counts DOWN ([1, 0]), it is not empty like DuckDB's
+    ``generate_series(1, 0)``."""
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 # ---------------------------------------------------------------------------
 # DuckDB-SQL twins (string builders used by the oracle registry)
 # ---------------------------------------------------------------------------
 
 def sql_tokens(col: str) -> str:
     return f"string_split_regex(trim({col}), '\\s+')"
+
+
+def sql_word_ngrams(toks_expr: str, n: int) -> str:
+    """DuckDB twin of :func:`word_ngrams`: list comprehension over
+    1-based inclusive slices; ``generate_series(1, len-n+1)`` is
+    empty when the doc is shorter than ``n`` tokens."""
+    return (
+        f"[array_to_string(({toks_expr})[i:i+{n - 1}], ' ') "
+        f"for i in generate_series(1, len({toks_expr})-{n - 1})]"
+    )
 
 
 def sql_token_count_bpe(col: str) -> str:

@@ -26,6 +26,7 @@ _MODULES = [
     "timeseries",
     "profiling",
     "cdcq",
+    "contamination",
 ]
 
 _loaded = False

@@ -668,3 +668,42 @@ def q_supplier_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(r, 6).alias("r"),
         )
     )
+
+
+@query(
+    "customer_balance_ranks",
+    oracle="""
+SELECT c_custkey,
+       c_nationkey,
+       c_acctbal,
+       percent_rank() OVER w AS pct_rank,
+       cume_dist() OVER w AS cume_dist,
+       CAST(ntile(10) OVER w AS INT) AS decile
+FROM customer
+WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+""",
+)
+def q_customer_balance_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-rank window functions per nation: percent_rank,
+    cume_dist, and ntile(10) over account balance.
+
+    The ORDER BY includes c_custkey so the total order within a nation
+    is unique — ntile assigns tied balances deterministically and the
+    result is engine-independent. percent_rank/cume_dist are pure
+    (rank-1)/(n-1) and rank/n ratios of exact row counts, so doubles
+    match the oracle bit-for-bit.
+
+    Scale shape: one shuffle on c_nationkey, then a per-partition sort —
+    the canonical ranked-window plan. Nations are a bounded key set; at
+    100 TB the per-nation partitions are large but the window frame is
+    unbounded-preceding only (running rank state, no buffered frame)."""
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return cust.select(
+        "c_custkey",
+        "c_nationkey",
+        "c_acctbal",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume_dist"),
+        F.ntile(10).over(w).alias("decile"),
+    )

@@ -231,3 +231,27 @@ def test_stream_stream_join_shuffles_on_user_only(spark, sf_dir):
     plan = _plan(spark, sf_dir, "click_purchase_attribution")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_contamination_join_is_keyed_equi_join(spark, sf_dir):
+    """The leakage audit must stay an inverted-index equi-join on the
+    gram — never a test-doc x train-doc comparison."""
+    plan = _plan(spark, sf_dir, "ngram_contamination_docs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # both sides dedupe (partial agg) before the join
+    assert "partial" in plan
+
+
+def test_repetition_metrics_aggregate_with_partial_combine(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "doc_repetition_metrics")
+    assert "partial_count" in plan or "partial" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_balance_ranks_single_shuffle(spark, sf_dir):
+    """All three rank functions share one window spec: one exchange on
+    c_nationkey, one sort, one Window node."""
+    plan = _plan(spark, sf_dir, "customer_balance_ranks")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Window") == 1
