@@ -10,7 +10,8 @@ The sf0.01 corpus plants 25 near-dup pairs at Jaccard ≥ 0.9 (measured)
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
 from nyc_taxi_data_engineering_spark.catalog import load_table_parallel as load_table
 from nyc_taxi_data_engineering_spark.functions import text as T
@@ -208,4 +209,80 @@ def q_dedup_clusters_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cluster_size",
             (F.col("id") == F.col("component")).alias("is_canonical"),
         )
+    )
+
+
+@query(
+    "neardup_canonical_docs",
+    oracle=f"""
+WITH RECURSIVE {_SHINGLES_CTE},
+common AS (
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS common_shingles
+    FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+),
+edges AS (
+    SELECT a_id, b_id FROM common
+    JOIN sizes na ON na.doc_id = a_id
+    JOIN sizes nb ON nb.doc_id = b_id
+    WHERE round(common_shingles * 1.0 / (na.n + nb.n - common_shingles), 6) >= 0.8
+),
+sym AS (
+    SELECT a_id AS src, b_id AS dst FROM edges
+    UNION SELECT b_id, a_id FROM edges
+),
+reach AS (
+    SELECT doc_id AS src, doc_id AS dst FROM documents
+    UNION
+    SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
+),
+comp AS (SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src),
+scored AS (
+    SELECT c.doc_id, c.cluster_id, {T.sql_quality_score('d.text')} AS quality
+    FROM comp c JOIN documents d USING (doc_id)
+),
+ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY cluster_id ORDER BY quality DESC, doc_id
+    ) AS rn,
+    CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+    FROM scored
+)
+SELECT cluster_id, doc_id AS canonical_doc_id, quality AS canonical_quality, cluster_size
+FROM ranked WHERE rn = 1 AND cluster_size > 1
+""",
+)
+def q_neardup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-based survivorship over near-dup clusters: within every
+    multi-document Jaccard>=0.8 component, keep the HIGHEST-quality
+    document (tie-break min doc_id) — the representative a curation
+    pipeline retains, as opposed to dedup_clusters_docs' positional
+    min-id canonical. Singleton clusters are excluded: they need no
+    survivorship decision.
+
+    Scale shape: components via iterative min-label propagation (the
+    same operator as dedup_clusters_docs), then one window partitioned
+    by cluster_id — cluster sizes are bounded by the near-dup graph's
+    component structure, so the argmax window never sees unbounded
+    partitions. Quality scores are the engine's exact text metrics, so
+    the DESC ordering matches the oracle bit-for-bit."""
+    from nyc_taxi_data_engineering_spark.functions import text as T2
+
+    docs = load_table(spark, sf_dir, "documents")
+    edges = D.shingle_jaccard_pairs(docs, threshold=0.8).select("a_id", "b_id")
+    comp = D.connected_components(edges, nodes=docs, node_col="doc_id")
+    scored = comp.join(docs, comp["id"] == docs["doc_id"]).select(
+        "doc_id",
+        F.col("component").alias("cluster_id"),
+        T2.quality_score(F.col("text")).alias("quality"),
+    )
+    w = Window.partitionBy("cluster_id").orderBy(F.col("quality").desc(), "doc_id")
+    ranked = scored.withColumn("rn", F.row_number().over(w)).withColumn(
+        "cluster_size", F.count(F.lit(1)).over(Window.partitionBy("cluster_id"))
+    )
+    return ranked.filter((F.col("rn") == 1) & (F.col("cluster_size") > 1)).select(
+        "cluster_id",
+        F.col("doc_id").alias("canonical_doc_id"),
+        F.col("quality").alias("canonical_quality"),
+        "cluster_size",
     )

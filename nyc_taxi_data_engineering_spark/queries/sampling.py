@@ -160,3 +160,44 @@ def q_weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     and in the DuckDB oracle."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
     return S.weighted_sample(docs, "doc_id", "n_chars", 50, seed="ws")
+
+
+_TOKEN_COUNT_SQL = "len(string_split_regex(trim(text), '\\s+'))"
+
+
+def _packing_oracle() -> str:
+    from nyc_taxi_data_engineering_spark.operators import packing as P
+
+    return f"""
+WITH positioned AS (
+  SELECT source, doc_id,
+         {P.pack_positions_sql(_TOKEN_COUNT_SQL)}
+  FROM documents
+)
+SELECT source, shard, bin_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
+       CAST(MIN(doc_id) AS BIGINT) AS first_doc_id
+FROM positioned
+GROUP BY source, shard, bin_id
+"""
+
+
+@query("sequence_packing_bins", oracle=_packing_oracle())
+def q_sequence_packing_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing: documents hash-sharded per
+    source, concatenated in doc_id order within each (source, shard),
+    and chunked into 256-token context windows; each doc joins the bin
+    its first token lands in. Output audits the bins (doc count, token
+    mass, first doc). See operators/packing.py for the distributed
+    shape — per-shard running-offset windows, no global order."""
+    from nyc_taxi_data_engineering_spark.functions import text as T
+    from nyc_taxi_data_engineering_spark.operators import packing as P
+
+    docs = load_table(spark, sf_dir, "documents").select("source", "doc_id", "text")
+    positioned = P.pack_positions(docs, T.token_count_ws(F.col("text")).cast("long"))
+    return positioned.groupBy("source", "shard", "bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("bin_tokens"),
+        F.min("doc_id").alias("first_doc_id"),
+    )

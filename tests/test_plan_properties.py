@@ -255,3 +255,12 @@ def test_balance_ranks_single_shuffle(spark, sf_dir):
     plan = _plan(spark, sf_dir, "customer_balance_ranks")
     assert plan.count("Exchange hashpartitioning") == 1
     assert plan.count("Window") == 1
+
+
+def test_packing_window_is_per_shard(spark, sf_dir):
+    """Packing must never impose a global order: the running-offset
+    window sorts within (source, shard) hash partitions only."""
+    plan = _plan(spark, sf_dir, "sequence_packing_bins")
+    assert "Exchange rangepartitioning" not in plan  # no global sort
+    assert "Window" in plan
+    assert plan.count("Exchange hashpartitioning") <= 2  # window + final agg
