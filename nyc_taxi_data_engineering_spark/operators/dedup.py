@@ -294,10 +294,18 @@ def connected_components(
     the labels: without it the iterated join lineage grows quadratically
     and the driver, not the data, becomes the bottleneck.
     """
+    # Materialize the symmetric edge list ONCE: ``edges`` is typically the
+    # output of an expensive candidate-pair pipeline (shingle inverted-index
+    # join), and every propagation round + convergence probe re-reads it.
+    # Without this checkpoint the edge pipeline re-executes per round and
+    # dominates the runtime; with it each round touches only the (small)
+    # pair list. At cluster scale this is the persist-the-edge-list step
+    # every iterative graph job starts with.
     sym = (
         edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .unionByName(edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     ids = sym.select(F.col("src").alias("id")).distinct()
     if nodes is not None:
