@@ -27,6 +27,7 @@ _MODULES = [
     "profiling",
     "cdcq",
     "contamination",
+    "scrubq",
 ]
 
 _loaded = False
