@@ -31,14 +31,36 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # Detector patterns — Java/RE2 common subset ONLY (no lookaround).
+# These are curation-gate heuristics, not validators: they bound
+# precision/recall at "good enough to gate a corpus" (e.g. the phone
+# detector covers NANP dash/dot/space/paren layouts but not +1
+# country codes; octet-checked ipv4 still accepts non-routable
+# addresses). Swap in stricter patterns via the `patterns` argument
+# where a deployment needs them.
+_IPV4_OCTET = r"(25[0-5]|2[0-4]\d|1?\d?\d)"
 PII_PATTERNS: dict[str, str] = {
     "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
-    "phone": r"\b\d{3}[-.]\d{3}[-.]\d{4}\b",
-    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"(\(\d{3}\) ?|\b\d{3}[-. ])\d{3}[-. ]\d{4}\b",
+    "ipv4": rf"\b{_IPV4_OCTET}(\.{_IPV4_OCTET}){{3}}\b",
     "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
 }
 
 REDACTION_TOKEN = "[PII]"
+
+# Metacharacters shared by Java and RE2 — escaping exactly these keeps
+# the pattern string portable to both engines (re.escape would emit
+# escapes like '\~' that Java/RE2 treat differently from Python).
+_REGEX_META = set("\\.^$*+?()[]{}|")
+
+
+def _escape_word(word: str) -> str:
+    return "".join("\\" + ch if ch in _REGEX_META else ch for ch in word)
+
+
+def _escape_replacement(token: str) -> str:
+    # Java's regexp_replace replacement treats '$' as a group reference
+    # and '\' as an escape — both must be literal here.
+    return token.replace("\\", "\\\\").replace("$", "\\$")
 
 
 def pattern_counts(col: Column, patterns: Mapping[str, str] | None = None) -> dict[str, Column]:
@@ -58,14 +80,19 @@ def scrub(
     ``regexp_replace`` pass."""
     pats = PII_PATTERNS if patterns is None else patterns
     out = col
+    escaped = _escape_replacement(token)
     for pat in pats.values():
-        out = F.regexp_replace(out, pat, token)
+        out = F.regexp_replace(out, pat, escaped)
     return out
 
 
 def blocklist_pattern(words: Sequence[str]) -> str:
-    """One word-boundary alternation over the blocklist."""
-    return r"\b(" + "|".join(words) + r")\b"
+    """One case-insensitive word-boundary alternation over the
+    blocklist (C4's bad-words gate is case-insensitive). Words are
+    regex-escaped, so 'c++' or 'a.b' match literally."""
+    if not words:
+        raise ValueError("blocklist_pattern: words must be non-empty")
+    return r"(?i)\b(" + "|".join(_escape_word(w) for w in words) + r")\b"
 
 
 def blocklist_hits(col: Column, words: Sequence[str]) -> Column:
@@ -121,8 +148,12 @@ def scrub_sql(
 ) -> str:
     pats = PII_PATTERNS if patterns is None else patterns
     out = text_expr
+    # RE2 replacement strings treat '\' as the group-reference escape
+    # ('\1'); '$' is literal. Quote-escape via _sql_quote so a token
+    # containing a single quote can't break the generated SQL.
+    duck_token = _sql_quote(token.replace("\\", "\\\\"))
     for pat in pats.values():
-        out = f"regexp_replace({out}, {_sql_quote(pat)}, '{token}', 'g')"
+        out = f"regexp_replace({out}, {_sql_quote(pat)}, {duck_token}, 'g')"
     return out
 
 

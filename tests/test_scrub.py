@@ -17,6 +17,9 @@ ROWS = [
     (3, "server at 10.0.0.1 and 192.168.254.254 are up"),
     (4, "nothing sensitive here, just words"),
     (5, "badword here: dup dup slow, and a duplicate (no boundary hit)"),
+    (6, "call (555) 867-5309 or 555 867 5309 instead"),
+    (7, "bogus hosts 999.999.999.999 and 256.300.1.1 but real 8.8.8.8"),
+    (8, "case test: Dup SLOW dUp, plus meta c++ and a.b tokens"),
 ]
 EXPECTED = {
     # doc_id: (email, phone, ipv4, ssn, blocklist_hits)
@@ -25,6 +28,9 @@ EXPECTED = {
     3: (0, 0, 2, 0, 0),
     4: (0, 0, 0, 0, 0),
     5: (0, 0, 0, 0, 3),
+    6: (0, 2, 0, 0, 0),
+    7: (0, 0, 1, 0, 0),
+    8: (0, 0, 0, 0, 3),
 }
 BLOCKWORDS = ("dup", "slow")
 
@@ -48,6 +54,7 @@ def test_detector_counts(audited):
 def test_keep_drop_action(audited):
     assert {d: r["action"] for d, r in audited.items()} == {
         1: "keep", 2: "keep", 3: "keep", 4: "keep", 5: "drop",
+        6: "keep", 7: "keep", 8: "drop",
     }
 
 
@@ -61,6 +68,46 @@ def test_redaction_output(spark):
     assert red[2] == "call [PII] or [PII]; ssn [PII] on file"
     assert red[3] == "server at [PII] and [PII] are up"
     assert red[4] == ROWS[3][1]  # untouched
+
+
+def test_blocklist_rejects_empty_and_escapes_meta():
+    with pytest.raises(ValueError):
+        S.blocklist_pattern(())
+    pat = S.blocklist_pattern(("c++", "a.b"))
+    assert r"c\+\+" in pat and r"a\.b" in pat and pat.startswith("(?i)")
+
+
+def test_metachar_blockwords_match_literally(spark):
+    df = spark.createDataFrame(
+        [(1, "we ship c++ here"), (2, "acb is not a.b"), (3, "A.B upper")],
+        ["doc_id", "text"],
+    )
+    hits = {
+        r["doc_id"]: r["h"]
+        for r in df.select(
+            "doc_id", S.blocklist_hits(F.col("text"), ("c++", "a.b")).alias("h")
+        ).collect()
+    }
+    # 'acb' must NOT match 'a.b' (dot escaped); 'A.B' matches case-insensitively.
+    assert hits == {1: 1, 2: 1, 3: 1}
+
+
+def test_redaction_token_with_metacharacters(spark):
+    df = spark.createDataFrame([(1, "mail alice@example.com now")], ["doc_id", "text"])
+    token = r"<$REDACTED\1>"
+    got = df.select(S.scrub(F.col("text"), token=token).alias("red")).first()["red"]
+    assert got == r"mail <$REDACTED\1> now"
+    # The DuckDB twin must produce the identical string AND stay parseable
+    # even with a single quote in the token.
+    import duckdb
+
+    con = duckdb.connect()
+    duck = con.execute(
+        f"SELECT {S.scrub_sql('?', token=token)}", ["mail alice@example.com now"]
+    ).fetchone()[0]
+    assert duck == got
+    quoted = S.scrub_sql("'it''s x@y.io'", token="o'brien")
+    assert con.execute(f"SELECT {quoted}").fetchone()[0] == "it's o'brien"
 
 
 def test_oracle_twins_match_spark(spark):
