@@ -5,6 +5,11 @@ single JSON line with per-query wall-clock seconds.
 Each query is forced end-to-end with the ``noop`` sink (full execution,
 no driver-side collect). One warm-up pass of the flagship query pays
 JVM/codegen startup so numbers reflect steady-state throughput.
+
+Per-query times are the MEDIAN of $SPARK_GRAFT_BENCH_REPS runs
+(default 3): single-shot timings jittered round-over-round by up to
+±0.4 s on local mode, which is indistinguishable from a real
+regression; the median makes round deltas signal.
 """
 
 from __future__ import annotations
@@ -12,6 +17,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import statistics
 import sys
 import time
 
@@ -28,6 +34,10 @@ def run_query(fn, spark, sf_dir: str) -> float:
     return time.perf_counter() - t0
 
 
+def run_query_median(fn, spark, sf_dir: str, reps: int) -> float:
+    return statistics.median(run_query(fn, spark, sf_dir) for _ in range(reps))
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -40,9 +50,10 @@ def main() -> None:
     warm = qs.get("daily_vendor_revenue") or next(iter(qs.values()))
     run_query(warm, spark, sf_dir)
 
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     timings: dict[str, float] = {}
     for name in sorted(qs):
-        timings[name] = round(run_query(qs[name], spark, sf_dir), 3)
+        timings[name] = round(run_query_median(qs[name], spark, sf_dir, reps), 3)
 
     total = round(sum(timings.values()), 3)
     print(

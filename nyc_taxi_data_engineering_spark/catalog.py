@@ -58,18 +58,29 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Parquet scan (reference S1). Native reader: predicate pushdown,
     column pruning, and partition discovery come free via Catalyst.
 
-    The ``events`` table is written with nanosecond timestamps
-    (TIMESTAMP_NS), which Spark's parquet reader rejects by default —
-    read them as long nanos and convert with integer division (float
-    division of epoch-nanos is lossy past 2^52, silently shifting
-    microseconds)."""
+    The ``events`` table's ``ts`` needs normalizing to session-TZ
+    TIMESTAMP regardless of how the writer encoded it:
+    - TIMESTAMP_NS parquet is rejected by Spark's reader by default —
+      read as long nanos and convert with integer division (float
+      division of epoch-nanos is lossy past 2^52, silently shifting
+      microseconds).
+    - TIMESTAMP_MICROS with isAdjustedToUTC=false arrives as
+      TIMESTAMP_NTZ, which instant functions (``unix_micros``,
+      watermarks) reject at analysis time. The session TZ is pinned
+      UTC (session.py), so casting NTZ→TIMESTAMP preserves the
+      stored wall-clock value as the same UTC instant the DuckDB
+      oracle sees. Normalizing here — once, at the scan — keeps every
+      downstream query free of per-site casts."""
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(table_path(sf_dir, name))
-        if dict(df.dtypes).get("ts") == "bigint":
-            from pyspark.sql import functions as F
+        ts_type = dict(df.dtypes).get("ts")
+        from pyspark.sql import functions as F
 
+        if ts_type == "bigint":
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(table_path(sf_dir, name))
 

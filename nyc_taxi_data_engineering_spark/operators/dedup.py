@@ -282,17 +282,21 @@ def connected_components(
     is the minimum node id in the cluster; ``nodes`` (optional) adds
     isolated nodes as singleton components.
 
-    Algorithm: iterative min-label propagation — each round every node
-    takes the min label among itself and its neighbors, a keyed
-    join + hash-agg per round, converging in O(max cluster diameter)
-    rounds. Near-dup clusters are shallow (dups of one source), so
-    rounds stay in low single digits regardless of corpus size; for
-    adversarially long chains the alternating-star algorithm (Kiveris
-    et al., CC-MR) bounds rounds at O(log n) — this implementation
-    keeps the simpler propagation and exposes ``max_iter`` as the
-    safety valve (raises if not converged). Each round localCheckpoints
-    the labels: without it the iterated join lineage grows quadratically
-    and the driver, not the data, becomes the bottleneck.
+    Algorithm: min-label propagation with pointer doubling. Each round
+    (1) propagates — every node takes the min label among itself and
+    its neighbors (keyed join + hash-agg), then (2) shortcuts — every
+    node re-reads its label's label (a self-join on the label column),
+    halving the remaining pointer depth. Propagation alone needs
+    O(max cluster diameter) rounds, which an adversarial chain (a
+    path graph from pairwise near-dups of drifting revisions) can push
+    to O(n); the shortcut step makes distance-to-minimum shrink
+    geometrically, bounding rounds at O(log diameter) — the same bound
+    the alternating-star algorithm (Kiveris et al., CC-MR) achieves,
+    at two keyed equi-joins per round. ``max_iter`` stays as the
+    safety valve (raises if not converged; 25 rounds covers diameters
+    beyond any real corpus). Each round localCheckpoints the labels:
+    without it the iterated join lineage grows quadratically and the
+    driver, not the data, becomes the bottleneck.
     """
     # Materialize the symmetric edge list ONCE: ``edges`` is typically the
     # output of an expensive candidate-pair pipeline (shingle inverted-index
@@ -317,13 +321,24 @@ def connected_components(
             .groupBy(F.col("dst").alias("id"))
             .agg(F.min("component").alias("_nbr_min"))
         )
+        propagated = labels.join(nbr_min, "id", "left").select(
+            "id",
+            F.least(
+                F.col("component"), F.coalesce(F.col("_nbr_min"), F.col("component"))
+            ).alias("component"),
+        )
+        # Pointer doubling: component values are always node ids, so
+        # look up each label's own label and adopt it (labels only
+        # decrease, so the parent's label is ≤ ours). This is what
+        # turns O(diameter) propagation into O(log diameter) rounds.
+        parents = propagated.select(
+            F.col("id").alias("component"), F.col("component").alias("_parent")
+        )
         new_labels = (
-            labels.join(nbr_min, "id", "left")
+            propagated.join(parents, "component", "left")
             .select(
                 "id",
-                F.least(
-                    F.col("component"), F.coalesce(F.col("_nbr_min"), F.col("component"))
-                ).alias("component"),
+                F.coalesce(F.col("_parent"), F.col("component")).alias("component"),
             )
             .localCheckpoint(eager=True)
         )

@@ -37,7 +37,10 @@ from pyspark.sql import functions as F
 # country codes; octet-checked ipv4 still accepts non-routable
 # addresses). Swap in stricter patterns via the `patterns` argument
 # where a deployment needs them.
-_IPV4_OCTET = r"(25[0-5]|2[0-4]\d|1?\d?\d)"
+# Octets accept leading zeros ('007.0.0.1') — for a redaction gate,
+# recall beats strictness: a leading-zero IP is still an IP to a log
+# parser, and dropping it would silently leak it past the scrub.
+_IPV4_OCTET = r"(25[0-5]|2[0-4]\d|[01]?\d?\d)"
 PII_PATTERNS: dict[str, str] = {
     "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
     "phone": r"(\(\d{3}\) ?|\b\d{3}[-. ])\d{3}[-. ]\d{4}\b",
@@ -86,13 +89,47 @@ def scrub(
     return out
 
 
+def _word_char(ch: str) -> bool:
+    return ch.isascii() and (ch.isalnum() or ch == "_")
+
+
+def _anchored_word(word: str) -> str:
+    """Escape one blockword and anchor it with ``\\b`` only on edges
+    that are word characters. ``\\b`` asserts a word↔non-word
+    transition, so anchoring an edge that is itself a non-word char
+    (the '+' in 'c++') makes the word unmatchable — 'c++' becomes
+    ``\\bc\\+\\+`` (boundary on the left only), 'a.b' keeps both."""
+    pre = r"\b" if _word_char(word[0]) else ""
+    post = r"\b" if _word_char(word[-1]) else ""
+    return pre + _escape_word(word) + post
+
+
 def blocklist_pattern(words: Sequence[str]) -> str:
-    """One case-insensitive word-boundary alternation over the
-    blocklist (C4's bad-words gate is case-insensitive). Words are
-    regex-escaped, so 'c++' or 'a.b' match literally."""
+    """One case-insensitive alternation over the blocklist (C4's
+    bad-words gate is case-insensitive). Words are regex-escaped, so
+    'c++' or 'a.b' match literally; word boundaries are per-word and
+    side-conditional (see ``_anchored_word`` — RE2 has no lookbehind,
+    so this is the portable way to keep metachar-edged words
+    matchable).
+
+    Case folding caveat: ``(?i)`` is ASCII-only in Java regex but full
+    Unicode in RE2/DuckDB, so non-ASCII blockwords ('naïve' vs
+    'NAÏVE') would diverge between the Spark plan and the oracle.
+    Rejected here to preserve the module's bit-identical claim —
+    lowercase both text and words upstream if a deployment needs
+    Unicode blockwords."""
     if not words:
         raise ValueError("blocklist_pattern: words must be non-empty")
-    return r"(?i)\b(" + "|".join(_escape_word(w) for w in words) + r")\b"
+    for w in words:
+        if not w:
+            raise ValueError("blocklist_pattern: empty blockword")
+        if not w.isascii():
+            raise ValueError(
+                f"blocklist_pattern: non-ASCII blockword {w!r} — (?i) case "
+                "folding differs between Java (ASCII-only) and RE2 (Unicode); "
+                "lowercase text and words upstream instead"
+            )
+    return "(?i)(" + "|".join(_anchored_word(w) for w in words) + ")"
 
 
 def blocklist_hits(col: Column, words: Sequence[str]) -> Column:

@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from nyc_taxi_data_engineering_spark.catalog import load_table
 from nyc_taxi_data_engineering_spark.functions import stable_sum, stable_sum_sql
+from nyc_taxi_data_engineering_spark.operators.skew import salted_agg
 from nyc_taxi_data_engineering_spark.queries.registry import query
 
 SESSION_GAP_US = 30 * 60 * 1_000_000  # 30-minute inactivity gap
@@ -131,6 +132,47 @@ def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
         (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("duration_us"),
         stable_sum("value", 4, 18).alias("total_value"),
+    )
+
+
+@query(
+    "events_user_stats_salted",
+    oracle="""
+SELECT user_id,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value,
+       MAX(value) AS max_value
+FROM events
+GROUP BY user_id
+""",
+)
+def q_events_user_stats_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event stats through the explicit hot-key lever:
+    ``salted_agg`` spreads each user's rows over 8 salt buckets
+    (partial agg on (user_id, salt), final on user_id), so one viral
+    user_id — the skew AQE can't fix, since it splits partitions, not
+    keys — never lands on a single reducer. The result is identical to
+    the unsalted GROUP BY (all three aggregates are mergeable), which
+    is exactly what the oracle runs. The value sum goes through exact
+    decimal partials (see ``stable_sum``) so the two-phase re-merge is
+    order-independent and matches DuckDB bit-for-bit."""
+    ev = load_table(spark, sf_dir, "events")
+    out = salted_agg(
+        ev,
+        ["user_id"],
+        {
+            "n_events": F.count(F.lit(1)),
+            "total_value_dec": F.sum(F.col("value").cast("decimal(18,4)")),
+            "max_value": F.max("value"),
+        },
+        salt_n=8,
+        fingerprint_cols=["event_id"],
+    )
+    return out.select(
+        "user_id",
+        "n_events",
+        F.col("total_value_dec").cast("double").alias("total_value"),
+        "max_value",
     )
 
 

@@ -148,3 +148,20 @@ def test_connected_components_raises_without_convergence(spark):
     edges = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "a_id long, b_id long")
     with pytest.raises(RuntimeError, match="did not converge"):
         D.connected_components(edges, max_iter=1)
+
+
+def test_connected_components_adversarial_path_log_rounds(spark):
+    """A 64-node path graph (diameter 63) — the adversarial chain shape
+    from pairwise near-dups of drifting revisions. Plain min-label
+    propagation moves the minimum one hop per round and would need 63
+    rounds; pointer doubling must finish within O(log diameter), so 10
+    rounds is ample — this fails if the shortcut step ever regresses."""
+    n = 64
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "a_id long, b_id long"
+    )
+    comp = {
+        r["id"]: r["component"]
+        for r in D.connected_components(edges, max_iter=10).collect()
+    }
+    assert comp == {i: 0 for i in range(n)}

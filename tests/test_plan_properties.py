@@ -264,3 +264,17 @@ def test_packing_window_is_per_shard(spark, sf_dir):
     assert "Exchange rangepartitioning" not in plan  # no global sort
     assert "Window" in plan
     assert plan.count("Exchange hashpartitioning") <= 2  # window + final agg
+
+
+def test_salted_agg_spreads_hot_key(spark, sf_dir):
+    """The salted hot-key aggregate must shuffle on (user_id, _salt) —
+    not user_id alone — in the partial phase, then re-merge on user_id.
+    If the salt fell out of the exchange key, one hot user would again
+    own a single reducer."""
+    plan = _plan(spark, sf_dir, "events_user_stats_salted")
+    exchanges = [
+        line for line in plan.splitlines() if "Exchange hashpartitioning" in line
+    ]
+    assert any("_salt" in line and "user_id" in line for line in exchanges), exchanges
+    # Final merge keyed by user_id only (salt dropped after partials).
+    assert any("_salt" not in line and "user_id" in line for line in exchanges), exchanges
