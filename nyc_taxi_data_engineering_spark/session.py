@@ -43,6 +43,12 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # Runtime bloom-filter pushdown: on a selective big-big join
+        # (e.g. lineitem x filtered orders) the probe side gets a bloom
+        # filter built from the build side, cutting shuffle volume
+        # before the exchange — invisible at test SFs, material at
+        # 100 TB where the filtered side prunes most of the scan.
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
         .config("spark.ui.enabled", "false")

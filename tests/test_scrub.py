@@ -90,6 +90,19 @@ def test_metachar_blockwords_match_literally(spark):
     }
     # 'acb' must NOT match 'a.b' (dot escaped); 'A.B' matches case-insensitively.
     assert hits == {1: 1, 2: 1, 3: 1}
+    # The RE2/DuckDB twin must agree on every row (side-conditional \b
+    # anchors are exactly the Java/RE2-portable construction).
+    con = duckdb.connect()
+    sql = S.blocklist_hits_sql("?", ("c++", "a.b"))
+    for doc_id, text in [(1, "we ship c++ here"), (2, "acb is not a.b"), (3, "A.B upper")]:
+        assert con.execute(f"SELECT {sql}", [text]).fetchone()[0] == hits[doc_id], doc_id
+
+
+def test_blocklist_rejects_non_ascii():
+    with pytest.raises(ValueError, match="non-ASCII"):
+        S.blocklist_pattern(("naïve",))
+    with pytest.raises(ValueError, match="empty"):
+        S.blocklist_pattern(("ok", ""))
 
 
 def test_redaction_token_with_metacharacters(spark):

@@ -11,7 +11,10 @@ from __future__ import annotations
 import json
 import sys
 
-FLAG_RATIO = 2.0
+# bench.py reports per-query medians (of 3), so round-over-round noise
+# is small enough to flag at 1.25x — single-shot timings needed 2.0x
+# to stay quiet through local-mode jitter.
+FLAG_RATIO = 1.25
 
 
 def _queries(path: str) -> dict[str, float]:

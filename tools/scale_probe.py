@@ -12,11 +12,13 @@ structure* scaling linearly instead of picking up artifacts:
 - ``documents``: a verbatim copy would give every doc 9 exact twins,
   exploding near-dup pair counts ~45x (10 choose 2 per doc) and
   poisoning the ngram_jaccard_pairs slope. Each replica i>0 instead
-  deterministically reorders words by ``xxhash64(word, i)`` — token
-  statistics are preserved exactly (same multiset), intra-replica
-  near-dup structure is preserved (similar word multisets sort into
-  similar sequences, keeping shingle overlap), but cross-replica
-  shingle overlap collapses, so pair volume scales ~10x linear.
+  suffixes every word with ``~i`` — an isomorphic vocabulary rename,
+  so intra-replica dup/near-dup structure is preserved EXACTLY (pair
+  volume scales 10x linear) while cross-replica shingle spaces are
+  disjoint (no artificial twins). Reordering words was tried first
+  and is a trap: sorting by any global word order canonicalizes
+  docs, turning shared-vocabulary docs into near-dups and blowing
+  the candidate count quadratic.
 - ``embeddings``: replica i>0 vectors get a deterministic per-element
   perturbation of at most ~1e-3 so replicas aren't bit-identical
   (top-k ties would otherwise depend on row order).
@@ -72,11 +74,10 @@ def _replica(df, table: str, i: int):
     if i == 0:
         return out
     if table == "documents":
-        shuffled = F.expr(
-            f"array_join(transform(array_sort(transform(split(text, ' '), "
-            f"w -> struct(xxhash64(w, {i}) AS k, w AS w))), s -> s.w), ' ')"
+        renamed = F.expr(
+            f"array_join(transform(split(text, ' '), w -> concat(w, '~{i}')), ' ')"
         )
-        out = out.withColumn("text", shuffled).withColumn("n_chars", F.length("text"))
+        out = out.withColumn("text", renamed).withColumn("n_chars", F.length("text"))
     elif table == "embeddings":
         noise = (
             f"cast(pmod(xxhash64(vec_id, {i}, j), 2000) - 1000 as double) / 1000000.0"
