@@ -10,6 +10,7 @@ Multi-statement transforms split on ';' exactly like the reference
 
 from __future__ import annotations
 
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -40,21 +41,49 @@ def run_sql_workflow(
     """Execute steps in order. transform: run each ';'-separated
     statement (results registered by the SQL itself via CREATE TEMP
     VIEW). quality/test: fetch the scalar violation count; > 0 means
-    the contract is broken (raise under fail_fast, else record)."""
+    the contract is broken (raise under fail_fast, else record).
+
+    Transforms are ordered barriers (a later check may read the view a
+    transform defines), but a maximal run of CONSECUTIVE check steps is
+    independent read-only SELECTs — those are submitted concurrently
+    (Spark's scheduler runs jobs from separate threads side by side, so
+    on a cluster the small check jobs fill the executors instead of
+    draining them one at a time). Results and fail_fast semantics keep
+    workflow order: violations are examined in step order, so the
+    raised step under fail_fast is the same one serial execution would
+    report — checks after it in the same batch merely ran (harmless:
+    checks are reads)."""
     results: list[SqlStepResult] = []
     for step in steps:
+        if step.kind not in ("transform", "quality", "test"):
+            raise ValueError(f"unknown step kind {step.kind!r} in {step.name!r}")
+
+    def _check(step: SqlStep) -> SqlStepResult:
+        count = int(spark.sql(step.sql).first()[0])
+        status = "VIOLATIONS" if count > 0 else "OK"
+        return SqlStepResult(step.name, step.kind, status, count)
+
+    def _flush(batch: list[SqlStep]) -> None:
+        if not batch:
+            return
+        with ThreadPoolExecutor(max_workers=min(8, len(batch))) as pool:
+            batch_results = list(pool.map(_check, batch))
+        for r in batch_results:
+            results.append(r)
+            if r.status == "VIOLATIONS" and fail_fast:
+                raise SqlCheckFailure(
+                    f"{r.kind} step {r.name!r}: {r.violations} violations"
+                )
+        batch.clear()
+
+    pending: list[SqlStep] = []
+    for step in steps:
         if step.kind == "transform":
+            _flush(pending)
             for stmt in [s.strip() for s in step.sql.split(";") if s.strip()]:
                 spark.sql(stmt)
             results.append(SqlStepResult(step.name, step.kind, "OK"))
-        elif step.kind in ("quality", "test"):
-            count = int(spark.sql(step.sql).first()[0])
-            if count > 0:
-                results.append(SqlStepResult(step.name, step.kind, "VIOLATIONS", count))
-                if fail_fast:
-                    raise SqlCheckFailure(f"{step.kind} step {step.name!r}: {count} violations")
-            else:
-                results.append(SqlStepResult(step.name, step.kind, "OK", 0))
         else:
-            raise ValueError(f"unknown step kind {step.kind!r} in {step.name!r}")
+            pending.append(step)
+    _flush(pending)
     return results
