@@ -185,3 +185,84 @@ def q_text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size(T.word_shingles_of(F.col("_toks"))).alias("n_shingles"),
         )
     )
+
+
+# Gopher corpus-filter thresholds (Rae et al. 2021, Appendix A1.1 —
+# the rule battery most pretraining pipelines start from). The
+# duplicate-line rules live in doc_repetition_metrics; the symbol
+# rule here uses Gopher's '#'/ellipsis markers.
+GOPHER_MIN_WORDS, GOPHER_MAX_WORDS = 50, 100_000
+GOPHER_MWL_LO, GOPHER_MWL_HI = 3.0, 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MIN_ALPHA_RATIO = 0.8
+GOPHER_MIN_STOPWORDS = 2
+
+
+@query(
+    "gopher_quality_gates",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, {T.sql_tokens('text')} AS toks,
+         len(regexp_extract_all(text, '#')) + len(regexp_extract_all(text, '\\.\\.\\.'))
+           AS n_sym,
+         {T.sql_stopword_count('text')} AS stop_hits
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+         len(toks) AS n_words,
+         round(list_sum(list_transform(toks, w -> length(w))) * 1.0 / len(toks), 6)
+           AS mean_word_len,
+         round(n_sym * 1.0 / len(toks), 6) AS symbol_ratio,
+         round(len(list_filter(toks, w -> regexp_matches(w, '[A-Za-z]'))) * 1.0
+               / len(toks), 6) AS alpha_word_ratio,
+         stop_hits AS stopword_hits
+  FROM t WHERE len(toks) >= 1
+)
+SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_word_ratio, stopword_hits,
+       (n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS})
+       AND (mean_word_len BETWEEN {GOPHER_MWL_LO} AND {GOPHER_MWL_HI})
+       AND symbol_ratio <= {GOPHER_MAX_SYMBOL_RATIO}
+       AND alpha_word_ratio >= {GOPHER_MIN_ALPHA_RATIO}
+       AND stopword_hits >= {GOPHER_MIN_STOPWORDS} AS keep
+FROM m
+""",
+)
+def q_gopher_quality_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher rule battery as one codegen'd projection: word-count
+    bounds, mean-word-length band, symbol-to-word ratio, alphabetic-
+    word ratio, minimum stopword hits, and the conjunctive keep/drop
+    verdict. Tokenizes once into an array column and derives every
+    rule from it — one scan, no shuffle, no UDF; the corpus-gate
+    shape that costs a single pass at 100 TB."""
+    c = F.col("text")
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        T.tokens(c).alias("_toks"),
+        (F.regexp_count(c, F.lit("#")) + F.regexp_count(c, F.lit(r"\.\.\."))).alias(
+            "_n_sym"
+        ),
+        T.stopword_count(c).alias("stopword_hits"),
+    ).filter(F.size("_toks") >= 1)
+    n_words = F.size("_toks")
+    m = t.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        F.round(
+            F.expr("aggregate(_toks, 0, (acc, w) -> acc + length(w))") / n_words, 6
+        ).alias("mean_word_len"),
+        F.round(F.col("_n_sym") / n_words, 6).alias("symbol_ratio"),
+        F.round(
+            F.expr("size(filter(_toks, w -> w rlike '[A-Za-z]'))") / n_words, 6
+        ).alias("alpha_word_ratio"),
+        "stopword_hits",
+    )
+    return m.withColumn(
+        "keep",
+        F.col("n_words").between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+        & F.col("mean_word_len").between(GOPHER_MWL_LO, GOPHER_MWL_HI)
+        & (F.col("symbol_ratio") <= GOPHER_MAX_SYMBOL_RATIO)
+        & (F.col("alpha_word_ratio") >= GOPHER_MIN_ALPHA_RATIO)
+        & (F.col("stopword_hits") >= GOPHER_MIN_STOPWORDS),
+    )

@@ -81,3 +81,29 @@ def test_bm25_ranks_tf_and_brevity(spark):
     assert order.index(3) < order.index(2)  # same tf, shorter doc first
     assert 4 not in order  # no query term -> no score
     assert [r["rank"] for r in got] == [1, 2, 3]
+
+
+def test_gopher_gates_rule_by_rule(spark, tmp_path):
+    """Each Gopher rule drops exactly the doc constructed to violate it:
+    too-short, degenerate mean word length, no alphabetic words, no
+    stopwords — and a plain English doc of 50+ words passes."""
+    import os
+    from nyc_taxi_data_engineering_spark.queries.textops import q_gopher_quality_gates
+
+    # 60 words, stopword-rich, mean word length 50/12 ≈ 4.17 ∈ [3, 10]
+    good = "the falcon glides over it and the meadow shines in warm light " * 5
+    rows = [
+        (1, good),
+        (2, "the cat sat"),                      # < 50 words
+        (3, "aa " * 60),                         # mean word length 2 < 3
+        (4, ("1234 " * 12 + "the in is on a ") * 3),  # digits: alpha ratio < 0.8
+        (5, "wombat " * 60),                     # zero stopword hits
+    ]
+    docs_dir = os.path.join(str(tmp_path), "documents.parquet")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(docs_dir)
+    got = {r["doc_id"]: r for r in q_gopher_quality_gates(spark, str(tmp_path)).collect()}
+    assert got[1]["keep"] is True
+    assert got[2]["keep"] is False and got[2]["n_words"] < 50
+    assert got[3]["keep"] is False and got[3]["mean_word_len"] < 3
+    assert got[4]["keep"] is False and got[4]["alpha_word_ratio"] < 0.8
+    assert got[5]["keep"] is False and got[5]["stopword_hits"] == 0
