@@ -96,3 +96,55 @@ def q_corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ):
         out = out.unionByName(stage(no, name, df))
     return out
+
+
+TOKEN_BUDGET_PER_SOURCE = 700  # ws-token budget per source bucket (~half of each source's ~1.4k at sf0.01)
+
+
+@query(
+    "token_budget_selection",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, source,
+         len({T.sql_tokens('text')}) AS n_tokens,
+         {T.sql_quality_score('text')} AS quality_score
+  FROM documents
+),
+c AS (
+  SELECT doc_id, source, n_tokens, quality_score,
+         SUM(n_tokens) OVER (
+             PARTITION BY source ORDER BY quality_score DESC, doc_id
+             ROWS UNBOUNDED PRECEDING
+         ) AS cum_tokens
+  FROM t
+)
+SELECT doc_id, source, n_tokens, quality_score, CAST(cum_tokens AS BIGINT) AS cum_tokens,
+       cum_tokens <= {TOKEN_BUDGET_PER_SOURCE} AS selected
+FROM c
+""",
+)
+def q_token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-ordered corpus selection under a per-source token
+    budget — the data-mixing step that decides which documents make
+    the training cut when each source is capped. Docs are ranked by
+    quality (ties broken by doc_id for determinism), the running token
+    total is a per-source window, and a doc is selected while the
+    cumulative count stays within budget. One hash shuffle on source;
+    the window never crosses sources, so at 100 TB the sort is
+    per-partition, not global."""
+    docs = load_table(spark, sf_dir, "documents")
+    c = F.col("text")
+    t = docs.select(
+        "doc_id",
+        "source",
+        T.token_count_ws(c).alias("n_tokens"),
+        T.quality_score(c).alias("quality_score"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.desc("quality_score"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return t.withColumn("cum_tokens", F.sum("n_tokens").over(w)).withColumn(
+        "selected", F.col("cum_tokens") <= TOKEN_BUDGET_PER_SOURCE
+    )

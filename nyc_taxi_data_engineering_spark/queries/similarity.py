@@ -420,3 +420,84 @@ def q_embedding_centroids_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame
     ).select(
         "lang", (F.col("pos") + 1).cast("int").alias("dim"), "centroid", "n_vectors"
     )
+
+
+SEMDEDUP_TAU = 0.95  # within-cluster cosine above which the later doc drops
+
+
+@query(
+    "semantic_dedup_prune",
+    oracle=f"""
+WITH {_ORACLE_PLANTED},
+cent AS (
+    SELECT vec_id AS c_id, v AS cv, nrm AS cnrm FROM n
+    WHERE vec_id BETWEEN {IVF_CENTROID_LO} AND {IVF_CENTROID_HI}
+),
+assign AS (
+    SELECT vec_id, c_id,
+           row_number() OVER (
+               PARTITION BY vec_id
+               ORDER BY list_sum(list_transform(range(1, len(c.v) + 1), i -> c.v[i] * cent.cv[i]))
+                            / (c.nrm * cent.cnrm) DESC, c_id
+           ) AS crank
+    FROM n c, cent
+),
+lists AS (SELECT vec_id, c_id AS cluster_id FROM assign WHERE crank = 1),
+dropped AS (
+    SELECT DISTINCT lb.vec_id
+    FROM lists la
+    JOIN lists lb ON la.cluster_id = lb.cluster_id AND la.vec_id < lb.vec_id
+    JOIN n q ON q.vec_id = la.vec_id
+    JOIN n c ON c.vec_id = lb.vec_id
+    WHERE round({_ORACLE_COS}, 6) >= {SEMDEDUP_TAU}
+)
+SELECT l.vec_id, l.cluster_id,
+       d.vec_id IS NULL AS keep
+FROM lists l LEFT JOIN dropped d ON l.vec_id = d.vec_id
+""",
+)
+def q_semantic_dedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic near-dup pruning inside
+    coarse clusters. Vectors are assigned to their nearest centroid
+    (broadcast quantizer, same deterministic coarse codebook as
+    ann_ivf_topk); within each cluster, a vector is dropped when some
+    LOWER-id cluster-mate has cosine ≥ SEMDEDUP_TAU (0.95) with it. The pairwise
+    stage is confined to clusters — the SemDeDup bargain: with k ∝ √n
+    centroids, per-cluster sizes stay bounded and the join never goes
+    corpus-quadratic; assignment is one broadcast pass. Cosines are
+    rounded to 6 decimals BEFORE the τ comparison on both engines so
+    a 1-ulp fold difference can't flip a keep/drop at the boundary.
+    Runs over the planted corpus (organic pairs top out at cos ~0.52,
+    so the planted twins are what makes the prune observable)."""
+    corpus = _planted_corpus(spark, sf_dir)
+    cent = corpus.filter(
+        F.col("vec_id").between(IVF_CENTROID_LO, IVF_CENTROID_HI)
+    ).select(F.col("vec_id").alias("c_id"), F.col("v").alias("cv"), F.col("nrm").alias("cnrm"))
+    ccos = dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cnrm"))
+    cw = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("c_id"))
+    lists = (
+        corpus.crossJoin(F.broadcast(cent))
+        .select("vec_id", "c_id", ccos.alias("ccos"))
+        .withColumn("crank", F.row_number().over(cw))
+        .filter(F.col("crank") == 1)
+        .select("vec_id", F.col("c_id").alias("cluster_id"))
+    )
+    a = lists.select(F.col("vec_id").alias("a_id"), "cluster_id")
+    b = lists.select(F.col("vec_id").alias("b_id"), "cluster_id")
+    va = corpus.select(F.col("vec_id").alias("a_id"), F.col("v").alias("av"), F.col("nrm").alias("anrm"))
+    vb = corpus.select(F.col("vec_id").alias("b_id"), F.col("v").alias("bv"), F.col("nrm").alias("bnrm"))
+    pair_cos = dot(F.col("av"), F.col("bv")) / (F.col("anrm") * F.col("bnrm"))
+    dropped = (
+        a.join(b, "cluster_id")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .join(va, "a_id")
+        .join(vb, "b_id")
+        .filter(F.round(pair_cos, 6) >= SEMDEDUP_TAU)
+        .select(F.col("b_id").alias("vec_id"))
+        .distinct()
+    )
+    return lists.join(
+        dropped.withColumn("_drop", F.lit(True)), "vec_id", "left"
+    ).select(
+        "vec_id", "cluster_id", F.coalesce(F.col("_drop"), F.lit(False)).alias("_d")
+    ).select("vec_id", "cluster_id", (~F.col("_d")).alias("keep"))
