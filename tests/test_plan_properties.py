@@ -278,3 +278,20 @@ def test_salted_agg_spreads_hot_key(spark, sf_dir):
     assert any("_salt" in line and "user_id" in line for line in exchanges), exchanges
     # Final merge keyed by user_id only (salt dropped after partials).
     assert any("_salt" not in line and "user_id" in line for line in exchanges), exchanges
+
+
+def test_semdedup_broadcasts_centroids_no_corpus_shuffle_for_assign(spark, sf_dir):
+    """Cluster assignment must be a broadcast nested-loop over the tiny
+    centroid set (corpus stays put); the within-cluster pair join is a
+    keyed equi-join on cluster_id, never a cartesian over the corpus."""
+    plan = _plan(spark, sf_dir, "semantic_dedup_prune")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_token_budget_window_is_per_source(spark, sf_dir):
+    """The running-sum window partitions by source — no global sort
+    (rangepartitioning) may appear; the sort is within hash partitions."""
+    plan = _plan(spark, sf_dir, "token_budget_selection")
+    assert "Exchange rangepartitioning" not in plan
+    assert "Window" in plan
