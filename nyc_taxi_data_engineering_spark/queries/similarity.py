@@ -20,6 +20,7 @@ LSH): candidates shrink ~256x and the join becomes a keyed equi-join.
 
 from __future__ import annotations
 
+import math
 from functools import reduce
 from operator import add
 
@@ -429,9 +430,13 @@ SEMDEDUP_TAU = 0.95  # within-cluster cosine above which the later doc drops
     "semantic_dedup_prune",
     oracle=f"""
 WITH {_ORACLE_PLANTED},
+k AS (
+    SELECT CAST(ceil(sqrt(COUNT(*))) AS BIGINT) AS n_cent FROM embeddings
+),
 cent AS (
     SELECT vec_id AS c_id, v AS cv, nrm AS cnrm FROM n
-    WHERE vec_id BETWEEN {IVF_CENTROID_LO} AND {IVF_CENTROID_HI}
+    WHERE vec_id BETWEEN {N_QUERIES}
+          AND {N_QUERIES} + (SELECT n_cent FROM k) - 1
 ),
 assign AS (
     SELECT vec_id, c_id,
@@ -462,16 +467,24 @@ def q_semantic_dedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     (broadcast quantizer, same deterministic coarse codebook as
     ann_ivf_topk); within each cluster, a vector is dropped when some
     LOWER-id cluster-mate has cosine ≥ SEMDEDUP_TAU (0.95) with it. The pairwise
-    stage is confined to clusters — the SemDeDup bargain: with k ∝ √n
-    centroids, per-cluster sizes stay bounded and the join never goes
-    corpus-quadratic; assignment is one broadcast pass. Cosines are
-    rounded to 6 decimals BEFORE the τ comparison on both engines so
-    a 1-ulp fold difference can't flip a keep/drop at the boundary.
-    Runs over the planted corpus (organic pairs top out at cos ~0.52,
-    so the planted twins are what makes the prune observable)."""
+    stage is confined to clusters — the SemDeDup bargain — and the
+    codebook is sized k = ⌈√n⌉ from the corpus row count (a one-row
+    metadata read: parquet footers answer COUNT(*)), so expected
+    cluster size is ~√n and the within-cluster join does ~n·√n work,
+    never corpus-quadratic; a fixed k would silently degrade to
+    all-pairs as the corpus grows. Assignment is one broadcast pass
+    (k centroid vectors ≪ executor memory even at 10^12 rows →
+    k = 10^6 × 64 floats = 256 MB; shard the codebook if beyond).
+    Cosines are rounded to 6 decimals BEFORE the τ comparison on both
+    engines so a 1-ulp fold difference can't flip a keep/drop at the
+    boundary. Runs over the planted corpus (organic pairs top out at
+    cos ~0.52, so the planted twins are what makes the prune
+    observable)."""
+    base_n = load_table(spark, sf_dir, "embeddings").count()
+    k = int(math.ceil(math.sqrt(base_n)))
     corpus = _planted_corpus(spark, sf_dir)
     cent = corpus.filter(
-        F.col("vec_id").between(IVF_CENTROID_LO, IVF_CENTROID_HI)
+        F.col("vec_id").between(N_QUERIES, N_QUERIES + k - 1)
     ).select(F.col("vec_id").alias("c_id"), F.col("v").alias("cv"), F.col("nrm").alias("cnrm"))
     ccos = dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cnrm"))
     cw = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("c_id"))
