@@ -27,7 +27,9 @@ structure* scaling linearly instead of picking up artifacts:
 TPC-H scale factors do.
 
 Usage: python tools/scale_probe.py  (writes BENCH_sf1.json + SCALE.md)
-Env: SPARK_GRAFT_SCALE_REPS (default 3), SPARK_GRAFT_SCALE_REPLICAS (10).
+Env: SPARK_GRAFT_SCALE_REPS (default 3), SPARK_GRAFT_SCALE_REPLICAS (10),
+SPARK_GRAFT_SCALE_EXTRA (comma-separated non-headline registry queries
+to probe alongside the bench set).
 """
 
 from __future__ import annotations
@@ -45,7 +47,7 @@ sys.path.insert(0, REPO)
 from pyspark.sql import functions as F  # noqa: E402
 
 from nyc_taxi_data_engineering_spark import catalog  # noqa: E402
-from nyc_taxi_data_engineering_spark.queries import bench_queries  # noqa: E402
+from nyc_taxi_data_engineering_spark.queries import all_queries, bench_queries  # noqa: E402
 from nyc_taxi_data_engineering_spark.session import get_spark  # noqa: E402
 
 SRC = "/root/testdata/sf0.1"
@@ -119,6 +121,10 @@ def main() -> None:
     build(spark, replicas)
 
     qs = bench_queries()
+    extra = [n for n in os.environ.get("SPARK_GRAFT_SCALE_EXTRA", "").split(",") if n]
+    if extra:
+        reg = all_queries()
+        qs.update({n: reg[n] for n in extra})
     warm = qs.get("daily_vendor_revenue") or next(iter(qs.values()))
     _run(warm, spark, SRC)
     _run(warm, spark, OUT)
