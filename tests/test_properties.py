@@ -105,3 +105,28 @@ def test_validate_split_is_a_partition(spark, rows):
     ids_bad = {r["i"] for r in bad.select("i").collect()}
     assert ids_good | ids_bad == set(range(len(rows)))
     assert not (ids_good & ids_bad)
+
+
+_WORD_CHARS = "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789_"
+_BLOCK_ALPHABET = _WORD_CHARS + "+.#$*()[]{}|\\^?-"
+blockword_strategy = st.text(alphabet=_BLOCK_ALPHABET, min_size=1, max_size=8)
+
+
+@given(words=st.lists(blockword_strategy, min_size=1, max_size=4, unique=True))
+@settings(**SETTINGS)
+def test_blocklist_pattern_matches_each_word_in_context(words):
+    """Pure-regex property (no Spark; Python `re` is a third engine
+    agreeing with Java/RE2 on the ASCII subset we emit): for ANY
+    escaped blockword, the generated alternation (a) compiles, (b)
+    finds the word when it stands alone between spaces, and (c) never
+    fires on a word-char-edged word embedded inside a longer
+    alphanumeric run (the \\b contract)."""
+    from nyc_taxi_data_engineering_spark.operators.scrub import blocklist_pattern
+
+    pat = re.compile(blocklist_pattern(words))
+    for w in words:
+        assert pat.search(f"pad {w} pad") is not None, w
+    for w in words:
+        if w.isalnum():
+            single = re.compile(blocklist_pattern([w]))
+            assert single.search(f"q{w}q") is None, w
