@@ -9,6 +9,8 @@ count-must-be-zero contract as data.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 
 from nyc_taxi_data_engineering_spark.catalog import register_views
@@ -100,4 +102,31 @@ def q_sql_workflow_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(r.name, r.kind, r.status, r.violations) for r in results],
         "step_name string, kind string, status string, violations long",
+    )
+
+
+@query(
+    "csv_roundtrip_nation",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def q_csv_roundtrip_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink + scan roundtrip (reference S2/S14 — header CSVs in and
+    out): write the nation dim as a header CSV, read it back with an
+    explicit schema (no inference scan — at 100 TB schema inference is
+    a full extra read), and return it for value-hash comparison
+    against the parquet-backed oracle. All-integer/string columns, so
+    the text roundtrip is lossless. Written under the repo's
+    gitignored .tmp/ (overwrite mode, so repeated runs don't
+    accumulate)."""
+    from nyc_taxi_data_engineering_spark.catalog import load_table
+
+    repo_tmp = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))), ".tmp")
+    nation = load_table(spark, sf_dir, "nation")
+    path = os.path.join(repo_tmp, "nation_csv")
+    nation.write.mode("overwrite").option("header", "true").csv(path)
+    return (
+        spark.read.schema("n_nationkey INT, n_name STRING, n_regionkey INT")
+        .option("header", "true")
+        .csv(path)
     )
