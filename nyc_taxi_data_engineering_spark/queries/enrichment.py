@@ -90,3 +90,44 @@ def q_trade_flows_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("line_count"),
         )
     )
+
+
+@query(
+    "salted_enrich_order_priorities",
+    oracle="""
+SELECT o.o_orderpriority AS priority, n.n_name AS region_name,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY o.o_orderpriority, n.n_name
+""",
+)
+def q_salted_enrich_order_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The salted-JOIN lever on a driver-verifiable path: orders join
+    their customer (then nation name) through ``salted_join`` with
+    salt_n=4, so the shuffle key is (o_custkey, salt) — the explicit
+    defense when one customer's orders exceed a reducer and the dim is
+    too large to broadcast (here it's broadcast-able; the query exists
+    to keep the lever's semantics — result identical to the unsalted
+    join — under the oracle gate). The dim side replicates 4x, the
+    canonical salted-join cost. Decimal-exact price sums keep the
+    two-phase agg order-independent."""
+    from nyc_taxi_data_engineering_spark.operators.skew import salted_join
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    fact = orders.select(
+        F.col("o_custkey").alias("c_custkey"), "o_orderpriority", "o_totalprice", "o_orderkey"
+    )
+    joined = salted_join(
+        fact, cust, on="c_custkey", salt_n=4, fingerprint_cols=["o_orderkey"]
+    ).join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+    return joined.groupBy(
+        F.col("o_orderpriority").alias("priority"), F.col("n_name").alias("region_name")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double").alias("total_price"),
+    )

@@ -295,3 +295,14 @@ def test_token_budget_window_is_per_source(spark, sf_dir):
     plan = _plan(spark, sf_dir, "token_budget_selection")
     assert "Exchange rangepartitioning" not in plan
     assert "Window" in plan
+
+
+def test_salted_join_keys_include_salt(spark, sf_dir):
+    """The salted join must key on (c_custkey, _salt) — visible in the
+    join node whichever physical strategy is picked (at test scale the
+    tiny dim broadcasts, so the salt lives in the BroadcastHashJoin
+    keys; on a shuffle join it would key the exchanges and spread a
+    hot customer over salt_n reducers)."""
+    plan = _plan(spark, sf_dir, "salted_enrich_order_priorities")
+    join_lines = [line for line in plan.splitlines() if "Join [" in line or "Join Inner" in line or "HashJoin" in line]
+    assert any("_salt" in line and "c_custkey" in line for line in join_lines), join_lines
