@@ -73,10 +73,16 @@ def q_corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     d1 = docs.filter(F.col("lang") == "en")
     d2 = d1.filter(T.quality_score(text) >= QUALITY_MIN)
     w = Window.partitionBy(F.md5(text))
+    # Materialize the exact-dedup survivors once: three consumers
+    # (the shingle-pair pipeline, the component node list, and the
+    # stage-4 count) would otherwise each re-run the lang+quality+
+    # window pipeline. Survivors are the narrowed set — the cheap
+    # thing to persist, exactly what a production funnel stages.
     d3 = (
         d2.withColumn("_canon", F.min("doc_id").over(w))
         .filter(F.col("doc_id") == F.col("_canon"))
         .drop("_canon")
+        .localCheckpoint(eager=True)
     )
     edges = D.shingle_jaccard_pairs(d3, threshold=0.8).select("a_id", "b_id")
     comp = D.connected_components(edges, nodes=d3, node_col="doc_id")
