@@ -130,3 +130,34 @@ def q_csv_roundtrip_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("header", "true")
         .csv(path)
     )
+
+
+@query(
+    "delta_time_travel_nation",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def q_delta_time_travel_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real Delta-protocol versioned sink + time travel (S3/S4/S9/S10)
+    under the oracle gate: commit the nation dim as version 0, commit
+    an overwrite that keeps only region 0 as version 1 (remove+add
+    actions — a logical replace, no data copied or deleted), then read
+    ``versionAsOf=0``. The result must equal the original table even
+    though the CURRENT snapshot is the filtered one — the time-travel
+    contract. Uses the pure-Python transaction log
+    (sources/delta_log.py); table rebuilt fresh per call so repeated
+    driver rounds stay deterministic."""
+    import shutil
+
+    from nyc_taxi_data_engineering_spark.catalog import load_table
+    from nyc_taxi_data_engineering_spark.sources import delta_log as D
+
+    repo_tmp = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))), ".tmp")
+    tbl = os.path.join(repo_tmp, "delta_nation")
+    shutil.rmtree(tbl, ignore_errors=True)
+    nation = load_table(spark, sf_dir, "nation")
+    D.write_delta(nation, tbl, mode="overwrite")  # v0: full dim
+    D.write_delta(
+        nation.filter(nation.n_regionkey == 0), tbl, mode="overwrite"
+    )  # v1: logical replace
+    return D.read_delta_log(spark, tbl, version_as_of=0)

@@ -51,16 +51,25 @@ def read_csv(spark: SparkSession, path: str, schema=None) -> DataFrame:
 
 
 def read_delta(spark: SparkSession, path: str, version_as_of: int | None = None) -> DataFrame:
-    """S3/S4: Delta snapshot / time-travel scan (requires delta-spark)."""
-    if not HAS_DELTA:
-        raise EngineFeatureUnavailable(
-            "delta-spark jars not on the classpath; use Scd2Table for "
-            "versioned tables or install delta-spark"
-        )
-    reader = spark.read.format("delta")
-    if version_as_of is not None:
-        reader = reader.option("versionAsOf", version_as_of)
-    return reader.load(path)
+    """S3/S4: Delta snapshot / time-travel scan. Prefers delta-spark
+    when its jars are present; otherwise falls back to the engine's
+    pure-Python transaction-log reader (sources/delta_log.py — real
+    Delta protocol, same layout), so Delta tables written by either
+    side stay readable here."""
+    if HAS_DELTA:
+        reader = spark.read.format("delta")
+        if version_as_of is not None:
+            reader = reader.option("versionAsOf", version_as_of)
+        return reader.load(path)
+    from nyc_taxi_data_engineering_spark.sources import delta_log
+
+    if delta_log.is_delta_table(path):
+        return delta_log.read_delta_log(spark, path, version_as_of)
+    raise EngineFeatureUnavailable(
+        f"{path} has no _delta_log and delta-spark jars are absent; use "
+        "sources.delta_log.write_delta to create one, or Scd2Table for "
+        "versioned business tables"
+    )
 
 
 def from_rows(spark: SparkSession, rows: Sequence, schema) -> DataFrame:
