@@ -172,7 +172,13 @@ def write_delta(df: DataFrame, table_path: str, mode: str = "overwrite") -> int:
     version = 0 if prior is None else prior + 1
     if prior is not None:
         _, prior_schema = _replay(table_path)
-        if prior_schema != df.schema:
+        # Compare names + types, not nullability: a parquet read-back
+        # relaxes every field to nullable, and Delta treats that as the
+        # same table schema (real writers do the same containment check).
+        def _shape(s: StructType) -> list[tuple[str, str]]:
+            return [(f.name, f.dataType.simpleString()) for f in s.fields]
+
+        if _shape(prior_schema) != _shape(df.schema):
             raise DeltaLogError(
                 "schema mismatch vs table metaData; evolve the table explicitly "
                 f"(table={prior_schema.simpleString()}, df={df.schema.simpleString()})"

@@ -102,3 +102,28 @@ def test_predicate_pushdown_survives_log_scan(spark, table):
     df = D.read_delta_log(spark, table, version_as_of=1).filter(F.col("id") > 1)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [IsNotNull(id), GreaterThan(id,1)" in plan
+
+
+def test_scd2_merge_persists_through_delta_log(spark, tmp_path):
+    """The reference's scd2_delta_vendors flow on the real protocol
+    (J8 + S9/S10 together): each SCD2 merge commits a new Delta
+    version; time travel reproduces the pre-merge table exactly."""
+    from nyc_taxi_data_engineering_spark.operators.scd2 import scd2_apply
+
+    path = str(tmp_path / "scd2_delta")
+    b1 = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    b2 = spark.createDataFrame([(1, "a2"), (3, "c")], "k long, v string")
+    t1 = scd2_apply(None, b1, "k", ["v"], "2024-01-01 00:00:00")
+    D.write_delta(t1, path, mode="overwrite")
+    t2 = scd2_apply(
+        D.read_delta_log(spark, path), b2, "k", ["v"], "2024-02-01 00:00:00"
+    )
+    D.write_delta(t2, path, mode="overwrite")
+
+    cur = D.read_delta_log(spark, path).filter("is_current")
+    assert {(r["k"], r["v"]) for r in cur.collect()} == {(1, "a2"), (2, "b"), (3, "c")}
+    v0 = D.read_delta_log(spark, path, version_as_of=0)
+    assert {(r["k"], r["v"], r["is_current"]) for r in v0.collect()} == {
+        (1, "a", True), (2, "b", True),
+    }
+    assert [h["version"] for h in D.delta_log_history(path)] == [1, 0]
