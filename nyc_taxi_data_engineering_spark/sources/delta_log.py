@@ -30,7 +30,6 @@ import json
 import os
 import time
 import uuid
-from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
@@ -233,3 +232,61 @@ def write_delta(df: DataFrame, table_path: str, mode: str = "overwrite") -> int:
     actions.extend({"add": a} for a in adds)
     _write_commit(table_path, version, actions)
     return version
+
+
+def compact_delta(
+    spark: SparkSession, table_path: str, target_files: int = 1
+) -> int:
+    """OPTIMIZE: rewrite the current snapshot's files into
+    ``target_files`` larger ones and commit remove+add with
+    ``dataChange: false`` (readers see identical rows; the commit only
+    swaps the file layout — the small-file compaction every streaming
+    ingest eventually needs). Returns the committed version."""
+    prior = latest_version(table_path)
+    if prior is None:
+        raise DeltaLogError(f"not a Delta table: {table_path}")
+    files, schema = _replay(table_path)
+    if not files:
+        raise DeltaLogError("nothing to compact: empty snapshot")
+    df = spark.read.schema(schema).parquet(*files).coalesce(target_files)
+    staging = os.path.join(table_path, f".staging-{uuid.uuid4().hex}")
+    df.write.mode("overwrite").parquet(staging)
+    adds = _promote_staged_files(staging, table_path)
+    for leftover in os.listdir(staging):
+        os.remove(os.path.join(staging, leftover))
+    os.rmdir(staging)
+    now_ms = int(time.time() * 1000)
+    actions: list[dict] = [
+        {"commitInfo": {"timestamp": now_ms, "operation": "OPTIMIZE",
+                        "operationParameters": {"targetFiles": target_files}}}
+    ]
+    for p in files:
+        actions.append({"remove": {"path": os.path.relpath(p, table_path),
+                                   "deletionTimestamp": now_ms, "dataChange": False}})
+    for a in adds:
+        a["dataChange"] = False
+        actions.append({"add": a})
+    version = prior + 1
+    _write_commit(table_path, version, actions)
+    return version
+
+
+def vacuum_delta(table_path: str, keep_last: int = 1) -> list[str]:
+    """VACUUM: physically delete data files not referenced by any of
+    the last ``keep_last`` snapshots. Time travel older than the
+    retention window stops working afterwards — the same trade real
+    Delta VACUUM makes (default 7-day retention there; version-based
+    here because the tests need determinism). Returns deleted paths."""
+    latest = latest_version(table_path)
+    if latest is None:
+        raise DeltaLogError(f"not a Delta table: {table_path}")
+    keep: set[str] = set()
+    for v in range(max(0, latest - keep_last + 1), latest + 1):
+        files, _ = _replay(table_path, v)
+        keep |= {os.path.relpath(p, table_path) for p in files}
+    deleted = []
+    for name in sorted(os.listdir(table_path)):
+        if name.endswith(".parquet") and name not in keep:
+            os.remove(os.path.join(table_path, name))
+            deleted.append(name)
+    return deleted

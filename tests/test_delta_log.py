@@ -127,3 +127,26 @@ def test_scd2_merge_persists_through_delta_log(spark, tmp_path):
         (1, "a", True), (2, "b", True),
     }
     assert [h["version"] for h in D.delta_log_history(path)] == [1, 0]
+
+
+def test_optimize_compacts_without_changing_rows(spark, table):
+    files_before, _ = D._replay(table)
+    v = D.compact_delta(spark, table, target_files=1)
+    files_after, _ = D._replay(table)
+    assert len(files_after) == 1 and files_after != files_before
+    assert _ids(D.read_delta_log(spark, table)) == [9]
+    hist = D.delta_log_history(table)
+    assert hist[0]["version"] == v and hist[0]["operation"] == "OPTIMIZE"
+    # pre-OPTIMIZE version still readable (files not yet vacuumed)
+    assert _ids(D.read_delta_log(spark, table, version_as_of=2)) == [9]
+
+
+def test_vacuum_deletes_only_unreferenced_files(spark, table):
+    D.compact_delta(spark, table, target_files=1)
+    deleted = D.vacuum_delta(table, keep_last=1)
+    assert deleted  # v0/v1/v2 files gone
+    # current snapshot intact
+    assert _ids(D.read_delta_log(spark, table)) == [9]
+    # time travel beyond retention now fails at scan time (files missing)
+    with pytest.raises(Exception):
+        D.read_delta_log(spark, table, version_as_of=0).collect()
