@@ -1,9 +1,10 @@
-"""Multimodal-column queries: the documents' UTF-8 bytes stand in as
-opaque media payloads (operators/multimodal.py). The payload-hash and
-frame-fanout queries have exact oracles — they verify the binary
-column plumbing and the mapInPandas 1:N contract numerically; the
-feature query is rows-only (numpy inside the UDF, deliberately not
-SQL-expressible)."""
+"""Multimodal-column queries. Two payload models: ``attach_media``
+(documents' UTF-8 bytes as opaque payloads — verifies the binary
+column plumbing, mapInPandas 1:N fan-out, and feature batch shapes)
+and ``attach_ppm_images`` (real binary PPM images built from the same
+bytes — verifies ACTUAL decode and nearest-neighbor resize, pure
+Python, no codec library). Every query has an exact DuckDB oracle
+recomputing the arithmetic from the stored text bytes."""
 
 from __future__ import annotations
 
@@ -91,7 +92,7 @@ FROM documents d LEFT JOIN best b ON b.doc_id = d.doc_id
 """,
 )
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched feature extraction. The byte-histogram stub is
+    """Arrow-batched feature extraction. The byte-histogram extractor is
     deterministic, so the vector's shape and argmax are EXACTLY
     oracle-checkable: the oracle recomputes the 16-bin histogram of the
     payload bytes in SQL (documents are ASCII, so ord(char) == byte) and
@@ -106,3 +107,69 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_size("features").alias("n_components"),
         F.array_position("features", F.array_max("features")).alias("argmax_bin"),
     )
+
+
+def _ppm_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return M.attach_ppm_images(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "media_decoded_stats",
+    oracle="""
+WITH k AS (SELECT unnest(range(0, 192)) AS k),
+px AS (
+    SELECT d.doc_id, k.k % 3 AS ch,
+           ord(substr(d.text, (k.k % length(d.text)) + 1, 1)) AS b
+    FROM documents d CROSS JOIN k
+)
+SELECT doc_id,
+       CAST(8 AS INT) AS width,
+       CAST(8 AS INT) AS height,
+       SUM(CASE WHEN ch = 0 THEN b END)::BIGINT AS r_sum,
+       SUM(CASE WHEN ch = 1 THEN b END)::BIGINT AS g_sum,
+       SUM(CASE WHEN ch = 2 THEN b END)::BIGINT AS b_sum
+FROM px GROUP BY doc_id
+""",
+)
+def q_media_decoded_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode, no codec library: each doc becomes a valid
+    8x8 binary PPM (pixel byte k = text byte k mod len), decoded by the
+    pure-Python P6 parser inside mapInPandas. Integer per-channel pixel
+    sums make the decode exactly oracle-checkable — the oracle
+    recomputes every pixel byte from the text in SQL (documents are
+    ASCII, so ord(char) == byte). Retires the round-4 decode stub."""
+    return M.decoded_image_stats(_ppm_images(spark, sf_dir))
+
+
+@query(
+    "media_thumbnails",
+    oracle="""
+WITH yxc AS (
+    SELECT y.y, x.x, c.c
+    FROM (SELECT unnest(range(0, 4)) AS y) y
+    CROSS JOIN (SELECT unnest(range(0, 4)) AS x) x
+    CROSS JOIN (SELECT unnest(range(0, 3)) AS c) c
+),
+px AS (
+    SELECT d.doc_id, yxc.c AS ch,
+           ord(substr(d.text, ((((2 * yxc.y) * 8 + 2 * yxc.x) * 3 + yxc.c) % length(d.text)) + 1, 1)) AS b
+    FROM documents d CROSS JOIN yxc
+)
+SELECT doc_id,
+       CAST(59 AS BIGINT) AS thumb_n_bytes,
+       CAST(4 AS INT) AS width,
+       CAST(4 AS INT) AS height,
+       SUM(CASE WHEN ch = 0 THEN b END)::BIGINT AS r_sum,
+       SUM(CASE WHEN ch = 1 THEN b END)::BIGINT AS g_sum,
+       SUM(CASE WHEN ch = 2 THEN b END)::BIGINT AS b_sum
+FROM px GROUP BY doc_id
+""",
+)
+def q_media_thumbnails(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL resize round trip: 8x8 PPM → nearest-neighbor 4x4 →
+    re-encoded PPM → decoded back. Thumbnail pixel (y, x) takes source
+    pixel (2y, 2x), so the oracle recomputes each thumbnail byte in
+    closed form from the text; thumb_n_bytes pins the re-encoded
+    container size (11-byte 'P6\\n4 4\\n255\\n' header + 48 raster
+    bytes). Retires the round-4 NotImplementedError resize stub."""
+    return M.thumbnail_stats(_ppm_images(spark, sf_dir), width=4, height=4)

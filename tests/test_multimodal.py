@@ -57,9 +57,48 @@ def test_payload_hash_matches_python(spark):
     assert got == hashlib.sha256("héllo ✓ unicode".encode()).hexdigest()
 
 
-def test_decode_stub_shape_and_resize_gate(spark):
-    img = M.decode_image(b"some image bytes")
-    assert img.shape == (64, 64, 3) and img.dtype == np.uint8
+def test_ppm_encode_decode_roundtrip():
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, size=(5, 3, 3), dtype=np.uint8)
+    payload = M.encode_ppm(px)
+    assert payload.startswith(b"P6\n3 5\n255\n")
+    np.testing.assert_array_equal(M.decode_ppm(payload), px)
+    # header variants a conforming reader must accept: comments + odd whitespace
+    commented = b"P6\n# a comment\n3  5\t255\n" + px.tobytes()
+    np.testing.assert_array_equal(M.decode_ppm(commented), px)
+
+
+def test_ppm_decode_rejects_malformed():
+    with pytest.raises(ValueError, match="not a P6"):
+        M.decode_ppm(b"P3\n1 1\n255\n000")
+    with pytest.raises(ValueError, match="truncated PPM header"):
+        M.decode_ppm(b"P6\n3 5")
+    with pytest.raises(ValueError, match="raster truncated"):
+        M.decode_ppm(b"P6\n3 5\n255\nshort")
+    with pytest.raises(ValueError, match="16-bit"):
+        M.decode_ppm(b"P6\n1 1\n65535\n" + b"\x00" * 6)
     if not M.HAS_PIL:
-        with pytest.raises(NotImplementedError):
-            M.resize(b"payload", 32, 32)
+        with pytest.raises(ValueError, match="unsupported image format"):
+            M.decode_image(b"\x89PNG not decodable here")
+
+
+def test_resize_nearest_neighbor_exact():
+    # 4x4 image whose pixel (y, x) is value 16*y + x in all channels:
+    # downsizing to 2x2 must pick source pixels (0,0),(0,2),(2,0),(2,2)
+    base = (16 * np.arange(4)[:, None] + np.arange(4)[None, :]).astype(np.uint8)
+    px = np.repeat(base[:, :, None], 3, axis=2)
+    thumb = M.decode_ppm(M.resize(M.encode_ppm(px), 2, 2))
+    np.testing.assert_array_equal(thumb[:, :, 0], np.array([[0, 2], [32, 34]], dtype=np.uint8))
+    # upscale is index-replication, never interpolation (stays uint8-exact)
+    up = M.decode_ppm(M.resize(M.encode_ppm(px), 8, 8))
+    assert up.shape == (8, 8, 3)
+    np.testing.assert_array_equal(up[::2, ::2], px)
+
+
+def test_attach_ppm_images_byte_layout(spark):
+    images = M.attach_ppm_images(_docs(spark, ["abc"]))
+    payload = bytes(images.collect()[0]["payload"])
+    px = M.decode_ppm(payload)
+    assert px.shape == (M.PPM_HEIGHT, M.PPM_WIDTH, 3)
+    want = (b"abc" * 64)[: 8 * 8 * 3]
+    assert px.tobytes() == want
