@@ -9,8 +9,8 @@ harness can verify byte-identical semantics; the shared constants
 (stopword lists, regexes, weights) live in this module only.
 
 Scale notes: all expressions are per-row and shuffle-free; the only
-aggregation-based op (SimHash) is built on explode + hash-agg with
-map-side partial combine (see ``simhash_bits_agg``) rather than 32
+aggregation-based op (SimHash, see operators/dedup.simhash) is built
+on explode + hash-agg with map-side partial combine rather than 64
 nested array scans per row, so it parallelizes by (doc, token) and
 survives wide documents.
 """
@@ -47,8 +47,14 @@ QUALITY_W_LEN, QUALITY_W_TTR, QUALITY_W_PUNCT, QUALITY_W_STOP = 0.3, 0.3, 0.2, 0
 
 FINGERPRINT_CHAR_K = 8  # char-shingle width for the rolling-hash fingerprint
 SHINGLE_WORDS = 3  # word-shingle width for jaccard / minhash dedup
-SIMHASH_BITS = 32
-_HEX_HIGH = ("8", "9", "a", "b", "c", "d", "e", "f")  # top bit of a hex nibble
+# 64-bit SimHash: bit b of a token's contribution is bit (3 - b%4) of
+# hex nibble b//4 of the token's md5 — i.e. the first 64 bits of the
+# digest read MSB-first per nibble. 64 bits (vs the round-3 32) keeps
+# the block-combination candidate join's bucket keys ~33 bits wide, so
+# candidate volume tracks true-pair density instead of the n²/128
+# blowup 8-bit byte buckets hit on organic corpora (Manku et al.,
+# WWW'07 — "Detecting near-duplicates for web crawling").
+SIMHASH_BITS = 64
 
 
 # ---------------------------------------------------------------------------
@@ -213,12 +219,6 @@ def minhash_signature(shingles: Column, num_hashes: int) -> Column:
     return F.array(*[seeded_min_hash(shingles, i) for i in range(num_hashes)])
 
 
-def simhash_token_bit(hash_col: Column, bit: int) -> Column:
-    """+1/-1 contribution of one token-hash to SimHash bit ``bit``
-    (top bit of hex nibble ``bit`` of the token's md5)."""
-    return F.when(F.substring(hash_col, bit + 1, 1).isin(*_HEX_HIGH), F.lit(1)).otherwise(F.lit(-1))
-
-
 def word_ngrams(toks: Column, n: int) -> Column:
     """All word n-grams (space-joined, with multiplicity, in order) of a
     token array; empty array when the doc has fewer than ``n`` tokens.
@@ -309,17 +309,22 @@ def sql_minhash_signature(shingles_expr: str, num_hashes: int) -> list[str]:
 
 def sql_simhash(col: str, bits: int = SIMHASH_BITS) -> str:
     """DuckDB twin of operators/dedup.simhash: per-bit ±1 token sums
-    assembled into a BIGINT. O(bits) md5 calls per token is fine at
-    oracle scale; the Spark side hashes each token once."""
+    assembled into a signed BIGINT. Bit b of a token's contribution is
+    bit (3 - b%4) of hex nibble b//4 of its md5 — the same mapping the
+    Spark side decodes via conv() on 8-hex-char slices. Bit 63 carries
+    the BIGINT sign weight -2^63 (spelled additively to dodge the
+    unary-minus-overflows-first parse). O(bits) md5 calls per token is
+    fine at oracle scale; the Spark side hashes each token once."""
     toks = sql_tokens(col)
-    hexes = ", ".join(f"'{h}'" for h in _HEX_HIGH)
     terms = []
     for b in range(bits):
+        nib = f"(strpos('0123456789abcdef', substring(md5(t), {b // 4 + 1}, 1)) - 1)"
         bit_sum = (
-            f"list_sum(list_transform({toks}, t -> CASE WHEN substring(md5(t), {b + 1}, 1)"
-            f" IN ({hexes}) THEN 1 ELSE -1 END))"
+            f"list_sum(list_transform({toks}, t -> CASE WHEN (({nib} >> {3 - b % 4}) & 1) = 1"
+            f" THEN 1 ELSE -1 END))"
         )
-        terms.append(f"(CASE WHEN {bit_sum} >= 0 THEN {1 << b}::BIGINT ELSE 0 END)")
+        weight = "(-9223372036854775807 - 1)" if b == 63 else f"{1 << b}::BIGINT"
+        terms.append(f"(CASE WHEN {bit_sum} >= 0 THEN {weight} ELSE 0::BIGINT END)")
     return "(" + " + ".join(terms) + ")"
 
 

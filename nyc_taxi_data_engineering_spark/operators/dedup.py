@@ -8,8 +8,8 @@ Scale design (the 100 TB story):
 
 - **Never O(n²).** Candidate generation is always a keyed equi-join —
   inverted shingle index (Jaccard), band-bucket join (MinHash LSH), or
-  byte-block join (SimHash) — so the shuffle is proportional to the
-  number of *colliding* rows, not all pairs.
+  block-combination join (SimHash, Manku et al.) — so the shuffle is
+  proportional to the number of *colliding* rows, not all pairs.
 - **Map-side combine everywhere.** The SimHash bit sums and the
   common-shingle counts are hash aggregations; Spark's partial
   aggregation halves shuffle volume before the exchange.
@@ -26,6 +26,7 @@ Scale design (the 100 TB story):
 from __future__ import annotations
 
 from functools import reduce
+from itertools import combinations
 from operator import add
 
 from pyspark.sql import Column, DataFrame, Window
@@ -35,7 +36,17 @@ from nyc_taxi_data_engineering_spark.functions import text as T
 
 MINHASH_HASHES = 16
 LSH_BANDS = 4  # 4 bands x 4 rows: P(candidate) = 1-(1-j^4)^4
-SIMHASH_BYTE_BLOCKS = T.SIMHASH_BITS // 8
+
+# Manku-style SimHash blocking: the 64 bits split into 6 blocks
+# (11,11,11,11,10,10). A pair within Hamming distance k agrees on at
+# least 6-k whole blocks (pigeonhole), so joining on every
+# C(6, 6-k)-combination of block values finds EVERY such pair. At the
+# default k=3 that is C(6,3)=20 combinations with ~33-bit keys — wide
+# enough that random collisions are ~n²/2³³ per combination instead of
+# the n²/128 the old 8-bit byte buckets produced on organic corpora.
+SIMHASH_BLOCK_SIZES = (11, 11, 11, 11, 10, 10)
+SIMHASH_BLOCK_STARTS = (0, 11, 22, 33, 44, 54)
+SIMHASH_BLOCKS = len(SIMHASH_BLOCK_SIZES)
 
 
 def content_hash(c: Column) -> Column:
@@ -182,20 +193,23 @@ def lsh_candidate_pairs(
 
 
 def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Per-doc SimHash over whitespace tokens (with multiplicity):
-    md5 each token once, aggregate per-bit sums in ONE hash aggregation
-    (map-side partial combine applies), then assemble the sign bits
-    into a long.
+    """Per-doc 64-bit SimHash over whitespace tokens (with
+    multiplicity): md5 each token once, aggregate per-bit sums in ONE
+    hash aggregation (map-side partial combine applies), then assemble
+    the sign bits into a signed long.
 
-    Semantics: bit b is set iff sum over tokens of ±1 (top bit of hex
-    nibble b of the token's md5) is >= 0. Implemented arithmetically:
-    the 32 nibbles are decoded once per token into four 32-bit ints
+    Semantics: bit b (0..63) is set iff the sum over tokens of ±1 —
+    bit (3 - b%4) of hex nibble b//4 of the token's md5, i.e. the
+    digest's first 64 bits — is >= 0. Implemented arithmetically: the
+    16 leading nibbles are decoded once per token into two 32-bit ints
     (``conv`` on 8-hex-char slices), each bit tested with shift/AND,
     and the ±1 sum rewritten as ``2*popcount_b >= n_tokens`` — integer
-    codegen is ~3x faster end-to-end than the equivalent 32
-    substring+isin string aggregates, with identical results (ties
-    included). The explode+agg formulation keeps work proportional to
-    total tokens and parallel by (doc, token)."""
+    codegen beats the equivalent substring+isin string aggregates ~3x,
+    with identical results (ties included). Bit 63 contributes the
+    BIGINT sign weight -2^63, so the value spans the full signed-long
+    range; Hamming distance via xor+bit_count is sign-agnostic. The
+    explode+agg formulation keeps work proportional to total tokens
+    and parallel by (doc, token)."""
     toks = docs.select(id_col, F.explode(T.tokens(F.col(text_col))).alias("tok")).select(
         id_col, F.md5("tok").alias("h")
     )
@@ -203,13 +217,21 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
         id_col,
         *[
             F.conv(F.substring("h", 8 * k + 1, 8), 16, 10).cast("long").alias(f"v{k}")
-            for k in range(T.SIMHASH_BITS // 8)
+            for k in range(T.SIMHASH_BITS // 32)
         ],
     )
 
     def bit(b: int) -> Column:
-        # top bit of hex nibble b = bit (4*(7 - b%8) + 3) of int b//8
-        return F.shiftright(F.col(f"v{b // 8}"), 4 * (7 - b % 8) + 3).bitwiseAND(F.lit(1))
+        # bit b = bit (3 - b%4) of global nibble ni = b//4; nibble ni
+        # sits at nibble position (7 - ni%8) of 32-bit int ni//8
+        ni = b // 4
+        shift = 4 * (7 - ni % 8) + (3 - b % 4)
+        return F.shiftright(F.col(f"v{ni // 8}"), shift).bitwiseAND(F.lit(1))
+
+    def weight(b: int) -> Column:
+        if b == T.SIMHASH_BITS - 1:  # -2^63, additively (2^63 overflows)
+            return F.lit(-9223372036854775807) - F.lit(1)
+        return F.lit(1 << b)
 
     sums = ints.groupBy(id_col).agg(
         F.count("*").alias("n"),
@@ -218,39 +240,61 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     value = reduce(
         add,
         [
-            F.when(F.col(f"c{b}") * 2 >= F.col("n"), F.lit(1 << b)).otherwise(F.lit(0))
+            F.when(F.col(f"c{b}") * 2 >= F.col("n"), weight(b)).otherwise(F.lit(0))
             for b in range(T.SIMHASH_BITS)
         ],
     )
     return sums.select(id_col, value.cast("long").alias("simhash"))
 
 
+def _simhash_block(c: Column, i: int) -> Column:
+    """Block i of a 64-bit simhash as an unsigned value (shiftright
+    UNSIGNED — block 5 contains the sign bit)."""
+    return F.shiftrightunsigned(c, SIMHASH_BLOCK_STARTS[i]).bitwiseAND(
+        F.lit((1 << SIMHASH_BLOCK_SIZES[i]) - 1)
+    )
+
+
 def simhash_neardup_pairs(
     sim: DataFrame, id_col: str = "doc_id", max_hamming: int = 3
 ) -> DataFrame:
-    """SimHash near-dup pairs, byte-blocked: split the 32-bit hash into
-    4 bytes and equi-join on (block, byte) instead of scanning all
-    pairs. By pigeonhole, any pair within Hamming distance 3 leaves at
-    least one of the 4 bytes untouched, so at the default threshold the
-    blocked join is EXACT (zero false negatives); above 3 it becomes
-    approximate. More blocks (e.g. 64-bit SimHash with 8 byte blocks)
-    raise the exact ceiling at the cost of more candidates."""
+    """SimHash near-dup pairs via Manku block combinations: split the
+    64-bit hash into 6 blocks; a pair within Hamming distance
+    ``max_hamming`` agrees on at least ``6 - max_hamming`` whole blocks
+    (pigeonhole), so equi-joining on every C(6, 6-max_hamming)
+    combination of block values — packed into one long key — finds
+    EVERY such pair with zero false negatives. At the default k=3:
+    20 combinations, ~33-bit keys, so random (non-near-dup) collisions
+    are ~20·n²/2³³ — candidate volume tracks true-pair density, where
+    8-bit byte buckets were a guaranteed n²/128 on organic corpora.
+    Each doc explodes to 20 (combo, key) rows; the join, the distinct,
+    and the xor+bit_count rescore are all keyed operations."""
+    if not 0 < max_hamming < SIMHASH_BLOCKS:
+        raise ValueError(f"max_hamming must be in 1..{SIMHASH_BLOCKS - 1}, got {max_hamming}")
+    combos = list(combinations(range(SIMHASH_BLOCKS), SIMHASH_BLOCKS - max_hamming))
+    pack_shift = max(SIMHASH_BLOCK_SIZES)
     blocks = [
         F.struct(
-            F.lit(i).alias("pos"),
-            F.shiftright("simhash", 8 * i).bitwiseAND(F.lit(255)).alias("byte"),
+            F.lit(p).alias("pos"),
+            reduce(
+                lambda acc, nxt: acc.bitwiseOR(nxt),
+                [
+                    F.shiftleft(_simhash_block(F.col("simhash"), c), pack_shift * j)
+                    for j, c in enumerate(combo)
+                ],
+            ).alias("key"),
         )
-        for i in range(SIMHASH_BYTE_BLOCKS)
+        for p, combo in enumerate(combos)
     ]
     blocked = sim.select(id_col, "simhash", F.explode(F.array(*blocks)).alias("blk")).select(
-        id_col, "simhash", F.col("blk.pos").alias("pos"), F.col("blk.byte").alias("byte")
+        id_col, "simhash", F.col("blk.pos").alias("pos"), F.col("blk.key").alias("key")
     )
     a, b = blocked.alias("a"), blocked.alias("b")
     pairs = (
         a.join(
             b,
             (F.col("a.pos") == F.col("b.pos"))
-            & (F.col("a.byte") == F.col("b.byte"))
+            & (F.col("a.key") == F.col("b.key"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
         .select(

@@ -122,7 +122,7 @@ SELECT doc_id, {T.sql_simhash('text')} AS simhash FROM documents
     bench=True,
 )
 def q_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """32-bit SimHash per document (explode + one hash-agg with 32
+    """64-bit SimHash per document (explode + one hash-agg with 64
     conditional sums; map-side combine keeps the shuffle small)."""
     return D.simhash(load_table(spark, sf_dir, "documents"))
 
@@ -132,28 +132,19 @@ def q_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH sim AS (
     SELECT doc_id, {T.sql_simhash('text')} AS simhash FROM documents
-),
-blocked AS (
-    SELECT doc_id, simhash, 0 AS pos, (simhash >> 0) & 255 AS byte FROM sim
-    UNION ALL SELECT doc_id, simhash, 1, (simhash >> 8) & 255 FROM sim
-    UNION ALL SELECT doc_id, simhash, 2, (simhash >> 16) & 255 FROM sim
-    UNION ALL SELECT doc_id, simhash, 3, (simhash >> 24) & 255 FROM sim
-),
-pairs AS (
-    SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
-           a.simhash AS a_sim, b.simhash AS b_sim
-    FROM blocked a JOIN blocked b
-      ON a.pos = b.pos AND a.byte = b.byte AND a.doc_id < b.doc_id
 )
-SELECT a_id, b_id, bit_count(xor(a_sim, b_sim))::INT AS hamming
-FROM pairs
-WHERE bit_count(xor(a_sim, b_sim)) <= 3
+SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 """,
 )
 def q_simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs within Hamming distance 3 — the exact
-    regime of the 4-byte block join (pigeonhole: ≤3 flipped bits leave
-    one byte intact), so no false negatives vs the all-pairs scan."""
+    """SimHash near-dup pairs within Hamming distance 3 via the Manku
+    block-combination join (6 blocks, C(6,3)=20 combos, ~33-bit keys).
+    The oracle deliberately scans ALL pairs — every parity run also
+    re-proves the pigeonhole claim that the blocked join has zero
+    false negatives at hamming <= 3."""
     docs = load_table(spark, sf_dir, "documents")
     return D.simhash_neardup_pairs(D.simhash(docs))
 

@@ -73,6 +73,39 @@ def test_simhash_identical_and_neardup(spark):
     assert any((p["a_id"], p["b_id"], p["hamming"]) == (0, 1, 0) for p in pairs)
 
 
+def test_simhash_block_join_exact_vs_brute_force(spark):
+    """Pigeonhole exactness of the Manku block-combination join: on
+    adversarial 64-bit values — flips straddling block boundaries, the
+    sign bit, exactly-at-threshold distances — the blocked join must
+    return EXACTLY the brute-force hamming<=3 pair set."""
+    base = 0x0123_4567_89AB_CDEF
+    vals = [
+        base,
+        base ^ 1,  # 1 flip, block 0
+        base ^ (1 << 10) ^ (1 << 11),  # 2 flips across the block-0/1 boundary
+        base ^ (1 << 21) ^ (1 << 22) ^ (1 << 63),  # 3 flips incl. the sign bit
+        base ^ (1 << 0) ^ (1 << 15) ^ (1 << 33) ^ (1 << 55),  # 4 flips: excluded vs base
+        -(base + 1),  # ~base: hamming 64 from base
+        base ^ (1 << 63),  # sign bit only: hamming 1
+    ]
+    sim = spark.createDataFrame(
+        [(i, v if v < 1 << 63 else v - (1 << 64)) for i, v in enumerate(vals)],
+        "doc_id long, simhash long",
+    )
+    got = {
+        (p["a_id"], p["b_id"], p["hamming"])
+        for p in D.simhash_neardup_pairs(sim, max_hamming=3).collect()
+    }
+    rows = {r["doc_id"]: r["simhash"] for r in sim.collect()}
+    want = set()
+    for a in range(len(vals)):
+        for b in range(a + 1, len(vals)):
+            h = bin((rows[a] ^ rows[b]) & ((1 << 64) - 1)).count("1")
+            if h <= 3:
+                want.add((a, b, h))
+    assert got == want and len(want) >= 4
+
+
 def test_dot_and_sign_bucket(spark):
     df = spark.createDataFrame(
         [([1.0, 0.0, -2.0, 0.0, 0.0, 0.0, 0.0, 0.0],)], "v array<double>"
