@@ -73,38 +73,38 @@ def salted_join(
     return f.join(d, keys + [SALT_COL], how).drop(SALT_COL)
 
 
+_MERGES = {"sum": F.sum, "min": F.min, "max": F.max}
+
+
 def salted_agg(
     df: DataFrame,
     keys: Sequence[str],
-    aggs: dict[str, Column],
+    aggs: dict[str, tuple[str, Column]],
     salt_n: int,
     fingerprint_cols: Sequence[str] | None = None,
 ) -> DataFrame:
-    """Two-phase hot-key aggregation for algebraic aggregates
-    (count / sum / min / max): partial on (keys + salt), final on keys.
+    """Two-phase hot-key aggregation for algebraic aggregates:
+    partial on (keys + salt), final on keys.
 
-    ``aggs`` maps output column name -> aggregate Column over the input
-    (only count/sum/min/max are mergeable this way; avg must be
-    decomposed by the caller into sum + count)."""
+    ``aggs`` maps output column name -> (merge, partial) where
+    ``partial`` is the aggregate Column applied per (key, salt) bucket
+    and ``merge`` names how the per-salt partials re-combine on the
+    final group-by: ``'sum'`` (for count and sum partials), ``'min'``,
+    or ``'max'``. The merge is explicit because it is NOT derivable
+    from the Column without private-API introspection — and the caller
+    knows it anyway: count partials merge by sum, everything else by
+    itself. avg must be decomposed by the caller into sum + count."""
     fp = list(fingerprint_cols) if fingerprint_cols is not None else list(df.columns)
+    bad = {name: m for name, (m, _) in aggs.items() if m not in _MERGES}
+    if bad:
+        raise ValueError(
+            f"unknown merge kinds {bad}; expected one of {sorted(_MERGES)} "
+            "(count partials merge by 'sum'; avg is not mergeable — decompose it)"
+        )
     salted = with_salt(df, fp, salt_n)
     partial = salted.groupBy(*keys, SALT_COL).agg(
-        *[c.alias(f"_p_{name}") for name, c in aggs.items()]
+        *[c.alias(f"_p_{name}") for name, (_, c) in aggs.items()]
     )
-
-    def _final(name: str, c: Column) -> Column:
-        fn = c._jc.toString().split("(")[0].lower()
-        p = F.col(f"_p_{name}")
-        if fn.startswith("count"):
-            return F.sum(p)
-        if fn.startswith("sum"):
-            return F.sum(p)
-        if fn.startswith("min"):
-            return F.min(p)
-        if fn.startswith("max"):
-            return F.max(p)
-        raise ValueError(f"non-mergeable aggregate for salted_agg: {fn}")
-
     return partial.groupBy(*keys).agg(
-        *[_final(name, c).alias(name) for name, c in aggs.items()]
+        *[_MERGES[m](F.col(f"_p_{name}")).alias(name) for name, (m, _) in aggs.items()]
     )

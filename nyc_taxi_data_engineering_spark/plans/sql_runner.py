@@ -48,27 +48,34 @@ def run_sql_workflow(
     independent read-only SELECTs — those are submitted concurrently
     (Spark's scheduler runs jobs from separate threads side by side, so
     on a cluster the small check jobs fill the executors instead of
-    draining them one at a time). Results and fail_fast semantics keep
-    workflow order: violations are examined in step order, so the
-    raised step under fail_fast is the same one serial execution would
-    report — checks after it in the same batch merely ran (harmless:
-    checks are reads)."""
+    draining them one at a time). Error identity keeps workflow order:
+    each check captures its own outcome (result OR exception), and the
+    batch is then examined in step order, raising the FIRST failure —
+    so the surfaced error is the same one serial execution would
+    report even when a later check in the batch threw (e.g. a missing
+    view) while an earlier one merely had violations. Checks after the
+    failing step merely ran (harmless: checks are reads)."""
     results: list[SqlStepResult] = []
     for step in steps:
         if step.kind not in ("transform", "quality", "test"):
             raise ValueError(f"unknown step kind {step.kind!r} in {step.name!r}")
 
-    def _check(step: SqlStep) -> SqlStepResult:
-        count = int(spark.sql(step.sql).first()[0])
+    def _check(step: SqlStep) -> tuple[SqlStepResult | None, Exception | None]:
+        try:
+            count = int(spark.sql(step.sql).first()[0])
+        except Exception as exc:  # examined in step order by _flush
+            return None, exc
         status = "VIOLATIONS" if count > 0 else "OK"
-        return SqlStepResult(step.name, step.kind, status, count)
+        return SqlStepResult(step.name, step.kind, status, count), None
 
     def _flush(batch: list[SqlStep]) -> None:
         if not batch:
             return
         with ThreadPoolExecutor(max_workers=min(8, len(batch))) as pool:
             batch_results = list(pool.map(_check, batch))
-        for r in batch_results:
+        for r, exc in batch_results:
+            if exc is not None:
+                raise exc
             results.append(r)
             if r.status == "VIOLATIONS" and fail_fast:
                 raise SqlCheckFailure(

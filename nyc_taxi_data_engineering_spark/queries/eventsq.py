@@ -161,9 +161,9 @@ def q_events_user_stats_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev,
         ["user_id"],
         {
-            "n_events": F.count(F.lit(1)),
-            "total_value_dec": F.sum(F.col("value").cast("decimal(18,4)")),
-            "max_value": F.max("value"),
+            "n_events": ("sum", F.count(F.lit(1))),
+            "total_value_dec": ("sum", F.sum(F.col("value").cast("decimal(18,4)"))),
+            "max_value": ("max", F.max("value")),
         },
         salt_n=8,
         fingerprint_cols=["event_id"],

@@ -187,8 +187,8 @@ assign AS (
     SELECT vec_id, c_id,
            row_number() OVER (
                PARTITION BY vec_id
-               ORDER BY list_sum(list_transform(range(1, len(c.v) + 1), i -> c.v[i] * cent.cv[i]))
-                            / (c.nrm * cent.cnrm) DESC, c_id
+               ORDER BY round(list_sum(list_transform(range(1, len(c.v) + 1), i -> c.v[i] * cent.cv[i]))
+                            / (c.nrm * cent.cnrm), 6) DESC, c_id
            ) AS crank
     FROM n c, cent
 ),
@@ -229,7 +229,7 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cw = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("c_id"))
     assign = (
         corpus.crossJoin(F.broadcast(cent))
-        .select("vec_id", "c_id", ccos.alias("ccos"))
+        .select("vec_id", "c_id", F.round(ccos, 6).alias("ccos"))
         .withColumn("crank", F.row_number().over(cw))
     )
     lists = assign.filter(F.col("crank") == 1).select("vec_id", F.col("c_id").alias("list_id"))
@@ -442,8 +442,8 @@ assign AS (
     SELECT vec_id, c_id,
            row_number() OVER (
                PARTITION BY vec_id
-               ORDER BY list_sum(list_transform(range(1, len(c.v) + 1), i -> c.v[i] * cent.cv[i]))
-                            / (c.nrm * cent.cnrm) DESC, c_id
+               ORDER BY round(list_sum(list_transform(range(1, len(c.v) + 1), i -> c.v[i] * cent.cv[i]))
+                            / (c.nrm * cent.cnrm), 6) DESC, c_id
            ) AS crank
     FROM n c, cent
 ),
@@ -475,9 +475,12 @@ def q_semantic_dedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-pairs as the corpus grows. Assignment is one broadcast pass
     (k centroid vectors ≪ executor memory even at 10^12 rows →
     k = 10^6 × 64 floats = 256 MB; shard the codebook if beyond).
-    Cosines are rounded to 6 decimals BEFORE the τ comparison on both
-    engines so a 1-ulp fold difference can't flip a keep/drop at the
-    boundary. Runs over the planted corpus (organic pairs top out at
+    BOTH cosines — the pairwise one before the τ comparison AND the
+    centroid-assignment one feeding the row_number ranking — are
+    rounded to 6 decimals on both engines, so a 1-ulp fold difference
+    can flip neither a keep/drop at the boundary nor a near-tie
+    cluster assignment (which would silently move a vector's whole
+    prune neighborhood). Runs over the planted corpus (organic pairs top out at
     cos ~0.52, so the planted twins are what makes the prune
     observable)."""
     base_n = load_table(spark, sf_dir, "embeddings").count()
@@ -490,7 +493,7 @@ def q_semantic_dedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     cw = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("c_id"))
     lists = (
         corpus.crossJoin(F.broadcast(cent))
-        .select("vec_id", "c_id", ccos.alias("ccos"))
+        .select("vec_id", "c_id", F.round(ccos, 6).alias("ccos"))
         .withColumn("crank", F.row_number().over(cw))
         .filter(F.col("crank") == 1)
         .select("vec_id", F.col("c_id").alias("cluster_id"))

@@ -76,6 +76,24 @@ def test_sql_runner_fail_fast(spark, sf_dir):
     assert res[0].status == "VIOLATIONS" and res[0].violations > 0
 
 
+def test_sql_runner_error_identity_in_concurrent_batch(spark, sf_dir):
+    """A later check erroring (missing view) in the same concurrent
+    batch must not mask the SqlCheckFailure an earlier-ordered
+    violating check would raise serially."""
+    from nyc_taxi_data_engineering_spark.catalog import register_views
+
+    register_views(spark, sf_dir, ("lineitem",))
+    steps = [
+        SqlStep("violates_first", "test", "SELECT COUNT(*) FROM lineitem WHERE l_quantity > 0"),
+        SqlStep("errors_second", "test", "SELECT COUNT(*) FROM no_such_view_xyz"),
+    ]
+    with pytest.raises(SqlCheckFailure, match="violates_first"):
+        run_sql_workflow(spark, steps, fail_fast=True)
+    # serially-first ERROR still surfaces when nothing earlier violates
+    with pytest.raises(Exception, match="no_such_view_xyz|NOT_FOUND|cannot be found"):
+        run_sql_workflow(spark, steps[::-1], fail_fast=True)
+
+
 def test_csv_json_roundtrip(spark, tmp_path):
     df = spark.createDataFrame([(1, "a"), (2, "b")], "id int, name string")
     write_csv(df, str(tmp_path / "csv"))

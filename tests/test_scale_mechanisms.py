@@ -55,7 +55,7 @@ def test_salted_agg_equals_plain_agg(spark):
         for r in skew.salted_agg(
             fact,
             ["k"],
-            {"n": F.count("*"), "s": F.sum("v"), "mx": F.max("v")},
+            {"n": ("sum", F.count("*")), "s": ("sum", F.sum("v")), "mx": ("max", F.max("v"))},
             salt_n=8,
             fingerprint_cols=["row_id"],
         ).collect()

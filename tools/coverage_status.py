@@ -30,7 +30,10 @@ def main() -> None:
 
     reg = registry()
     sampled: dict[str, str] = {}  # name -> latest round with all-green entry
-    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+    paths = glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))
+    # sort numerically by round — lexicographic order would put an
+    # unpadded r10 before r2 and mislabel the latest green round
+    for path in sorted(paths, key=lambda p: int(re.search(r"r(\d+)", os.path.basename(p)).group(1))):
         rnd = re.search(r"r(\d+)", os.path.basename(path)).group(1)
         with open(path) as f:
             data = json.load(f)
