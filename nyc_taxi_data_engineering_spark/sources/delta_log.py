@@ -19,9 +19,20 @@ Scale notes:
   a real Delta commit has. The JSON commit is one small driver-side
   file append; readers replay the log (O(total actions)) and then
   scan ONLY the active files — time travel never copies data.
-- Parquet checkpoints (the log-compaction optimization for
-  1000+-commit tables) are out of scope here; the replay loop is the
-  documented fallback every Delta reader implements.
+- Parquet CHECKPOINTS (since round 5): every ``CHECKPOINT_INTERVAL``
+  commits the replayed state snapshots to
+  ``<version>.checkpoint.parquet`` and ``_last_checkpoint`` points at
+  it (the real protocol's layout); readers start from the newest
+  checkpoint at-or-before their target version and replay only the
+  JSON commits after it, so replay cost is O(interval), not O(table
+  age). JSON commits are retained, so time travel BEFORE the
+  checkpoint still replays from version 0.
+- Commit CONFLICTS: version files are published with an atomic
+  hard-link create — two writers racing to the same version see
+  exactly one winner; the loser's already-promoted data files are
+  rolled back (deleted) so no orphans accumulate. ``vacuum_delta``
+  still assumes no write is mid-promotion while it runs (the same
+  single-vacuum assumption real Delta makes).
 """
 
 from __future__ import annotations
@@ -31,11 +42,50 @@ import os
 import time
 import uuid
 
+import pyarrow as pa
+import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
 
 LOG_DIR = "_delta_log"
 PROTOCOL = {"minReaderVersion": 1, "minWriterVersion": 2}
+CHECKPOINT_INTERVAL = 10  # commits per checkpoint — Delta's default cadence
+
+# Checkpoint row layout: one action per row, exactly one of the three
+# columns non-null — the real checkpoint's column shape, minus the
+# always-empty map fields (partitionValues / format.options /
+# configuration; this writer never populates them, see write_delta).
+_CP_SCHEMA = pa.schema(
+    [
+        pa.field(
+            "protocol",
+            pa.struct([("minReaderVersion", pa.int32()), ("minWriterVersion", pa.int32())]),
+        ),
+        pa.field(
+            "metaData",
+            pa.struct(
+                [
+                    ("id", pa.string()),
+                    ("format", pa.struct([("provider", pa.string())])),
+                    ("schemaString", pa.string()),
+                    ("partitionColumns", pa.list_(pa.string())),
+                    ("createdTime", pa.int64()),
+                ]
+            ),
+        ),
+        pa.field(
+            "add",
+            pa.struct(
+                [
+                    ("path", pa.string()),
+                    ("size", pa.int64()),
+                    ("modificationTime", pa.int64()),
+                    ("dataChange", pa.bool_()),
+                ]
+            ),
+        ),
+    ]
+)
 
 
 class DeltaLogError(RuntimeError):
@@ -70,9 +120,27 @@ def _read_commit(table_path: str, version: int) -> list[dict]:
         return [json.loads(line) for line in f if line.strip()]
 
 
-def _replay(table_path: str, version_as_of: int | None = None) -> tuple[list[str], StructType]:
-    """Replay the log up to ``version_as_of`` (inclusive; latest if
-    None) → (active data file paths, schema)."""
+def _last_checkpoint_path(table_path: str) -> str:
+    return os.path.join(_log_dir(table_path), "_last_checkpoint")
+
+
+def _read_last_checkpoint(table_path: str) -> int | None:
+    try:
+        with open(_last_checkpoint_path(table_path)) as f:
+            return int(json.load(f)["version"])
+    except FileNotFoundError:
+        return None
+
+
+def _replay_state(
+    table_path: str, version_as_of: int | None = None
+) -> dict:
+    """Replay to ``version_as_of`` (inclusive; latest if None) →
+    ``{"version", "adds" (path -> add action), "metaData" (action
+    dict), "protocol"}``. Starts from the newest checkpoint at or
+    before the target version when one exists (O(interval) JSON reads
+    instead of O(table age)); targets BEFORE the checkpoint replay the
+    retained JSON commits from version 0."""
     latest = latest_version(table_path)
     if latest is None:
         raise DeltaLogError(f"not a Delta table (no {LOG_DIR}): {table_path}")
@@ -81,21 +149,91 @@ def _replay(table_path: str, version_as_of: int | None = None) -> tuple[list[str
         raise DeltaLogError(
             f"versionAsOf {upto} out of range [0, {latest}] for {table_path}"
         )
-    active: dict[str, bool] = {}
-    schema: StructType | None = None
-    for v in range(upto + 1):
+    adds: dict[str, dict] = {}
+    meta: dict | None = None
+    protocol: dict | None = None
+    start = 0
+    cp = _read_last_checkpoint(table_path)
+    if cp is not None and cp <= upto:
+        cp_file = os.path.join(_log_dir(table_path), f"{cp:020d}.checkpoint.parquet")
+        for row in pq.read_table(cp_file).to_pylist():
+            if row.get("protocol") is not None:
+                protocol = row["protocol"]
+            elif row.get("metaData") is not None:
+                meta = dict(row["metaData"])
+                meta.setdefault("configuration", {})
+            elif row.get("add") is not None:
+                a = dict(row["add"])
+                a.setdefault("partitionValues", {})
+                adds[a["path"]] = a
+        start = cp + 1
+    for v in range(start, upto + 1):
         for action in _read_commit(table_path, v):
             if "metaData" in action:
-                schema = StructType.fromJson(
-                    json.loads(action["metaData"]["schemaString"])
-                )
+                meta = action["metaData"]
+            elif "protocol" in action:
+                protocol = action["protocol"]
             elif "add" in action:
-                active[action["add"]["path"]] = True
+                adds[action["add"]["path"]] = action["add"]
             elif "remove" in action:
-                active.pop(action["remove"]["path"], None)
-    if schema is None:
+                adds.pop(action["remove"]["path"], None)
+    if meta is None:
         raise DeltaLogError(f"no metaData action in log of {table_path}")
-    return [os.path.join(table_path, p) for p in active], schema
+    return {"version": upto, "adds": adds, "metaData": meta, "protocol": protocol}
+
+
+def _replay(table_path: str, version_as_of: int | None = None) -> tuple[list[str], StructType]:
+    """Replay → (active data file paths, schema)."""
+    state = _replay_state(table_path, version_as_of)
+    schema = StructType.fromJson(json.loads(state["metaData"]["schemaString"]))
+    return [os.path.join(table_path, p) for p in state["adds"]], schema
+
+
+def write_checkpoint(table_path: str, version: int | None = None) -> str:
+    """Snapshot the replayed state at ``version`` (latest if None) to
+    ``<version>.checkpoint.parquet`` and point ``_last_checkpoint`` at
+    it. One row per live action (protocol, metaData, every active
+    add). Returns the checkpoint file path."""
+    state = _replay_state(table_path, version)
+    v = state["version"]
+    rows: list[dict] = []
+    if state["protocol"] is not None:
+        rows.append({"protocol": state["protocol"]})
+    m = state["metaData"]
+    rows.append(
+        {
+            "metaData": {
+                "id": m.get("id"),
+                "format": {"provider": m.get("format", {}).get("provider", "parquet")},
+                "schemaString": m.get("schemaString"),
+                "partitionColumns": m.get("partitionColumns", []),
+                "createdTime": m.get("createdTime"),
+            }
+        }
+    )
+    for a in state["adds"].values():
+        rows.append(
+            {
+                "add": {
+                    "path": a["path"],
+                    "size": a.get("size"),
+                    "modificationTime": a.get("modificationTime"),
+                    "dataChange": a.get("dataChange", True),
+                }
+            }
+        )
+    cp_file = os.path.join(_log_dir(table_path), f"{v:020d}.checkpoint.parquet")
+    pq.write_table(pa.Table.from_pylist(rows, schema=_CP_SCHEMA), cp_file)
+    tmp = _last_checkpoint_path(table_path) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"version": v, "size": len(rows)}, f)
+    os.replace(tmp, _last_checkpoint_path(table_path))
+    return cp_file
+
+
+def _maybe_checkpoint(table_path: str, version: int) -> None:
+    if version > 0 and version % CHECKPOINT_INTERVAL == 0:
+        write_checkpoint(table_path, version)
 
 
 def read_delta_log(
@@ -149,28 +287,59 @@ def _promote_staged_files(staging: str, table_path: str) -> list[dict]:
 
 
 def _write_commit(table_path: str, version: int, actions: list[dict]) -> None:
+    """Publish commit ``version`` with an atomic create: the content is
+    staged to a tmp file and hard-linked to the final name — link(2)
+    fails with EEXIST if the version already exists, so two writers
+    racing to the same version see exactly one winner AND readers never
+    observe a partial commit file (put-if-absent, the Delta commit
+    contract on a filesystem)."""
     os.makedirs(_log_dir(table_path), exist_ok=True)
     path = _commit_path(table_path, version)
-    if os.path.exists(path):
-        raise DeltaLogError(f"concurrent commit: version {version} already exists")
-    tmp = path + ".tmp"
+    tmp = path + f".{uuid.uuid4().hex}.tmp"
     with open(tmp, "w") as f:
         for a in actions:
             f.write(json.dumps(a, separators=(",", ":")) + "\n")
-    os.replace(tmp, path)  # atomic publish — the Delta commit contract
+    try:
+        os.link(tmp, path)
+    except FileExistsError:
+        raise DeltaLogError(
+            f"concurrent commit: version {version} already exists"
+        ) from None
+    finally:
+        os.remove(tmp)
+
+
+def _rollback_promoted(table_path: str, adds: list[dict]) -> None:
+    """Delete data files promoted into the table root by a commit that
+    then failed to publish (e.g. lost a version race) — without this,
+    the loser's files sit unreferenced until a vacuum."""
+    for a in adds:
+        try:
+            os.remove(os.path.join(table_path, a["path"]))
+        except FileNotFoundError:
+            pass
 
 
 def write_delta(df: DataFrame, table_path: str, mode: str = "overwrite") -> int:
     """S9/S10: versioned Delta sink. ``overwrite`` commits remove
     actions for every previously-active file plus adds for the new
     ones (logical replace — old versions stay readable); ``append``
-    commits adds only. Returns the committed version."""
+    commits adds only. The table id is minted at version 0 and REUSED
+    by every later metaData re-emission — identity-tracking readers
+    (streaming sources, catalogs) must not see an overwrite as a table
+    recreation. Returns the committed version; on a lost version race
+    the promoted files are rolled back and DeltaLogError raises."""
     if mode not in ("overwrite", "append"):
         raise ValueError(f"write_delta mode must be overwrite|append, got {mode!r}")
     prior = latest_version(table_path)
     version = 0 if prior is None else prior + 1
+    table_id = uuid.uuid4().hex
     if prior is not None:
-        _, prior_schema = _replay(table_path)
+        prior_state = _replay_state(table_path)
+        table_id = prior_state["metaData"].get("id", table_id)
+        prior_schema = StructType.fromJson(
+            json.loads(prior_state["metaData"]["schemaString"])
+        )
         # Compare names + types, not nullability: a parquet read-back
         # relaxes every field to nullable, and Delta treats that as the
         # same table schema (real writers do the same containment check).
@@ -208,7 +377,7 @@ def write_delta(df: DataFrame, table_path: str, mode: str = "overwrite") -> int:
         actions.append(
             {
                 "metaData": {
-                    "id": uuid.uuid4().hex,
+                    "id": table_id,
                     "format": {"provider": "parquet", "options": {}},
                     "schemaString": df.schema.json(),
                     "partitionColumns": [],
@@ -230,7 +399,12 @@ def write_delta(df: DataFrame, table_path: str, mode: str = "overwrite") -> int:
                 }
             )
     actions.extend({"add": a} for a in adds)
-    _write_commit(table_path, version, actions)
+    try:
+        _write_commit(table_path, version, actions)
+    except Exception:
+        _rollback_promoted(table_path, adds)
+        raise
+    _maybe_checkpoint(table_path, version)
     return version
 
 
@@ -267,7 +441,12 @@ def compact_delta(
         a["dataChange"] = False
         actions.append({"add": a})
     version = prior + 1
-    _write_commit(table_path, version, actions)
+    try:
+        _write_commit(table_path, version, actions)
+    except Exception:
+        _rollback_promoted(table_path, adds)
+        raise
+    _maybe_checkpoint(table_path, version)
     return version
 
 
@@ -276,7 +455,10 @@ def vacuum_delta(table_path: str, keep_last: int = 1) -> list[str]:
     the last ``keep_last`` snapshots. Time travel older than the
     retention window stops working afterwards — the same trade real
     Delta VACUUM makes (default 7-day retention there; version-based
-    here because the tests need determinism). Returns deleted paths."""
+    here because the tests need determinism). Assumes no writer is
+    mid-promotion while it runs (a concurrent writer's just-promoted,
+    not-yet-committed files would look unreferenced) — the standard
+    single-vacuum operational assumption. Returns deleted paths."""
     latest = latest_version(table_path)
     if latest is None:
         raise DeltaLogError(f"not a Delta table: {table_path}")

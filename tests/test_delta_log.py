@@ -141,6 +141,84 @@ def test_optimize_compacts_without_changing_rows(spark, table):
     assert _ids(D.read_delta_log(spark, table, version_as_of=2)) == [9]
 
 
+def test_concurrent_commit_rejected_and_rolled_back(spark, table, monkeypatch):
+    """A writer losing the version race — the conflicting commit lands
+    AFTER this writer picked its version, while it is promoting files —
+    must raise DeltaLogError and delete its already-promoted data files
+    (no orphans)."""
+    real_promote = D._promote_staged_files
+
+    def promote_then_lose_race(staging, table_path):
+        adds = real_promote(staging, table_path)
+        with open(os.path.join(table_path, "_delta_log", f"{3:020d}.json"), "w") as f:
+            f.write('{"commitInfo":{"operation":"WRITE"}}\n')
+        return adds
+
+    monkeypatch.setattr(D, "_promote_staged_files", promote_then_lose_race)
+    files_before = {n for n in os.listdir(table) if n.endswith(".parquet")}
+    with pytest.raises(D.DeltaLogError, match="concurrent commit"):
+        D.write_delta(
+            spark.createDataFrame([(7, "x")], "id long, s string"), table, mode="append"
+        )
+    # the loser's promoted files are rolled back; no tmp/staging litter
+    assert {n for n in os.listdir(table) if n.endswith(".parquet")} == files_before
+    assert not [n for n in os.listdir(table) if ".tmp" in n or n.startswith(".staging")]
+    log_litter = [n for n in os.listdir(os.path.join(table, "_delta_log")) if ".tmp" in n]
+    assert not log_litter
+
+
+def test_table_id_stable_across_overwrites(table):
+    """Every metaData re-emission must reuse the v0 table id — readers
+    tracking table identity must not see an overwrite as a recreation."""
+    ids = set()
+    for v in (0, 2):  # the two commits that carry metaData
+        with open(os.path.join(table, "_delta_log", f"{v:020d}.json")) as f:
+            ids |= {json.loads(line)["metaData"]["id"] for line in f if '"metaData"' in line}
+    assert len(ids) == 1
+
+
+def test_checkpoint_replay_equals_full_replay(spark, tmp_path):
+    """Cross the checkpoint interval: _last_checkpoint must exist, the
+    post-checkpoint read must start from it (O(interval) replay), and
+    both it and pre-checkpoint time travel must match full-JSON
+    replay."""
+    path = str(tmp_path / "cp_tbl")
+    for v in range(CHECK := D.CHECKPOINT_INTERVAL + 2):
+        mode = "overwrite" if v % 3 == 0 else "append"
+        D.write_delta(
+            spark.createDataFrame([(v, f"r{v}")], "id long, s string"), path, mode=mode
+        )
+    cp = D._read_last_checkpoint(path)
+    assert cp == D.CHECKPOINT_INTERVAL
+    assert os.path.exists(
+        os.path.join(path, "_delta_log", f"{cp:020d}.checkpoint.parquet")
+    )
+    # latest read goes through the checkpoint path
+    latest_ids = _ids(D.read_delta_log(spark, path))
+    # recompute expected from pure JSON replay semantics
+    want = []
+    for v in range(CHECK):
+        if v % 3 == 0:
+            want = [v]
+        else:
+            want.append(v)
+    assert latest_ids == sorted(want)
+    # time travel BEFORE the checkpoint still works (JSON retained)
+    assert _ids(D.read_delta_log(spark, path, version_as_of=2)) == [0, 1, 2]
+    # and AT the checkpoint version
+    at_cp = _ids(D.read_delta_log(spark, path, version_as_of=cp))
+    want_cp = []
+    for v in range(cp + 1):
+        if v % 3 == 0:
+            want_cp = [v]
+        else:
+            want_cp.append(v)
+    assert at_cp == sorted(want_cp)
+    # explicit checkpoint at an arbitrary version is also readable
+    D.write_checkpoint(path)
+    assert _ids(D.read_delta_log(spark, path)) == latest_ids
+
+
 def test_vacuum_deletes_only_unreferenced_files(spark, table):
     D.compact_delta(spark, table, target_files=1)
     deleted = D.vacuum_delta(table, keep_last=1)
