@@ -64,6 +64,11 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                # measurement regime, so cross-round comparisons can detect
+                # apples-to-oranges (r1-r3 records were single-shot: no
+                # "regime" key). tools/bench_compare.py warns on mismatch.
+                "regime": "median-noop",
+                "reps": reps,
             }
         )
     )

@@ -9,6 +9,7 @@ Usage: python tools/bench_compare.py BASE.json NEW.json
 from __future__ import annotations
 
 import json
+import re
 import sys
 
 # bench.py reports per-query medians (of 3), so round-over-round noise
@@ -17,16 +18,36 @@ import sys
 FLAG_RATIO = 1.25
 
 
-def _queries(path: str) -> dict[str, float]:
+def _load(path: str) -> dict:
     with open(path) as f:
         doc = json.load(f)
     if "parsed" in doc:  # driver-recorded BENCH_r{N}.json wraps the bench line
         doc = doc["parsed"]
-    return doc["queries"]
+    return doc
+
+
+def _regime(doc: dict, path: str) -> str:
+    """Records since round 5 embed "regime"; older driver records are
+    classified by round number — the median-of-3 harness landed in r4
+    (BASELINE.md 'Bench regime'), so r1-r3 were single-shot."""
+    if "regime" in doc:
+        return doc["regime"]
+    m = re.search(r"r(\d+)", path)
+    if m:
+        return "single-shot" if int(m.group(1)) <= 3 else "median-noop"
+    return "unknown"
 
 
 def main() -> int:
-    base, new = _queries(sys.argv[1]), _queries(sys.argv[2])
+    base_doc, new_doc = _load(sys.argv[1]), _load(sys.argv[2])
+    base, new = base_doc["queries"], new_doc["queries"]
+    if _regime(base_doc, sys.argv[1]) != _regime(new_doc, sys.argv[2]):
+        print(
+            f"WARNING: cross-regime comparison — base is {_regime(base_doc, sys.argv[1])!r}, "
+            f"new is {_regime(new_doc, sys.argv[2])!r}; medians of warm repeats drop first-run "
+            "page-cache/codegen cost, so ratios below overstate improvement "
+            "(see BASELINE.md 'Bench regime')."
+        )
     flagged = []
     print(f"{'query':<32} {'base_s':>8} {'new_s':>8} {'ratio':>6}")
     for q in sorted(set(base) | set(new)):
