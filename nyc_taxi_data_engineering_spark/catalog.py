@@ -72,7 +72,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
       oracle sees. Normalizing here — once, at the scan — keeps every
       downstream query free of per-site casts."""
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # engine sessions set this at build time (session.py); only a
+        # foreign session (e.g. the driver's) needs it set here, so the
+        # loader is a no-op on session state in the common path
+        if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(table_path(sf_dir, name))
         ts_type = dict(df.dtypes).get("ts")
         from pyspark.sql import functions as F

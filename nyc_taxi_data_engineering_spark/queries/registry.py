@@ -76,6 +76,7 @@ ROTATION: list[str] = [
     # -- new in round 5 --
     "media_decoded_stats",
     "media_thumbnails",
+    "delta_merge_upsert_nation",
     # -- last driver-green in r1 (8) --
     "events_sliding_stats",
     "events_user_sessions",

@@ -161,3 +161,51 @@ def q_delta_time_travel_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         nation.filter(nation.n_regionkey == 0), tbl, mode="overwrite"
     )  # v1: logical replace
     return D.read_delta_log(spark, tbl, version_as_of=0)
+
+
+@query(
+    "delta_merge_upsert_nation",
+    oracle="""
+SELECT n_nationkey, n_name || '_v2' AS n_name, n_regionkey
+FROM nation WHERE n_nationkey < 10
+UNION ALL
+SELECT n_nationkey, n_name, n_regionkey
+FROM nation WHERE n_nationkey >= 10
+UNION ALL
+SELECT n_nationkey + 100 AS n_nationkey, n_name || '_new' AS n_name, n_regionkey
+FROM nation WHERE n_nationkey < 3
+""",
+)
+def q_delta_merge_upsert_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO through the pure-Python Delta log (J8 full surface:
+    whenMatchedUpdateAll + whenNotMatchedInsertAll in one atomic
+    commit, reference scd2_delta_vendors.py:143-170): seed the table
+    with the nation dim, merge a source holding 10 updated rows
+    (n_name suffixed '_v2') and 3 brand-new keys (+100, '_new'), then
+    read the merged snapshot. The oracle reconstructs the exact
+    post-merge table from the base dim. History must show the MERGE
+    as one version on top of the seed (asserted in test_delta_log)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from nyc_taxi_data_engineering_spark.catalog import load_table
+    from nyc_taxi_data_engineering_spark.sources import delta_log as D
+
+    repo_tmp = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))), ".tmp")
+    tbl = os.path.join(repo_tmp, "delta_merge_nation")
+    shutil.rmtree(tbl, ignore_errors=True)
+    nation = load_table(spark, sf_dir, "nation")
+    key_t = nation.schema["n_nationkey"].dataType
+    D.write_delta(nation, tbl, mode="overwrite")
+    updates = nation.filter(F.col("n_nationkey") < 10).withColumn(
+        "n_name", F.concat(F.col("n_name"), F.lit("_v2"))
+    )
+    news = nation.filter(F.col("n_nationkey") < 3).select(
+        (F.col("n_nationkey") + 100).cast(key_t).alias("n_nationkey"),
+        F.concat(F.col("n_name"), F.lit("_new")).alias("n_name"),
+        "n_regionkey",
+    )
+    D.merge_delta(spark, tbl, updates.unionByName(news), on="n_nationkey")
+    return D.read_delta_log(spark, tbl)

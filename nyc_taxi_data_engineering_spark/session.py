@@ -49,6 +49,12 @@ def get_spark(
         # before the exchange — invisible at test SFs, material at
         # 100 TB where the filtered side prunes most of the scan.
         .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        # TIMESTAMP_NS parquet (the events table) reads as long nanos
+        # instead of erroring; catalog.load_table normalizes to
+        # TIMESTAMP. Set here so loaders never mutate session state on
+        # engine-built sessions (catalog.py falls back to setting it
+        # only for foreign sessions, e.g. the driver's).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
         .config("spark.ui.enabled", "false")

@@ -320,7 +320,9 @@ def _rollback_promoted(table_path: str, adds: list[dict]) -> None:
             pass
 
 
-def write_delta(df: DataFrame, table_path: str, mode: str = "overwrite") -> int:
+def write_delta(
+    df: DataFrame, table_path: str, mode: str = "overwrite", operation: str = "WRITE"
+) -> int:
     """S9/S10: versioned Delta sink. ``overwrite`` commits remove
     actions for every previously-active file plus adds for the new
     ones (logical replace — old versions stay readable); ``append``
@@ -365,7 +367,7 @@ def write_delta(df: DataFrame, table_path: str, mode: str = "overwrite") -> int:
         {
             "commitInfo": {
                 "timestamp": now_ms,
-                "operation": "WRITE",
+                "operation": operation,
                 "operationParameters": {"mode": mode.upper()},
             }
         }
@@ -406,6 +408,61 @@ def write_delta(df: DataFrame, table_path: str, mode: str = "overwrite") -> int:
         raise
     _maybe_checkpoint(table_path, version)
     return version
+
+
+def merge_delta(
+    spark: SparkSession,
+    table_path: str,
+    source: DataFrame,
+    on: str | list[str],
+    when_matched: str = "update",
+    when_not_matched: str = "insert",
+) -> int:
+    """MERGE INTO on the pure-Python log (J8 — the reference's
+    ``DeltaTable.merge`` surface, ``scd2_delta_vendors.py:143-170``):
+    whenMatchedUpdateAll / whenMatchedDelete / whenNotMatchedInsertAll
+    re-expressed as DataFrame ops and committed atomically as ONE new
+    version with operation MERGE.
+
+    Target rows matched by the ``on`` keys are replaced by their source
+    row (``when_matched='update'``), dropped (``'delete'``), or kept
+    (``'ignore'``); unmatched target rows always carry; unmatched
+    source rows insert (``when_not_matched='insert'``) or don't
+    (``'ignore'``). Early-exits WITHOUT committing when the merge
+    cannot change the table (the reference's ``take(1)`` probe, O3).
+
+    Scale shape: one anti-join (carry) + one semi/anti join per clause,
+    all keyed equi-joins on the merge keys — the same shuffle a real
+    MERGE's find-touched-files + rewrite does, minus file-level
+    pruning. Returns the committed (or current, on no-op) version."""
+    if when_matched not in ("update", "delete", "ignore"):
+        raise ValueError(f"when_matched must be update|delete|ignore, got {when_matched!r}")
+    if when_not_matched not in ("insert", "ignore"):
+        raise ValueError(f"when_not_matched must be insert|ignore, got {when_not_matched!r}")
+    keys = [on] if isinstance(on, str) else list(on)
+    target = read_delta_log(spark, table_path)
+    if when_matched == "ignore":  # matched target rows are kept as-is
+        carry = target
+    else:  # update replaces them with source rows; delete drops them
+        carry = target.join(source.select(*keys), keys, "left_anti")
+    parts = [carry]
+    touched = False
+    if when_matched == "update":
+        matched = source.join(target.select(*keys), keys, "left_semi")
+        touched = touched or bool(matched.take(1))
+        parts.append(matched.select(*target.columns))
+    elif when_matched == "delete":
+        touched = bool(target.join(source.select(*keys), keys, "left_semi").take(1))
+    if when_not_matched == "insert":
+        inserts = source.join(target.select(*keys), keys, "left_anti")
+        touched = touched or bool(inserts.take(1))
+        parts.append(inserts.select(*target.columns))
+    if not touched:
+        return latest_version(table_path)
+    result = parts[0]
+    for p in parts[1:]:
+        result = result.unionByName(p)
+    return write_delta(result, table_path, mode="overwrite", operation="MERGE")
 
 
 def compact_delta(

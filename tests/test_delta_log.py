@@ -219,6 +219,60 @@ def test_checkpoint_replay_equals_full_replay(spark, tmp_path):
     assert _ids(D.read_delta_log(spark, path)) == latest_ids
 
 
+def test_merge_update_insert_delete_semantics(spark, tmp_path):
+    """merge_delta's three clause combinations against hand-computed
+    expectations, each committed as ONE version with operation MERGE."""
+    path = str(tmp_path / "merge_tbl")
+    base = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k long, v string")
+    D.write_delta(base, path)
+    src = spark.createDataFrame([(2, "B2"), (4, "d")], "k long, v string")
+
+    v = D.merge_delta(spark, path, src, on="k")  # update + insert
+    assert v == 1
+    got = {(r["k"], r["v"]) for r in D.read_delta_log(spark, path).collect()}
+    assert got == {(1, "a"), (2, "B2"), (3, "c"), (4, "d")}
+    assert D.delta_log_history(path)[0]["operation"] == "MERGE"
+
+    # matched-delete, no insert: drop k=2, ignore k=5
+    v = D.merge_delta(
+        spark, path,
+        spark.createDataFrame([(2, "x"), (5, "y")], "k long, v string"),
+        on="k", when_matched="delete", when_not_matched="ignore",
+    )
+    assert v == 2
+    got = {(r["k"], r["v"]) for r in D.read_delta_log(spark, path).collect()}
+    assert got == {(1, "a"), (3, "c"), (4, "d")}
+
+    # matched-ignore keeps the target's row, still inserts new keys
+    v = D.merge_delta(
+        spark, path,
+        spark.createDataFrame([(1, "CLOBBER"), (9, "i")], "k long, v string"),
+        on="k", when_matched="ignore",
+    )
+    assert v == 3
+    got = {(r["k"], r["v"]) for r in D.read_delta_log(spark, path).collect()}
+    assert got == {(1, "a"), (3, "c"), (4, "d"), (9, "i")}
+
+    # pre-merge versions stay readable (time travel across MERGEs)
+    assert {(r["k"], r["v"]) for r in D.read_delta_log(spark, path, version_as_of=0).collect()} == {
+        (1, "a"), (2, "b"), (3, "c"),
+    }
+
+
+def test_merge_noop_does_not_commit(spark, tmp_path):
+    """A merge that cannot change the table (no matches to delete, no
+    unmatched source to insert) must early-exit without a commit —
+    the reference's take(1) probe (O3)."""
+    path = str(tmp_path / "noop_tbl")
+    D.write_delta(spark.createDataFrame([(1, "a")], "k long, v string"), path)
+    v = D.merge_delta(
+        spark, path,
+        spark.createDataFrame([(1, "whatever")], "k long, v string"),
+        on="k", when_matched="ignore", when_not_matched="insert",
+    )
+    assert v == 0 and D.latest_version(path) == 0
+
+
 def test_vacuum_deletes_only_unreferenced_files(spark, table):
     D.compact_delta(spark, table, target_files=1)
     deleted = D.vacuum_delta(table, keep_last=1)

@@ -1,11 +1,12 @@
-"""Scale probe: measure how the headline bench queries scale from
-sf0.1 to a synthetic sf1 (10x rows), confirming the slopes the plan
-assertions promise.
+"""Scale probe: measure how queries scale across synthetic decades —
+sf0.1 → sf1 (10x) for the headline bench set, and sf1 → sf10 (100x,
+documents/embeddings only) for the dedup/similarity families whose
+candidate-generation slopes are the 100 TB risk.
 
 The driver provides parquet only up to sf0.1 (TESTDATA.md, read-only),
-so sf1 is synthesized here by unioning 10 key-offset replicas of
+so bigger tiers are synthesized here from key-offset replicas of
 sf0.1 — every key column gets ``replica * 100_000_000`` so joins stay
-referentially intact and key cardinality grows 10x like a real scale-up.
+referentially intact and key cardinality grows Nx like a real scale-up.
 Two tables need more than an offset to keep their *similarity
 structure* scaling linearly instead of picking up artifacts:
 
@@ -26,10 +27,14 @@ structure* scaling linearly instead of picking up artifacts:
 ``region``/``nation`` stay at their fixed dimension sizes, exactly as
 TPC-H scale factors do.
 
-Usage: python tools/scale_probe.py  (writes BENCH_sf1.json + SCALE.md)
+Usage:
+  python tools/scale_probe.py                       # sf0.1 -> sf1, bench set
+  SPARK_GRAFT_SCALE_TIER=sf10 python tools/scale_probe.py
+      # sf1 -> sf10 (documents+embeddings only), dedup/similarity set;
+      # writes BENCH_sf10.json
 Env: SPARK_GRAFT_SCALE_REPS (default 3), SPARK_GRAFT_SCALE_REPLICAS (10),
-SPARK_GRAFT_SCALE_EXTRA (comma-separated non-headline registry queries
-to probe alongside the bench set).
+SPARK_GRAFT_SCALE_EXTRA (comma-separated registry queries to probe
+alongside the tier's default set).
 """
 
 from __future__ import annotations
@@ -52,7 +57,24 @@ from nyc_taxi_data_engineering_spark.session import get_spark  # noqa: E402
 
 SRC = "/root/testdata/sf0.1"
 OUT = os.path.join(REPO, ".scale_data", "sf1")
+OUT10 = os.path.join(REPO, ".scale_data", "sf10")
 OFFSET = 100_000_000
+
+# sf10 tier: the dedup/similarity candidate generators — the queries
+# whose slope at another decade is the 100 TB design risk. Only the
+# tables they read are built at 100 replicas.
+SF10_TABLES = ("documents", "embeddings")
+SF10_QUERIES = [
+    "exact_dedup_docs",
+    "ngram_jaccard_pairs",
+    "minhash_lsh_pairs",
+    "simhash_docs",
+    "simhash_neardup_pairs",
+    "dedup_clusters_docs",
+    "ann_cosine_topk",
+    "ann_lsh_topk",
+    "embedding_neardup_pairs",
+]
 
 # Key columns to offset per table (dims region/nation excluded: fixed size).
 KEY_COLS = {
@@ -69,43 +91,53 @@ KEY_COLS = {
 N_FILES = {"lineitem": 16, "orders": 8, "events": 8, "documents": 8, "embeddings": 8}
 
 
-def _replica(df, table: str, i: int):
-    out = df
+def _replicated(spark, src, table: str, replicas: int):
+    """All ``replicas`` key-offset copies of one table as a SINGLE
+    crossJoin-with-replica-ids plan — a 100-branch union would make
+    analysis, not the data, the bottleneck. Replica 0 is bit-identical
+    to the source; replica i>0 gets the vocabulary rename (documents) /
+    the deterministic perturbation (embeddings) described above."""
+    rep = spark.range(replicas).select(F.col("id").cast("int").alias("_rep"))
+    out = src.crossJoin(F.broadcast(rep))
     for c in KEY_COLS.get(table, []):
-        out = out.withColumn(c, F.col(c) + F.lit(i * OFFSET))
-    if i == 0:
-        return out
+        out = out.withColumn(c, F.col(c) + F.col("_rep").cast("long") * F.lit(OFFSET))
     if table == "documents":
-        renamed = F.expr(
-            f"array_join(transform(split(text, ' '), w -> concat(w, '~{i}')), ' ')"
+        renamed = (
+            "CASE WHEN _rep = 0 THEN text ELSE "
+            "array_join(transform(split(text, ' '), w -> concat(w, '~', _rep)), ' ') END"
         )
-        out = out.withColumn("text", renamed).withColumn("n_chars", F.length("text"))
+        out = out.withColumn("text", F.expr(renamed)).withColumn("n_chars", F.length("text"))
     elif table == "embeddings":
-        noise = (
-            f"cast(pmod(xxhash64(vec_id, {i}, j), 2000) - 1000 as double) / 1000000.0"
-        )
+        noise = "cast(pmod(xxhash64(vec_id, _rep, j), 2000) - 1000 as double) / 1000000.0"
         out = out.withColumn(
             "embedding",
-            F.expr(f"transform(embedding, (x, j) -> cast(x + {noise} as float))"),
+            F.expr(
+                "CASE WHEN _rep = 0 THEN embedding ELSE "
+                f"transform(embedding, (x, j) -> cast(x + {noise} as float)) END"
+            ),
         )
-    return out
+    return out.drop("_rep")
 
 
-def build(spark, replicas: int) -> None:
-    if os.path.isdir(OUT):
-        shutil.rmtree(OUT)
-    for table in catalog.TABLES:
+def build(
+    spark,
+    replicas: int,
+    out_dir: str = OUT,
+    tables: tuple[str, ...] | None = None,
+    file_scale: int = 1,
+) -> None:
+    if os.path.isdir(out_dir):
+        shutil.rmtree(out_dir)
+    for table in tables if tables is not None else catalog.TABLES:
         src = catalog.load_table(spark, SRC, table)
         if table in ("region", "nation"):
             out = src
         else:
-            out = _replica(src, table, 0)
-            for i in range(1, replicas):
-                out = out.unionByName(_replica(src, table, i))
+            out = _replicated(spark, src, table, replicas)
         if table in N_FILES:
-            out = out.repartition(N_FILES[table])
-        out.write.mode("overwrite").parquet(os.path.join(OUT, f"{table}.parquet"))
-        print(f"built {table}", file=sys.stderr)
+            out = out.repartition(N_FILES[table] * file_scale)
+        out.write.mode("overwrite").parquet(os.path.join(out_dir, f"{table}.parquet"))
+        print(f"built {table} ({out_dir})", file=sys.stderr)
 
 
 def _run(fn, spark, sf_dir: str) -> float:
@@ -114,40 +146,65 @@ def _run(fn, spark, sf_dir: str) -> float:
     return time.perf_counter() - t0
 
 
-def main() -> None:
-    reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "3"))
-    replicas = int(os.environ.get("SPARK_GRAFT_SCALE_REPLICAS", "10"))
-    spark = get_spark("scale_probe")
-    build(spark, replicas)
-
-    qs = bench_queries()
-    extra = [n for n in os.environ.get("SPARK_GRAFT_SCALE_EXTRA", "").split(",") if n]
-    if extra:
-        reg = all_queries()
-        qs.update({n: reg[n] for n in extra})
+def _probe(qs, spark, small_dir, big_dir, reps, small_label, big_label):
     warm = qs.get("daily_vendor_revenue") or next(iter(qs.values()))
-    _run(warm, spark, SRC)
-    _run(warm, spark, OUT)
-
+    _run(warm, spark, small_dir)
+    _run(warm, spark, big_dir)
     small, big = {}, {}
     for name in sorted(qs):
-        small[name] = round(statistics.median(_run(qs[name], spark, SRC) for _ in range(reps)), 3)
-        big[name] = round(statistics.median(_run(qs[name], spark, OUT) for _ in range(reps)), 3)
-        print(f"{name}: sf0.1={small[name]}s sf1={big[name]}s", file=sys.stderr)
+        small[name] = round(statistics.median(_run(qs[name], spark, small_dir) for _ in range(reps)), 3)
+        big[name] = round(statistics.median(_run(qs[name], spark, big_dir) for _ in range(reps)), 3)
+        print(f"{name}: {small_label}={small[name]}s {big_label}={big[name]}s", file=sys.stderr)
+    return small, big
 
-    slopes = {n: round(big[n] / small[n], 2) for n in small}
-    result = {
-        "metric": "sf1_bench_seconds",
-        "value": round(sum(big.values()), 3),
-        "unit": "sec",
-        "queries": big,
-        "sf": 1.0,
-        "replicas": replicas,
-        "reps": reps,
-        "sf0.1_queries": small,
-        "slopes_x10_data": slopes,
-    }
-    with open(os.path.join(REPO, "BENCH_sf1.json"), "w") as f:
+
+def main() -> None:
+    reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "3"))
+    tier = os.environ.get("SPARK_GRAFT_SCALE_TIER", "sf1")
+    extra = [n for n in os.environ.get("SPARK_GRAFT_SCALE_EXTRA", "").split(",") if n]
+    spark = get_spark("scale_probe")
+
+    if tier == "sf10":
+        # one decade beyond sf1, documents/embeddings only: slopes are
+        # measured sf1 -> sf10 so each tier is a clean 10x step
+        reg = all_queries()
+        qs = {n: reg[n] for n in SF10_QUERIES + [e for e in extra if e not in SF10_QUERIES]}
+        build(spark, 10, OUT, tables=SF10_TABLES)
+        build(spark, 100, OUT10, tables=SF10_TABLES, file_scale=4)
+        small, big = _probe(qs, spark, OUT, OUT10, reps, "sf1", "sf10")
+        result = {
+            "metric": "sf10_bench_seconds",
+            "value": round(sum(big.values()), 3),
+            "unit": "sec",
+            "queries": big,
+            "sf": 10.0,
+            "replicas": 100,
+            "reps": reps,
+            "sf1_queries": small,
+            "slopes_x10_data": {n: round(big[n] / small[n], 2) for n in small},
+        }
+        out_name = "BENCH_sf10.json"
+    else:
+        replicas = int(os.environ.get("SPARK_GRAFT_SCALE_REPLICAS", "10"))
+        build(spark, replicas)
+        qs = bench_queries()
+        if extra:
+            reg = all_queries()
+            qs.update({n: reg[n] for n in extra})
+        small, big = _probe(qs, spark, SRC, OUT, reps, "sf0.1", "sf1")
+        result = {
+            "metric": "sf1_bench_seconds",
+            "value": round(sum(big.values()), 3),
+            "unit": "sec",
+            "queries": big,
+            "sf": 1.0,
+            "replicas": replicas,
+            "reps": reps,
+            "sf0.1_queries": small,
+            "slopes_x10_data": {n: round(big[n] / small[n], 2) for n in small},
+        }
+        out_name = "BENCH_sf1.json"
+    with open(os.path.join(REPO, out_name), "w") as f:
         json.dump(result, f, indent=2)
     print(json.dumps(result))
 
