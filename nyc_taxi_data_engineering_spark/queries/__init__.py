@@ -28,6 +28,7 @@ _MODULES = [
     "cdcq",
     "contamination",
     "scrubq",
+    "lmprep",
 ]
 
 _loaded = False

@@ -1,0 +1,176 @@
+"""LM-data-prep queries over ``documents`` (M7 training-data pipeline
+extensions, round 5): RAG chunking and corpus-level unigram-LM quality
+scoring (the CCNet-style perplexity filter, re-expressed without an
+external LM: the corpus itself is the unigram model).
+
+Both are native-expression plans — no Python UDFs. Oracles share the
+tokenizer definition with the Spark side via functions/text.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nyc_taxi_data_engineering_spark.catalog import load_table, load_table_parallel
+from nyc_taxi_data_engineering_spark.functions import text as T
+from nyc_taxi_data_engineering_spark.queries.registry import query
+
+# RAG chunking: fixed token windows with overlap (W - S tokens shared
+# between consecutive chunks). W > S so every token lands in >= 1 chunk.
+CHUNK_TOKENS = 32
+CHUNK_STRIDE = 24
+
+# Unigram LM: top-K vocabulary by corpus frequency; everything else is
+# one shared OOV class (class-based unigram smoothing). K is small here
+# so the synthetic corpus actually exercises the OOV path; at real scale
+# K ~ 2^16-2^20 keeps the vocab broadcast-able BY CONSTRUCTION — that is
+# the point of the cap, an unbounded vocab would not be.
+UNIGRAM_TOPK = 25
+# Log-perplexity buckets (avg -ln p per token, natural log).
+PPL_FLUENT = 3.13
+PPL_NORMAL = 3.21
+
+
+@query(
+    "doc_chunks_rag",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, {T.sql_tokens('text')} AS toks FROM documents
+), k AS (
+  SELECT doc_id, toks,
+         CASE WHEN len(toks) <= {CHUNK_TOKENS} THEN 1
+              ELSE cast(floor((len(toks) - {CHUNK_TOKENS} + {CHUNK_STRIDE - 1}) / {CHUNK_STRIDE}.0) as int) + 1
+         END AS n_chunks
+  FROM d
+)
+SELECT doc_id,
+       i AS chunk_id,
+       i * {CHUNK_STRIDE} + 1 AS start_token,
+       len(toks[i * {CHUNK_STRIDE} + 1 : i * {CHUNK_STRIDE} + {CHUNK_TOKENS}]) AS n_tokens,
+       array_to_string(toks[i * {CHUNK_STRIDE} + 1 : i * {CHUNK_STRIDE} + {CHUNK_TOKENS}], ' ') AS chunk_text,
+       md5(array_to_string(toks[i * {CHUNK_STRIDE} + 1 : i * {CHUNK_STRIDE} + {CHUNK_TOKENS}], ' ')) AS chunk_hash
+FROM k, unnest(generate_series(0, n_chunks - 1)) AS t(i)
+""",
+)
+def q_doc_chunks_rag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-style document chunking: fixed ``CHUNK_TOKENS``-token windows
+    every ``CHUNK_STRIDE`` tokens (8-token overlap), each chunk with its
+    1-based token offset and an md5 content hash for downstream
+    chunk-level dedup / embedding joins.
+
+    Scale shape: one projection + one explode — per-row, shuffle-free,
+    embarrassingly parallel. Chunk count is ceil((n-W)/S)+1 so no
+    degenerate tail chunk is fully contained in its predecessor, and
+    the last chunk always keeps >= W-S+1 fresh tokens.
+    """
+    W, S = CHUNK_TOKENS, CHUNK_STRIDE
+    toks = F.col("toks")
+    n = F.size(toks)
+    n_chunks = F.when(n <= W, F.lit(1)).otherwise(
+        (F.floor((n - W + (S - 1)) / S) + 1).cast("int")
+    )
+    start = F.col("chunk_id") * S + 1
+    chunk = F.slice(toks, start, F.lit(W))
+    return (
+        load_table_parallel(spark, sf_dir, "documents")
+        .select("doc_id", T.tokens(F.col("text")).alias("toks"))
+        .select("doc_id", "toks", F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"))
+        .select(
+            "doc_id",
+            "chunk_id",
+            start.alias("start_token"),
+            F.size(chunk).alias("n_tokens"),
+            F.array_join(chunk, " ").alias("chunk_text"),
+            F.md5(F.array_join(chunk, " ")).alias("chunk_hash"),
+        )
+    )
+
+
+@query(
+    "unigram_lm_scores",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest({T.sql_tokens('text')}) AS tok FROM documents
+), tok2 AS (
+  SELECT doc_id, tok FROM tok WHERE len(tok) > 0
+), tot AS (
+  SELECT cast(count(*) as double) AS n FROM tok2
+), topk AS (
+  SELECT tok, count(*) AS cnt FROM tok2 GROUP BY tok
+  ORDER BY cnt DESC, tok LIMIT {UNIGRAM_TOPK}
+), oov AS (
+  SELECT greatest((SELECT n FROM tot) - sum(cnt), 1) AS oov_cnt FROM topk
+), scored AS (
+  SELECT t.doc_id,
+         cast(round(-ln(coalesce(v.cnt, (SELECT oov_cnt FROM oov)) / (SELECT n FROM tot)), 6)
+              as decimal(18,6)) AS neg_logp,
+         CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END AS is_oov
+  FROM tok2 t LEFT JOIN topk v USING (tok)
+)
+SELECT doc_id,
+       count(*) AS n_tokens,
+       cast(sum(is_oov) as bigint) AS n_oov,
+       round(cast(sum(neg_logp) as double) / count(*), 6) AS avg_neg_logp,
+       CASE WHEN round(cast(sum(neg_logp) as double) / count(*), 6) < {PPL_FLUENT} THEN 'FLUENT'
+            WHEN round(cast(sum(neg_logp) as double) / count(*), 6) < {PPL_NORMAL} THEN 'NORMAL'
+            ELSE 'SUSPECT' END AS ppl_bucket
+FROM scored
+GROUP BY doc_id
+""",
+)
+def q_unigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-unigram log-perplexity per document — the CCNet-style LM
+    quality filter with the corpus itself as the model. Top-K vocabulary
+    by frequency (deterministic count-desc/token tiebreak, planned as
+    TakeOrderedAndProject — per-task local top-K, no global sort);
+    everything outside the top K shares one OOV probability mass, so the
+    vocab side is bounded at K rows and broadcast-able by construction at
+    any corpus size. Per-token -ln p is rounded to 6 dp and summed as
+    DECIMAL(18,6) so the cross-engine aggregate is order-independent and
+    exact (float sums are not associative; ln itself agrees across
+    engines to ~1 ulp, far inside the rounding guard).
+
+    Scale shape: explode -> hash-agg (map-side combine shrinks the
+    shuffle to the vocabulary) -> TakeOrdered top-K -> broadcast join
+    back -> one per-doc hash-agg. No window over a global order, no
+    collect.
+    """
+    K = UNIGRAM_TOPK
+    tok = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(T.tokens(F.col("text"))).alias("tok"))
+        .filter(F.length("tok") > 0)
+    )
+    topk = (
+        tok.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "tok")
+        .limit(K)
+    )
+    totals = (
+        tok.agg(F.count(F.lit(1)).cast("double").alias("n"))
+        .crossJoin(topk.agg(F.sum("cnt").alias("topk_cnt")))
+        .select("n", F.greatest(F.col("n") - F.col("topk_cnt"), F.lit(1)).alias("oov_cnt"))
+    )
+    scored = (
+        tok.join(F.broadcast(topk), "tok", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "doc_id",
+            F.round(-F.log(F.coalesce(F.col("cnt"), F.col("oov_cnt")) / F.col("n")), 6)
+            .cast("decimal(18,6)")
+            .alias("neg_logp"),
+            F.when(F.col("cnt").isNull(), F.lit(1)).otherwise(F.lit(0)).alias("is_oov"),
+        )
+    )
+    avg = F.round(F.sum("neg_logp").cast("double") / F.count(F.lit(1)), 6)
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("is_oov").cast("bigint").alias("n_oov"),
+        avg.alias("avg_neg_logp"),
+        F.when(avg < PPL_FLUENT, F.lit("FLUENT"))
+        .when(avg < PPL_NORMAL, F.lit("NORMAL"))
+        .otherwise(F.lit("SUSPECT"))
+        .alias("ppl_bucket"),
+    )

@@ -77,6 +77,8 @@ ROTATION: list[str] = [
     "media_decoded_stats",
     "media_thumbnails",
     "delta_merge_upsert_nation",
+    "doc_chunks_rag",
+    "unigram_lm_scores",
     # -- last driver-green in r1 (8) --
     "events_sliding_stats",
     "events_user_sessions",
