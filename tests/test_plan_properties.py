@@ -306,3 +306,27 @@ def test_salted_join_keys_include_salt(spark, sf_dir):
     plan = _plan(spark, sf_dir, "salted_enrich_order_priorities")
     join_lines = [line for line in plan.splitlines() if "Join [" in line or "Join Inner" in line or "HashJoin" in line]
     assert any("_salt" in line and "c_custkey" in line for line in join_lines), join_lines
+
+
+def test_chunking_is_shuffle_free(spark, sf_dir):
+    """doc_chunks_rag is a pure per-row explode: the only allowed
+    exchange is the fan-out RoundRobin repartition of the scan — no
+    hash shuffle, no join, no sort."""
+    plan = _plan(spark, sf_dir, "doc_chunks_rag")
+    assert "Generate explode" in plan
+    assert "hashpartitioning" not in plan
+    assert "Join" not in plan
+    assert "Sort" not in plan
+
+
+def test_unigram_vocab_join_broadcasts(spark, sf_dir):
+    """The per-token score join must broadcast the K-row vocab side —
+    a shuffled join here would re-shuffle the whole exploded corpus."""
+    plan = _plan(spark, sf_dir, "unigram_lm_scores")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # top-K vocabulary must not be a global sort
+    assert "TakeOrderedAndProject" in plan
+    # per-doc aggregate keeps map-side combine
+    assert "partial_sum" in plan
