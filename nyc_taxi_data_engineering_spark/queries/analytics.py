@@ -707,3 +707,58 @@ def q_customer_balance_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.cume_dist().over(w).alias("cume_dist"),
         F.ntile(10).over(w).alias("decile"),
     )
+
+
+@query(
+    "orders_grouping_sets_audit",
+    oracle=f"""
+SELECT COALESCE(n_name, '(all)') AS nation,
+       COALESCE(o_orderpriority, '(all)') AS priority,
+       CAST(grouping(n_name) * 2 + grouping(o_orderpriority) AS INT) AS gid,
+       COUNT(*) AS n_orders,
+       {stable_sum_sql('o_totalprice')} AS total_sales
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY GROUPING SETS ((n_name, o_orderpriority), (n_name), (o_orderpriority), ())
+""",
+)
+def q_orders_grouping_sets_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the general form behind ROLLUP/CUBE
+    (reference has neither; this completes the §2.4 grouping family):
+    (nation, priority), nation-only, priority-only, and grand total in
+    ONE aggregation pass, with grouping_id() disambiguating which set a
+    row belongs to (a '(all)' sentinel alone could not distinguish a
+    literal value from an aggregated-away slot).
+
+    Scale shape: Catalyst's Expand produces 4 rows per input into a
+    single partial+final hash aggregate — one shuffle regardless of how
+    many sets, same as the rollup/cube plans pinned in
+    test_grouping_sets_expand_once."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    base = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .select("n_name", "o_orderpriority", "o_totalprice")
+    )
+    return (
+        base.groupingSets(
+            [["n_name", "o_orderpriority"], ["n_name"], ["o_orderpriority"], []],
+            "n_name",
+            "o_orderpriority",
+        )
+        .agg(
+            F.grouping_id().cast("int").alias("gid"),
+            F.count("*").alias("n_orders"),
+            stable_sum("o_totalprice").alias("total_sales"),
+        )
+        .select(
+            F.coalesce(F.col("n_name"), F.lit("(all)")).alias("nation"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("(all)")).alias("priority"),
+            "gid",
+            "n_orders",
+            "total_sales",
+        )
+    )

@@ -79,6 +79,7 @@ ROTATION: list[str] = [
     "delta_merge_upsert_nation",
     "doc_chunks_rag",
     "unigram_lm_scores",
+    "orders_grouping_sets_audit",
     # -- last driver-green in r1 (8) --
     "events_sliding_stats",
     "events_user_sessions",

@@ -92,7 +92,10 @@ def test_event_windows_single_shuffle(spark, sf_dir, q):
     assert n_exchanges == 1, f"{q}: {n_exchanges} exchanges"
 
 
-@pytest.mark.parametrize("q", ["orders_rollup_nation_year", "orders_cube_priority_status"])
+@pytest.mark.parametrize(
+    "q",
+    ["orders_rollup_nation_year", "orders_cube_priority_status", "orders_grouping_sets_audit"],
+)
 def test_grouping_sets_expand_once(spark, sf_dir, q):
     """ROLLUP/CUBE must plan as ONE Expand + one aggregation shuffle —
     if Catalyst ever fell back to a union of per-set scans this would
