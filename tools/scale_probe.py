@@ -20,9 +20,17 @@ structure* scaling linearly instead of picking up artifacts:
   and is a trap: sorting by any global word order canonicalizes
   docs, turning shared-vocabulary docs into near-dups and blowing
   the candidate count quadratic.
-- ``embeddings``: replica i>0 vectors get a deterministic per-element
-  perturbation of at most ~1e-3 so replicas aren't bit-identical
-  (top-k ties would otherwise depend on row order).
+- ``embeddings``: replica i>0 vectors get a deterministic per-replica
+  Rademacher sign flip (multiply element j by ±1 from a hash of
+  (replica, j)) — a diagonal orthogonal transform, so intra-replica
+  norms and pairwise cosines are preserved EXACTLY (near-dup pair
+  volume scales linearly) while cross-replica cosines decorrelate
+  (std ~ 1/sqrt(dim) ≈ 0.125 at dim 64, far below any near-dup
+  threshold). A small perturbation instead of a rotation is a trap
+  that killed the first sf10 run: every vector then has N-1
+  near-identical cross-replica twins, candidate volume grows ~N² per
+  base vector (C(100,2) ≈ 5000x at 100 replicas), and the rescore
+  shuffle spills until the disk fills.
 
 ``region``/``nation`` stay at their fixed dimension sizes, exactly as
 TPC-H scale factors do.
@@ -108,12 +116,12 @@ def _replicated(spark, src, table: str, replicas: int):
         )
         out = out.withColumn("text", F.expr(renamed)).withColumn("n_chars", F.length("text"))
     elif table == "embeddings":
-        noise = "cast(pmod(xxhash64(vec_id, _rep, j), 2000) - 1000 as double) / 1000000.0"
+        sign = "cast(1 - 2 * pmod(xxhash64(_rep, j), 2) as float)"
         out = out.withColumn(
             "embedding",
             F.expr(
                 "CASE WHEN _rep = 0 THEN embedding ELSE "
-                f"transform(embedding, (x, j) -> cast(x + {noise} as float)) END"
+                f"transform(embedding, (x, j) -> cast(x * {sign} as float)) END"
             ),
         )
     return out.drop("_rep")
