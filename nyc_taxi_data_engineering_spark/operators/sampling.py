@@ -178,3 +178,46 @@ SELECT {cols}, ROUND(-ln({u}) / {weight_expr}, 9) AS rank_key
 FROM {table}
 ORDER BY -ln({u}) / {weight_expr}, {key_expr}
 LIMIT {k}"""
+
+
+def shuffle_shards(
+    df: DataFrame,
+    key: str,
+    n_shards: int,
+    seed: str = "",
+) -> DataFrame:
+    """Deterministic global shuffle into ``n_shards`` output shards —
+    the shuffle-and-shard step every pretraining run does before
+    writing token streams. Shard = hash bucket of the key; position
+    within the shard = rank by a SECOND, independent hash (md5 hex
+    sorts as a uniform pseudo-random order), tie-broken by key so the
+    permutation is total. Rerun-stable and layout-independent, unlike
+    ``orderBy(rand())``.
+
+    Scale shape: one hash exchange on (shard) + a per-shard sort —
+    exactly the shuffle a shard write needs anyway; no global sort,
+    no driver state. At 100 TB, size n_shards so a shard fits an
+    output file (thousands of shards → thousands of independent
+    sorts)."""
+    from pyspark.sql import Window
+
+    shard = hash_bucket(F.col(key), seed + "#shard", n_shards).alias("shard")
+    order_h = F.md5(F.concat_ws("|", F.lit(seed + "#order"), F.col(key).cast("string")))
+    w = Window.partitionBy("shard").orderBy(order_h, F.col(key))
+    return df.select("*", shard).withColumn("pos", F.row_number().over(w))
+
+
+def shuffle_shards_sql(
+    table: str,
+    key_expr: str,
+    n_shards: int,
+    cols: str,
+    seed: str = "",
+) -> str:
+    """DuckDB twin of :func:`shuffle_shards`."""
+    shard = hash_bucket_sql(key_expr, seed + "#shard", n_shards)
+    order_h = f"md5('{seed}#order' || '|' || CAST({key_expr} AS VARCHAR))"
+    return f"""
+SELECT {cols}, {shard} AS shard,
+       CAST(row_number() OVER (PARTITION BY {shard} ORDER BY {order_h}, {key_expr}) AS INT) AS pos
+FROM {table}"""

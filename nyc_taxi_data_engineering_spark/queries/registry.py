@@ -80,6 +80,7 @@ ROTATION: list[str] = [
     "doc_chunks_rag",
     "unigram_lm_scores",
     "orders_grouping_sets_audit",
+    "corpus_shuffle_shards",
     # -- last driver-green in r1 (8) --
     "events_sliding_stats",
     "events_user_sessions",

@@ -201,3 +201,22 @@ def q_sequence_packing_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").alias("bin_tokens"),
         F.min("doc_id").alias("first_doc_id"),
     )
+
+
+N_SHUFFLE_SHARDS = 8
+
+
+@query(
+    "corpus_shuffle_shards",
+    oracle=S.shuffle_shards_sql(
+        "documents", "doc_id", N_SHUFFLE_SHARDS, "doc_id, lang, source", seed="r5"
+    ),
+)
+def q_corpus_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic pre-training shuffle-and-shard: every document
+    gets a shard and a position from two independent md5 hashes of its
+    key — the same (shard, pos) on every rerun and any cluster layout.
+    The full assignment is the query output, so the oracle hash checks
+    every row's placement, not just shard counts."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    return S.shuffle_shards(docs, "doc_id", N_SHUFFLE_SHARDS, seed="r5")

@@ -333,3 +333,12 @@ def test_unigram_vocab_join_broadcasts(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
     # per-doc aggregate keeps map-side combine
     assert "partial_sum" in plan
+
+
+def test_shuffle_shards_single_exchange_per_shard_sort(spark, sf_dir):
+    """The deterministic shuffle must cost ONE hash exchange on the
+    shard key + per-shard sort — no global sort, no range exchange."""
+    plan = _plan(spark, sf_dir, "corpus_shuffle_shards")
+    assert sum(1 for l in plan.splitlines() if "Exchange hashpartitioning" in l) == 1
+    assert "rangepartitioning" not in plan
+    assert "Join" not in plan
