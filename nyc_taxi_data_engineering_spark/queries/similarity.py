@@ -261,8 +261,16 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 N_PLANTED = 32  # vec_id < 32 get a perturbed near-dup twin
 PLANT_OFFSET = 100_000
 NEARDUP_THRESHOLD = 0.95
-NEARDUP_BANDS = 8  # 8 bands x 8 sign bits cover all 64 dims
-NEARDUP_BAND_DIMS = 8
+# 4 bands x 16 sign bits cover all 64 dims. Band WIDTH is the scale
+# lever: candidate volume on organic (non-near-dup) data is
+# ~bands * n^2 / 2^width, so 8-bit bands hit n^2/256 — a quadratic
+# wall the sf10 probe measured as a >30 GB rescore spill at 200k
+# vectors. 16-bit bands push the wall out 256x (n^2/65536) while a
+# cos ~0.999 twin still collides in >= 1 band with p ~0.998
+# ((1-0.0142)^16 per band, 4 tries). Same fix as the r4 64-bit
+# SimHash block-combination change, applied to sign-LSH.
+NEARDUP_BANDS = 4
+NEARDUP_BAND_DIMS = 16
 
 
 def band_bucket(v: Column, band: int, dims: int = NEARDUP_BAND_DIMS) -> Column:
@@ -338,14 +346,15 @@ FROM s WHERE cos >= {NEARDUP_THRESHOLD}
 )
 def q_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs over the planted corpus:
-    multi-band sign-LSH candidate generation (8 bands x 8 sign bits,
+    multi-band sign-LSH candidate generation (4 bands x 16 sign bits,
     keyed equi-join on (band, bucket) — never an all-pairs product)
     followed by exact cosine rescoring at threshold 0.95.
 
-    Scale: candidates shrink ~bands/buckets = n^2/64 on random data
-    while true near-dups (sign patterns almost identical) collide in
-    essentially every band — recall ~1 at this threshold. The exact
-    all-pairs variant survives only as a tiny-sf test oracle
+    Scale: candidate volume on organic data is ~bands * n^2 / 2^16
+    (see the band-width comment above) while true near-dups (sign
+    patterns almost identical) still collide in >= 1 band with
+    p ~0.998 — recall ~1 at this threshold. The exact all-pairs
+    variant survives only as a tiny-sf test oracle
     (tests/test_dedup_similarity.py)."""
     corpus = _planted_corpus(spark, sf_dir)
     bands = corpus.select(
