@@ -370,6 +370,7 @@ def connected_components(
             F.least(
                 F.col("component"), F.coalesce(F.col("_nbr_min"), F.col("component"))
             ).alias("component"),
+            F.col("component").alias("_old"),
         )
         # Pointer doubling: component values are always node ids, so
         # look up each label's own label and adopt it (labels only
@@ -383,18 +384,15 @@ def connected_components(
             .select(
                 "id",
                 F.coalesce(F.col("_parent"), F.col("component")).alias("component"),
+                "_old",
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.join(
-                labels.withColumnRenamed("component", "_old"), "id"
-            )
-            .filter(F.col("component") != F.col("_old"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        # Convergence probe off the just-checkpointed round output —
+        # carrying _old through the round replaces a third keyed join
+        # (new vs previous labels) with a filter over local blocks.
+        changed = new_labels.filter(F.col("component") != F.col("_old")).limit(1).count()
+        labels = new_labels.drop("_old")
         if changed == 0:
             return labels
     raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
