@@ -130,3 +130,82 @@ def test_blocklist_pattern_matches_each_word_in_context(words):
         if w.isalnum():
             single = re.compile(blocklist_pattern([w]))
             assert single.search(f"q{w}q") is None, w
+
+
+# -- RAG chunking: pure-Python reference model ------------------------------
+
+texts_strategy = st.lists(
+    st.text(
+        alphabet=st.sampled_from("ab c"),  # spaces force multi-token docs
+        min_size=1,
+        max_size=400,
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+def _ref_chunks(text: str) -> list[tuple[int, int, str]]:
+    """Reference chunker: (chunk_id, start_token_1based, chunk_text)."""
+    from nyc_taxi_data_engineering_spark.queries.lmprep import CHUNK_STRIDE, CHUNK_TOKENS
+
+    toks = re.split(r"\s+", text.strip())
+    n = len(toks)
+    if n <= CHUNK_TOKENS:
+        k = 1
+    else:
+        k = (n - CHUNK_TOKENS + CHUNK_STRIDE - 1) // CHUNK_STRIDE + 1
+    return [
+        (i, i * CHUNK_STRIDE + 1, " ".join(toks[i * CHUNK_STRIDE : i * CHUNK_STRIDE + CHUNK_TOKENS]))
+        for i in range(k)
+    ]
+
+
+@given(texts=texts_strategy)
+@settings(**SETTINGS)
+def test_chunking_matches_python_reference_for_any_text(spark, texts, tmp_path_factory):
+    """doc_chunks_rag must agree with a direct Python implementation on
+    arbitrary whitespace-soup inputs (empty tokens, single-token docs,
+    exact window multiples)."""
+    import uuid
+
+    from nyc_taxi_data_engineering_spark.queries import all_queries
+
+    d = tmp_path_factory.mktemp("chunks") / f"{uuid.uuid4().hex}"
+    docs = spark.createDataFrame(
+        [(i, t, "en", "src", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.write.parquet(str(d / "documents.parquet"))
+    out = all_queries()["doc_chunks_rag"](spark, str(d)).collect()
+    got = {(r["doc_id"], r["chunk_id"], r["start_token"], r["chunk_text"]) for r in out}
+    want = {
+        (i, cid, start, txt)
+        for i, t in enumerate(texts)
+        for cid, start, txt in _ref_chunks(t)
+    }
+    assert got == want
+
+
+# -- shuffle shards: permutation properties ---------------------------------
+
+
+@given(seed=st.sampled_from(["", "s1", "s2"]), n_shards=st.integers(1, 7))
+@settings(**SETTINGS)
+def test_shuffle_shards_is_a_stable_total_assignment(spark, seed, n_shards):
+    """(shard, pos) is a bijection onto contiguous positions per shard,
+    and the assignment is identical across partition layouts."""
+    from nyc_taxi_data_engineering_spark.operators.sampling import shuffle_shards
+
+    rows = [(i,) for i in range(50)]
+    df1 = spark.createDataFrame(rows, "k long").repartition(1)
+    df8 = spark.createDataFrame(rows, "k long").repartition(8)
+    a = {r["k"]: (r["shard"], r["pos"]) for r in shuffle_shards(df1, "k", n_shards, seed).collect()}
+    b = {r["k"]: (r["shard"], r["pos"]) for r in shuffle_shards(df8, "k", n_shards, seed).collect()}
+    assert a == b  # layout-independent
+    by_shard: dict[int, list[int]] = {}
+    for shard, pos in a.values():
+        assert 0 <= shard < n_shards
+        by_shard.setdefault(shard, []).append(pos)
+    for shard, positions in by_shard.items():
+        assert sorted(positions) == list(range(1, len(positions) + 1)), shard
