@@ -81,6 +81,7 @@ ROTATION: list[str] = [
     "unigram_lm_scores",
     "orders_grouping_sets_audit",
     "corpus_shuffle_shards",
+    "delta_skipping_orders",
     # -- last driver-green in r1 (8) --
     "events_sliding_stats",
     "events_user_sessions",

@@ -209,3 +209,50 @@ def q_delta_merge_upsert_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     D.merge_delta(spark, tbl, updates.unionByName(news), on="n_nationkey")
     return D.read_delta_log(spark, tbl)
+
+
+DELTA_SKIP_CUT = 1200  # below every sf's max o_orderkey (1500 at sf0.001)
+
+
+@query(
+    "delta_skipping_orders",
+    oracle=f"""
+SELECT o_orderstatus, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders WHERE o_orderkey >= {DELTA_SKIP_CUT}
+GROUP BY o_orderstatus
+""",
+)
+def q_delta_skipping_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stats-based data skipping through the pure-Python Delta log:
+    commit the orders table range-clustered on o_orderkey into 8 files
+    (disjoint per-file min/max in the add actions' footer-derived
+    ``stats``), then read with a ``predicates`` conjunct — the log
+    prunes every file whose stats prove it holds no matching row
+    BEFORE Spark lists any data, and the residual row-level filter
+    runs on the survivors. The oracle computes the same aggregate from
+    the raw table, so a file wrongly skipped (lost rows) or wrongly
+    kept without the residual filter (extra rows) both hash-mismatch.
+    File-count pruning itself is asserted in test_delta_log."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from nyc_taxi_data_engineering_spark.catalog import load_table
+    from nyc_taxi_data_engineering_spark.sources import delta_log as D
+
+    repo_tmp = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))), ".tmp")
+    tbl = os.path.join(repo_tmp, "delta_skip_orders")
+    shutil.rmtree(tbl, ignore_errors=True)
+    orders = load_table(spark, sf_dir, "orders").repartitionByRange(8, "o_orderkey")
+    D.write_delta(orders, tbl, mode="overwrite")
+    snap = D.read_delta_log(spark, tbl, predicates=[("o_orderkey", ">=", DELTA_SKIP_CUT)])
+    return (
+        snap.filter(F.col("o_orderkey") >= DELTA_SKIP_CUT)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total_price"),
+        )
+    )

@@ -81,6 +81,7 @@ _CP_SCHEMA = pa.schema(
                     ("size", pa.int64()),
                     ("modificationTime", pa.int64()),
                     ("dataChange", pa.bool_()),
+                    ("stats", pa.string()),
                 ]
             ),
         ),
@@ -219,6 +220,7 @@ def write_checkpoint(table_path: str, version: int | None = None) -> str:
                     "size": a.get("size"),
                     "modificationTime": a.get("modificationTime"),
                     "dataChange": a.get("dataChange", True),
+                    "stats": a.get("stats"),
                 }
             }
         )
@@ -236,13 +238,70 @@ def _maybe_checkpoint(table_path: str, version: int) -> None:
         write_checkpoint(table_path, version)
 
 
+_SKIP_OPS = ("==", "=", ">=", "<=", ">", "<")
+
+
+def _file_survives(add: dict, predicates: list[tuple]) -> bool:
+    """File-level data skipping off the add action's ``stats`` JSON:
+    False only when the stats PROVE no row can satisfy every predicate
+    (min/max disjoint from the predicate range). Missing stats or
+    columns keep the file — skipping is always conservative."""
+    raw = add.get("stats")
+    if not raw:
+        return True
+    try:
+        stats = json.loads(raw)
+    except (TypeError, ValueError):
+        return True
+    if stats.get("numRecords") == 0:
+        return False  # an empty data file can satisfy nothing
+    mins, maxs = stats.get("minValues", {}), stats.get("maxValues", {})
+    for col, op, val in predicates:
+        if op not in _SKIP_OPS:
+            raise DeltaLogError(f"unsupported skip op {op!r} (use one of {_SKIP_OPS})")
+        lo, hi = mins.get(col), maxs.get(col)
+        if lo is None or hi is None:
+            continue
+        if op in ("==", "=") and not (lo <= val and val <= hi):
+            return False
+        if op == ">=" and not hi >= val:
+            return False
+        if op == ">" and not hi > val:
+            return False
+        if op == "<=" and not lo <= val:
+            return False
+        if op == "<" and not lo < val:
+            return False
+    return True
+
+
 def read_delta_log(
-    spark: SparkSession, table_path: str, version_as_of: int | None = None
+    spark: SparkSession,
+    table_path: str,
+    version_as_of: int | None = None,
+    predicates: list[tuple] | None = None,
 ) -> DataFrame:
     """Snapshot / time-travel read (S3/S4): replay the log, scan only
     the active files with the committed schema. An empty snapshot
-    (everything removed) yields an empty DataFrame with the schema."""
-    files, schema = _replay(table_path, version_as_of)
+    (everything removed) yields an empty DataFrame with the schema.
+
+    ``predicates`` — optional ``[(column, op, value), ...]`` conjuncts
+    (op ∈ ==/=/>=/<=/>/<) — enable FILE-LEVEL DATA SKIPPING off the
+    per-file min/max stats in the add actions: files whose stats prove
+    they hold no matching row are dropped before Spark ever lists
+    them. This is the log-level half of Delta's data skipping; the
+    caller still applies the row-level filter (Spark then also prunes
+    row groups via parquet footer pushdown). At 100 TB, a selective
+    predicate on a range-clustered column turns a full-table listing
+    into a handful of files — the same reason real Delta stores stats
+    per add action. Values compare in JSON space: numbers for numeric
+    columns, ISO strings for dates/timestamps."""
+    state = _replay_state(table_path, version_as_of)
+    schema = StructType.fromJson(json.loads(state["metaData"]["schemaString"]))
+    adds = list(state["adds"].values())
+    if predicates:
+        adds = [a for a in adds if _file_survives(a, predicates)]
+    files = [os.path.join(table_path, a["path"]) for a in adds]
     if not files:
         return spark.createDataFrame([], schema)
     return spark.read.schema(schema).parquet(*files)
@@ -263,10 +322,72 @@ def delta_log_history(table_path: str) -> list[dict]:
     return out
 
 
+def _json_stat(v):
+    """JSON-encode one parquet min/max statistic; None for types the
+    stats schema doesn't carry (bytes, nested)."""
+    import datetime
+    import decimal
+
+    if isinstance(v, bool) or v is None:
+        return None  # parquet bool stats are not useful skip bounds
+    if isinstance(v, (int, float, str)):
+        return v
+    if isinstance(v, (datetime.date, datetime.datetime)):
+        return v.isoformat()
+    if isinstance(v, decimal.Decimal):
+        return str(v)
+    return None
+
+
+def _file_stats(path: str) -> str | None:
+    """Delta ``stats`` JSON for one data file from its parquet FOOTER
+    (metadata-only read — no data pages): numRecords plus per-column
+    min/max/nullCount for primitive columns, the inputs of file-level
+    data skipping. Columns without usable footer stats (nested types,
+    bytes, missing stats) are simply absent — skipping stays
+    conservative for them."""
+    try:
+        md = pq.ParquetFile(path).metadata
+    except Exception:
+        return None
+    mins: dict = {}
+    maxs: dict = {}
+    nulls: dict = {}
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            name = col.path_in_schema
+            if "." in name:  # nested field — out of scope for skipping
+                continue
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                continue
+            lo, hi = st.min, st.max
+            if _json_stat(lo) is None or _json_stat(hi) is None:
+                continue
+            # reduce on RAW values (Decimal/date compare correctly;
+            # their string encodings would not), encode at the end
+            mins[name] = lo if name not in mins else min(mins[name], lo)
+            maxs[name] = hi if name not in maxs else max(maxs[name], hi)
+            if st.null_count is not None:
+                nulls[name] = nulls.get(name, 0) + st.null_count
+    return json.dumps(
+        {
+            "numRecords": md.num_rows,
+            "minValues": {k: _json_stat(v) for k, v in mins.items()},
+            "maxValues": {k: _json_stat(v) for k, v in maxs.items()},
+            "nullCount": nulls,
+        },
+        separators=(",", ":"),
+    )
+
+
 def _promote_staged_files(staging: str, table_path: str) -> list[dict]:
     """Move Spark-written part files from the staging dir into the
-    table root; return their add-action dicts. Part names carry a task
-    UUID, so collisions are impossible."""
+    table root; return their add-action dicts (with footer-derived
+    ``stats`` for data skipping). Part names carry a task UUID, so
+    collisions are impossible."""
     adds = []
     for name in sorted(os.listdir(staging)):
         if not name.endswith(".parquet"):
@@ -274,15 +395,17 @@ def _promote_staged_files(staging: str, table_path: str) -> list[dict]:
         src, dst = os.path.join(staging, name), os.path.join(table_path, name)
         os.replace(src, dst)
         st = os.stat(dst)
-        adds.append(
-            {
-                "path": name,
-                "partitionValues": {},
-                "size": st.st_size,
-                "modificationTime": int(st.st_mtime * 1000),
-                "dataChange": True,
-            }
-        )
+        add = {
+            "path": name,
+            "partitionValues": {},
+            "size": st.st_size,
+            "modificationTime": int(st.st_mtime * 1000),
+            "dataChange": True,
+        }
+        stats = _file_stats(dst)
+        if stats is not None:
+            add["stats"] = stats
+        adds.append(add)
     return adds
 
 

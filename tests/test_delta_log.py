@@ -282,3 +282,65 @@ def test_vacuum_deletes_only_unreferenced_files(spark, table):
     # time travel beyond retention now fails at scan time (files missing)
     with pytest.raises(Exception):
         D.read_delta_log(spark, table, version_as_of=0).collect()
+
+
+# -- data skipping -----------------------------------------------------------
+
+
+@pytest.fixture()
+def ranged_table(spark, tmp_path):
+    """1000 rows range-clustered into 4 files on k (disjoint min/max)."""
+    path = str(tmp_path / "skip_tbl")
+    df = (
+        spark.range(1000)
+        .select(F.col("id").alias("k"), F.concat(F.lit("s"), F.col("id")).alias("s"))
+        .repartitionByRange(4, "k")
+    )
+    assert D.write_delta(df, path, mode="overwrite") == 0
+    return path
+
+
+def test_add_actions_carry_footer_stats(ranged_table):
+    state = D._replay_state(ranged_table)
+    for a in state["adds"].values():
+        stats = json.loads(a["stats"])
+        assert stats["numRecords"] > 0
+        assert stats["minValues"]["k"] <= stats["maxValues"]["k"]
+        assert "s" in stats["minValues"]  # string stats present too
+
+
+def test_skipping_prunes_files_and_keeps_answers(spark, ranged_table):
+    full = D.read_delta_log(spark, ranged_table)
+    assert len(full.inputFiles()) == 4
+    pruned = D.read_delta_log(spark, ranged_table, predicates=[("k", ">=", 900)])
+    assert len(pruned.inputFiles()) == 1
+    assert sorted(r["k"] for r in pruned.filter(F.col("k") >= 900).collect()) == sorted(
+        r["k"] for r in full.filter(F.col("k") >= 900).collect()
+    )
+    eq = D.read_delta_log(spark, ranged_table, predicates=[("k", "=", 5)])
+    assert len(eq.inputFiles()) == 1
+    assert eq.filter(F.col("k") == 5).count() == 1
+    none = D.read_delta_log(spark, ranged_table, predicates=[("k", ">", 10_000)])
+    assert none.count() == 0 and len(none.inputFiles()) == 0
+
+
+def test_skipping_is_conservative_without_stats(spark, ranged_table):
+    # unknown column and unparseable stats both keep every file
+    assert len(
+        D.read_delta_log(spark, ranged_table, predicates=[("nope", ">=", 1)]).inputFiles()
+    ) == 4
+    assert D._file_survives({"stats": "not json"}, [("k", ">=", 0)])
+    assert D._file_survives({}, [("k", ">=", 0)])
+    with pytest.raises(D.DeltaLogError):
+        D.read_delta_log(spark, ranged_table, predicates=[("k", "!=", 1)])
+
+
+def test_stats_survive_checkpoint_replay(spark, ranged_table):
+    D.write_checkpoint(ranged_table)
+    # force replay to start from the checkpoint: append a new commit
+    D.write_delta(
+        spark.createDataFrame([(5000, "x")], "k long, s string"), ranged_table, mode="append"
+    )
+    pruned = D.read_delta_log(spark, ranged_table, predicates=[("k", ">=", 5000)])
+    assert len(pruned.inputFiles()) == 1  # 4 checkpointed files skipped via stats
+    assert pruned.count() == 1
