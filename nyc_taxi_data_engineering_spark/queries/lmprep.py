@@ -174,3 +174,61 @@ def q_unigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("SUSPECT"))
         .alias("ppl_bucket"),
     )
+
+
+@query(
+    "chunk_dedup_stats",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, {T.sql_tokens('text')} AS toks FROM documents
+), k AS (
+  SELECT doc_id, toks,
+         CASE WHEN len(toks) <= {CHUNK_TOKENS} THEN 1
+              ELSE cast(floor((len(toks) - {CHUNK_TOKENS} + {CHUNK_STRIDE - 1}) / {CHUNK_STRIDE}.0) as int) + 1
+         END AS n_chunks
+  FROM d
+), chunks AS (
+  SELECT doc_id,
+         md5(array_to_string(toks[i * {CHUNK_STRIDE} + 1 : i * {CHUNK_STRIDE} + {CHUNK_TOKENS}], ' ')) AS chunk_hash
+  FROM k, unnest(generate_series(0, n_chunks - 1)) AS t(i)
+)
+SELECT chunk_hash,
+       COUNT(*) AS n_occurrences,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       MIN(doc_id) AS canonical_doc
+FROM chunks
+GROUP BY chunk_hash
+HAVING COUNT(*) > 1
+""",
+)
+def q_chunk_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-granularity exact dedup — the RAG-index dedup step
+    (duplicate passages across documents waste index space and skew
+    retrieval): chunk every document (same windows as doc_chunks_rag),
+    hash each chunk, and report every chunk text that occurs more than
+    once, with its occurrence count, distinct-document reach, and the
+    canonical (min-id) holder.
+
+    Scale shape: per-row explode -> one hash-agg keyed on the 32-hex
+    chunk hash with map-side combine + HAVING — the exact_dedup plan
+    at chunk granularity. No joins; output ∝ duplicated chunks only."""
+    W, S = CHUNK_TOKENS, CHUNK_STRIDE
+    toks = F.col("toks")
+    n = F.size(toks)
+    n_chunks = F.when(n <= W, F.lit(1)).otherwise(
+        (F.floor((n - W + (S - 1)) / S) + 1).cast("int")
+    )
+    chunk = F.slice(toks, F.col("chunk_id") * S + 1, F.lit(W))
+    return (
+        load_table_parallel(spark, sf_dir, "documents")
+        .select("doc_id", T.tokens(F.col("text")).alias("toks"))
+        .select("doc_id", "toks", F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"))
+        .select("doc_id", F.md5(F.array_join(chunk, " ")).alias("chunk_hash"))
+        .groupBy("chunk_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("canonical_doc"),
+        )
+        .filter(F.col("n_occurrences") > 1)
+    )

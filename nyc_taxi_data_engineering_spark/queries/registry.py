@@ -82,6 +82,7 @@ ROTATION: list[str] = [
     "orders_grouping_sets_audit",
     "corpus_shuffle_shards",
     "delta_skipping_orders",
+    "chunk_dedup_stats",
     # -- last driver-green in r1 (8) --
     "events_sliding_stats",
     "events_user_sessions",
