@@ -342,3 +342,14 @@ def test_shuffle_shards_single_exchange_per_shard_sort(spark, sf_dir):
     assert sum(1 for l in plan.splitlines() if "Exchange hashpartitioning" in l) == 1
     assert "rangepartitioning" not in plan
     assert "Join" not in plan
+
+
+def test_chunk_dedup_is_one_hash_agg(spark, sf_dir):
+    """Chunk dedup = explode + ONE aggregation exchange with map-side
+    combine; no joins, no sort."""
+    plan = _plan(spark, sf_dir, "chunk_dedup_stats")
+    assert "Generate explode" in plan
+    assert "partial_count" in plan
+    assert "Join" not in plan
+    n_exchanges = sum(1 for l in plan.splitlines() if "Exchange hashpartitioning" in l)
+    assert n_exchanges <= 2  # agg + countDistinct expand, nothing else
