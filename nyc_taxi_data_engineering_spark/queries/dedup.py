@@ -277,3 +277,46 @@ def q_neardup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("quality").alias("canonical_quality"),
         "cluster_size",
     )
+
+
+@query(
+    "shingle_df_histogram",
+    oracle=f"""
+WITH {_SHINGLES_CTE},
+df AS (SELECT s, count(*) AS df FROM inv GROUP BY s)
+SELECT CASE WHEN df = 1 THEN '1'
+            WHEN df <= 10 THEN '2-10'
+            WHEN df <= 100 THEN '11-100'
+            ELSE '>100' END AS df_bucket,
+       COUNT(*) AS n_shingles,
+       CAST(SUM(df) AS BIGINT) AS n_postings
+FROM df
+GROUP BY 1
+""",
+)
+def q_shingle_df_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle document-frequency histogram — the operational
+    diagnostic behind the ``df_cap`` hot-shingle lever: candidate-pair
+    volume from the inverted index is sum over shingles of C(df, 2),
+    so the `>100` bucket is where a corpus goes quadratic and the
+    posting mass (`n_postings`) tells you how much join input each
+    bucket contributes. Run this BEFORE a 100 TB dedup pass to size
+    df_cap; a fat tail here is the early warning the sf10 probe turns
+    into a spilled join.
+
+    Plan: the same explode the jaccard path uses -> shingle hash-agg
+    (map-side combine) -> 4-key bucket agg. No joins."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", T.tokens(F.col("text")).alias("toks"))
+    inv = toks.select("doc_id", F.explode(T.word_shingles_of(F.col("toks"))).alias("s"))
+    df = inv.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    bucket = (
+        F.when(F.col("df") == 1, F.lit("1"))
+        .when(F.col("df") <= 10, F.lit("2-10"))
+        .when(F.col("df") <= 100, F.lit("11-100"))
+        .otherwise(F.lit(">100"))
+    )
+    return df.groupBy(bucket.alias("df_bucket")).agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.sum("df").cast("bigint").alias("n_postings"),
+    )

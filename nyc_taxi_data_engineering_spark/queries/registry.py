@@ -83,6 +83,7 @@ ROTATION: list[str] = [
     "corpus_shuffle_shards",
     "delta_skipping_orders",
     "chunk_dedup_stats",
+    "shingle_df_histogram",
     # -- last driver-green in r1 (8) --
     "events_sliding_stats",
     "events_user_sessions",
