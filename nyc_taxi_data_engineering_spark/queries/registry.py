@@ -31,73 +31,77 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # queries earn a driver CORRECTNESS row each round. This list pins the front
 # of that window explicitly instead of leaving it to module-import order:
 # names listed here come first (in list order), everything else follows in
-# registration order. Round 5 ordering: the 36 queries never sampled in
-# r1–r4, then the round's new queries, then the stalest previously-green
-# ones (last sampled r1, then r3). Queries pushed past the window keep full
-# local coverage via tests/test_oracle_parity.py, which checks ALL of them.
+# registration order. Round 6 ordering: the 8 rotation-tail names that missed
+# every prior window (media_features has NEVER earned a driver row; the other
+# 7 are stale since r1/r3), then this round's new queries, then the stalest
+# previously-green names (r4 vintage) to re-confirm them; the 50 queries the
+# driver just checked in r5 drop to the back. Queries pushed past the window
+# keep full local coverage via tests/test_oracle_parity.py, which checks ALL
+# of them.
 ROTATION: list[str] = [
-    # -- never driver-sampled through r4 (36) --
-    "semantic_dedup_prune",
-    "events_dedup_counts",
-    "events_value_by_segment",
-    "click_purchase_attribution",
-    "parts_returned_both_flags",
-    "nation_order_percentiles",
-    "customer_order_gaps",
-    "asof_customer_versions",
-    "events_in_surge_windows",
-    "supplier_rolling_revenue_7d",
-    "customer_reach_by_nation",
-    "order_price_outliers",
-    "orders_priority_status_pivot",
-    "customer_spend_deciles",
-    "orders_status_melt",
-    "supplier_revenue_trend",
-    "customer_balance_ranks",
-    "split_assignment_orders",
-    "stratified_sample_docs",
-    "corpus_mixture_by_source",
-    "split_contamination_docs",
-    "weighted_sample_docs",
-    "sequence_packing_bins",
-    "bm25_search_topk",
-    "corpus_curation_funnel",
-    "token_budget_selection",
-    "events_props_by_type",
-    "events_sessions",
-    "events_user_stats_salted",
-    "events_funnel_signup_purchase",
-    "supplier_daily_gapfill",
-    "profile_orders",
-    "cdc_apply_customers",
-    "ngram_contamination_docs",
-    "doc_repetition_metrics",
-    "scrub_gate_docs",
-    # -- new in round 5 --
-    "media_decoded_stats",
-    "media_thumbnails",
-    "delta_merge_upsert_nation",
-    "doc_chunks_rag",
-    "unigram_lm_scores",
-    "orders_grouping_sets_audit",
-    "corpus_shuffle_shards",
-    "delta_skipping_orders",
-    "chunk_dedup_stats",
-    "shingle_df_histogram",
-    # -- last driver-green in r1 (8) --
-    "events_sliding_stats",
-    "events_user_sessions",
-    "media_payload_stats",
-    "media_frame_counts",
+    # -- missed every prior window (media_features) / stale since r1-r3 (7) --
     "media_features",
     "orders_rollup_nation_year",
     "top_orders_per_customer",
     "orders_cube_priority_status",
-    # -- displaced from the r4 window (last green r3) --
     "ann_ivf_topk",
     "embedding_neardup_pairs",
     "embedding_centroids_by_lang",
     "events_tumbling_stats",
+    # -- new in round 6 --
+    "delta_partitioned_orders",
+    # -- last driver-green in r4, stalest first --
+    "exact_dedup_docs",
+    "ngram_jaccard_pairs",
+    "minhash_lsh_pairs",
+    "simhash_neardup_pairs",
+    "dedup_clusters_docs",
+    "neardup_canonical_docs",
+    "simhash_docs",
+    "ann_cosine_topk",
+    "ann_lsh_topk",
+    "text_quality_scores",
+    "text_token_stats",
+    "text_fingerprints",
+    "text_langid_confusion",
+    "token_length_histogram",
+    "corpus_top_tokens",
+    "gopher_quality_gates",
+    "daily_vendor_revenue",
+    "validate_split_metrics",
+    "validate_split_quarantine",
+    "enrich_lineitem_nations",
+    "ri_gate_kept_by_supplier",
+    "ri_gate_orphans",
+    "fk_null_audit",
+    "integrity_scorecard",
+    "except_quarantine",
+    "conditional_counts_orders",
+    "latest_partition_orders",
+    "record_hashes_nation",
+    "scd2_current_customers",
+    "scd2_history_customers",
+    "scd2_rollback_current",
+    "scd2_verify_ok",
+    "mdm_candidate_pairs",
+    "mdm_match_scores",
+    "mdm_levenshtein_scores",
+    "mdm_routing_counts",
+    "mdm_golden_records",
+    "mdm_scorecard",
+    "lifecycle_tally_suppliers",
+    "lifecycle_history_suppliers",
+    "dq_rule_metrics",
+    "governance_gate_decision",
+    "freshness_gate_datasets",
+    "sql_workflow_checks",
+    "csv_roundtrip_nation",
+    "delta_time_travel_nation",
+    "trade_flows_by_nation",
+    "frequent_customers",
+    "orders_lineitem_reconciliation",
+    "salted_enrich_order_priorities",
+    # -- r5-green names follow in registration order --
 ]
 
 

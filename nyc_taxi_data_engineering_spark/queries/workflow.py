@@ -10,12 +10,32 @@ count-must-be-zero contract as data.
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 
 from nyc_taxi_data_engineering_spark.catalog import register_views
 from nyc_taxi_data_engineering_spark.plans.sql_runner import SqlStep, run_sql_workflow
 from nyc_taxi_data_engineering_spark.queries.registry import query
+
+
+def _tmp_table(name: str) -> str:
+    """Per-process scratch path under the repo's gitignored ``.tmp/``,
+    PID-suffixed so a concurrent bench run, driver sampling pass, and
+    test session never race on (or half-read) the same table
+    directory. Siblings left by dead processes are reaped on the way
+    in, so repeated rounds don't accumulate garbage."""
+    repo_tmp = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        ".tmp",
+    )
+    os.makedirs(repo_tmp, exist_ok=True)
+    for entry in os.listdir(repo_tmp):
+        if entry.startswith(name + "-"):
+            pid = entry.rsplit("-", 1)[-1]
+            if pid.isdigit() and not os.path.exists(f"/proc/{pid}"):
+                shutil.rmtree(os.path.join(repo_tmp, entry), ignore_errors=True)
+    return os.path.join(repo_tmp, f"{name}-{os.getpid()}")
 
 # The workflow: one transform building the aggregate, then the four
 # check kinds from the reference taxonomy.
@@ -120,10 +140,8 @@ def q_csv_roundtrip_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     accumulate)."""
     from nyc_taxi_data_engineering_spark.catalog import load_table
 
-    repo_tmp = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__)))), ".tmp")
     nation = load_table(spark, sf_dir, "nation")
-    path = os.path.join(repo_tmp, "nation_csv")
+    path = _tmp_table("nation_csv")
     nation.write.mode("overwrite").option("header", "true").csv(path)
     return (
         spark.read.schema("n_nationkey INT, n_name STRING, n_regionkey INT")
@@ -146,14 +164,10 @@ def q_delta_time_travel_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     contract. Uses the pure-Python transaction log
     (sources/delta_log.py); table rebuilt fresh per call so repeated
     driver rounds stay deterministic."""
-    import shutil
-
     from nyc_taxi_data_engineering_spark.catalog import load_table
     from nyc_taxi_data_engineering_spark.sources import delta_log as D
 
-    repo_tmp = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__)))), ".tmp")
-    tbl = os.path.join(repo_tmp, "delta_nation")
+    tbl = _tmp_table("delta_nation")
     shutil.rmtree(tbl, ignore_errors=True)
     nation = load_table(spark, sf_dir, "nation")
     D.write_delta(nation, tbl, mode="overwrite")  # v0: full dim
@@ -185,16 +199,12 @@ def q_delta_merge_upsert_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     read the merged snapshot. The oracle reconstructs the exact
     post-merge table from the base dim. History must show the MERGE
     as one version on top of the seed (asserted in test_delta_log)."""
-    import shutil
-
     from pyspark.sql import functions as F
 
     from nyc_taxi_data_engineering_spark.catalog import load_table
     from nyc_taxi_data_engineering_spark.sources import delta_log as D
 
-    repo_tmp = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__)))), ".tmp")
-    tbl = os.path.join(repo_tmp, "delta_merge_nation")
+    tbl = _tmp_table("delta_merge_nation")
     shutil.rmtree(tbl, ignore_errors=True)
     nation = load_table(spark, sf_dir, "nation")
     key_t = nation.schema["n_nationkey"].dataType
@@ -234,16 +244,12 @@ def q_delta_skipping_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     the raw table, so a file wrongly skipped (lost rows) or wrongly
     kept without the residual filter (extra rows) both hash-mismatch.
     File-count pruning itself is asserted in test_delta_log."""
-    import shutil
-
     from pyspark.sql import functions as F
 
     from nyc_taxi_data_engineering_spark.catalog import load_table
     from nyc_taxi_data_engineering_spark.sources import delta_log as D
 
-    repo_tmp = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__)))), ".tmp")
-    tbl = os.path.join(repo_tmp, "delta_skip_orders")
+    tbl = _tmp_table("delta_skip_orders")
     shutil.rmtree(tbl, ignore_errors=True)
     orders = load_table(spark, sf_dir, "orders").repartitionByRange(8, "o_orderkey")
     D.write_delta(orders, tbl, mode="overwrite")
@@ -255,4 +261,53 @@ def q_delta_skipping_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_orders"),
             F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total_price"),
         )
+    )
+
+
+DELTA_PART_YEAR = 1995  # present at every sf (orders span 1992-1998)
+
+
+@query(
+    "delta_partitioned_orders",
+    oracle=f"""
+SELECT o_orderstatus, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders WHERE EXTRACT(year FROM o_orderdate) = {DELTA_PART_YEAR}
+GROUP BY o_orderstatus
+""",
+)
+def q_delta_partitioned_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned Delta write + partition-pruned read (the reference's
+    Delta ``partitionBy`` surface, day7_enrichment_final.py:99-105 /
+    raw_to_validated_delta.py:41-46): commit the orders table
+    partitioned by order year (Hive ``o_year=.../`` layout,
+    ``partitionValues`` in every add action, ``partitionColumns`` in
+    metaData — the exact layout delta-spark writes), then read ONE
+    year back through a log-level partition predicate. Pruning off
+    ``partitionValues`` is EXACT (the stored value holds for every row
+    in the file), so no residual year filter is applied — a file
+    wrongly kept or wrongly dropped both hash-mismatch against the
+    oracle, which recomputes the aggregate from the raw table. The
+    partition-count file listing itself is asserted in test_delta_log.
+
+    100 TB shape: the log replay alone decides which files a
+    date-predicate scan lists — a day's slice of a years-deep fact
+    table costs O(day), not O(table)."""
+    from pyspark.sql import functions as F
+
+    from nyc_taxi_data_engineering_spark.catalog import load_table
+    from nyc_taxi_data_engineering_spark.sources import delta_log as D
+
+    tbl = _tmp_table("delta_part_orders")
+    shutil.rmtree(tbl, ignore_errors=True)
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "o_year", F.year("o_orderdate")
+    )
+    D.write_delta(orders, tbl, mode="overwrite", partition_by="o_year")
+    snap = D.read_delta_log(
+        spark, tbl, predicates=[("o_year", "==", DELTA_PART_YEAR)]
+    )
+    return snap.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total_price"),
     )

@@ -53,8 +53,9 @@ CHECKPOINT_INTERVAL = 10  # commits per checkpoint — Delta's default cadence
 
 # Checkpoint row layout: one action per row, exactly one of the three
 # columns non-null — the real checkpoint's column shape, minus the
-# always-empty map fields (partitionValues / format.options /
-# configuration; this writer never populates them, see write_delta).
+# always-empty map fields (format.options / configuration; this writer
+# never populates them, see write_delta). partitionValues is carried
+# as the protocol's map<string,string>.
 _CP_SCHEMA = pa.schema(
     [
         pa.field(
@@ -78,6 +79,7 @@ _CP_SCHEMA = pa.schema(
             pa.struct(
                 [
                     ("path", pa.string()),
+                    ("partitionValues", pa.map_(pa.string(), pa.string())),
                     ("size", pa.int64()),
                     ("modificationTime", pa.int64()),
                     ("dataChange", pa.bool_()),
@@ -165,7 +167,10 @@ def _replay_state(
                 meta.setdefault("configuration", {})
             elif row.get("add") is not None:
                 a = dict(row["add"])
-                a.setdefault("partitionValues", {})
+                # pyarrow renders map<string,string> as a list of
+                # (key, value) pairs in to_pylist — restore the dict.
+                pv = a.get("partitionValues")
+                a["partitionValues"] = dict(pv) if pv else {}
                 adds[a["path"]] = a
         start = cp + 1
     for v in range(start, upto + 1):
@@ -217,6 +222,7 @@ def write_checkpoint(table_path: str, version: int | None = None) -> str:
             {
                 "add": {
                     "path": a["path"],
+                    "partitionValues": sorted((a.get("partitionValues") or {}).items()),
                     "size": a.get("size"),
                     "modificationTime": a.get("modificationTime"),
                     "dataChange": a.get("dataChange", True),
@@ -241,11 +247,69 @@ def _maybe_checkpoint(table_path: str, version: int) -> None:
 _SKIP_OPS = ("==", "=", ">=", "<=", ">", "<")
 
 
+def _coerce_bounds(lo, hi, val):
+    """Coerce one predicate value and a file's (min, max) stat pair
+    into a mutually comparable triple, or None when no safe comparison
+    exists (cross-type — the caller must keep the file, preserving the
+    'skipping is always conservative' contract). Handles the stats
+    JSON's string encodings: Decimal stats round-trip through
+    ``str(Decimal)`` and are parsed back when the predicate value is
+    numeric; date/datetime predicate values are ISO-encoded to match
+    their stored form (ISO strings order lexicographically)."""
+    import datetime
+    import decimal
+
+    if isinstance(val, (datetime.date, datetime.datetime)):
+        val = val.isoformat()
+    if isinstance(val, bool) or val is None:
+        return None  # bool/null bounds are never stored — keep the file
+    if isinstance(val, (int, float, decimal.Decimal)):
+        if isinstance(lo, bool) or isinstance(hi, bool):
+            return None
+        if isinstance(lo, (int, float)) and isinstance(hi, (int, float)):
+            return lo, hi, val
+        if isinstance(lo, str) and isinstance(hi, str):
+            # decimal column: stats were encoded via str(Decimal)
+            try:
+                return (
+                    decimal.Decimal(lo),
+                    decimal.Decimal(hi),
+                    decimal.Decimal(str(val)),
+                )
+            except decimal.InvalidOperation:
+                return None
+        return None
+    if isinstance(val, str) and isinstance(lo, str) and isinstance(hi, str):
+        return lo, hi, val
+    return None
+
+
+def _bounds_admit(lo, hi, op, val) -> bool:
+    """True unless [lo, hi] PROVES no row satisfies ``op val``."""
+    coerced = _coerce_bounds(lo, hi, val)
+    if coerced is None:
+        return True  # cross-type / unsupported — conservative keep
+    lo, hi, val = coerced
+    try:
+        if op in ("==", "="):
+            return lo <= val <= hi
+        if op == ">=":
+            return hi >= val
+        if op == ">":
+            return hi > val
+        if op == "<=":
+            return lo <= val
+        return lo < val  # op == "<"
+    except TypeError:
+        return True  # incomparable despite coercion — conservative keep
+
+
 def _file_survives(add: dict, predicates: list[tuple]) -> bool:
     """File-level data skipping off the add action's ``stats`` JSON:
     False only when the stats PROVE no row can satisfy every predicate
     (min/max disjoint from the predicate range). Missing stats or
-    columns keep the file — skipping is always conservative."""
+    columns keep the file — skipping is always conservative (any
+    cross-type comparison keeps the file rather than raising)."""
     raw = add.get("stats")
     if not raw:
         return True
@@ -262,17 +326,57 @@ def _file_survives(add: dict, predicates: list[tuple]) -> bool:
         lo, hi = mins.get(col), maxs.get(col)
         if lo is None or hi is None:
             continue
-        if op in ("==", "=") and not (lo <= val and val <= hi):
-            return False
-        if op == ">=" and not hi >= val:
-            return False
-        if op == ">" and not hi > val:
-            return False
-        if op == "<=" and not lo <= val:
-            return False
-        if op == "<" and not lo < val:
+        if not _bounds_admit(lo, hi, op, val):
             return False
     return True
+
+
+HIVE_NULL_PARTITION = "__HIVE_DEFAULT_PARTITION__"
+
+
+def _partition_admits(raw: str | None, op: str, val) -> bool:
+    """Partition-value pruning: unlike min/max stats the stored value
+    is EXACT, so a predicate on a partition column either holds for
+    every row in the file or for none. ``raw`` is the protocol's
+    string encoding (from the add action's ``partitionValues``); it is
+    parsed toward the predicate value's Python type. Null partitions
+    (``__HIVE_DEFAULT_PARTITION__``) satisfy no comparison, matching
+    SQL. A parse or comparison failure keeps the file (conservative)."""
+    import datetime
+    import decimal
+
+    if raw is None:
+        return True  # add action carries no value for this column
+    if raw == HIVE_NULL_PARTITION:
+        return False  # SQL comparison with NULL is never true
+    pv: object = raw
+    if isinstance(val, (datetime.date, datetime.datetime)):
+        val = val.isoformat()  # ISO strings order like the dates
+    elif isinstance(val, bool):
+        pv = raw.lower() == "true"
+    elif isinstance(val, int):
+        try:
+            pv = int(raw)
+        except ValueError:
+            return True
+    elif isinstance(val, (float, decimal.Decimal)):
+        try:
+            pv = decimal.Decimal(raw)
+            val = decimal.Decimal(str(val))
+        except decimal.InvalidOperation:
+            return True
+    try:
+        if op in ("==", "="):
+            return pv == val
+        if op == ">=":
+            return pv >= val
+        if op == ">":
+            return pv > val
+        if op == "<=":
+            return pv <= val
+        return pv < val  # op == "<"
+    except TypeError:
+        return True
 
 
 def read_delta_log(
@@ -295,16 +399,46 @@ def read_delta_log(
     predicate on a range-clustered column turns a full-table listing
     into a handful of files — the same reason real Delta stores stats
     per add action. Values compare in JSON space: numbers for numeric
-    columns, ISO strings for dates/timestamps."""
+    columns, ISO strings for dates/timestamps; native date/datetime/
+    Decimal predicate values are normalized to that encoding, and any
+    cross-type comparison conservatively keeps the file.
+
+    On a PARTITIONED table (write_delta ``partition_by``), predicates
+    on partition columns prune EXACTLY off the add actions'
+    ``partitionValues`` — before file stats are even consulted — and
+    partition columns are reconstructed into the result via Spark's
+    ``basePath`` partition discovery with the committed schema."""
     state = _replay_state(table_path, version_as_of)
     schema = StructType.fromJson(json.loads(state["metaData"]["schemaString"]))
+    part_cols = state["metaData"].get("partitionColumns") or []
     adds = list(state["adds"].values())
     if predicates:
-        adds = [a for a in adds if _file_survives(a, predicates)]
+        part_preds = [p for p in predicates if p[0] in part_cols]
+        stat_preds = [p for p in predicates if p[0] not in part_cols]
+        for col, op, val in part_preds:
+            if op not in _SKIP_OPS:
+                raise DeltaLogError(
+                    f"unsupported skip op {op!r} (use one of {_SKIP_OPS})"
+                )
+            adds = [
+                a
+                for a in adds
+                if _partition_admits((a.get("partitionValues") or {}).get(col), op, val)
+            ]
+        if stat_preds:
+            adds = [a for a in adds if _file_survives(a, stat_preds)]
     files = [os.path.join(table_path, a["path"]) for a in adds]
     if not files:
         return spark.createDataFrame([], schema)
-    return spark.read.schema(schema).parquet(*files)
+    reader = spark.read.schema(schema)
+    if part_cols:
+        # partition columns live in the directory names, not the data
+        # files; basePath + the committed schema makes Spark rebuild
+        # them with the committed types. Discovery appends them at the
+        # end, so re-project to the committed column order.
+        reader = reader.option("basePath", table_path)
+        return reader.parquet(*files).select(*[f.name for f in schema.fields])
+    return reader.parquet(*files)
 
 
 def delta_log_history(table_path: str) -> list[dict]:
@@ -383,21 +517,44 @@ def _file_stats(path: str) -> str | None:
     )
 
 
+def _partition_values_from_path(rel_path: str) -> dict[str, str]:
+    """Parse ``col=value`` directory components of a staged part
+    file's relative path into the add action's ``partitionValues``
+    (URL-unescaped, the protocol's string encoding; Spark writes the
+    same Hive-style layout)."""
+    from urllib.parse import unquote
+
+    values: dict[str, str] = {}
+    for comp in rel_path.split(os.sep)[:-1]:
+        if "=" in comp:
+            k, _, v = comp.partition("=")
+            values[unquote(k)] = unquote(v)
+    return values
+
+
 def _promote_staged_files(staging: str, table_path: str) -> list[dict]:
     """Move Spark-written part files from the staging dir into the
     table root; return their add-action dicts (with footer-derived
-    ``stats`` for data skipping). Part names carry a task UUID, so
-    collisions are impossible."""
+    ``stats`` for data skipping). A partitioned write keeps its
+    ``col=value/`` directory layout — the relative path (with
+    forward-slash separators, per the protocol) becomes the add
+    action's ``path`` and the directory components its
+    ``partitionValues``. Part names carry a task UUID, so collisions
+    are impossible."""
     adds = []
-    for name in sorted(os.listdir(staging)):
-        if not name.endswith(".parquet"):
-            continue
-        src, dst = os.path.join(staging, name), os.path.join(table_path, name)
+    staged: list[str] = []
+    for root, _dirs, names in os.walk(staging):
+        for name in names:
+            if name.endswith(".parquet"):
+                staged.append(os.path.relpath(os.path.join(root, name), staging))
+    for rel in sorted(staged):
+        src, dst = os.path.join(staging, rel), os.path.join(table_path, rel)
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
         os.replace(src, dst)
         st = os.stat(dst)
         add = {
-            "path": name,
-            "partitionValues": {},
+            "path": rel.replace(os.sep, "/"),
+            "partitionValues": _partition_values_from_path(rel),
             "size": st.st_size,
             "modificationTime": int(st.st_mtime * 1000),
             "dataChange": True,
@@ -422,6 +579,8 @@ def _write_commit(table_path: str, version: int, actions: list[dict]) -> None:
     with open(tmp, "w") as f:
         for a in actions:
             f.write(json.dumps(a, separators=(",", ":")) + "\n")
+        f.flush()
+        os.fsync(f.fileno())  # commit content durable BEFORE it becomes visible
     try:
         os.link(tmp, path)
     except FileExistsError:
@@ -444,7 +603,11 @@ def _rollback_promoted(table_path: str, adds: list[dict]) -> None:
 
 
 def write_delta(
-    df: DataFrame, table_path: str, mode: str = "overwrite", operation: str = "WRITE"
+    df: DataFrame,
+    table_path: str,
+    mode: str = "overwrite",
+    operation: str = "WRITE",
+    partition_by: list[str] | str | None = None,
 ) -> int:
     """S9/S10: versioned Delta sink. ``overwrite`` commits remove
     actions for every previously-active file plus adds for the new
@@ -453,15 +616,41 @@ def write_delta(
     by every later metaData re-emission — identity-tracking readers
     (streaming sources, catalogs) must not see an overwrite as a table
     recreation. Returns the committed version; on a lost version race
-    the promoted files are rolled back and DeltaLogError raises."""
+    the promoted files are rolled back and DeltaLogError raises.
+
+    ``partition_by`` (the reference's Delta ``partitionBy`` surface,
+    ``day7_enrichment_final.py:99-105`` / ``raw_to_validated_delta.py:
+    41-46``) writes Hive-layout ``col=value/`` data files, records the
+    columns in metaData ``partitionColumns`` and each file's values in
+    its add action's ``partitionValues`` — exactly what delta-spark
+    emits — so read_delta_log can prune whole partitions from the log
+    alone. Appends to a partitioned table must repeat the same
+    ``partition_by`` (or omit it to inherit); changing the
+    partitioning of an existing table is rejected, as real Delta does."""
+    import shutil
+
     if mode not in ("overwrite", "append"):
         raise ValueError(f"write_delta mode must be overwrite|append, got {mode!r}")
+    part_cols = (
+        [partition_by] if isinstance(partition_by, str) else list(partition_by or [])
+    )
+    missing = [c for c in part_cols if c not in df.columns]
+    if missing:
+        raise DeltaLogError(f"partition_by columns not in DataFrame: {missing}")
     prior = latest_version(table_path)
     version = 0 if prior is None else prior + 1
     table_id = uuid.uuid4().hex
     if prior is not None:
         prior_state = _replay_state(table_path)
         table_id = prior_state["metaData"].get("id", table_id)
+        prior_parts = prior_state["metaData"].get("partitionColumns") or []
+        if not part_cols and partition_by is None:
+            part_cols = list(prior_parts)  # inherit the table's partitioning
+        if part_cols != prior_parts:
+            raise DeltaLogError(
+                f"partitioning mismatch: table is partitioned by {prior_parts}, "
+                f"write requested {part_cols}; repartitioning requires a new table"
+            )
         prior_schema = StructType.fromJson(
             json.loads(prior_state["metaData"]["schemaString"])
         )
@@ -479,11 +668,12 @@ def write_delta(
 
     os.makedirs(table_path, exist_ok=True)
     staging = os.path.join(table_path, f".staging-{uuid.uuid4().hex}")
-    df.write.mode("overwrite").parquet(staging)
+    writer = df.write.mode("overwrite")
+    if part_cols:
+        writer = writer.partitionBy(*part_cols)
+    writer.parquet(staging)
     adds = _promote_staged_files(staging, table_path)
-    for leftover in os.listdir(staging):
-        os.remove(os.path.join(staging, leftover))
-    os.rmdir(staging)
+    shutil.rmtree(staging, ignore_errors=True)
 
     now_ms = int(time.time() * 1000)
     actions: list[dict] = [
@@ -505,7 +695,7 @@ def write_delta(
                     "id": table_id,
                     "format": {"provider": "parquet", "options": {}},
                     "schemaString": df.schema.json(),
-                    "partitionColumns": [],
+                    "partitionColumns": part_cols,
                     "configuration": {},
                     "createdTime": now_ms,
                 }
@@ -596,19 +786,34 @@ def compact_delta(
     ``dataChange: false`` (readers see identical rows; the commit only
     swaps the file layout — the small-file compaction every streaming
     ingest eventually needs). Returns the committed version."""
+    import shutil
+
     prior = latest_version(table_path)
     if prior is None:
         raise DeltaLogError(f"not a Delta table: {table_path}")
-    files, schema = _replay(table_path)
+    state = _replay_state(table_path)
+    schema = StructType.fromJson(json.loads(state["metaData"]["schemaString"]))
+    part_cols = state["metaData"].get("partitionColumns") or []
+    files = [os.path.join(table_path, p) for p in state["adds"]]
     if not files:
         raise DeltaLogError("nothing to compact: empty snapshot")
-    df = spark.read.schema(schema).parquet(*files).coalesce(target_files)
+    reader = spark.read.schema(schema)
+    if part_cols:
+        reader = reader.option("basePath", table_path)
+    df = (
+        reader.parquet(*files)
+        .select(*[f.name for f in schema.fields])
+        .coalesce(target_files)
+    )
     staging = os.path.join(table_path, f".staging-{uuid.uuid4().hex}")
-    df.write.mode("overwrite").parquet(staging)
+    writer = df.write.mode("overwrite")
+    if part_cols:
+        # keep the table's layout: target_files tasks each write the
+        # partitions they hold, so coalesce(1) → one file per partition
+        writer = writer.partitionBy(*part_cols)
+    writer.parquet(staging)
     adds = _promote_staged_files(staging, table_path)
-    for leftover in os.listdir(staging):
-        os.remove(os.path.join(staging, leftover))
-    os.rmdir(staging)
+    shutil.rmtree(staging, ignore_errors=True)
     now_ms = int(time.time() * 1000)
     actions: list[dict] = [
         {"commitInfo": {"timestamp": now_ms, "operation": "OPTIMIZE",
@@ -647,8 +852,18 @@ def vacuum_delta(table_path: str, keep_last: int = 1) -> list[str]:
         files, _ = _replay(table_path, v)
         keep |= {os.path.relpath(p, table_path) for p in files}
     deleted = []
-    for name in sorted(os.listdir(table_path)):
-        if name.endswith(".parquet") and name not in keep:
-            os.remove(os.path.join(table_path, name))
-            deleted.append(name)
-    return deleted
+    for root, dirs, names in os.walk(table_path):
+        # the log and any in-flight staging dirs are never data files
+        dirs[:] = [
+            d for d in dirs if d != LOG_DIR and not d.startswith(".staging-")
+        ]
+        for name in names:
+            rel = os.path.relpath(os.path.join(root, name), table_path)
+            if name.endswith(".parquet") and rel not in keep:
+                os.remove(os.path.join(root, name))
+                deleted.append(rel)
+    # drop partition directories emptied by the deletes (bottom-up)
+    for root, dirs, names in os.walk(table_path, topdown=False):
+        if root != table_path and not dirs and not names:
+            os.rmdir(root)
+    return sorted(deleted)

