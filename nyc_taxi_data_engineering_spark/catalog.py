@@ -54,6 +54,25 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def parquet_row_count(path: str) -> int:
+    """Exact row count from parquet FOOTER metadata only — a
+    driver-side read of a few KB per file, no Spark job, no data
+    pages. The right way to size anything off COUNT(*) (e.g. the
+    SemDeDup √n codebook): at 100 TB a counting scan is a full pass,
+    the footers are already summed. Accepts a single file or a
+    directory of part files."""
+    import pyarrow.parquet as pq
+
+    if os.path.isdir(path):
+        return sum(
+            pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
+            for root, _dirs, files in os.walk(path)
+            for f in files
+            if f.endswith(".parquet")
+        )
+    return pq.ParquetFile(path).metadata.num_rows
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Parquet scan (reference S1). Native reader: predicate pushdown,
     column pruning, and partition discovery come free via Catalyst.

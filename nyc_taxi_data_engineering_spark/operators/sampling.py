@@ -201,6 +201,15 @@ def shuffle_shards(
     sorts)."""
     from pyspark.sql import Window
 
+    clash = [c for c in ("shard", "pos") if c in df.columns]
+    if clash:
+        # the output contract owns these names; silently shadowing an
+        # input column (or dying later with an ambiguous-column
+        # AnalysisException mid-plan) would both be worse
+        raise ValueError(
+            f"shuffle_shards adds output columns {clash} but the input "
+            "already has them — rename or drop those columns first"
+        )
     shard = hash_bucket(F.col(key), seed + "#shard", n_shards).alias("shard")
     order_h = F.md5(F.concat_ws("|", F.lit(seed + "#order"), F.col(key).cast("string")))
     w = Window.partitionBy("shard").orderBy(order_h, F.col(key))

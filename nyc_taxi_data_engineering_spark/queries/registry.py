@@ -50,6 +50,7 @@ ROTATION: list[str] = [
     "events_tumbling_stats",
     # -- new in round 6 --
     "delta_partitioned_orders",
+    "events_delta_ingest",
     # -- last driver-green in r4, stalest first --
     "exact_dedup_docs",
     "ngram_jaccard_pairs",

@@ -60,6 +60,32 @@ def sign_bucket(v: Column, dims: int = LSH_SIGN_DIMS) -> Column:
     ).cast("int")
 
 
+def nearest_centroid(corpus: DataFrame, cent: DataFrame, out: str = "cluster_id") -> DataFrame:
+    """Nearest-centroid assignment as ONE hash aggregate, no window.
+
+    The naive plan — score all n·k (vector, centroid) pairs, then
+    ``row_number() OVER (PARTITION BY vec_id)`` — exchanges every
+    scored row through a shuffle+sort just to keep rank 1. With k = √n
+    (SemDeDup) that is an n^1.5-row sort exchange, the dominant
+    shuffle of the repo's steepest-sloped query. This shape instead
+    folds the argmax INTO the aggregate: ``max(struct(ccos, -c_id))``
+    orders structs field-by-field, so partial (map-side) aggregation
+    collapses each vector's k scored rows to one BEFORE the exchange —
+    n rows shuffle, nothing sorts, FLOP count unchanged. Tie-break
+    matches the window it replaces (and the DuckDB oracle): highest
+    rounded cosine, then LOWEST centroid id (hence the negation).
+    ``cent`` must be (c_id, cv, cnrm) and small enough to broadcast —
+    the coarse-quantizer contract."""
+    ccos = dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cnrm"))
+    return (
+        corpus.crossJoin(F.broadcast(cent))
+        .select("vec_id", "c_id", F.round(ccos, 6).alias("ccos"))
+        .groupBy("vec_id")
+        .agg(F.max(F.struct(F.col("ccos"), (-F.col("c_id")).alias("neg_id"))).alias("best"))
+        .select("vec_id", (-F.col("best.neg_id")).alias(out))
+    )
+
+
 _ORACLE_CORPUS = """
 e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 n AS (SELECT vec_id, v,
@@ -225,17 +251,21 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = corpus.filter(F.col("vec_id").between(IVF_CENTROID_LO, IVF_CENTROID_HI)).select(
         F.col("vec_id").alias("c_id"), F.col("v").alias("cv"), F.col("nrm").alias("cnrm")
     )
+    # full-corpus list assignment: argmax folded into a hash agg — the
+    # n·k scored rows collapse map-side to n, no window/sort exchange
+    lists = nearest_centroid(corpus, cent, out="list_id")
+    # probe ranking DOES need top-N_PROBE per query, but only for the
+    # N_QUERIES query vectors — filter FIRST, window over 8·k rows
     ccos = dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cnrm"))
     cw = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("c_id"))
-    assign = (
-        corpus.crossJoin(F.broadcast(cent))
+    probes = (
+        corpus.filter(F.col("vec_id") < N_QUERIES)
+        .crossJoin(F.broadcast(cent))
         .select("vec_id", "c_id", F.round(ccos, 6).alias("ccos"))
         .withColumn("crank", F.row_number().over(cw))
+        .filter(F.col("crank") <= N_PROBE)
+        .select(F.col("vec_id").alias("q_id"), F.col("c_id").alias("list_id"))
     )
-    lists = assign.filter(F.col("crank") == 1).select("vec_id", F.col("c_id").alias("list_id"))
-    probes = assign.filter(
-        (F.col("vec_id") < N_QUERIES) & (F.col("crank") <= N_PROBE)
-    ).select(F.col("vec_id").alias("q_id"), F.col("c_id").alias("list_id"))
     q = corpus.select(
         F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), F.col("nrm").alias("qnrm")
     )
@@ -492,21 +522,22 @@ def q_semantic_dedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     prune neighborhood). Runs over the planted corpus (organic pairs top out at
     cos ~0.52, so the planted twins are what makes the prune
     observable)."""
-    base_n = load_table(spark, sf_dir, "embeddings").count()
+    from nyc_taxi_data_engineering_spark.catalog import parquet_row_count, table_path
+
+    # √n codebook sizing from the parquet FOOTERS — a driver-side
+    # metadata read, not an extra Spark scan of the corpus (the
+    # previous .count() put a second full table scan in the plan)
+    base_n = parquet_row_count(table_path(sf_dir, "embeddings"))
     k = int(math.ceil(math.sqrt(base_n)))
-    corpus = _planted_corpus(spark, sf_dir)
+    # the planted corpus feeds four consumers (centroids, assignment,
+    # both sides of the pairwise join) — cache it once instead of
+    # re-deriving norms from the parquet scan per branch; at cluster
+    # scale swap for persist(DISK_ONLY), same as the shingle-set cache
+    corpus = _planted_corpus(spark, sf_dir).cache()
     cent = corpus.filter(
         F.col("vec_id").between(N_QUERIES, N_QUERIES + k - 1)
     ).select(F.col("vec_id").alias("c_id"), F.col("v").alias("cv"), F.col("nrm").alias("cnrm"))
-    ccos = dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cnrm"))
-    cw = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("c_id"))
-    lists = (
-        corpus.crossJoin(F.broadcast(cent))
-        .select("vec_id", "c_id", F.round(ccos, 6).alias("ccos"))
-        .withColumn("crank", F.row_number().over(cw))
-        .filter(F.col("crank") == 1)
-        .select("vec_id", F.col("c_id").alias("cluster_id"))
-    )
+    lists = nearest_centroid(corpus, cent, out="cluster_id")
     a = lists.select(F.col("vec_id").alias("a_id"), "cluster_id")
     b = lists.select(F.col("vec_id").alias("b_id"), "cluster_id")
     va = corpus.select(F.col("vec_id").alias("a_id"), F.col("v").alias("av"), F.col("nrm").alias("anrm"))

@@ -212,3 +212,51 @@ def q_click_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "purchase_value",
         (F.unix_micros("purchase_ts") - F.unix_micros("click_ts")).alias("delay_us"),
     )
+
+
+@query(
+    "events_delta_ingest",
+    oracle=f"""
+SELECT CAST(ts AS DATE) AS event_date,
+       COUNT(*) AS n_events,
+       {stable_sum_sql('value')} AS sum_value
+FROM events
+GROUP BY event_date
+""",
+)
+def q_events_delta_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Structured Streaming → partitioned Delta, end-to-end under
+    the oracle gate (no batch twin): the events table is staged as 4
+    parquet files, replayed as 4 micro-batches
+    (``maxFilesPerTrigger=1``), and each batch lands as ONE atomic
+    Delta commit partitioned by ``event_date`` with a ``txn``
+    (appId, batchId) action — the protocol's exactly-once marker
+    (streaming/delta_ingest.py). The final snapshot is read back
+    through the transaction log and aggregated per day; the oracle
+    computes the same aggregate straight from the raw table, so a
+    dropped batch, a double-committed replay, or a partition-value
+    corruption all hash-mismatch. Idempotent-replay behavior itself is
+    asserted in test_streaming/test_delta_log."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from nyc_taxi_data_engineering_spark.queries.workflow import _tmp_table
+    from nyc_taxi_data_engineering_spark.sources import delta_log as D
+    from nyc_taxi_data_engineering_spark.streaming import ingest_events_to_delta
+
+    src = _tmp_table("events_stage")
+    ckpt = _tmp_table("events_ingest_ckpt")
+    tbl = _tmp_table("events_ingest_delta")
+    for p in (src, ckpt, tbl):
+        shutil.rmtree(p, ignore_errors=True)
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    events.repartition(4).write.mode("overwrite").parquet(src)
+    ingest_events_to_delta(spark, src, tbl, ckpt)
+    snap = D.read_delta_log(spark, tbl)
+    return snap.groupBy("event_date").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        stable_sum(F.col("value")).alias("sum_value"),
+    )

@@ -28,11 +28,24 @@ Scale notes:
   age). JSON commits are retained, so time travel BEFORE the
   checkpoint still replays from version 0.
 - Commit CONFLICTS: version files are published with an atomic
-  hard-link create — two writers racing to the same version see
-  exactly one winner; the loser's already-promoted data files are
-  rolled back (deleted) so no orphans accumulate. ``vacuum_delta``
-  still assumes no write is mid-promotion while it runs (the same
-  single-vacuum assumption real Delta makes).
+  hard-link create (content fsync'd first — a crash between publish
+  and flush can't leave a visible-but-empty commit) — two writers
+  racing to the same version see exactly one winner; the loser's
+  already-promoted data files are rolled back (deleted) so no orphans
+  accumulate.
+- PARTITIONED tables (since round 6): ``write_delta(partition_by=…)``
+  writes Hive-layout ``col=value/`` files, records
+  ``partitionColumns`` in metaData and per-file ``partitionValues`` in
+  add actions (delta-spark's exact conventions), and
+  ``read_delta_log(predicates=…)`` prunes partitions EXACTLY from the
+  log before consulting min/max stats — a date-sliced read of a
+  years-deep table lists O(slice) files without touching storage.
+- Single-writer windows: ``vacuum_delta`` assumes no write is
+  mid-promotion while it runs (a concurrent writer's just-promoted,
+  not-yet-committed files would look unreferenced and be deleted) —
+  the same single-vacuum operational assumption real Delta makes.
+  Everything else (concurrent writes, reads during writes) is safe
+  under the put-if-absent commit.
 """
 
 from __future__ import annotations
@@ -84,6 +97,16 @@ _CP_SCHEMA = pa.schema(
                     ("modificationTime", pa.int64()),
                     ("dataChange", pa.bool_()),
                     ("stats", pa.string()),
+                ]
+            ),
+        ),
+        pa.field(
+            "txn",
+            pa.struct(
+                [
+                    ("appId", pa.string()),
+                    ("version", pa.int64()),
+                    ("lastUpdated", pa.int64()),
                 ]
             ),
         ),
@@ -140,10 +163,11 @@ def _replay_state(
 ) -> dict:
     """Replay to ``version_as_of`` (inclusive; latest if None) →
     ``{"version", "adds" (path -> add action), "metaData" (action
-    dict), "protocol"}``. Starts from the newest checkpoint at or
-    before the target version when one exists (O(interval) JSON reads
-    instead of O(table age)); targets BEFORE the checkpoint replay the
-    retained JSON commits from version 0."""
+    dict), "protocol", "txns" (appId -> highest committed txn
+    version)}``. Starts from the newest checkpoint at or before the
+    target version when one exists (O(interval) JSON reads instead of
+    O(table age)); targets BEFORE the checkpoint replay the retained
+    JSON commits from version 0."""
     latest = latest_version(table_path)
     if latest is None:
         raise DeltaLogError(f"not a Delta table (no {LOG_DIR}): {table_path}")
@@ -155,6 +179,7 @@ def _replay_state(
     adds: dict[str, dict] = {}
     meta: dict | None = None
     protocol: dict | None = None
+    txns: dict[str, int] = {}
     start = 0
     cp = _read_last_checkpoint(table_path)
     if cp is not None and cp <= upto:
@@ -172,6 +197,8 @@ def _replay_state(
                 pv = a.get("partitionValues")
                 a["partitionValues"] = dict(pv) if pv else {}
                 adds[a["path"]] = a
+            elif row.get("txn") is not None:
+                txns[row["txn"]["appId"]] = row["txn"]["version"]
         start = cp + 1
     for v in range(start, upto + 1):
         for action in _read_commit(table_path, v):
@@ -183,9 +210,18 @@ def _replay_state(
                 adds[action["add"]["path"]] = action["add"]
             elif "remove" in action:
                 adds.pop(action["remove"]["path"], None)
+            elif "txn" in action:
+                t = action["txn"]
+                txns[t["appId"]] = max(t["version"], txns.get(t["appId"], -1))
     if meta is None:
         raise DeltaLogError(f"no metaData action in log of {table_path}")
-    return {"version": upto, "adds": adds, "metaData": meta, "protocol": protocol}
+    return {
+        "version": upto,
+        "adds": adds,
+        "metaData": meta,
+        "protocol": protocol,
+        "txns": txns,
+    }
 
 
 def _replay(table_path: str, version_as_of: int | None = None) -> tuple[list[str], StructType]:
@@ -230,6 +266,8 @@ def write_checkpoint(table_path: str, version: int | None = None) -> str:
                 }
             }
         )
+    for app_id, t_ver in sorted(state["txns"].items()):
+        rows.append({"txn": {"appId": app_id, "version": t_ver, "lastUpdated": None}})
     cp_file = os.path.join(_log_dir(table_path), f"{v:020d}.checkpoint.parquet")
     pq.write_table(pa.Table.from_pylist(rows, schema=_CP_SCHEMA), cp_file)
     tmp = _last_checkpoint_path(table_path) + ".tmp"
@@ -602,12 +640,24 @@ def _rollback_promoted(table_path: str, adds: list[dict]) -> None:
             pass
 
 
+def last_txn_version(table_path: str, app_id: str) -> int | None:
+    """Highest ``txn`` action version committed for ``app_id``, or
+    None — the idempotent-writer handshake of the Delta protocol: a
+    streaming sink records (appId, batchId) with each commit and skips
+    any batch at-or-below this watermark on replay, making
+    foreachBatch appends exactly-once across checkpoint recovery."""
+    if latest_version(table_path) is None:
+        return None
+    return _replay_state(table_path)["txns"].get(app_id)
+
+
 def write_delta(
     df: DataFrame,
     table_path: str,
     mode: str = "overwrite",
     operation: str = "WRITE",
     partition_by: list[str] | str | None = None,
+    txn: tuple[str, int] | None = None,
 ) -> int:
     """S9/S10: versioned Delta sink. ``overwrite`` commits remove
     actions for every previously-active file plus adds for the new
@@ -626,7 +676,12 @@ def write_delta(
     emits — so read_delta_log can prune whole partitions from the log
     alone. Appends to a partitioned table must repeat the same
     ``partition_by`` (or omit it to inherit); changing the
-    partitioning of an existing table is rejected, as real Delta does."""
+    partitioning of an existing table is rejected, as real Delta does.
+
+    ``txn=(app_id, version)`` additionally commits a ``txn`` action —
+    the protocol's idempotent-writer marker. Pair with
+    :func:`last_txn_version` to make replayed streaming batches no-ops
+    (see streaming/delta_ingest.py)."""
     import shutil
 
     if mode not in ("overwrite", "append"):
@@ -685,6 +740,10 @@ def write_delta(
             }
         }
     ]
+    if txn is not None:
+        actions.append(
+            {"txn": {"appId": txn[0], "version": int(txn[1]), "lastUpdated": now_ms}}
+        )
     if version == 0:
         actions.append({"protocol": dict(PROTOCOL)})
     if version == 0 or mode == "overwrite":

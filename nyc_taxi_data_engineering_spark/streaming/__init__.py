@@ -15,6 +15,11 @@ the DuckDB oracle checks, and tests assert stream-equals-batch on the
 same data, so the streaming path inherits the correctness gate.
 """
 
+from nyc_taxi_data_engineering_spark.streaming.delta_ingest import (
+    delta_ingest_batch,
+    delta_stream_sink,
+    ingest_events_to_delta,
+)
 from nyc_taxi_data_engineering_spark.streaming.windows import (
     session_user_stats,
     sliding_event_stats,
@@ -25,4 +30,7 @@ __all__ = [
     "tumbling_event_stats",
     "sliding_event_stats",
     "session_user_stats",
+    "delta_ingest_batch",
+    "delta_stream_sink",
+    "ingest_events_to_delta",
 ]

@@ -353,3 +353,18 @@ def test_chunk_dedup_is_one_hash_agg(spark, sf_dir):
     assert "Join" not in plan
     n_exchanges = sum(1 for l in plan.splitlines() if "Exchange hashpartitioning" in l)
     assert n_exchanges <= 2  # agg + countDistinct expand, nothing else
+
+
+def test_centroid_assignment_is_hash_agg_not_window(spark, sf_dir):
+    """Nearest-centroid assignment must fold its argmax into a hash
+    aggregate (max(struct) with map-side partial combine), NOT rank
+    all n·k scored rows through a window's sort-shuffle — with k = √n
+    that window exchange is n^1.5 rows, the old dominant shuffle."""
+    plan = _plan(spark, sf_dir, "semantic_dedup_prune")
+    assert "Window [" not in plan  # no window anywhere in the plan
+    assert "partial_max" in plan  # argmax pre-collapsed before exchange
+    plan = _plan(spark, sf_dir, "ann_ivf_topk")
+    assert "partial_max" in plan  # full-corpus assignment via agg
+    # the only windows left rank (a) probe lists for the 8 query
+    # vectors (post vec_id<8 filter) and (b) the final top-k
+    assert plan.count("Window [") == 2

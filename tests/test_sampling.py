@@ -126,3 +126,14 @@ def test_weighted_sample_is_without_replacement(spark):
     df = spark.createDataFrame([(i, 1.0) for i in range(10)], "id int, w double")
     got = [r["id"] for r in weighted_sample(df, "id", "w", 10, seed="x").collect()]
     assert sorted(got) == list(range(10))
+
+
+def test_shuffle_shards_rejects_reserved_column_clash(spark):
+    from nyc_taxi_data_engineering_spark.operators.sampling import shuffle_shards
+
+    df = spark.createDataFrame([(1, 0)], "k long, shard int")
+    with pytest.raises(ValueError, match="shard"):
+        shuffle_shards(df, "k", 4)
+    df2 = spark.createDataFrame([(1, 0)], "k long, pos int")
+    with pytest.raises(ValueError, match="pos"):
+        shuffle_shards(df2, "k", 4)

@@ -270,3 +270,74 @@ def test_incremental_rollup_equals_batch_recompute(spark, stream_dirs):
         .collect()
     }
     assert got == want and len(got) == 3
+
+
+def test_streaming_delta_ingest_exactly_once(spark, stream_dirs, tmp_path):
+    """File stream → partitioned Delta: one commit + txn per
+    micro-batch; a replayed batch id writes nothing; a restarted
+    stream on the same checkpoint re-commits nothing."""
+    from nyc_taxi_data_engineering_spark.sources import delta_log as D
+    from nyc_taxi_data_engineering_spark.streaming import (
+        delta_ingest_batch,
+        ingest_events_to_delta,
+    )
+
+    src, ckpt = stream_dirs
+    tbl = os.path.join(str(tmp_path), "ingest_tbl")
+    batch1 = _mk_events(spark, [(0, 1, "click", 1.0), (10, 2, "view", 2.0)])
+    batch2 = _mk_events(
+        spark, [(24 * 60, 1, "purchase", 3.0), (24 * 60 + 5, 3, "click", 4.0)]
+    )
+    _write_batch(batch1, src)
+    _write_batch(batch2, src)
+    v = ingest_events_to_delta(spark, src, tbl, ckpt, app_id="t-ingest")
+    # two staged files -> two batches -> two commits (v0, v1)
+    assert v == 1
+    assert D.last_txn_version(tbl, "t-ingest") == 1
+    snap = D.read_delta_log(spark, tbl)
+    assert snap.count() == 4
+    # partitioned by event_date with values from ts
+    state = D._replay_state(tbl)
+    assert state["metaData"]["partitionColumns"] == ["event_date"]
+    days = {a["partitionValues"]["event_date"] for a in state["adds"].values()}
+    assert days == {"2024-01-01", "2024-01-02"}
+    # partition-pruned read returns only day 2
+    d2 = D.read_delta_log(spark, tbl, predicates=[("event_date", "==", "2024-01-02")])
+    assert sorted(r["event_id"] for r in d2.collect()) == [0, 1]  # per-batch ids
+    assert all("event_date=2024-01-02" in f for f in d2.inputFiles())
+    # replayed batch id: nothing written, version unchanged
+    assert delta_ingest_batch(batch1, 0, tbl, "t-ingest", "event_date") is False
+    assert delta_ingest_batch(batch2, 1, tbl, "t-ingest", "event_date") is False
+    assert D.latest_version(tbl) == 1
+    # a NEW batch id commits
+    batch3 = _mk_events(spark, [(2 * 24 * 60, 9, "view", 5.0)]).withColumn(
+        "event_date", F.to_date("ts")
+    )
+    assert delta_ingest_batch(batch3, 2, tbl, "t-ingest", "event_date") is True
+    assert D.latest_version(tbl) == 2
+    assert D.read_delta_log(spark, tbl).count() == 5
+    # restart on the same checkpoint: no new files -> no new commits
+    v2 = None
+    try:
+        v2 = ingest_events_to_delta(spark, src, tbl, ckpt, app_id="t-ingest")
+    finally:
+        assert v2 == 2
+    # a different app_id has its own watermark
+    assert D.last_txn_version(tbl, "other-app") is None
+
+
+def test_txn_watermark_survives_checkpoint(spark, tmp_path):
+    from nyc_taxi_data_engineering_spark.sources import delta_log as D
+
+    tbl = os.path.join(str(tmp_path), "txn_tbl")
+    df = _mk_events(spark, [(0, 1, "click", 1.0)])
+    D.write_delta(df, tbl, mode="append", txn=("app-a", 7))
+    D.write_delta(df, tbl, mode="append", txn=("app-b", 3))
+    D.write_checkpoint(tbl)
+    D.write_delta(df, tbl, mode="append")  # post-checkpoint commit, no txn
+    # replay starts from the checkpoint; both watermarks must survive
+    assert D.last_txn_version(tbl, "app-a") == 7
+    assert D.last_txn_version(tbl, "app-b") == 3
+    # a txn bump after the checkpoint wins over the checkpointed one
+    D.write_delta(df, tbl, mode="append", txn=("app-a", 9))
+    assert D.last_txn_version(tbl, "app-a") == 9
