@@ -192,6 +192,120 @@ def lsh_candidate_pairs(
     )
 
 
+OPH_BINS = 16  # one permutation, 16 bins -> same 4x4 banding as MinHash(16)
+
+
+def oph_minhash_bins(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_bins: int = OPH_BINS,
+) -> DataFrame:
+    """One-Permutation Hashing signature (Li/Owen/Zhang, NIPS 2012) as
+    dense ``(id, bin, sig)`` rows: each distinct shingle is hashed
+    ONCE, the hash space is cut into ``n_bins`` bins, and the
+    signature is the per-bin minimum — k-permutation MinHash's
+    accuracy at 1/k of the hash compute. The k-hash variant
+    (minhash_signatures) evaluates k md5s per shingle, and the sf10
+    probe put that at 33 s/decade for k=16; one permutation makes the
+    per-shingle work a single md5 plus integer ops.
+
+    Empty bins (P = (1-1/k)^|set|, material for short docs) are filled
+    by ROTATION densification (Shrivastava & Li, ICML 2014): a bin
+    borrows the value of the next non-empty bin to its right,
+    circularly — expressed as two first_value-ignore-nulls windows
+    over the dense per-doc frame (16 rows per doc; the exchange is 16n
+    skinny rows, far below the k-hash variant's per-row compute).
+
+    Scale shape: one explode + hash per distinct shingle, one
+    (id, bin) hash agg with map-side combine, one per-doc window over
+    16-row partitions. Every stage is keyed — no pairwise anything."""
+    sets = _shingle_sets(docs, id_col, text_col, T.SHINGLE_WORDS)
+    mins = (
+        sets.select(id_col, F.explode("shingles").alias("sh"))
+        .select(id_col, F.md5(F.concat(F.lit("oph:"), F.col("sh"))).alias("h"))
+        .select(
+            id_col,
+            (F.conv(F.substring("h", 1, 4), 16, 10).cast("int") % n_bins).alias("bin"),
+            "h",
+        )
+        .groupBy(id_col, "bin")
+        .agg(F.min("h").alias("m"))
+    )
+    dense = sets.select(
+        id_col, F.explode(F.sequence(F.lit(0), F.lit(n_bins - 1))).alias("bin")
+    ).join(mins, [id_col, "bin"], "left")
+    fwd = Window.partitionBy(id_col).orderBy("bin").rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    wrap = Window.partitionBy(id_col).orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return dense.select(
+        id_col,
+        "bin",
+        F.coalesce(
+            F.first("m", ignorenulls=True).over(fwd),
+            F.first("m", ignorenulls=True).over(wrap),
+        ).alias("sig"),
+    )
+
+
+def oph_lsh_pairs(
+    bins_df: DataFrame,
+    id_col: str = "doc_id",
+    n_bins: int = OPH_BINS,
+    bands: int = LSH_BANDS,
+) -> DataFrame:
+    """LSH candidate pairs over OPH signatures: band = ``r`` adjacent
+    bins hashed to one bucket key, candidates equi-join on
+    (band, bucket), each pair scored by the fraction of agreeing bins
+    (estimated Jaccard — exactly the MinHash estimator, since each
+    bin's min is a uniform min-hash of the set restricted to that
+    partition of hash space). Same S-curve 1-(1-j^r)^b as the k-hash
+    banding."""
+    r = n_bins // bands
+    banded = (
+        bins_df.select(id_col, (F.col("bin") / r).cast("int").alias("band"), "bin", "sig")
+        .groupBy(id_col, "band")
+        .agg(
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("bin", "sig"))),
+                        lambda s: s["sig"],
+                    ),
+                    "|",
+                )
+            ).alias("bucket")
+        )
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("a_id"), F.col(f"b.{id_col}").alias("b_id"))
+        .distinct()
+    )
+    sa = bins_df.select(F.col(id_col).alias("a_id"), "bin", F.col("sig").alias("a_sig"))
+    sb = bins_df.select(F.col(id_col).alias("b_id"), "bin", F.col("sig").alias("b_sig"))
+    return (
+        pairs.join(sa, "a_id")
+        .join(sb, ["b_id", "bin"])
+        .groupBy("a_id", "b_id")
+        .agg(
+            (
+                F.sum(F.when(F.col("a_sig") == F.col("b_sig"), 1).otherwise(0))
+                / F.lit(float(n_bins))
+            ).alias("est_similarity")
+        )
+    )
+
+
 def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Per-doc 64-bit SimHash over whitespace tokens (with
     multiplicity): md5 each token once, aggregate per-bit sums in ONE

@@ -320,3 +320,80 @@ def q_shingle_df_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_shingles"),
         F.sum("df").cast("bigint").alias("n_postings"),
     )
+
+
+_OPH_K = D.OPH_BINS
+_OPH_R = _OPH_K // _B
+
+# OPH oracle: one md5 per distinct shingle, bin from the first 4 hex
+# digits, per-bin min, rotation densification via two
+# first_value-IGNORE-NULLS windows (forward then circular wrap) —
+# bit-identical to the Spark expressions (same 'oph:' seed prefix,
+# same hex-prefix arithmetic as hash_bucket/hash_bucket_sql).
+_OPH_SIG_CTE = f"""
+hashed AS (
+    SELECT doc_id, md5('oph:' || s) AS h FROM inv
+),
+binned AS (
+    SELECT doc_id,
+           CAST(('0x' || substr(h, 1, 4))::BIGINT % {_OPH_K} AS INT) AS bin, h
+    FROM hashed
+),
+mins AS (SELECT doc_id, bin, min(h) AS m FROM binned GROUP BY doc_id, bin),
+dense AS (
+    SELECT d.doc_id, b.bin, m.m
+    FROM (SELECT DISTINCT doc_id FROM shingle_sets) d
+    CROSS JOIN (SELECT unnest(range({_OPH_K})) AS bin) b
+    LEFT JOIN mins m ON m.doc_id = d.doc_id AND m.bin = b.bin
+),
+osig AS (
+    SELECT doc_id, bin,
+           coalesce(
+             first_value(m IGNORE NULLS) OVER (
+                 PARTITION BY doc_id ORDER BY bin
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING),
+             first_value(m IGNORE NULLS) OVER (
+                 PARTITION BY doc_id ORDER BY bin
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+           ) AS sig
+    FROM dense
+)
+"""
+
+
+@query(
+    "oph_minhash_pairs",
+    oracle=f"""
+WITH {_SHINGLES_CTE},
+{_OPH_SIG_CTE},
+obands AS (
+    SELECT doc_id, CAST(bin // {_OPH_R} AS INT) AS band,
+           md5(string_agg(sig, '|' ORDER BY bin)) AS bucket
+    FROM osig GROUP BY doc_id, CAST(bin // {_OPH_R} AS INT)
+),
+pairs AS (
+    SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+    FROM obands a JOIN obands b
+      ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+)
+SELECT p.a_id, p.b_id,
+       SUM(CASE WHEN sa.sig = sb.sig THEN 1 ELSE 0 END) / {float(_OPH_K)}
+         AS est_similarity
+FROM pairs p
+JOIN osig sa ON sa.doc_id = p.a_id
+JOIN osig sb ON sb.doc_id = p.b_id AND sb.bin = sa.bin
+GROUP BY p.a_id, p.b_id
+""",
+)
+def q_oph_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-Permutation-Hashing MinHash + LSH candidate pairs
+    (operators/dedup oph_minhash_bins + oph_lsh_pairs): the 16-hash
+    MinHash's banding and estimator at ~1/16 of the hash compute —
+    ONE md5 per distinct shingle, per-bin mins, rotation
+    densification. The estimator agreement fraction is exact in
+    binary (x/16), so no cross-engine rounding is needed. The k-hash
+    variant (minhash_lsh_pairs) stays registered as the reference
+    implementation; this is the scale path the sf10 probe motivated
+    (33 s/decade of signature compute at k=16)."""
+    bins_df = D.oph_minhash_bins(load_table(spark, sf_dir, "documents")).cache()
+    return D.oph_lsh_pairs(bins_df)

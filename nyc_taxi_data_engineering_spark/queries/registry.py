@@ -51,6 +51,7 @@ ROTATION: list[str] = [
     # -- new in round 6 --
     "delta_partitioned_orders",
     "events_delta_ingest",
+    "oph_minhash_pairs",
     # -- last driver-green in r4, stalest first --
     "exact_dedup_docs",
     "ngram_jaccard_pairs",

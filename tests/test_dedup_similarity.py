@@ -198,3 +198,35 @@ def test_connected_components_adversarial_path_log_rounds(spark):
         for r in D.connected_components(edges, max_iter=10).collect()
     }
     assert comp == {i: 0 for i in range(n)}
+
+
+def test_oph_signature_dense_and_densified(spark):
+    """Every doc gets exactly OPH_BINS rows with NO null signature —
+    rotation densification fills empty bins from the next non-empty
+    one (circularly), even for a one-shingle doc that fills 1/16."""
+    docs = spark.createDataFrame(
+        [(1, "tiny doc here"), (2, "a much longer document with many distinct words "
+                                  "covering far more of the hash space than the tiny one")],
+        "doc_id long, text string",
+    )
+    rows = D.oph_minhash_bins(docs).collect()
+    assert len(rows) == 2 * D.OPH_BINS
+    assert all(r["sig"] is not None for r in rows)
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r["doc_id"], set()).add(r["bin"])
+    assert per_doc[1] == set(range(D.OPH_BINS))
+    # determinism: identical input -> identical signature
+    again = {(r["doc_id"], r["bin"]): r["sig"] for r in D.oph_minhash_bins(docs).collect()}
+    assert all(again[(r["doc_id"], r["bin"])] == r["sig"] for r in rows)
+
+
+def test_oph_lsh_identical_docs_estimate_one(spark):
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today"),
+         (2, "the quick brown fox jumps over the lazy dog today"),
+         (3, "completely different text with no shared shingles at all whatsoever")],
+        "doc_id long, text string",
+    )
+    pairs = D.oph_lsh_pairs(D.oph_minhash_bins(docs)).collect()
+    assert [(r["a_id"], r["b_id"], r["est_similarity"]) for r in pairs] == [(1, 2, 1.0)]
