@@ -144,6 +144,31 @@ def minhash_signatures(
     return sets.select(id_col, *mins)
 
 
+def lsh_band_keys(
+    sig: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = MINHASH_HASHES,
+    bands: int = LSH_BANDS,
+) -> DataFrame:
+    """``(id, band, bucket)`` LSH keys from a signature frame: each
+    band of ``r = num_hashes // bands`` signature columns hashes to one
+    bucket key. This is the joinable form of a signature — self-join it
+    for within-corpus pairs (:func:`lsh_candidate_pairs`) or join
+    batch-side keys against a persisted corpus-side index for
+    incremental dedup (:func:`incremental_dedup_status`)."""
+    r = num_hashes // bands
+    band_structs = [
+        F.struct(
+            F.lit(i).alias("band"),
+            F.md5(F.concat_ws("|", *[f"s{i * r + j}" for j in range(r)])).alias("bucket"),
+        )
+        for i in range(bands)
+    ]
+    return sig.select(id_col, F.explode(F.array(*band_structs)).alias("bk")).select(
+        id_col, F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket")
+    )
+
+
 def lsh_candidate_pairs(
     sig: DataFrame,
     id_col: str = "doc_id",
@@ -157,17 +182,7 @@ def lsh_candidate_pairs(
     The band join is the scale path: a pair shuffles together only if
     it collides in ≥1 band, so candidate volume follows the S-curve
     ``1-(1-j^r)^b`` instead of n²."""
-    r = num_hashes // bands
-    band_structs = [
-        F.struct(
-            F.lit(i).alias("band"),
-            F.md5(F.concat_ws("|", *[f"s{i * r + j}" for j in range(r)])).alias("bucket"),
-        )
-        for i in range(bands)
-    ]
-    banded = sig.select(id_col, F.explode(F.array(*band_structs)).alias("bk")).select(
-        id_col, F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket")
-    )
+    banded = lsh_band_keys(sig, id_col, num_hashes, bands)
     a, b = banded.alias("a"), banded.alias("b")
     pairs = (
         a.join(
@@ -189,6 +204,84 @@ def lsh_candidate_pairs(
         pairs.join(sa, "a_id")
         .join(sb, "b_id")
         .select("a_id", "b_id", (matches / F.lit(float(num_hashes))).alias("est_similarity"))
+    )
+
+
+def incremental_dedup_status(
+    batch: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = MINHASH_HASHES,
+    bands: int = LSH_BANDS,
+    neardup_min: float = 0.5,
+) -> DataFrame:
+    """Incremental (batch-vs-corpus) dedup: classify every incoming
+    ``batch`` document against an already-ingested ``corpus`` snapshot.
+    Returns ``(id, status)`` with status one of, in precedence order:
+
+    - ``exact_dup_corpus`` — content hash already present in the corpus
+    - ``exact_dup_batch`` — hash new to the corpus but duplicated
+      within the batch; only the minimum-id copy survives
+    - ``neardup_corpus`` — exact-unique, but MinHash-LSH band collision
+      with a corpus doc at signature agreement ≥ ``neardup_min``
+    - ``kept`` — admit into the corpus
+
+    This is the per-snapshot dedup a continuously refreshed corpus
+    runs (each crawl dedups against everything already ingested, not
+    just itself). Scale shape: the exact stage is one hash equi-join
+    (batch ≪ corpus, so the batch side is the small probe side); the
+    near-dup stage joins batch band keys against the corpus band
+    index — at production scale the corpus signatures/bands are
+    persisted once per snapshot and only the batch side is computed
+    fresh, so per-refresh cost is proportional to the batch, not the
+    corpus. No stage is ever all-pairs."""
+    bh = batch.select(id_col, content_hash(F.col(text_col)).alias("h"))
+    ch = corpus.select(content_hash(F.col(text_col)).alias("h")).distinct()
+    flags = (
+        bh.join(ch.withColumn("in_corpus", F.lit(True)), "h", "left")
+        .withColumn("in_corpus", F.coalesce("in_corpus", F.lit(False)))
+        .withColumn("canon", F.min(id_col).over(Window.partitionBy("h")))
+    )
+    survivors = flags.filter(~F.col("in_corpus") & (F.col(id_col) == F.col("canon"))).select(id_col)
+    bsig = minhash_signatures(batch.join(survivors, id_col), id_col, text_col, num_hashes)
+    csig = minhash_signatures(corpus, id_col, text_col, num_hashes)
+    bband = lsh_band_keys(bsig, id_col, num_hashes, bands)
+    cband = lsh_band_keys(csig, id_col, num_hashes, bands)
+    cand = (
+        bband.alias("a")
+        .join(
+            cband.alias("b"),
+            (F.col("a.band") == F.col("b.band")) & (F.col("a.bucket") == F.col("b.bucket")),
+        )
+        .select(F.col(f"a.{id_col}").alias("b_id"), F.col(f"b.{id_col}").alias("c_id"))
+        .distinct()
+    )
+    sa = bsig.select(
+        F.col(id_col).alias("b_id"), *[F.col(f"s{i}").alias(f"a_s{i}") for i in range(num_hashes)]
+    )
+    sb = csig.select(
+        F.col(id_col).alias("c_id"), *[F.col(f"s{i}").alias(f"b_s{i}") for i in range(num_hashes)]
+    )
+    matches = reduce(
+        add,
+        [F.when(F.col(f"a_s{i}") == F.col(f"b_s{i}"), 1).otherwise(0) for i in range(num_hashes)],
+    )
+    near = (
+        cand.join(sa, "b_id")
+        .join(sb, "c_id")
+        .filter(matches / F.lit(float(num_hashes)) >= neardup_min)
+        .select(F.col("b_id").alias(id_col))
+        .distinct()
+        .withColumn("is_near", F.lit(True))
+    )
+    return flags.join(near, id_col, "left").select(
+        id_col,
+        F.when(F.col("in_corpus"), "exact_dup_corpus")
+        .when(F.col(id_col) != F.col("canon"), "exact_dup_batch")
+        .when(F.coalesce("is_near", F.lit(False)), "neardup_corpus")
+        .otherwise("kept")
+        .alias("status"),
     )
 
 

@@ -37,10 +37,15 @@ _SIG_COLS = ",\n           ".join(
 )
 
 _SEP = " || '|' || "
-_BAND_SELECTS = "\n    UNION ALL ".join(
-    f"SELECT doc_id, {i} AS band, md5({_SEP.join(f's{i * _R + j}' for j in range(_R))}) AS bucket FROM sig"
-    for i in range(_B)
-)
+def _band_selects(src: str) -> str:
+    """Band-bucket SELECTs over a signature CTE named ``src``."""
+    return "\n    UNION ALL ".join(
+        f"SELECT doc_id, {i} AS band, md5({_SEP.join(f's{i * _R + j}' for j in range(_R))}) AS bucket FROM {src}"
+        for i in range(_B)
+    )
+
+
+_BAND_SELECTS = _band_selects("sig")
 
 _SIG_MATCHES = " + ".join(f"(CASE WHEN sa.s{i} = sb.s{i} THEN 1 ELSE 0 END)" for i in range(_H))
 
@@ -397,3 +402,73 @@ def q_oph_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (33 s/decade of signature compute at k=16)."""
     bins_df = D.oph_minhash_bins(load_table(spark, sf_dir, "documents")).cache()
     return D.oph_lsh_pairs(bins_df)
+
+
+INCR_NEARDUP_MIN = 0.5  # signature-agreement floor for the incremental near-dup stage
+INCR_BATCH_SOURCE = "src0"  # the "incoming crawl" slice of the documents table
+
+
+@query(
+    "incremental_dedup_docs",
+    oracle=f"""
+WITH batch AS (SELECT doc_id, text FROM documents WHERE source = '{INCR_BATCH_SOURCE}'),
+corpus AS (SELECT doc_id, text FROM documents WHERE source <> '{INCR_BATCH_SOURCE}'),
+ch AS (SELECT DISTINCT md5(text) AS h FROM corpus),
+flags AS (
+    SELECT b.doc_id,
+           md5(b.text) IN (SELECT h FROM ch) AS in_corpus,
+           MIN(b.doc_id) OVER (PARTITION BY md5(b.text)) AS canon
+    FROM batch b
+),
+bsig AS (
+    SELECT doc_id,
+           {_SIG_COLS}
+    FROM batch JOIN flags USING (doc_id)
+    WHERE NOT in_corpus AND doc_id = canon
+),
+csig AS (
+    SELECT doc_id,
+           {_SIG_COLS}
+    FROM corpus
+),
+bbands AS (
+    {_band_selects('bsig')}
+),
+cbands AS (
+    {_band_selects('csig')}
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS b_id, c.doc_id AS c_id
+    FROM bbands a JOIN cbands c ON a.band = c.band AND a.bucket = c.bucket
+),
+near AS (
+    SELECT DISTINCT p.b_id AS doc_id
+    FROM cand p
+    JOIN bsig sa ON sa.doc_id = p.b_id
+    JOIN csig sb ON sb.doc_id = p.c_id
+    WHERE ({_SIG_MATCHES}) / {float(_H)} >= {INCR_NEARDUP_MIN}
+)
+SELECT doc_id,
+       CASE WHEN in_corpus THEN 'exact_dup_corpus'
+            WHEN doc_id <> canon THEN 'exact_dup_batch'
+            WHEN doc_id IN (SELECT doc_id FROM near) THEN 'neardup_corpus'
+            ELSE 'kept' END AS status
+FROM flags
+""",
+)
+def q_incremental_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental batch-vs-corpus dedup (operators/dedup
+    incremental_dedup_status): treat source='src0' as the incoming
+    crawl and every other source as the already-ingested corpus; each
+    incoming doc is admitted or dropped with a reason
+    (exact-dup-vs-corpus / exact-dup-within-batch / LSH near-dup-vs-
+    corpus). The per-snapshot gate a continuously refreshed 100 TB
+    corpus runs on every crawl — cost proportional to the batch, not
+    the corpus, because the corpus hash set and band index persist
+    across refreshes."""
+    docs = load_table(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("source") == INCR_BATCH_SOURCE).select("doc_id", "text")
+    corpus = docs.filter(F.col("source") != INCR_BATCH_SOURCE).select("doc_id", "text")
+    return D.incremental_dedup_status(
+        batch, corpus, neardup_min=INCR_NEARDUP_MIN
+    )

@@ -52,6 +52,7 @@ ROTATION: list[str] = [
     "delta_partitioned_orders",
     "events_delta_ingest",
     "oph_minhash_pairs",
+    "incremental_dedup_docs",
     # -- last driver-green in r4, stalest first --
     "exact_dedup_docs",
     "ngram_jaccard_pairs",

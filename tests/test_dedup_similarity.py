@@ -230,3 +230,47 @@ def test_oph_lsh_identical_docs_estimate_one(spark):
     )
     pairs = D.oph_lsh_pairs(D.oph_minhash_bins(docs)).collect()
     assert [(r["a_id"], r["b_id"], r["est_similarity"]) for r in pairs] == [(1, 2, 1.0)]
+
+
+def _ids(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_incremental_dedup_all_statuses(spark):
+    """Each status branch on hand-built rows: corpus {A, B}, batch has
+    an exact corpus dup, a within-batch dup pair, a one-token edit of
+    B (near-dup), and a fresh doc."""
+    a = " ".join(f"w{i}" for i in range(20))
+    b = " ".join(f"x{i}" for i in range(20))
+    b_edit = b.rsplit(" ", 1)[0] + " zz"
+    fresh = " ".join(f"q{i}" for i in range(20))
+    new = " ".join(f"n{i}" for i in range(20))
+    corpus = _ids(spark, [(1, a), (2, b)])
+    batch = _ids(spark, [(10, a), (11, new), (12, new), (13, b_edit), (14, fresh)])
+    status = {
+        r["doc_id"]: r["status"]
+        for r in D.incremental_dedup_status(batch, corpus).collect()
+    }
+    assert status == {
+        10: "exact_dup_corpus",
+        11: "kept",
+        12: "exact_dup_batch",
+        13: "neardup_corpus",
+        14: "kept",
+    }
+
+
+def test_incremental_dedup_neardup_threshold_gates(spark):
+    """The agreement floor gates the near-dup verdict: replacing token
+    9 of this 20-token doc gives signature agreement 9/16 (verified by
+    recomputing the md5 MinHash in pure Python) — it band-collides and
+    drops at floor 0.5 but survives at floor 1.0."""
+    toks = [f"x{i}" for i in range(20)]
+    b = " ".join(toks)
+    b_edit = " ".join(toks[:9] + ["zz"] + toks[10:])
+    corpus = _ids(spark, [(1, b)])
+    batch = _ids(spark, [(10, b_edit)])
+    loose = D.incremental_dedup_status(batch, corpus, neardup_min=0.5).collect()
+    strict = D.incremental_dedup_status(batch, corpus, neardup_min=1.0).collect()
+    assert loose[0]["status"] == "neardup_corpus"
+    assert strict[0]["status"] == "kept"
