@@ -29,6 +29,7 @@ _MODULES = [
     "contamination",
     "scrubq",
     "lmprep",
+    "dsir",
 ]
 
 _loaded = False

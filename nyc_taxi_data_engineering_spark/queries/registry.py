@@ -53,6 +53,7 @@ ROTATION: list[str] = [
     "events_delta_ingest",
     "oph_minhash_pairs",
     "incremental_dedup_docs",
+    "dsir_importance_docs",
     # -- last driver-green in r4, stalest first --
     "exact_dedup_docs",
     "ngram_jaccard_pairs",
