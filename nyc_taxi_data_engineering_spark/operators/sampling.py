@@ -23,7 +23,7 @@ from __future__ import annotations
 
 from collections.abc import Mapping
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Bucket space 10_000 → split fractions resolve to 0.01 % granularity.
@@ -230,3 +230,62 @@ def shuffle_shards_sql(
 SELECT {cols}, {shard} AS shard,
        CAST(row_number() OVER (PARTITION BY {shard} ORDER BY {order_h}, {key_expr}) AS INT) AS pos
 FROM {table}"""
+
+
+def temperature_rates(
+    df: DataFrame,
+    stratum: str,
+    alpha: float,
+) -> DataFrame:
+    """Per-stratum keep-rates for temperature-scaled mixture sampling
+    (the multilingual-rebalance scheme of mBERT/XLM-R/mT5: sample
+    stratum s with probability ∝ p_s^alpha, alpha < 1 flattening the
+    head and boosting the tail). Keep-rate ∝ p_s^(alpha-1), normalized
+    so the largest rate is 1 (the rarest stratum is kept whole — no
+    upsampling, which a deterministic filter cannot do).
+
+    Returns ``(stratum, n_total, keep_rate)`` with keep_rate rounded
+    to 6 dp. The frame is one hash-agg of the input (map-side combined
+    to ≤|strata| rows per partition) plus an all-strata window over
+    that tiny aggregate — broadcast it back for the filter."""
+    cnt = df.groupBy(stratum).agg(F.count(F.lit(1)).alias("n_total"))
+    w = Window.partitionBy()
+    share = F.col("n_total") / F.sum("n_total").over(w)
+    raw = F.pow(share, F.lit(alpha - 1.0))
+    return cnt.select(
+        stratum,
+        "n_total",
+        F.round(raw / F.max(raw).over(w), 6).alias("keep_rate"),
+    )
+
+
+def temperature_sample(
+    df: DataFrame,
+    key: str,
+    stratum: str,
+    alpha: float,
+    seed: str = "",
+) -> DataFrame:
+    """Deterministic temperature-alpha mixture sample: join the
+    ≤|strata|-row rate table back (broadcast) and keep rows whose md5
+    bucket clears the stratum's threshold. Rerun-stable and
+    cluster-size-independent like every sampler here."""
+    rates = temperature_rates(df, stratum, alpha)
+    thresh = F.round(F.col("keep_rate") * N_BUCKETS).cast("int")
+    return (
+        df.join(F.broadcast(rates.select(stratum, "keep_rate")), stratum)
+        .filter(hash_bucket(F.col(key), seed) < thresh)
+        .drop("keep_rate")
+    )
+
+
+def temperature_rates_sql(stratum: str, alpha: float, from_table: str = "documents") -> str:
+    """DuckDB CTE body matching :func:`temperature_rates` (two nesting
+    levels: DuckDB rejects a window call inside another window's
+    argument)."""
+    return (
+        f"SELECT {stratum}, n_total, round(raw / MAX(raw) OVER (), 6) AS keep_rate\n"
+        f"FROM (SELECT {stratum}, n_total,"
+        f" pow(n_total * 1.0 / SUM(n_total) OVER (), {alpha} - 1.0) AS raw\n"
+        f"      FROM (SELECT {stratum}, COUNT(*) AS n_total FROM {from_table} GROUP BY {stratum}))"
+    )

@@ -54,6 +54,7 @@ ROTATION: list[str] = [
     "oph_minhash_pairs",
     "incremental_dedup_docs",
     "dsir_importance_docs",
+    "temperature_mixture_by_source",
     # -- last driver-green in r4, stalest first --
     "exact_dedup_docs",
     "ngram_jaccard_pairs",

@@ -220,3 +220,61 @@ def q_corpus_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     every row's placement, not just shard counts."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "source")
     return S.shuffle_shards(docs, "doc_id", N_SHUFFLE_SHARDS, seed="r5")
+
+
+TEMP_ALPHA = 0.5  # mixture temperature (mBERT/XLM-R-style alpha)
+TEMP_SEED = "temp1"
+
+
+@query(
+    "temperature_mixture_by_source",
+    oracle=f"""
+WITH rates AS (
+{S.temperature_rates_sql('source', TEMP_ALPHA)}
+),
+kept AS (
+    SELECT d.source, d.doc_id, d.n_chars
+    FROM documents d JOIN rates r USING (source)
+    WHERE {S.hash_bucket_sql('d.doc_id', seed=TEMP_SEED)} < CAST(round(r.keep_rate * {S.N_BUCKETS}) AS INT)
+)
+SELECT r.source, r.n_total, r.keep_rate,
+       COUNT(k.doc_id) AS n_kept,
+       CAST(COALESCE(SUM(k.n_chars), 0) AS BIGINT) AS kept_chars
+FROM rates r LEFT JOIN kept k USING (source)
+GROUP BY r.source, r.n_total, r.keep_rate
+""",
+)
+def q_temperature_mixture_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-alpha source mixture (operators/sampling
+    temperature_rates/temperature_sample): keep-rates derived from the
+    corpus's own source distribution (∝ p_s^(alpha-1), rarest source
+    kept whole), then the usual deterministic md5-threshold filter.
+    The per-source audit this query returns is what a mixture job
+    publishes next to its output. Unlike corpus_mixture_by_source
+    (static weights), the rates here adapt to the observed
+    distribution — the two compose: static policy caps on top of
+    temperature flattening. One tiny agg + broadcast join + narrow
+    filter; nothing data-sized shuffles except the final per-source
+    rollup."""
+    docs = load_table(spark, sf_dir, "documents")
+    rates = S.temperature_rates(docs, "source", TEMP_ALPHA)
+    thresh = F.round(F.col("keep_rate") * S.N_BUCKETS).cast("int")
+    kept = (
+        docs.join(F.broadcast(rates), "source")
+        .filter(S.hash_bucket(F.col("doc_id"), seed=TEMP_SEED) < thresh)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_chars").cast("bigint").alias("kept_chars"),
+        )
+    )
+    return (
+        rates.join(kept, "source", "left")
+        .select(
+            "source",
+            "n_total",
+            "keep_rate",
+            F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+            F.coalesce("kept_chars", F.lit(0)).cast("bigint").alias("kept_chars"),
+        )
+    )

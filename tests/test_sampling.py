@@ -137,3 +137,27 @@ def test_shuffle_shards_rejects_reserved_column_clash(spark):
     df2 = spark.createDataFrame([(1, 0)], "k long, pos int")
     with pytest.raises(ValueError, match="pos"):
         shuffle_shards(df2, "k", 4)
+
+
+def test_temperature_rates_flatten_distribution(spark):
+    """alpha=1 keeps everything; alpha=0 equalizes kept counts; the
+    rarest stratum always keeps rate 1.0."""
+    from nyc_taxi_data_engineering_spark.operators.sampling import (
+        temperature_rates,
+        temperature_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "big" if i < 900 else "small") for i in range(1000)], "id long, s string"
+    )
+    r1 = {r["s"]: r["keep_rate"] for r in temperature_rates(df, "s", 1.0).collect()}
+    assert r1 == {"big": 1.0, "small": 1.0}
+
+    r0 = {r["s"]: r["keep_rate"] for r in temperature_rates(df, "s", 0.0).collect()}
+    assert r0["small"] == 1.0
+    assert abs(r0["big"] - 100 / 900) < 1e-6  # equal target counts
+
+    kept = temperature_sample(df, "id", "s", 0.0).groupBy("s").count().collect()
+    counts = {r["s"]: r["count"] for r in kept}
+    assert counts["small"] == 100  # rarest stratum kept whole
+    assert abs(counts["big"] - 100) <= 20  # hash noise around the target
