@@ -55,6 +55,7 @@ ROTATION: list[str] = [
     "incremental_dedup_docs",
     "dsir_importance_docs",
     "temperature_mixture_by_source",
+    "pq_ann_topk",
     # -- last driver-green in r4, stalest first --
     "exact_dedup_docs",
     "ngram_jaccard_pairs",

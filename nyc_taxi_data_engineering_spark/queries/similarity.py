@@ -557,3 +557,135 @@ def q_semantic_dedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "vec_id", "cluster_id", F.coalesce(F.col("_drop"), F.lit(False)).alias("_d")
     ).select("vec_id", "cluster_id", (~F.col("_d")).alias("keep"))
+
+
+# --- Product quantization (Jégou et al., "Product Quantization for
+# Nearest Neighbor Search", TPAMI 2011): compress each 64-dim vector
+# to PQ_M 4-bit codes (one per 8-dim subspace, 16 centroids each) and
+# answer queries with asymmetric distance computation (ADC) — the raw
+# query against per-subspace distance TABLES, summed over codes.
+PQ_M = 8  # subspaces
+PQ_DSUB = 8  # dims per subspace
+PQ_K = 16  # centroids per subspace (4-bit codes)
+# Deterministic codebook: the subvectors of corpus vectors
+# [N_QUERIES, N_QUERIES + PQ_K) — a sampled codebook, the zeroth
+# iteration of the k-means PQ training runs offline at scale.
+PQ_CENT_LO, PQ_CENT_HI = N_QUERIES, N_QUERIES + PQ_K - 1
+
+
+def _subspaces(df: DataFrame, vcol: str, id_out: str, v_out: str) -> DataFrame:
+    """(id, m, subvector) — posexplode of the PQ_M 8-dim slices."""
+    slices = F.array(*[F.slice(F.col(vcol), m * PQ_DSUB + 1, PQ_DSUB) for m in range(PQ_M)])
+    return df.select(
+        F.col("vec_id").alias(id_out), F.posexplode(slices).alias("m", v_out)
+    )
+
+
+def _l2sq(a: Column, b: Column) -> Column:
+    """Squared L2 over a subspace, folded left-to-right like dot()."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+_SQL_SUBSPACES = " UNION ALL ".join(
+    f"SELECT vec_id, {m} AS m, v[{m * PQ_DSUB + 1}:{(m + 1) * PQ_DSUB}] AS sv FROM n"
+    for m in range(PQ_M)
+)
+_SQL_L2SQ = "list_sum(list_transform(range(1, {d} + 1), i -> (a.sv[i] - c.cv[i]) * (a.sv[i] - c.cv[i])))".format(
+    d=PQ_DSUB
+)
+
+
+@query(
+    "pq_ann_topk",
+    oracle=f"""
+WITH {_ORACLE_CORPUS},
+sub AS ({_SQL_SUBSPACES}),
+cent AS (
+    SELECT vec_id - {PQ_CENT_LO} AS c_id, m, sv AS cv FROM sub
+    WHERE vec_id BETWEEN {PQ_CENT_LO} AND {PQ_CENT_HI}
+),
+scored AS (
+    SELECT a.vec_id, a.m, c.c_id, round({_SQL_L2SQ}, 6) AS d
+    FROM sub a, cent c
+    WHERE a.m = c.m AND a.vec_id >= {N_QUERIES}
+),
+codes AS (
+    SELECT vec_id, m, c_id AS code FROM (
+        SELECT vec_id, m, c_id,
+               row_number() OVER (PARTITION BY vec_id, m ORDER BY d, c_id) AS rnk
+        FROM scored
+    ) WHERE rnk = 1
+),
+dtab AS (
+    SELECT a.vec_id AS q_id, a.m, c.c_id, CAST(round({_SQL_L2SQ}, 6) AS DECIMAL(18,6)) AS d
+    FROM sub a, cent c
+    WHERE a.m = c.m AND a.vec_id < {N_QUERIES}
+),
+adc AS (
+    SELECT t.q_id, k.vec_id, CAST(SUM(t.d) AS DOUBLE) AS approx_dist
+    FROM codes k JOIN dtab t ON t.m = k.m AND t.c_id = k.code
+    GROUP BY t.q_id, k.vec_id
+),
+r AS (
+    SELECT q_id, vec_id, approx_dist,
+           row_number() OVER (PARTITION BY q_id ORDER BY approx_dist, vec_id) AS rank
+    FROM adc
+)
+SELECT q_id, vec_id, rank::INT AS rank, approx_dist
+FROM r WHERE rank <= {TOP_K}
+""",
+)
+def q_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ/ADC approximate top-5: corpus vectors compressed to 8
+    4-bit codes (nearest sub-centroid per 8-dim subspace, the argmin
+    folded into a min(struct) hash agg — no window over the n·K scored
+    rows); queries stay raw and score against 8×16-entry distance
+    tables (broadcast, 1024 rows for 8 queries) summed as
+    DECIMAL(18,6) so the cross-engine aggregate is exact.
+
+    The scale story is memory, not candidates: 64 float dims (256 B)
+    become 8 nibbles (4 B) — a 100 TB embedding corpus fits hot as a
+    ~1.6 TB code table that never re-touches the raw vectors at query
+    time; encode is an offline narrow pass, ADC is one broadcast join
+    + per-(query, vector) hash agg."""
+    corpus = _corpus(spark, sf_dir)
+    sub = _subspaces(corpus, "v", "vec_id", "sv")
+    cent = (
+        sub.filter(F.col("vec_id").between(PQ_CENT_LO, PQ_CENT_HI))
+        .select((F.col("vec_id") - PQ_CENT_LO).alias("c_id"), "m", F.col("sv").alias("cv"))
+    )
+    scored = (
+        sub.filter(F.col("vec_id") >= N_QUERIES)
+        .join(F.broadcast(cent), "m")
+        .select(
+            "vec_id", "m", "c_id",
+            F.round(_l2sq(F.col("sv"), F.col("cv")), 6).alias("d"),
+        )
+    )
+    codes = (
+        scored.groupBy("vec_id", "m")
+        .agg(F.min(F.struct(F.col("d"), F.col("c_id"))).alias("best"))
+        .select("vec_id", "m", F.col("best.c_id").alias("code"))
+    )
+    dtab = (
+        sub.filter(F.col("vec_id") < N_QUERIES)
+        .join(F.broadcast(cent), "m")
+        .select(
+            F.col("vec_id").alias("q_id"), "m", "c_id",
+            F.round(_l2sq(F.col("sv"), F.col("cv")), 6).cast("decimal(18,6)").alias("d"),
+        )
+    )
+    dt = dtab.withColumnRenamed("c_id", "code")
+    adc = (
+        codes.join(F.broadcast(dt), ["m", "code"])
+        .groupBy("q_id", "vec_id")
+        .agg(F.sum("d").cast("double").alias("approx_dist"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.asc("approx_dist"), F.asc("vec_id"))
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("q_id", "vec_id", "rank", "approx_dist")
+    )

@@ -274,3 +274,34 @@ def test_incremental_dedup_neardup_threshold_gates(spark):
     strict = D.incremental_dedup_status(batch, corpus, neardup_min=1.0).collect()
     assert loose[0]["status"] == "neardup_corpus"
     assert strict[0]["status"] == "kept"
+
+
+def test_pq_codebook_seeds_encode_to_themselves(spark, sf_dir):
+    """A codebook-seed vector's subvectors are distance-0 from their
+    own centroids, so its 8 codes must all equal its own c_id; every
+    query returns exactly TOP_K ranked rows."""
+    from nyc_taxi_data_engineering_spark.queries import similarity as S
+
+    corpus = S._corpus(spark, sf_dir)
+    sub = S._subspaces(corpus, "v", "vec_id", "sv")
+    cent = sub.filter(
+        F.col("vec_id").between(S.PQ_CENT_LO, S.PQ_CENT_HI)
+    ).select((F.col("vec_id") - S.PQ_CENT_LO).alias("c_id"), "m", F.col("sv").alias("cv"))
+    scored = (
+        sub.filter(F.col("vec_id").between(S.PQ_CENT_LO, S.PQ_CENT_HI))
+        .join(F.broadcast(cent), "m")
+        .select("vec_id", "m", "c_id", F.round(S._l2sq(F.col("sv"), F.col("cv")), 6).alias("d"))
+    )
+    codes = (
+        scored.groupBy("vec_id", "m")
+        .agg(F.min(F.struct(F.col("d"), F.col("c_id"))).alias("best"))
+        .select("vec_id", F.col("best.c_id").alias("code"))
+    )
+    bad = codes.filter(F.col("code") != F.col("vec_id") - S.PQ_CENT_LO).count()
+    assert bad == 0
+
+    out = S.q_pq_ann_topk(spark, sf_dir)
+    per_q = out.groupBy("q_id").count().collect()
+    assert len(per_q) == S.N_QUERIES and all(r["count"] == S.TOP_K for r in per_q)
+    ranks = out.groupBy("q_id").agg(F.collect_set("rank").alias("rs")).collect()
+    assert all(sorted(r["rs"]) == list(range(1, S.TOP_K + 1)) for r in ranks)
