@@ -1,0 +1,132 @@
+"""Byte-pair-encoding tokenizer training on Spark (Sennrich et al.,
+ACL 2016) — the iterative companion to the ``bpe_merge_candidates``
+query: each round counts adjacent symbol pairs over the DISTINCT-WORD
+frequency table, picks the most frequent pair (count desc, then
+lexicographic — fully deterministic), and greedily merges it
+left-to-right inside every word's symbol sequence.
+
+Beyond-reference extension. Scale design:
+
+- **Pair counting is per distinct word, weighted by word count** —
+  the corpus collapses to its Zipf-bounded vocabulary before any
+  per-round work, so a 100 TB corpus trains from a word table of
+  maybe 10^7 rows. The corpus-sized explode happens ONCE, in
+  :func:`word_counts`.
+- **The merge apply is a native fold** (``F.aggregate``): greedy
+  left-to-right pair merging inside whole-stage codegen, no Python.
+- **Per-round top-1 is a TakeOrdered** over the pair hash-agg (local
+  partial top-1 per task), not a global sort.
+- **Lineage is truncated each round** (``localCheckpoint``), the same
+  discipline as the connected-components loop — num_merges rounds of
+  narrow transforms otherwise stack into an unexecutable plan.
+
+The driver-side loop makes this genuinely iterative (not
+SQL-expressible), so it ships as an operator with behavior tests
+instead of a registered oracle query; the single-round pair table IS
+oracle-checked via ``bpe_merge_candidates``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from nyc_taxi_data_engineering_spark.functions import text as T
+
+BPE_EOW = "</w>"
+
+
+def word_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(w, wcnt) distinct-word frequency table — the one corpus-sized
+    pass; everything after works on this."""
+    return (
+        docs.select(F.explode(T.tokens(F.col(text_col))).alias("w"))
+        .filter(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wcnt"))
+    )
+
+
+def _merge_pair(cs: Column, left: str, right: str) -> Column:
+    """Greedy left-to-right merge of every adjacent (left, right) in a
+    symbol array, as a native fold: append each symbol unless it forms
+    the pair with the accumulator's tail, in which case replace the
+    tail with the merged symbol. [a,a,a] under merge(a,a) -> [aa,a],
+    matching reference BPE's non-overlapping greedy scan."""
+    merged = left + right
+    return F.aggregate(
+        cs,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(left))
+            & (x == F.lit(right)),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def _pair_counts(syms: DataFrame) -> DataFrame:
+    pairs = syms.select(
+        "wcnt",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("cs") - 1),
+                lambda i: F.struct(
+                    F.element_at("cs", i).alias("l"), F.element_at("cs", i + 1).alias("r")
+                ),
+            )
+        ).alias("p"),
+    )
+    return (
+        pairs.groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+        .agg(F.sum("wcnt").alias("cnt"))
+    )
+
+
+def train_bpe(words: DataFrame, num_merges: int) -> list[tuple[str, str, int]]:
+    """Learn ``num_merges`` BPE merges from a (w, wcnt) word table.
+    Returns [(left, right, pair_count), ...] in merge order. Stops
+    early when no adjacent pair remains (fully merged vocabulary)."""
+    syms = words.select(
+        "wcnt", F.concat(F.split("w", ""), F.array(F.lit(BPE_EOW))).alias("cs")
+    ).localCheckpoint()
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(num_merges):
+        top = (
+            _pair_counts(syms)
+            .orderBy(F.desc("cnt"), "l", "r")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        l, r, cnt = top[0]["l"], top[0]["r"], top[0]["cnt"]
+        merges.append((l, r, cnt))
+        syms = syms.select("wcnt", _merge_pair(F.col("cs"), l, r).alias("cs")).localCheckpoint()
+    return merges
+
+
+def apply_bpe(docs: DataFrame, merges: list[tuple[str, str, int]], text_col: str = "text") -> DataFrame:
+    """Tokenize text with a learned merge list: per-word symbol arrays
+    folded through every merge in order (the standard apply — merges
+    replay in priority order). Adds ``bpe_tokens`` (array<string>) and
+    ``n_bpe_tokens``. Narrow projection, no shuffle."""
+    toks = docs.withColumn("_words", T.tokens(F.col(text_col)))
+    word_syms = F.transform(
+        F.filter(F.col("_words"), lambda w: F.length(w) > 0),
+        lambda w: F.concat(F.split(w, ""), F.array(F.lit(BPE_EOW))),
+    )
+    def _apply_one(c: Column, left: str, right: str) -> Column:
+        # Separate scope per merge: PySpark reads the lambda's arity,
+        # so default-arg capture of the loop variables is not an option.
+        return F.transform(c, lambda cs: _merge_pair(cs, left, right))
+
+    col = word_syms
+    for l, r, _cnt in merges:
+        col = _apply_one(col, l, r)
+    return (
+        toks.withColumn("bpe_tokens", F.flatten(col))
+        .withColumn("n_bpe_tokens", F.size("bpe_tokens"))
+        .drop("_words")
+    )

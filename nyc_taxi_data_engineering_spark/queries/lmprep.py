@@ -232,3 +232,74 @@ def q_chunk_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_occurrences") > 1)
     )
+
+
+BPE_TOP_MERGES = 20
+BPE_EOW = "</w>"  # Sennrich-style end-of-word marker
+
+
+@query(
+    "bpe_merge_candidates",
+    oracle=f"""
+WITH tok AS (
+  SELECT unnest({T.sql_tokens('text')}) AS w FROM documents
+), words AS (
+  SELECT w, COUNT(*) AS wcnt FROM tok WHERE len(w) > 0 GROUP BY w
+), syms AS (
+  SELECT w, wcnt, list_append(string_split(w, ''), '{BPE_EOW}') AS cs FROM words
+), pairs AS (
+  SELECT wcnt,
+         unnest([{{'l': cs[i], 'r': cs[i + 1]}} for i in generate_series(1, len(cs) - 1)]) AS pr
+  FROM syms
+)
+SELECT pr.l AS left_sym, pr.r AS right_sym, CAST(SUM(wcnt) AS BIGINT) AS pair_count
+FROM pairs
+GROUP BY pr.l, pr.r
+ORDER BY pair_count DESC, left_sym, right_sym
+LIMIT {BPE_TOP_MERGES}
+""",
+)
+def q_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top BPE merge candidates (Sennrich et al., "Neural Machine
+    Translation of Rare Words with Subword Units", ACL 2016): the
+    symbol-pair frequency table the first BPE training step maximizes
+    over — words reduced to a frequency table FIRST (the standard
+    trick: pair counting is per distinct word, weighted by word count,
+    never per corpus occurrence), each word's characters plus an
+    end-of-word marker, adjacent pairs weighted and summed.
+
+    Scale shape: explode tokens -> word hash-agg (map-side combine
+    collapses each partition to its distinct words — the corpus's
+    Zipf head shrinks orders of magnitude before the exchange) ->
+    per-word pair explode over the MUCH smaller word table -> pair
+    hash-agg -> TakeOrdered top-N (per-task partial top-N, no global
+    sort). A full BPE trainer loops this query, applying the winning
+    merge to `syms` each round; the per-round cost is bounded by the
+    distinct-word table, not the corpus."""
+    tok = (
+        load_table_parallel(spark, sf_dir, "documents")
+        .select(F.explode(T.tokens(F.col("text"))).alias("w"))
+        .filter(F.length("w") > 0)
+    )
+    words = tok.groupBy("w").agg(F.count(F.lit(1)).alias("wcnt"))
+    syms = words.select(
+        "wcnt", F.concat(F.split("w", ""), F.array(F.lit(BPE_EOW))).alias("cs")
+    )
+    pairs = syms.select(
+        "wcnt",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("cs") - 1),
+                lambda i: F.struct(
+                    F.element_at("cs", i).alias("left_sym"),
+                    F.element_at("cs", i + 1).alias("right_sym"),
+                ),
+            )
+        ).alias("p"),
+    )
+    return (
+        pairs.groupBy(F.col("p.left_sym").alias("left_sym"), F.col("p.right_sym").alias("right_sym"))
+        .agg(F.sum("wcnt").cast("bigint").alias("pair_count"))
+        .orderBy(F.desc("pair_count"), "left_sym", "right_sym")
+        .limit(BPE_TOP_MERGES)
+    )

@@ -56,6 +56,7 @@ ROTATION: list[str] = [
     "dsir_importance_docs",
     "temperature_mixture_by_source",
     "pq_ann_topk",
+    "bpe_merge_candidates",
     # -- last driver-green in r4, stalest first --
     "exact_dedup_docs",
     "ngram_jaccard_pairs",
