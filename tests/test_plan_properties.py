@@ -368,3 +368,51 @@ def test_centroid_assignment_is_hash_agg_not_window(spark, sf_dir):
     # the only windows left rank (a) probe lists for the 8 query
     # vectors (post vec_id<8 filter) and (b) the final top-k
     assert plan.count("Window [") == 2
+
+
+def test_incremental_dedup_is_keyed_joins_only(spark, sf_dir):
+    """Batch-vs-corpus dedup: exact stage is a hash equi-join on the
+    content hash, near-dup stage a band-bucket equi-join — never a
+    cartesian product, and the within-batch canonical window
+    partitions by the hash (no global sort)."""
+    plan = _plan(spark, sf_dir, "incremental_dedup_docs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dsir_bucket_table_broadcasts_back(spark, sf_dir):
+    """The ≤256-row log-ratio table must broadcast to the feature
+    stream; the only data-sized exchanges are keyed by bucket (bounded
+    fan-in) and doc_id."""
+    plan = _plan(spark, sf_dir, "dsir_importance_docs")
+    assert "BroadcastHashJoin" in plan
+    assert "Window [" not in plan
+    assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_temperature_mixture_rates_broadcast(spark, sf_dir):
+    """Per-source rates (≤|sources| rows) broadcast back; the corpus
+    side never sort-merge-joins."""
+    plan = _plan(spark, sf_dir, "temperature_mixture_by_source")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_pq_encode_is_hash_agg_and_tables_broadcast(spark, sf_dir):
+    """PQ: the per-(vector, subspace) argmin folds into a min(struct)
+    hash agg (no window over the n·K scored rows); centroids and
+    distance tables broadcast; the only window ranks the final top-k
+    for the 8 queries."""
+    plan = _plan(spark, sf_dir, "pq_ann_topk")
+    assert "partial_min" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Window [") == 1
+
+
+def test_bpe_pair_count_aggregates_with_partial_combine(spark, sf_dir):
+    """BPE merge mining: word table and pair table both hash-agg with
+    map-side combine; top-N plans as TakeOrdered, not a global sort."""
+    plan = _plan(spark, sf_dir, "bpe_merge_candidates")
+    assert "partial_count" in plan or "partial_sum" in plan
+    assert "TakeOrderedAndProject" in plan

@@ -166,13 +166,50 @@ def _probe(qs, spark, small_dir, big_dir, reps, small_label, big_label):
     return small, big
 
 
+OUT100 = os.path.join(REPO, ".scale_data", "sf100")
+
+# sf100 tier: a THIRD decade (5M docs) for the steepest two dedup
+# slopes of the sf10 probe (minhash_lsh_pairs 6.05, dedup_clusters
+# 6.46) — confirms they stay edge/row-proportional rather than bending
+# quadratic — plus the one-permutation MinHash variant built to cut
+# the k-hash signature cost that dominates minhash_lsh_pairs, and
+# exact dedup as the linear control.
+SF100_QUERIES = [
+    "exact_dedup_docs",
+    "minhash_lsh_pairs",
+    "oph_minhash_pairs",
+    "dedup_clusters_docs",
+]
+
+
 def main() -> None:
     reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "3"))
     tier = os.environ.get("SPARK_GRAFT_SCALE_TIER", "sf1")
     extra = [n for n in os.environ.get("SPARK_GRAFT_SCALE_EXTRA", "").split(",") if n]
     spark = get_spark("scale_probe")
 
-    if tier == "sf10":
+    if tier == "sf100":
+        # sf10 -> sf100, documents only, single-shot (minutes-long runs
+        # don't need median-of-3 to read a 10x slope)
+        reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "1"))
+        reg = all_queries()
+        qs = {n: reg[n] for n in SF100_QUERIES + [e for e in extra if e not in SF100_QUERIES]}
+        build(spark, 100, OUT10, tables=("documents",), file_scale=4)
+        build(spark, 1000, OUT100, tables=("documents",), file_scale=16)
+        small, big = _probe(qs, spark, OUT10, OUT100, reps, "sf10", "sf100")
+        result = {
+            "metric": "sf100_bench_seconds",
+            "value": round(sum(big.values()), 3),
+            "unit": "sec",
+            "queries": big,
+            "sf": 100.0,
+            "replicas": 1000,
+            "reps": reps,
+            "sf10_queries": small,
+            "slopes_x10_data": {n: round(big[n] / small[n], 2) for n in small},
+        }
+        out_name = "BENCH_sf100.json"
+    elif tier == "sf10":
         # one decade beyond sf1, documents/embeddings only: slopes are
         # measured sf1 -> sf10 so each tier is a clean 10x step
         reg = all_queries()
