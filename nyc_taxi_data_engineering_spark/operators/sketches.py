@@ -1,0 +1,158 @@
+"""Deterministic sketches for cardinality and frequency estimation —
+the approximate-counting toolkit a 100 TB pipeline reaches for when an
+exact ``COUNT(DISTINCT ...)`` or a full frequency table is the
+bottleneck, built hash-deterministic so every estimate is
+reproducible AND oracle-checkable row by row (the reason these are
+md5-based rather than Spark's built-in approx_count_distinct /
+approx_percentile, whose HLL++/KLL internals no second engine can
+replay):
+
+- **KMV (k minimum values)** distinct-count estimator (Bar-Yossef et
+  al., RANDOM 2002): keep the k smallest hash values of a column; the
+  k-th smallest, as a fraction of the hash space, estimates density →
+  ``(k-1) / u_k`` estimates distinct count. Mergeable (union = merge
+  the k-minima sets), per-group, one shuffle.
+- **Count-min sketch** (Cormode & Muthukrishnan, J.Alg 2005): d
+  seeded hash rows × w buckets of counters; a token's estimate is the
+  MIN over its d counters — always ≥ the true count, with the
+  overestimate bounded by the collision mass n/w per row. The counter
+  table is d·w rows (a broadcastable aggregate of one explode), so
+  frequency queries never re-touch the corpus.
+
+Hashes derive from md5 prefixes exactly like operators/sampling's
+bucket hash, so DuckDB evaluates the identical sketch.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# 15 hex chars = 60 bits: fits a signed long exactly; the double
+# division below rounds identically (IEEE nearest) on both engines.
+_HASH_HEX_CHARS = 15
+_HASH_SPACE = float(1 << 60)
+
+KMV_K = 64
+CMS_DEPTH = 4
+CMS_WIDTH = 256
+
+
+def hash_fraction(c: Column) -> Column:
+    """Deterministic u ∈ [0, 1) from the first 60 bits of md5(value)."""
+    h = F.conv(F.substring(F.md5(c.cast("string")), 1, _HASH_HEX_CHARS), 16, 10).cast("long")
+    return h.cast("double") / F.lit(_HASH_SPACE)
+
+
+def hash_fraction_sql(expr: str) -> str:
+    return (
+        f"(('0x' || substr(md5(CAST({expr} AS VARCHAR)), 1, {_HASH_HEX_CHARS}))::BIGINT"
+        f" / {_HASH_SPACE})"
+    )
+
+
+def kmv_distinct(df: DataFrame, group: str, value: str, k: int = KMV_K) -> DataFrame:
+    """Per-group KMV distinct-count estimate: (group, n_hashes_kept,
+    kth_min, est_distinct). Groups with fewer than k distinct values
+    report the EXACT count (the sketch holds every hash — the standard
+    small-set exactness of KMV).
+
+    Shape: distinct on (group, value-hash) — one shuffle with map-side
+    combine — then a per-group top-k window over the surviving hash
+    set and a tiny final agg. At scale the window input is already the
+    deduped hash set, and mergeability means tiers/partitions can
+    pre-sketch and union."""
+    hashed = df.select(F.col(group), hash_fraction(F.col(value)).alias("u")).distinct()
+    w = Window.partitionBy(group).orderBy("u")
+    kept = hashed.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
+    return (
+        kept.groupBy(group)
+        .agg(F.count(F.lit(1)).alias("n_hashes_kept"), F.max("u").alias("kth_min"))
+        .select(
+            group,
+            "n_hashes_kept",
+            F.round("kth_min", 9).alias("kth_min"),
+            F.round(
+                F.when(F.col("n_hashes_kept") < k, F.col("n_hashes_kept").cast("double")).otherwise(
+                    (k - 1) / F.col("kth_min")
+                ),
+                3,
+            ).alias("est_distinct"),
+        )
+    )
+
+
+def kmv_distinct_sql(table: str, group: str, value: str, k: int = KMV_K) -> str:
+    """DuckDB twin of :func:`kmv_distinct`."""
+    u = hash_fraction_sql(value)
+    return f"""
+WITH hashed AS (
+    SELECT DISTINCT {group}, {u} AS u FROM {table}
+),
+kept AS (
+    SELECT {group}, u FROM (
+        SELECT {group}, u, row_number() OVER (PARTITION BY {group} ORDER BY u) AS rnk
+        FROM hashed
+    ) WHERE rnk <= {k}
+)
+SELECT {group},
+       COUNT(*) AS n_hashes_kept,
+       round(MAX(u), 9) AS kth_min,
+       round(CASE WHEN COUNT(*) < {k} THEN CAST(COUNT(*) AS DOUBLE)
+                  ELSE ({k} - 1) / MAX(u) END, 3) AS est_distinct
+FROM kept GROUP BY {group}"""
+
+
+def cms_bucket(c: Column, row: int, width: int = CMS_WIDTH) -> Column:
+    """Counter column for hash row ``row``: md5(row|value) prefix mod width."""
+    h = F.md5(F.concat_ws("|", F.lit(str(row)), c.cast("string")))
+    return (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % width).cast("int")
+
+
+def cms_bucket_sql(expr: str, row: int, width: int = CMS_WIDTH) -> str:
+    concat = f"'{row}' || '|' || CAST({expr} AS VARCHAR)"
+    return f"CAST(('0x' || substr(md5({concat}), 1, 8))::BIGINT % {width} AS INT)"
+
+
+def cms_counters(
+    df: DataFrame, value: str, depth: int = CMS_DEPTH, width: int = CMS_WIDTH
+) -> DataFrame:
+    """The d×w counter table (hash_row, bucket, cnt): one explode of
+    depth bucket assignments per input row, then a hash agg whose
+    output is at most d·w rows — broadcastable no matter the corpus."""
+    rows = F.array(
+        *[
+            F.struct(F.lit(j).alias("hash_row"), cms_bucket(F.col(value), j, width).alias("bucket"))
+            for j in range(depth)
+        ]
+    )
+    return (
+        df.select(F.explode(rows).alias("rb"))
+        .groupBy(F.col("rb.hash_row").alias("hash_row"), F.col("rb.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_estimate(
+    candidates: DataFrame,
+    counters: DataFrame,
+    value: str,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Point-query the sketch for every candidate row: join each of
+    the d (hash_row, bucket) keys against the broadcast counter table
+    and take the min. Adds ``cms_est``."""
+    est = None
+    for j in range(depth):
+        cj = counters.filter(F.col("hash_row") == j).select(
+            F.col("bucket").alias(f"b{j}"), F.col("cnt").alias(f"c{j}")
+        )
+        candidates = candidates.join(
+            F.broadcast(cj), cms_bucket(F.col(value), j, width) == F.col(f"b{j}")
+        ).drop(f"b{j}")
+        col_j = F.col(f"c{j}")
+        est = col_j if est is None else F.least(est, col_j)
+    return candidates.withColumn("cms_est", est).drop(*[f"c{j}" for j in range(depth)])

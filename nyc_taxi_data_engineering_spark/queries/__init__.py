@@ -30,6 +30,7 @@ _MODULES = [
     "scrubq",
     "lmprep",
     "dsir",
+    "sketches",
 ]
 
 _loaded = False

@@ -57,6 +57,8 @@ ROTATION: list[str] = [
     "temperature_mixture_by_source",
     "pq_ann_topk",
     "bpe_merge_candidates",
+    "kmv_distinct_tokens",
+    "cms_heavy_hitters",
     # -- last driver-green in r4, stalest first --
     "exact_dedup_docs",
     "ngram_jaccard_pairs",

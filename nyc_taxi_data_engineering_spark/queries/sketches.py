@@ -1,0 +1,131 @@
+"""Sketch queries over the documents token stream: KMV distinct
+estimation per source and count-min heavy-hitter estimates, both
+hash-deterministic (operators/sketches) so the DuckDB oracle replays
+the sketch bit-for-bit — estimates AND their error against the exact
+answer are asserted every round, which is the whole point of shipping
+deterministic sketches instead of approx_count_distinct."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nyc_taxi_data_engineering_spark.catalog import load_table_parallel as load_table
+from nyc_taxi_data_engineering_spark.functions import text as T
+from nyc_taxi_data_engineering_spark.operators import sketches as K
+from nyc_taxi_data_engineering_spark.queries.registry import query
+
+CMS_TOP = 20
+
+_SQL_TOKS = f"""
+toks AS (
+    SELECT source, unnest({T.sql_tokens('text')}) AS tok FROM documents
+),
+tok2 AS (SELECT source, tok FROM toks WHERE len(tok) > 0)
+"""
+
+
+def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select("source", F.explode(T.tokens(F.col("text"))).alias("tok"))
+        .filter(F.length("tok") > 0)
+    )
+
+
+@query(
+    "kmv_distinct_tokens",
+    oracle=f"""
+WITH {_SQL_TOKS},
+exact AS (SELECT source, COUNT(DISTINCT tok) AS n_exact FROM tok2 GROUP BY source),
+hashed AS (SELECT DISTINCT source, {K.hash_fraction_sql('tok')} AS u FROM tok2),
+kept AS (
+    SELECT source, u FROM (
+        SELECT source, u, row_number() OVER (PARTITION BY source ORDER BY u) AS rnk
+        FROM hashed
+    ) WHERE rnk <= {K.KMV_K}
+),
+sk AS (
+    SELECT source,
+           COUNT(*) AS n_hashes_kept,
+           round(MAX(u), 9) AS kth_min,
+           round(CASE WHEN COUNT(*) < {K.KMV_K} THEN CAST(COUNT(*) AS DOUBLE)
+                      ELSE ({K.KMV_K} - 1) / MAX(u) END, 3) AS est_distinct
+    FROM kept GROUP BY source
+)
+SELECT s.source, e.n_exact, s.n_hashes_kept, s.kth_min, s.est_distinct,
+       round(s.est_distinct / e.n_exact - 1, 3) AS rel_error
+FROM sk s JOIN exact e USING (source)
+""",
+)
+def q_kmv_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distinct-token cardinality: KMV(64) estimate next to
+    the exact count and the relative error. At 100 TB the exact column
+    disappears and the sketch (one distinct-hash shuffle, mergeable
+    k-minima) IS the answer; here the exact twin keeps the estimator's
+    error under the oracle gate."""
+    toks = _tokens(spark, sf_dir)
+    exact = toks.groupBy("source").agg(F.count_distinct("tok").alias("n_exact"))
+    sk = K.kmv_distinct(toks, "source", "tok")
+    return sk.join(exact, "source").select(
+        "source",
+        "n_exact",
+        "n_hashes_kept",
+        "kth_min",
+        "est_distinct",
+        F.round(F.col("est_distinct") / F.col("n_exact") - 1, 3).alias("rel_error"),
+    )
+
+
+_CMS_COUNTER_SELECTS = "\n    UNION ALL ".join(
+    f"SELECT {j} AS hash_row, {K.cms_bucket_sql('tok', j)} AS bucket, COUNT(*) AS cnt"
+    f" FROM tok2 GROUP BY {K.cms_bucket_sql('tok', j)}"
+    for j in range(K.CMS_DEPTH)
+)
+
+_CMS_MIN = "least(" + ", ".join(f"c{j}.cnt" for j in range(K.CMS_DEPTH)) + ")"
+_CMS_JOINS = "\n".join(
+    f"JOIN counters c{j} ON c{j}.hash_row = {j} AND c{j}.bucket = {K.cms_bucket_sql('cand.tok', j)}"
+    for j in range(K.CMS_DEPTH)
+)
+
+
+@query(
+    "cms_heavy_hitters",
+    oracle=f"""
+WITH {_SQL_TOKS},
+counters AS (
+    {_CMS_COUNTER_SELECTS}
+),
+cand AS (
+    SELECT tok, COUNT(*) AS true_cnt FROM tok2
+    GROUP BY tok ORDER BY true_cnt DESC, tok LIMIT {CMS_TOP}
+)
+SELECT cand.tok, cand.true_cnt,
+       {_CMS_MIN} AS cms_est,
+       {_CMS_MIN} - cand.true_cnt AS overestimate
+FROM cand
+{_CMS_JOINS}
+""",
+)
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min frequency estimates for the corpus's top-{CMS_TOP}
+    tokens, next to their true counts. The counter table is ≤ d·w =
+    1024 rows from ONE explode + hash agg — at 100 TB it broadcasts
+    and every subsequent frequency probe skips the corpus entirely;
+    the overestimate column (always ≥ 0, bounded by collision mass)
+    is the sketch's contract, asserted by the oracle every round."""
+    toks = _tokens(spark, sf_dir).select("tok")
+    counters = K.cms_counters(toks, "tok")
+    cand = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("true_cnt"))
+        .orderBy(F.desc("true_cnt"), "tok")
+        .limit(CMS_TOP)
+    )
+    return K.cms_estimate(cand, counters, "tok").select(
+        "tok",
+        "true_cnt",
+        "cms_est",
+        (F.col("cms_est") - F.col("true_cnt")).alias("overestimate"),
+    )
