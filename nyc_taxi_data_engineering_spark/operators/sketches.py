@@ -156,3 +156,102 @@ def cms_estimate(
         col_j = F.col(f"c{j}")
         est = col_j if est is None else F.least(est, col_j)
     return candidates.withColumn("cms_est", est).drop(*[f"c{j}" for j in range(depth)])
+
+
+HIST_BUCKETS = 256
+
+
+def histogram_quantiles(
+    df: DataFrame,
+    value: str,
+    quantiles: list[float],
+    width_buckets: int = HIST_BUCKETS,
+) -> DataFrame:
+    """Single-pass mergeable quantile estimation from a fixed-grid
+    histogram: bucket every value on an equi-width [min, max] grid
+    (one scan after a min/max/count pre-pass), cumulate the ≤W-row
+    histogram, and linearly interpolate inside the bucket holding each
+    target rank. The scale path where exact ``percentile`` (sort-based
+    agg; see nation_order_percentiles) stops being affordable —
+    per-partition histograms merge by addition, the error is bounded
+    by one bucket width, and unlike percentile_approx's KLL internals
+    every arithmetic step replays in a second engine.
+
+    Returns (quantile, est_value) per requested quantile, values
+    rounded to 6 dp."""
+    stats = df.agg(
+        F.min(value).alias("lo"),
+        F.max(value).alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    width = (F.col("hi") - F.col("lo")) / width_buckets
+    # degenerate grid (all values equal): every row lands in bucket 0
+    # rather than dividing by a zero width
+    bucket = F.when(F.col("hi") == F.col("lo"), F.lit(0)).otherwise(
+        F.least(F.floor((F.col(value) - F.col("lo")) / width), F.lit(width_buckets - 1))
+    ).cast("int")
+    hist = (
+        df.crossJoin(F.broadcast(stats))
+        .select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.orderBy("bucket")
+    cum = hist.select(
+        "bucket",
+        "cnt",
+        F.sum("cnt").over(w).alias("cum"),
+        (F.sum("cnt").over(w) - F.col("cnt")).alias("cum_before"),
+    )
+    qs = F.array(*[F.lit(float(q)) for q in quantiles])
+    targets = (
+        stats.select(F.explode(qs).alias("quantile"), "lo", "hi", "n")
+        .withColumn("t", F.col("quantile") * F.col("n"))
+    )
+    # first bucket whose cumulative count reaches the target rank —
+    # argmin folded into the same min(struct) hash-agg shape as PQ
+    pick = (
+        targets.join(F.broadcast(cum), F.col("cum") >= F.col("t"))
+        .groupBy("quantile", "lo", "hi", "n", "t")
+        .agg(F.min(F.struct("bucket", "cnt", "cum_before")).alias("b"))
+    )
+    width_v = (F.col("hi") - F.col("lo")) / width_buckets
+    est = F.col("lo") + width_v * (
+        F.col("b.bucket") + (F.col("t") - F.col("b.cum_before")) / F.col("b.cnt")
+    )
+    return pick.select("quantile", F.round(est, 6).alias("est_value")).orderBy("quantile")
+
+
+def histogram_quantiles_sql(
+    table: str, value: str, quantiles: list[float], width_buckets: int = HIST_BUCKETS
+) -> str:
+    """DuckDB twin of :func:`histogram_quantiles`."""
+    qlist = ", ".join(str(float(q)) for q in quantiles)
+    return f"""
+WITH stats AS (
+    SELECT MIN({value}) AS lo, MAX({value}) AS hi, COUNT(*) AS n FROM {table}
+),
+hist AS (
+    SELECT CASE WHEN hi = lo THEN 0
+                ELSE LEAST(FLOOR(({value} - lo) / ((hi - lo) / {width_buckets})), {width_buckets - 1}) END::INT AS bucket,
+           COUNT(*) AS cnt
+    FROM {table}, stats GROUP BY 1
+),
+cum AS (
+    SELECT bucket, cnt,
+           SUM(cnt) OVER (ORDER BY bucket) AS cum,
+           SUM(cnt) OVER (ORDER BY bucket) - cnt AS cum_before
+    FROM hist
+),
+targets AS (
+    SELECT unnest([{qlist}]) AS quantile, lo, hi, n FROM stats
+),
+pick AS (
+    SELECT quantile, lo, hi, n, quantile * n AS t,
+           MIN({{'bucket': bucket, 'cnt': cnt, 'cum_before': cum_before}}) AS b
+    FROM targets JOIN cum ON cum >= quantile * n
+    GROUP BY quantile, lo, hi, n
+)
+SELECT quantile,
+       round(lo + ((hi - lo) / {width_buckets}) * (b.bucket + (t - b.cum_before) / b.cnt), 6) AS est_value
+FROM pick ORDER BY quantile"""

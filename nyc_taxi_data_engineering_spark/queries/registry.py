@@ -59,6 +59,7 @@ ROTATION: list[str] = [
     "bpe_merge_candidates",
     "kmv_distinct_tokens",
     "cms_heavy_hitters",
+    "histogram_quantiles_orders",
     # -- last driver-green in r4, stalest first --
     "exact_dedup_docs",
     "ngram_jaccard_pairs",

@@ -129,3 +129,57 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cms_est",
         (F.col("cms_est") - F.col("true_cnt")).alias("overestimate"),
     )
+
+
+HIST_QUANTILES = [0.5, 0.9, 0.99]
+
+
+@query(
+    "histogram_quantiles_orders",
+    oracle=f"""
+WITH est AS ({K.histogram_quantiles_sql('orders', 'o_totalprice', HIST_QUANTILES)}),
+ex AS (
+    SELECT unnest([{', '.join(str(q) for q in HIST_QUANTILES)}]) AS quantile,
+           unnest([{', '.join(f'round(quantile_cont(o_totalprice, {q}), 6)' for q in HIST_QUANTILES)}]) AS exact_value
+    FROM orders
+)
+SELECT e.quantile, e.est_value, x.exact_value,
+       round(e.est_value - x.exact_value, 6) AS est_error
+FROM est e JOIN ex x USING (quantile)
+ORDER BY e.quantile
+""",
+)
+def q_histogram_quantiles_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-price quantiles from the 256-bucket fixed-grid histogram
+    sketch (operators/sketches histogram_quantiles) next to the exact
+    sort-based percentiles — the error column is bounded by one bucket
+    width and asserted by the oracle every round. At 100 TB the exact
+    side disappears and the mergeable histogram (two scans, no sort,
+    per-partition merge by addition) IS the percentile path."""
+    orders = load_table(spark, sf_dir, "orders")
+    est = K.histogram_quantiles(orders, "o_totalprice", HIST_QUANTILES)
+    exact = orders.agg(
+        *[
+            F.round(F.expr(f"percentile(o_totalprice, {q})"), 6).alias(f"x{i}")
+            for i, q in enumerate(HIST_QUANTILES)
+        ]
+    ).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(float(q)).alias("quantile"), F.col(f"x{i}").alias("exact_value"))
+                    for i, q in enumerate(HIST_QUANTILES)
+                ]
+            )
+        ).alias("e")
+    ).select("e.quantile", "e.exact_value")
+    return (
+        est.join(exact, "quantile")
+        .select(
+            "quantile",
+            "est_value",
+            "exact_value",
+            F.round(F.col("est_value") - F.col("exact_value"), 6).alias("est_error"),
+        )
+        .orderBy("quantile")
+    )

@@ -49,3 +49,25 @@ def test_cms_never_underestimates_and_exact_when_sparse(spark):
     est = K.cms_estimate(cand, counters, "tok").collect()
     assert all(r["cms_est"] >= r["true_cnt"] for r in est)
     assert sum(r["cms_est"] == r["true_cnt"] for r in est) >= 15  # sparse -> mostly exact
+
+
+def test_histogram_quantiles_error_bounded_by_bucket_width(spark):
+    """Uniform 0..9999: estimates land within one bucket width of the
+    exact quantile; the median of a symmetric grid is near 5000."""
+    from nyc_taxi_data_engineering_spark.operators.sketches import histogram_quantiles
+
+    df = spark.createDataFrame([(float(i),) for i in range(10000)], "x double")
+    got = {r["quantile"]: r["est_value"] for r in histogram_quantiles(df, "x", [0.5, 0.9]).collect()}
+    width = 9999.0 / 256
+    assert abs(got[0.5] - 4999.5) <= width
+    assert abs(got[0.9] - 8999.1) <= width
+
+
+def test_histogram_quantiles_exact_on_single_bucket_groups(spark):
+    """All mass in one value: every quantile estimate equals it
+    (degenerate grid, width 0 guarded by the LEAST clamp)."""
+    from nyc_taxi_data_engineering_spark.operators.sketches import histogram_quantiles
+
+    df = spark.createDataFrame([(5.0,)] * 100, "x double")
+    rows = histogram_quantiles(df, "x", [0.5, 0.99]).collect()
+    assert all(r["est_value"] == 5.0 for r in rows)
