@@ -35,9 +35,15 @@ def get_spark(
         cpus = os.environ.get("SPARK_GRAFT_CPUS")
         shuffle_partitions = int(cpus) if cpus and cpus.isdigit() else 32
 
+    # Heap for the single local-mode JVM (driver+executors). Spark's
+    # 1g default is far too small for multi-GB shuffles/checkpoints on
+    # a 128 GiB box; applied only when this process launches the JVM.
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
+
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
+        .config("spark.driver.memory", driver_mem)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

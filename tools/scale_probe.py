@@ -135,6 +135,9 @@ def build(
     file_scale: int = 1,
 ) -> None:
     if os.path.isdir(out_dir):
+        if os.environ.get("SPARK_GRAFT_SCALE_REUSE") == "1":
+            print(f"reusing {out_dir}", file=sys.stderr)
+            return
         shutil.rmtree(out_dir)
     for table in tables if tables is not None else catalog.TABLES:
         src = catalog.load_table(spark, SRC, table)
