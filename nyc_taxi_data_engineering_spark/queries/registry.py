@@ -60,6 +60,8 @@ ROTATION: list[str] = [
     "kmv_distinct_tokens",
     "cms_heavy_hitters",
     "histogram_quantiles_orders",
+    "jsonl_roundtrip_documents",
+    "orc_roundtrip_supplier",
     # -- last driver-green in r4, stalest first --
     "exact_dedup_docs",
     "ngram_jaccard_pairs",

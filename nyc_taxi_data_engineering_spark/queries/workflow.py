@@ -311,3 +311,48 @@ def q_delta_partitioned_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total_price"),
     )
+
+
+@query(
+    "jsonl_roundtrip_documents",
+    oracle="SELECT doc_id, text, lang, source, n_chars FROM documents",
+)
+def q_jsonl_roundtrip_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines sink + scan roundtrip — the interchange format LLM
+    corpora actually ship in (one JSON object per line; WebText/C4/
+    Dolma lineage). Write the documents table as JSONL, read it back
+    with an explicit schema (inference would be a second full scan),
+    and hash-compare against the parquet-backed oracle: proves JSON
+    string escaping round-trips the text column byte-exactly. At scale
+    JSONL is splittable by line, so the read parallelizes like any
+    text source."""
+    from nyc_taxi_data_engineering_spark.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    path = _tmp_table("documents_jsonl")
+    docs.write.mode("overwrite").json(path)
+    return spark.read.schema(
+        "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+    ).json(path)
+
+
+@query(
+    "orc_roundtrip_supplier",
+    oracle="SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier",
+)
+def q_orc_roundtrip_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink + scan roundtrip (Spark-native columnar alternative to
+    parquet, common in Hive-lineage lakes): write the supplier dim as
+    ORC, read it back, hash-compare against the parquet oracle —
+    including a DOUBLE column, so the binary float path is proven
+    lossless where CSV would not be."""
+    from nyc_taxi_data_engineering_spark.catalog import load_table
+
+    sup = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
+    )
+    path = _tmp_table("supplier_orc")
+    sup.write.mode("overwrite").orc(path)
+    return spark.read.orc(path)
