@@ -128,6 +128,62 @@ def shingle_jaccard_pairs(
     )
 
 
+def shingle_containment_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    w: int = T.SHINGLE_WORDS,
+    threshold: float = 0.8,
+    df_cap: int | None = None,
+) -> DataFrame:
+    """ASYMMETRIC near-dup detection: directional shingle containment
+    ``|S_inner ∩ S_outer| / |S_inner|`` — the measure that catches a
+    short document embedded in a long one (quote farms, boilerplate
+    wrappers, page-in-site), which symmetric Jaccard misses: a 50-word
+    doc fully contained in a 5 000-word doc has Jaccard ≈ 0.01 but
+    containment 1.0 on the short side (Broder's containment coefficient,
+    the classic companion to resemblance).
+
+    Scale shape: identical to :func:`shingle_jaccard_pairs` — inverted
+    shingle index, keyed equi-join, ``df_cap`` hot-shingle lever. The
+    common-shingle counts are computed ONCE per unordered pair (a<b),
+    then fanned to the two directional rows by a cheap projection
+    union — no second self-join. Emits (inner_id, outer_id,
+    common_shingles, containment) rows with containment ≥ threshold;
+    a mutual near-dup pair yields both directions."""
+    sets = _shingle_sets(docs, id_col, text_col, w).cache()
+    sizes = sets.select(id_col, F.size("shingles").alias("n"))
+    inv = sets.select(id_col, F.explode("shingles").alias("s")).select(
+        id_col, F.xxhash64("s").alias("s")
+    )
+    if df_cap is not None:
+        hot = inv.groupBy("s").count().filter(F.col("count") > df_cap).select("s")
+        inv = inv.join(hot, "s", "left_anti")
+    a = inv.alias("a")
+    b = inv.alias("b")
+    common = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("a_id"), F.col(f"b.{id_col}").alias("b_id"))
+        .agg(F.count("*").alias("common_shingles"))
+    )
+    na = sizes.select(F.col(id_col).alias("a_id"), F.col("n").alias("na"))
+    nb = sizes.select(F.col(id_col).alias("b_id"), F.col("n").alias("nb"))
+    sized = common.join(na, "a_id").join(nb, "b_id")
+    fwd = sized.select(
+        F.col("a_id").alias("inner_id"),
+        F.col("b_id").alias("outer_id"),
+        "common_shingles",
+        F.round(F.col("common_shingles") / F.col("na"), 6).alias("containment"),
+    )
+    rev = sized.select(
+        F.col("b_id").alias("inner_id"),
+        F.col("a_id").alias("outer_id"),
+        "common_shingles",
+        F.round(F.col("common_shingles") / F.col("nb"), 6).alias("containment"),
+    )
+    return fwd.unionByName(rev).filter(F.col("containment") >= threshold)
+
+
 def minhash_signatures(
     docs: DataFrame,
     id_col: str = "doc_id",

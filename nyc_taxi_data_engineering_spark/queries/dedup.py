@@ -91,6 +91,41 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "containment_neardup_pairs",
+    oracle=f"""
+WITH {_SHINGLES_CTE},
+common AS (
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS common_shingles
+    FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+),
+sized AS (
+    SELECT c.a_id, c.b_id, c.common_shingles, na.n AS na, nb.n AS nb
+    FROM common c
+    JOIN sizes na ON na.doc_id = c.a_id
+    JOIN sizes nb ON nb.doc_id = c.b_id
+),
+directional AS (
+    SELECT a_id AS inner_id, b_id AS outer_id, common_shingles,
+           round(common_shingles * 1.0 / na, 6) AS containment
+    FROM sized
+    UNION ALL
+    SELECT b_id AS inner_id, a_id AS outer_id, common_shingles,
+           round(common_shingles * 1.0 / nb, 6) AS containment
+    FROM sized
+)
+SELECT inner_id, outer_id, common_shingles, containment
+FROM directional WHERE containment >= 0.8
+""",
+)
+def q_containment_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional shingle-containment pairs at threshold 0.8 — the
+    asymmetric (short-doc-inside-long-doc) companion to Jaccard; same
+    inverted-index scale shape, one extra projection union."""
+    return D.shingle_containment_pairs(load_table(spark, sf_dir, "documents"), threshold=0.8)
+
+
+@query(
     "minhash_lsh_pairs",
     oracle=f"""
 WITH sig AS (

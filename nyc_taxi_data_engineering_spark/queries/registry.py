@@ -62,6 +62,7 @@ ROTATION: list[str] = [
     "histogram_quantiles_orders",
     "jsonl_roundtrip_documents",
     "orc_roundtrip_supplier",
+    "containment_neardup_pairs",
     # -- last driver-green in r4, stalest first --
     "exact_dedup_docs",
     "ngram_jaccard_pairs",

@@ -42,6 +42,34 @@ def test_jaccard_partial_overlap_value(spark):
     assert df.collect()[0]["jaccard"] == round(1 / 3, 6)
 
 
+def test_containment_short_in_long(spark):
+    # doc 0's 2 shingles both appear in doc 1 (12 shingles): containment
+    # 0->1 is 1.0 while Jaccard is 2/12 — the asymmetric case Jaccard misses.
+    short = "a b c d"
+    long = "a b c d p q r s t u v w x y z"
+    df = D.shingle_containment_pairs(_docs(spark, [short, long]), threshold=0.9)
+    rows = df.collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["inner_id"], r["outer_id"], r["containment"]) == (0, 1, 1.0)
+    assert r["common_shingles"] == 2
+    # symmetric near-dups yield both directions
+    both = D.shingle_containment_pairs(_docs(spark, ["a b c d e", "a b c d e"]), threshold=0.9)
+    assert sorted((r["inner_id"], r["outer_id"]) for r in both.collect()) == [(0, 1), (1, 0)]
+
+
+def test_containment_threshold_and_df_cap(spark):
+    # containment 0->1 = 2/3 (shingles of 'a b c d e': {abc,bcd,cde};
+    # doc1 'a b c d x' has {abc,bcd,cdx} -> common 2, inner size 3)
+    df = D.shingle_containment_pairs(_docs(spark, ["a b c d e", "a b c d x"]), threshold=0.5)
+    vals = {(r["inner_id"], r["outer_id"]): r["containment"] for r in df.collect()}
+    assert vals == {(0, 1): round(2 / 3, 6), (1, 0): round(2 / 3, 6)}
+    capped = D.shingle_containment_pairs(
+        _docs(spark, ["a b c", "a b c", "a b c"]), threshold=0.5, df_cap=2
+    )
+    assert capped.count() == 0
+
+
 def test_df_cap_drops_hot_shingles(spark):
     # the shingle 'a b c' appears in all 3 docs; cap at 2 removes it
     texts = ["a b c", "a b c", "a b c"]
