@@ -243,3 +243,66 @@ def q_orders_lineitem_reconciliation(spark: SparkSession, sf_dir: str) -> DataFr
             F.sum(F.col("gross").cast("decimal(18,4)")).cast("double").alias("gross_value"),
         )
     )
+
+
+def _bloom_oracle() -> str:
+    from nyc_taxi_data_engineering_spark.operators.bloom import bloom_positions_sql
+
+    build_pos = bloom_positions_sql("key")
+    probe_pos = bloom_positions_sql("l_orderkey")
+    bits = "\n    UNION ".join(f"SELECT DISTINCT {p} AS bit FROM bk" for p in build_pos)
+    probe_where = "\n      AND ".join(f"{p} IN (SELECT bit FROM bits)" for p in probe_pos)
+    return f"""
+WITH bk AS (SELECT o_orderkey AS key FROM orders WHERE o_orderpriority = '1-URGENT'),
+bits AS (
+    {bits}
+),
+pass AS (
+    SELECT l_orderkey FROM lineitem
+    WHERE {probe_where}
+)
+SELECT
+  (SELECT COUNT(*) FROM lineitem WHERE l_orderkey IN (SELECT key FROM bk)) AS n_exact,
+  (SELECT COUNT(*) FROM pass) AS n_bloom_pass,
+  (SELECT COUNT(*) FROM pass)
+    - (SELECT COUNT(*) FROM lineitem WHERE l_orderkey IN (SELECT key FROM bk)) AS false_positives,
+  (SELECT COUNT(*) FROM bits) AS n_bits_set
+"""
+
+
+@query("bloom_semijoin_lineitem", oracle=_bloom_oracle())
+def q_bloom_semijoin_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Bloom-filter semi-join prefilter (operators/bloom):
+    fold the urgent orders' keys into a 131072-bit filter held as a
+    broadcastable set-bit DataFrame, pass lineitem through k=3
+    broadcast left-semi joins (probe side never shuffles), and audit
+    the filter against the exact semi-join: n_bloom_pass >= n_exact
+    always (no false negatives, a Bloom guarantee the oracle re-proves
+    bit-for-bit), with the md5-deterministic false-positive count
+    exposed. The explicit version of AQE's runtime bloom pushdown for
+    pruning a 100 TB probe before its shuffle."""
+    from nyc_taxi_data_engineering_spark.operators.bloom import bloom_build, bloom_prefilter
+
+    urgent = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+    )
+    bits = bloom_build(urgent, "o_orderkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    passed = bloom_prefilter(li, "l_orderkey", bits)
+    n_pass = passed.agg(F.count(F.lit(1)).alias("n_bloom_pass"))
+    n_exact = li.join(
+        F.broadcast(urgent), li["l_orderkey"] == urgent["o_orderkey"], "left_semi"
+    ).agg(F.count(F.lit(1)).alias("n_exact"))
+    n_bits = bits.agg(F.count(F.lit(1)).alias("n_bits_set"))
+    return (
+        n_exact.crossJoin(n_pass)
+        .crossJoin(n_bits)
+        .select(
+            "n_exact",
+            "n_bloom_pass",
+            (F.col("n_bloom_pass") - F.col("n_exact")).alias("false_positives"),
+            "n_bits_set",
+        )
+    )

@@ -63,6 +63,7 @@ ROTATION: list[str] = [
     "jsonl_roundtrip_documents",
     "orc_roundtrip_supplier",
     "containment_neardup_pairs",
+    "bloom_semijoin_lineitem",
     # -- last driver-green in r4, stalest first --
     "exact_dedup_docs",
     "ngram_jaccard_pairs",
