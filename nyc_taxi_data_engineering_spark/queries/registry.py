@@ -64,6 +64,7 @@ ROTATION: list[str] = [
     "orc_roundtrip_supplier",
     "containment_neardup_pairs",
     "bloom_semijoin_lineitem",
+    "kmeans_embeddings",
     # -- last driver-green in r4, stalest first --
     "exact_dedup_docs",
     "ngram_jaccard_pairs",

@@ -689,3 +689,77 @@ def q_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOP_K)
         .select("q_id", "vec_id", "rank", "approx_dist")
     )
+
+
+# ---------------------------------------------------------------- k-means
+
+_KM_L2 = (
+    "round(list_sum(list_transform(range(1, len(e.v) + 1),"
+    " i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i]))), 6)"
+)
+
+
+def _km_assign_cte(cent_cte: str, out: str) -> str:
+    return f"""{out} AS (
+    SELECT vec_id, c_id FROM (
+        SELECT e.vec_id, c.c_id,
+               row_number() OVER (
+                   PARTITION BY e.vec_id ORDER BY {_KM_L2}, c.c_id) AS rn
+        FROM e CROSS JOIN {cent_cte} c
+    ) t WHERE rn = 1
+)"""
+
+
+def _km_means_cte(assign_cte: str, out: str) -> str:
+    return f"""{out} AS (
+    SELECT c_id, i AS pos,
+           CAST(SUM(CAST(v[i] AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*) AS val
+    FROM (SELECT a.c_id, e.v, unnest(range(1, len(e.v) + 1)) AS i
+          FROM e JOIN {assign_cte} a USING (vec_id))
+    GROUP BY c_id, i
+)"""
+
+
+_KMEANS_ORACLE = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+seeds AS (
+    SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS c_id, v AS cv
+    FROM e ORDER BY vec_id LIMIT {{k}}
+),
+{_km_assign_cte('seeds', 'a1')},
+{_km_means_cte('a1', 'm1')},
+c1 AS (SELECT c_id, list(val ORDER BY pos) AS cv FROM m1 GROUP BY c_id),
+{_km_assign_cte('c1', 'a2')},
+{_km_means_cte('a2', 'm2')},
+counts AS (SELECT c_id, COUNT(*) AS n_members FROM a2 GROUP BY c_id)
+SELECT m2.c_id AS cluster_id, CAST(m2.pos AS INT) AS dim,
+       m2.val AS centroid, counts.n_members
+FROM m2 JOIN counts USING (c_id)
+"""
+
+
+@query("kmeans_embeddings", oracle=_KMEANS_ORACLE.format(k=8))
+def q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 2-round Lloyd k-means (operators/kmeans) over the
+    full embedding corpus, k=8 seeded from the smallest ids: the
+    coarse-quantizer trainer for IVF/SemDeDup codebooks, every round a
+    broadcast crossJoin + argmin HASH AGG (n rows shuffle, no window
+    sort) + a DECIMAL-exact posexplode mean. The oracle replays both
+    Lloyd rounds as nested SQL CTEs, so assignment ties, float fold
+    order, and the exact centroid doubles are all under the hash gate.
+    Output: (cluster_id, dim, centroid, n_members) — k·64 rows."""
+    from nyc_taxi_data_engineering_spark.operators.kmeans import lloyd_kmeans
+
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .cache()
+    )
+    assign, cent_long = lloyd_kmeans(emb, k=8, iters=2)
+    counts = assign.groupBy("c_id").agg(F.count(F.lit(1)).alias("n_members"))
+    return cent_long.join(counts, "c_id").select(
+        F.col("c_id").alias("cluster_id"),
+        (F.col("pos") + 1).cast("int").alias("dim"),
+        F.col("val").alias("centroid"),
+        "n_members",
+    )

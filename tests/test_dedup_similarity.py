@@ -333,3 +333,38 @@ def test_pq_codebook_seeds_encode_to_themselves(spark, sf_dir):
     assert len(per_q) == S.N_QUERIES and all(r["count"] == S.TOP_K for r in per_q)
     ranks = out.groupBy("q_id").agg(F.collect_set("rank").alias("rs")).collect()
     assert all(sorted(r["rs"]) == list(range(1, S.TOP_K + 1)) for r in ranks)
+
+
+def test_kmeans_separable_clusters(spark):
+    """Two tight blobs + k=2: after 2 Lloyd rounds every point lands
+    with its blob and centroids are the exact decimal blob means."""
+    from nyc_taxi_data_engineering_spark.operators import kmeans as KM
+
+    rows = [
+        (0, [0.0, 0.0]), (1, [10.0, 10.0]),  # seeds: one per blob
+        (2, [0.2, -0.2]), (3, [0.4, 0.0]),
+        (4, [10.2, 9.8]), (5, [9.6, 10.0]),
+    ]
+    corpus = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    assign, cent = KM.lloyd_kmeans(corpus, k=2, iters=2)
+    got = {r["vec_id"]: r["c_id"] for r in assign.collect()}
+    assert got == {0: 0, 2: 0, 3: 0, 1: 1, 4: 1, 5: 1}
+    c0 = {r["pos"]: r["val"] for r in cent.filter("c_id = 0").collect()}
+    # means accumulate in DECIMAL(18,9): 0.2 and 0.4 truncate to 9 dp
+    # before summing, so the sum is exactly 0.6 (not the float fold)
+    assert c0 == {0: 0.6 / 3, 1: -0.2 / 3}
+
+
+def test_kmeans_empty_cluster_drops_out(spark):
+    """A seed that captures nothing in round 1 vanishes from the
+    codebook — documented Lloyd behavior, identical in the oracle."""
+    from nyc_taxi_data_engineering_spark.operators import kmeans as KM
+
+    # seeds are ids 0 and 1; id 1 sits right next to id 0, so cluster 1
+    # wins nothing once round-1 means move: all mass near the origin.
+    rows = [(0, [0.0]), (1, [0.1]), (2, [0.0]), (3, [0.05]), (4, [0.05])]
+    corpus = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    assign, cent = KM.lloyd_kmeans(corpus, k=2, iters=2)
+    cids = {r["c_id"] for r in assign.collect()}
+    cent_ids = {r["c_id"] for r in cent.collect()}
+    assert cent_ids == cids  # centroids exist exactly for surviving clusters

@@ -416,3 +416,16 @@ def test_bpe_pair_count_aggregates_with_partial_combine(spark, sf_dir):
     plan = _plan(spark, sf_dir, "bpe_merge_candidates")
     assert "partial_count" in plan or "partial_sum" in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_kmeans_rounds_are_hash_aggs_no_data_window(spark, sf_dir):
+    """Each Lloyd round's argmin must be a hash aggregate (min(struct)
+    with partial combine), never a window over the n·k scored rows;
+    the only window allowed is the k-row seed renumbering."""
+    plan = _plan(spark, sf_dir, "kmeans_embeddings")
+    assert "partial_min" in plan  # assignment argmin pre-collapsed map-side
+    # the only Window is the k-row seed renumbering; its subtree shows up
+    # twice because both the centroid branch and the counts branch of the
+    # final join replay it — each instance ranks exactly k rows
+    assert plan.count("Window [") <= 2
+    assert "BroadcastExchange" in plan  # centroids broadcast into crossJoin
