@@ -65,6 +65,7 @@ ROTATION: list[str] = [
     "containment_neardup_pairs",
     "bloom_semijoin_lineitem",
     "kmeans_embeddings",
+    "delta_version_diff_nation",
     # -- last driver-green in r4, stalest first --
     "exact_dedup_docs",
     "ngram_jaccard_pairs",

@@ -356,3 +356,60 @@ def q_orc_roundtrip_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _tmp_table("supplier_orc")
     sup.write.mode("overwrite").orc(path)
     return spark.read.orc(path)
+
+
+@query(
+    "delta_version_diff_nation",
+    oracle="""
+SELECT n_nationkey, 'update' AS change_type,
+       n_name AS old_name, n_name || '_v2' AS new_name
+FROM nation WHERE n_nationkey < 10
+UNION ALL
+SELECT n_nationkey + 100 AS n_nationkey, 'insert' AS change_type,
+       CAST(NULL AS VARCHAR) AS old_name, n_name || '_new' AS new_name
+FROM nation WHERE n_nationkey < 3
+UNION ALL
+SELECT n_nationkey, 'delete' AS change_type,
+       n_name AS old_name, CAST(NULL AS VARCHAR) AS new_name
+FROM nation WHERE n_nationkey BETWEEN 20 AND 24
+""",
+)
+def q_delta_version_diff_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed by snapshot diff (delta_log.delta_version_diff
+    — the table_changes surface for tables without per-commit change
+    files): seed nation at v0, MERGE updates+inserts at v1, MERGE
+    deletes at v2, then diff v0 -> v2 through time travel. Every key
+    classifies insert / update / delete off a full-row md5 compare;
+    the unchanged 10 keys (10..19) must vanish. The oracle rebuilds
+    the exact change set from the base dim, so a wrong classification,
+    a lost delete, or a leaked unchanged row all hash-mismatch."""
+    from pyspark.sql import functions as F
+
+    from nyc_taxi_data_engineering_spark.catalog import load_table
+    from nyc_taxi_data_engineering_spark.sources import delta_log as D
+
+    tbl = _tmp_table("delta_diff_nation")
+    shutil.rmtree(tbl, ignore_errors=True)
+    nation = load_table(spark, sf_dir, "nation")
+    key_t = nation.schema["n_nationkey"].dataType
+    D.write_delta(nation, tbl, mode="overwrite")  # v0
+    updates = nation.filter(F.col("n_nationkey") < 10).withColumn(
+        "n_name", F.concat(F.col("n_name"), F.lit("_v2"))
+    )
+    news = nation.filter(F.col("n_nationkey") < 3).select(
+        (F.col("n_nationkey") + 100).cast(key_t).alias("n_nationkey"),
+        F.concat(F.col("n_name"), F.lit("_new")).alias("n_name"),
+        "n_regionkey",
+    )
+    D.merge_delta(spark, tbl, updates.unionByName(news), on="n_nationkey")  # v1
+    doomed = nation.filter(F.col("n_nationkey").between(20, 24)).select("n_nationkey", "n_name", "n_regionkey")
+    D.merge_delta(
+        spark, tbl, doomed, on="n_nationkey", when_matched="delete", when_not_matched="ignore"
+    )  # v2
+    diff = D.delta_version_diff(spark, tbl, key="n_nationkey", version_from=0, version_to=2)
+    return diff.select(
+        "n_nationkey",
+        "change_type",
+        F.col("old_n_name").alias("old_name"),
+        F.col("new_n_name").alias("new_name"),
+    )

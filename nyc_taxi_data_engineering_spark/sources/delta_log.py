@@ -57,7 +57,8 @@ import uuid
 
 import pyarrow as pa
 import pyarrow.parquet as pq
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 LOG_DIR = "_delta_log"
@@ -926,3 +927,61 @@ def vacuum_delta(table_path: str, keep_last: int = 1) -> list[str]:
         if root != table_path and not dirs and not names:
             os.rmdir(root)
     return sorted(deleted)
+
+
+def delta_version_diff(
+    spark: SparkSession,
+    table_path: str,
+    key: str | list[str],
+    version_from: int,
+    version_to: int | None = None,
+) -> DataFrame:
+    """Row-level change feed between two versions — the pure-Python
+    analog of Delta CDF's ``table_changes`` for readers that ask "what
+    changed between v_a and v_b" on a table written WITHOUT per-commit
+    change files: both snapshots time-travel through the log, full-outer
+    join on the key, and each key classifies as ``insert`` (new only),
+    ``delete`` (old only), or ``update`` (full-row md5 differs);
+    unchanged keys drop out. Non-key columns come back twice, prefixed
+    ``old_`` / ``new_``.
+
+    Requires the key to be unique per snapshot (CDF's own effective
+    contract for merge-maintained tables). Scale shape: one keyed
+    full-outer join — the two scans prune through the same partition/
+    stats skipping every log read gets; at 100 TB prefer diffing
+    adjacent checkpoints over distant versions so the snapshots share
+    most files (the join is still key-proportional either way)."""
+    keys = [key] if isinstance(key, str) else list(key)
+    old = read_delta_log(spark, table_path, version_as_of=version_from)
+    new = read_delta_log(spark, table_path, version_as_of=version_to)
+    val_cols = [c for c in old.columns if c not in keys]
+
+    def row_hash(cols: list[str]) -> Column:
+        return F.md5(
+            F.concat_ws(
+                "\x1f",
+                *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in cols],
+            )
+        )
+
+    o = old.select(
+        *keys,
+        *[F.col(c).alias(f"old_{c}") for c in val_cols],
+        row_hash(val_cols).alias("_old_hash"),
+    )
+    n = new.select(
+        *keys,
+        *[F.col(c).alias(f"new_{c}") for c in val_cols],
+        row_hash(val_cols).alias("_new_hash"),
+    )
+    change = (
+        F.when(F.col("_old_hash").isNull(), F.lit("insert"))
+        .when(F.col("_new_hash").isNull(), F.lit("delete"))
+        .when(F.col("_old_hash") != F.col("_new_hash"), F.lit("update"))
+    )
+    return (
+        o.join(n, keys, "full_outer")
+        .withColumn("change_type", change)
+        .filter(F.col("change_type").isNotNull())
+        .drop("_old_hash", "_new_hash")
+    )

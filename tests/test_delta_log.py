@@ -499,3 +499,40 @@ def test_null_partition_value_never_matches():
     assert not D._partition_admits("12", ">", 12)
     assert D._partition_admits("1.5", ">=", 1.25)  # decimal parse
     assert D._partition_admits("abc", ">=", 5)  # unparseable → keep
+
+
+def test_version_diff_classifies_and_drops_unchanged(spark, tmp_path):
+    path = str(tmp_path / "diff_tbl")
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k int, v string"
+    )
+    D.write_delta(base, path, mode="overwrite")  # v0
+    # v1: update k=1, delete k=2 (via overwrite of the new state), insert k=4
+    v1 = spark.createDataFrame(
+        [(1, "a2"), (3, "c"), (4, "d")], "k int, v string"
+    )
+    D.write_delta(v1, path, mode="overwrite")
+    diff = {r["k"]: r for r in D.delta_version_diff(spark, path, "k", 0, 1).collect()}
+    assert set(diff) == {1, 2, 4}  # unchanged k=3 drops out
+    assert (diff[1]["change_type"], diff[1]["old_v"], diff[1]["new_v"]) == ("update", "a", "a2")
+    assert (diff[2]["change_type"], diff[2]["old_v"], diff[2]["new_v"]) == ("delete", "b", None)
+    assert (diff[4]["change_type"], diff[4]["old_v"], diff[4]["new_v"]) == ("insert", None, "d")
+    # identical snapshots diff to empty
+    assert D.delta_version_diff(spark, path, "k", 1, 1).count() == 0
+
+
+def test_version_diff_null_values_not_confused_with_absence(spark, tmp_path):
+    """A NULL value column must read as a real row (update when the
+    other side differs), never as insert/delete — the coalesce
+    sentinel in the row hash guards this."""
+    path = str(tmp_path / "diff_null_tbl")
+    D.write_delta(
+        spark.createDataFrame([(1, None), (2, "x")], "k int, v string"), path, mode="overwrite"
+    )
+    D.write_delta(
+        spark.createDataFrame([(1, "now"), (2, "x")], "k int, v string"), path, mode="overwrite"
+    )
+    rows = D.delta_version_diff(spark, path, "k", 0, 1).collect()
+    assert [(r["k"], r["change_type"], r["old_v"], r["new_v"]) for r in rows] == [
+        (1, "update", None, "now")
+    ]
