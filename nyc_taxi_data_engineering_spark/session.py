@@ -38,7 +38,11 @@ def get_spark(
     # Heap for the single local-mode JVM (driver+executors). Spark's
     # 1g default is far too small for multi-GB shuffles/checkpoints on
     # a 128 GiB box; applied only when this process launches the JVM.
-    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
+    # (SPARK_DRIVER_MEMORY is honored as a fallback name; a second
+    # .config() for the same key would silently win over this one.)
+    driver_mem = os.environ.get(
+        "SPARK_GRAFT_DRIVER_MEM", os.environ.get("SPARK_DRIVER_MEMORY", "16g")
+    )
 
     builder = (
         SparkSession.builder.appName(app_name)
@@ -64,7 +68,6 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -192,26 +192,40 @@ def main() -> None:
     spark = get_spark("scale_probe")
 
     if tier == "sf100":
-        # sf10 -> sf100, documents only, single-shot (minutes-long runs
-        # don't need median-of-3 to read a 10x slope)
+        # sf10 -> a bigger documents tier, single-shot (minutes-long
+        # runs don't need median-of-3 to read a slope). The big tier
+        # defaults to 1000 replicas (sf100, 5M docs); override with
+        # SPARK_GRAFT_SCALE_BIG_REPLICAS for queries whose shuffle
+        # spill exceeds the box's disk at the full decade (e.g.
+        # dedup_clusters_docs at 300 -> sf30), and with
+        # SPARK_GRAFT_SCALE_QUERIES to pick the query subset.
         reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "1"))
+        big_reps = int(os.environ.get("SPARK_GRAFT_SCALE_BIG_REPLICAS", "1000"))
+        big_label = f"sf{big_reps // 10}"
+        out_big = os.path.join(REPO, ".scale_data", big_label)
+        names = [n for n in os.environ.get("SPARK_GRAFT_SCALE_QUERIES", "").split(",") if n]
+        names = names or SF100_QUERIES + [e for e in extra if e not in SF100_QUERIES]
         reg = all_queries()
-        qs = {n: reg[n] for n in SF100_QUERIES + [e for e in extra if e not in SF100_QUERIES]}
+        qs = {n: reg[n] for n in names}
         build(spark, 100, OUT10, tables=("documents",), file_scale=4)
-        build(spark, 1000, OUT100, tables=("documents",), file_scale=16)
-        small, big = _probe(qs, spark, OUT10, OUT100, reps, "sf10", "sf100")
+        build(spark, big_reps, out_big, tables=("documents",), file_scale=max(1, big_reps // 64))
+        small, big = _probe(qs, spark, OUT10, out_big, reps, "sf10", big_label)
+        data_factor = big_reps / 100.0  # x data vs the sf10 tier
         result = {
-            "metric": "sf100_bench_seconds",
+            "metric": f"{big_label}_bench_seconds",
             "value": round(sum(big.values()), 3),
             "unit": "sec",
             "queries": big,
-            "sf": 100.0,
-            "replicas": 1000,
+            "sf": big_reps / 10.0,
+            "replicas": big_reps,
             "reps": reps,
             "sf10_queries": small,
-            "slopes_x10_data": {n: round(big[n] / small[n], 2) for n in small},
+            "data_factor_vs_sf10": data_factor,
+            f"slopes_x{data_factor:g}_data": {
+                n: round(big[n] / small[n], 2) for n in small
+            },
         }
-        out_name = "BENCH_sf100.json"
+        out_name = f"BENCH_{big_label}.json"
     elif tier == "sf10":
         # one decade beyond sf1, documents/embeddings only: slopes are
         # measured sf1 -> sf10 so each tier is a clean 10x step
