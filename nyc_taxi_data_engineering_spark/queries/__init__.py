@@ -31,6 +31,7 @@ _MODULES = [
     "lmprep",
     "dsir",
     "sketches",
+    "graphq",
 ]
 
 _loaded = False

@@ -1,0 +1,50 @@
+"""Graph analytics queries — iterative PageRank over the trade graph
+(operators/graph.py), the keyed-join/agg formulation of the family
+GraphX/GraphFrames cover, with every iteration's arithmetic
+deterministic enough to sit under the exact DuckDB oracle gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nyc_taxi_data_engineering_spark.catalog import load_table_parallel as load_table
+from nyc_taxi_data_engineering_spark.operators.graph import pagerank, pagerank_sql
+from nyc_taxi_data_engineering_spark.queries.registry import query
+
+_EDGES_CTE = """pairs AS (
+    SELECT DISTINCT 'c' || o_custkey AS c_node, 's' || l_suppkey AS s_node
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+),
+edges AS (
+    SELECT c_node AS src, s_node AS dst FROM pairs
+    UNION ALL
+    SELECT s_node AS src, c_node AS dst FROM pairs
+)"""
+
+
+@query("pagerank_trade_graph", oracle=pagerank_sql(_EDGES_CTE))
+def q_pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-iteration PageRank over the bidirected customer↔supplier
+    trade graph (an edge per distinct customer/supplier trading pair
+    from orders⋈lineitem). Each round is one keyed equi-join + one
+    hash agg with map-side combine; contributions round to 12 dp and
+    sum as DECIMAL(28,12), so the oracle (the same iterations as
+    nested CTEs) matches every rank double bit-for-bit. Bidirecting
+    the bipartite graph gives every node an out-edge — no dangling
+    mass — and makes the walk genuinely mix across rounds."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("c_node"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("s_node"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("c_node").alias("src"), F.col("s_node").alias("dst")).unionByName(
+        pairs.select(F.col("s_node").alias("src"), F.col("c_node").alias("dst"))
+    )
+    return pagerank(edges)

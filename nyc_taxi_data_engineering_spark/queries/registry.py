@@ -66,6 +66,9 @@ ROTATION: list[str] = [
     "bloom_semijoin_lineitem",
     "kmeans_embeddings",
     "delta_version_diff_nation",
+    "pagerank_trade_graph",
+    "lineitem_correlations",
+    "split_drift_chi2",
     # -- last driver-green in r4, stalest first --
     "exact_dedup_docs",
     "ngram_jaccard_pairs",

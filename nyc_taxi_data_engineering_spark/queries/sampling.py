@@ -278,3 +278,67 @@ def q_temperature_mixture_by_source(spark: SparkSession, sf_dir: str) -> DataFra
             F.coalesce("kept_chars", F.lit(0)).cast("bigint").alias("kept_chars"),
         )
     )
+
+
+_DRIFT_EXP = (
+    "CAST(rt.split_total AS DOUBLE) * CAST(ct.source_total AS DOUBLE)"
+    " / CAST(nt.n_total AS DOUBLE)"
+)
+
+
+@query(
+    "split_drift_chi2",
+    oracle=f"""
+WITH a AS (
+    SELECT {S.assign_split_sql('doc_id', SPLITS, SPLIT_SEED)} AS split, source
+    FROM documents
+),
+cells AS (SELECT split, source, COUNT(*) AS obs FROM a GROUP BY split, source),
+rt AS (SELECT split, SUM(obs) AS split_total FROM cells GROUP BY split),
+ct AS (SELECT source, SUM(obs) AS source_total FROM cells GROUP BY source),
+nt AS (SELECT SUM(obs) AS n_total FROM cells)
+SELECT c.split, c.source, c.obs AS n_docs,
+       {_DRIFT_EXP} AS expected,
+       (CAST(c.obs AS DOUBLE) - {_DRIFT_EXP}) * (CAST(c.obs AS DOUBLE) - {_DRIFT_EXP})
+           / ({_DRIFT_EXP}) AS chi2_term
+FROM cells c JOIN rt USING (split) JOIN ct USING (source) CROSS JOIN nt
+""",
+)
+def q_split_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-vs-source independence audit — the drift check every
+    train/val/test assignment needs (a biased split over-represents a
+    source and silently shifts eval): the full chi-square contingency
+    over (split, source), each cell's expected count and chi2 term
+    derived from the margins. Pure +,-,*,/ on exact counts — no logs,
+    no rounding — so both engines produce bit-identical doubles by
+    IEEE arithmetic alone. Scale shape: one narrow hash-bucket
+    assignment + one (split, source) hash agg; the margins are
+    broadcast-sized re-aggregations of the TINY cell table, never a
+    second corpus scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    cells = (
+        S.assign_split(docs, "doc_id", SPLITS, SPLIT_SEED)
+        .groupBy("split", "source")
+        .agg(F.count(F.lit(1)).alias("obs"))
+    ).cache()
+    rt = cells.groupBy("split").agg(F.sum("obs").alias("split_total"))
+    ct = cells.groupBy("source").agg(F.sum("obs").alias("source_total"))
+    nt = cells.agg(F.sum("obs").alias("n_total"))
+    exp = (
+        F.col("split_total").cast("double")
+        * F.col("source_total").cast("double")
+        / F.col("n_total").cast("double")
+    )
+    obs_d = F.col("obs").cast("double")
+    return (
+        cells.join(F.broadcast(rt), "split")
+        .join(F.broadcast(ct), "source")
+        .crossJoin(F.broadcast(nt))
+        .select(
+            "split",
+            "source",
+            F.col("obs").alias("n_docs"),
+            exp.alias("expected"),
+            ((obs_d - exp) * (obs_d - exp) / exp).alias("chi2_term"),
+        )
+    )

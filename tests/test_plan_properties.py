@@ -429,3 +429,24 @@ def test_kmeans_rounds_are_hash_aggs_no_data_window(spark, sf_dir):
     # final join replay it — each instance ranks exactly k rows
     assert plan.count("Window [") <= 2
     assert "BroadcastExchange" in plan  # centroids broadcast into crossJoin
+
+
+def test_correlation_matrix_is_single_scan_single_agg(spark, sf_dir):
+    """All 15 moments must accumulate in ONE hash aggregate over ONE
+    lineitem scan — a per-pair corr() would rescan the table 6 times."""
+    plan = _plan(spark, sf_dir, "lineitem_correlations")
+    assert plan.count("lineitem.parquet") == 1
+    assert "Exchange hashpartitioning" not in plan  # only the 1-row final agg moves
+    assert "partial_count" in plan or "partial_sum" in plan  # map-side combine
+
+
+def test_pagerank_iterations_are_hash_aggs_no_window(spark, sf_dir):
+    """Every PageRank round is a keyed join + hash agg; a window (or a
+    global sort) anywhere would serialize the rank exchange."""
+    plan = _plan(spark, sf_dir, "pagerank_trade_graph")
+    assert "Window [" not in plan  # no rank() reformulation sneaking in
+    assert "partial_sum" in plan  # decimal contribution sums combine map-side
+    # keyed joins only — the lone nested-loop allowed is the 1-row
+    # node-count attach (teleport term), same idiom as bm25's stats row
+    assert "CartesianProduct" not in plan
+    assert "GlobalLimit" not in plan  # no global top-k/collect anywhere

@@ -101,3 +101,47 @@ def test_sessionization_gap_boundary(spark):
     ).otherwise(0)
     got = [r["n"] for r in df.select(is_new.alias("n")).orderBy("ts").collect()]
     assert got == [1, 0, 1]
+
+
+def test_lineitem_correlations_match_numpy(spark, sf_dir):
+    """The moment-derived Pearson matrix must agree with numpy's corrcoef
+    to float tolerance (numpy uses a different but equivalent formula)."""
+    import numpy as np
+
+    from nyc_taxi_data_engineering_spark.queries.profiling import (
+        _CORR_COLS,
+        q_lineitem_correlations,
+    )
+    from nyc_taxi_data_engineering_spark.catalog import load_table
+
+    got = {
+        (r["col_a"], r["col_b"]): r["corr"]
+        for r in q_lineitem_correlations(spark, sf_dir).collect()
+    }
+    pdf = load_table(spark, sf_dir, "lineitem").select(*_CORR_COLS).toPandas()
+    ref = np.corrcoef(pdf.to_numpy().T)
+    for i, a in enumerate(_CORR_COLS):
+        for j in range(i + 1, len(_CORR_COLS)):
+            assert abs(got[(a, _CORR_COLS[j])] - ref[i, j]) < 1e-6, (a, _CORR_COLS[j])
+
+
+def test_split_drift_chi2_cells_consistent(spark, sf_dir):
+    """Cell counts must reproduce the split assignment exactly and the
+    chi2 identity sum(obs) == sum(expected) must hold per margin."""
+    from collections import defaultdict
+
+    from nyc_taxi_data_engineering_spark.queries.sampling import q_split_drift_chi2
+
+    rows = q_split_drift_chi2(spark, sf_dir).collect()
+    assert rows and all(r["chi2_term"] >= 0 for r in rows)
+    # recompute expected/chi2 from the observed cell table's own margins
+    split_t = defaultdict(int)
+    source_t = defaultdict(int)
+    for r in rows:
+        split_t[r["split"]] += r["n_docs"]
+        source_t[r["source"]] += r["n_docs"]
+    n = sum(split_t.values())
+    for r in rows:
+        exp = split_t[r["split"]] * source_t[r["source"]] / n
+        assert abs(r["expected"] - exp) < 1e-9, r
+        assert abs(r["chi2_term"] - (r["n_docs"] - exp) ** 2 / exp) < 1e-9, r
