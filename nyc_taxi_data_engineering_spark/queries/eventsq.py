@@ -238,3 +238,53 @@ def q_events_funnel_signup_purchase(spark: SparkSession, sf_dir: str) -> DataFra
             ),
         )
     )
+
+
+@query(
+    "event_transition_matrix",
+    oracle="""
+WITH seq AS (
+    SELECT user_id, event_type,
+           lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+    FROM events
+),
+t AS (
+    SELECT prev_type, event_type AS next_type, COUNT(*) AS n_transitions
+    FROM seq WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, event_type
+),
+tot AS (SELECT prev_type, SUM(n_transitions) AS row_total FROM t GROUP BY prev_type)
+SELECT t.prev_type, t.next_type, t.n_transitions,
+       CAST(t.n_transitions AS DOUBLE) / CAST(tot.row_total AS DOUBLE) AS p_next
+FROM t JOIN tot ON t.prev_type = tot.prev_type
+""",
+)
+def q_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences — the sequence-statistics prep behind next-action
+    models and session-shape monitoring. One window (partitioned by
+    user, deterministic (ts, event_id) order) produces the lag pairs;
+    the count and row-normalized probability aggregate from the TINY
+    (type x type) matrix, so the only data-scale exchange is the
+    per-user window shuffle. Row totals re-aggregate from the matrix
+    itself rather than rescanning events."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.withColumn("prev_type", F.lag("event_type").over(w))
+    t = (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+    tot = t.groupBy("prev_type").agg(F.sum("n_transitions").alias("row_total"))
+    return (
+        t.join(F.broadcast(tot), "prev_type")
+        .select(
+            "prev_type",
+            "next_type",
+            "n_transitions",
+            (F.col("n_transitions").cast("double") / F.col("row_total").cast("double")).alias(
+                "p_next"
+            ),
+        )
+    )

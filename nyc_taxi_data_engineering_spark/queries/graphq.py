@@ -10,6 +10,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from nyc_taxi_data_engineering_spark.catalog import load_table_parallel as load_table
+from nyc_taxi_data_engineering_spark.operators.cooccur import cooccurrence_pairs_sql
 from nyc_taxi_data_engineering_spark.operators.graph import pagerank, pagerank_sql
 from nyc_taxi_data_engineering_spark.queries.registry import query
 
@@ -48,3 +49,41 @@ def q_pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select(F.col("s_node").alias("src"), F.col("c_node").alias("dst"))
     )
     return pagerank(edges)
+
+
+_COPURCHASE_LINKS = """links AS (
+    SELECT l_suppkey AS e, o_custkey AS ctx
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+)"""
+COPURCHASE_DEGREE_CAP = 50
+COPURCHASE_MIN_SHARED = 2
+
+
+@query(
+    "supplier_copurchase_pairs",
+    oracle=cooccurrence_pairs_sql(
+        _COPURCHASE_LINKS, degree_cap=COPURCHASE_DEGREE_CAP, min_shared=COPURCHASE_MIN_SHARED
+    ),
+)
+def q_supplier_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier pairs co-purchased by ≥2 shared customers — the
+    item-item co-occurrence mining step (operators/cooccur), with the
+    hot-context lever live: customers linked to more than 50 suppliers
+    are dropped before the self-join (a pure-popularity context carries
+    no association signal, and its d²/2 pairs are the one thing that
+    doesn't scale). One distinct, one degree filter, one keyed
+    self-join, one pair agg."""
+    from nyc_taxi_data_engineering_spark.operators.cooccur import cooccurrence_pairs
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    links = o.join(li, o["o_orderkey"] == li["l_orderkey"]).select(
+        F.col("l_suppkey").alias("supplier"), F.col("o_custkey").alias("customer")
+    )
+    return cooccurrence_pairs(
+        links,
+        "supplier",
+        "customer",
+        degree_cap=COPURCHASE_DEGREE_CAP,
+        min_shared=COPURCHASE_MIN_SHARED,
+    ).select(F.col("a"), F.col("b"), "shared_contexts")

@@ -69,6 +69,8 @@ ROTATION: list[str] = [
     "pagerank_trade_graph",
     "lineitem_correlations",
     "split_drift_chi2",
+    "supplier_copurchase_pairs",
+    "event_transition_matrix",
     # -- last driver-green in r4, stalest first --
     "exact_dedup_docs",
     "ngram_jaccard_pairs",

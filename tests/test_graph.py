@@ -33,3 +33,33 @@ def test_pagerank_hub_ranks_highest_and_mass_conserved(spark):
 def test_pagerank_iters_zero_is_uniform_start(spark):
     ranks = {r["node"]: r["rank"] for r in pagerank(_edges(spark, [("a", "b"), ("b", "a")]), iters=0).collect()}
     assert ranks == {"a": 0.5, "b": 0.5}
+
+
+def test_cooccurrence_counts_and_degree_cap(spark):
+    from nyc_taxi_data_engineering_spark.operators.cooccur import cooccurrence_pairs
+
+    links = spark.createDataFrame(
+        [  # ctx1: {a,b,c}; ctx2: {a,b}; ctx3: {a,b} duplicated link
+            ("a", 1), ("b", 1), ("c", 1),
+            ("a", 2), ("b", 2),
+            ("a", 3), ("a", 3), ("b", 3),
+        ],
+        "e string, ctx int",
+    )
+    got = {
+        (r["a"], r["b"]): r["shared_contexts"]
+        for r in cooccurrence_pairs(links, "e", "ctx").collect()
+    }
+    # duplicate (a,3) link counts once
+    assert got == {("a", "b"): 3, ("a", "c"): 1, ("b", "c"): 1}
+    # cap at 2 drops ctx1 (3 entities) entirely
+    capped = {
+        (r["a"], r["b"]): r["shared_contexts"]
+        for r in cooccurrence_pairs(links, "e", "ctx", degree_cap=2).collect()
+    }
+    assert capped == {("a", "b"): 2}
+    # min_shared filters singletons
+    assert {
+        (r["a"], r["b"])
+        for r in cooccurrence_pairs(links, "e", "ctx", min_shared=2).collect()
+    } == {("a", "b")}
