@@ -24,6 +24,13 @@ import time
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
+# Regime pin: every BENCH_r{N} record through r5 ran on an 8 g
+# local-JVM heap (see BASELINE.md's heap note), and at sf0.1 the
+# larger 16 g default measures ~7% slower from GC ergonomics alone.
+# Pinning the bench heap keeps round-over-round totals like-for-like;
+# big-memory workloads (scale probes, sf10+) export their own value.
+os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "8g")
+
 from nyc_taxi_data_engineering_spark.queries import bench_queries  # noqa: E402
 from nyc_taxi_data_engineering_spark.session import get_spark  # noqa: E402
 

@@ -659,6 +659,7 @@ def write_delta(
     operation: str = "WRITE",
     partition_by: list[str] | str | None = None,
     txn: tuple[str, int] | None = None,
+    merge_schema: bool = False,
 ) -> int:
     """S9/S10: versioned Delta sink. ``overwrite`` commits remove
     actions for every previously-active file plus adds for the new
@@ -682,7 +683,17 @@ def write_delta(
     ``txn=(app_id, version)`` additionally commits a ``txn`` action —
     the protocol's idempotent-writer marker. Pair with
     :func:`last_txn_version` to make replayed streaming batches no-ops
-    (see streaming/delta_ingest.py)."""
+    (see streaming/delta_ingest.py).
+
+    ``merge_schema=True`` is delta-spark's ``mergeSchema`` option: new
+    columns in ``df`` evolve the table schema (appended after the
+    existing fields, always nullable — old files read them as NULL via
+    the explicit-schema parquet read), and columns absent from ``df``
+    stay in the schema (the new files read them as NULL, allowed only
+    when the prior field is nullable). Same-name/different-type is
+    rejected — this engine does no type widening, matching Delta's
+    default. A schema-evolving commit re-emits metaData even on
+    append, exactly as real writers do."""
     import shutil
 
     if mode not in ("overwrite", "append"):
@@ -696,6 +707,7 @@ def write_delta(
     prior = latest_version(table_path)
     version = 0 if prior is None else prior + 1
     table_id = uuid.uuid4().hex
+    evolved: StructType | None = None  # set when merge_schema unions new columns
     if prior is not None:
         prior_state = _replay_state(table_path)
         table_id = prior_state["metaData"].get("id", table_id)
@@ -717,9 +729,40 @@ def write_delta(
             return [(f.name, f.dataType.simpleString()) for f in s.fields]
 
         if _shape(prior_schema) != _shape(df.schema):
-            raise DeltaLogError(
-                "schema mismatch vs table metaData; evolve the table explicitly "
-                f"(table={prior_schema.simpleString()}, df={df.schema.simpleString()})"
+            if not merge_schema:
+                raise DeltaLogError(
+                    "schema mismatch vs table metaData; pass merge_schema=True to "
+                    "evolve (new nullable columns) or rewrite the table "
+                    f"(table={prior_schema.simpleString()}, df={df.schema.simpleString()})"
+                )
+            prior_types = {f.name: f.dataType.simpleString() for f in prior_schema.fields}
+            df_types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+            clash = [
+                n for n in df_types if n in prior_types and df_types[n] != prior_types[n]
+            ]
+            if clash:
+                raise DeltaLogError(
+                    f"merge_schema cannot change column types (no widening): {clash}"
+                )
+            missing_required = [
+                f.name
+                for f in prior_schema.fields
+                if f.name not in df_types and not f.nullable
+            ]
+            if missing_required:
+                raise DeltaLogError(
+                    "merge_schema append omits non-nullable columns "
+                    f"{missing_required}; they would read as NULL"
+                )
+            from pyspark.sql.types import StructField
+
+            evolved = StructType(
+                [StructField(f.name, f.dataType, True) for f in prior_schema.fields]
+                + [
+                    StructField(f.name, f.dataType, True)
+                    for f in df.schema.fields
+                    if f.name not in prior_types
+                ]
             )
 
     os.makedirs(table_path, exist_ok=True)
@@ -747,14 +790,15 @@ def write_delta(
         )
     if version == 0:
         actions.append({"protocol": dict(PROTOCOL)})
-    if version == 0 or mode == "overwrite":
-        # Delta re-emits metaData on REPLACE; cheap and keeps replay simple.
+    if version == 0 or mode == "overwrite" or evolved is not None:
+        # Delta re-emits metaData on REPLACE and on schema evolution;
+        # cheap and keeps replay simple.
         actions.append(
             {
                 "metaData": {
                     "id": table_id,
                     "format": {"provider": "parquet", "options": {}},
-                    "schemaString": df.schema.json(),
+                    "schemaString": (evolved or df.schema).json(),
                     "partitionColumns": part_cols,
                     "configuration": {},
                     "createdTime": now_ms,

@@ -536,3 +536,49 @@ def test_version_diff_null_values_not_confused_with_absence(spark, tmp_path):
     assert [(r["k"], r["change_type"], r["old_v"], r["new_v"]) for r in rows] == [
         (1, "update", None, "now")
     ]
+
+
+def test_merge_schema_append_evolves_and_nulls(spark, tmp_path):
+    path = str(tmp_path / "evolve_tbl")
+    D.write_delta(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string"), path, mode="overwrite"
+    )
+    newer = spark.createDataFrame([(3, "c", 9.5)], "k int, v string, score double")
+    # without the flag: rejected exactly as before
+    with pytest.raises(D.DeltaLogError):
+        D.write_delta(newer, path, mode="append")
+    D.write_delta(newer, path, mode="append", merge_schema=True)
+    got = {r["k"]: (r["v"], r["score"]) for r in D.read_delta_log(spark, path).collect()}
+    # old files read the new column as NULL; new file carries it
+    assert got == {1: ("a", None), 2: ("b", None), 3: ("c", 9.5)}
+    # a following append may now omit the evolved column too
+    D.write_delta(
+        spark.createDataFrame([(4, "d")], "k int, v string"), path, mode="append",
+        merge_schema=True,
+    )
+    rows = D.read_delta_log(spark, path)
+    assert [f.name for f in rows.schema.fields] == ["k", "v", "score"]
+    assert rows.count() == 4
+
+
+def test_merge_schema_rejects_type_change(spark, tmp_path):
+    path = str(tmp_path / "evolve_clash_tbl")
+    D.write_delta(spark.createDataFrame([(1, "a")], "k int, v string"), path, mode="overwrite")
+    clash = spark.createDataFrame([(1, 2.0)], "k int, v double")
+    with pytest.raises(D.DeltaLogError, match="cannot change column types"):
+        D.write_delta(clash, path, mode="append", merge_schema=True)
+
+
+def test_merge_schema_time_travel_keeps_old_schema(spark, tmp_path):
+    """Reading a pre-evolution version must return the ORIGINAL schema
+    (metaData replay at that version), not the evolved one."""
+    path = str(tmp_path / "evolve_tt_tbl")
+    D.write_delta(spark.createDataFrame([(1, "a")], "k int, v string"), path, mode="overwrite")
+    D.write_delta(
+        spark.createDataFrame([(2, "b", 1.0)], "k int, v string, score double"),
+        path, mode="append", merge_schema=True,
+    )
+    v0 = D.read_delta_log(spark, path, version_as_of=0)
+    assert [f.name for f in v0.schema.fields] == ["k", "v"]
+    v1 = D.read_delta_log(spark, path, version_as_of=1)
+    assert [f.name for f in v1.schema.fields] == ["k", "v", "score"]
