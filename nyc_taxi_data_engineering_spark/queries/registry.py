@@ -71,6 +71,7 @@ ROTATION: list[str] = [
     "split_drift_chi2",
     "supplier_copurchase_pairs",
     "event_transition_matrix",
+    "delta_incremental_orders",
     # -- last driver-green in r4, stalest first --
     "exact_dedup_docs",
     "ngram_jaccard_pairs",

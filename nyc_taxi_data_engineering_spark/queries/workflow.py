@@ -413,3 +413,36 @@ def q_delta_version_diff_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("old_n_name").alias("old_name"),
         F.col("new_n_name").alias("new_name"),
     )
+
+
+@query(
+    "delta_incremental_orders",
+    oracle="""
+SELECT o_orderstatus, COUNT(*) AS n_orders
+FROM orders WHERE o_orderkey % 3 <> 0
+GROUP BY o_orderstatus
+""",
+)
+def q_delta_incremental_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental append tailing (delta_log.read_delta_appends — the
+    poll-based readStream analog): seed a Delta table with a third of
+    orders (v0), append the other two thirds in two commits (v1, v2),
+    then poll everything SINCE v0 — the consumer must see exactly the
+    appended rows, never the seed, reading only the polled commits'
+    files (no snapshot scan, no join). The oracle rebuilds the
+    appended subset from the base table, so a replayed seed row or a
+    lost appended file both hash-mismatch."""
+    from pyspark.sql import functions as F
+
+    from nyc_taxi_data_engineering_spark.catalog import load_table
+    from nyc_taxi_data_engineering_spark.sources import delta_log as D
+
+    tbl = _tmp_table("delta_tail_orders")
+    shutil.rmtree(tbl, ignore_errors=True)
+    orders = load_table(spark, sf_dir, "orders")
+    D.write_delta(orders.filter(F.col("o_orderkey") % 3 == 0), tbl, mode="overwrite")  # v0
+    D.write_delta(orders.filter(F.col("o_orderkey") % 3 == 1), tbl, mode="append")  # v1
+    D.write_delta(orders.filter(F.col("o_orderkey") % 3 == 2), tbl, mode="append")  # v2
+    batch, hw = D.read_delta_appends(spark, tbl, since_version=0)
+    assert hw == 2, hw
+    return batch.groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("n_orders"))

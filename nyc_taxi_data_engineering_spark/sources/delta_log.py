@@ -1029,3 +1029,51 @@ def delta_version_diff(
         .filter(F.col("change_type").isNotNull())
         .drop("_old_hash", "_new_hash")
     )
+
+
+def read_delta_appends(
+    spark: SparkSession,
+    table_path: str,
+    since_version: int,
+    to_version: int | None = None,
+) -> tuple[DataFrame, int]:
+    """Incremental tail of an APPEND-ONLY Delta table — the poll-based
+    analog of delta-spark's ``readStream`` source: rows from files
+    ADDED by commits in ``(since_version, to_version]``, plus the new
+    high-water version to persist for the next poll. Consuming every
+    poll exactly once replays the table exactly once (the version
+    number IS the offset; pair with ``txn`` watermarks on the write
+    side for end-to-end exactly-once).
+
+    Raises if any commit in the range carries ``remove`` actions — an
+    overwrite/MERGE in the range means file-level tailing would replay
+    or lose rows; row-level consumers of such tables use
+    :func:`delta_version_diff` instead. Scale shape: reads ONLY the
+    files the polled commits added (no snapshot scan, no join) with
+    the current metaData schema, so old files' missing evolved columns
+    read as NULL exactly like a snapshot read."""
+    latest = latest_version(table_path)
+    if latest is None:
+        raise DeltaLogError(f"not a Delta table: {table_path}")
+    to_version = latest if to_version is None else to_version
+    if to_version > latest:
+        raise DeltaLogError(f"version {to_version} not committed (latest {latest})")
+    _, schema = _replay(table_path, to_version)
+    new_files: list[str] = []
+    for v in range(since_version + 1, to_version + 1):
+        for action in _read_commit(table_path, v):
+            if "remove" in action:
+                raise DeltaLogError(
+                    f"version {v} removes files (overwrite/merge/compaction): "
+                    "file-level tailing would replay or lose rows; use "
+                    "delta_version_diff for row-level changes"
+                )
+            if "add" in action:
+                new_files.append(os.path.join(table_path, action["add"]["path"]))
+    if not new_files:
+        return spark.createDataFrame([], schema), to_version
+    reader = spark.read.schema(schema)
+    part_cols = _replay_state(table_path, to_version)["metaData"].get("partitionColumns") or []
+    if part_cols:
+        reader = reader.option("basePath", table_path)
+    return reader.parquet(*new_files), to_version

@@ -582,3 +582,38 @@ def test_merge_schema_time_travel_keeps_old_schema(spark, tmp_path):
     assert [f.name for f in v0.schema.fields] == ["k", "v"]
     v1 = D.read_delta_log(spark, path, version_as_of=1)
     assert [f.name for f in v1.schema.fields] == ["k", "v", "score"]
+
+
+def test_read_delta_appends_polls_exactly_once(spark, tmp_path):
+    path = str(tmp_path / "tail_tbl")
+    D.write_delta(spark.createDataFrame([(1,)], "k int"), path, mode="overwrite")  # v0
+    D.write_delta(spark.createDataFrame([(2,)], "k int"), path, mode="append")  # v1
+    D.write_delta(spark.createDataFrame([(3,), (4,)], "k int"), path, mode="append")  # v2
+    batch1, hw = D.read_delta_appends(spark, path, since_version=-1, to_version=1)
+    assert sorted(r["k"] for r in batch1.collect()) == [1, 2] and hw == 1
+    batch2, hw = D.read_delta_appends(spark, path, since_version=hw)
+    assert sorted(r["k"] for r in batch2.collect()) == [3, 4] and hw == 2
+    # fully caught up: empty batch, same high water
+    empty, hw2 = D.read_delta_appends(spark, path, since_version=hw)
+    assert empty.count() == 0 and hw2 == 2
+
+
+def test_read_delta_appends_rejects_removes(spark, tmp_path):
+    path = str(tmp_path / "tail_rm_tbl")
+    D.write_delta(spark.createDataFrame([(1,)], "k int"), path, mode="overwrite")
+    D.write_delta(spark.createDataFrame([(2,)], "k int"), path, mode="overwrite")  # removes v0 files
+    with pytest.raises(D.DeltaLogError, match="removes files"):
+        D.read_delta_appends(spark, path, since_version=0)
+
+
+def test_read_delta_appends_reads_evolved_schema(spark, tmp_path):
+    path = str(tmp_path / "tail_evolve_tbl")
+    D.write_delta(spark.createDataFrame([(1, "a")], "k int, v string"), path, mode="overwrite")
+    D.write_delta(
+        spark.createDataFrame([(2, "b", 5.0)], "k int, v string, s double"),
+        path, mode="append", merge_schema=True,
+    )
+    batch, _ = D.read_delta_appends(spark, path, since_version=0)
+    rows = batch.collect()
+    assert [f.name for f in batch.schema.fields] == ["k", "v", "s"]
+    assert [(r["k"], r["s"]) for r in rows] == [(2, 5.0)]
