@@ -1045,8 +1045,12 @@ def read_delta_appends(
     number IS the offset; pair with ``txn`` watermarks on the write
     side for end-to-end exactly-once).
 
-    Raises if any commit in the range carries ``remove`` actions — an
-    overwrite/MERGE in the range means file-level tailing would replay
+    Commits whose actions all carry ``dataChange: false`` (OPTIMIZE
+    compaction, Z-order rewrites) are SKIPPED entirely — the real
+    protocol semantic: they rearrange bytes, not rows, and a streaming
+    reader that ingested their adds would double-count every compacted
+    row. Raises only when a commit with ``dataChange: true`` removes
+    files — an overwrite/MERGE means file-level tailing would replay
     or lose rows; row-level consumers of such tables use
     :func:`delta_version_diff` instead. Scale shape: reads ONLY the
     files the polled commits added (no snapshot scan, no join) with
@@ -1061,15 +1065,21 @@ def read_delta_appends(
     _, schema = _replay(table_path, to_version)
     new_files: list[str] = []
     for v in range(since_version + 1, to_version + 1):
-        for action in _read_commit(table_path, v):
+        actions = _read_commit(table_path, v)
+        file_actions = [a for a in actions if "add" in a or "remove" in a]
+        if file_actions and all(
+            not (a.get("add") or a.get("remove")).get("dataChange", True)
+            for a in file_actions
+        ):
+            continue  # pure rearrangement (OPTIMIZE/Z-order): no new rows
+        for action in file_actions:
             if "remove" in action:
                 raise DeltaLogError(
-                    f"version {v} removes files (overwrite/merge/compaction): "
+                    f"version {v} removes rows' files (overwrite/merge): "
                     "file-level tailing would replay or lose rows; use "
                     "delta_version_diff for row-level changes"
                 )
-            if "add" in action:
-                new_files.append(os.path.join(table_path, action["add"]["path"]))
+            new_files.append(os.path.join(table_path, action["add"]["path"]))
     if not new_files:
         return spark.createDataFrame([], schema), to_version
     reader = spark.read.schema(schema)

@@ -602,7 +602,7 @@ def test_read_delta_appends_rejects_removes(spark, tmp_path):
     path = str(tmp_path / "tail_rm_tbl")
     D.write_delta(spark.createDataFrame([(1,)], "k int"), path, mode="overwrite")
     D.write_delta(spark.createDataFrame([(2,)], "k int"), path, mode="overwrite")  # removes v0 files
-    with pytest.raises(D.DeltaLogError, match="removes files"):
+    with pytest.raises(D.DeltaLogError, match="removes rows' files"):
         D.read_delta_appends(spark, path, since_version=0)
 
 
@@ -617,3 +617,17 @@ def test_read_delta_appends_reads_evolved_schema(spark, tmp_path):
     rows = batch.collect()
     assert [f.name for f in batch.schema.fields] == ["k", "v", "s"]
     assert [(r["k"], r["s"]) for r in rows] == [(2, 5.0)]
+
+
+def test_read_delta_appends_skips_compaction_commits(spark, tmp_path):
+    """OPTIMIZE commits carry dataChange:false — a tailing reader must
+    skip them (their adds re-package already-delivered rows), and keep
+    delivering real appends before and after."""
+    path = str(tmp_path / "tail_compact_tbl")
+    D.write_delta(spark.createDataFrame([(1,)], "k int"), path, mode="overwrite")  # v0
+    D.write_delta(spark.createDataFrame([(2,)], "k int"), path, mode="append")  # v1
+    D.compact_delta(spark, path, target_files=1)  # v2: dataChange false
+    D.write_delta(spark.createDataFrame([(3,)], "k int"), path, mode="append")  # v3
+    batch, hw = D.read_delta_appends(spark, path, since_version=0)
+    assert sorted(r["k"] for r in batch.collect()) == [2, 3]
+    assert hw == 3
