@@ -4,6 +4,8 @@ exercises every stringification branch)."""
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 
 from nyc_taxi_data_engineering_spark.catalog import load_table
@@ -100,3 +102,69 @@ def q_lineitem_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             )
     return m.select(F.explode(F.array(*pairs)).alias("r")).select("r.col_a", "r.col_b", "r.corr")
+
+
+# ------------------------------------------------- Benford audit
+
+# log10(1 + 1/d), precomputed HERE and injected as literals into BOTH
+# engines: neither ever calls a log, so there is no libm-parity risk.
+BENFORD_P = {d: math.log10(1 + 1 / d) for d in range(1, 10)}
+
+
+def _benford_oracle() -> str:
+    cases = " ".join(f"WHEN {d} THEN {BENFORD_P[d]!r}" for d in range(1, 10))
+    return f"""
+WITH digits AS (
+    SELECT CAST(substr(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR), 1, 1) AS INT) AS digit
+    FROM orders WHERE o_totalprice >= 1
+),
+obs AS (SELECT digit, COUNT(*) AS n_orders FROM digits GROUP BY digit),
+tot AS (SELECT SUM(n_orders) AS n FROM obs)
+SELECT o.digit, o.n_orders,
+       CAST(t.n AS DOUBLE) * (CASE o.digit {cases} END) AS expected,
+       (CAST(o.n_orders AS DOUBLE) - CAST(t.n AS DOUBLE) * (CASE o.digit {cases} END))
+         * (CAST(o.n_orders AS DOUBLE) - CAST(t.n AS DOUBLE) * (CASE o.digit {cases} END))
+         / (CAST(t.n AS DOUBLE) * (CASE o.digit {cases} END)) AS chi2_term
+FROM obs o CROSS JOIN tot t
+"""
+
+
+@query("orders_benford_audit", oracle=_benford_oracle())
+def q_orders_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order totals — the standard
+    financial-forensics screen (fabricated or systematically capped
+    amounts bend the leading-digit curve). The first digit comes from
+    the DECIMAL(18,2) string rendering (identical in both engines;
+    extracting it via log10 would reintroduce libm), the nine expected
+    frequencies are Python-precomputed literals, and the chi-square
+    terms are pure IEEE arithmetic on exact counts. One scan, one
+    9-row agg."""
+    from pyspark.sql import functions as F
+
+    digits = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") >= 1)
+        .select(
+            F.substring(F.col("o_totalprice").cast("decimal(18,2)").cast("string"), 1, 1)
+            .cast("int")
+            .alias("digit")
+        )
+    )
+    obs = digits.groupBy("digit").agg(F.count(F.lit(1)).alias("n_orders"))
+    tot = obs.agg(F.sum("n_orders").alias("n"))
+    p = F.col("digit")
+    expect_p = None
+    for d in range(1, 10):
+        expect_p = (
+            F.when(p == d, F.lit(BENFORD_P[d]))
+            if expect_p is None
+            else expect_p.when(p == d, F.lit(BENFORD_P[d]))
+        )
+    exp = F.col("n").cast("double") * expect_p
+    diff = F.col("n_orders").cast("double") - exp
+    return obs.crossJoin(F.broadcast(tot)).select(
+        "digit",
+        "n_orders",
+        exp.alias("expected"),
+        (diff * diff / exp).alias("chi2_term"),
+    )

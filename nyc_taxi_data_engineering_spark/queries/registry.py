@@ -72,6 +72,8 @@ ROTATION: list[str] = [
     "supplier_copurchase_pairs",
     "event_transition_matrix",
     "delta_incremental_orders",
+    "events_rate_anomaly",
+    "orders_benford_audit",
     # -- last driver-green in r4, stalest first --
     "exact_dedup_docs",
     "ngram_jaccard_pairs",

@@ -72,3 +72,82 @@ def q_supplier_daily_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rev_ff"),
         F.coalesce("n_trips", F.lit(0)).alias("n_trips"),
     )
+
+
+ANOMALY_LOOKBACK = 24  # trailing hours in the baseline window
+ANOMALY_MIN_HISTORY = 12  # hours of history before scoring starts
+
+
+@query(
+    "events_rate_anomaly",
+    oracle=f"""
+WITH hours AS (
+    SELECT make_timestamp((epoch_us(ts) // 3600000000) * 3600000000) AS hour,
+           COUNT(*) AS c
+    FROM events GROUP BY 1
+),
+w AS (
+    SELECT hour, c,
+           SUM(c) OVER win AS s,
+           SUM(c * c) OVER win AS sq,
+           COUNT(*) OVER win AS n
+    FROM hours
+    WINDOW win AS (ORDER BY hour
+                   ROWS BETWEEN {ANOMALY_LOOKBACK} PRECEDING AND 1 PRECEDING)
+),
+m AS (
+    SELECT hour, c, n,
+           CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean_trailing,
+           CAST(sq AS DOUBLE) / CAST(n AS DOUBLE) AS msq
+    FROM w
+)
+SELECT hour, c AS n_events, mean_trailing,
+       (CAST(c AS DOUBLE) - mean_trailing)
+           / sqrt(msq - mean_trailing * mean_trailing) AS z_score,
+       (CAST(c AS DOUBLE) - mean_trailing)
+           / sqrt(msq - mean_trailing * mean_trailing) > 3.0 AS is_anomaly
+FROM m
+WHERE n >= {ANOMALY_MIN_HISTORY} AND msq - mean_trailing * mean_trailing > 0
+""",
+)
+def q_events_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding z-score anomaly detection on the event rate — the
+    ops-monitoring primitive (rate spike / drop flagging) computed the
+    scale-correct way: raw events collapse to an HOURLY series first
+    (one hash agg with map-side combine), and the trailing-24h window
+    runs over that TINY series, not the data. Baseline mean/variance
+    derive from integer sums (counts and squared counts), so every
+    double is division/sqrt of exact integers — bit-identical in both
+    engines with no rounding anywhere. Scoring starts after 12 hours
+    of history; zero-variance baselines are excluded."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    hours = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(F.col("w.start").alias("hour"), "c")
+    )
+    win = Window.orderBy("hour").rowsBetween(-ANOMALY_LOOKBACK, -1)
+    w = hours.select(
+        "hour",
+        "c",
+        F.sum("c").over(win).alias("s"),
+        F.sum(F.col("c") * F.col("c")).over(win).alias("sq"),
+        F.count(F.lit(1)).over(win).alias("n"),
+    )
+    mean = F.col("s").cast("double") / F.col("n").cast("double")
+    m = w.select("hour", "c", "n", mean.alias("mean_trailing"),
+                 (F.col("sq").cast("double") / F.col("n").cast("double")).alias("msq"))
+    var = F.col("msq") - F.col("mean_trailing") * F.col("mean_trailing")
+    z = (F.col("c").cast("double") - F.col("mean_trailing")) / F.sqrt(var)
+    return (
+        m.filter((F.col("n") >= ANOMALY_MIN_HISTORY) & (var > 0))
+        .select(
+            "hour",
+            F.col("c").alias("n_events"),
+            "mean_trailing",
+            z.alias("z_score"),
+            (z > 3.0).alias("is_anomaly"),
+        )
+    )
