@@ -450,3 +450,33 @@ def test_pagerank_iterations_are_hash_aggs_no_window(spark, sf_dir):
     # node-count attach (teleport term), same idiom as bm25's stats row
     assert "CartesianProduct" not in plan
     assert "GlobalLimit" not in plan  # no global top-k/collect anywhere
+
+
+def test_containment_pairs_keyed_join_only(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "containment_neardup_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_copurchase_pairs_keyed_join_only(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "supplier_copurchase_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_rate_anomaly_preaggregates_before_window(spark, sf_dir):
+    """The trailing-24h window must run over the HOURLY series — the
+    events-scale exchange is the one hash agg; the window's global
+    sort touches only the tiny aggregated series."""
+    plan = _plan(spark, sf_dir, "events_rate_anomaly")
+    assert "partial_count" in plan  # hourly collapse combines map-side
+    # the Window consumes the aggregated series, so HashAggregate must
+    # appear BELOW (after, in printed order) the Window operator
+    assert "Window [" in plan
+    assert plan.index("Window [") < plan.index("HashAggregate")
+
+
+def test_benford_single_scan_nine_rows(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "orders_benford_audit")
+    assert plan.count("orders.parquet") <= 2  # obs + total branches of one scan
+    assert "partial_count" in plan
