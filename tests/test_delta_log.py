@@ -631,3 +631,20 @@ def test_read_delta_appends_skips_compaction_commits(spark, tmp_path):
     batch, hw = D.read_delta_appends(spark, path, since_version=0)
     assert sorted(r["k"] for r in batch.collect()) == [2, 3]
     assert hw == 3
+
+
+def test_read_delta_appends_partitioned_table(spark, tmp_path):
+    """Tailing a partitioned table must recover the partition column
+    from the Hive paths (basePath read) for exactly the polled files."""
+    path = str(tmp_path / "tail_part_tbl")
+    D.write_delta(
+        spark.createDataFrame([(1, "x"), (2, "y")], "k int, part string"),
+        path, mode="overwrite", partition_by="part",
+    )
+    D.write_delta(
+        spark.createDataFrame([(3, "x"), (4, "z")], "k int, part string"),
+        path, mode="append",
+    )
+    batch, hw = D.read_delta_appends(spark, path, since_version=0)
+    got = sorted((r["k"], r["part"]) for r in batch.collect())
+    assert got == [(3, "x"), (4, "z")] and hw == 1
