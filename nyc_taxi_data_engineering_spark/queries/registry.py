@@ -74,6 +74,7 @@ ROTATION: list[str] = [
     "delta_incremental_orders",
     "events_rate_anomaly",
     "orders_benford_audit",
+    "daily_vendor_revenue_sql",
     # -- last driver-green in r4, stalest first --
     "exact_dedup_docs",
     "ngram_jaccard_pairs",

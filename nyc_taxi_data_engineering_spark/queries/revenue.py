@@ -41,3 +41,17 @@ def q_daily_vendor_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         active_pred=F.col("s_acctbal") > 0,
         amount_pred=F.col("l_extendedprice") > 0,
     )
+
+
+@query("daily_vendor_revenue_sql", oracle=DAILY_REVENUE_ORACLE)
+def q_daily_vendor_revenue_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship through the PURE SQL surface: temp views +
+    ``spark.sql`` running the exact oracle text — Catalyst parses
+    ANSI SQL into the same optimized plan the DataFrame build gets
+    (broadcast dim, pushed filters, partial agg), proving a SQL-first
+    user of the engine needs no DataFrame code at all. The only query
+    intentionally registered as both API styles."""
+    from nyc_taxi_data_engineering_spark.catalog import register_views
+
+    register_views(spark, sf_dir, names=("lineitem", "supplier"))
+    return spark.sql(DAILY_REVENUE_ORACLE)
