@@ -255,3 +255,88 @@ pick AS (
 SELECT quantile,
        round(lo + ((hi - lo) / {width_buckets}) * (b.bucket + (t - b.cum_before) / b.cnt), 6) AS est_value
 FROM pick ORDER BY quantile"""
+
+
+# --------------------------------------------------------- HyperLogLog
+
+# - **HyperLogLog** (Flajolet et al., AofA 2007): the industry-standard
+#   mergeable cardinality sketch. Register index = 16 md5 bits mod m,
+#   rho = leading-zero count of the next 52 bits + 1, registers merge
+#   by MAX. The raw estimate alpha_m * m^2 / sum(2^-rho) is computed
+#   here entirely in INTEGER arithmetic — every 2^-rho term scales to
+#   the exact integer 2^(52-rho), and the register sum stays < 2^63 —
+#   so the only float op is one final division: bit-identical across
+#   engines, no libm anywhere (rho comes from length(bin(x)), not
+#   log2; the small-range linear-counting correction is deliberately
+#   omitted because it needs ln(), and the raw estimate is itself the
+#   oracle-checked quantity).
+HLL_P = 10
+HLL_M = 1 << HLL_P  # 1024 registers
+HLL_RHO_BITS = 52  # 13 hex chars -> positive signed long
+HLL_ALPHA = 0.7213 / (1 + 1.079 / HLL_M)
+_HLL_SCALE = float(HLL_M * HLL_M * (1 << HLL_RHO_BITS))  # alpha numerator
+
+
+def hll_registers(df: DataFrame, group: str, value: str) -> DataFrame:
+    """(group, reg, max_rho): the merged register table — the sketch
+    itself. m rows per group at most; mergeable by a further MAX."""
+    h = F.md5(F.col(value).cast("string"))
+    reg = (F.conv(F.substring(h, 1, 4), 16, 10).cast("long") % HLL_M).alias("reg")
+    x = F.conv(F.substring(h, 5, 13), 16, 10).cast("long")
+    rho = F.when(x == 0, F.lit(HLL_RHO_BITS + 1)).otherwise(
+        F.lit(HLL_RHO_BITS + 1) - F.length(F.bin(x))
+    )
+    return (
+        df.select(F.col(group).alias(group), reg, rho.alias("rho"))
+        .groupBy(group, "reg")
+        .agg(F.max("rho").alias("max_rho"))
+    )
+
+
+def hll_estimate(regs: DataFrame, group: str) -> DataFrame:
+    """(group, n_registers_used, est_distinct) from a register table:
+    observed registers contribute the exact integer 2^(52-rho), the
+    m - used empty ones 2^52 each; the single float op is the final
+    alpha*m^2*2^52 / S division."""
+    # pyspark's shiftleft() only takes a literal bit count; the SQL
+    # function accepts a column expression for it
+    term = F.expr(f"shiftleft(CAST(1 AS BIGINT), greatest({HLL_RHO_BITS} - max_rho, 0))")
+    per_group = regs.groupBy(group).agg(
+        F.count(F.lit(1)).alias("n_registers_used"),
+        F.sum(term).alias("s_observed"),
+    )
+    empty = (F.lit(HLL_M).cast("long") - F.col("n_registers_used")) * F.lit(
+        1 << HLL_RHO_BITS
+    ).cast("long")
+    s_total = (F.col("s_observed") + empty).cast("double")
+    return per_group.select(
+        group,
+        "n_registers_used",
+        F.round(F.lit(HLL_ALPHA) * F.lit(_HLL_SCALE) / s_total, 3).alias("est_distinct"),
+    )
+
+
+def hll_sql(from_cte: str, group: str, value: str) -> str:
+    """DuckDB twin over a CTE named ``from_cte`` with (group, value)
+    columns; yields (group, n_registers_used, est_distinct)."""
+    h = f"md5(CAST({value} AS VARCHAR))"
+    reg = f"(('0x' || substr({h}, 1, 4))::BIGINT % {HLL_M})"
+    x = f"('0x' || substr({h}, 5, 13))::BIGINT"
+    rho = f"(CASE WHEN {x} = 0 THEN {HLL_RHO_BITS + 1} ELSE {HLL_RHO_BITS + 1} - length(bin({x})) END)"
+    return f"""regs AS (
+    SELECT {group}, {reg} AS reg, MAX({rho}) AS max_rho
+    FROM {from_cte} GROUP BY {group}, {reg}
+),
+hll AS (
+    SELECT {group},
+           COUNT(*) AS n_registers_used,
+           SUM((1::BIGINT) << greatest({HLL_RHO_BITS} - max_rho, 0)) AS s_observed
+    FROM regs GROUP BY {group}
+),
+est AS (
+    SELECT {group}, n_registers_used,
+           round({HLL_ALPHA!r} * {_HLL_SCALE!r}
+                 / CAST(s_observed + ({HLL_M}::BIGINT - n_registers_used) * {1 << HLL_RHO_BITS}::BIGINT AS DOUBLE),
+                 3) AS est_distinct
+    FROM hll
+)"""

@@ -75,6 +75,7 @@ ROTATION: list[str] = [
     "events_rate_anomaly",
     "orders_benford_audit",
     "daily_vendor_revenue_sql",
+    "hll_distinct_tokens",
     # -- last driver-green in r4, stalest first --
     "exact_dedup_docs",
     "ngram_jaccard_pairs",

@@ -183,3 +183,36 @@ def q_histogram_quantiles_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("quantile")
     )
+
+
+@query(
+    "hll_distinct_tokens",
+    oracle=f"""
+WITH {_SQL_TOKS},
+exact AS (SELECT source, COUNT(DISTINCT tok) AS n_exact FROM tok2 GROUP BY source),
+{K.hll_sql('tok2', 'source', 'tok')}
+SELECT e.source, e.n_exact, s.n_registers_used, s.est_distinct,
+       round(s.est_distinct / e.n_exact - 1, 3) AS rel_error
+FROM est s JOIN exact e USING (source)
+""",
+)
+def q_hll_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distinct tokens by HyperLogLog(1024) next to the
+    exact count — the industry-standard mergeable cardinality sketch,
+    made oracle-checkable by keeping the whole estimator in integer
+    arithmetic (2^-rho terms as exact 2^(52-rho) integers, one final
+    division; rho via length(bin(x)), never a log). One hash agg to
+    the <= 1024-row register table per group, mergeable by MAX —
+    at 100 TB the register tables union across shards for free.
+    Companion to kmv_distinct_tokens: two independent estimators,
+    both with their error under the hash gate."""
+    toks = _tokens(spark, sf_dir)
+    exact = toks.groupBy("source").agg(F.count_distinct("tok").alias("n_exact"))
+    est = K.hll_estimate(K.hll_registers(toks, "source", "tok"), "source")
+    return est.join(exact, "source").select(
+        "source",
+        "n_exact",
+        "n_registers_used",
+        "est_distinct",
+        F.round(F.col("est_distinct") / F.col("n_exact") - 1, 3).alias("rel_error"),
+    )

@@ -71,3 +71,25 @@ def test_histogram_quantiles_exact_on_single_bucket_groups(spark):
     df = spark.createDataFrame([(5.0,)] * 100, "x double")
     rows = histogram_quantiles(df, "x", [0.5, 0.99]).collect()
     assert all(r["est_value"] == 5.0 for r in rows)
+
+
+def test_hll_estimate_accuracy_and_merge(spark):
+    """HLL(1024): ~3% typical error at 10k distinct; the register
+    table must merge across shards by MAX to the same estimate."""
+    from nyc_taxi_data_engineering_spark.operators import sketches as K
+
+    df = spark.createDataFrame([("g", i) for i in range(10_000)], "g string, v long")
+    regs = K.hll_registers(df, "g", "v")
+    est = K.hll_estimate(regs, "g").collect()[0]
+    assert abs(est["est_distinct"] / 10_000 - 1) < 0.12  # well inside 3x sigma
+    assert est["n_registers_used"] <= K.HLL_M
+    # shard-merge: registers from two halves, MAX-merged, same estimate
+    lo = K.hll_registers(df.filter("v < 5000"), "g", "v")
+    hi = K.hll_registers(df.filter("v >= 5000"), "g", "v")
+    merged = (
+        lo.unionByName(hi)
+        .groupBy("g", "reg")
+        .agg(F.max("max_rho").alias("max_rho"))
+    )
+    est2 = K.hll_estimate(merged, "g").collect()[0]
+    assert est2["est_distinct"] == est["est_distinct"]
