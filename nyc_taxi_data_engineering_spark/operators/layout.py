@@ -55,16 +55,17 @@ def zvalue(grid_cols: list[Column], bits: int = Z_BITS) -> Column:
     return z
 
 
-def zorder_write(
+def zorder_cluster(
     df: DataFrame,
-    path: str,
     cols: list[str],
     n_files: int,
     bits: int = Z_BITS,
-) -> None:
-    """Cluster ``df`` by the Z-order of ``cols`` into ``n_files``
-    roughly equal range partitions and write parquet. Readers filtering
-    on ANY of ``cols`` skip most files via parquet min/max stats."""
+) -> DataFrame:
+    """``df`` range-partitioned into ``n_files`` tasks by the Z-order
+    of ``cols`` and sorted within each — every output file then covers
+    a tight min/max range on EVERY clustered column, so any stats-aware
+    sink (parquet footers, the Delta log's per-file ``stats``) can skip
+    most files for a filter on any of them."""
     bounds = df.agg(
         *[f(c).alias(f"_{tag}_{c}") for c in cols for tag, f in (("lo", F.min), ("hi", F.max))]
     )
@@ -75,14 +76,26 @@ def zorder_write(
         )
         for c in cols
     ]
-    clustered = (
+    return (
         with_bounds.withColumn("_z", zvalue(grids, bits))
         .drop(*[f"_{tag}_{c}" for c in cols for tag in ("lo", "hi")])
         .repartitionByRange(n_files, "_z")
         .sortWithinPartitions("_z")
         .drop("_z")
     )
-    clustered.write.mode("overwrite").parquet(path)
+
+
+def zorder_write(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    n_files: int,
+    bits: int = Z_BITS,
+) -> None:
+    """Cluster ``df`` by the Z-order of ``cols`` into ``n_files``
+    roughly equal range partitions and write parquet. Readers filtering
+    on ANY of ``cols`` skip most files via parquet min/max stats."""
+    zorder_cluster(df, cols, n_files, bits).write.mode("overwrite").parquet(path)
 
 
 def compact_parquet(

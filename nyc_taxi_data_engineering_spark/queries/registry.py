@@ -76,6 +76,7 @@ ROTATION: list[str] = [
     "orders_benford_audit",
     "daily_vendor_revenue_sql",
     "hll_distinct_tokens",
+    "delta_zorder_orders",
     # -- last driver-green in r4, stalest first --
     "exact_dedup_docs",
     "ngram_jaccard_pairs",

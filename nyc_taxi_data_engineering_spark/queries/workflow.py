@@ -446,3 +446,54 @@ def q_delta_incremental_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch, hw = D.read_delta_appends(spark, tbl, since_version=0)
     assert hw == 2, hw
     return batch.groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("n_orders"))
+
+
+ZORDER_CUST_CUT = 150  # selective on both dims at every sf
+ZORDER_KEY_CUT = 6000
+
+
+@query(
+    "delta_zorder_orders",
+    oracle=f"""
+SELECT o_orderstatus, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders
+WHERE o_custkey <= {ZORDER_CUST_CUT} AND o_orderkey <= {ZORDER_KEY_CUT}
+GROUP BY o_orderstatus
+""",
+)
+def q_delta_zorder_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering composed with Delta stats skipping — the
+    multi-dimensional OPTIMIZE ZORDER BY surface: orders cluster by the
+    Morton interleave of (o_custkey, o_orderkey) into 16 files, commit
+    through the Delta log (footer-derived per-file min/max on BOTH
+    columns), and a two-dimensional predicate read prunes files from
+    the log alone before the residual row filter. Range-clustering by
+    one column can only skip on that column; the Z-curve keeps both
+    dimensions' per-file ranges tight, which is the whole trick. The
+    oracle recomputes the aggregate from the raw table — lost rows
+    from over-pruning or extras from a missing residual both
+    hash-mismatch."""
+    from pyspark.sql import functions as F
+
+    from nyc_taxi_data_engineering_spark.catalog import load_table
+    from nyc_taxi_data_engineering_spark.operators.layout import zorder_cluster
+    from nyc_taxi_data_engineering_spark.sources import delta_log as D
+
+    tbl = _tmp_table("delta_zorder_orders")
+    shutil.rmtree(tbl, ignore_errors=True)
+    orders = load_table(spark, sf_dir, "orders")
+    D.write_delta(zorder_cluster(orders, ["o_custkey", "o_orderkey"], 16), tbl, mode="overwrite")
+    snap = D.read_delta_log(
+        spark,
+        tbl,
+        predicates=[("o_custkey", "<=", ZORDER_CUST_CUT), ("o_orderkey", "<=", ZORDER_KEY_CUT)],
+    )
+    return (
+        snap.filter((F.col("o_custkey") <= ZORDER_CUST_CUT) & (F.col("o_orderkey") <= ZORDER_KEY_CUT))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total_price"),
+        )
+    )

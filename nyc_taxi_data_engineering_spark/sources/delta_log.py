@@ -685,7 +685,10 @@ def write_delta(
     :func:`last_txn_version` to make replayed streaming batches no-ops
     (see streaming/delta_ingest.py).
 
-    ``merge_schema=True`` is delta-spark's ``mergeSchema`` option: new
+    Writes whose columns are a SUBSET of the table's (nullable columns
+    omitted) are always accepted — Delta enforces compatibility, not
+    equality — and leave the schema unchanged. ``merge_schema=True`` is
+    delta-spark's ``mergeSchema`` option: new
     columns in ``df`` evolve the table schema (appended after the
     existing fields, always nullable — old files read them as NULL via
     the explicit-schema parquet read), and columns absent from ``df``
@@ -729,41 +732,46 @@ def write_delta(
             return [(f.name, f.dataType.simpleString()) for f in s.fields]
 
         if _shape(prior_schema) != _shape(df.schema):
-            if not merge_schema:
-                raise DeltaLogError(
-                    "schema mismatch vs table metaData; pass merge_schema=True to "
-                    "evolve (new nullable columns) or rewrite the table "
-                    f"(table={prior_schema.simpleString()}, df={df.schema.simpleString()})"
-                )
             prior_types = {f.name: f.dataType.simpleString() for f in prior_schema.fields}
             df_types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
             clash = [
                 n for n in df_types if n in prior_types and df_types[n] != prior_types[n]
             ]
-            if clash:
-                raise DeltaLogError(
-                    f"merge_schema cannot change column types (no widening): {clash}"
-                )
+            new_cols = [n for n in df_types if n not in prior_types]
             missing_required = [
                 f.name
                 for f in prior_schema.fields
                 if f.name not in df_types and not f.nullable
             ]
+            if clash:
+                raise DeltaLogError(
+                    f"cannot change column types on write (no widening): {clash}"
+                )
             if missing_required:
                 raise DeltaLogError(
-                    "merge_schema append omits non-nullable columns "
+                    "write omits non-nullable columns "
                     f"{missing_required}; they would read as NULL"
                 )
-            from pyspark.sql.types import StructField
+            if new_cols and not merge_schema:
+                raise DeltaLogError(
+                    f"new columns {new_cols} need merge_schema=True to evolve the "
+                    f"table (table={prior_schema.simpleString()}, "
+                    f"df={df.schema.simpleString()})"
+                )
+            # A subset write (nullable columns omitted) is always legal —
+            # real Delta enforces compatibility, not equality — and does
+            # not change the table schema; only NEW columns evolve it.
+            if new_cols:
+                from pyspark.sql.types import StructField
 
-            evolved = StructType(
-                [StructField(f.name, f.dataType, True) for f in prior_schema.fields]
-                + [
-                    StructField(f.name, f.dataType, True)
-                    for f in df.schema.fields
-                    if f.name not in prior_types
-                ]
-            )
+                evolved = StructType(
+                    [StructField(f.name, f.dataType, True) for f in prior_schema.fields]
+                    + [
+                        StructField(f.name, f.dataType, True)
+                        for f in df.schema.fields
+                        if f.name not in prior_types
+                    ]
+                )
 
     os.makedirs(table_path, exist_ok=True)
     staging = os.path.join(table_path, f".staging-{uuid.uuid4().hex}")

@@ -86,7 +86,7 @@ def test_overwrite_removes_prior_files(table):
 
 
 def test_schema_mismatch_and_bad_version_raise(spark, table):
-    with pytest.raises(D.DeltaLogError, match="schema mismatch"):
+    with pytest.raises(D.DeltaLogError, match="merge_schema=True"):
         D.write_delta(
             spark.createDataFrame([(1.5,)], "x double"), table, mode="append"
         )
@@ -648,3 +648,51 @@ def test_read_delta_appends_partitioned_table(spark, tmp_path):
     batch, hw = D.read_delta_appends(spark, path, since_version=0)
     got = sorted((r["k"], r["part"]) for r in batch.collect())
     assert got == [(3, "x"), (4, "z")] and hw == 1
+
+
+def test_zorder_delta_prunes_on_both_dimensions(spark, tmp_path):
+    """Z-clustered commit: a predicate on EITHER clustered column must
+    prune files via the log's stats — the multi-dim skipping a single
+    range-cluster can't give."""
+    from nyc_taxi_data_engineering_spark.operators.layout import zorder_cluster
+
+    path = str(tmp_path / "ztbl")
+    df = spark.range(0, 4096).select(
+        (F.col("id") % 64).alias("a"), (F.col("id") / 64).cast("long").alias("b")
+    )
+    D.write_delta(zorder_cluster(df, ["a", "b"], 16), path, mode="overwrite")
+    total = len(D._replay(path)[0])
+    assert total >= 8
+
+    def n_files(preds):
+        state = D._replay_state(path)
+        kept = [a for a in state["adds"].values() if D._file_survives(a, preds)]
+        return len(kept)
+
+    assert n_files([("a", "<=", 7)]) < total / 2
+    assert n_files([("b", "<=", 7)]) < total / 2
+    assert n_files([("a", "<=", 7), ("b", "<=", 7)]) <= n_files([("a", "<=", 7)])
+    # correctness: pruned read returns exactly the matching rows
+    snap = D.read_delta_log(spark, path, predicates=[("a", "<=", 7), ("b", "<=", 7)])
+    got = snap.filter("a <= 7 AND b <= 7").count()
+    assert got == df.filter("a <= 7 AND b <= 7").count()
+
+
+def test_checkpoint_carries_evolved_schema(spark, tmp_path):
+    """A checkpoint written after schema evolution must replay the
+    EVOLVED metaData (a reader starting from the checkpoint sees the
+    new column)."""
+    path = str(tmp_path / "cp_evolve_tbl")
+    D.write_delta(spark.createDataFrame([(1, "a")], "k int, v string"), path, mode="overwrite")
+    for i in range(2, 12):  # cross version 10, the checkpoint cadence
+        if i == 5:
+            D.write_delta(
+                spark.createDataFrame([(i, "x", 1.5)], "k int, v string, s double"),
+                path, mode="append", merge_schema=True,
+            )
+        else:
+            D.write_delta(spark.createDataFrame([(i, "x")], "k int, v string"), path, mode="append")
+    assert D._read_last_checkpoint(path) is not None
+    snap = D.read_delta_log(spark, path)
+    assert [f.name for f in snap.schema.fields] == ["k", "v", "s"]
+    assert snap.filter("s IS NOT NULL").count() == 1
