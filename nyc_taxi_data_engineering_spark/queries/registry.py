@@ -77,6 +77,7 @@ ROTATION: list[str] = [
     "daily_vendor_revenue_sql",
     "hll_distinct_tokens",
     "delta_zorder_orders",
+    "domain_tags_docs",
     # -- last driver-green in r4, stalest first --
     "exact_dedup_docs",
     "ngram_jaccard_pairs",

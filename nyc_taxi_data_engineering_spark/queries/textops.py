@@ -266,3 +266,73 @@ def q_gopher_quality_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("alpha_word_ratio") >= GOPHER_MIN_ALPHA_RATIO)
         & (F.col("stopword_hits") >= GOPHER_MIN_STOPWORDS),
     )
+
+
+# Seed keyword sets over the corpus vocabulary — the weak-supervision
+# taxonomy every domain-mixing pipeline starts from. One definition
+# feeds both engines.
+DOMAIN_KEYWORDS = {
+    "query_engine": ["query", "sql", "join", "filter", "scan", "agg"],
+    "streaming": ["stream", "window", "batch", "watermark"],
+    "storage": ["table", "row", "column", "partition", "merge"],
+}
+DOMAIN_MIN_HITS = 2
+
+
+@query(
+    "domain_tags_docs",
+    oracle=f"""
+WITH kw(keyword, domain) AS (VALUES {", ".join(f"('{k}', '{d}')" for d, ks in sorted(DOMAIN_KEYWORDS.items()) for k in ks)}),
+toks AS (
+    SELECT DISTINCT doc_id, unnest({T.sql_tokens('text')}) AS tok FROM documents
+),
+hits AS (
+    SELECT t.doc_id, k.domain, COUNT(*) AS n_hits
+    FROM toks t JOIN kw k ON t.tok = k.keyword
+    GROUP BY t.doc_id, k.domain
+),
+best AS (
+    SELECT doc_id, domain, n_hits FROM (
+        SELECT doc_id, domain, n_hits,
+               row_number() OVER (PARTITION BY doc_id ORDER BY n_hits DESC, domain) AS rn
+        FROM hits WHERE n_hits >= {DOMAIN_MIN_HITS}
+    ) WHERE rn = 1
+)
+SELECT domain, COUNT(*) AS n_docs,
+       CAST(SUM(n_hits) AS DOUBLE) / COUNT(*) AS avg_hits
+FROM best GROUP BY domain
+""",
+)
+def q_domain_tags_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seed-keyword domain tagging — the weak-supervision taxonomy
+    labeler behind domain mixing and targeted sampling: distinct
+    tokens equi-join a BROADCAST keyword dim (the taxonomy is always
+    tiny), per-(doc, domain) hit counts aggregate with map-side
+    combine, and each doc's winning domain is an argmax folded into a
+    ``min(struct(-hits, domain))`` hash agg — no window over data,
+    ties to the lexicographically first domain in both engines. Docs
+    under the hit floor stay untagged (excluded)."""
+    kw_rows = [
+        (k, d) for d, ks in sorted(DOMAIN_KEYWORDS.items()) for k in ks
+    ]
+    kw = spark.createDataFrame(kw_rows, "keyword string, domain string")
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(T.tokens(F.col("text"))).alias("tok"))
+        .distinct()
+    )
+    hits = (
+        toks.join(F.broadcast(kw), toks["tok"] == kw["keyword"])
+        .groupBy("doc_id", "domain")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .filter(F.col("n_hits") >= DOMAIN_MIN_HITS)
+    )
+    best = (
+        hits.groupBy("doc_id")
+        .agg(F.min(F.struct((-F.col("n_hits")).alias("neg"), F.col("domain").alias("d"), F.col("n_hits").alias("h"))).alias("b"))
+        .select("doc_id", F.col("b.d").alias("domain"), F.col("b.h").alias("n_hits"))
+    )
+    return best.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("n_hits").cast("double") / F.count(F.lit(1))).alias("avg_hits"),
+    )
