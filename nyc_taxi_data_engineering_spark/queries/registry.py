@@ -78,6 +78,7 @@ ROTATION: list[str] = [
     "hll_distinct_tokens",
     "delta_zorder_orders",
     "domain_tags_docs",
+    "delta_incremental_rollup_orders",
     # -- last driver-green in r4, stalest first --
     "exact_dedup_docs",
     "ngram_jaccard_pairs",

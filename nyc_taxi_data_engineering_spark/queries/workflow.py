@@ -497,3 +497,70 @@ def q_delta_zorder_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total_price"),
         )
     )
+
+
+@query(
+    "delta_incremental_rollup_orders",
+    oracle="""
+SELECT o_orderstatus, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY o_orderstatus
+""",
+)
+def q_delta_incremental_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance, end to end on the
+    batch path: a Delta ROLLUP table (status -> count, decimal-exact
+    sum) seeds from the fact table's v0, the fact table takes two more
+    append commits, and the maintainer polls the appends
+    (read_delta_appends), aggregates ONLY the delta, combines it
+    additively with the current rollup, and MERGEs the refreshed rows
+    back - the per-refresh cost is proportional to the appended data,
+    never the fact history. The oracle recomputes the rollup from the
+    whole fact table, so a dropped delta, a double-applied poll, or a
+    non-additive merge all hash-mismatch. (The streaming twin of this
+    pattern lives in streaming/delta_ingest.py via foreachBatch.)"""
+    from pyspark.sql import functions as F
+
+    from nyc_taxi_data_engineering_spark.catalog import load_table
+    from nyc_taxi_data_engineering_spark.sources import delta_log as D
+
+    fact = _tmp_table("delta_mv_fact_orders")
+    roll = _tmp_table("delta_mv_rollup_orders")
+    shutil.rmtree(fact, ignore_errors=True)
+    shutil.rmtree(roll, ignore_errors=True)
+    orders = load_table(spark, sf_dir, "orders")
+
+    def rollup(df):
+        return df.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("decimal(28,2)").alias("price_acc"),
+        )
+
+    D.write_delta(orders.filter(F.col("o_orderkey") % 3 == 0), fact, mode="overwrite")  # v0
+    D.write_delta(rollup(D.read_delta_log(spark, fact)), roll, mode="overwrite")
+    D.write_delta(orders.filter(F.col("o_orderkey") % 3 == 1), fact, mode="append")  # v1
+    D.write_delta(orders.filter(F.col("o_orderkey") % 3 == 2), fact, mode="append")  # v2
+    delta_batch, _hw = D.read_delta_appends(spark, fact, since_version=0)
+    delta_roll = rollup(delta_batch)
+    current = D.read_delta_log(spark, roll).select(
+        "o_orderstatus",
+        F.col("n_orders").alias("cur_n"),
+        F.col("price_acc").alias("cur_acc"),
+    )
+    refreshed = (
+        delta_roll.join(current, "o_orderstatus", "left")
+        .select(
+            "o_orderstatus",
+            (F.col("n_orders") + F.coalesce(F.col("cur_n"), F.lit(0))).alias("n_orders"),
+            (F.col("price_acc") + F.coalesce(F.col("cur_acc"), F.lit(0).cast("decimal(28,2)")))
+            .cast("decimal(28,2)")
+            .alias("price_acc"),
+        )
+    )
+    D.merge_delta(spark, roll, refreshed, on="o_orderstatus")
+    return D.read_delta_log(spark, roll).select(
+        "o_orderstatus",
+        "n_orders",
+        F.col("price_acc").cast("double").alias("total_price"),
+    )
