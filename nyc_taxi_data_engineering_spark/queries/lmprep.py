@@ -303,3 +303,82 @@ def q_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pair_count"), "left_sym", "right_sym")
         .limit(BPE_TOP_MERGES)
     )
+
+
+N_NEGATIVES = 4
+
+
+def _neg_raw_sql(j: int) -> str:
+    return (
+        f"(('0x' || substr(md5('neg{j}|' || CAST(a.doc_id AS VARCHAR)), 1, 8))::BIGINT"
+        " % (SELECT n FROM nn))"
+    )
+
+
+@query(
+    "contrastive_negatives_docs",
+    oracle=f"""
+WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+h AS (SELECT doc_id, md5(text) AS ch FROM documents),
+cands AS (
+    {" UNION ALL ".join(f"SELECT a.doc_id AS anchor_id, {j} AS neg_rank, {_neg_raw_sql(j)} AS raw FROM h a" for j in range(N_NEGATIVES))}
+),
+fixed AS (
+    SELECT anchor_id, neg_rank,
+           CASE WHEN raw = anchor_id THEN (raw + 1) % (SELECT n FROM nn) ELSE raw END AS neg_id
+    FROM cands
+)
+SELECT f.anchor_id, CAST(f.neg_rank AS INT) AS neg_rank, f.neg_id
+FROM fixed f
+JOIN h a ON a.doc_id = f.anchor_id
+JOIN h b ON b.doc_id = f.neg_id
+WHERE b.ch <> a.ch
+""",
+)
+def q_contrastive_negatives_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for contrastive training — k
+    random-looking negatives per anchor WITHOUT an n² candidate space
+    or an RNG: negative j of anchor a is the doc at md5-bucket
+    H('negj|'||a) mod n (self-collisions remap to the next id), then a
+    content-hash join drops negatives that are exact duplicates of
+    their anchor (a false negative would teach the model that
+    identical texts differ). Scale shape: a 4-way projection explode +
+    two keyed joins against the (id, hash) table — linear in corpus
+    size, reproducible across runs and engines, which is exactly what
+    a training-data pipeline needs from its sampler."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = docs.select("doc_id", F.md5(F.col("text")).alias("ch"))
+    nn = h.agg(F.count(F.lit(1)).alias("n"))
+    raws = [
+        F.struct(
+            F.lit(j).alias("neg_rank"),
+            (
+                F.conv(
+                    F.substring(F.md5(F.concat(F.lit(f"neg{j}|"), F.col("anchor_id").cast("string"))), 1, 8),
+                    16,
+                    10,
+                ).cast("long")
+                % F.col("n")
+            ).alias("raw"),
+        )
+        for j in range(N_NEGATIVES)
+    ]
+    cands = (
+        h.select(F.col("doc_id").alias("anchor_id"), F.col("ch").alias("a_ch"))
+        .crossJoin(F.broadcast(nn))
+        .select("anchor_id", "a_ch", "n", F.explode(F.array(*raws)).alias("c"))
+        .select(
+            "anchor_id",
+            "a_ch",
+            F.col("c.neg_rank").cast("int").alias("neg_rank"),
+            F.when(F.col("c.raw") == F.col("anchor_id"), (F.col("c.raw") + 1) % F.col("n"))
+            .otherwise(F.col("c.raw"))
+            .alias("neg_id"),
+        )
+    )
+    b = h.select(F.col("doc_id").alias("neg_id"), F.col("ch").alias("b_ch"))
+    return (
+        cands.join(b, "neg_id")
+        .filter(F.col("b_ch") != F.col("a_ch"))
+        .select("anchor_id", "neg_rank", "neg_id")
+    )

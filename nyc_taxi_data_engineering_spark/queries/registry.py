@@ -79,6 +79,7 @@ ROTATION: list[str] = [
     "delta_zorder_orders",
     "domain_tags_docs",
     "delta_incremental_rollup_orders",
+    "contrastive_negatives_docs",
     # -- last driver-green in r4, stalest first --
     "exact_dedup_docs",
     "ngram_jaccard_pairs",
