@@ -35,16 +35,23 @@ PAGERANK_ITERS = 3
 _SCALE = 12  # dp kept per contribution / rank
 
 
-def pagerank(edges: DataFrame, iters: int = PAGERANK_ITERS) -> DataFrame:
+def pagerank(
+    edges: DataFrame, iters: int = PAGERANK_ITERS, weight: str | None = None
+) -> DataFrame:
     """(node, rank) after ``iters`` rounds from a uniform start over
-    the distinct ``src`` nodes of ``edges`` (src, dst). Every node
-    must appear as a src (no dangling mass) — true for the bidirected
+    the distinct ``src`` nodes of ``edges`` (src, dst[, weight]).
+    ``weight`` names an INTEGER edge-weight column — the random surfer
+    follows an edge with probability w / strength(src) (strength =
+    out-weight sum), the standard weighted extension; omitted, every
+    edge weighs 1 and strength is the out-degree. Every node must
+    appear as a src (no dangling mass) — true for the bidirected
     graphs this repo builds; asserted cheaply by the caller's tests."""
-    edges = edges.select("src", "dst")
+    w = F.col(weight) if weight is not None else F.lit(1).cast("long")
+    edges = edges.select("src", "dst", w.alias("w"))
     nodes = edges.select(F.col("src").alias("node")).distinct()
     n_row = nodes.agg(F.count(F.lit(1)).cast("double").alias("n"))
-    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    # (src, dst, deg) is loop-invariant: build once, reuse every round
+    outdeg = edges.groupBy("src").agg(F.sum("w").alias("strength"))
+    # (src, dst, w, strength) is loop-invariant: build once, reuse every round
     ew = edges.join(outdeg, "src")
     ranks = nodes.crossJoin(F.broadcast(n_row)).select(
         "node", (F.lit(1.0) / F.col("n")).alias("rank")
@@ -53,7 +60,9 @@ def pagerank(edges: DataFrame, iters: int = PAGERANK_ITERS) -> DataFrame:
     for _ in range(iters):
         contrib = ranks.join(ew, ranks["node"] == ew["src"]).select(
             F.col("dst").alias("node"),
-            F.round(F.col("rank") / F.col("deg"), _SCALE).cast(f"decimal(28,{_SCALE})").alias("c"),
+            F.round(F.col("rank") * F.col("w") / F.col("strength"), _SCALE)
+            .cast(f"decimal(28,{_SCALE})")
+            .alias("c"),
         )
         in_sum = contrib.groupBy("node").agg(F.sum("c").alias("s"))
         ranks = (
@@ -72,23 +81,28 @@ def pagerank(edges: DataFrame, iters: int = PAGERANK_ITERS) -> DataFrame:
     return ranks
 
 
-def pagerank_sql(edges_cte: str, iters: int = PAGERANK_ITERS) -> str:
+def pagerank_sql(
+    edges_cte: str, iters: int = PAGERANK_ITERS, weighted: bool = False
+) -> str:
     """DuckDB twin: the same fixed-point iterations as nested CTEs.
-    ``edges_cte`` must define a CTE named ``edges`` with (src, dst).
-    Returns a complete WITH...SELECT producing (node, rank)."""
+    ``edges_cte`` must define a CTE named ``edges`` with (src, dst) —
+    plus an integer ``w`` column when ``weighted``. Returns a complete
+    WITH...SELECT producing (node, rank)."""
+    w_expr = "w" if weighted else "1::BIGINT"
     parts = [
         edges_cte,
-        "nodes AS (SELECT DISTINCT src AS node FROM edges)",
+        f"we AS (SELECT src, dst, {w_expr} AS w FROM edges)",
+        "nodes AS (SELECT DISTINCT src AS node FROM we)",
         "nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes)",
-        "outdeg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src)",
+        "outdeg AS (SELECT src, SUM(w) AS strength FROM we GROUP BY src)",
         "r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes)",
     ]
     for i in range(1, iters + 1):
         parts.append(
             f"""c{i} AS (
     SELECT e.dst AS node,
-           CAST(round(r.rank / o.deg, {_SCALE}) AS DECIMAL(28,{_SCALE})) AS c
-    FROM r{i - 1} r JOIN edges e ON e.src = r.node JOIN outdeg o ON o.src = e.src
+           CAST(round(r.rank * e.w / o.strength, {_SCALE}) AS DECIMAL(28,{_SCALE})) AS c
+    FROM r{i - 1} r JOIN we e ON e.src = r.node JOIN outdeg o ON o.src = e.src
 )"""
         )
         parts.append(

@@ -87,3 +87,41 @@ def q_supplier_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         degree_cap=COPURCHASE_DEGREE_CAP,
         min_shared=COPURCHASE_MIN_SHARED,
     ).select(F.col("a"), F.col("b"), "shared_contexts")
+
+
+_WEDGES_CTE = """wpairs AS (
+    SELECT 'c' || o_custkey AS c_node, 's' || l_suppkey AS s_node,
+           COUNT(DISTINCT o_orderkey) AS w
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY o_custkey, l_suppkey
+),
+edges AS (
+    SELECT c_node AS src, s_node AS dst, w FROM wpairs
+    UNION ALL
+    SELECT s_node AS src, c_node AS dst, w FROM wpairs
+)"""
+
+
+@query("pagerank_weighted_trade", oracle=pagerank_sql(_WEDGES_CTE, weighted=True))
+def q_pagerank_weighted_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank over the same trade graph, edge weight =
+    number of distinct orders between the pair: the surfer follows an
+    edge with probability w / strength(src), so rank concentrates on
+    heavy trading relationships instead of mere connectivity. Same
+    per-round keyed-join + hash-agg shape and the same bit-exact
+    oracle replay; only the contribution formula generalizes
+    (rank·w/strength, integer weights)."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    wpairs = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("c_node"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("s_node"),
+        )
+        .agg(F.count_distinct("o_orderkey").alias("w"))
+    )
+    edges = wpairs.select(
+        F.col("c_node").alias("src"), F.col("s_node").alias("dst"), "w"
+    ).unionByName(wpairs.select(F.col("s_node").alias("src"), F.col("c_node").alias("dst"), "w"))
+    return pagerank(edges, weight="w")

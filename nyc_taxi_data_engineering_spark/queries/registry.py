@@ -80,6 +80,7 @@ ROTATION: list[str] = [
     "domain_tags_docs",
     "delta_incremental_rollup_orders",
     "contrastive_negatives_docs",
+    "pagerank_weighted_trade",
     # -- last driver-green in r4, stalest first --
     "exact_dedup_docs",
     "ngram_jaccard_pairs",

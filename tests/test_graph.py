@@ -3,6 +3,8 @@ conservation on hand-built graphs."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from nyc_taxi_data_engineering_spark.operators.graph import pagerank
 
 
@@ -63,3 +65,18 @@ def test_cooccurrence_counts_and_degree_cap(spark):
         (r["a"], r["b"])
         for r in cooccurrence_pairs(links, "e", "ctx", min_shared=2).collect()
     } == {("a", "b")}
+
+
+def test_weighted_pagerank_favors_heavy_edge(spark):
+    """a->b (w=9) vs a->c (w=1), with b,c->a: b must outrank c, and
+    with equal weights ranks must equal the unweighted run's."""
+    we = spark.createDataFrame(
+        [("a", "b", 9), ("a", "c", 1), ("b", "a", 1), ("c", "a", 1)],
+        "src string, dst string, w int",
+    )
+    ranks = {r["node"]: r["rank"] for r in pagerank(we, weight="w").collect()}
+    assert ranks["b"] > ranks["c"]
+    uniform = we.withColumn("w", F.lit(1))
+    rw = {r["node"]: r["rank"] for r in pagerank(uniform, weight="w").collect()}
+    ru = {r["node"]: r["rank"] for r in pagerank(we.drop("w")).collect()}
+    assert rw == ru
