@@ -65,7 +65,14 @@ def cooccurrence_pairs_sql(
         parts.append(
             f"hot AS (SELECT ctx FROM lk0 GROUP BY ctx HAVING COUNT(*) > {degree_cap})"
         )
-        parts.append("lk AS (SELECT * FROM lk0 WHERE ctx NOT IN (SELECT ctx FROM hot))")
+        # NOT EXISTS, not NOT IN: NOT IN over a subquery drops NULL-ctx rows
+        # (and returns empty if hot ever contains a NULL), whereas the Spark
+        # side's left_anti join keeps them.  NOT EXISTS with an equality
+        # predicate matches left_anti's NULL semantics exactly.
+        parts.append(
+            "lk AS (SELECT * FROM lk0 t WHERE NOT EXISTS "
+            "(SELECT 1 FROM hot h WHERE h.ctx = t.ctx))"
+        )
         src = "lk"
     return (
         "WITH "

@@ -94,9 +94,12 @@ def lloyd_kmeans(
     ``corpus`` must be (vec_id, v: array<double>); caching it is the
     caller's choice (it feeds 2·iters consumers)."""
     cent = seed_centroids(corpus, k)
-    assign = None
     for _ in range(iters):
         assign = assign_clusters(corpus, cent)
         cent = update_centroids(corpus, assign)
+    # One closing assignment so the returned labels really are under the
+    # FINAL centroids (inside the loop, update runs after assign, so the
+    # last loop assignment is one round stale).
+    assign = assign_clusters(corpus, cent)
     long = cent.select("c_id", F.posexplode("cv").alias("pos", "val"))
     return assign, long

@@ -51,6 +51,38 @@ def q_pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(edges)
 
 
+_SINK_EDGES_CTE = """edges AS (
+    SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+)"""
+
+
+@query("pagerank_purchase_sinks", oracle=pagerank_sql(_SINK_EDGES_CTE))
+def q_pagerank_purchase_sinks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the DIRECTED customer→supplier purchase graph —
+    every supplier is a sink (no out-edges), so this query exercises
+    the dangling-mass term that general link/citation graphs need:
+    each round one 1-row broadcast aggregate collects the rank mass
+    sitting on sinks and redistributes it uniformly, keeping total
+    mass at 1.0 instead of silently leaking it. Rank concentrates on
+    widely-bought suppliers (authority), while customers keep only
+    teleport + their share of the redistributed mass. Same bit-exact
+    12-dp DECIMAL replay as the bidirected variant; the oracle runs
+    the identical iterations (including the per-round dangling sum)
+    as nested CTEs."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    return pagerank(edges)
+
+
 _COPURCHASE_LINKS = """links AS (
     SELECT l_suppkey AS e, o_custkey AS ctx
     FROM orders JOIN lineitem ON l_orderkey = o_orderkey

@@ -345,8 +345,27 @@ def q_contrastive_negatives_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical texts differ). Scale shape: a 4-way projection explode +
     two keyed joins against the (id, hash) table — linear in corpus
     size, reproducible across runs and engines, which is exactly what
-    a training-data pipeline needs from its sampler."""
+    a training-data pipeline needs from its sampler.
+
+    PRECONDITION (enforced): doc_ids must be DENSE 0..n-1 — the
+    md5-bucket maps straight to a doc_id, so with sparse ids the join
+    would silently return < k negatives per anchor (and the oracle,
+    sharing the scheme, could not catch it).  The guard is one
+    column-pruned (count, min, max) pass over doc_id; sparse corpora
+    should pre-assign a dense index (e.g. a shuffle-shard row number)
+    before sampling."""
     docs = load_table(spark, sf_dir, "documents")
+    stats = docs.select("doc_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("doc_id").alias("lo"),
+        F.max("doc_id").alias("hi"),
+    ).first()
+    if stats["lo"] != 0 or stats["hi"] != stats["n"] - 1:
+        raise ValueError(
+            "contrastive_negatives_docs requires dense doc_ids 0..n-1; got "
+            f"min={stats['lo']} max={stats['hi']} n={stats['n']} — re-index "
+            "the corpus (dense ids) before negative sampling"
+        )
     h = docs.select("doc_id", F.md5(F.col("text")).alias("ch"))
     nn = h.agg(F.count(F.lit(1)).alias("n"))
     raws = [

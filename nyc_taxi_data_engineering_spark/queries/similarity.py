@@ -731,7 +731,9 @@ seeds AS (
 c1 AS (SELECT c_id, list(val ORDER BY pos) AS cv FROM m1 GROUP BY c_id),
 {_km_assign_cte('c1', 'a2')},
 {_km_means_cte('a2', 'm2')},
-counts AS (SELECT c_id, COUNT(*) AS n_members FROM a2 GROUP BY c_id)
+c2 AS (SELECT c_id, list(val ORDER BY pos) AS cv FROM m2 GROUP BY c_id),
+{_km_assign_cte('c2', 'a3')},
+counts AS (SELECT c_id, COUNT(*) AS n_members FROM a3 GROUP BY c_id)
 SELECT m2.c_id AS cluster_id, CAST(m2.pos AS INT) AS dim,
        m2.val AS centroid, counts.n_members
 FROM m2 JOIN counts USING (c_id)
@@ -744,9 +746,11 @@ def q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     full embedding corpus, k=8 seeded from the smallest ids: the
     coarse-quantizer trainer for IVF/SemDeDup codebooks, every round a
     broadcast crossJoin + argmin HASH AGG (n rows shuffle, no window
-    sort) + a DECIMAL-exact posexplode mean. The oracle replays both
-    Lloyd rounds as nested SQL CTEs, so assignment ties, float fold
-    order, and the exact centroid doubles are all under the hash gate.
+    sort) + a DECIMAL-exact posexplode mean, plus a closing assignment
+    so n_members counts memberships under the FINAL centroids. The
+    oracle replays both Lloyd rounds AND the closing assignment as
+    nested SQL CTEs, so assignment ties, float fold order, and the
+    exact centroid doubles are all under the hash gate.
     Output: (cluster_id, dim, centroid, n_members) — k·64 rows."""
     from nyc_taxi_data_engineering_spark.operators.kmeans import lloyd_kmeans
 

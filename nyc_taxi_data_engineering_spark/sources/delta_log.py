@@ -764,8 +764,16 @@ def write_delta(
             if new_cols:
                 from pyspark.sql.types import StructField
 
+                # Existing fields keep their declared nullability (real Delta
+                # preserves it on evolution — erasing it would disarm the
+                # missing_required check on every later write); only the
+                # APPENDED columns are forced nullable, because prior files
+                # have no values for them and will read back NULL.
                 evolved = StructType(
-                    [StructField(f.name, f.dataType, True) for f in prior_schema.fields]
+                    [
+                        StructField(f.name, f.dataType, f.nullable)
+                        for f in prior_schema.fields
+                    ]
                     + [
                         StructField(f.name, f.dataType, True)
                         for f in df.schema.fields
@@ -1009,10 +1017,19 @@ def delta_version_diff(
     val_cols = [c for c in old.columns if c not in keys]
 
     def row_hash(cols: list[str]) -> Column:
+        # Per-column md5 first, then concat: every cell contributes a
+        # FIXED-WIDTH 32-hex digest, so values containing a separator
+        # can never shift across column boundaries, and NULL's sentinel
+        # ("-" — not a valid hex digest) can never collide with a real
+        # value.  A naive concat_ws("\\x1f", ...) is collision-prone on
+        # both counts.
         return F.md5(
             F.concat_ws(
-                "\x1f",
-                *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in cols],
+                "|",
+                *[
+                    F.coalesce(F.md5(F.col(c).cast("string")), F.lit("-"))
+                    for c in cols
+                ],
             )
         )
 

@@ -37,6 +37,39 @@ def test_pagerank_iters_zero_is_uniform_start(spark):
     assert ranks == {"a": 0.5, "b": 0.5}
 
 
+def test_pagerank_dangling_mass_conserved(spark):
+    """a->b, a->c, b->c: c is a SINK (never a src). Sinks must be
+    ranked, their mass redistributed uniformly each round, and total
+    mass must stay 1.0 ± rounding every iteration — the dangling-mass
+    contract general link graphs depend on."""
+    edges = _edges(spark, [("a", "b"), ("a", "c"), ("b", "c")])
+    for iters in (1, 2, 3):
+        ranks = {r["node"]: r["rank"] for r in pagerank(edges, iters=iters).collect()}
+        assert set(ranks) == {"a", "b", "c"}  # the sink is ranked
+        assert abs(sum(ranks.values()) - 1.0) < 1e-9, (iters, ranks)
+    # c receives from a, b AND the redistribution; it must dominate
+    assert ranks["c"] > ranks["b"] > ranks["a"]
+
+
+def test_pagerank_all_sinks_is_uniform(spark):
+    """a->b with nothing else: after any number of rounds mass keeps
+    cycling through the teleport + redistribution terms and stays
+    conserved; b (the sink target) outranks a."""
+    ranks = {r["node"]: r["rank"] for r in pagerank(_edges(spark, [("a", "b")]), iters=3).collect()}
+    assert abs(sum(ranks.values()) - 1.0) < 1e-9
+    assert ranks["b"] > ranks["a"]
+
+
+def test_weighted_pagerank_rejects_float_weights(spark):
+    import pytest
+
+    we = spark.createDataFrame(
+        [("a", "b", 1.5), ("b", "a", 1.0)], "src string, dst string, w double"
+    )
+    with pytest.raises(TypeError, match="integer type"):
+        pagerank(we, weight="w")
+
+
 def test_cooccurrence_counts_and_degree_cap(spark):
     from nyc_taxi_data_engineering_spark.operators.cooccur import cooccurrence_pairs
 
