@@ -305,6 +305,96 @@ def q_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Pinned merge list for the apply-side tokenization query: a fixed,
+# engine-independent priority list (the shape train_bpe emits), with
+# CHAINED merges ("t"+"h" -> "th", then "th"+"e</w>" -> "the</w>") so
+# replay ORDER is under the gate, not just membership.  Counts are
+# carried for signature compatibility with train_bpe's output.
+PINNED_BPE_MERGES: list[tuple[str, str, int]] = [
+    ("e", BPE_EOW, 0),
+    ("t", "h", 0),
+    ("th", "e" + BPE_EOW, 0),
+    ("s", BPE_EOW, 0),
+    ("i", "n", 0),
+    ("a", "n", 0),
+    ("d", BPE_EOW, 0),
+    ("an", "d" + BPE_EOW, 0),
+]
+
+# Oracle replay of the greedy left-to-right merge fold as nested
+# string replaces: each word's symbols render as \x1e-delimited cells
+# ("\x1ea\x1e\x1eb\x1e..."), so the pattern "\x1el\x1e\x1er\x1e" ->
+# "\x1elr\x1e" rewrite consumes non-overlapping occurrences scanning
+# left to right — exactly the fold's greedy semantics, and because
+# every symbol carries its OWN delimiters, adjacent matches share no
+# characters (a single shared separator would make replace skip the
+# second of two back-to-back pairs).  \x1e (record separator) cannot
+# appear in the corpus text (whitespace-split tokens; control chars
+# are not printable data) — the Spark side uses the true native fold
+# and needs no delimiter at all.
+_BPE_D = "\x1e"
+
+
+def _bpe_apply_sql() -> str:
+    s = "s"
+    for left, right, _cnt in PINNED_BPE_MERGES:
+        pat = f"{_BPE_D}{left}{_BPE_D}{_BPE_D}{right}{_BPE_D}"
+        rep = f"{_BPE_D}{left}{right}{_BPE_D}"
+        s = f"replace({s}, '{pat}', '{rep}')"
+    return s
+
+
+@query(
+    "bpe_tokenize_docs",
+    oracle=f"""
+WITH base AS (
+  SELECT doc_id,
+         [w for w in string_split_regex(trim(text), '\\s+') if len(w) > 0] AS ws
+  FROM documents
+), enc AS (
+  SELECT doc_id,
+         list_transform(
+             ws,
+             w -> '{_BPE_D}' || array_to_string(
+                      list_append(string_split(w, ''), '{BPE_EOW}'),
+                      '{_BPE_D}{_BPE_D}') || '{_BPE_D}'
+         ) AS wstrs
+  FROM base
+), merged AS (
+  SELECT doc_id, list_transform(wstrs, s -> {{APPLY}}) AS mstrs FROM enc
+), toks AS (
+  SELECT doc_id,
+         flatten(list_transform(mstrs,
+             s -> string_split(substr(s, 2, length(s) - 2), '{_BPE_D}{_BPE_D}'))) AS bt
+  FROM merged
+)
+SELECT doc_id,
+       CAST(len(bt) AS INT) AS n_bpe_tokens,
+       array_to_string(bt, ' ') AS bpe_text
+FROM toks
+""".replace("{APPLY}", _bpe_apply_sql()),
+)
+def q_bpe_tokenize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenization END-TO-END under the oracle gate: apply_bpe
+    (operators/bpe) folds every document's words through the pinned
+    8-merge priority list — including chained merges, so replay ORDER
+    is verified — entirely inside whole-stage codegen (a native
+    F.aggregate fold per word, no Python, no shuffle: tokenization is
+    a narrow projection and scales embarrassingly). The oracle replays
+    the same greedy fold as nested delimiter-replaces (see _BPE_D) and
+    compares every token of every document by hash. Output: (doc_id,
+    n_bpe_tokens, bpe_text = space-joined subword stream)."""
+    from nyc_taxi_data_engineering_spark.operators.bpe import apply_bpe
+
+    docs = load_table_parallel(spark, sf_dir, "documents").select("doc_id", "text")
+    out = apply_bpe(docs, PINNED_BPE_MERGES)
+    return out.select(
+        "doc_id",
+        "n_bpe_tokens",
+        F.concat_ws(" ", "bpe_tokens").alias("bpe_text"),
+    )
+
+
 N_NEGATIVES = 4
 
 

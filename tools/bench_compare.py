@@ -48,6 +48,17 @@ def main() -> int:
             "page-cache/codegen cost, so ratios below overstate improvement "
             "(see BASELINE.md 'Bench regime')."
         )
+    # Per-rep arrays (bench.py "reps_detail", r7+) let a slowdown be
+    # classified from the artifact alone: if either side's OWN rep
+    # spread already covers the other side's median, the delta is
+    # noise, not regression.
+    detail_b = base_doc.get("reps_detail", {})
+    detail_n = new_doc.get("reps_detail", {})
+
+    def _band(q: str) -> tuple[float, float] | None:
+        walls = (detail_b.get(q) or []) + (detail_n.get(q) or [])
+        return (min(walls), max(walls)) if walls else None
+
     flagged = []
     print(f"{'query':<32} {'base_s':>8} {'new_s':>8} {'ratio':>6}")
     for q in sorted(set(base) | set(new)):
@@ -56,9 +67,14 @@ def main() -> int:
             print(f"{q:<32} {b or '-':>8} {n or '-':>8}   (only one side)")
             continue
         ratio = n / b if b else float("inf")
-        mark = "  <-- SLOWER" if ratio > FLAG_RATIO else ""
+        mark = ""
         if ratio > FLAG_RATIO:
-            flagged.append(q)
+            band = _band(q)
+            if band and band[0] <= b <= band[1] and band[0] <= n <= band[1]:
+                mark = "  (slower, within observed rep spread — noise)"
+            else:
+                mark = "  <-- SLOWER"
+                flagged.append(q)
         print(f"{q:<32} {b:>8.3f} {n:>8.3f} {ratio:>6.2f}{mark}")
     print(f"total: base={sum(base.values()):.2f}s new={sum(new.values()):.2f}s; "
           f"{len(flagged)} flagged" + (f": {flagged}" if flagged else ""))
