@@ -173,3 +173,104 @@ def q_media_thumbnails(spark: SparkSession, sf_dir: str) -> DataFrame:
     container size (11-byte 'P6\\n4 4\\n255\\n' header + 48 raster
     bytes). Retires the round-4 NotImplementedError resize stub."""
     return M.thumbnail_stats(_ppm_images(spark, sf_dir), width=4, height=4)
+
+
+# -- image near-dup: dHash + Manku block pairs ------------------------------
+
+DHASH_PLANT_N = 32  # doc_id < 32 get a perturbed twin...
+DHASH_PLANT_MIN_CHARS = 192  # ...iff >= one full 8x8x3 raster of text bytes
+DHASH_TWIN_OFFSET = 1_000_000
+DHASH_MAX_HAMMING = 3
+
+# The twin's text bumps ONE character (1-based position 11) to the next
+# printable-ASCII codepoint, wrapping inside 0x20..0x7e so the byte
+# width never changes. With >= 192 chars that byte paints exactly ONE
+# pixel of the 8x8 image, so the twin's dHash differs in at most the 2
+# comparison bits adjacent to that pixel's resampled column — always
+# within the hamming<=3 gate, making the planted pairs a guaranteed
+# recall floor for the block join.
+_DHASH_TWIN_TEXT_SQL = (
+    "substr(text, 1, 10) || chr(((ord(substr(text, 11, 1)) - 32 + 1) % 95) + 32)"
+    " || substr(text, 12)"
+)
+
+
+@query(
+    "image_dhash_pairs",
+    oracle=f"""
+WITH src AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + {DHASH_TWIN_OFFSET} AS doc_id, {_DHASH_TWIN_TEXT_SQL} AS text
+    FROM documents
+    WHERE doc_id < {DHASH_PLANT_N} AND length(text) >= {DHASH_PLANT_MIN_CHARS}
+),
+g AS (
+    SELECT s.doc_id, y.y, x.x,
+           (ord(substr(s.text, ((y.y * 8 + x.x) * 3 + 0) % length(s.text) + 1, 1))
+          + ord(substr(s.text, ((y.y * 8 + x.x) * 3 + 1) % length(s.text) + 1, 1))
+          + ord(substr(s.text, ((y.y * 8 + x.x) * 3 + 2) % length(s.text) + 1, 1))) AS gv
+    FROM src s
+    CROSS JOIN (SELECT unnest(range(0, 8)) AS y) y
+    CROSS JOIN (SELECT unnest(range(0, 8)) AS x) x
+),
+bits AS (
+    SELECT gl.doc_id, gl.y, x.x AS bx,
+           CASE WHEN gl.gv < gr.gv THEN 1 ELSE 0 END AS bit
+    FROM (SELECT unnest(range(0, 8)) AS x) x
+    JOIN g gl ON gl.x = (x.x * 8) // 9
+    JOIN g gr ON gr.doc_id = gl.doc_id AND gr.y = gl.y AND gr.x = ((x.x + 1) * 8) // 9
+),
+h AS (
+    -- CAST back to BIGINT: DuckDB SUM(BIGINT) widens to HUGEINT, and a
+    -- negative 128-bit dhash would carry 64 phantom leading one-bits
+    -- into xor/bit_count (hamming 3 reads as 67)
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN y * 8 + bx = 63
+                    THEN CASE WHEN bit = 1 THEN -9223372036854775807 - 1 ELSE 0 END
+                    ELSE bit::BIGINT << (y * 8 + bx) END) AS BIGINT) AS dhash
+    FROM bits GROUP BY doc_id
+)
+SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       bit_count(xor(a.dhash, b.dhash))::INT AS hamming
+FROM h a JOIN h b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.dhash, b.dhash)) <= {DHASH_MAX_HAMMING}
+""",
+)
+def q_image_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-duplicate IMAGE pairs: every document's 8x8 PPM
+    (plus a planted near-identical twin for small doc_ids — one source
+    byte bumped, see _DHASH_TWIN_TEXT_SQL) is dHashed
+    (operators/multimodal.dhash_images: decode → integer luminance →
+    9x8 resample → 64 neighbor-comparison bits), then paired with the
+    SAME Manku block-combination equi-join the text SimHash path uses
+    (operators/dedup.simhash_neardup_pairs) — pigeonhole-exact at
+    hamming<=3, no all-pairs scan. The oracle recomputes every hash
+    bit from the text bytes in closed form and does the all-pairs
+    compare, so the decode, the resample index map, the bit packing
+    (including the sign bit), AND the block join's exactness are all
+    under the hash gate. Extends the near-dup story to the multimodal
+    column: at 100 TB the hash is an embarrassingly parallel
+    mapInPandas scan and candidates are a keyed join."""
+    from nyc_taxi_data_engineering_spark.operators.dedup import simhash_neardup_pairs
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    twin_ch = F.expr("char(((ascii(substring(text, 11, 1)) - 32 + 1) % 95) + 32)")
+    twins = (
+        docs.filter(
+            (F.col("doc_id") < DHASH_PLANT_N)
+            & (F.length("text") >= DHASH_PLANT_MIN_CHARS)
+        )
+        .select(
+            (F.col("doc_id") + DHASH_TWIN_OFFSET).alias("doc_id"),
+            F.concat(
+                F.substring("text", 1, 10), twin_ch, F.expr("substring(text, 12)")
+            ).alias("text"),
+        )
+    )
+    images = M.attach_ppm_images(docs.unionByName(twins))
+    dh = M.dhash_images(images)
+    return simhash_neardup_pairs(
+        dh.select("doc_id", F.col("dhash").alias("simhash")),
+        max_hamming=DHASH_MAX_HAMMING,
+    )

@@ -691,6 +691,137 @@ def q_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "ivfpq_ann_topk",
+    oracle=f"""
+WITH {_ORACLE_CORPUS},
+cent AS (
+    SELECT vec_id AS c_id, v AS cv, nrm AS cnrm FROM n
+    WHERE vec_id BETWEEN {IVF_CENTROID_LO} AND {IVF_CENTROID_HI}
+),
+assign AS (
+    SELECT vec_id, c_id,
+           row_number() OVER (
+               PARTITION BY vec_id
+               ORDER BY round(list_sum(list_transform(range(1, len(c.v) + 1), i -> c.v[i] * cent.cv[i]))
+                            / (c.nrm * cent.cnrm), 6) DESC, c_id
+           ) AS crank
+    FROM n c, cent
+),
+lists AS (SELECT vec_id, c_id AS list_id FROM assign WHERE crank = 1),
+probes AS (
+    SELECT vec_id AS q_id, c_id AS list_id FROM assign
+    WHERE vec_id < {N_QUERIES} AND crank <= {N_PROBE}
+),
+sub AS ({_SQL_SUBSPACES}),
+pqcent AS (
+    SELECT vec_id - {PQ_CENT_LO} AS c_id, m, sv AS cv FROM sub
+    WHERE vec_id BETWEEN {PQ_CENT_LO} AND {PQ_CENT_HI}
+),
+scored AS (
+    SELECT a.vec_id, a.m, c.c_id, round({_SQL_L2SQ}, 6) AS d
+    FROM sub a, pqcent c
+    WHERE a.m = c.m AND a.vec_id >= {N_QUERIES}
+),
+codes AS (
+    SELECT vec_id, m, c_id AS code FROM (
+        SELECT vec_id, m, c_id,
+               row_number() OVER (PARTITION BY vec_id, m ORDER BY d, c_id) AS rnk
+        FROM scored
+    ) WHERE rnk = 1
+),
+dtab AS (
+    SELECT a.vec_id AS q_id, a.m, c.c_id, CAST(round({_SQL_L2SQ}, 6) AS DECIMAL(18,6)) AS d
+    FROM sub a, pqcent c
+    WHERE a.m = c.m AND a.vec_id < {N_QUERIES}
+),
+adc AS (
+    SELECT t.q_id, k.vec_id, CAST(SUM(t.d) AS DOUBLE) AS approx_dist
+    FROM probes p
+    JOIN lists l ON l.list_id = p.list_id AND l.vec_id <> p.q_id
+    JOIN codes k ON k.vec_id = l.vec_id
+    JOIN dtab t ON t.q_id = p.q_id AND t.m = k.m AND t.c_id = k.code
+    GROUP BY t.q_id, k.vec_id
+),
+r AS (
+    SELECT q_id, vec_id, approx_dist,
+           row_number() OVER (PARTITION BY q_id ORDER BY approx_dist, vec_id) AS rank
+    FROM adc
+)
+SELECT q_id, vec_id, rank::INT AS rank, approx_dist
+FROM r WHERE rank <= {TOP_K}
+""",
+)
+def q_ivfpq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ — the composed billion-vector index shape (Jégou et al.,
+    "Product Quantization for Nearest Neighbor Search", TPAMI 2011;
+    FAISS ``IVFPQ`` with by_residual=false): the IVF coarse quantizer
+    PRUNES (each query probes its {N_PROBE} nearest of {N_CENTROIDS}
+    inverted lists — candidates shrink ~nprobe/K) and PQ-ADC SCORES
+    the survivors (4-bit codes against broadcast per-query distance
+    tables — the raw vectors are never touched at query time).
+
+    Both halves are individually gate-green (ann_ivf_topk,
+    pq_ann_topk); this query verifies the COMPOSITION: list routing,
+    candidate restriction, and code-table join all inside one plan.
+    At 100 TB: assignment + encoding are offline passes; a query costs
+    one broadcast probe ranking + a keyed join against ~nprobe/K of a
+    4-byte-per-vector code table — memory 64x below raw floats, reads
+    proportional to probed lists only. Every join is broadcast (probes,
+    distance tables) or keyed (lists ⋈ codes); the only windows run
+    over the {N_QUERIES}-query side."""
+    corpus = _corpus(spark, sf_dir)
+    ivf_cent = corpus.filter(
+        F.col("vec_id").between(IVF_CENTROID_LO, IVF_CENTROID_HI)
+    ).select(F.col("vec_id").alias("c_id"), F.col("v").alias("cv"), F.col("nrm").alias("cnrm"))
+    lists = nearest_centroid(corpus, ivf_cent, out="list_id")
+    ccos = dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cnrm"))
+    cw = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("c_id"))
+    probes = (
+        corpus.filter(F.col("vec_id") < N_QUERIES)
+        .crossJoin(F.broadcast(ivf_cent))
+        .select("vec_id", "c_id", F.round(ccos, 6).alias("ccos"))
+        .withColumn("crank", F.row_number().over(cw))
+        .filter(F.col("crank") <= N_PROBE)
+        .select(F.col("vec_id").alias("q_id"), F.col("c_id").alias("list_id"))
+    )
+    sub = _subspaces(corpus, "v", "vec_id", "sv")
+    pq_cent = (
+        sub.filter(F.col("vec_id").between(PQ_CENT_LO, PQ_CENT_HI))
+        .select((F.col("vec_id") - PQ_CENT_LO).alias("c_id"), "m", F.col("sv").alias("cv"))
+    )
+    codes = (
+        sub.filter(F.col("vec_id") >= N_QUERIES)
+        .join(F.broadcast(pq_cent), "m")
+        .select("vec_id", "m", "c_id", F.round(_l2sq(F.col("sv"), F.col("cv")), 6).alias("d"))
+        .groupBy("vec_id", "m")
+        .agg(F.min(F.struct(F.col("d"), F.col("c_id"))).alias("best"))
+        .select("vec_id", "m", F.col("best.c_id").alias("code"))
+    )
+    dtab = (
+        sub.filter(F.col("vec_id") < N_QUERIES)
+        .join(F.broadcast(pq_cent), "m")
+        .select(
+            F.col("vec_id").alias("q_id"), "m", F.col("c_id").alias("code"),
+            F.round(_l2sq(F.col("sv"), F.col("cv")), 6).cast("decimal(18,6)").alias("d"),
+        )
+    )
+    adc = (
+        probes.join(lists, "list_id")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .join(codes, "vec_id")
+        .join(F.broadcast(dtab), ["q_id", "m", "code"])
+        .groupBy("q_id", "vec_id")
+        .agg(F.sum("d").cast("double").alias("approx_dist"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.asc("approx_dist"), F.asc("vec_id"))
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("q_id", "vec_id", F.col("rank").cast("int").alias("rank"), "approx_dist")
+    )
+
+
 # ---------------------------------------------------------------- k-means
 
 _KM_L2 = (

@@ -102,3 +102,51 @@ def test_attach_ppm_images_byte_layout(spark):
     assert px.shape == (M.PPM_HEIGHT, M.PPM_WIDTH, 3)
     want = (b"abc" * 64)[: 8 * 8 * 3]
     assert px.tobytes() == want
+
+
+def test_dhash_brightness_shift_invariant_and_bit_semantics(spark):
+    """dHash compares NEIGHBORING pixels, so a uniform brightness
+    shift must not change the hash; and a hand-built gradient image
+    pins the exact bit layout (bit y*8+x set iff left < right)."""
+    # strictly increasing columns -> every comparison bit set except
+    # the duplicated resampled col 0 (gray(0)==gray(0) is not <)
+    base = np.tile((np.arange(8) * 10).astype(np.uint8), (8, 1))
+    px = np.repeat(base[:, :, None], 3, axis=2)
+    images = spark.createDataFrame(
+        [(0, bytearray(M.encode_ppm(px))), (1, bytearray(M.encode_ppm((px + 50))))],
+        "doc_id long, payload binary",
+    )
+    got = {r["doc_id"]: r["dhash"] for r in M.dhash_images(images).collect()}
+    # per row: bits x=1..7 set, x=0 clear -> 0b11111110 = 0xfe per byte
+    want = int.from_bytes(b"\xfe" * 8, "little", signed=True)
+    assert got[0] == want
+    assert got[1] == got[0]  # +50 on every pixel: comparisons unchanged
+
+
+def test_image_dhash_pairs_finds_every_planted_twin(spark, sf_dir):
+    """Every planted (doc, twin) pair is guaranteed hamming <= 2 (the
+    bumped byte paints one pixel, touching at most 2 comparison bits),
+    so the Manku block join must surface ALL of them — the recall
+    floor for the image near-dup path."""
+    from nyc_taxi_data_engineering_spark.catalog import load_table
+    from nyc_taxi_data_engineering_spark.queries import multimodalq as MQ
+
+    eligible = {
+        r["doc_id"]
+        for r in load_table(spark, sf_dir, "documents")
+        .filter(
+            (F.col("doc_id") < MQ.DHASH_PLANT_N)
+            & (F.length("text") >= MQ.DHASH_PLANT_MIN_CHARS)
+        )
+        .select("doc_id")
+        .collect()
+    }
+    assert eligible, "corpus has no eligible plant docs — test is vacuous"
+    pairs = {
+        (r["a_id"], r["b_id"]): r["hamming"]
+        for r in MQ.q_image_dhash_pairs(spark, sf_dir).collect()
+    }
+    for d in eligible:
+        key = (d, d + MQ.DHASH_TWIN_OFFSET)
+        assert key in pairs, f"planted twin pair {key} missed"
+        assert pairs[key] <= 2
