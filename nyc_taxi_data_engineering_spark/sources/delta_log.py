@@ -64,6 +64,7 @@ from pyspark.sql.types import StructType
 LOG_DIR = "_delta_log"
 PROTOCOL = {"minReaderVersion": 1, "minWriterVersion": 2}
 CHECKPOINT_INTERVAL = 10  # commits per checkpoint — Delta's default cadence
+APPEND_COMMIT_RETRIES = 5  # version-race retries for blind appends
 
 # Checkpoint row layout: one action per row, exactly one of the three
 # columns non-null — the real checkpoint's column shape, minus the
@@ -711,10 +712,15 @@ def write_delta(
     version = 0 if prior is None else prior + 1
     table_id = uuid.uuid4().hex
     evolved: StructType | None = None  # set when merge_schema unions new columns
+    validated_meta: tuple[str, tuple[str, ...]] | None = None
     if prior is not None:
         prior_state = _replay_state(table_path)
         table_id = prior_state["metaData"].get("id", table_id)
         prior_parts = prior_state["metaData"].get("partitionColumns") or []
+        validated_meta = (
+            prior_state["metaData"].get("schemaString", ""),
+            tuple(prior_parts),
+        )
         if not part_cols and partition_by is None:
             part_cols = list(prior_parts)  # inherit the table's partitioning
         if part_cols != prior_parts:
@@ -834,11 +840,47 @@ def write_delta(
                 }
             )
     actions.extend({"add": a} for a in adds)
-    try:
-        _write_commit(table_path, version, actions)
-    except Exception:
-        _rollback_promoted(table_path, adds)
-        raise
+    # Optimistic-concurrency retry, real-writer style: a BLIND APPEND
+    # (no removes, no metaData in the commit) that loses the version
+    # race re-reads the log, re-checks that no concurrent commit
+    # changed the table's schema or partitioning (the Delta conflict
+    # rule for AddFile-only transactions — they conflict only with
+    # metadata/protocol changes, never with other appends), and
+    # republishes the SAME promoted files under the next version.  The
+    # data files are already in place; only the commit JSON moves.
+    # Overwrites and table creations never retry: their remove-set /
+    # create-semantics were computed against a snapshot the winner just
+    # invalidated.
+    can_retry = mode == "append" and prior is not None and evolved is None
+    attempt = 0
+    while True:
+        try:
+            _write_commit(table_path, version, actions)
+            break
+        except DeltaLogError as e:
+            lost_race = "concurrent commit" in str(e)
+            if not (lost_race and can_retry and attempt < APPEND_COMMIT_RETRIES):
+                _rollback_promoted(table_path, adds)
+                raise
+            cur = _replay_state(table_path)
+            cur_meta = (
+                cur["metaData"].get("schemaString", ""),
+                tuple(cur["metaData"].get("partitionColumns") or []),
+            )
+            if cur_meta != validated_meta:
+                _rollback_promoted(table_path, adds)
+                raise DeltaLogError(
+                    "append lost the version race to a commit that changed the "
+                    "table's schema or partitioning — cannot safely retry; "
+                    "re-validate and re-write"
+                ) from None
+            attempt += 1
+            version = cur["version"] + 1
+            actions[0]["commitInfo"]["timestamp"] = int(time.time() * 1000)
+            actions[0]["commitInfo"]["operationParameters"]["retryAttempt"] = attempt
+        except Exception:
+            _rollback_promoted(table_path, adds)
+            raise
     _maybe_checkpoint(table_path, version)
     return version
 

@@ -141,24 +141,30 @@ def test_optimize_compacts_without_changing_rows(spark, table):
     assert _ids(D.read_delta_log(spark, table, version_as_of=2)) == [9]
 
 
-def test_concurrent_commit_rejected_and_rolled_back(spark, table, monkeypatch):
+def test_concurrent_commit_append_retries_overwrite_rejects(spark, table, monkeypatch):
     """A writer losing the version race — the conflicting commit lands
-    AFTER this writer picked its version, while it is promoting files —
-    must raise DeltaLogError and delete its already-promoted data files
-    (no orphans)."""
+    AFTER this writer picked its version, while it is promoting files.
+    An APPEND (blind add) retries at the next version and succeeds; an
+    OVERWRITE (whose remove-set the winner invalidated) must raise and
+    delete its already-promoted data files (no orphans)."""
     real_promote = D._promote_staged_files
 
     def promote_then_lose_race(staging, table_path):
         adds = real_promote(staging, table_path)
-        with open(os.path.join(table_path, "_delta_log", f"{3:020d}.json"), "w") as f:
+        v = D.latest_version(table_path) + 1
+        with open(os.path.join(table_path, "_delta_log", f"{v:020d}.json"), "w") as f:
             f.write('{"commitInfo":{"operation":"WRITE"}}\n')
         return adds
 
     monkeypatch.setattr(D, "_promote_staged_files", promote_then_lose_race)
+    got = D.write_delta(
+        spark.createDataFrame([(7, "x")], "id long, s string"), table, mode="append"
+    )
+    assert got == 4  # squatted v3, retried to v4
     files_before = {n for n in os.listdir(table) if n.endswith(".parquet")}
     with pytest.raises(D.DeltaLogError, match="concurrent commit"):
         D.write_delta(
-            spark.createDataFrame([(7, "x")], "id long, s string"), table, mode="append"
+            spark.createDataFrame([(8, "y")], "id long, s string"), table, mode="overwrite"
         )
     # the loser's promoted files are rolled back; no tmp/staging litter
     assert {n for n in os.listdir(table) if n.endswith(".parquet")} == files_before
@@ -696,3 +702,104 @@ def test_checkpoint_carries_evolved_schema(spark, tmp_path):
     snap = D.read_delta_log(spark, path)
     assert [f.name for f in snap.schema.fields] == ["k", "v", "s"]
     assert snap.filter("s IS NOT NULL").count() == 1
+
+
+def test_append_retries_after_losing_version_race(spark, tmp_path, monkeypatch):
+    """A blind append that loses the version race re-reads the log and
+    republishes its already-promoted files at the next version — both
+    writers' rows land, and the loser's retry is visible in its
+    commitInfo (retryAttempt)."""
+    tbl = str(tmp_path / "race")
+    D.write_delta(spark.createDataFrame([(1, "a")], "id long, v string"), tbl)
+    real = D._write_commit
+    state = {"injected": False}
+
+    def racing(table_path, version, actions):
+        if not state["injected"]:
+            state["injected"] = True  # competitor wins version 1 first
+            D.write_delta(
+                spark.createDataFrame([(2, "b")], "id long, v string"),
+                tbl,
+                mode="append",
+            )
+        return real(table_path, version, actions)
+
+    monkeypatch.setattr(D, "_write_commit", racing)
+    got = D.write_delta(
+        spark.createDataFrame([(3, "c")], "id long, v string"), tbl, mode="append"
+    )
+    assert got == 2
+    rows = {r["id"] for r in read_delta(spark, tbl).collect()}
+    assert rows == {1, 2, 3}
+    with open(os.path.join(tbl, "_delta_log", f"{2:020d}.json")) as f:
+        commit_info = json.loads(f.readline())["commitInfo"]
+    assert commit_info["operationParameters"]["retryAttempt"] == 1
+
+
+def test_append_race_aborts_on_concurrent_schema_change(spark, tmp_path, monkeypatch):
+    """If the commit that won the race changed the table's schema, the
+    losing append must NOT blindly retry: it rolls its promoted files
+    back (no orphans) and raises."""
+    tbl = str(tmp_path / "race_meta")
+    D.write_delta(spark.createDataFrame([(1, "a")], "id long, v string"), tbl)
+    real = D._write_commit
+    state = {"injected": False}
+
+    def racing(table_path, version, actions):
+        if not state["injected"]:
+            state["injected"] = True  # winner REPLACES the table with a new schema
+            D.write_delta(
+                spark.createDataFrame([(2, "b", 0.5)], "id long, v string, w double"),
+                tbl,
+                mode="overwrite",
+                merge_schema=True,
+            )
+        return real(table_path, version, actions)
+
+    def data_files() -> set[str]:
+        return {
+            os.path.relpath(os.path.join(r, n), tbl)
+            for r, _d, ns in os.walk(tbl)
+            for n in ns
+            if n.endswith(".parquet") and "_delta_log" not in r
+        }
+
+    monkeypatch.setattr(D, "_write_commit", racing)
+    with pytest.raises(D.DeltaLogError, match="schema or partitioning"):
+        D.write_delta(
+            spark.createDataFrame([(3, "c")], "id long, v string"), tbl, mode="append"
+        )
+    # loser's promoted files rolled back: everything on disk is either
+    # live in the current snapshot or a tombstoned (time-travel) file —
+    # i.e. referenced by SOME committed version; no orphans
+    referenced: set[str] = set()
+    for v in range(D.latest_version(tbl) + 1):
+        referenced |= set(D._replay_state(tbl, v)["adds"])
+    assert data_files() == referenced
+
+
+def test_concurrent_thread_appends_both_land(spark, tmp_path):
+    """Two real threads race the same append window; with the bounded
+    retry loop both commits land (versions 1 and 2, order arbitrary)."""
+    import threading
+
+    tbl = str(tmp_path / "race_threads")
+    D.write_delta(spark.createDataFrame([(0, "z")], "id long, v string"), tbl)
+    barrier = threading.Barrier(2)
+    results: dict[str, int | Exception] = {}
+
+    def writer(tag: str, rid: int) -> None:
+        df = spark.createDataFrame([(rid, tag)], "id long, v string")
+        barrier.wait()
+        try:
+            results[tag] = D.write_delta(df, tbl, mode="append")
+        except Exception as e:  # pragma: no cover - would fail the test
+            results[tag] = e
+
+    ts = [threading.Thread(target=writer, args=(t, i)) for i, t in enumerate(("a", "b"), 1)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert sorted(v for v in results.values() if isinstance(v, int)) == [1, 2], results
+    assert {r["id"] for r in read_delta(spark, tbl).collect()} == {0, 1, 2}
