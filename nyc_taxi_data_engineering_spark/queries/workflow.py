@@ -564,3 +564,42 @@ def q_delta_incremental_rollup_orders(spark: SparkSession, sf_dir: str) -> DataF
         "n_orders",
         F.col("price_acc").cast("double").alias("total_price"),
     )
+
+
+@query(
+    "delta_restore_nation",
+    oracle="""
+SELECT n_nationkey, n_name, n_regionkey, CAST(2 AS INT) AS restored_version
+FROM nation
+""",
+)
+def q_delta_restore_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE (delta_log.restore_delta — delta-spark's RESTORE TABLE
+    ... TO VERSION AS OF): seed nation at v0, clobber it with a
+    mutated overwrite at v1, restore to v0 — a NEW commit v2 that
+    re-adds v0's files and removes v1's, no data rewritten, history
+    intact. Reading the latest snapshot must hash-match the pristine
+    base dim exactly; a restore that leaked v1 rows, lost v0 files, or
+    replayed stale metadata all fail the gate. At 100 TB restore is a
+    pure LOG operation — O(files) add/remove actions, zero data I/O —
+    which is the whole point of log-structured tables."""
+    from pyspark.sql import functions as F
+
+    from nyc_taxi_data_engineering_spark.catalog import load_table
+    from nyc_taxi_data_engineering_spark.sources import delta_log as D
+
+    tbl = _tmp_table("delta_restore_nation")
+    shutil.rmtree(tbl, ignore_errors=True)
+    nation = load_table(spark, sf_dir, "nation")
+    D.write_delta(nation, tbl, mode="overwrite")  # v0
+    mutated = nation.filter(F.col("n_nationkey") % 2 == 0).withColumn(
+        "n_name", F.concat(F.col("n_name"), F.lit("_CLOBBERED"))
+    )
+    D.write_delta(mutated, tbl, mode="overwrite")  # v1
+    v = D.restore_delta(tbl, 0)  # v2: back to the seed snapshot
+    return D.read_delta_log(spark, tbl).select(
+        "n_nationkey",
+        "n_name",
+        "n_regionkey",
+        F.lit(int(v)).cast("int").alias("restored_version"),
+    )

@@ -1031,6 +1031,71 @@ def vacuum_delta(table_path: str, keep_last: int = 1) -> list[str]:
     return sorted(deleted)
 
 
+def restore_delta(table_path: str, version: int) -> int:
+    """RESTORE TABLE ... TO VERSION AS OF: a NEW commit that flips the
+    live file set back to ``version``'s — remove actions for files
+    live now but not then, add actions (replayed verbatim, stats and
+    partitionValues included) for files live then but not now. No data
+    file is rewritten or deleted: history stays intact, the restore is
+    itself time-travelable, and a second restore can undo it — exactly
+    delta-spark's RESTORE semantics. If the target snapshot's schema
+    or partitioning differs from the current one, its metaData is
+    re-emitted (restore restores schema too, keeping the table id).
+
+    Fails if any of the target snapshot's files were VACUUMed away —
+    real Delta raises the same way; restore only reaches as far back
+    as retention does."""
+    latest = latest_version(table_path)
+    if latest is None:
+        raise DeltaLogError(f"not a Delta table: {table_path}")
+    cur = _replay_state(table_path)
+    old = _replay_state(table_path, version)
+    missing = [
+        p for p in old["adds"] if not os.path.exists(os.path.join(table_path, p))
+    ]
+    if missing:
+        raise DeltaLogError(
+            f"cannot restore to version {version}: {len(missing)} data file(s) "
+            f"were vacuumed (e.g. {missing[0]}); restore reaches only as far "
+            "back as retention"
+        )
+    now_ms = int(time.time() * 1000)
+    actions: list[dict] = [
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "RESTORE",
+                "operationParameters": {"version": version},
+            }
+        }
+    ]
+    same_meta = cur["metaData"].get("schemaString") == old["metaData"].get(
+        "schemaString"
+    ) and (cur["metaData"].get("partitionColumns") or []) == (
+        old["metaData"].get("partitionColumns") or []
+    )
+    if not same_meta:
+        meta = dict(old["metaData"])
+        meta["id"] = cur["metaData"].get("id", meta.get("id"))
+        actions.append({"metaData": meta})
+    for p in sorted(set(cur["adds"]) - set(old["adds"])):
+        actions.append(
+            {
+                "remove": {
+                    "path": p,
+                    "deletionTimestamp": now_ms,
+                    "dataChange": True,
+                }
+            }
+        )
+    for p in sorted(set(old["adds"]) - set(cur["adds"])):
+        actions.append({"add": dict(old["adds"][p])})
+    new_version = latest + 1
+    _write_commit(table_path, new_version, actions)
+    _maybe_checkpoint(table_path, new_version)
+    return new_version
+
+
 def delta_version_diff(
     spark: SparkSession,
     table_path: str,

@@ -803,3 +803,47 @@ def test_concurrent_thread_appends_both_land(spark, tmp_path):
         t.join()
     assert sorted(v for v in results.values() if isinstance(v, int)) == [1, 2], results
     assert {r["id"] for r in read_delta(spark, tbl).collect()} == {0, 1, 2}
+
+
+def test_restore_reverts_schema_and_is_undoable(spark, tmp_path):
+    """RESTORE re-emits the target snapshot's metaData when schema
+    evolved in between (restore restores schema too, same table id),
+    leaves history intact, and a second restore undoes the first."""
+    tbl = str(tmp_path / "restore")
+    D.write_delta(spark.createDataFrame([(1, "a")], "id long, v string"), tbl)  # v0
+    D.write_delta(
+        spark.createDataFrame([(2, "b", 9.9)], "id long, v string, w double"),
+        tbl,
+        mode="overwrite",
+        merge_schema=True,
+    )  # v1: schema evolved
+    assert D.restore_delta(tbl, 0) == 2
+    got = read_delta(spark, tbl)
+    assert got.columns == ["id", "v"]  # evolved column gone again
+    assert {r["id"] for r in got.collect()} == {1}
+    ids = set()
+    for v in (0, 1, 2):
+        with open(os.path.join(tbl, "_delta_log", f"{v:020d}.json")) as f:
+            ids |= {
+                json.loads(line)["metaData"]["id"]
+                for line in f
+                if '"metaData"' in line
+            }
+    assert len(ids) == 1  # restore kept the table identity
+    # history intact: v1 still time-travels
+    v1 = D.read_delta_log(spark, tbl, version_as_of=1)
+    assert {r["id"] for r in v1.collect()} == {2}
+    # restore the restore: back to v1's content
+    assert D.restore_delta(tbl, 1) == 3
+    assert {r["id"] for r in read_delta(spark, tbl).collect()} == {2}
+
+
+def test_restore_beyond_vacuum_retention_raises(spark, tmp_path):
+    tbl = str(tmp_path / "restore_vac")
+    D.write_delta(spark.createDataFrame([(1,)], "id long"), tbl)  # v0
+    D.write_delta(spark.createDataFrame([(2,)], "id long"), tbl, mode="overwrite")  # v1
+    D.vacuum_delta(tbl, keep_last=1)  # v0's files physically gone
+    with pytest.raises(D.DeltaLogError, match="vacuumed"):
+        D.restore_delta(tbl, 0)
+    # table still healthy at the retained snapshot
+    assert {r["id"] for r in read_delta(spark, tbl).collect()} == {2}

@@ -185,6 +185,54 @@ SF100_QUERIES = [
 ]
 
 
+# graph tier: the round-6 graph/co-purchase/k-means families, probed a
+# second decade (sf1 -> sf10) — their sf0.1->sf1 slopes (pagerank 4.96,
+# copurchase 8.01) were single-decade reads, and r4/r5 proved candidate
+# walls only show up in the probe. Key-offset replicas make N disjoint
+# copies of the trade graph: nodes/edges scale Nx with per-replica
+# degree structure preserved, exactly the keyed-join scaling question.
+GRAPH_TABLES = ("orders", "lineitem", "documents", "embeddings")
+GRAPH_QUERIES = [
+    "pagerank_trade_graph",
+    "pagerank_weighted_trade",
+    "pagerank_purchase_sinks",
+    "supplier_copurchase_pairs",
+    "kmeans_embeddings",
+    "containment_neardup_pairs",
+]
+
+
+def _copurchase_cap_stats(spark, sf_dir: str, cap: int) -> dict:
+    """Quantify the degree_cap lever analytically: candidate volume of
+    the co-purchase self-join is sum(d*(d-1)/2) over context degrees —
+    computed exactly from ONE degree aggregation, no join needed."""
+    o = catalog.load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = catalog.load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    deg = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(F.col("l_suppkey").alias("e"), F.col("o_custkey").alias("ctx"))
+        .distinct()
+        .groupBy("ctx")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    pairs = F.col("d") * (F.col("d") - 1) / 2
+    row = deg.agg(
+        F.sum(pairs).alias("uncapped"),
+        F.sum(F.when(F.col("d") <= cap, pairs).otherwise(F.lit(0))).alias("capped"),
+        F.sum(F.when(F.col("d") > cap, 1).otherwise(0)).alias("dropped_contexts"),
+        F.count(F.lit(1)).alias("contexts"),
+        F.max("d").alias("max_degree"),
+    ).first()
+    return {
+        "degree_cap": cap,
+        "candidates_uncapped": int(row["uncapped"]),
+        "candidates_capped": int(row["capped"]),
+        "dropped_contexts": int(row["dropped_contexts"]),
+        "contexts": int(row["contexts"]),
+        "max_degree": int(row["max_degree"]),
+    }
+
+
 def main() -> None:
     reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "3"))
     tier = os.environ.get("SPARK_GRAFT_SCALE_TIER", "sf1")
@@ -226,6 +274,36 @@ def main() -> None:
             },
         }
         out_name = f"BENCH_{big_label}.json"
+    elif tier == "graph":
+        # second decade for the graph family, single-shot like sf100
+        # (multi-minute runs read a slope without median-of-3)
+        reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "1"))
+        names = [n for n in os.environ.get("SPARK_GRAFT_SCALE_QUERIES", "").split(",") if n]
+        names = names or GRAPH_QUERIES + [e for e in extra if e not in GRAPH_QUERIES]
+        reg = all_queries()
+        qs = {n: reg[n] for n in names}
+        build(spark, 10, OUT, tables=GRAPH_TABLES)
+        build(spark, 100, OUT10, tables=GRAPH_TABLES, file_scale=4)
+        small, big = _probe(qs, spark, OUT, OUT10, reps, "sf1", "sf10")
+        from nyc_taxi_data_engineering_spark.queries.graphq import COPURCHASE_DEGREE_CAP
+
+        cap_stats = {
+            "sf1": _copurchase_cap_stats(spark, OUT, COPURCHASE_DEGREE_CAP),
+            "sf10": _copurchase_cap_stats(spark, OUT10, COPURCHASE_DEGREE_CAP),
+        }
+        result = {
+            "metric": "graph_sf10_bench_seconds",
+            "value": round(sum(big.values()), 3),
+            "unit": "sec",
+            "queries": big,
+            "sf": 10.0,
+            "replicas": 100,
+            "reps": reps,
+            "sf1_queries": small,
+            "slopes_x10_data": {n: round(big[n] / small[n], 2) for n in small},
+            "copurchase_degree_cap": cap_stats,
+        }
+        out_name = "BENCH_graph_sf10.json"
     elif tier == "sf10":
         # one decade beyond sf1, documents/embeddings only: slopes are
         # measured sf1 -> sf10 so each tier is a clean 10x step
