@@ -807,9 +807,10 @@ def q_ivfpq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     adc = (
-        probes.join(lists, "list_id")
+        F.broadcast(probes)  # nprobe rows per query — always tiny
+        .join(lists, "list_id")
         .filter(F.col("vec_id") != F.col("q_id"))
-        .join(codes, "vec_id")
+        .join(codes, "vec_id")  # the one corpus-keyed join
         .join(F.broadcast(dtab), ["q_id", "m", "code"])
         .groupBy("q_id", "vec_id")
         .agg(F.sum("d").cast("double").alias("approx_dist"))

@@ -480,3 +480,38 @@ def test_benford_single_scan_nine_rows(spark, sf_dir):
     plan = _plan(spark, sf_dir, "orders_benford_audit")
     assert plan.count("orders.parquet") <= 2  # obs + total branches of one scan
     assert "partial_count" in plan
+
+
+def test_pagerank_sinks_dangling_sum_broadcasts(spark, sf_dir):
+    """The dangling-mass term must enter as a 1-row broadcast per
+    round (BroadcastNestedLoopJoin on an aggregate), never as a keyed
+    shuffle of the rank table; the per-round rank update stays a hash
+    agg with no window."""
+    plan = _plan(spark, sf_dir, "pagerank_purchase_sinks")
+    assert "Window [" not in plan
+    assert "CartesianProduct" not in plan
+    assert "GlobalLimit" not in plan
+    assert "partial_sum" in plan
+
+
+def test_ivfpq_broadcast_only_small_sides(spark, sf_dir):
+    """IVF-PQ: centroids, probes, and distance tables broadcast; the
+    corpus-sized sides (lists, codes) join keyed. No cartesian product
+    and no window over anything corpus-sized (the only windows rank
+    the 8-query side)."""
+    plan = _plan(spark, sf_dir, "ivfpq_ann_topk")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3  # probes, PQ cents, dtab
+    # the ONE allowed shuffle join is candidates ⋈ codes on vec_id —
+    # corpus-proportional by design; everything else broadcasts
+    assert plan.count("SortMergeJoin") <= 1
+
+
+def test_image_dhash_pairs_no_cartesian(spark, sf_dir):
+    """The image near-dup path must be the same keyed Manku block join
+    as text SimHash: explode to (pos, key) rows, equi-join, rescore —
+    never an all-pairs compare (the oracle does that; the engine must
+    not)."""
+    plan = _plan(spark, sf_dir, "image_dhash_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
