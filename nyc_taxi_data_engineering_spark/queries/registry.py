@@ -29,110 +29,63 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # Driver-sampling rotation. The correctness harness samples the FIRST ~50
 # entries of ``queries()`` in dict order, so registration order decides which
 # queries earn a driver CORRECTNESS row each round. This list pins the front
-# of that window explicitly instead of leaving it to module-import order:
-# names listed here come first (in list order), everything else follows in
-# registration order. Round 6 ordering: the 8 rotation-tail names that missed
-# every prior window (media_features has NEVER earned a driver row; the other
-# 7 are stale since r1/r3), then this round's new queries, then the stalest
-# previously-green names (r4 vintage) to re-confirm them; the 50 queries the
-# driver just checked in r5 drop to the back. Queries pushed past the window
-# keep full local coverage via tests/test_oracle_parity.py, which checks ALL
-# of them.
+# of that window explicitly instead of leaving it to module-import order.
+# Round 7 ordering: the 5 new round-7 queries (never sampled), then the 40
+# r4-vintage names (stalest driver-green — last verified three rounds ago),
+# then 5 stale r5 names to fill the window; the r5/r6-green tail follows in
+# registration order. Queries pushed past the window keep full local coverage
+# via tests/test_oracle_parity.py, which checks ALL of them.
 ROTATION: list[str] = [
-    # -- missed every prior window (media_features) / stale since r1-r3 (7) --
-    "media_features",
-    "orders_rollup_nation_year",
-    "top_orders_per_customer",
-    "orders_cube_priority_status",
-    "ann_ivf_topk",
-    "embedding_neardup_pairs",
-    "embedding_centroids_by_lang",
-    "events_tumbling_stats",
-    # -- new in round 6 --
-    "delta_partitioned_orders",
-    "events_delta_ingest",
-    "oph_minhash_pairs",
-    "incremental_dedup_docs",
-    "dsir_importance_docs",
-    "temperature_mixture_by_source",
-    "pq_ann_topk",
-    "bpe_merge_candidates",
-    "kmv_distinct_tokens",
-    "cms_heavy_hitters",
-    "histogram_quantiles_orders",
-    "jsonl_roundtrip_documents",
-    "orc_roundtrip_supplier",
-    "containment_neardup_pairs",
-    "bloom_semijoin_lineitem",
-    "kmeans_embeddings",
-    "delta_version_diff_nation",
-    "pagerank_trade_graph",
-    "lineitem_correlations",
-    "split_drift_chi2",
-    "supplier_copurchase_pairs",
-    "event_transition_matrix",
-    "delta_incremental_orders",
-    "events_rate_anomaly",
-    "orders_benford_audit",
-    "daily_vendor_revenue_sql",
-    "hll_distinct_tokens",
-    "delta_zorder_orders",
-    "domain_tags_docs",
-    "delta_incremental_rollup_orders",
-    "contrastive_negatives_docs",
-    "pagerank_weighted_trade",
-    # -- last driver-green in r4, stalest first --
-    "exact_dedup_docs",
-    "ngram_jaccard_pairs",
-    "minhash_lsh_pairs",
-    "simhash_neardup_pairs",
-    "dedup_clusters_docs",
-    "neardup_canonical_docs",
-    "simhash_docs",
-    "ann_cosine_topk",
-    "ann_lsh_topk",
-    "text_quality_scores",
-    "text_token_stats",
-    "text_fingerprints",
-    "text_langid_confusion",
-    "token_length_histogram",
+    "pagerank_purchase_sinks",
+    "bpe_tokenize_docs",
+    "ivfpq_ann_topk",
+    "image_dhash_pairs",
+    "delta_restore_nation",
+    "conditional_counts_orders",
     "corpus_top_tokens",
-    "gopher_quality_gates",
+    "csv_roundtrip_nation",
     "daily_vendor_revenue",
-    "validate_split_metrics",
-    "validate_split_quarantine",
+    "delta_time_travel_nation",
+    "dq_rule_metrics",
     "enrich_lineitem_nations",
+    "except_quarantine",
+    "fk_null_audit",
+    "frequent_customers",
+    "freshness_gate_datasets",
+    "gopher_quality_gates",
+    "governance_gate_decision",
+    "integrity_scorecard",
+    "latest_partition_orders",
+    "lifecycle_history_suppliers",
+    "lifecycle_tally_suppliers",
+    "mdm_candidate_pairs",
+    "mdm_golden_records",
+    "mdm_levenshtein_scores",
+    "mdm_match_scores",
+    "mdm_routing_counts",
+    "mdm_scorecard",
+    "orders_lineitem_reconciliation",
+    "record_hashes_nation",
     "ri_gate_kept_by_supplier",
     "ri_gate_orphans",
-    "fk_null_audit",
-    "integrity_scorecard",
-    "except_quarantine",
-    "conditional_counts_orders",
-    "latest_partition_orders",
-    "record_hashes_nation",
+    "salted_enrich_order_priorities",
     "scd2_current_customers",
     "scd2_history_customers",
     "scd2_rollback_current",
     "scd2_verify_ok",
-    "mdm_candidate_pairs",
-    "mdm_match_scores",
-    "mdm_levenshtein_scores",
-    "mdm_routing_counts",
-    "mdm_golden_records",
-    "mdm_scorecard",
-    "lifecycle_tally_suppliers",
-    "lifecycle_history_suppliers",
-    "dq_rule_metrics",
-    "governance_gate_decision",
-    "freshness_gate_datasets",
     "sql_workflow_checks",
-    "csv_roundtrip_nation",
-    "delta_time_travel_nation",
+    "text_fingerprints",
+    "text_langid_confusion",
+    "text_token_stats",
+    "token_length_histogram",
     "trade_flows_by_nation",
-    "frequent_customers",
-    "orders_lineitem_reconciliation",
-    "salted_enrich_order_priorities",
-    # -- r5-green names follow in registration order --
+    "validate_split_metrics",
+    "validate_split_quarantine",
+    "asof_customer_versions",
+    "bm25_search_topk",
+    "cdc_apply_customers",
+    "chunk_dedup_stats",
+    "click_purchase_attribution",
 ]
 
 
