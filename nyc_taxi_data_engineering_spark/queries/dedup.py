@@ -507,3 +507,83 @@ def q_incremental_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.incremental_dedup_status(
         batch, corpus, neardup_min=INCR_NEARDUP_MIN
     )
+
+
+@query(
+    "minhash_recall_audit",
+    oracle=f"""
+WITH {_SHINGLES_CTE},
+common AS (
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS cs
+    FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+),
+truth AS (
+    SELECT a_id, b_id FROM common
+    JOIN sizes na ON na.doc_id = a_id
+    JOIN sizes nb ON nb.doc_id = b_id
+    WHERE round(cs * 1.0 / (na.n + nb.n - cs), 6) >= 0.8
+),
+sig AS (
+    SELECT doc_id,
+           {_SIG_COLS}
+    FROM documents
+),
+bands AS (
+    {_BAND_SELECTS}
+),
+cands AS (
+    SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+j AS (
+    SELECT COALESCE(t.a_id, c.a_id) AS a_id,
+           (t.a_id IS NOT NULL)::INT AS in_t,
+           (c.a_id IS NOT NULL)::INT AS in_c
+    FROM truth t FULL JOIN cands c ON t.a_id = c.a_id AND t.b_id = c.b_id
+)
+SELECT CAST(SUM(in_t) AS BIGINT) AS true_pairs,
+       CAST(SUM(in_c) AS BIGINT) AS candidate_pairs,
+       CAST(SUM(in_t * in_c) AS BIGINT) AS found_pairs,
+       CAST(SUM(in_t * (1 - in_c)) AS BIGINT) AS missed_pairs,
+       CAST(SUM((1 - in_t) * in_c) AS BIGINT) AS extra_candidates,
+       round(SUM(in_t * in_c) * 1.0 / SUM(in_t), 6) AS recall
+FROM j
+""",
+)
+def q_minhash_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH probabilistic guarantee ITSELF under the oracle gate:
+    exact word-3-gram Jaccard pairs at 0.8 (the inverted-index truth
+    set) full-outer-joined against the MinHash(16)/LSH(4x4) candidate
+    set, reduced to one audit row — true pairs, candidates, found,
+    missed (LSH false negatives), extra candidates (the S-curve's tail
+    the rescore filters), and recall. This is the calibration readout
+    every production dedup needs before trusting a banding config: at
+    0.8 Jaccard the collision probability is 1-(1-0.8^4)^4 ≈ 0.92 per
+    the S-curve, so missed_pairs > 0 is EXPECTED and the audit proves
+    the engines agree on exactly which pairs slip through. Runs the
+    two already-green pipelines (ngram_jaccard_pairs,
+    minhash_lsh_pairs) plus one keyed full-outer join and a 1-row agg
+    — at 100 TB you run it on a sampled stratum, same plan."""
+    docs = load_table(spark, sf_dir, "documents")
+    truth = D.shingle_jaccard_pairs(docs, threshold=0.8).select(
+        "a_id", "b_id", F.lit(1).alias("in_t")
+    )
+    cands = D.lsh_candidate_pairs(D.minhash_signatures(docs)).select(
+        "a_id", "b_id", F.lit(1).alias("in_c")
+    )
+    j = truth.join(cands, ["a_id", "b_id"], "full_outer").select(
+        F.coalesce(F.col("in_t"), F.lit(0)).alias("in_t"),
+        F.coalesce(F.col("in_c"), F.lit(0)).alias("in_c"),
+    )
+    return j.agg(
+        F.sum("in_t").cast("bigint").alias("true_pairs"),
+        F.sum("in_c").cast("bigint").alias("candidate_pairs"),
+        F.sum(F.col("in_t") * F.col("in_c")).cast("bigint").alias("found_pairs"),
+        F.sum(F.col("in_t") * (1 - F.col("in_c"))).cast("bigint").alias("missed_pairs"),
+        F.sum((1 - F.col("in_t")) * F.col("in_c")).cast("bigint").alias("extra_candidates"),
+        F.round(
+            F.sum(F.col("in_t") * F.col("in_c")) / F.sum("in_t"), 6
+        ).alias("recall"),
+    )
