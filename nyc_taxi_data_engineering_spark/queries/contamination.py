@@ -177,3 +177,116 @@ def q_doc_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("top_bigram_count") / F.col("total_bigrams")).alias("top_bigram_frac"),
         )
     )
+
+
+FUZZY_MIN_MATCHES = 8  # >= 8/16 signature agreement (est Jaccard 0.5)
+
+# MinHash signature / band SQL fragments shared with queries/dedup.py
+from nyc_taxi_data_engineering_spark.queries.dedup import (  # noqa: E402
+    _band_selects,
+    _H as _MH,
+    _SIG_COLS,
+)
+
+
+@query(
+    "fuzzy_contamination_docs",
+    oracle=f"""
+WITH base AS (
+  SELECT doc_id,
+         {S.assign_split_sql('doc_id', SPLITS, SPLIT_SEED)} AS split,
+         {_SIG_COLS}
+  FROM documents
+),
+sig AS (SELECT * FROM base),
+bands AS (
+    {_band_selects('sig')}
+),
+hits AS (
+    SELECT DISTINCT tb.doc_id AS test_id, rb.doc_id AS train_id
+    FROM bands tb
+    JOIN sig ts ON ts.doc_id = tb.doc_id AND ts.split = 'test'
+    JOIN bands rb ON rb.band = tb.band AND rb.bucket = tb.bucket
+    JOIN sig rs ON rs.doc_id = rb.doc_id AND rs.split = 'train'
+),
+scored AS (
+    SELECT h.test_id, h.train_id,
+           ({' + '.join(f'(CASE WHEN sa.s{i} = sb.s{i} THEN 1 ELSE 0 END)' for i in range(_MH))}) AS matches
+    FROM hits h
+    JOIN sig sa ON sa.doc_id = h.test_id
+    JOIN sig sb ON sb.doc_id = h.train_id
+),
+kept AS (SELECT * FROM scored WHERE matches >= {FUZZY_MIN_MATCHES}),
+ranked AS (
+    SELECT test_id, train_id, matches,
+           row_number() OVER (PARTITION BY test_id ORDER BY matches DESC, train_id) AS rn,
+           COUNT(*) OVER (PARTITION BY test_id) AS n_train_matches
+    FROM kept
+)
+SELECT test_id AS doc_id,
+       CAST(n_train_matches AS BIGINT) AS n_train_matches,
+       train_id AS best_train_doc,
+       matches / {float(_MH)} AS est_similarity
+FROM ranked WHERE rn = 1
+""",
+)
+def q_fuzzy_contamination_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-DUP benchmark leakage — the paraphrase-robust companion to
+    the exact 8-gram audit: test-split documents whose MinHash LSH
+    band keys collide with any train-split document, scored by
+    signature agreement and kept at >= 0.5 estimated Jaccard. Exact
+    n-gram overlap misses lightly edited test-set copies (the common
+    contamination mode in crawled corpora); band collision catches
+    them at the same sub-quadratic cost as the dedup path: split
+    assignment is the hash the sampling family already uses, the
+    test×train join is the keyed band-bucket equi-join, and the
+    per-test-doc argmax folds into a max(struct) HASH AGG on the Spark
+    side (the oracle's window runs over the tiny candidate set).
+    Output: one row per contaminated test doc — match count, worst
+    (highest-similarity, lowest-id) train doc, estimated similarity."""
+    from nyc_taxi_data_engineering_spark.operators import dedup as D
+
+    docs = load_table(spark, sf_dir, "documents")
+    split = S.assign_split(docs.select("doc_id", "text"), "doc_id", SPLITS, SPLIT_SEED)
+    sigs = D.minhash_signatures(docs).join(
+        split.select("doc_id", "split"), "doc_id"
+    )
+    bands = D.lsh_band_keys(sigs)
+    sp = sigs.select("doc_id", "split")
+    tb = bands.join(sp.filter(F.col("split") == "test"), "doc_id").select(
+        F.col("doc_id").alias("test_id"), "band", "bucket"
+    )
+    rb = bands.join(sp.filter(F.col("split") == "train"), "doc_id").select(
+        F.col("doc_id").alias("train_id"), "band", "bucket"
+    )
+    hits = tb.join(rb, ["band", "bucket"]).select("test_id", "train_id").distinct()
+    n = D.MINHASH_HASHES
+    sa = sigs.select(
+        F.col("doc_id").alias("test_id"), *[F.col(f"s{i}").alias(f"a{i}") for i in range(n)]
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("train_id"), *[F.col(f"s{i}").alias(f"b{i}") for i in range(n)]
+    )
+    matches = None
+    for i in range(n):
+        term = F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        matches = term if matches is None else matches + term
+    scored = (
+        hits.join(sa, "test_id")
+        .join(sb, "train_id")
+        .select("test_id", "train_id", matches.alias("matches"))
+        .filter(F.col("matches") >= FUZZY_MIN_MATCHES)
+    )
+    return (
+        scored.groupBy("test_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_train_matches"),
+            F.max(F.struct(F.col("matches"), (-F.col("train_id")).alias("neg"))).alias("best"),
+        )
+        .select(
+            F.col("test_id").alias("doc_id"),
+            "n_train_matches",
+            (-F.col("best.neg")).alias("best_train_doc"),
+            (F.col("best.matches") / F.lit(float(n))).alias("est_similarity"),
+        )
+    )

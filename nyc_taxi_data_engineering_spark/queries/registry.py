@@ -30,13 +30,15 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # entries of ``queries()`` in dict order, so registration order decides which
 # queries earn a driver CORRECTNESS row each round. This list pins the front
 # of that window explicitly instead of leaving it to module-import order.
-# Round 7 ordering: the 5 new round-7 queries (never sampled), then the 40
+# Round 7 ordering: the 7 new round-7 queries (never sampled), then the 40
 # r4-vintage names (stalest driver-green — last verified three rounds ago),
-# then 5 stale r5 names to fill the window; the r5/r6-green tail follows in
+# then 3 stale r5 names to fill the window; the r5/r6-green tail follows in
 # registration order. Queries pushed past the window keep full local coverage
 # via tests/test_oracle_parity.py, which checks ALL of them.
 ROTATION: list[str] = [
     "pagerank_purchase_sinks",
+    "minhash_recall_audit",
+    "fuzzy_contamination_docs",
     "bpe_tokenize_docs",
     "ivfpq_ann_topk",
     "image_dhash_pairs",
@@ -84,8 +86,6 @@ ROTATION: list[str] = [
     "asof_customer_versions",
     "bm25_search_topk",
     "cdc_apply_customers",
-    "chunk_dedup_stats",
-    "click_purchase_attribution",
 ]
 
 
