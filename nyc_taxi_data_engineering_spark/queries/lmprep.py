@@ -491,3 +491,124 @@ def q_contrastive_negatives_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("b_ch") != F.col("a_ch"))
         .select("anchor_id", "neg_rank", "neg_id")
     )
+
+
+# Bigram LM: class-based (top-K vocab + one OOV class) with add-alpha
+# smoothing over a FIXED class universe V = K+1, so the conditional
+# table is bounded at (K+1)^2 rows and broadcast-able by construction.
+BIGRAM_ALPHA = 0.5
+_BIGRAM_V = UNIGRAM_TOPK + 1  # class universe for the smoothing mass
+_BIGRAM_DENOM_ADD = BIGRAM_ALPHA * _BIGRAM_V  # written identically both sides
+
+
+@query(
+    "bigram_lm_scores",
+    oracle=f"""
+WITH base AS (
+  SELECT doc_id,
+         [w for w in string_split_regex(trim(text), '\\s+') if len(w) > 0] AS toks
+  FROM documents
+),
+tok2 AS (SELECT doc_id, unnest(toks) AS tok FROM base),
+topk AS (
+  SELECT tok, count(*) AS cnt FROM tok2 GROUP BY tok
+  ORDER BY cnt DESC, tok LIMIT {UNIGRAM_TOPK}
+),
+pr AS (
+  SELECT doc_id,
+         string_split(g, ' ')[1] AS w1, string_split(g, ' ')[2] AS w2
+  FROM (SELECT doc_id, unnest({T.sql_word_ngrams('toks', 2)}) AS g FROM base)
+),
+cls AS (
+  SELECT doc_id,
+         CASE WHEN k1.tok IS NULL THEN '<OOV>' ELSE w1 END AS c1,
+         CASE WHEN k2.tok IS NULL THEN '<OOV>' ELSE w2 END AS c2
+  FROM pr LEFT JOIN topk k1 ON k1.tok = pr.w1 LEFT JOIN topk k2 ON k2.tok = pr.w2
+),
+big AS (SELECT c1, c2, count(*) AS c12 FROM cls GROUP BY c1, c2),
+uni AS (SELECT c1, count(*) AS c1n FROM cls GROUP BY c1),
+scored AS (
+  SELECT cls.doc_id,
+         cast(round(-ln((big.c12 + {BIGRAM_ALPHA}) / (uni.c1n + {_BIGRAM_DENOM_ADD})), 6)
+              as decimal(18,6)) AS neg_logp,
+         CASE WHEN cls.c1 = '<OOV>' OR cls.c2 = '<OOV>' THEN 1 ELSE 0 END AS has_oov
+  FROM cls JOIN big USING (c1, c2) JOIN uni USING (c1)
+)
+SELECT doc_id,
+       count(*) AS n_bigrams,
+       cast(sum(has_oov) as bigint) AS n_oov_bigrams,
+       round(cast(sum(neg_logp) as double) / count(*), 6) AS avg_neg_logp
+FROM scored GROUP BY doc_id
+""",
+)
+def q_bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-BIGRAM log-perplexity per document — the conditional
+    upgrade to unigram_lm_scores (CCNet's KenLM filter re-expressed
+    corpus-internally): P(w2|w1) with add-{BIGRAM_ALPHA} smoothing over
+    the class-mapped stream (top-K vocabulary + one OOV class), so the
+    model tables are BOUNDED — |uni| <= K+1, |big| <= (K+1)^2 — and
+    broadcast back onto the bigram stream regardless of corpus size.
+    Bigram perplexity separates fluent word ORDER from fluent word
+    CHOICE (a shuffled fluent document keeps its unigram score but
+    craters here). Same determinism contract as the unigram query:
+    per-bigram -ln p rounds to 6 dp and sums as DECIMAL(18,6).
+
+    Scale shape: explode to bigrams (narrow, word_ngrams guard
+    included) -> two broadcast vocab joins -> two bounded hash aggs ->
+    two broadcast joins back -> one per-doc hash agg. No windows, no
+    self-joins on the corpus, no collect."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", F.filter(T.tokens(F.col("text")), lambda w: F.length(w) > 0).alias("toks")
+    )
+    tok2 = base.select("doc_id", F.explode("toks").alias("tok"))
+    topk = (
+        tok2.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "tok")
+        .limit(UNIGRAM_TOPK)
+    )
+    pr = base.select(
+        "doc_id", F.explode(T.word_ngrams(F.col("toks"), 2)).alias("g")
+    ).select(
+        "doc_id",
+        F.substring_index("g", " ", 1).alias("w1"),
+        F.substring_index("g", " ", -1).alias("w2"),
+    )
+    k1 = topk.select(F.col("tok").alias("w1"), F.lit(1).alias("in1"))
+    k2 = topk.select(F.col("tok").alias("w2"), F.lit(1).alias("in2"))
+    cls = (
+        pr.join(F.broadcast(k1), "w1", "left")
+        .join(F.broadcast(k2), "w2", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("in1").isNull(), F.lit("<OOV>")).otherwise(F.col("w1")).alias("c1"),
+            F.when(F.col("in2").isNull(), F.lit("<OOV>")).otherwise(F.col("w2")).alias("c2"),
+        )
+    )
+    big = cls.groupBy("c1", "c2").agg(F.count(F.lit(1)).alias("c12"))
+    uni = cls.groupBy("c1").agg(F.count(F.lit(1)).alias("c1n"))
+    scored = (
+        cls.join(F.broadcast(big), ["c1", "c2"])
+        .join(F.broadcast(uni), "c1")
+        .select(
+            "doc_id",
+            F.round(
+                -F.log(
+                    (F.col("c12") + F.lit(BIGRAM_ALPHA))
+                    / (F.col("c1n") + F.lit(_BIGRAM_DENOM_ADD))
+                ),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("neg_logp"),
+            F.when((F.col("c1") == "<OOV>") | (F.col("c2") == "<OOV>"), 1)
+            .otherwise(0)
+            .alias("has_oov"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum("has_oov").cast("bigint").alias("n_oov_bigrams"),
+        F.round(F.sum("neg_logp").cast("double") / F.count(F.lit(1)), 6).alias("avg_neg_logp"),
+    )
