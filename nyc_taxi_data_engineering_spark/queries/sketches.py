@@ -216,3 +216,138 @@ def q_hll_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         "est_distinct",
         F.round(F.col("est_distinct") / F.col("n_exact") - 1, 3).alias("rel_error"),
     )
+
+
+from nyc_taxi_data_engineering_spark.operators import sampling as SA  # noqa: E402
+from nyc_taxi_data_engineering_spark.queries.sampling import SPLIT_SEED, SPLITS  # noqa: E402
+
+_SPLIT_SQL = SA.assign_split_sql("doc_id", SPLITS, SPLIT_SEED)
+
+
+@query(
+    "kmv_split_overlap",
+    oracle=f"""
+WITH base AS (
+    SELECT {_SPLIT_SQL} AS split,
+           [w for w in {T.sql_tokens('text')} if len(w) > 0] AS toks
+    FROM documents
+),
+tok2 AS (
+    SELECT split, unnest({T.sql_word_ngrams('toks', 2)}) AS tok
+    FROM base WHERE split IN ('train', 'test')
+),
+exact AS (
+    SELECT
+      (SELECT COUNT(DISTINCT tok) FROM tok2 WHERE split = 'train') AS train_exact,
+      (SELECT COUNT(DISTINCT tok) FROM tok2 WHERE split = 'test') AS test_exact,
+      (SELECT COUNT(*) FROM (
+          SELECT tok FROM tok2 WHERE split = 'train'
+          INTERSECT
+          SELECT tok FROM tok2 WHERE split = 'test')) AS overlap_exact
+),
+hashed AS (SELECT DISTINCT split, {K.hash_fraction_sql('tok')} AS u FROM tok2),
+kept AS (
+    SELECT split, u FROM (
+        SELECT split, u, row_number() OVER (PARTITION BY split ORDER BY u) AS rnk
+        FROM hashed
+    ) WHERE rnk <= {K.KMV_K}
+),
+uni AS (
+    SELECT u FROM (
+        SELECT DISTINCT u FROM kept ORDER BY u LIMIT {K.KMV_K}
+    )
+),
+marked AS (
+    SELECT uni.u,
+           (EXISTS (SELECT 1 FROM kept a WHERE a.split = 'train' AND a.u = uni.u))::INT AS in_a,
+           (EXISTS (SELECT 1 FROM kept b WHERE b.split = 'test' AND b.u = uni.u))::INT AS in_b
+    FROM uni
+),
+sk AS (
+    SELECT COUNT(*) AS n_kept,
+           MAX(u) AS kth,
+           SUM(in_a * in_b) AS n_both
+    FROM marked
+)
+SELECT e.train_exact, e.test_exact, e.overlap_exact,
+       round(CASE WHEN sk.n_kept < {K.KMV_K} THEN CAST(sk.n_kept AS DOUBLE)
+                  ELSE ({K.KMV_K} - 1) / sk.kth END, 3) AS union_est,
+       round(sk.n_both * 1.0 / sk.n_kept, 6) AS jaccard_est,
+       round(sk.n_both * 1.0 / sk.n_kept
+             * CASE WHEN sk.n_kept < {K.KMV_K} THEN CAST(sk.n_kept AS DOUBLE)
+                    ELSE ({K.KMV_K} - 1) / sk.kth END, 3) AS intersection_est
+FROM sk, exact e
+""",
+)
+def q_kmv_split_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV SET OPERATIONS — the theta-sketch workflow on the train/test
+    BIGRAM-vocabulary question "how much does my held-out split share
+    with training?" (bigrams, not unigrams, so the corpus cardinality
+    actually exceeds k and the (k-1)/h_k estimator path is exercised): each split keeps only its k smallest distinct token
+    hashes (mergeable, bounded state), the UNION sketch is the k
+    smallest of the merged minima, Jaccard is estimated by the fraction
+    of union-sketch hashes present in BOTH input sketches, and
+    intersection = jaccard x union estimate — all without ever
+    materializing either vocabulary. The exact counts ride along so the
+    estimator's answer sits under the hash gate (the kmv_distinct_tokens
+    pattern). Scale shape: ONE distinct-hash shuffle on (split, hash);
+    everything after runs on <= 2k rows. At 100 TB each partition
+    pre-sketches and the minima merge — the reason production systems
+    ship theta/KMV sketches instead of COUNT(DISTINCT) for overlap
+    questions."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        SA.assign_split(docs.select("doc_id", "text"), "doc_id", SPLITS, SPLIT_SEED)
+        .filter(F.col("split").isin("train", "test"))
+        .select(
+            "split",
+            F.explode(
+                T.word_ngrams(
+                    F.filter(T.tokens(F.col("text")), lambda w: F.length(w) > 0), 2
+                )
+            ).alias("tok"),
+        )
+    )
+    tr = toks.filter(F.col("split") == "train").select("tok").distinct()
+    te = toks.filter(F.col("split") == "test").select("tok").distinct()
+    exact = (
+        tr.agg(F.count(F.lit(1)).alias("train_exact"))
+        .crossJoin(te.agg(F.count(F.lit(1)).alias("test_exact")))
+        .crossJoin(tr.join(te, "tok").agg(F.count(F.lit(1)).alias("overlap_exact")))
+    )
+    from pyspark.sql import Window
+
+    hashed = toks.select("split", K.hash_fraction(F.col("tok")).alias("u")).distinct()
+    w = Window.partitionBy("split").orderBy("u")
+    kept = hashed.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= K.KMV_K
+    )
+    uni = kept.select("u").distinct().orderBy("u").limit(K.KMV_K)
+    in_a = kept.filter(F.col("split") == "train").select("u", F.lit(1).alias("in_a"))
+    in_b = kept.filter(F.col("split") == "test").select("u", F.lit(1).alias("in_b"))
+    marked = (
+        uni.join(in_a, "u", "left")
+        .join(in_b, "u", "left")
+        .select(
+            "u",
+            F.coalesce("in_a", F.lit(0)).alias("in_a"),
+            F.coalesce("in_b", F.lit(0)).alias("in_b"),
+        )
+    )
+    sk = marked.agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.max("u").alias("kth"),
+        F.sum(F.col("in_a") * F.col("in_b")).alias("n_both"),
+    )
+    union_est = F.when(
+        F.col("n_kept") < K.KMV_K, F.col("n_kept").cast("double")
+    ).otherwise((K.KMV_K - 1) / F.col("kth"))
+    jac = F.col("n_both") * F.lit(1.0) / F.col("n_kept")
+    return sk.crossJoin(F.broadcast(exact)).select(
+        "train_exact",
+        "test_exact",
+        "overlap_exact",
+        F.round(union_est, 3).alias("union_est"),
+        F.round(jac, 6).alias("jaccard_est"),
+        F.round(jac * union_est, 3).alias("intersection_est"),
+    )
