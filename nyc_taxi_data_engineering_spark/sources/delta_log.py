@@ -65,12 +65,26 @@ LOG_DIR = "_delta_log"
 PROTOCOL = {"minReaderVersion": 1, "minWriterVersion": 2}
 CHECKPOINT_INTERVAL = 10  # commits per checkpoint — Delta's default cadence
 APPEND_COMMIT_RETRIES = 5  # version-race retries for blind appends
+CONSTRAINT_PREFIX = "delta.constraints."  # table-configuration key prefix
+# CHECK constraints require writer protocol 3 (the delta spec's
+# writerVersion gate for invariants/constraints)
+CONSTRAINT_PROTOCOL = {"minReaderVersion": 1, "minWriterVersion": 3}
+
+
+def _constraints(config: dict) -> dict[str, str]:
+    """name -> SQL expression for every CHECK constraint in a table
+    configuration dict."""
+    return {
+        k[len(CONSTRAINT_PREFIX):]: v
+        for k, v in (config or {}).items()
+        if k.startswith(CONSTRAINT_PREFIX)
+    }
 
 # Checkpoint row layout: one action per row, exactly one of the three
 # columns non-null — the real checkpoint's column shape, minus the
-# always-empty map fields (format.options / configuration; this writer
-# never populates them, see write_delta). partitionValues is carried
-# as the protocol's map<string,string>.
+# always-empty format.options map. partitionValues and the metaData
+# configuration (which carries CHECK constraints) are the protocol's
+# map<string,string>.
 _CP_SCHEMA = pa.schema(
     [
         pa.field(
@@ -85,6 +99,7 @@ _CP_SCHEMA = pa.schema(
                     ("format", pa.struct([("provider", pa.string())])),
                     ("schemaString", pa.string()),
                     ("partitionColumns", pa.list_(pa.string())),
+                    ("configuration", pa.map_(pa.string(), pa.string())),
                     ("createdTime", pa.int64()),
                 ]
             ),
@@ -191,7 +206,11 @@ def _replay_state(
                 protocol = row["protocol"]
             elif row.get("metaData") is not None:
                 meta = dict(row["metaData"])
-                meta.setdefault("configuration", {})
+                # configuration comes back as a list of (k, v) pairs
+                # (pyarrow map rendering) — restore the dict; it may
+                # carry delta.constraints.* entries
+                cfg = meta.get("configuration")
+                meta["configuration"] = dict(cfg) if cfg else {}
             elif row.get("add") is not None:
                 a = dict(row["add"])
                 # pyarrow renders map<string,string> as a list of
@@ -251,6 +270,7 @@ def write_checkpoint(table_path: str, version: int | None = None) -> str:
                 "format": {"provider": m.get("format", {}).get("provider", "parquet")},
                 "schemaString": m.get("schemaString"),
                 "partitionColumns": m.get("partitionColumns", []),
+                "configuration": sorted((m.get("configuration") or {}).items()),
                 "createdTime": m.get("createdTime"),
             }
         }
@@ -712,15 +732,46 @@ def write_delta(
     version = 0 if prior is None else prior + 1
     table_id = uuid.uuid4().hex
     evolved: StructType | None = None  # set when merge_schema unions new columns
-    validated_meta: tuple[str, tuple[str, ...]] | None = None
+    validated_meta: tuple | None = None
+    prior_config: dict[str, str] = {}
     if prior is not None:
         prior_state = _replay_state(table_path)
         table_id = prior_state["metaData"].get("id", table_id)
         prior_parts = prior_state["metaData"].get("partitionColumns") or []
+        prior_config = dict(prior_state["metaData"].get("configuration") or {})
         validated_meta = (
             prior_state["metaData"].get("schemaString", ""),
             tuple(prior_parts),
+            tuple(sorted(prior_config.items())),
         )
+        # CHECK constraints (delta.constraints.<name> in the table
+        # configuration, the ALTER TABLE ADD CONSTRAINT surface):
+        # every incoming row must satisfy every expression, with NULL
+        # counting as a violation — real Delta's NOT (expr <=> true)
+        # rule. One extra pass over df per write, the price real
+        # writers pay too; fails BEFORE any file is staged.
+        constraints = _constraints(prior_config)
+        if constraints:
+            # Subset writes read omitted columns back as NULL, so the
+            # check runs over df padded to the table schema with NULLs
+            # — a constraint on an omitted column then fails exactly
+            # like the written data would.
+            tbl_schema = StructType.fromJson(
+                json.loads(prior_state["metaData"]["schemaString"])
+            )
+            check_df = df
+            for fld in tbl_schema.fields:
+                if fld.name not in df.columns:
+                    check_df = check_df.withColumn(
+                        fld.name, F.lit(None).cast(fld.dataType)
+                    )
+            for cname, cexpr in sorted(constraints.items()):
+                bad = check_df.filter(~F.coalesce(F.expr(cexpr), F.lit(False))).take(1)
+                if bad:
+                    raise DeltaLogError(
+                        f"CHECK constraint {cname!r} ({cexpr}) violated by "
+                        f"incoming row {bad[0].asDict()}"
+                    )
         if not part_cols and partition_by is None:
             part_cols = list(prior_parts)  # inherit the table's partitioning
         if part_cols != prior_parts:
@@ -822,7 +873,10 @@ def write_delta(
                     "format": {"provider": "parquet", "options": {}},
                     "schemaString": (evolved or df.schema).json(),
                     "partitionColumns": part_cols,
-                    "configuration": {},
+                    # configuration (incl. CHECK constraints) survives
+                    # overwrites/evolution - dropping it would silently
+                    # disarm every constraint on the first REPLACE
+                    "configuration": prior_config,
                     "createdTime": now_ms,
                 }
             }
@@ -843,7 +897,7 @@ def write_delta(
     # Optimistic-concurrency retry, real-writer style: a BLIND APPEND
     # (no removes, no metaData in the commit) that loses the version
     # race re-reads the log, re-checks that no concurrent commit
-    # changed the table's schema or partitioning (the Delta conflict
+    # changed the table's schema, partitioning, or constraints (the Delta conflict
     # rule for AddFile-only transactions — they conflict only with
     # metadata/protocol changes, never with other appends), and
     # republishes the SAME promoted files under the next version.  The
@@ -866,12 +920,13 @@ def write_delta(
             cur_meta = (
                 cur["metaData"].get("schemaString", ""),
                 tuple(cur["metaData"].get("partitionColumns") or []),
+                tuple(sorted((cur["metaData"].get("configuration") or {}).items())),
             )
             if cur_meta != validated_meta:
                 _rollback_promoted(table_path, adds)
                 raise DeltaLogError(
                     "append lost the version race to a commit that changed the "
-                    "table's schema or partitioning — cannot safely retry; "
+                    "table's schema, partitioning, or constraints — cannot safely retry; "
                     "re-validate and re-write"
                 ) from None
             attempt += 1
@@ -1031,6 +1086,83 @@ def vacuum_delta(table_path: str, keep_last: int = 1) -> list[str]:
     return sorted(deleted)
 
 
+def add_constraint(
+    spark: SparkSession, table_path: str, name: str, expr: str
+) -> int:
+    """ALTER TABLE ... ADD CONSTRAINT (CHECK): validates that EVERY
+    existing row satisfies ``expr`` (one table scan, exactly what real
+    Delta pays), then commits a metaData re-emission with
+    ``delta.constraints.<name> = expr`` in the configuration and bumps
+    the writer protocol to 3 — from here on every write_delta validates
+    incoming rows (NULL counts as a violation, the spec's
+    NOT (expr <=> true) rule). Returns the committed version."""
+    latest = latest_version(table_path)
+    if latest is None:
+        raise DeltaLogError(f"not a Delta table: {table_path}")
+    state = _replay_state(table_path)
+    config = dict(state["metaData"].get("configuration") or {})
+    key = CONSTRAINT_PREFIX + name
+    if key in config:
+        raise DeltaLogError(f"constraint {name!r} already exists: {config[key]}")
+    snap = read_delta_log(spark, table_path)
+    bad = snap.filter(~F.coalesce(F.expr(expr), F.lit(False))).take(1)
+    if bad:
+        raise DeltaLogError(
+            f"cannot add CHECK constraint {name!r} ({expr}): existing row "
+            f"violates it: {bad[0].asDict()}"
+        )
+    config[key] = expr
+    now_ms = int(time.time() * 1000)
+    meta = dict(state["metaData"])
+    meta["configuration"] = config
+    actions = [
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "ADD CONSTRAINT",
+                "operationParameters": {"name": name, "expr": expr},
+            }
+        },
+        {"protocol": dict(CONSTRAINT_PROTOCOL)},
+        {"metaData": meta},
+    ]
+    new_version = latest + 1
+    _write_commit(table_path, new_version, actions)
+    _maybe_checkpoint(table_path, new_version)
+    return new_version
+
+
+def drop_constraint(table_path: str, name: str) -> int:
+    """ALTER TABLE ... DROP CONSTRAINT: re-emits metaData without the
+    named constraint. Returns the committed version."""
+    latest = latest_version(table_path)
+    if latest is None:
+        raise DeltaLogError(f"not a Delta table: {table_path}")
+    state = _replay_state(table_path)
+    config = dict(state["metaData"].get("configuration") or {})
+    key = CONSTRAINT_PREFIX + name
+    if key not in config:
+        raise DeltaLogError(f"no such constraint: {name!r}")
+    del config[key]
+    now_ms = int(time.time() * 1000)
+    meta = dict(state["metaData"])
+    meta["configuration"] = config
+    actions = [
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "DROP CONSTRAINT",
+                "operationParameters": {"name": name},
+            }
+        },
+        {"metaData": meta},
+    ]
+    new_version = latest + 1
+    _write_commit(table_path, new_version, actions)
+    _maybe_checkpoint(table_path, new_version)
+    return new_version
+
+
 def restore_delta(table_path: str, version: int) -> int:
     """RESTORE TABLE ... TO VERSION AS OF: a NEW commit that flips the
     live file set back to ``version``'s — remove actions for files
@@ -1069,10 +1201,12 @@ def restore_delta(table_path: str, version: int) -> int:
             }
         }
     ]
-    same_meta = cur["metaData"].get("schemaString") == old["metaData"].get(
-        "schemaString"
-    ) and (cur["metaData"].get("partitionColumns") or []) == (
-        old["metaData"].get("partitionColumns") or []
+    same_meta = (
+        cur["metaData"].get("schemaString") == old["metaData"].get("schemaString")
+        and (cur["metaData"].get("partitionColumns") or [])
+        == (old["metaData"].get("partitionColumns") or [])
+        and (cur["metaData"].get("configuration") or {})
+        == (old["metaData"].get("configuration") or {})
     )
     if not same_meta:
         meta = dict(old["metaData"])

@@ -765,7 +765,7 @@ def test_append_race_aborts_on_concurrent_schema_change(spark, tmp_path, monkeyp
         }
 
     monkeypatch.setattr(D, "_write_commit", racing)
-    with pytest.raises(D.DeltaLogError, match="schema or partitioning"):
+    with pytest.raises(D.DeltaLogError, match="schema, partitioning, or constraints"):
         D.write_delta(
             spark.createDataFrame([(3, "c")], "id long, v string"), tbl, mode="append"
         )
@@ -847,3 +847,67 @@ def test_restore_beyond_vacuum_retention_raises(spark, tmp_path):
         D.restore_delta(tbl, 0)
     # table still healthy at the retained snapshot
     assert {r["id"] for r in read_delta(spark, tbl).collect()} == {2}
+
+
+def test_check_constraints_lifecycle(spark, tmp_path):
+    """ADD CONSTRAINT validates existing data, bumps the writer
+    protocol, blocks violating writes (NULL = violation), survives
+    overwrites AND checkpoints, and DROP re-arms the write."""
+    tbl = str(tmp_path / "constrained")
+    D.write_delta(
+        spark.createDataFrame([(1, 10.0), (2, 5.5)], "id long, amount double"), tbl
+    )
+    # existing violation rejected
+    with pytest.raises(D.DeltaLogError, match="existing row violates"):
+        D.add_constraint(spark, tbl, "big", "amount > 6")
+    v = D.add_constraint(spark, tbl, "positive", "amount > 0")
+    assert v == 1
+    with open(os.path.join(tbl, "_delta_log", f"{v:020d}.json")) as f:
+        actions = [json.loads(line) for line in f]
+    assert {"minReaderVersion": 1, "minWriterVersion": 3} in [
+        a.get("protocol") for a in actions
+    ]
+    # violating append rejected, table unchanged
+    with pytest.raises(D.DeltaLogError, match="constraint 'positive'"):
+        D.write_delta(
+            spark.createDataFrame([(3, -1.0)], "id long, amount double"),
+            tbl,
+            mode="append",
+        )
+    # NULL violates (the NOT (expr <=> true) rule)
+    with pytest.raises(D.DeltaLogError, match="constraint 'positive'"):
+        D.write_delta(
+            spark.createDataFrame([(4, None)], "id long, amount double"),
+            tbl,
+            mode="append",
+        )
+    # a subset write omitting the constrained column reads back NULL -> violates
+    with pytest.raises(D.DeltaLogError, match="constraint 'positive'"):
+        D.write_delta(spark.createDataFrame([(5,)], "id long"), tbl, mode="append")
+    # clean append passes; constraint survives an overwrite
+    D.write_delta(
+        spark.createDataFrame([(6, 1.0)], "id long, amount double"), tbl, mode="append"
+    )
+    D.write_delta(
+        spark.createDataFrame([(7, 2.0)], "id long, amount double"), tbl, mode="overwrite"
+    )
+    cfg = D._replay_state(tbl)["metaData"]["configuration"]
+    assert cfg == {"delta.constraints.positive": "amount > 0"}
+    with pytest.raises(D.DeltaLogError, match="constraint 'positive'"):
+        D.write_delta(
+            spark.createDataFrame([(8, -9.0)], "id long, amount double"),
+            tbl,
+            mode="append",
+        )
+    # constraint survives a checkpoint (configuration round-trips)
+    D.write_checkpoint(tbl)
+    cfg2 = D._replay_state(tbl)["metaData"]["configuration"]
+    assert cfg2 == cfg
+    # drop re-arms
+    D.drop_constraint(tbl, "positive")
+    D.write_delta(
+        spark.createDataFrame([(9, -1.0)], "id long, amount double"), tbl, mode="append"
+    )
+    assert 9 in {r["id"] for r in read_delta(spark, tbl).collect()}
+    with pytest.raises(D.DeltaLogError, match="no such constraint"):
+        D.drop_constraint(tbl, "positive")
