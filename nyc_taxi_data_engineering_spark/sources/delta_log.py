@@ -882,12 +882,14 @@ def write_delta(
             }
         )
     if mode == "overwrite" and prior is not None:
-        prior_files, _ = _replay(table_path, prior)
-        for p in prior_files:
+        # remove paths must be the add actions' path strings VERBATIM
+        # (replay cancels adds by exact key; relpath would corrupt the
+        # absolute paths a shallow clone references)
+        for p in _replay_state(table_path, prior)["adds"]:
             actions.append(
                 {
                     "remove": {
-                        "path": os.path.relpath(p, table_path),
+                        "path": p,
                         "deletionTimestamp": now_ms,
                         "dataChange": True,
                     }
@@ -1036,8 +1038,8 @@ def compact_delta(
         {"commitInfo": {"timestamp": now_ms, "operation": "OPTIMIZE",
                         "operationParameters": {"targetFiles": target_files}}}
     ]
-    for p in files:
-        actions.append({"remove": {"path": os.path.relpath(p, table_path),
+    for p in state["adds"]:
+        actions.append({"remove": {"path": p,
                                    "deletionTimestamp": now_ms, "dataChange": False}})
     for a in adds:
         a["dataChange"] = False
@@ -1084,6 +1086,60 @@ def vacuum_delta(table_path: str, keep_last: int = 1) -> list[str]:
         if root != table_path and not dirs and not names:
             os.rmdir(root)
     return sorted(deleted)
+
+
+def clone_delta(src_path: str, dst_path: str) -> int:
+    """SHALLOW CLONE: create a new Delta table at ``dst_path`` whose v0
+    commit references the SOURCE's live data files by absolute path —
+    zero data copied, O(files) metadata, the delta-spark
+    ``CREATE TABLE ... SHALLOW CLONE`` surface. The clone gets a fresh
+    table id (it is a new table, not a new version) but inherits the
+    source's schema and configuration (constraints included). Writes to
+    the clone land under the clone's own root; overwrites tombstone the
+    absolute source references without ever touching source data.
+    VACUUM on the clone only deletes files under the clone's root, so
+    the source is safe by construction — but the reverse is not true:
+    vacuuming the SOURCE can orphan a clone's references, the same
+    operational caveat real shallow clones carry.
+
+    Partitioned sources are rejected: reconstructing partition columns
+    requires Spark's basePath to be an ancestor of every file, which a
+    cross-root clone cannot satisfy."""
+    latest = latest_version(src_path)
+    if latest is None:
+        raise DeltaLogError(f"not a Delta table: {src_path}")
+    if latest_version(dst_path) is not None:
+        raise DeltaLogError(f"clone target already a Delta table: {dst_path}")
+    state = _replay_state(src_path)
+    if state["metaData"].get("partitionColumns"):
+        raise DeltaLogError(
+            "shallow clone of a PARTITIONED table is not supported "
+            "(partition reconstruction needs basePath to cover the files)"
+        )
+    now_ms = int(time.time() * 1000)
+    meta = dict(state["metaData"])
+    meta["id"] = uuid.uuid4().hex
+    meta["createdTime"] = now_ms
+    actions: list[dict] = [
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "CLONE",
+                "operationParameters": {"source": src_path, "sourceVersion": latest},
+            }
+        },
+        {"protocol": dict(state["protocol"] or PROTOCOL)},
+        {"metaData": meta},
+    ]
+    src_abs = os.path.abspath(src_path)
+    for a in state["adds"].values():
+        ref = dict(a)
+        if not os.path.isabs(ref["path"]):
+            ref["path"] = os.path.join(src_abs, ref["path"])
+        actions.append({"add": ref})
+    os.makedirs(dst_path, exist_ok=True)
+    _write_commit(dst_path, 0, actions)
+    return 0
 
 
 def add_constraint(

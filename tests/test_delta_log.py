@@ -911,3 +911,45 @@ def test_check_constraints_lifecycle(spark, tmp_path):
     assert 9 in {r["id"] for r in read_delta(spark, tbl).collect()}
     with pytest.raises(D.DeltaLogError, match="no such constraint"):
         D.drop_constraint(tbl, "positive")
+
+
+def test_shallow_clone_zero_copy_and_divergence(spark, tmp_path):
+    """CLONE references source files by absolute path (no data copied);
+    clone and source then diverge independently; vacuum on the clone
+    never touches source data; cloning a partitioned table rejects."""
+    import glob
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    D.write_delta(spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string"), src)
+    assert D.clone_delta(src, dst) == 0
+    # zero copy: no parquet under the clone root
+    assert not glob.glob(os.path.join(dst, "**", "*.parquet"), recursive=True)
+    assert _ids(read_delta(spark, dst)) == [1, 2]
+    # fresh identity, inherited schema
+    src_meta = D._replay_state(src)["metaData"]
+    dst_meta = D._replay_state(dst)["metaData"]
+    assert dst_meta["id"] != src_meta["id"]
+    assert dst_meta["schemaString"] == src_meta["schemaString"]
+    # diverge: append to clone (lands under clone root), source unchanged
+    D.write_delta(spark.createDataFrame([(3, "c")], "id long, s string"), dst, mode="append")
+    assert _ids(read_delta(spark, dst)) == [1, 2, 3]
+    assert _ids(read_delta(spark, src)) == [1, 2]
+    # overwrite the clone: tombstones the absolute refs, source data intact
+    D.write_delta(spark.createDataFrame([(9, "z")], "id long, s string"), dst, mode="overwrite")
+    assert _ids(read_delta(spark, dst)) == [9]
+    assert _ids(read_delta(spark, src)) == [1, 2]
+    # vacuum the clone: deletes nothing of the source's
+    D.vacuum_delta(dst, keep_last=1)
+    assert _ids(read_delta(spark, src)) == [1, 2]
+    # time travel on the clone still resolves the (not-vacuumed) source files
+    assert _ids(D.read_delta_log(spark, dst, version_as_of=0)) == [1, 2]
+    # partitioned source rejected
+    part_src = str(tmp_path / "psrc")
+    D.write_delta(
+        spark.createDataFrame([(1, "x")], "id long, s string"), part_src, partition_by="s"
+    )
+    with pytest.raises(D.DeltaLogError, match="PARTITIONED"):
+        D.clone_delta(part_src, str(tmp_path / "pdst"))
+    with pytest.raises(D.DeltaLogError, match="already a Delta table"):
+        D.clone_delta(src, dst)
