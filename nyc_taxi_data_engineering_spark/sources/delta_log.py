@@ -949,6 +949,7 @@ def merge_delta(
     on: str | list[str],
     when_matched: str = "update",
     when_not_matched: str = "insert",
+    txn: tuple[str, int] | None = None,
 ) -> int:
     """MERGE INTO on the pure-Python log (J8 — the reference's
     ``DeltaTable.merge`` surface, ``scd2_delta_vendors.py:143-170``):
@@ -966,7 +967,11 @@ def merge_delta(
     Scale shape: one anti-join (carry) + one semi/anti join per clause,
     all keyed equi-joins on the merge keys — the same shuffle a real
     MERGE's find-touched-files + rewrite does, minus file-level
-    pruning. Returns the committed (or current, on no-op) version."""
+    pruning. ``txn=(app_id, batch_id)`` stamps the merge commit with
+    the idempotent-writer marker (streaming upsert sinks pair it with
+    :func:`last_txn_version`; a no-op merge commits nothing, which is
+    safe — replaying the same no-op is itself a no-op). Returns the
+    committed (or current, on no-op) version."""
     if when_matched not in ("update", "delete", "ignore"):
         raise ValueError(f"when_matched must be update|delete|ignore, got {when_matched!r}")
     if when_not_matched not in ("insert", "ignore"):
@@ -994,7 +999,9 @@ def merge_delta(
     result = parts[0]
     for p in parts[1:]:
         result = result.unionByName(p)
-    return write_delta(result, table_path, mode="overwrite", operation="MERGE")
+    return write_delta(
+        result, table_path, mode="overwrite", operation="MERGE", txn=txn
+    )
 
 
 def compact_delta(

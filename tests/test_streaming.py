@@ -341,3 +341,35 @@ def test_txn_watermark_survives_checkpoint(spark, tmp_path):
     # a txn bump after the checkpoint wins over the checkpointed one
     D.write_delta(df, tbl, mode="append", txn=("app-a", 9))
     assert D.last_txn_version(tbl, "app-a") == 9
+
+
+def test_streaming_delta_upsert_exactly_once(spark, tmp_path):
+    """foreachBatch MERGE upsert: per-batch latest-wins by key, the
+    first batch bootstraps the table, replayed batch ids are skipped
+    via the txn watermark, and a second app's batches interleave on
+    their own watermark."""
+    from nyc_taxi_data_engineering_spark.sources import delta_log as D
+    from nyc_taxi_data_engineering_spark.streaming.delta_ingest import (
+        delta_upsert_batch,
+    )
+
+    tbl = str(tmp_path / "cdc")
+    b0 = spark.createDataFrame([(1, "a0"), (2, "b0")], "k long, v string")
+    b1 = spark.createDataFrame([(2, "b1"), (3, "c1")], "k long, v string")
+    assert delta_upsert_batch(b0, 0, tbl, "cdc-app", on="k") is True  # bootstrap
+    assert delta_upsert_batch(b1, 1, tbl, "cdc-app", on="k") is True  # merge
+    got = {r["k"]: r["v"] for r in D.read_delta_log(spark, tbl).collect()}
+    assert got == {1: "a0", 2: "b1", 3: "c1"}
+    # crash recovery: both batch ids replay -> skipped, table unchanged
+    v_before = D.latest_version(tbl)
+    assert delta_upsert_batch(b0, 0, tbl, "cdc-app", on="k") is False
+    assert delta_upsert_batch(b1, 1, tbl, "cdc-app", on="k") is False
+    assert D.latest_version(tbl) == v_before
+    assert {r["k"]: r["v"] for r in D.read_delta_log(spark, tbl).collect()} == got
+    # an independent app id has its own watermark
+    b_other = spark.createDataFrame([(1, "z9")], "k long, v string")
+    assert delta_upsert_batch(b_other, 0, tbl, "other-app", on="k") is True
+    assert {r["k"]: r["v"] for r in D.read_delta_log(spark, tbl).collect()}[1] == "z9"
+    # MERGE commits carry the txn marker in-log
+    assert D.last_txn_version(tbl, "cdc-app") == 1
+    assert D.last_txn_version(tbl, "other-app") == 0
