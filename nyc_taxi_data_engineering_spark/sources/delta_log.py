@@ -305,6 +305,9 @@ def _maybe_checkpoint(table_path: str, version: int) -> None:
 
 
 _SKIP_OPS = ("==", "=", ">=", "<=", ">", "<")
+# null-test ops prune off the stats' nullCount/numRecords instead of
+# min/max; the predicate value is ignored (pass None)
+_NULL_OPS = ("is_null", "not_null")
 
 
 def _coerce_bounds(lo, hi, val):
@@ -380,9 +383,21 @@ def _file_survives(add: dict, predicates: list[tuple]) -> bool:
     if stats.get("numRecords") == 0:
         return False  # an empty data file can satisfy nothing
     mins, maxs = stats.get("minValues", {}), stats.get("maxValues", {})
+    nulls, n_rows = stats.get("nullCount", {}), stats.get("numRecords")
     for col, op, val in predicates:
+        if op in _NULL_OPS:
+            nc = nulls.get(col)
+            if nc is None:
+                continue  # no null stats for this column — keep the file
+            if op == "is_null" and nc == 0:
+                return False  # provably no NULLs here
+            if op == "not_null" and n_rows is not None and nc == n_rows:
+                return False  # provably ALL NULLs here
+            continue
         if op not in _SKIP_OPS:
-            raise DeltaLogError(f"unsupported skip op {op!r} (use one of {_SKIP_OPS})")
+            raise DeltaLogError(
+                f"unsupported skip op {op!r} (use one of {_SKIP_OPS + _NULL_OPS})"
+            )
         lo, hi = mins.get(col), maxs.get(col)
         if lo is None or hi is None:
             continue
@@ -476,9 +491,20 @@ def read_delta_log(
         part_preds = [p for p in predicates if p[0] in part_cols]
         stat_preds = [p for p in predicates if p[0] not in part_cols]
         for col, op, val in part_preds:
+            if op in _NULL_OPS:
+                # null partitions encode as the Hive sentinel; a file
+                # with NO recorded value for the column is kept either
+                # way (conservative)
+                adds = [
+                    a
+                    for a in adds
+                    if (pv := (a.get("partitionValues") or {}).get(col)) is None
+                    or (pv == HIVE_NULL_PARTITION) == (op == "is_null")
+                ]
+                continue
             if op not in _SKIP_OPS:
                 raise DeltaLogError(
-                    f"unsupported skip op {op!r} (use one of {_SKIP_OPS})"
+                    f"unsupported skip op {op!r} (use one of {_SKIP_OPS + _NULL_OPS})"
                 )
             adds = [
                 a
@@ -555,7 +581,14 @@ def _file_stats(path: str) -> str | None:
             if "." in name:  # nested field — out of scope for skipping
                 continue
             st = col.statistics
-            if st is None or not st.has_min_max:
+            if st is None:
+                continue
+            # nullCount is independent of min/max: an ALL-NULL column
+            # has no min/max but its null count is exactly what the
+            # not_null skip needs
+            if st.null_count is not None:
+                nulls[name] = nulls.get(name, 0) + st.null_count
+            if not st.has_min_max:
                 continue
             lo, hi = st.min, st.max
             if _json_stat(lo) is None or _json_stat(hi) is None:
@@ -564,8 +597,6 @@ def _file_stats(path: str) -> str | None:
             # their string encodings would not), encode at the end
             mins[name] = lo if name not in mins else min(mins[name], lo)
             maxs[name] = hi if name not in maxs else max(maxs[name], hi)
-            if st.null_count is not None:
-                nulls[name] = nulls.get(name, 0) + st.null_count
     return json.dumps(
         {
             "numRecords": md.num_rows,

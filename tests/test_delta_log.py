@@ -953,3 +953,39 @@ def test_shallow_clone_zero_copy_and_divergence(spark, tmp_path):
         D.clone_delta(part_src, str(tmp_path / "pdst"))
     with pytest.raises(D.DeltaLogError, match="already a Delta table"):
         D.clone_delta(src, dst)
+
+
+def test_null_test_data_skipping(spark, tmp_path):
+    """IS NULL / IS NOT NULL predicates prune off nullCount stats: a
+    file with zero nulls is skipped for is_null; an all-NULL file is
+    skipped for not_null; partition columns prune off the Hive null
+    sentinel."""
+    tbl = str(tmp_path / "nulls")
+    no_nulls = spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string")
+    all_null = spark.createDataFrame(
+        [(3, None), (4, None)], "id long, s string"
+    )
+    D.write_delta(no_nulls.coalesce(1), tbl)
+    D.write_delta(all_null.coalesce(1), tbl, mode="append")
+
+    def planned_files(preds):
+        df = D.read_delta_log(spark, tbl, predicates=preds)
+        return df.inputFiles()
+
+    assert len(planned_files(None)) == 2
+    assert len(planned_files([("s", "is_null", None)])) == 1  # no-null file pruned
+    assert len(planned_files([("s", "not_null", None)])) == 1  # all-null file pruned
+    got = {r["id"] for r in D.read_delta_log(
+        spark, tbl, predicates=[("s", "not_null", None)]
+    ).filter(F.col("s").isNotNull()).collect()}
+    assert got == {1, 2}
+    # partitioned: null partition directory prunes via the sentinel
+    ptbl = str(tmp_path / "pnulls")
+    pdf = spark.createDataFrame(
+        [(1, "x"), (2, None), (3, "y")], "id long, grp string"
+    )
+    D.write_delta(pdf, ptbl, partition_by="grp")
+    only_null = D.read_delta_log(spark, ptbl, predicates=[("grp", "is_null", None)])
+    assert {r["id"] for r in only_null.collect()} == {2}
+    non_null = D.read_delta_log(spark, ptbl, predicates=[("grp", "not_null", None)])
+    assert {r["id"] for r in non_null.collect()} == {1, 3}
