@@ -209,3 +209,71 @@ def test_shuffle_shards_is_a_stable_total_assignment(spark, seed, n_shards):
         by_shard.setdefault(shard, []).append(pos)
     for shard, positions in by_shard.items():
         assert sorted(positions) == list(range(1, len(positions) + 1)), shard
+
+
+def _greedy_merge_ref(syms: list[str], left: str, right: str) -> list[str]:
+    """Pure-Python reference of the greedy left-to-right BPE merge."""
+    out: list[str] = []
+    for s in syms:
+        if out and out[-1] == left and s == right:
+            out[-1] = left + right
+        else:
+            out.append(s)
+    return out
+
+
+@given(
+    words=st.lists(
+        st.text(alphabet="abc", min_size=1, max_size=6), min_size=1, max_size=5
+    ),
+    merges=st.lists(
+        st.tuples(st.sampled_from(["a", "b", "c", "ab", "bc", "a</w>", "b</w>"]),
+                  st.sampled_from(["a", "b", "c", "</w>", "ab", "c</w>"])),
+        min_size=1,
+        max_size=4,
+    ),
+)
+@settings(**SETTINGS)
+def test_apply_bpe_matches_python_reference(spark, words, merges):
+    """apply_bpe's native F.aggregate fold must equal the pure-Python
+    greedy merge for ANY word list and ANY merge sequence (including
+    chained merges whose left/right symbols are earlier outputs)."""
+    from nyc_taxi_data_engineering_spark.operators.bpe import BPE_EOW, apply_bpe
+
+    text = " ".join(words)
+    docs = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    got = apply_bpe(docs, [(l, r, 0) for l, r in merges]).collect()[0]
+    want: list[str] = []
+    for w in words:
+        syms = list(w) + [BPE_EOW]
+        for l, r in merges:
+            syms = _greedy_merge_ref(syms, l, r)
+        want.extend(syms)
+    assert got["bpe_tokens"] == want
+    assert got["n_bpe_tokens"] == len(want)
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 5)),
+        min_size=1,
+        max_size=12,
+    ),
+    iters=st.integers(1, 3),
+)
+@settings(**SETTINGS)
+def test_pagerank_mass_conserved_on_any_graph(spark, edges, iters):
+    """Total rank mass stays 1.0 (± the 12-dp rounding accumulation)
+    for ANY directed graph — self-loops, sinks, disconnected nodes-as-
+    destinations, parallel edges — thanks to the dangling-mass
+    redistribution."""
+    from nyc_taxi_data_engineering_spark.operators.graph import pagerank
+
+    df = spark.createDataFrame(
+        [(f"n{a}", f"n{b}") for a, b in edges], "src string, dst string"
+    )
+    ranks = pagerank(df, iters=iters).collect()
+    nodes = {f"n{a}" for a, b in edges} | {f"n{b}" for a, b in edges}
+    assert {r["node"] for r in ranks} == nodes
+    assert abs(sum(r["rank"] for r in ranks) - 1.0) < 1e-8
+    assert all(r["rank"] > 0 for r in ranks)
