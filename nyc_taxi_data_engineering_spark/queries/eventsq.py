@@ -288,3 +288,65 @@ def q_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "user_retention_cohorts",
+    oracle="""
+WITH wk AS (
+    SELECT DISTINCT user_id, date_trunc('week', ts)::DATE AS week
+    FROM events
+),
+cohort AS (
+    SELECT user_id, MIN(week) AS cohort_week FROM wk GROUP BY user_id
+),
+sizes AS (
+    SELECT cohort_week, COUNT(*) AS n_cohort FROM cohort GROUP BY cohort_week
+),
+act AS (
+    SELECT c.cohort_week,
+           CAST(date_diff('day', c.cohort_week, w.week) / 7 AS INT) AS week_k,
+           COUNT(DISTINCT w.user_id) AS n_active
+    FROM wk w JOIN cohort c USING (user_id)
+    GROUP BY c.cohort_week, week_k
+)
+SELECT a.cohort_week, a.week_k, a.n_active, s.n_cohort,
+       round(a.n_active * 1.0 / s.n_cohort, 6) AS retention
+FROM act a JOIN sizes s USING (cohort_week)
+""",
+)
+def q_user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention — the canonical product-analytics triangle:
+    users cohorted by first-active ISO week, and for each (cohort,
+    weeks-since-signup) cell the fraction of the cohort still active.
+    week 0 retention is 1.0 by construction (the built-in sanity row).
+
+    Scale shape: one distinct to (user, week) — the only events-sized
+    shuffle, with map-side combine — then a per-user min (hash agg), a
+    keyed join back on user_id, and two small aggs over (cohorts x
+    weeks) cells. No windows, no self-join of the raw stream; both
+    engines truncate to ISO-Monday weeks so the cells match exactly."""
+    wk = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("week"))
+        .distinct()
+    )
+    cohort = wk.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    sizes = cohort.groupBy("cohort_week").agg(F.count(F.lit(1)).alias("n_cohort"))
+    act = (
+        wk.join(cohort, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff(F.col("week"), F.col("cohort_week")) / 7)
+            .cast("int")
+            .alias("week_k"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_active"))
+    )
+    return act.join(F.broadcast(sizes), "cohort_week").select(
+        "cohort_week",
+        "week_k",
+        "n_active",
+        "n_cohort",
+        F.round(F.col("n_active") * F.lit(1.0) / F.col("n_cohort"), 6).alias("retention"),
+    )

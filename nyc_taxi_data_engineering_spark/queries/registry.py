@@ -30,15 +30,16 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # entries of ``queries()`` in dict order, so registration order decides which
 # queries earn a driver CORRECTNESS row each round. This list pins the front
 # of that window explicitly instead of leaving it to module-import order.
-# Round 7 ordering: the 9 new round-7 queries (never sampled), then the 40
+# Round 7 ordering: the 10 new round-7 queries (never sampled), then the 40
 # r4-vintage names (stalest driver-green — last verified three rounds ago),
-# then 1 stale r5 name to fill the window; the r5/r6-green tail follows in
+# and no r5 filler to fill the window; the r5/r6-green tail follows in
 # registration order. Queries pushed past the window keep full local coverage
 # via tests/test_oracle_parity.py, which checks ALL of them.
 ROTATION: list[str] = [
     "pagerank_purchase_sinks",
     "bigram_lm_scores",
     "kmv_split_overlap",
+    "user_retention_cohorts",
     "minhash_recall_audit",
     "fuzzy_contamination_docs",
     "bpe_tokenize_docs",
@@ -85,7 +86,6 @@ ROTATION: list[str] = [
     "trade_flows_by_nation",
     "validate_split_metrics",
     "validate_split_quarantine",
-    "asof_customer_versions",
 ]
 
 
