@@ -111,22 +111,63 @@ def apply_bpe(docs: DataFrame, merges: list[tuple[str, str, int]], text_col: str
     """Tokenize text with a learned merge list: per-word symbol arrays
     folded through every merge in order (the standard apply — merges
     replay in priority order). Adds ``bpe_tokens`` (array<string>) and
-    ``n_bpe_tokens``. Narrow projection, no shuffle."""
-    toks = docs.withColumn("_words", T.tokens(F.col(text_col)))
-    word_syms = F.transform(
-        F.filter(F.col("_words"), lambda w: F.length(w) > 0),
-        lambda w: F.concat(F.split(w, ""), F.array(F.lit(BPE_EOW))),
+    ``n_bpe_tokens``.
+
+    The fold runs once per DISTINCT word, not once per occurrence —
+    the same Zipf collapse the trainer uses (:func:`word_counts`): a
+    100 TB corpus tokenizes from a vocabulary-sized table, and each
+    document just re-assembles its words' cached token arrays via a
+    broadcast word→tokens join (posexplode → join → ordered regroup).
+    The per-occurrence formulation (a transform-of-folds projection,
+    round 6) was measured 3.7x super-linear at the sf10 probe — every
+    occurrence of "the" re-ran the full merge fold; this shape replays
+    it once. Vocabulary tables broadcast by construction in practice
+    (a tokenizer's vocab is bounded); swap the hint for a keyed join
+    if yours does not."""
+    words_col = F.filter(T.tokens(F.col(text_col)), lambda w: F.length(w) > 0)
+    with_id = docs.select(
+        F.struct(*[F.col(c) for c in docs.columns]).alias("_row"),
+        F.monotonically_increasing_id().alias("_rid"),
+        words_col.alias("_words"),
     )
-    def _apply_one(c: Column, left: str, right: str) -> Column:
+    exploded = with_id.select(
+        "_row", "_rid", F.posexplode_outer("_words").alias("_pos", "_w")
+    )
+    vocab = exploded.select(F.col("_w").alias("w")).filter(F.col("w").isNotNull()).distinct()
+    syms: Column = F.concat(F.split("w", ""), F.array(F.lit(BPE_EOW)))
+    for left, right, _cnt in merges:
         # Separate scope per merge: PySpark reads the lambda's arity,
         # so default-arg capture of the loop variables is not an option.
-        return F.transform(c, lambda cs: _merge_pair(cs, left, right))
+        def _fold(c: Column, lft: str = left, rgt: str = right) -> Column:
+            return _merge_pair(c, lft, rgt)
 
-    col = word_syms
-    for l, r, _cnt in merges:
-        col = _apply_one(col, l, r)
-    return (
-        toks.withColumn("bpe_tokens", F.flatten(col))
-        .withColumn("n_bpe_tokens", F.size("bpe_tokens"))
-        .drop("_words")
+        syms = _fold(syms)
+    mapping = vocab.select("w", syms.alias("_wtoks"))
+    joined = exploded.join(
+        F.broadcast(mapping), exploded["_w"] == mapping["w"], "left"
     )
+    regrouped = (
+        joined.groupBy("_rid")
+        .agg(
+            F.first("_row").alias("_row"),
+            F.flatten(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("_w").isNotNull(),
+                                F.struct(F.col("_pos"), F.col("_wtoks")),
+                            )
+                        )
+                    ),
+                    lambda s: s._wtoks,
+                )
+            ).alias("bpe_tokens"),
+        )
+        .select(
+            "_row.*",
+            F.coalesce("bpe_tokens", F.array().cast("array<string>")).alias("bpe_tokens"),
+        )
+        .withColumn("n_bpe_tokens", F.size("bpe_tokens"))
+    )
+    return regrouped
