@@ -336,3 +336,115 @@ def q_domain_tags_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         (F.sum("n_hits").cast("double") / F.count(F.lit(1))).alias("avg_hits"),
     )
+
+
+BOILER_N = 4  # span width of the boilerplate detector
+BOILER_DF = 3  # spans seen in >= this many distinct docs get stripped
+
+
+@query(
+    "boilerplate_span_scrub",
+    oracle=f"""
+WITH base AS (
+    SELECT doc_id,
+           [w for w in string_split_regex(trim(text), '\\s+') if len(w) > 0] AS toks
+    FROM documents
+),
+grams AS (
+    SELECT doc_id, i AS gpos,
+           array_to_string(toks[i:i+{BOILER_N - 1}], ' ') AS gram
+    FROM base, unnest(generate_series(1, len(toks) - {BOILER_N - 1})) AS t(i)
+),
+hot AS (
+    SELECT gram FROM grams GROUP BY gram
+    HAVING COUNT(DISTINCT doc_id) >= {BOILER_DF}
+),
+cov AS (
+    SELECT DISTINCT g.doc_id, j AS cpos
+    FROM grams g JOIN hot USING (gram),
+         unnest(generate_series(g.gpos, g.gpos + {BOILER_N - 1})) AS u(j)
+),
+tokpos AS (
+    SELECT doc_id, i AS pos, toks[i] AS tok
+    FROM base, unnest(generate_series(1, len(toks))) AS t(i)
+),
+kept AS (
+    SELECT t.doc_id, t.pos, t.tok
+    FROM tokpos t
+    WHERE NOT EXISTS (
+        SELECT 1 FROM cov c WHERE c.doc_id = t.doc_id AND c.cpos = t.pos
+    )
+),
+rebuilt AS (
+    SELECT doc_id,
+           COUNT(*) AS n_kept,
+           array_to_string(list(tok ORDER BY pos), ' ') AS clean_text
+    FROM kept GROUP BY doc_id
+)
+SELECT b.doc_id,
+       CAST(len(b.toks) AS INT) AS n_tokens,
+       CAST(len(b.toks) - COALESCE(r.n_kept, 0) AS INT) AS n_removed,
+       COALESCE(r.clean_text, '') AS clean_text
+FROM base b LEFT JOIN rebuilt r USING (doc_id)
+""",
+)
+def q_boilerplate_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-statistics-driven boilerplate removal (the RefinedWeb /
+    Gopher repetition-cleanup move, span-level because this corpus has
+    no line structure): any {BOILER_N}-gram span appearing in >=
+    {BOILER_DF} distinct documents is boilerplate — nav chrome, legal
+    footers, template text — and every token position it covers is
+    stripped from every document, preserving the order of what
+    survives. This is the one transformation family where the EDIT to
+    a document is decided by CORPUS-level statistics, so both the
+    detector and the surgery sit under the hash gate.
+
+    Scale shape: gram explode -> df hash agg (map-side combine) ->
+    semi-join occurrences against the hot-gram dim -> covered-position
+    explode + distinct -> one keyed anti-join against the token stream
+    -> ordered regroup. Every join is keyed on (doc, pos) or the gram
+    string; nothing all-pairs, no windows."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        F.filter(T.tokens(F.col("text")), lambda w: F.length(w) > 0).alias("toks"),
+    )
+    grams = base.select(
+        "doc_id", F.posexplode(T.word_ngrams(F.col("toks"), BOILER_N)).alias("gpos", "gram")
+    )
+    hot = (
+        grams.groupBy("gram")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .filter(F.col("df") >= BOILER_DF)
+        .select("gram")
+    )
+    cov = (
+        grams.join(hot, "gram")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("gpos"), F.col("gpos") + F.lit(BOILER_N - 1))
+            ).alias("pos"),
+        )
+        .distinct()
+        .withColumn("_cov", F.lit(1))
+    )
+    tokpos = base.select("doc_id", F.posexplode("toks").alias("pos", "tok"))
+    kept = tokpos.join(cov, ["doc_id", "pos"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))), lambda s: s.tok
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    return base.join(rebuilt, "doc_id", "left").select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        (F.size("toks") - F.coalesce(F.col("n_kept"), F.lit(0)))
+        .cast("int")
+        .alias("n_removed"),
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+    )
