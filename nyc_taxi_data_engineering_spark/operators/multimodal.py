@@ -399,3 +399,100 @@ def resize(payload: bytes, width: int, height: int) -> bytes:
     rows = (np.arange(height) * src_h) // height
     cols = (np.arange(width) * src_w) // width
     return encode_ppm(pixels[rows][:, cols])
+
+
+AUDIO_FRAME = 128  # samples per analysis frame
+AUDIO_HOP = 64  # hop between frame starts (50% overlap)
+
+AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("format", T.StringType()),
+                    T.StructField("sample_rate", T.IntegerType()),
+                    T.StructField("n_samples", T.LongType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_no", T.IntegerType()),
+        T.StructField("frame_sum", T.LongType()),
+        T.StructField("frame_sumsq", T.LongType()),
+        T.StructField("zero_crossings", T.IntegerType()),
+    ]
+)
+
+
+def attach_audio(docs: DataFrame, text_col: str = "text", sample_rate: int = 8000) -> DataFrame:
+    """Deterministic fake audio table: the document's UTF-8 bytes act
+    as unsigned 8-bit PCM samples (stands in for a real decoder), with
+    the typed metadata struct an audio table carries. Native
+    expressions only — payloads never leave the JVM here."""
+    payload = F.encode(F.col(text_col), "UTF-8")
+    return docs.select(
+        "doc_id",
+        payload.alias("payload"),
+        F.struct(
+            F.lit("pcm_u8/fake").alias("format"),
+            F.lit(sample_rate).alias("sample_rate"),
+            F.octet_length(payload).cast("long").alias("n_samples"),
+        ).alias("meta"),
+    )
+
+
+def audio_frame_features(
+    audio: DataFrame, frame: int = AUDIO_FRAME, hop: int = AUDIO_HOP
+) -> DataFrame:
+    """Arrow-batched frame analysis over the PCM payload — the audio
+    half of the multimodal column model: each row fans out to
+    floor((n - frame) / hop) + 1 overlapping frames (n >= frame; short
+    clips yield no frames), each with INTEGER-exact features so the
+    SQL oracle replays every value from the stored bytes:
+
+    - frame_sum / frame_sumsq: raw sample moments (energy),
+    - zero_crossings: sign changes of the DC-removed signal, computed
+      without floats by comparing ``s[i]*frame - frame_sum`` (the
+      deviation from the frame MEAN scaled by ``frame``) — standard
+      zero-crossing-rate with integer DC removal.
+
+    At 100 TB: one mapInPandas scan, 1:N fan-out bounded by clip
+    length / hop, no shuffle — features feed grouped aggs downstream."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, nos, sums, sumsqs, zcs = [], [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                s = np.frombuffer(bytes(payload), dtype=np.uint8).astype(np.int64)
+                n = s.size
+                if n < frame:
+                    continue
+                for f_no in range((n - frame) // hop + 1):
+                    w = s[f_no * hop : f_no * hop + frame]
+                    tot = int(w.sum())
+                    dev = w * frame - tot  # deviation from mean, x frame
+                    zc = int(np.count_nonzero(dev[:-1] * dev[1:] < 0))
+                    ids.append(doc_id)
+                    nos.append(f_no)
+                    sums.append(tot)
+                    sumsqs.append(int((w * w).sum()))
+                    zcs.append(zc)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_no": pd.Series(nos, dtype="int32"),
+                    "frame_sum": pd.Series(sums, dtype="int64"),
+                    "frame_sumsq": pd.Series(sumsqs, dtype="int64"),
+                    "zero_crossings": pd.Series(zcs, dtype="int32"),
+                }
+            )
+
+    return audio.mapInPandas(run, schema=AUDIO_FEATURES_SCHEMA)

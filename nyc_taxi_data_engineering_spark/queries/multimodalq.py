@@ -274,3 +274,60 @@ def q_image_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         dh.select("doc_id", F.col("dhash").alias("simhash")),
         max_hamming=DHASH_MAX_HAMMING,
     )
+
+
+# -- audio modality: frame-windowed PCM features ----------------------------
+
+
+@query(
+    "audio_frame_features",
+    oracle=f"""
+WITH base AS (
+    SELECT doc_id, text, length(text) AS n FROM documents
+    WHERE length(text) >= {M.AUDIO_FRAME}
+),
+fr AS (
+    SELECT doc_id, text, f
+    FROM base, unnest(generate_series(0, (n - {M.AUDIO_FRAME}) // {M.AUDIO_HOP})) AS t(f)
+),
+samp AS (
+    SELECT doc_id, f, j, ord(substr(text, f * {M.AUDIO_HOP} + j, 1)) AS s
+    FROM fr, unnest(generate_series(1, {M.AUDIO_FRAME})) AS u(j)
+),
+agg AS (
+    SELECT doc_id, f, SUM(s) AS fsum, SUM(s * s) AS fsumsq
+    FROM samp GROUP BY doc_id, f
+),
+zc AS (
+    SELECT s1.doc_id, s1.f,
+           SUM(CASE WHEN (s1.s * {M.AUDIO_FRAME} - a.fsum)
+                       * (s2.s * {M.AUDIO_FRAME} - a.fsum) < 0
+                    THEN 1 ELSE 0 END) AS zcount
+    FROM samp s1
+    JOIN samp s2 ON s2.doc_id = s1.doc_id AND s2.f = s1.f AND s2.j = s1.j + 1
+    JOIN agg a ON a.doc_id = s1.doc_id AND a.f = s1.f
+    GROUP BY s1.doc_id, s1.f
+)
+SELECT a.doc_id,
+       CAST(a.f AS INT) AS frame_no,
+       CAST(a.fsum AS BIGINT) AS frame_sum,
+       CAST(a.fsumsq AS BIGINT) AS frame_sumsq,
+       CAST(zc.zcount AS INT) AS zero_crossings
+FROM agg a JOIN zc ON zc.doc_id = a.doc_id AND zc.f = a.f
+""",
+)
+def q_audio_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUDIO-modality plumbing, end-to-end under the gate: documents'
+    bytes stand in for unsigned 8-bit PCM (attach_audio — the honest
+    deterministic fake, the real decoder being a library gap), and
+    audio_frame_features fans each clip into 50%-overlapping
+    {M.AUDIO_FRAME}-sample frames with INTEGER-exact features: frame
+    sum/sum-of-squares (energy) and the zero-crossing rate of the
+    DC-removed signal (sign changes of s*frame - frame_sum — mean
+    removal without a float). The oracle recomputes every sample from
+    the stored text bytes, every frame boundary, and every crossing in
+    SQL — the mapInPandas batch shape, the 1:N fan-out contract, and
+    the windowing arithmetic all hash-checked. Clips shorter than one
+    frame yield no rows in both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    return M.audio_frame_features(M.attach_audio(docs))

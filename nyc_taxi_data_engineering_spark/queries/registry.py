@@ -30,7 +30,7 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # entries of ``queries()`` in dict order, so registration order decides which
 # queries earn a driver CORRECTNESS row each round. This list pins the front
 # of that window explicitly instead of leaving it to module-import order.
-# Round 7 ordering: the 11 new round-7 queries (never sampled), then the 40
+# Round 7 ordering: the 12 new round-7 queries (never sampled), then the 40
 # r4-vintage names (stalest driver-green — last verified three rounds ago),
 # and no r5 filler to fill the window; the r5/r6-green tail follows in
 # registration order. Queries pushed past the window keep full local coverage
@@ -41,6 +41,7 @@ ROTATION: list[str] = [
     "kmv_split_overlap",
     "user_retention_cohorts",
     "boilerplate_span_scrub",
+    "audio_frame_features",
     "minhash_recall_audit",
     "fuzzy_contamination_docs",
     "bpe_tokenize_docs",
@@ -84,7 +85,6 @@ ROTATION: list[str] = [
     "text_langid_confusion",
     "text_token_stats",
     "token_length_histogram",
-    "trade_flows_by_nation",
     "validate_split_metrics",
 ]
 
