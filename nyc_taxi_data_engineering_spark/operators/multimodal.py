@@ -496,3 +496,124 @@ def audio_frame_features(
             )
 
     return audio.mapInPandas(run, schema=AUDIO_FEATURES_SCHEMA)
+
+
+VIDEO_FRAMES = 6  # frames per synthetic clip
+VIDEO_FRAME_BYTES = PPM_WIDTH * PPM_HEIGHT * 3  # raw raster bytes per frame
+VIDEO_STRIDE = 7  # per-frame byte offset of the synthetic clip
+VIDEO_CUT_FRAME = 3  # frames >= this are scene 2 (hard cut to black)
+
+VIDEO_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("format", T.StringType()),
+                    T.StructField("width", T.IntegerType()),
+                    T.StructField("height", T.IntegerType()),
+                    T.StructField("n_frames", T.IntegerType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+SCENE_CUTS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_pair", T.IntegerType()),
+        T.StructField("l1_delta", T.LongType()),
+        T.StructField("is_cut", T.BooleanType()),
+    ]
+)
+
+
+def attach_video(docs: DataFrame, text_col: str = "text", n_frames: int = VIDEO_FRAMES) -> DataFrame:
+    """Deterministic fake video table: frame f's raster byte k is text
+    byte ((k + f*{stride}) mod len) — a closed form the SQL oracle can
+    recompute per pixel — with a PLANTED SCENE CHANGE: frames >=
+    VIDEO_CUT_FRAME are BLACK (a hard cut to no-signal — think end
+    slate), so the clip is two maximally distinct scenes joined at one
+    boundary: a correct detector must flag exactly that pair, and the
+    zero-motion scene-2 pairs must NOT flag. Frames
+    concatenate into ONE binary payload (the raw-video container
+    model: fixed-size frames back to back)."""
+
+    nb = VIDEO_FRAME_BYTES
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for text in pdf[text_col]:
+                raw = text.encode("utf-8") or b"\x00"
+                L = len(raw)
+                buf = bytearray()
+                for f in range(n_frames):
+                    reps = -(-(nb + f * VIDEO_STRIDE) // L) + 1
+                    ext = (raw * reps)
+                    start = (f * VIDEO_STRIDE) % L
+                    frame = np.frombuffer(bytes(ext[start : start + nb]), dtype=np.uint8)
+                    if f >= VIDEO_CUT_FRAME:
+                        frame = np.zeros_like(frame)  # scene 2: black
+                    buf += frame.tobytes()
+                payloads.append(bytes(buf))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    base = docs.select("doc_id", text_col).mapInPandas(
+        run, schema=T.StructType(
+            [T.StructField("doc_id", T.LongType()), T.StructField("payload", T.BinaryType())]
+        )
+    )
+    return base.select(
+        "doc_id",
+        "payload",
+        F.struct(
+            F.lit("rawvideo/fake").alias("format"),
+            F.lit(PPM_WIDTH).alias("width"),
+            F.lit(PPM_HEIGHT).alias("height"),
+            F.lit(n_frames).alias("n_frames"),
+        ).alias("meta"),
+    )
+
+
+def video_scene_cuts(video: DataFrame) -> DataFrame:
+    """Temporal video analysis — scene-cut detection over the frame
+    sequence: per consecutive frame pair, the INTEGER L1 pixel delta,
+    flagged as a cut when it exceeds twice the clip's own mean delta
+    (adaptive threshold, compared float-free as
+    ``delta * n_pairs > 2 * total_delta``). This is the standard
+    shot-boundary heuristic; the decode is the honest deterministic
+    fake (attach_video), the windowed differencing and adaptive
+    thresholding are real. One mapInPandas scan, n_frames-1 rows out
+    per clip, no shuffle."""
+
+    nb = VIDEO_FRAME_BYTES
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, pairs, deltas, cuts = [], [], [], []
+            for doc_id, payload, meta in zip(pdf["doc_id"], pdf["payload"], pdf["meta"]):
+                nf = int(meta["n_frames"])
+                arr = np.frombuffer(bytes(payload), dtype=np.uint8).astype(np.int64)
+                frames = arr.reshape(nf, nb)
+                d = np.abs(frames[1:] - frames[:-1]).sum(axis=1)
+                total = int(d.sum())
+                n_pairs = nf - 1
+                for i, dv in enumerate(d):
+                    ids.append(doc_id)
+                    pairs.append(i)
+                    deltas.append(int(dv))
+                    cuts.append(bool(int(dv) * n_pairs > 2 * total))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_pair": pd.Series(pairs, dtype="int32"),
+                    "l1_delta": pd.Series(deltas, dtype="int64"),
+                    "is_cut": pd.Series(cuts, dtype="bool"),
+                }
+            )
+
+    return video.mapInPandas(run, schema=SCENE_CUTS_SCHEMA)

@@ -331,3 +331,48 @@ def q_audio_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame yield no rows in both engines."""
     docs = load_table(spark, sf_dir, "documents")
     return M.audio_frame_features(M.attach_audio(docs))
+
+
+# -- video modality: temporal frame differencing ----------------------------
+
+
+@query(
+    "video_scene_cuts",
+    oracle=f"""
+WITH k AS (SELECT unnest(range(0, {M.VIDEO_FRAME_BYTES})) AS k),
+fp AS (SELECT unnest(range(0, {M.VIDEO_FRAMES - 1})) AS p),
+b AS (
+    SELECT doc.doc_id, fp.p, k.k,
+           CASE WHEN fp.p + 1 >= {M.VIDEO_CUT_FRAME} THEN 0
+                ELSE ord(substr(doc.text, ((k.k + (fp.p + 1) * {M.VIDEO_STRIDE}) % length(doc.text)) + 1, 1)) END AS nxt,
+           CASE WHEN fp.p >= {M.VIDEO_CUT_FRAME} THEN 0
+                ELSE ord(substr(doc.text, ((k.k + fp.p * {M.VIDEO_STRIDE}) % length(doc.text)) + 1, 1)) END AS cur
+    FROM documents doc CROSS JOIN fp CROSS JOIN k
+),
+d AS (
+    SELECT doc_id, p, SUM(ABS(nxt - cur)) AS l1 FROM b GROUP BY doc_id, p
+),
+tot AS (SELECT doc_id, SUM(l1) AS total FROM d GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(d.p AS INT) AS frame_pair,
+       CAST(d.l1 AS BIGINT) AS l1_delta,
+       (d.l1 * {M.VIDEO_FRAMES - 1} > 2 * tot.total) AS is_cut
+FROM d JOIN tot USING (doc_id)
+""",
+)
+def q_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VIDEO-modality temporal analysis, end-to-end under the gate:
+    each doc becomes a {M.VIDEO_FRAMES}-frame raw clip (attach_video —
+    fixed-size rasters back to back in ONE binary payload, frame f's
+    byte k = text byte (k + f*{M.VIDEO_STRIDE}) mod len, frames >=
+    {M.VIDEO_CUT_FRAME} black — a planted hard cut), and
+    video_scene_cuts computes the shot-boundary heuristic: per
+    consecutive frame pair the integer L1 pixel delta, flagged as a
+    cut when it exceeds 2x the clip's own mean delta (adaptive
+    threshold compared float-free: delta*n_pairs > 2*total). The
+    oracle recomputes every frame byte, every delta, and every flag
+    from the stored text in SQL — the multi-frame container layout,
+    the 1:N fan-out, and the temporal differencing are all
+    hash-checked. Completes the image/audio/video trio."""
+    docs = load_table(spark, sf_dir, "documents")
+    return M.video_scene_cuts(M.attach_video(docs))
