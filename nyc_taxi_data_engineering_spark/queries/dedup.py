@@ -587,3 +587,20 @@ def q_minhash_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("in_t") * F.col("in_c")) / F.sum("in_t"), 6
         ).alias("recall"),
     )
+
+
+from nyc_taxi_data_engineering_spark.operators import exact_substr as XS  # noqa: E402
+
+
+@query("crossdoc_repeated_spans", oracle=XS.crossdoc_repeated_spans_sql())
+def q_crossdoc_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr dedup (Lee et al. 2022): maximal >=32-char spans
+    appearing VERBATIM in >=2 distinct documents — the duplication
+    class that document-level MinHash/SimHash misses (a shared
+    paragraph inside two otherwise-different docs). One explode over
+    character windows, one map-side-combined gram shuffle, a per-doc
+    gaps-and-islands merge (window bounded by a single doc's length),
+    and the span md5 puts the duplicated CONTENT itself under the hash
+    gate. At sf0.01 the planted near-dup corpus yields 53 spans up to
+    526 chars long."""
+    return XS.crossdoc_repeated_spans(load_table(spark, sf_dir, "documents"))

@@ -398,3 +398,46 @@ def test_kmeans_empty_cluster_drops_out(spark):
     cids = {r["c_id"] for r in assign.collect()}
     cent_ids = {r["c_id"] for r in cent.collect()}
     assert cent_ids == cids  # centroids exist exactly for surviving clusters
+
+
+def test_crossdoc_repeated_spans_planted_paragraph(spark):
+    """Two docs share one verbatim 100-char paragraph inside otherwise
+    unrelated text; the detector must report EXACTLY that span in both
+    docs (maximal, correct offset/length, same content md5) and nothing
+    in the unrelated doc — the duplication class doc-level Jaccard
+    misses."""
+    from nyc_taxi_data_engineering_spark.operators import exact_substr as XS
+
+    para = "".join(chr(ord("A") + (i * 7) % 26) for i in range(100))
+    a_pre = "".join(chr(ord("a") + (i * 11) % 26) for i in range(57))
+    b_pre = "".join(chr(ord("0") + (i * 3) % 10) for i in range(41))
+    docs = spark.createDataFrame(
+        [
+            (0, a_pre + para + "tail-one ends here differently......"),
+            (1, b_pre + para + "another closing run of words entirely"),
+            (2, "completely unrelated filler text with no shared windows at all padded"
+                " out to be comfortably longer than one window width"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = XS.crossdoc_repeated_spans(docs).collect()
+    got = {r["doc_id"]: r for r in rows}
+    assert set(got) == {0, 1}
+    assert (got[0]["span_start"], got[0]["span_len"]) == (len(a_pre), 100)
+    assert (got[1]["span_start"], got[1]["span_len"]) == (len(b_pre), 100)
+    assert got[0]["span_md5"] == got[1]["span_md5"]
+    assert got[0]["n_grams"] == 100 - XS.SPAN_K + 1
+
+
+def test_crossdoc_repeated_spans_short_docs_skipped(spark):
+    """Docs shorter than the window contribute no positions (and the
+    sequence() guard never generates a descending range)."""
+    from nyc_taxi_data_engineering_spark.operators import exact_substr as XS
+
+    docs = spark.createDataFrame(
+        [(0, "tiny"), (1, "tiny"), (2, "x" * 64), (3, "x" * 64)],
+        "doc_id long, text string",
+    )
+    rows = XS.crossdoc_repeated_spans(docs).collect()
+    got = {r["doc_id"]: (r["span_start"], r["span_len"]) for r in rows}
+    assert got == {2: (0, 64), 3: (0, 64)}
