@@ -604,3 +604,14 @@ def q_crossdoc_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     gate. At sf0.01 the planted near-dup corpus yields 53 spans up to
     526 chars long."""
     return XS.crossdoc_repeated_spans(load_table(spark, sf_dir, "documents"))
+
+
+@query("crossdoc_span_scrub", oracle=XS.crossdoc_span_scrub_sql())
+def q_crossdoc_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr REMEDIATION: every duplicated >=32-char span is kept
+    by one canonical holder (min doc_id over the span content hash) and
+    CUT from every other document, order-preserving — detection AND
+    surgery under the hash gate (clean_md5 is the md5 of each rebuilt
+    text). Char-overlapping cuts are interval-merged first; the rebuild
+    is a lag-complement + ordered concat, keyed per doc, no UDF."""
+    return XS.crossdoc_span_scrub(load_table(spark, sf_dir, "documents"))

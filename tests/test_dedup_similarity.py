@@ -441,3 +441,41 @@ def test_crossdoc_repeated_spans_short_docs_skipped(spark):
     rows = XS.crossdoc_repeated_spans(docs).collect()
     got = {r["doc_id"]: (r["span_start"], r["span_len"]) for r in rows}
     assert got == {2: (0, 64), 3: (0, 64)}
+
+
+def test_crossdoc_span_scrub_canonical_keeps_others_cut(spark):
+    """The min-doc_id holder keeps the shared paragraph; the other
+    holder has exactly that span cut (clean text = its flanks), and
+    an exact-duplicate pair scrubs to empty for the non-canonical
+    copy."""
+    import hashlib
+
+    from nyc_taxi_data_engineering_spark.operators import exact_substr as XS
+
+    para = "".join(chr(ord("A") + (i * 7) % 26) for i in range(100))
+    a_pre = "".join(chr(ord("a") + (i * 11) % 26) for i in range(57))
+    b_pre = "".join(chr(ord("0") + (i * 3) % 10) for i in range(41))
+    b_post = "another closing run of words entirely"
+    twin = "Y" * 64
+    docs = spark.createDataFrame(
+        [
+            (0, a_pre + para + "tail-one ends here differently......"),
+            (1, b_pre + para + b_post),
+            (2, twin),
+            (3, twin),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in XS.crossdoc_span_scrub(docs).collect()}
+    assert len(got) == 4
+    # doc 0 is canonical for the paragraph: untouched
+    assert got[0]["n_cuts"] == 0 and got[0]["chars_removed"] == 0
+    # doc 1 loses exactly the paragraph
+    assert (got[1]["n_cuts"], got[1]["chars_removed"]) == (1, 100)
+    want1 = (b_pre + b_post).encode()
+    assert got[1]["clean_md5"] == hashlib.md5(want1).hexdigest()
+    assert got[1]["clean_len"] == len(want1)
+    # doc 2 is canonical for the twin; doc 3 scrubs to empty
+    assert got[2]["n_cuts"] == 0
+    assert (got[3]["n_cuts"], got[3]["chars_removed"], got[3]["clean_len"]) == (1, 64, 0)
+    assert got[3]["clean_md5"] == hashlib.md5(b"").hexdigest()
