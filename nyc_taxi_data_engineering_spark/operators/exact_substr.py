@@ -56,13 +56,26 @@ def crossdoc_repeated_spans(
         "text",
     ).select("doc_id", "p", F.expr(f"substring(text, p + 1, {k})").alias("gram"))
 
+    # Two-level dup filter: the corpus-wide shuffle carries an 8-byte
+    # xxhash64 key instead of the k-char gram (~3x lighter at 100 TB);
+    # hash collisions can only ADD candidates, and the exact regroup on
+    # the (tiny) surviving subset removes them — output is identical to
+    # a direct group-by-gram, collision or not.
+    hashed = grams.withColumn("gh", F.xxhash64("gram"))
+    cand = (
+        hashed.groupBy("gh")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("gh")
+    )
+    survivors = hashed.join(cand, "gh").select("doc_id", "p", "gram")
     dup = (
-        grams.groupBy("gram")
+        survivors.groupBy("gram")
         .agg(F.countDistinct("doc_id").alias("nd"))
         .filter(F.col("nd") >= min_docs)
         .select("gram")
     )
-    hits = grams.join(dup, "gram").select("doc_id", "p")
+    hits = survivors.join(dup, "gram").select("doc_id", "p")
 
     w = Window.partitionBy("doc_id").orderBy("p")
     isl = hits.withColumn("grp", F.col("p") - F.row_number().over(w))
