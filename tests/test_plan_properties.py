@@ -515,3 +515,20 @@ def test_image_dhash_pairs_no_cartesian(spark, sf_dir):
     plan = _plan(spark, sf_dir, "image_dhash_pairs")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_crossdoc_spans_hash_keyed_shuffle_no_cartesian(spark, sf_dir):
+    """ExactSubstr's corpus-wide aggregation must key on the 8-byte
+    xxhash64 of the gram (the k-char strings shuffle only for the tiny
+    surviving-candidate recheck), nothing all-pairs, and the island
+    window must stay partitioned per doc (no global sort)."""
+    plan = _plan(spark, sf_dir, "crossdoc_repeated_spans")
+    assert "xxhash64" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_crossdoc_scrub_no_cartesian_all_joins_keyed(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "crossdoc_span_scrub")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
