@@ -195,3 +195,22 @@ def test_video_scene_cuts_uniform_text_no_flags(spark):
         assert by_pair[p] == (0, False)
     # the planted boundary is the only nonzero delta -> flagged
     assert by_pair[M.VIDEO_CUT_FRAME - 1][1]
+
+
+def test_corpus_text_is_ascii_the_byte_char_parity_precondition(sf_dir):
+    """Every byte-level fake codec (attach_ppm_images/attach_audio/
+    attach_video) reads text as UTF-8 BYTES while the SQL oracles read
+    it as CHARACTERS (ord/substr) — identical only while the corpus is
+    pure ASCII. Pin that precondition: if a future corpus breaks it,
+    this fails with a clear message instead of a silent hash
+    mismatch."""
+    import duckdb
+
+    bad = duckdb.sql(
+        f"SELECT COUNT(*) FROM read_parquet('{sf_dir}/documents.parquet') "
+        "WHERE length(text) <> octet_length(encode(text)) OR length(text) = 0"
+    ).fetchone()[0]
+    assert bad == 0, (
+        f"{bad} documents are non-ASCII or empty — the multimodal "
+        "byte/char oracles' parity precondition no longer holds"
+    )
