@@ -150,12 +150,16 @@ def crossdoc_span_scrub(
     in *positions*, but each extends k-1 chars past its last position),
     hence the explicit interval-merge step before cutting."""
     spans = crossdoc_repeated_spans(docs, text_col=text_col, k=k, min_docs=min_docs)
+    # the span table feeds three consumers (keeper choice, cut list,
+    # stats) — cache it so the corpus-wide detection pipeline runs once
+    # (tiny: one row per duplicated span; at corpus scale swap for
+    # persist(DISK_ONLY), same policy as the shingle-set cache)
     sp = spans.select(
         "doc_id",
         F.col("span_start").alias("s"),
         (F.col("span_start") + F.col("span_len")).alias("e"),
         F.col("span_md5").alias("m"),
-    )
+    ).cache()
     keeper = sp.groupBy("m").agg(F.min("doc_id").alias("keeper"))
     cuts = sp.join(keeper, "m").filter(F.col("doc_id") != F.col("keeper")).select(
         "doc_id", "s", "e"

@@ -299,27 +299,32 @@ def dhash_images(images: DataFrame, hash_size: int = DHASH_SIZE) -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            hashes = []
-            for payload in pdf["payload"]:
-                px = decode_image(bytes(payload))
-                gray = px.sum(axis=2, dtype=np.int64)  # H x W, 0..765
-                h_, w_ = gray.shape
-                rows = (np.arange(hash_size) * h_) // hash_size
-                cols = (np.arange(hash_size + 1) * w_) // (hash_size + 1)
-                grid = gray[rows][:, cols]
-                bits = (grid[:, :-1] < grid[:, 1:]).flatten()  # row-major, bit y*8+x
-                val = 0
-                for b, bit in enumerate(bits):
-                    if bit:
-                        val |= 1 << b
-                if val >= 1 << 63:  # two's-complement into signed int64
-                    val -= 1 << 64
-                hashes.append(val)
+            hashes = [
+                _dhash_int(decode_image(bytes(payload)), hash_size)
+                for payload in pdf["payload"]
+            ]
             yield pd.DataFrame(
                 {"doc_id": pdf["doc_id"], "dhash": pd.Series(hashes, dtype="int64")}
             )
 
     return images.mapInPandas(run, schema=DHASH_SCHEMA)
+
+
+def _dhash_int(px: np.ndarray, hash_size: int = DHASH_SIZE) -> int:
+    """The dHash core over one HxWx3 raster, as a signed 64-bit int."""
+    gray = px.sum(axis=2, dtype=np.int64)  # H x W, 0..765
+    h_, w_ = gray.shape
+    rows = (np.arange(hash_size) * h_) // hash_size
+    cols = (np.arange(hash_size + 1) * w_) // (hash_size + 1)
+    grid = gray[rows][:, cols]
+    bits = (grid[:, :-1] < grid[:, 1:]).flatten()  # row-major, bit y*8+x
+    val = 0
+    for b, bit in enumerate(bits):
+        if bit:
+            val |= 1 << b
+    if val >= 1 << 63:  # two's-complement into signed int64
+        val -= 1 << 64
+    return val
 
 
 def encode_ppm(pixels: np.ndarray) -> bytes:
@@ -617,3 +622,45 @@ def video_scene_cuts(video: DataFrame) -> DataFrame:
             )
 
     return video.mapInPandas(run, schema=SCENE_CUTS_SCHEMA)
+
+
+FRAME_DHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame", T.IntegerType()),
+        T.StructField("dhash", T.LongType()),
+    ]
+)
+
+
+def video_frame_dhashes(video: DataFrame, hash_size: int = DHASH_SIZE) -> DataFrame:
+    """Per-frame perceptual hashes for video clips — the standard video
+    fingerprint (frame-sampled dHash, the same family YouTube-style
+    content-ID systems build on): each PRE-CUT frame of the clip
+    (frames >= VIDEO_CUT_FRAME are the planted all-black end slate —
+    identical across every clip, so hashing them would pair the whole
+    corpus) is dHashed with the image pipeline's exact core
+    (:func:`_dhash_int`). One Arrow-batched scan, n-pre-cut-frames rows
+    out per clip, no shuffle."""
+    nb = VIDEO_FRAME_BYTES
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, frames, hashes = [], [], []
+            for doc_id, payload, meta in zip(pdf["doc_id"], pdf["payload"], pdf["meta"]):
+                nf = min(int(meta["n_frames"]), VIDEO_CUT_FRAME)
+                arr = np.frombuffer(bytes(payload), dtype=np.uint8)
+                for f in range(nf):
+                    px = arr[f * nb : (f + 1) * nb].reshape(PPM_HEIGHT, PPM_WIDTH, 3)
+                    ids.append(doc_id)
+                    frames.append(f)
+                    hashes.append(_dhash_int(px, hash_size))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame": pd.Series(frames, dtype="int32"),
+                    "dhash": pd.Series(hashes, dtype="int64"),
+                }
+            )
+
+    return video.mapInPandas(run, schema=FRAME_DHASH_SCHEMA)
