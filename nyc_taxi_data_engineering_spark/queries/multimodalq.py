@@ -376,3 +376,122 @@ def q_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-checked. Completes the image/audio/video trio."""
     docs = load_table(spark, sf_dir, "documents")
     return M.video_scene_cuts(M.attach_video(docs))
+
+
+# -- video modality: clip fingerprint near-dup ------------------------------
+
+
+def _video_frame_pair_ctes() -> str:
+    """Per pre-cut frame f: dhash CTE (the image pipeline's closed form
+    shifted by the clip's per-frame byte offset f*stride) + the
+    all-pairs hamming compare at the gate."""
+    parts = []
+    for f in range(M.VIDEO_CUT_FRAME):
+        off = f * M.VIDEO_STRIDE
+        parts.append(f"""
+g{f} AS (
+    SELECT s.doc_id, y.y, x.x,
+           (ord(substr(s.text, ((y.y * 8 + x.x) * 3 + 0 + {off}) % length(s.text) + 1, 1))
+          + ord(substr(s.text, ((y.y * 8 + x.x) * 3 + 1 + {off}) % length(s.text) + 1, 1))
+          + ord(substr(s.text, ((y.y * 8 + x.x) * 3 + 2 + {off}) % length(s.text) + 1, 1))) AS gv
+    FROM src s
+    CROSS JOIN (SELECT unnest(range(0, 8)) AS y) y
+    CROSS JOIN (SELECT unnest(range(0, 8)) AS x) x
+),
+bits{f} AS (
+    SELECT gl.doc_id, gl.y, x.x AS bx,
+           CASE WHEN gl.gv < gr.gv THEN 1 ELSE 0 END AS bit
+    FROM (SELECT unnest(range(0, 8)) AS x) x
+    JOIN g{f} gl ON gl.x = (x.x * 8) // 9
+    JOIN g{f} gr ON gr.doc_id = gl.doc_id AND gr.y = gl.y AND gr.x = ((x.x + 1) * 8) // 9
+),
+h{f} AS (
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN y * 8 + bx = 63
+                    THEN CASE WHEN bit = 1 THEN -9223372036854775807 - 1 ELSE 0 END
+                    ELSE bit::BIGINT << (y * 8 + bx) END) AS BIGINT) AS dhash
+    FROM bits{f} GROUP BY doc_id
+),
+p{f} AS (
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           bit_count(xor(a.dhash, b.dhash))::INT AS hamming
+    FROM h{f} a JOIN h{f} b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.dhash, b.dhash)) <= {DHASH_MAX_HAMMING}
+)""")
+    return ",".join(parts)
+
+
+_VIDEO_PAIR_UNION = " UNION ALL ".join(
+    f"SELECT * FROM p{f}" for f in range(M.VIDEO_CUT_FRAME)
+)
+
+
+@query(
+    "video_neardup_clips",
+    oracle=f"""
+WITH src AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + {DHASH_TWIN_OFFSET} AS doc_id, {_DHASH_TWIN_TEXT_SQL} AS text
+    FROM documents
+    WHERE doc_id < {DHASH_PLANT_N} AND length(text) >= {DHASH_PLANT_MIN_CHARS}
+),
+{_video_frame_pair_ctes()}
+SELECT a_id, b_id, CAST(MAX(hamming) AS INT) AS max_hamming
+FROM ({_VIDEO_PAIR_UNION})
+GROUP BY a_id, b_id
+HAVING COUNT(*) = {M.VIDEO_CUT_FRAME}
+""",
+)
+def q_video_neardup_clips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VIDEO fingerprint near-duplicates — frame-sampled dHash, the
+    shape production content-ID systems use: every PRE-CUT frame of
+    each clip (the black end slate is identical across the corpus and
+    must not vote) is perceptually hashed with the image pipeline's
+    exact dHash core, each frame index runs the SAME pigeonhole-exact
+    Manku block join as text SimHash / image dHash, and two clips are
+    near-dups only when EVERY pre-cut frame pair sits inside the
+    hamming gate (per-frame candidates, conjunctive clip verdict).
+    Planted twins (one source byte bumped — one pixel per frame)
+    guarantee a recall floor. The oracle recomputes every frame's every
+    hash bit in closed form and does the all-pairs compare per frame,
+    so the frame slicing, the per-frame hashing, the block join's
+    exactness, AND the all-frames conjunction are under the hash gate.
+    At 100 TB: hashing is an embarrassingly parallel scan emitting
+    {M.VIDEO_CUT_FRAME} rows per clip; candidates are keyed equi-joins
+    per frame index; the conjunction is one hash agg."""
+    from functools import reduce
+
+    from nyc_taxi_data_engineering_spark.operators.dedup import simhash_neardup_pairs
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    twin_ch = F.expr("char(((ascii(substring(text, 11, 1)) - 32 + 1) % 95) + 32)")
+    twins = (
+        docs.filter(
+            (F.col("doc_id") < DHASH_PLANT_N)
+            & (F.length("text") >= DHASH_PLANT_MIN_CHARS)
+        )
+        .select(
+            (F.col("doc_id") + DHASH_TWIN_OFFSET).alias("doc_id"),
+            F.concat(
+                F.substring("text", 1, 10), twin_ch, F.expr("substring(text, 12)")
+            ).alias("text"),
+        )
+    )
+    fh = M.video_frame_dhashes(M.attach_video(docs.unionByName(twins))).cache()
+    per_frame = [
+        simhash_neardup_pairs(
+            fh.filter(F.col("frame") == f).select(
+                "doc_id", F.col("dhash").alias("simhash")
+            ),
+            max_hamming=DHASH_MAX_HAMMING,
+        )
+        for f in range(M.VIDEO_CUT_FRAME)
+    ]
+    allp = reduce(lambda a, b: a.unionByName(b), per_frame)
+    return (
+        allp.groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).alias("nf"), F.max("hamming").alias("max_hamming"))
+        .filter(F.col("nf") == M.VIDEO_CUT_FRAME)
+        .select("a_id", "b_id", F.col("max_hamming").cast("int").alias("max_hamming"))
+    )

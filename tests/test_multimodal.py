@@ -214,3 +214,32 @@ def test_corpus_text_is_ascii_the_byte_char_parity_precondition(sf_dir):
         f"{bad} documents are non-ASCII or empty — the multimodal "
         "byte/char oracles' parity precondition no longer holds"
     )
+
+
+def test_video_neardup_clips_finds_every_planted_twin(spark, sf_dir):
+    """Each planted (clip, twin) pair differs by ONE source byte, i.e.
+    one pixel per pre-cut frame, so every frame pair is hamming <= 2
+    and the conjunctive clip verdict must surface ALL of them — the
+    recall floor for the video fingerprint path."""
+    from nyc_taxi_data_engineering_spark.catalog import load_table
+    from nyc_taxi_data_engineering_spark.queries import multimodalq as MQ
+
+    eligible = {
+        r["doc_id"]
+        for r in load_table(spark, sf_dir, "documents")
+        .filter(
+            (F.col("doc_id") < MQ.DHASH_PLANT_N)
+            & (F.length("text") >= MQ.DHASH_PLANT_MIN_CHARS)
+        )
+        .select("doc_id")
+        .collect()
+    }
+    assert eligible, "corpus has no eligible plant docs — test is vacuous"
+    pairs = {
+        (r["a_id"], r["b_id"]): r["max_hamming"]
+        for r in MQ.q_video_neardup_clips(spark, sf_dir).collect()
+    }
+    for d in eligible:
+        key = (d, d + MQ.DHASH_TWIN_OFFSET)
+        assert key in pairs, f"planted twin clip pair {key} missed"
+        assert pairs[key] <= 2
