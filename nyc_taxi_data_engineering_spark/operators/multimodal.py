@@ -664,3 +664,54 @@ def video_frame_dhashes(video: DataFrame, hash_size: int = DHASH_SIZE) -> DataFr
             )
 
     return video.mapInPandas(run, schema=FRAME_DHASH_SCHEMA)
+
+
+AUDIO_FP_BLOCKS = 64  # whole-clip energy profile -> 63 delta bits
+
+AUDIO_FP_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("fingerprint", T.LongType()),
+    ]
+)
+
+
+def audio_fingerprints(audio: DataFrame) -> DataFrame:
+    """63-bit acoustic fingerprint per clip — the Haitsma-Kalker
+    energy-delta family: the clip is split into {AUDIO_FP_BLOCKS}
+    equal-width blocks spanning the WHOLE signal (width = n_samples //
+    {AUDIO_FP_BLOCKS}, tail remainder ignored; clips shorter than
+    {AUDIO_FP_BLOCKS} samples emit no row), each block's integer energy
+    is the sum of squared raw u8 samples, and bit b is set iff
+    E(b) < E(b+1).  Comparisons of NEIGHBORING energies make the
+    fingerprint robust to uniform gain shifts, exactly like dHash's
+    neighboring-pixel comparisons; bits 0..62 keep the packed value
+    positive (no sign-bit two's-complement case).  One Arrow-batched
+    scan, no shuffle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fps = [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                arr = np.frombuffer(bytes(payload), dtype=np.uint8).astype(np.int64)
+                w = arr.size // AUDIO_FP_BLOCKS
+                if w == 0:
+                    continue
+                en = (arr[: AUDIO_FP_BLOCKS * w].reshape(AUDIO_FP_BLOCKS, w) ** 2).sum(
+                    axis=1
+                )
+                bits = en[:-1] < en[1:]
+                val = 0
+                for b, bit in enumerate(bits):
+                    if bit:
+                        val |= 1 << b
+                ids.append(doc_id)
+                fps.append(val)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "fingerprint": pd.Series(fps, dtype="int64"),
+                }
+            )
+
+    return audio.mapInPandas(run, schema=AUDIO_FP_SCHEMA)

@@ -495,3 +495,86 @@ def q_video_neardup_clips(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("nf") == M.VIDEO_CUT_FRAME)
         .select("a_id", "b_id", F.col("max_hamming").cast("int").alias("max_hamming"))
     )
+
+
+# -- audio modality: acoustic fingerprint near-dup --------------------------
+
+
+@query(
+    "audio_neardup_clips",
+    oracle=f"""
+WITH src AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + {DHASH_TWIN_OFFSET} AS doc_id, {_DHASH_TWIN_TEXT_SQL} AS text
+    FROM documents
+    WHERE doc_id < {DHASH_PLANT_N} AND length(text) >= {DHASH_PLANT_MIN_CHARS}
+),
+blocks AS (
+    SELECT s.doc_id, bb.b,
+           SUM(CAST(ord(substr(s.text,
+                   CAST(bb.b * (length(s.text) // {M.AUDIO_FP_BLOCKS}) + i.i AS INT) + 1, 1)) AS BIGINT)
+             * CAST(ord(substr(s.text,
+                   CAST(bb.b * (length(s.text) // {M.AUDIO_FP_BLOCKS}) + i.i AS INT) + 1, 1)) AS BIGINT)
+           ) AS en
+    FROM src s
+    CROSS JOIN (SELECT unnest(range(0, {M.AUDIO_FP_BLOCKS})) AS b) bb
+    JOIN (SELECT unnest(range(0, 256)) AS i) i
+      ON i.i < length(s.text) // {M.AUDIO_FP_BLOCKS}
+    WHERE length(s.text) >= {M.AUDIO_FP_BLOCKS}
+    GROUP BY s.doc_id, bb.b
+),
+fp AS (
+    SELECT a.doc_id,
+           CAST(SUM(CASE WHEN a.en < n.en THEN CAST(1 AS BIGINT) << a.b
+                         ELSE 0 END) AS BIGINT) AS fingerprint
+    FROM blocks a JOIN blocks n ON n.doc_id = a.doc_id AND n.b = a.b + 1
+    GROUP BY a.doc_id
+)
+SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       bit_count(xor(a.fingerprint, b.fingerprint))::INT AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.fingerprint, b.fingerprint)) <= {DHASH_MAX_HAMMING}
+""",
+)
+def q_audio_neardup_clips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUDIO fingerprint near-duplicates — the Haitsma-Kalker
+    energy-delta family: each clip's whole signal collapses to a
+    63-bit fingerprint (64 equal-width blocks, bit b set iff block
+    energy b < b+1 — gain-shift-robust the way dHash's neighbor
+    comparisons are brightness-robust), then the SAME pigeonhole-exact
+    Manku block join pairs fingerprints within hamming <=
+    {DHASH_MAX_HAMMING}. Planted one-byte twins perturb one block's
+    energy, flipping at most its two adjacent comparison bits — the
+    guaranteed recall floor. The oracle recomputes every block energy
+    and every comparison bit from the text in closed form and does the
+    all-pairs compare, so decode, blocking, bit packing, and the block
+    join's exactness all sit under the hash gate. Completes
+    fingerprint near-dup across the modality trio (image dHash, video
+    frame dHash, audio energy-delta). Oracle's per-block inner range is
+    bounded at 256 samples/block (docs up to 16k chars — the corpus
+    max is ~600); the Spark side uses the true width, so a corpus
+    break would surface as a parity failure, not silent skew."""
+    from functools import reduce  # noqa: F401  (symmetry with the video query)
+
+    from nyc_taxi_data_engineering_spark.operators.dedup import simhash_neardup_pairs
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    twin_ch = F.expr("char(((ascii(substring(text, 11, 1)) - 32 + 1) % 95) + 32)")
+    twins = (
+        docs.filter(
+            (F.col("doc_id") < DHASH_PLANT_N)
+            & (F.length("text") >= DHASH_PLANT_MIN_CHARS)
+        )
+        .select(
+            (F.col("doc_id") + DHASH_TWIN_OFFSET).alias("doc_id"),
+            F.concat(
+                F.substring("text", 1, 10), twin_ch, F.expr("substring(text, 12)")
+            ).alias("text"),
+        )
+    )
+    fps = M.audio_fingerprints(M.attach_audio(docs.unionByName(twins)))
+    return simhash_neardup_pairs(
+        fps.select("doc_id", F.col("fingerprint").alias("simhash")),
+        max_hamming=DHASH_MAX_HAMMING,
+    )

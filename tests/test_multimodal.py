@@ -243,3 +243,53 @@ def test_video_neardup_clips_finds_every_planted_twin(spark, sf_dir):
         key = (d, d + MQ.DHASH_TWIN_OFFSET)
         assert key in pairs, f"planted twin clip pair {key} missed"
         assert pairs[key] <= 2
+
+
+def test_audio_neardup_clips_finds_every_planted_twin(spark, sf_dir):
+    """The twin's one-byte bump perturbs one block energy, flipping at
+    most that block's two adjacent comparison bits, so every planted
+    pair is hamming <= 2 and the block join must surface all of them."""
+    from nyc_taxi_data_engineering_spark.catalog import load_table
+    from nyc_taxi_data_engineering_spark.queries import multimodalq as MQ
+
+    eligible = {
+        r["doc_id"]
+        for r in load_table(spark, sf_dir, "documents")
+        .filter(
+            (F.col("doc_id") < MQ.DHASH_PLANT_N)
+            & (F.length("text") >= MQ.DHASH_PLANT_MIN_CHARS)
+        )
+        .select("doc_id")
+        .collect()
+    }
+    assert eligible, "corpus has no eligible plant docs — test is vacuous"
+    pairs = {
+        (r["a_id"], r["b_id"]): r["hamming"]
+        for r in MQ.q_audio_neardup_clips(spark, sf_dir).collect()
+    }
+    for d in eligible:
+        key = (d, d + MQ.DHASH_TWIN_OFFSET)
+        assert key in pairs, f"planted twin clip pair {key} missed"
+        assert pairs[key] <= 2
+
+
+def test_audio_fingerprint_gain_shift_robust(spark):
+    """A uniform +1 shift on every sample changes every block energy
+    but (for a monotone-energy profile) no neighbor comparison — the
+    robustness property the energy-delta family exists for."""
+    import numpy as np
+
+    from nyc_taxi_data_engineering_spark.operators import multimodal as M
+
+    base = bytes(
+        bytearray(min(32 + (i // 64) * 2, 126) for i in range(64 * 64))
+    )  # block energies strictly increase until the cap at block 47
+    shifted = bytes(bytearray(b + 1 for b in base))
+    audio = spark.createDataFrame(
+        [(0, bytearray(base)), (1, bytearray(shifted))],
+        "doc_id long, payload binary",
+    )
+    got = {r["doc_id"]: r["fingerprint"] for r in M.audio_fingerprints(audio).collect()}
+    assert got[0] == got[1]
+    # bits 0..46 set (strictly increasing), 47..62 clear (capped equal)
+    assert got[0] == (1 << 47) - 1
