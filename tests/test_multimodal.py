@@ -293,3 +293,17 @@ def test_audio_fingerprint_gain_shift_robust(spark):
     assert got[0] == got[1]
     # bits 0..46 set (strictly increasing), 47..62 clear (capped equal)
     assert got[0] == (1 << 47) - 1
+
+
+def test_video_frame0_dhash_equals_image_dhash(spark):
+    """Frame 0 of attach_video (offset 0*stride) is byte-for-byte the
+    attach_ppm_images raster, so the two pipelines' dHashes must agree
+    — the cross-modality consistency invariant."""
+    docs = _docs(spark, ["the quick brown fox jumps over the lazy dog " * 8])
+    img = {r["doc_id"]: r["dhash"] for r in M.dhash_images(M.attach_ppm_images(docs)).collect()}
+    vid = {
+        (r["doc_id"], r["frame"]): r["dhash"]
+        for r in M.video_frame_dhashes(M.attach_video(docs)).collect()
+    }
+    assert vid[(0, 0)] == img[0]
+    assert set(f for _, f in vid) == set(range(M.VIDEO_CUT_FRAME))
