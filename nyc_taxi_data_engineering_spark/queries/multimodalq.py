@@ -195,17 +195,38 @@ _DHASH_TWIN_TEXT_SQL = (
 )
 
 
-@query(
-    "image_dhash_pairs",
-    oracle=f"""
-WITH src AS (
+def _docs_with_planted_twins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents plus the planted near-identical twins (one source byte
+    bumped — _DHASH_TWIN_TEXT_SQL's Spark twin), shared by every
+    modality-fingerprint query."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    twin_ch = F.expr("char(((ascii(substring(text, 11, 1)) - 32 + 1) % 95) + 32)")
+    twins = (
+        docs.filter(
+            (F.col("doc_id") < DHASH_PLANT_N)
+            & (F.length("text") >= DHASH_PLANT_MIN_CHARS)
+        )
+        .select(
+            (F.col("doc_id") + DHASH_TWIN_OFFSET).alias("doc_id"),
+            F.concat(
+                F.substring("text", 1, 10), twin_ch, F.expr("substring(text, 12)")
+            ).alias("text"),
+        )
+    )
+    return docs.unionByName(twins)
+
+
+# Reusable oracle fragments for the image-dHash family (the pair query
+# and the cluster query share them verbatim).
+_IMG_SRC_CTE = f"""src AS (
     SELECT doc_id, text FROM documents
     UNION ALL
     SELECT doc_id + {DHASH_TWIN_OFFSET} AS doc_id, {_DHASH_TWIN_TEXT_SQL} AS text
     FROM documents
     WHERE doc_id < {DHASH_PLANT_N} AND length(text) >= {DHASH_PLANT_MIN_CHARS}
-),
-g AS (
+)"""
+
+_IMG_HASH_CTES = """g AS (
     SELECT s.doc_id, y.y, x.x,
            (ord(substr(s.text, ((y.y * 8 + x.x) * 3 + 0) % length(s.text) + 1, 1))
           + ord(substr(s.text, ((y.y * 8 + x.x) * 3 + 1) % length(s.text) + 1, 1))
@@ -230,11 +251,20 @@ h AS (
                     THEN CASE WHEN bit = 1 THEN -9223372036854775807 - 1 ELSE 0 END
                     ELSE bit::BIGINT << (y * 8 + bx) END) AS BIGINT) AS dhash
     FROM bits GROUP BY doc_id
-)
-SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+)"""
+
+_IMG_PAIR_SELECT = f"""SELECT a.doc_id AS a_id, b.doc_id AS b_id,
        bit_count(xor(a.dhash, b.dhash))::INT AS hamming
 FROM h a JOIN h b ON a.doc_id < b.doc_id
-WHERE bit_count(xor(a.dhash, b.dhash)) <= {DHASH_MAX_HAMMING}
+WHERE bit_count(xor(a.dhash, b.dhash)) <= {DHASH_MAX_HAMMING}"""
+
+
+@query(
+    "image_dhash_pairs",
+    oracle=f"""
+WITH {_IMG_SRC_CTE},
+{_IMG_HASH_CTES}
+{_IMG_PAIR_SELECT}
 """,
 )
 def q_image_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -254,21 +284,7 @@ def q_image_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     mapInPandas scan and candidates are a keyed join."""
     from nyc_taxi_data_engineering_spark.operators.dedup import simhash_neardup_pairs
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    twin_ch = F.expr("char(((ascii(substring(text, 11, 1)) - 32 + 1) % 95) + 32)")
-    twins = (
-        docs.filter(
-            (F.col("doc_id") < DHASH_PLANT_N)
-            & (F.length("text") >= DHASH_PLANT_MIN_CHARS)
-        )
-        .select(
-            (F.col("doc_id") + DHASH_TWIN_OFFSET).alias("doc_id"),
-            F.concat(
-                F.substring("text", 1, 10), twin_ch, F.expr("substring(text, 12)")
-            ).alias("text"),
-        )
-    )
-    images = M.attach_ppm_images(docs.unionByName(twins))
+    images = M.attach_ppm_images(_docs_with_planted_twins(spark, sf_dir))
     dh = M.dhash_images(images)
     return simhash_neardup_pairs(
         dh.select("doc_id", F.col("dhash").alias("simhash")),
@@ -464,21 +480,9 @@ def q_video_neardup_clips(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from nyc_taxi_data_engineering_spark.operators.dedup import simhash_neardup_pairs
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    twin_ch = F.expr("char(((ascii(substring(text, 11, 1)) - 32 + 1) % 95) + 32)")
-    twins = (
-        docs.filter(
-            (F.col("doc_id") < DHASH_PLANT_N)
-            & (F.length("text") >= DHASH_PLANT_MIN_CHARS)
-        )
-        .select(
-            (F.col("doc_id") + DHASH_TWIN_OFFSET).alias("doc_id"),
-            F.concat(
-                F.substring("text", 1, 10), twin_ch, F.expr("substring(text, 12)")
-            ).alias("text"),
-        )
-    )
-    fh = M.video_frame_dhashes(M.attach_video(docs.unionByName(twins))).cache()
+    fh = M.video_frame_dhashes(
+        M.attach_video(_docs_with_planted_twins(spark, sf_dir))
+    ).cache()
     per_frame = [
         simhash_neardup_pairs(
             fh.filter(F.col("frame") == f).select(
@@ -559,22 +563,63 @@ def q_audio_neardup_clips(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from nyc_taxi_data_engineering_spark.operators.dedup import simhash_neardup_pairs
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    twin_ch = F.expr("char(((ascii(substring(text, 11, 1)) - 32 + 1) % 95) + 32)")
-    twins = (
-        docs.filter(
-            (F.col("doc_id") < DHASH_PLANT_N)
-            & (F.length("text") >= DHASH_PLANT_MIN_CHARS)
-        )
-        .select(
-            (F.col("doc_id") + DHASH_TWIN_OFFSET).alias("doc_id"),
-            F.concat(
-                F.substring("text", 1, 10), twin_ch, F.expr("substring(text, 12)")
-            ).alias("text"),
-        )
-    )
-    fps = M.audio_fingerprints(M.attach_audio(docs.unionByName(twins)))
+    fps = M.audio_fingerprints(M.attach_audio(_docs_with_planted_twins(spark, sf_dir)))
     return simhash_neardup_pairs(
         fps.select("doc_id", F.col("fingerprint").alias("simhash")),
         max_hamming=DHASH_MAX_HAMMING,
+    )
+
+
+# -- image near-dup clustering ---------------------------------------------
+
+
+@query(
+    "image_dedup_clusters",
+    oracle=f"""
+WITH RECURSIVE {_IMG_SRC_CTE},
+{_IMG_HASH_CTES},
+edges AS ({_IMG_PAIR_SELECT}),
+sym AS (
+    SELECT a_id AS s, b_id AS d FROM edges
+    UNION SELECT b_id, a_id FROM edges
+),
+reach AS (
+    SELECT doc_id AS s, doc_id AS d FROM src
+    UNION
+    SELECT r.s, y.d FROM reach r JOIN sym y ON r.d = y.s
+),
+comp AS (SELECT s AS doc_id, MIN(d) AS cluster_id FROM reach GROUP BY s),
+csize AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM comp GROUP BY cluster_id)
+SELECT c.doc_id, c.cluster_id, s.cluster_size, c.doc_id = c.cluster_id AS is_canonical
+FROM comp c JOIN csize s USING (cluster_id)
+""",
+)
+def q_image_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IMAGE near-dup CLUSTERS — the full media-dedup pipeline: dHash →
+    Manku block pairs → pointer-doubled connected components →
+    cluster_id = min doc_id, canonical flag, cluster size. Every
+    planted twin lands in its original's cluster (so every plant
+    cluster has size >= 2); untouched images stay singletons. Reuses
+    the text pipeline's iterative CC operator unchanged — media dedup
+    is the same graph problem once fingerprints exist — and the oracle
+    replays the pair CTEs plus a recursive-CTE reachability, so the
+    clustering itself sits under the hash gate."""
+    from nyc_taxi_data_engineering_spark.operators.dedup import (
+        connected_components,
+        simhash_neardup_pairs,
+    )
+
+    nodes = _docs_with_planted_twins(spark, sf_dir)
+    dh = M.dhash_images(M.attach_ppm_images(nodes))
+    edges = simhash_neardup_pairs(
+        dh.select("doc_id", F.col("dhash").alias("simhash")),
+        max_hamming=DHASH_MAX_HAMMING,
+    ).select("a_id", "b_id")
+    comp = connected_components(edges, nodes=nodes, node_col="doc_id")
+    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return comp.join(sizes, "component").select(
+        F.col("id").alias("doc_id"),
+        F.col("component").alias("cluster_id"),
+        "cluster_size",
+        (F.col("id") == F.col("component")).alias("is_canonical"),
     )

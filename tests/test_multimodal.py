@@ -307,3 +307,28 @@ def test_video_frame0_dhash_equals_image_dhash(spark):
     }
     assert vid[(0, 0)] == img[0]
     assert set(f for _, f in vid) == set(range(M.VIDEO_CUT_FRAME))
+
+
+def test_image_dedup_clusters_plants_cluster_with_original(spark, sf_dir):
+    """Every planted twin must land in its original's cluster (size >=
+    2, cluster_id = the original's doc_id since it is the smaller)."""
+    from nyc_taxi_data_engineering_spark.catalog import load_table
+    from nyc_taxi_data_engineering_spark.queries import multimodalq as MQ
+
+    eligible = {
+        r["doc_id"]
+        for r in load_table(spark, sf_dir, "documents")
+        .filter(
+            (F.col("doc_id") < MQ.DHASH_PLANT_N)
+            & (F.length("text") >= MQ.DHASH_PLANT_MIN_CHARS)
+        )
+        .select("doc_id")
+        .collect()
+    }
+    assert eligible
+    rows = {r["doc_id"]: r for r in MQ.q_image_dedup_clusters(spark, sf_dir).collect()}
+    for d in eligible:
+        twin = rows[d + MQ.DHASH_TWIN_OFFSET]
+        assert twin["cluster_id"] == rows[d]["cluster_id"]
+        assert twin["cluster_size"] >= 2
+        assert not twin["is_canonical"]
