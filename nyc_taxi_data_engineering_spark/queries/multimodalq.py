@@ -559,8 +559,6 @@ def q_audio_neardup_clips(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded at 256 samples/block (docs up to 16k chars — the corpus
     max is ~600); the Spark side uses the true width, so a corpus
     break would surface as a parity failure, not silent skew."""
-    from functools import reduce  # noqa: F401  (symmetry with the video query)
-
     from nyc_taxi_data_engineering_spark.operators.dedup import simhash_neardup_pairs
 
     fps = M.audio_fingerprints(M.attach_audio(_docs_with_planted_twins(spark, sf_dir)))

@@ -532,3 +532,12 @@ def test_crossdoc_scrub_no_cartesian_all_joins_keyed(spark, sf_dir):
     plan = _plan(spark, sf_dir, "crossdoc_span_scrub")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_modality_fingerprint_pairs_no_cartesian(spark, sf_dir):
+    """Audio/video fingerprint pair queries must stay keyed Manku
+    block joins — never an all-pairs compare (the oracle's job)."""
+    for name in ("audio_neardup_clips", "video_neardup_clips", "image_dedup_clusters"):
+        plan = _plan(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
