@@ -30,7 +30,7 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # entries of ``queries()`` in dict order, so registration order decides which
 # queries earn a driver CORRECTNESS row each round. This list pins the front
 # of that window explicitly instead of leaving it to module-import order.
-# Round 7 ordering: the 18 new round-7 queries (never sampled), then the
+# Round 7 ordering: the 19 new round-7 queries (never sampled), then the
 # r4-vintage names (stalest driver-green — last verified three rounds ago)
 # filling the rest of the window; the r5/r6-green tail follows in
 # registration order. Queries pushed past the window keep full local coverage
@@ -42,6 +42,7 @@ ROTATION: list[str] = [
     "video_neardup_clips",
     "audio_neardup_clips",
     "image_dedup_clusters",
+    "embedding_dedup_clusters",
     "pagerank_purchase_sinks",
     "bigram_lm_scores",
     "kmv_split_overlap",
@@ -85,7 +86,6 @@ ROTATION: list[str] = [
     "scd2_current_customers",
     "scd2_history_customers",
     "scd2_rollback_current",
-    "scd2_verify_ok",
 ]
 
 

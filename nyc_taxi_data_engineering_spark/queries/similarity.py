@@ -899,3 +899,61 @@ def q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("val").alias("centroid"),
         "n_members",
     )
+
+
+@query(
+    "embedding_dedup_clusters",
+    oracle=f"""
+WITH RECURSIVE {_ORACLE_PLANTED},
+bands AS ({_ORACLE_BANDS}),
+cand AS (
+    SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+),
+sc AS (
+    SELECT cand.a_id, cand.b_id,
+           list_sum(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * c.v[i]))
+               / (q.nrm * c.nrm) AS cos
+    FROM cand JOIN n q ON q.vec_id = cand.a_id JOIN n c ON c.vec_id = cand.b_id
+),
+edges AS (SELECT a_id, b_id FROM sc WHERE cos >= {NEARDUP_THRESHOLD}),
+sym AS (
+    SELECT a_id AS src, b_id AS dst FROM edges
+    UNION SELECT b_id, a_id FROM edges
+),
+reach AS (
+    SELECT vec_id AS src, vec_id AS dst FROM n
+    UNION
+    SELECT r.src, y.dst FROM reach r JOIN sym y ON r.dst = y.src
+),
+comp AS (SELECT src AS vec_id, MIN(dst) AS cluster_id FROM reach GROUP BY src),
+csize AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM comp GROUP BY cluster_id)
+SELECT c.vec_id, c.cluster_id, z.cluster_size, c.vec_id = c.cluster_id AS is_canonical
+FROM comp c JOIN csize z USING (cluster_id)
+""",
+)
+def q_embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMBEDDING near-dup CLUSTERS — the semantic twin of the text and
+    image cluster queries: sign-LSH candidates → exact cosine rescore
+    at {NEARDUP_THRESHOLD} → pointer-doubled connected components →
+    cluster_id = min vec_id, canonical flag, cluster size, singletons
+    included. With text (Jaccard graph), images (dHash graph), and now
+    embeddings (cosine graph) all feeding the SAME iterative CC
+    operator, cluster-then-keep-canonical is a uniform dedup surface
+    across every representation the engine stores. Recursive-CTE
+    oracle replays the clustering exactly."""
+    from pyspark.sql import functions as F
+
+    from nyc_taxi_data_engineering_spark.operators.dedup import connected_components
+
+    corpus = _planted_corpus(spark, sf_dir)
+    edges = q_embedding_neardup_pairs(spark, sf_dir).select("a_id", "b_id")
+    comp = connected_components(edges, nodes=corpus, node_col="vec_id")
+    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return comp.join(sizes, "component").select(
+        F.col("id").alias("vec_id"),
+        F.col("component").alias("cluster_id"),
+        "cluster_size",
+        (F.col("id") == F.col("component")).alias("is_canonical"),
+    )

@@ -479,3 +479,21 @@ def test_crossdoc_span_scrub_canonical_keeps_others_cut(spark):
     assert got[2]["n_cuts"] == 0
     assert (got[3]["n_cuts"], got[3]["chars_removed"], got[3]["clean_len"]) == (1, 64, 0)
     assert got[3]["clean_md5"] == hashlib.md5(b"").hexdigest()
+
+
+def test_embedding_dedup_clusters_plants_with_original(spark, sf_dir):
+    """Every planted perturbed twin (cos ~0.999 to its original) must
+    share its original's cluster; organic vectors (max organic cos
+    ~0.52, far below the 0.95 gate) stay singletons."""
+    from nyc_taxi_data_engineering_spark.queries import similarity as S
+
+    rows = {r["vec_id"]: r for r in S.q_embedding_dedup_clusters(spark, sf_dir).collect()}
+    planted = [v for v in rows if v >= S.PLANT_OFFSET]
+    assert planted, "no planted twins in corpus — test is vacuous"
+    for v in planted:
+        orig = v - S.PLANT_OFFSET
+        assert rows[v]["cluster_id"] == rows[orig]["cluster_id"]
+        assert rows[v]["cluster_size"] >= 2
+        assert not rows[v]["is_canonical"]
+    singles = [v for v, r in rows.items() if r["cluster_size"] == 1]
+    assert len(singles) == len(rows) - 2 * len(planted)
