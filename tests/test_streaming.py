@@ -373,3 +373,70 @@ def test_streaming_delta_upsert_exactly_once(spark, tmp_path):
     # MERGE commits carry the txn marker in-log
     assert D.last_txn_version(tbl, "cdc-app") == 1
     assert D.last_txn_version(tbl, "other-app") == 0
+
+
+def test_stream_stream_left_outer_emits_unmatched_after_watermark(spark, stream_dirs):
+    """The left-outer interval join must emit a NULL-matched row for a
+    click that converted to nothing — but only after the watermark
+    passes click_ts + horizon, and only in a micro-batch AFTER the one
+    that advanced the watermark. Three single-file micro-batches: data,
+    a far-future heartbeat that advances the watermark, and a second
+    heartbeat that gives Spark the batch in which to flush the outer
+    row. The final streamed set must equal the batch left outer join."""
+    from nyc_taxi_data_engineering_spark.streaming.ingest import (
+        attribute_clicks_left_outer,
+    )
+
+    src, ckpt = stream_dirs
+    _write_batch(
+        _mk_events(
+            spark,
+            [
+                (0, 1, "click", 0.0),      # converts (+30min purchase)
+                (30, 1, "purchase", 5.0),
+                (5, 2, "click", 0.0),      # converts to NOTHING
+            ],
+        ),
+        src,
+    )
+    # heartbeats 24h/25h later on BOTH sides: the global watermark is
+    # the MIN over every watermark operator, so a click-only heartbeat
+    # would leave the purchase-side watermark at -1.5h and the outer
+    # rows would never flush (the first version of this test proved it)
+    _write_batch(
+        _mk_events(spark, [(24 * 60, 9, "click", 0.0), (24 * 60, 9, "purchase", 0.0)]),
+        src,
+    )
+    _write_batch(
+        _mk_events(spark, [(25 * 60, 9, "click", 0.0), (25 * 60, 9, "purchase", 0.0)]),
+        src,
+    )
+
+    def split(df):
+        return (
+            df.filter(F.col("event_type") == "click"),
+            df.filter(F.col("event_type") == "purchase"),
+        )
+
+    batch_rows = {
+        (r["click_id"], r["purchase_id"])
+        for r in attribute_clicks_left_outer(*split(spark.read.parquet(src))).collect()
+        # the heartbeats are matched user-9 pairs and _mk_events
+        # restarts event_ids per file, so key on user: compare only the
+        # users whose clicks the watermark finalized
+        if r["user_id"] in (1, 2)
+    }
+    run_available_now(
+        attribute_clicks_left_outer(
+            *split(read_events_stream(spark, src, max_files_per_trigger=1))
+        ),
+        "t_ssjoin_lo",
+        ckpt,
+        output_mode="append",
+    )
+    stream_rows = {
+        (r["click_id"], r["purchase_id"])
+        for r in spark.sql("SELECT * FROM t_ssjoin_lo").collect()
+        if r["user_id"] in (1, 2)
+    }
+    assert stream_rows == batch_rows == {(0, 1), (2, None)}
