@@ -163,3 +163,166 @@ def pagerank_sql(
 )"""
         )
     return "WITH " + ",\n".join(parts) + f"\nSELECT node, rank FROM r{iters}"
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting (degree-ordered orientation)
+# ---------------------------------------------------------------------------
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-node triangle counts over an UNDIRECTED simple edge list
+    (a, b) with a < b and no duplicate pairs — (node, degree,
+    n_triangles) for every node in at least one triangle.
+
+    Uses the degree-ordered orientation (Cohen's map-reduce triangle
+    algorithm / the arboricity bound behind every distributed triangle
+    counter): orient each edge from its lower-(degree, id) endpoint to
+    the higher, enumerate wedges only at the LOW endpoint, and close
+    them with one keyed equi-join. A hub of degree d generates no
+    wedges itself (all its edges point INTO it), so wedge volume is
+    sum(out-deg²) bounded by O(m^1.5) instead of the naive
+    sum(deg²) that a celebrity node turns quadratic — this is the
+    100 TB lever; the naive formulation dies on the first hot key.
+
+    Plan shape: one degree hash agg, one orientation projection, one
+    self equi-join on the low endpoint, one closing equi-join on
+    (v, w), one per-node hash agg. Everything keyed; no windows, no
+    collect."""
+    deg = (
+        edges.select(F.col("a").alias("node"))
+        .unionAll(edges.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    e = (
+        edges.select("a", "b")
+        .join(deg.select(F.col("node").alias("a"), F.col("deg").alias("da")), "a")
+        .join(deg.select(F.col("node").alias("b"), F.col("deg").alias("db")), "b")
+    )
+    lower_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = e.select(
+        F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
+        F.when(lower_first, F.col("db")).otherwise(F.col("da")).alias("ddeg"),
+    )
+    e1 = oriented.select(F.col("src").alias("u"), F.col("dst").alias("v"), F.col("ddeg").alias("dv"))
+    e2 = oriented.select(F.col("src").alias("u"), F.col("dst").alias("w"), F.col("ddeg").alias("dw"))
+    wedges = e1.join(e2, "u").filter(
+        (F.col("dv") < F.col("dw")) | ((F.col("dv") == F.col("dw")) & (F.col("v") < F.col("w")))
+    )
+    closing = oriented.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+    tri = wedges.join(closing, ["v", "w"]).select("u", "v", "w")
+    members = (
+        tri.select(F.col("u").alias("node"))
+        .unionAll(tri.select(F.col("v").alias("node")))
+        .unionAll(tri.select(F.col("w").alias("node")))
+    )
+    return (
+        members.groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+        .join(deg, "node")
+        .select("node", F.col("deg").alias("degree"), "n_triangles")
+    )
+
+
+def triangle_counts_sql(edges_select: str) -> str:
+    """DuckDB twin of :func:`triangle_counts`. ``edges_select`` is a
+    full SELECT (or WITH...SELECT) producing columns (a, b), a < b,
+    distinct; embedded as a derived table."""
+    return f"""
+WITH edges AS (SELECT a, b FROM ({edges_select})),
+deg AS (
+  SELECT node, COUNT(*) AS deg
+  FROM (SELECT a AS node FROM edges UNION ALL SELECT b AS node FROM edges)
+  GROUP BY node
+),
+oriented AS (
+  SELECT CASE WHEN (da.deg < db.deg) OR (da.deg = db.deg AND e.a < e.b)
+              THEN e.a ELSE e.b END AS src,
+         CASE WHEN (da.deg < db.deg) OR (da.deg = db.deg AND e.a < e.b)
+              THEN e.b ELSE e.a END AS dst,
+         CASE WHEN (da.deg < db.deg) OR (da.deg = db.deg AND e.a < e.b)
+              THEN db.deg ELSE da.deg END AS ddeg
+  FROM edges e JOIN deg da ON da.node = e.a JOIN deg db ON db.node = e.b
+),
+tri AS (
+  SELECT e1.src AS u, e1.dst AS v, e2.dst AS w
+  FROM oriented e1
+  JOIN oriented e2 ON e1.src = e2.src
+   AND ((e1.ddeg < e2.ddeg) OR (e1.ddeg = e2.ddeg AND e1.dst < e2.dst))
+  JOIN oriented e3 ON e3.src = e1.dst AND e3.dst = e2.dst
+)
+,
+counts AS (
+  SELECT node, COUNT(*) AS n_triangles
+  FROM (
+    SELECT u AS node FROM tri
+    UNION ALL SELECT v FROM tri
+    UNION ALL SELECT w FROM tri
+  )
+  GROUP BY node
+)
+SELECT node, deg AS degree, n_triangles FROM counts JOIN deg USING (node)"""
+
+
+# ---------------------------------------------------------------------------
+# BFS hop distances (bounded-depth single-source shortest path)
+# ---------------------------------------------------------------------------
+
+def bfs_hops(edges: DataFrame, source, max_hops: int) -> DataFrame:
+    """(node, hops) — unweighted shortest-path distance from ``source``
+    for every node reachable within ``max_hops`` over directed edges
+    (src, dst). Bellman-Ford-style min-relaxation with a fixed round
+    count: after round k every node at true distance <= k holds its
+    exact distance, so ``max_hops`` rounds give exact BFS depths up to
+    the bound (integer hops — no float determinism concerns).
+
+    Scale shape per round: one keyed equi-join (reached-set ⋈ edges on
+    the node key — pre-partition edges by src once and every round
+    reuses the layout) + one min hash agg with map-side combine. State
+    is the reached set itself, never materialized on the driver; no
+    collect, no windows. Depth is bounded by design — the small-world
+    graphs this targets saturate in a handful of rounds."""
+    # 1-row seed independent of edges: a source that is a sink still
+    # gets hops 0, matching the SQL twin's literal anchor. Built as a
+    # LocalRelation DATUM, not a lit() expression — a foldable literal
+    # node would erase the equi-key from round 1's join and degrade it
+    # to a nested-loop join against the filtered edge scan.
+    from pyspark.sql.types import StructField, StructType
+
+    seed_schema = StructType([StructField("node", edges.schema["src"].dataType)])
+    dist = (
+        edges.sparkSession.createDataFrame([(source,)], seed_schema)
+        .select("node", F.lit(0).cast("int").alias("hops"))
+    )
+    for _ in range(max_hops):
+        nxt = (
+            dist.join(edges, dist["node"] == edges["src"])
+            .select(F.col("dst").alias("node"), (F.col("hops") + 1).cast("int").alias("hops"))
+        )
+        dist = (
+            dist.unionByName(nxt)
+            .groupBy("node")
+            .agg(F.min("hops").alias("hops"))
+        )
+    return dist
+
+
+def bfs_hops_sql(edges_cte: str, source_literal: str, max_hops: int) -> str:
+    """DuckDB twin: WITH RECURSIVE under UNION (distinct) semantics, so
+    the working set is (node, hops) pairs — bounded by |V|·max_hops —
+    not paths (UNION ALL would enumerate every walk and explode on any
+    cyclic graph). ``edges_cte`` must define a CTE named ``edges`` with
+    (src, dst); ``source_literal`` is a ready-to-embed SQL literal."""
+    return f"""
+WITH RECURSIVE {edges_cte},
+walk(node, hops) AS (
+  SELECT {source_literal} AS node, 0 AS hops
+  UNION
+  SELECT e.dst AS node, w.hops + 1 AS hops
+  FROM walk w JOIN edges e ON e.src = w.node
+  WHERE w.hops < {max_hops}
+)
+SELECT node, CAST(MIN(hops) AS INT) AS hops FROM walk GROUP BY node"""

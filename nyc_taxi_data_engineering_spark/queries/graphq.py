@@ -157,3 +157,78 @@ def q_pagerank_weighted_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_node").alias("src"), F.col("s_node").alias("dst"), "w"
     ).unionByName(wpairs.select(F.col("s_node").alias("src"), F.col("c_node").alias("dst"), "w"))
     return pagerank(edges, weight="w")
+
+
+from nyc_taxi_data_engineering_spark.operators.cooccur import cooccurrence_pairs
+from nyc_taxi_data_engineering_spark.operators.graph import (
+    triangle_counts,
+    triangle_counts_sql,
+)
+
+
+@query(
+    "triangle_copurchase_suppliers",
+    oracle=triangle_counts_sql(
+        cooccurrence_pairs_sql(
+            _COPURCHASE_LINKS,
+            degree_cap=COPURCHASE_DEGREE_CAP,
+            min_shared=COPURCHASE_MIN_SHARED,
+        )
+    ),
+)
+def q_triangle_copurchase_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-supplier triangle counts over the co-purchase graph — the
+    clustering-structure probe (community density, spam-farm
+    detection) run on the same edge list supplier_copurchase_pairs
+    mines. Degree-ordered orientation means the co-purchase hub
+    suppliers — exactly the ones a naive wedge join would square —
+    generate zero wedges; combined with the upstream degree_cap the
+    whole pipeline is hot-key-safe end to end. One degree agg, one
+    orientation, two keyed equi-joins, one hash agg."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    links = o.join(li, o["o_orderkey"] == li["l_orderkey"]).select(
+        F.col("l_suppkey").alias("supplier"), F.col("o_custkey").alias("customer")
+    )
+    edges = cooccurrence_pairs(
+        links,
+        "supplier",
+        "customer",
+        degree_cap=COPURCHASE_DEGREE_CAP,
+        min_shared=COPURCHASE_MIN_SHARED,
+    ).select("a", "b")
+    return triangle_counts(edges)
+
+
+from nyc_taxi_data_engineering_spark.operators.graph import bfs_hops, bfs_hops_sql
+
+BFS_SOURCE = "s1"  # supplier 1 exists at every scale factor
+BFS_MAX_HOPS = 4
+
+
+@query(
+    "trade_bfs_hops",
+    oracle=bfs_hops_sql(_EDGES_CTE, f"'{BFS_SOURCE}'", BFS_MAX_HOPS),
+)
+def q_trade_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source BFS depth over the bidirected trade graph:
+    exact hop distance from supplier s1 for every node within
+    {BFS_MAX_HOPS} hops — the reachability / blast-radius primitive
+    (supply-chain exposure, fraud-ring radius). Integer-exact, so the
+    oracle is a textbook recursive CTE under UNION-distinct semantics
+    while the Spark side runs the bounded min-relaxation loop — two
+    very different formulations that must agree row-for-row."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("c_node"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("s_node"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("c_node").alias("src"), F.col("s_node").alias("dst")).unionByName(
+        pairs.select(F.col("s_node").alias("src"), F.col("c_node").alias("dst"))
+    )
+    return bfs_hops(edges, BFS_SOURCE, BFS_MAX_HOPS)

@@ -36,6 +36,12 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # registration order. Queries pushed past the window keep full local coverage
 # via tests/test_oracle_parity.py, which checks ALL of them.
 ROTATION: list[str] = [
+    # Round-7 late additions (never sampled) lead the window:
+    "pmi_collocations",
+    "triangle_copurchase_suppliers",
+    "trade_bfs_hops",
+    "embedding_top_eigvec",
+    "delta_compact_orders",
     "crossdoc_repeated_spans",
     "crossdoc_span_scrub",
     "video_scene_cuts",

@@ -957,3 +957,40 @@ def q_embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster_size",
         (F.col("id") == F.col("component")).alias("is_canonical"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PCA: dominant principal component by power iteration
+# ---------------------------------------------------------------------------
+
+_PCA_CORPUS_CTE = """x AS (
+  SELECT vec_id, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS val
+  FROM (SELECT vec_id, embedding,
+               unnest(range(1, len(embedding) + 1)) AS i
+        FROM embeddings)
+)"""
+
+
+from nyc_taxi_data_engineering_spark.operators.pca import (
+    power_iteration_component,
+    power_iteration_sql,
+)
+
+
+@query("embedding_top_eigvec", oracle=power_iteration_sql(_PCA_CORPUS_CTE))
+def q_embedding_top_eigvec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant principal component of the embedding corpus by
+    3-round power iteration (operators/pca) — the decorrelation /
+    whitening primitive curation pipelines apply before cosine
+    clustering, and a one-vector drift monitor (the top direction
+    shifting between two corpus snapshots is the cheapest PCA-drift
+    signal). Covariance-free: two keyed hash aggs per round over the
+    long-form corpus, a 64-row vector broadcast back each time —
+    never a d x d or n x n intermediate, no collect. Every sum is
+    round-to-12dp + DECIMAL(38,12), so the DuckDB twin replays the
+    iterations bit-for-bit."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    x = emb.select("vec_id", F.posexplode("v").alias("pos", "val"))
+    return power_iteration_component(x)

@@ -448,3 +448,104 @@ def q_boilerplate_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_removed"),
         F.coalesce("clean_text", F.lit("")).alias("clean_text"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PMI collocation mining
+# ---------------------------------------------------------------------------
+
+PMI_MIN_PAIR = 5  # bigram support floor — kills the noise tail
+PMI_TOPK = 100
+
+
+@query(
+    "pmi_collocations",
+    oracle=f"""
+WITH base AS (
+  SELECT doc_id,
+         [w for w in string_split_regex(trim(text), '\\s+') if len(w) > 0] AS toks
+  FROM documents
+),
+tok2 AS (SELECT unnest(toks) AS tok FROM base),
+uni AS (SELECT tok, count(*) AS cnt FROM tok2 GROUP BY tok),
+pr AS (
+  SELECT string_split(g, ' ')[1] AS w1, string_split(g, ' ')[2] AS w2
+  FROM (SELECT unnest({T.sql_word_ngrams('toks', 2)}) AS g FROM base)
+),
+pairs AS (
+  SELECT w1, w2, count(*) AS pair_cnt FROM pr GROUP BY w1, w2
+  HAVING count(*) >= {PMI_MIN_PAIR}
+),
+tot AS (
+  SELECT (SELECT count(*) FROM tok2) AS tot_u,
+         (SELECT count(*) FROM pr) AS tot_b
+)
+SELECT w1, w2, pair_cnt,
+       u1.cnt AS c1, u2.cnt AS c2,
+       round((CAST(pair_cnt AS DOUBLE) * tot_u * tot_u)
+             / (CAST(u1.cnt AS DOUBLE) * u2.cnt * tot_b), 6) AS lift
+FROM pairs
+JOIN uni u1 ON u1.tok = pairs.w1
+JOIN uni u2 ON u2.tok = pairs.w2
+CROSS JOIN tot
+ORDER BY lift DESC, w1, w2
+LIMIT {PMI_TOPK}
+""",
+)
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: top-{PMI_TOPK} adjacent-token pairs by PMI
+    lift — p(w1,w2) / (p(w1)p(w2)) — with pair support >= {PMI_MIN_PAIR}.
+    The standard phrase-detection pass (word2vec's phrase join, Gensim
+    Phrases) a tokenizer-training pipeline runs before building a merge
+    vocabulary. The score is the RAW likelihood ratio, not its log:
+    monotone in PMI, so the ranking is identical, and it avoids
+    cross-engine libm (one rounded IEEE divide instead of ln). Both
+    engines evaluate the same left-associated expression on exact
+    BIGINT-promoted doubles, so the 6-dp rounding is bit-identical.
+
+    Scale shape: explode to tokens / bigrams -> two hash aggs with
+    map-side combine (outputs are vocabulary-sized, Zipf-bounded) ->
+    support filter FIRST (pairs below {PMI_MIN_PAIR} never join) ->
+    two keyed joins against the unigram table -> 1-row totals
+    broadcast -> TakeOrderedAndProject top-K. No windows, no
+    self-joins on the corpus, no collect."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        F.filter(T.tokens(F.col("text")), lambda w: F.length(w) > 0).alias("toks"),
+    )
+    tok2 = base.select(F.explode("toks").alias("tok"))
+    uni = tok2.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    pr = base.select(F.explode(T.word_ngrams(F.col("toks"), 2)).alias("g")).select(
+        F.substring_index("g", " ", 1).alias("w1"),
+        F.substring_index("g", " ", -1).alias("w2"),
+    )
+    pairs = (
+        pr.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("pair_cnt"))
+        .filter(F.col("pair_cnt") >= PMI_MIN_PAIR)
+    )
+    tot = tok2.agg(F.count(F.lit(1)).alias("tot_u")).crossJoin(
+        pr.agg(F.count(F.lit(1)).alias("tot_b"))
+    )
+    u1 = uni.select(F.col("tok").alias("w1"), F.col("cnt").alias("c1"))
+    u2 = uni.select(F.col("tok").alias("w2"), F.col("cnt").alias("c2"))
+    return (
+        pairs.join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            "pair_cnt",
+            "c1",
+            "c2",
+            F.round(
+                (F.col("pair_cnt").cast("double") * F.col("tot_u") * F.col("tot_u"))
+                / (F.col("c1").cast("double") * F.col("c2") * F.col("tot_b")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), "w1", "w2")
+        .limit(PMI_TOPK)
+    )

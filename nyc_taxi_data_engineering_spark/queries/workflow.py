@@ -603,3 +603,46 @@ def q_delta_restore_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_regionkey",
         F.lit(int(v)).cast("int").alias("restored_version"),
     )
+
+
+@query(
+    "delta_compact_orders",
+    oracle="""
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY o_orderpriority
+""",
+)
+def q_delta_compact_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE (small-file compaction) under the correctness gate:
+    commit the orders table as 16 small files — the layout a streaming
+    ingest leaves behind — run ``compact_delta`` down to 2, and
+    aggregate THROUGH the compacted snapshot. The commit is
+    remove+add with ``dataChange: false``, so the row set must be
+    byte-identical to the raw table; any row lost or duplicated in
+    the rewrite hash-mismatches the oracle, which recomputes from the
+    original parquet. File-count and history assertions live in
+    test_delta_log; this query puts the data-equivalence half under
+    the driver gate.
+
+    100 TB shape: compaction reads only the CURRENT snapshot's files
+    (log replay lists them — no directory walk) and rewrites them in
+    one distributed pass; at cluster scale ``target_files`` becomes a
+    size-based bin-pack per partition, same commit protocol."""
+    from pyspark.sql import functions as F
+
+    from nyc_taxi_data_engineering_spark.catalog import load_table
+    from nyc_taxi_data_engineering_spark.sources import delta_log as D
+
+    tbl = _tmp_table("delta_compact_orders")
+    shutil.rmtree(tbl, ignore_errors=True)
+    orders = load_table(spark, sf_dir, "orders").repartition(16)
+    D.write_delta(orders, tbl, mode="overwrite")
+    D.compact_delta(spark, tbl, target_files=2)
+    snap = D.read_delta_log(spark, tbl)
+    return snap.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total_price"),
+    )

@@ -113,3 +113,73 @@ def test_weighted_pagerank_favors_heavy_edge(spark):
     rw = {r["node"]: r["rank"] for r in pagerank(uniform, weight="w").collect()}
     ru = {r["node"]: r["rank"] for r in pagerank(we.drop("w")).collect()}
     assert rw == ru
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting
+# ---------------------------------------------------------------------------
+
+from nyc_taxi_data_engineering_spark.operators.graph import (  # noqa: E402
+    bfs_hops,
+    triangle_counts,
+)
+
+
+def _und(spark, pairs):
+    return spark.createDataFrame(pairs, "a string, b string")
+
+
+def test_triangles_k4_every_node_in_three(spark):
+    """K4 has 4 triangles; each node sits in C(3,2)=3 of them."""
+    vs = ["a", "b", "c", "d"]
+    edges = _und(spark, [(x, y) for i, x in enumerate(vs) for y in vs[i + 1 :]])
+    got = {r["node"]: (r["degree"], r["n_triangles"]) for r in triangle_counts(edges).collect()}
+    assert got == {v: (3, 3) for v in vs}
+
+
+def test_triangles_star_has_none(spark):
+    """A star (hub h + 5 leaves) is triangle-free — and the hub, the
+    highest-degree node, must generate no wedges under the
+    degree-ordered orientation (empty result, not an explosion)."""
+    edges = _und(spark, [("h", f"l{i}") for i in range(5)])
+    assert triangle_counts(edges).count() == 0
+
+
+def test_triangles_one_shared_edge_two_triangles(spark):
+    """Two triangles sharing edge (a,b): a and b count 2, wings 1."""
+    edges = _und(spark, [("a", "b"), ("a", "c"), ("b", "c"), ("a", "d"), ("b", "d")])
+    got = {r["node"]: r["n_triangles"] for r in triangle_counts(edges).collect()}
+    assert got == {"a": 2, "b": 2, "c": 1, "d": 1}
+
+
+# ---------------------------------------------------------------------------
+# BFS hop distances
+# ---------------------------------------------------------------------------
+
+
+def test_bfs_path_with_cycle_exact_depths(spark):
+    """Path a->b->c->d plus back-edge d->a: min-relaxation must keep
+    exact depths despite the cycle."""
+    edges = _edges(spark, [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")])
+    got = {r["node"]: r["hops"] for r in bfs_hops(edges, "a", 4).collect()}
+    assert got == {"a": 0, "b": 1, "c": 2, "d": 3}
+
+
+def test_bfs_respects_hop_bound_and_reachability(spark):
+    """Nodes beyond max_hops and disconnected nodes are absent;
+    shorter of two routes wins."""
+    edges = _edges(
+        spark,
+        [("a", "b"), ("b", "c"), ("c", "d"), ("a", "d"), ("x", "y")],
+    )
+    got = {r["node"]: r["hops"] for r in bfs_hops(edges, "a", 2).collect()}
+    assert got == {"a": 0, "b": 1, "c": 2, "d": 1}  # d via direct edge, no x/y
+
+
+def test_bfs_source_without_outedges_still_seeds_itself(spark):
+    """A sink source is still at distance 0 of itself — the seed is a
+    literal row, not a filter over edge sources (the SQL twin anchors
+    the recursion the same way)."""
+    edges = _edges(spark, [("a", "b")])
+    got = {r["node"]: r["hops"] for r in bfs_hops(edges, "b", 3).collect()}
+    assert got == {"b": 0}

@@ -541,3 +541,46 @@ def test_modality_fingerprint_pairs_no_cartesian(spark, sf_dir):
         plan = _plan(spark, sf_dir, name)
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_triangle_counting_keyed_joins_only(spark, sf_dir):
+    """Triangle counting must stay two keyed equi-joins (wedge + close)
+    under the degree-ordered orientation — no cartesian, no window, and
+    partial aggs (map-side combine) on the degree/count shuffles."""
+    plan = _plan(spark, sf_dir, "triangle_copurchase_suppliers")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" not in plan
+    assert "partial_count" in plan
+
+
+def test_bfs_rounds_are_keyed_joins_min_aggs(spark, sf_dir):
+    """Every BFS round is one keyed equi-join + one partial/final min
+    hash agg; the reached set never crosses the driver and nothing is
+    all-pairs."""
+    plan = _plan(spark, sf_dir, "trade_bfs_hops")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "partial_min" in plan
+    assert "Window" not in plan
+
+
+def test_pmi_support_filter_precedes_vocab_joins(spark, sf_dir):
+    """The pair-support floor must filter BEFORE the unigram joins
+    (candidate volume drops first), totals arrive as a broadcast, and
+    the top-K plans as TakeOrdered — no global sort."""
+    plan = _plan(spark, sf_dir, "pmi_collocations")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pca_rounds_keyed_aggs_vector_broadcast(spark, sf_dir):
+    """Power iteration must multiply X^T(Xv) as keyed hash aggs with
+    the 64-row vector broadcast back each round — no window, no
+    cartesian, no d x d intermediate."""
+    plan = _plan(spark, sf_dir, "embedding_top_eigvec")
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+    assert "BroadcastExchange" in plan
+    assert "partial_sum" in plan
