@@ -1,0 +1,150 @@
+"""Distributed linear-probe training — full-batch gradient descent on
+a least-squares objective over the long-form embedding corpus. This is
+the quality-classifier primitive of modern data-curation pipelines
+(DataComp/DCLM-style: train a cheap linear head on embeddings, score
+the corpus, keep the top fraction); squared loss instead of logistic
+keeps the whole computation algebraic — no exp/log, so nothing
+depends on cross-engine libm behavior.
+
+Each round is the normal-equation-free gradient step
+
+    pred(i) = sum_pos x(i,pos) * w(pos) + b        -- join on pos
+    r(i)    = pred(i) - y(i)                        -- join on vec_id
+    g(pos)  = sum_i x(i,pos) * r(i) / n             -- join on vec_id
+    w'      = w - lr * g,   b' = b - lr * mean(r)
+
+i.e. the same two keyed hash-agg multiplications as power iteration
+(operators/pca.py), with the model (64 weights + bias) flowing between
+rounds as a broadcast DataFrame — never a collect, never a d x d or
+n x n intermediate. At 100 TB the corpus term is two shuffles per
+round on (vec_id) / (pos) keys with map-side combine; the model side
+is O(d) rows.
+
+Determinism contract (the pagerank/pca playbook): every sum
+accumulates round(term, 12) as DECIMAL(38,12) — order-independent and
+engine-exact — divides happen in doubles on bit-identical inputs, and
+each new weight/bias/residual rounds back to the 12-dp grid, so the
+DuckDB twin replays training bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+PROBE_ITERS = 3
+PROBE_LR = 0.1
+_S = 12
+_DEC = f"decimal(38,{_S})"
+
+
+def _dec_sum(term):
+    return F.sum(F.round(term, _S).cast(_DEC)).cast("double")
+
+
+def train_linear_probe(
+    x: DataFrame, y: DataFrame, iters: int = PROBE_ITERS, lr: float = PROBE_LR
+) -> DataFrame:
+    """(dim, weight) after ``iters`` full-batch GD rounds from the
+    all-zero start: dim 0 is the bias, dim k (1-based) the weight of
+    feature pos k-1. ``x`` is the long-form corpus (vec_id, pos,
+    val: double); ``y`` is (vec_id, y: double) targets."""
+    n_row = y.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    w = (
+        x.select("pos").distinct().select("pos", F.lit(0.0).alias("w"))
+    )
+    b = y.sparkSession.range(1).select(F.lit(0.0).alias("b"))
+    for _ in range(iters):
+        pred = (
+            x.join(F.broadcast(w), "pos")
+            .groupBy("vec_id")
+            .agg(_dec_sum(F.col("val") * F.col("w")).alias("xw"))
+            .crossJoin(F.broadcast(b))
+            .select("vec_id", (F.col("xw") + F.col("b")).alias("pred"))
+        )
+        r = pred.join(y, "vec_id").select(
+            "vec_id", F.round(F.col("pred") - F.col("y"), _S).alias("r")
+        )
+        g = (
+            x.join(r, "vec_id")
+            .groupBy("pos")
+            .agg(_dec_sum(F.col("val") * F.col("r")).alias("gs"))
+            .crossJoin(F.broadcast(n_row))
+            .select("pos", F.round(F.col("gs") / F.col("n"), _S).alias("g"))
+        )
+        w = w.join(g, "pos").select(
+            "pos", F.round(F.col("w") - F.lit(lr) * F.col("g"), _S).alias("w")
+        )
+        b = (
+            r.agg(_dec_sum(F.col("r")).alias("rs"))
+            .crossJoin(F.broadcast(n_row))
+            .crossJoin(F.broadcast(b))
+            .select(
+                F.round(
+                    F.col("b") - F.lit(lr) * F.round(F.col("rs") / F.col("n"), _S), _S
+                ).alias("b")
+            )
+        )
+    bias_row = b.select(F.lit(0).cast("int").alias("dim"), F.col("b").alias("weight"))
+    return bias_row.unionByName(
+        w.select((F.col("pos") + 1).cast("int").alias("dim"), F.col("w").alias("weight"))
+    )
+
+
+def train_linear_probe_sql(
+    corpus_cte: str, target_cte: str, iters: int = PROBE_ITERS, lr: float = PROBE_LR
+) -> str:
+    """DuckDB twin: the same GD rounds as nested CTEs. ``corpus_cte``
+    must define ``x`` (vec_id, pos, val), ``target_cte`` must define
+    ``y`` (vec_id, y)."""
+    dec = f"DECIMAL(38,{_S})"
+    parts = [
+        corpus_cte,
+        target_cte,
+        "nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM y)",
+        "w0 AS (SELECT DISTINCT pos, 0.0 AS w FROM x)",
+        "b0 AS (SELECT 0.0 AS b)",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""p{i} AS (
+    SELECT x.vec_id,
+           CAST(SUM(CAST(round(x.val * w.w, {_S}) AS {dec})) AS DOUBLE)
+             + (SELECT b FROM b{i - 1}) AS pred
+    FROM x JOIN w{i - 1} w ON w.pos = x.pos GROUP BY x.vec_id
+)"""
+        )
+        parts.append(
+            f"""r{i} AS (
+    SELECT p.vec_id, round(p.pred - y.y, {_S}) AS r
+    FROM p{i} p JOIN y ON y.vec_id = p.vec_id
+)"""
+        )
+        parts.append(
+            f"""g{i} AS (
+    SELECT x.pos,
+           round(CAST(SUM(CAST(round(x.val * r.r, {_S}) AS {dec})) AS DOUBLE)
+                 / (SELECT n FROM nn), {_S}) AS g
+    FROM x JOIN r{i} r ON r.vec_id = x.vec_id GROUP BY x.pos
+)"""
+        )
+        parts.append(
+            f"w{i} AS (SELECT w.pos, round(w.w - {lr} * g.g, {_S}) AS w "
+            f"FROM w{i - 1} w JOIN g{i} g ON g.pos = w.pos)"
+        )
+        parts.append(
+            f"""b{i} AS (
+    SELECT round((SELECT b FROM b{i - 1})
+                 - {lr} * round(CAST(SUM(CAST(round(r, {_S}) AS {dec})) AS DOUBLE)
+                                / (SELECT n FROM nn), {_S}), {_S}) AS b
+    FROM r{i}
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT CAST(0 AS INT) AS dim, b AS weight FROM b{iters}
+UNION ALL
+SELECT CAST(pos + 1 AS INT) AS dim, w AS weight FROM w{iters}"""
+    )

@@ -37,6 +37,8 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # via tests/test_oracle_parity.py, which checks ALL of them.
 ROTATION: list[str] = [
     # Round-7 late additions (never sampled) lead the window:
+    "linear_probe_weights",
+    "linear_probe_class_scores",
     "pmi_collocations",
     "triangle_copurchase_suppliers",
     "trade_bfs_hops",

@@ -994,3 +994,110 @@ def q_embedding_top_eigvec(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     x = emb.select("vec_id", F.posexplode("v").alias("pos", "val"))
     return power_iteration_component(x)
+
+
+from nyc_taxi_data_engineering_spark.operators.linear_probe import (
+    train_linear_probe,
+    train_linear_probe_sql,
+)
+
+_PROBE_TARGET_CTE = """y AS (
+  SELECT vec_id, CASE WHEN label = 0 THEN 1.0 ELSE 0.0 END AS y
+  FROM embeddings
+)"""
+
+
+@query(
+    "linear_probe_weights",
+    oracle=train_linear_probe_sql(_PCA_CORPUS_CTE, _PROBE_TARGET_CTE),
+)
+def q_linear_probe_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-classifier training, distributed: a one-vs-rest linear
+    probe (class 0 vs rest) trained by 3 full-batch GD rounds over the
+    embedding corpus (operators/linear_probe) — the DataComp/DCLM-style
+    cheap-classifier curation step, here with the TRAINING itself under
+    the correctness gate, not just the scoring. Squared loss keeps it
+    algebraic (no sigmoid -> no cross-engine libm), every sum is
+    12-dp DECIMAL, and the model flows between rounds as a broadcast
+    65-row DataFrame — the corpus is touched by exactly two keyed
+    hash-agg shuffles per round, nothing collected."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = emb.select(
+        "vec_id", F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "val")
+    )
+    y = emb.select(
+        "vec_id",
+        F.when(F.col("label") == 0, F.lit(1.0)).otherwise(F.lit(0.0)).alias("y"),
+    )
+    return train_linear_probe(x, y)
+
+
+@query(
+    "linear_probe_class_scores",
+    oracle=f"""
+WITH model AS ({train_linear_probe_sql(_PCA_CORPUS_CTE, _PROBE_TARGET_CTE)}),
+xx AS (
+  SELECT vec_id, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS val
+  FROM (SELECT vec_id, embedding,
+               unnest(range(1, len(embedding) + 1)) AS i
+        FROM embeddings)
+),
+scores AS (
+  SELECT xx.vec_id,
+         round(CAST(SUM(CAST(round(xx.val * m.weight, 12) AS DECIMAL(38,12))) AS DOUBLE)
+               + (SELECT weight FROM model WHERE dim = 0), 12) AS score
+  FROM xx JOIN model m ON m.dim = xx.pos + 1
+  GROUP BY xx.vec_id
+)
+SELECT e.label,
+       COUNT(*) AS n_vectors,
+       round(CAST(SUM(CAST(s.score AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*), 9) AS mean_score
+FROM scores s JOIN embeddings e ON e.vec_id = s.vec_id
+GROUP BY e.label
+""",
+)
+def q_linear_probe_class_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scoring half of the curation classifier: apply the trained
+    probe (linear_probe_weights) back to the corpus and report mean
+    score per true class — the separation readout (class 0 should
+    float above the rest) a pipeline inspects before picking a keep
+    threshold. The 65-row model broadcasts onto the long-form corpus:
+    one keyed hash agg per vector, one tiny per-class agg; scoring
+    100 TB is one shuffle-light pass. Scores land on the 12-dp grid so
+    the per-class DECIMAL means replay exactly in the oracle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = emb.select(
+        "vec_id", F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "val")
+    )
+    y = emb.select(
+        "vec_id",
+        F.when(F.col("label") == 0, F.lit(1.0)).otherwise(F.lit(0.0)).alias("y"),
+    )
+    model = train_linear_probe(x, y)
+    bias_row = model.filter(F.col("dim") == 0).select(F.col("weight").alias("bias"))
+    wpos = model.filter(F.col("dim") > 0).select(
+        (F.col("dim") - 1).alias("pos"), F.col("weight").alias("w")
+    )
+    scores = (
+        x.join(F.broadcast(wpos), "pos")
+        .groupBy("vec_id")
+        .agg(
+            F.sum(F.round(F.col("val") * F.col("w"), 12).cast("decimal(38,12)"))
+            .cast("double")
+            .alias("xw")
+        )
+        .crossJoin(F.broadcast(bias_row))
+        .select("vec_id", F.round(F.col("xw") + F.col("bias"), 12).alias("score"))
+    )
+    return (
+        scores.join(emb.select("vec_id", "label"), "vec_id")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.round(
+                F.sum(F.col("score").cast("decimal(38,12)")).cast("double")
+                / F.count(F.lit(1)),
+                9,
+            ).alias("mean_score"),
+        )
+    )
