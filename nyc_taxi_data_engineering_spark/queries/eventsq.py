@@ -350,3 +350,66 @@ def q_user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_cohort",
         F.round(F.col("n_active") * F.lit(1.0) / F.col("n_cohort"), 6).alias("retention"),
     )
+
+
+@query(
+    "props_corrupt_audit",
+    oracle="""
+WITH tampered AS (
+  SELECT event_type,
+         CASE WHEN event_id % 7 = 0
+              THEN substr(props, 1, length(props) - 1)
+              ELSE props END AS p
+  FROM events
+),
+parsed AS (
+  SELECT event_type, p,
+         CASE WHEN json_valid(p) THEN 1 ELSE 0 END AS ok,
+         CASE WHEN json_valid(p)
+              THEN CAST(json_extract_string(p, '$.k') AS INTEGER) END AS k
+  FROM tampered
+)
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(ok) AS BIGINT) AS n_valid,
+       CAST(SUM(1 - ok) AS BIGINT) AS n_corrupt,
+       CAST(SUM(k) AS BIGINT) AS sum_k_valid
+FROM parsed
+GROUP BY event_type
+""",
+)
+def q_props_corrupt_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-record handling — the PERMISSIVE-parse audit every
+    ingest needs before trusting a JSON column: a deterministic 1-in-7
+    tamper chops the closing brace, then ``try_parse_json`` (the
+    strict VARIANT parser, NULL on malformed input) is audited against
+    DuckDB's ``json_valid``: per event type, valid/corrupt counts and
+    the aggregate over surviving rows. Two engines' ideas of "broken
+    JSON" must coincide row-for-row for the hash to match. Single
+    scan, one hash agg; corrupt rows are counted, not dropped silently
+    — at 100 TB a silent 0.01% parse-loss is a real data bug."""
+    ev = load_table(spark, sf_dir, "events")
+    p = F.when(
+        F.col("event_id") % 7 == 0,
+        F.expr("substring(props, 1, length(props) - 1)"),
+    ).otherwise(F.col("props"))
+    # try_parse_json (the strict VARIANT parser, NULL on malformed) is
+    # the validity probe — permissive from_json would hand back an
+    # all-null struct instead of failing, hiding the corruption. The
+    # one known strictness gap (Spark's variant parser tolerates
+    # trailing garbage, DuckDB's json_valid doesn't) cannot arise
+    # here: the tamper truncates, never appends.
+    parsed = ev.select(
+        "event_type",
+        F.try_parse_json(p).alias("v"),
+    ).select(
+        "event_type",
+        F.when(F.col("v").isNotNull(), 1).otherwise(0).alias("ok"),
+        F.try_variant_get(F.col("v"), "$.k", "int").alias("k"),
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("ok").cast("bigint").alias("n_valid"),
+        F.sum(1 - F.col("ok")).cast("bigint").alias("n_corrupt"),
+        F.sum("k").cast("bigint").alias("sum_k_valid"),
+    )

@@ -37,6 +37,8 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # via tests/test_oracle_parity.py, which checks ALL of them.
 ROTATION: list[str] = [
     # Round-7 late additions (never sampled) lead the window:
+    "events_ewma_spikes",
+    "props_corrupt_audit",
     "linear_probe_weights",
     "linear_probe_class_scores",
     "pmi_collocations",

@@ -151,3 +151,86 @@ def q_events_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             (z > 3.0).alias("is_anomaly"),
         )
     )
+
+
+EWMA_LAGS = 8  # trailing hours in the exponential baseline
+EWMA_SPIKE_FACTOR = 2.0
+
+
+def _ewma_sql_terms() -> tuple[str, str]:
+    num = " + ".join(
+        f"CASE WHEN lag(c, {k}) OVER win IS NULL THEN 0.0 "
+        f"ELSE CAST(lag(c, {k}) OVER win AS DOUBLE) * {2.0 ** -k!r} END"
+        for k in range(1, EWMA_LAGS + 1)
+    )
+    den = " + ".join(
+        f"CASE WHEN lag(c, {k}) OVER win IS NULL THEN 0.0 ELSE {2.0 ** -k!r} END"
+        for k in range(1, EWMA_LAGS + 1)
+    )
+    return num, den
+
+
+_EWMA_NUM, _EWMA_DEN = _ewma_sql_terms()
+
+
+@query(
+    "events_ewma_spikes",
+    oracle=f"""
+WITH hours AS (
+    SELECT make_timestamp((epoch_us(ts) // 3600000000) * 3600000000) AS hour,
+           COUNT(*) AS c
+    FROM events GROUP BY 1
+),
+w AS (
+    SELECT hour, c, {_EWMA_NUM} AS num, {_EWMA_DEN} AS den
+    FROM hours
+    WINDOW win AS (ORDER BY hour)
+)
+SELECT hour, c AS n_events,
+       num / den AS ewma_trailing,
+       CAST(c AS DOUBLE) / (num / den) AS rate_ratio,
+       CAST(c AS DOUBLE) > {EWMA_SPIKE_FACTOR} * (num / den) AS is_spike
+FROM w
+WHERE den > 0
+""",
+)
+def q_events_ewma_spikes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA rate baseline + spike flags — the smoothing alternative to
+    the sliding z-score (events_rate_anomaly): recent hours dominate
+    the baseline with exponentially decaying half-life-1h weights.
+    Same scale shape: raw events collapse to the HOURLY series first
+    (one map-side-combined hash agg), the lag window runs over the
+    tiny series only. Weights are binary fractions (2^-k) so every
+    term count*2^-k is EXACT in doubles, and the 8-term sums are
+    written in the same left-to-right order in both engines —
+    bit-identical with no rounding contract needed. Boundary hours
+    normalize by the weight mass actually present."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    hours = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(F.col("w.start").alias("hour"), "c")
+    )
+    win = Window.orderBy("hour")
+    zero = F.lit(0.0)
+    num = zero
+    den = zero
+    for k in range(1, EWMA_LAGS + 1):
+        lagc = F.lag("c", k).over(win)
+        wk = F.lit(2.0 ** -k)
+        num = num + F.when(lagc.isNull(), zero).otherwise(lagc.cast("double") * wk)
+        den = den + F.when(lagc.isNull(), zero).otherwise(wk)
+    w = hours.select("hour", "c", num.alias("num"), den.alias("den"))
+    ewma = F.col("num") / F.col("den")
+    return (
+        w.filter(F.col("den") > 0)
+        .select(
+            "hour",
+            F.col("c").alias("n_events"),
+            ewma.alias("ewma_trailing"),
+            (F.col("c").cast("double") / ewma).alias("rate_ratio"),
+            (F.col("c").cast("double") > F.lit(EWMA_SPIKE_FACTOR) * ewma).alias("is_spike"),
+        )
+    )
