@@ -646,3 +646,89 @@ def q_delta_compact_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total_price"),
     )
+
+
+MV_DELETE_MOD = 13  # orders deleted: o_orderkey % 13 == 0
+MV_INSERT_MOD = 17  # orders appended as key-shifted copies: % 17 == 0
+MV_KEY_SHIFT = 4_000_000_000
+
+
+@query(
+    "delta_mv_delete_rollup_orders",
+    oracle=f"""
+WITH survivors AS (
+  SELECT o_orderstatus, CAST(o_totalprice AS DECIMAL(18,2)) AS p
+  FROM orders WHERE o_orderkey % {MV_DELETE_MOD} <> 0
+  UNION ALL
+  SELECT o_orderstatus, CAST(o_totalprice AS DECIMAL(18,2)) AS p
+  FROM orders WHERE o_orderkey % {MV_INSERT_MOD} = 0
+)
+SELECT o_orderstatus,
+       COUNT(*) AS n_orders,
+       CAST(SUM(p) AS DOUBLE) AS total_price
+FROM survivors GROUP BY o_orderstatus
+""",
+)
+def q_delta_mv_delete_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETE-aware incremental view maintenance — the general MV case
+    the append-only rollup (delta_incremental_rollup_orders) can't
+    cover: after a MERGE-delete (1-in-{MV_DELETE_MOD} keys) and an
+    append (key-shifted copies of 1-in-{MV_INSERT_MOD} rows), the
+    per-status rollup is maintained by RETRACTION off the row-level
+    change feed (delta_version_diff): deletes contribute (-1, -price),
+    inserts (+1, +price), updates both — never a re-scan of the base
+    table. The maintained MV must hash-match the oracle's from-scratch
+    recompute exactly (counts are integers, prices sum as
+    DECIMAL(18,2) — retraction arithmetic is EXACT, so incremental
+    equals recompute bit-for-bit, the property that makes retraction
+    MVs trustworthy in production).
+
+    100 TB shape: maintenance cost is change-proportional (the diff's
+    keyed full-outer join + one tiny agg), not base-proportional —
+    the entire point of incremental MV at scale."""
+    from pyspark.sql import functions as F
+
+    from nyc_taxi_data_engineering_spark.catalog import load_table
+    from nyc_taxi_data_engineering_spark.sources import delta_log as D
+
+    tbl = _tmp_table("delta_mv_del_orders")
+    shutil.rmtree(tbl, ignore_errors=True)
+    orders = load_table(spark, sf_dir, "orders")
+    D.write_delta(orders, tbl, mode="overwrite")  # v0
+    doomed = orders.filter(F.col("o_orderkey") % MV_DELETE_MOD == 0).select("o_orderkey")
+    D.merge_delta(  # v1: MERGE-delete
+        spark, tbl, doomed, on="o_orderkey",
+        when_matched="delete", when_not_matched="ignore",
+    )
+    shifted = orders.filter(F.col("o_orderkey") % MV_INSERT_MOD == 0).withColumn(
+        "o_orderkey", F.col("o_orderkey") + F.lit(MV_KEY_SHIFT)
+    )
+    D.write_delta(shifted, tbl, mode="append")  # v2
+
+    dec = "decimal(18,2)"
+    base = (
+        D.read_delta_log(spark, tbl, version_as_of=0)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("dn"),
+            F.sum(F.col("o_totalprice").cast(dec)).alias("dp"),
+        )
+    )
+    diff = D.delta_version_diff(spark, tbl, key="o_orderkey", version_from=0)
+    downs = diff.filter(F.col("change_type").isin("delete", "update")).select(
+        F.col("old_o_orderstatus").alias("o_orderstatus"),
+        F.lit(-1).cast("long").alias("dn"),
+        (-F.col("old_o_totalprice").cast(dec)).alias("dp"),
+    )
+    ups = diff.filter(F.col("change_type").isin("insert", "update")).select(
+        F.col("new_o_orderstatus").alias("o_orderstatus"),
+        F.lit(1).cast("long").alias("dn"),
+        F.col("new_o_totalprice").cast(dec).alias("dp"),
+    )
+    return (
+        base.unionByName(downs).unionByName(ups)
+        .groupBy("o_orderstatus")
+        .agg(F.sum("dn").alias("n_orders"), F.sum("dp").alias("tp"))
+        .filter(F.col("n_orders") > 0)
+        .select("o_orderstatus", "n_orders", F.col("tp").cast("double").alias("total_price"))
+    )
