@@ -46,6 +46,7 @@ ROTATION: list[str] = [
     "triangle_copurchase_suppliers",
     "trade_bfs_hops",
     "embedding_top_eigvec",
+    "embedding_top2_pca",
     "delta_compact_orders",
     "crossdoc_repeated_spans",
     "crossdoc_span_scrub",

@@ -1101,3 +1101,26 @@ def q_linear_probe_class_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_score"),
         )
     )
+
+
+from nyc_taxi_data_engineering_spark.operators.pca import (
+    top2_components,
+    top2_components_sql,
+)
+
+
+@query("embedding_top2_pca", oracle=top2_components_sql(_PCA_CORPUS_CTE))
+def q_embedding_top2_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 principal directions by power iteration + Hotelling
+    deflation: pc1 as in embedding_top_eigvec, then the corpus is
+    projected onto pc1's orthogonal complement (one keyed per-vector
+    dot + one broadcast subtract, values back on the 12-dp grid) and
+    iterated again for pc2 — the 2-D PCA drift monitor / whitening
+    front-end, still covariance-free and collect-free. Orthogonality
+    of the pair is pinned in tests; both deflation and both iteration
+    chains replay bit-for-bit in the oracle."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    x = emb.select("vec_id", F.posexplode("v").alias("pos", "val"))
+    return top2_components(x)
