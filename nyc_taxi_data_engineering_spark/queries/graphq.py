@@ -166,37 +166,87 @@ from nyc_taxi_data_engineering_spark.operators.graph import (
 )
 
 
+TRIANGLE_TOPK = 5  # kNN-graph degree: each supplier keeps its 5 closest partners
+
+
+def _knn_copurchase_edges_sql() -> str:
+    pairs = cooccurrence_pairs_sql(
+        _COPURCHASE_LINKS,
+        degree_cap=COPURCHASE_DEGREE_CAP,
+        min_shared=COPURCHASE_MIN_SHARED,
+    )
+    return f"""
+WITH pairs AS ({pairs}),
+partners AS (
+  SELECT a AS node, b AS partner, shared_contexts FROM pairs
+  UNION ALL
+  SELECT b AS node, a AS partner, shared_contexts FROM pairs
+),
+topk AS (
+  SELECT node, partner FROM (
+    SELECT node, partner,
+           ROW_NUMBER() OVER (PARTITION BY node
+                              ORDER BY shared_contexts DESC, partner) AS rn
+    FROM partners
+  ) WHERE rn <= {TRIANGLE_TOPK}
+)
+SELECT DISTINCT LEAST(node, partner) AS a, GREATEST(node, partner) AS b FROM topk"""
+
+
 @query(
     "triangle_copurchase_suppliers",
-    oracle=triangle_counts_sql(
-        cooccurrence_pairs_sql(
-            _COPURCHASE_LINKS,
-            degree_cap=COPURCHASE_DEGREE_CAP,
-            min_shared=COPURCHASE_MIN_SHARED,
-        )
-    ),
+    oracle=triangle_counts_sql(_knn_copurchase_edges_sql()),
 )
 def q_triangle_copurchase_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-supplier triangle counts over the co-purchase graph — the
-    clustering-structure probe (community density, spam-farm
-    detection) run on the same edge list supplier_copurchase_pairs
-    mines. Degree-ordered orientation means the co-purchase hub
-    suppliers — exactly the ones a naive wedge join would square —
-    generate zero wedges; combined with the upstream degree_cap the
-    whole pipeline is hot-key-safe end to end. One degree agg, one
-    orientation, two keyed equi-joins, one hash agg."""
+    """Per-supplier triangle counts over the top-{TRIANGLE_TOPK}
+    co-purchase NEIGHBOR graph — the clustering-structure probe
+    (community density, collusion/spam-farm detection) run on the
+    similarity-graph shape production actually uses. The raw
+    min_shared co-purchase graph is the wrong input: TPC-H customers
+    buy from most suppliers, so that graph is COMPLETE at every scale
+    (tools/triangle_diag.py: density 1.0 at sf0.01 AND sf0.1) and
+    triangle counting on a complete graph is Theta(n^3) for any
+    algorithm — the output itself is cubic. The kNN sparsification
+    (each supplier keeps its {TRIANGLE_TOPK} strongest partners by
+    shared customers, union-symmetrized) bounds degree by 2K-ish, so
+    wedge volume is Theta(n*K^2) — linear in nodes — and triangles
+    measure genuine locality, not saturation. Then the degree-ordered
+    orientation (operators/graph.triangle_counts) enumerates each
+    triangle exactly once with hubs generating zero wedges.
+
+    Plan: pair mining (keyed self-join with the degree_cap lever) ->
+    per-node top-K window (partitioned by node — never global) ->
+    distinct undirected edges -> two keyed equi-joins + hash aggs."""
+    from pyspark.sql import Window
+
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     links = o.join(li, o["o_orderkey"] == li["l_orderkey"]).select(
         F.col("l_suppkey").alias("supplier"), F.col("o_custkey").alias("customer")
     )
-    edges = cooccurrence_pairs(
+    pairs = cooccurrence_pairs(
         links,
         "supplier",
         "customer",
         degree_cap=COPURCHASE_DEGREE_CAP,
         min_shared=COPURCHASE_MIN_SHARED,
-    ).select("a", "b")
+    )
+    partners = pairs.select(
+        F.col("a").alias("node"), F.col("b").alias("partner"), "shared_contexts"
+    ).unionByName(
+        pairs.select(
+            F.col("b").alias("node"), F.col("a").alias("partner"), "shared_contexts"
+        )
+    )
+    win = Window.partitionBy("node").orderBy(F.col("shared_contexts").desc(), "partner")
+    topk = (
+        partners.withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") <= TRIANGLE_TOPK)
+        .select("node", "partner")
+    )
+    edges = topk.select(
+        F.least("node", "partner").alias("a"), F.greatest("node", "partner").alias("b")
+    ).distinct()
     return triangle_counts(edges)
 
 

@@ -545,13 +545,18 @@ def test_modality_fingerprint_pairs_no_cartesian(spark, sf_dir):
 
 def test_triangle_counting_keyed_joins_only(spark, sf_dir):
     """Triangle counting must stay two keyed equi-joins (wedge + close)
-    under the degree-ordered orientation — no cartesian, no window, and
-    partial aggs (map-side combine) on the degree/count shuffles."""
+    under the degree-ordered orientation — no cartesian, and partial
+    aggs (map-side combine) on the degree/count shuffles. The only
+    window is the kNN top-K sparsifier, and it must be PARTITIONED by
+    node (a global-sort window would serialize the corpus)."""
     plan = _plan(spark, sf_dir, "triangle_copurchase_suppliers")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    assert "Window" not in plan
     assert "partial_count" in plan
+    for line in plan.splitlines():
+        if "Window" in line and "row_number" in line:
+            assert "partitionBy" not in line or "node" in line
+            assert "node" in line  # partition key present
 
 
 def test_bfs_rounds_are_keyed_joins_min_aggs(spark, sf_dir):
