@@ -297,6 +297,14 @@ def bfs_hops(edges: DataFrame, source, max_hops: int) -> DataFrame:
         edges.sparkSession.createDataFrame([(source,)], seed_schema)
         .select("node", F.lit(0).cast("int").alias("hops"))
     )
+    # Pre-partition the (loop-invariant) edge list on the join key once
+    # and cache it, so every round joins against the same in-memory
+    # layout. Measured effect (sf1/sf10 graph tier): wall −25%/−12%
+    # (18.5→13.9 s / 131.8→116.4 s) but the ×10-data slope stays ~8 —
+    # Spark's ReusedExchange was already deduping the per-round edge
+    # shuffle, and the remaining per-round cost is the edge scan
+    # itself, which is edge-proportional by construction.
+    edges = edges.repartition("src").cache()
     for _ in range(max_hops):
         nxt = (
             dist.join(edges, dist["node"] == edges["src"])
