@@ -41,7 +41,10 @@ _SCALE = 12  # dp kept per contribution / rank
 
 
 def pagerank(
-    edges: DataFrame, iters: int = PAGERANK_ITERS, weight: str | None = None
+    edges: DataFrame,
+    iters: int = PAGERANK_ITERS,
+    weight: str | None = None,
+    personalize=None,
 ) -> DataFrame:
     """(node, rank) after ``iters`` rounds from a uniform start over
     the distinct nodes of ``edges`` (src, dst[, weight]) — nodes that
@@ -51,7 +54,16 @@ def pagerank(
     ``weight`` names an INTEGER edge-weight column — the random surfer
     follows an edge with probability w / strength(src) (strength =
     out-weight sum), the standard weighted extension; omitted, every
-    edge weighs 1 and strength is the out-degree."""
+    edge weighs 1 and strength is the out-degree.
+
+    ``personalize`` switches to PERSONALIZED PageRank from that source
+    node (random walk with restart — the recommendation / relatedness
+    primitive): all walk mass starts ON the source (rank 1.0 there,
+    0.0 elsewhere — exact doubles, so the determinism contract is
+    untouched), the teleport term returns (1-d) to the source instead
+    of (1-d)/N to everyone, and dangling mass restarts at the source
+    rather than spreading uniformly. Same per-round plan shape; only
+    the three mass terms change."""
     if weight is not None and not isinstance(
         edges.schema[weight].dataType, IntegralType
     ):
@@ -74,9 +86,16 @@ def pagerank(
     outdeg = edges.groupBy("src").agg(F.sum("w").alias("strength"))
     # (src, dst, w, strength) is loop-invariant: build once, reuse every round
     ew = edges.join(outdeg, "src")
-    ranks = nodes.crossJoin(F.broadcast(n_row)).select(
-        "node", (F.lit(1.0) / F.col("n")).alias("rank")
-    )
+    if personalize is None:
+        ranks = nodes.crossJoin(F.broadcast(n_row)).select(
+            "node", (F.lit(1.0) / F.col("n")).alias("rank")
+        )
+    else:
+        ind = (
+            F.when(F.col("node") == F.lit(personalize), F.lit(1.0))
+            .otherwise(F.lit(0.0))
+        )
+        ranks = nodes.select("node", ind.alias("rank"))
     teleport = (F.lit(1.0) - F.lit(PAGERANK_DAMPING)) / F.col("n")
     zero_dm = F.lit(0).cast(f"decimal(28,{_SCALE})")
     for _ in range(iters):
@@ -94,6 +113,16 @@ def pagerank(
                 F.sum(F.col("rank").cast(f"decimal(28,{_SCALE})")), zero_dm
             ).alias("dm")
         )
+        if personalize is None:
+            base = teleport
+            dm_share = F.col("dm").cast("double") / F.col("n")
+        else:
+            ind = (
+                F.when(F.col("node") == F.lit(personalize), F.lit(1.0))
+                .otherwise(F.lit(0.0))
+            )
+            base = (F.lit(1.0) - F.lit(PAGERANK_DAMPING)) * ind
+            dm_share = F.col("dm").cast("double") * ind
         ranks = (
             nodes.join(in_sum, "node", "left")
             .crossJoin(F.broadcast(n_row))
@@ -101,11 +130,11 @@ def pagerank(
             .select(
                 "node",
                 F.round(
-                    teleport
+                    base
                     + F.lit(PAGERANK_DAMPING)
                     * (
                         F.coalesce(F.col("s").cast("double"), F.lit(0.0))
-                        + F.col("dm").cast("double") / F.col("n")
+                        + dm_share
                     ),
                     _SCALE,
                 ).alias("rank"),
@@ -115,14 +144,28 @@ def pagerank(
 
 
 def pagerank_sql(
-    edges_cte: str, iters: int = PAGERANK_ITERS, weighted: bool = False
+    edges_cte: str,
+    iters: int = PAGERANK_ITERS,
+    weighted: bool = False,
+    personalize_literal: str | None = None,
 ) -> str:
     """DuckDB twin: the same fixed-point iterations as nested CTEs,
     including the per-round 1-row dangling-mass aggregate.
     ``edges_cte`` must define a CTE named ``edges`` with (src, dst) —
     plus an integer ``w`` column when ``weighted``. Returns a complete
-    WITH...SELECT producing (node, rank)."""
+    WITH...SELECT producing (node, rank). ``personalize_literal`` is a
+    ready-to-embed SQL literal for the restart node of personalized
+    PageRank — start mass, teleport, and dangling mass all go to it,
+    mirroring ``pagerank(personalize=...)`` term-for-term."""
     w_expr = "w" if weighted else "1::BIGINT"
+    if personalize_literal is None:
+        r0 = "r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes)"
+    else:
+        r0 = (
+            "r0 AS (SELECT node, CAST(CASE WHEN node = "
+            f"{personalize_literal} THEN 1.0 ELSE 0.0 END AS DOUBLE) "
+            "AS rank FROM nodes)"
+        )
     parts = [
         edges_cte,
         f"we AS (SELECT src, dst, {w_expr} AS w FROM edges)",
@@ -134,7 +177,7 @@ def pagerank_sql(
         "(SELECT 1 FROM srcs s WHERE s.node = t.node))",
         "nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes)",
         "outdeg AS (SELECT src, SUM(w) AS strength FROM we GROUP BY src)",
-        "r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes)",
+        r0,
     ]
     for i in range(1, iters + 1):
         parts.append(
@@ -151,12 +194,22 @@ def pagerank_sql(
     FROM r{i - 1} r JOIN dangling g ON g.node = r.node
 )"""
         )
+        if personalize_literal is None:
+            base = f"(1 - {PAGERANK_DAMPING}) / (SELECT n FROM nn)"
+            dm_share = f"CAST((SELECT dm FROM d{i}) AS DOUBLE) / (SELECT n FROM nn)"
+        else:
+            ind = (
+                f"CAST(CASE WHEN n.node = {personalize_literal} "
+                "THEN 1.0 ELSE 0.0 END AS DOUBLE)"
+            )
+            base = f"(1 - {PAGERANK_DAMPING}) * {ind}"
+            dm_share = f"CAST((SELECT dm FROM d{i}) AS DOUBLE) * {ind}"
         parts.append(
             f"""r{i} AS (
     SELECT n.node,
-           round((1 - {PAGERANK_DAMPING}) / (SELECT n FROM nn)
+           round({base}
                  + {PAGERANK_DAMPING} * (CAST(COALESCE(s.s, 0) AS DOUBLE)
-                     + CAST((SELECT dm FROM d{i}) AS DOUBLE) / (SELECT n FROM nn)),
+                     + {dm_share}),
                  {_SCALE}) AS rank
     FROM nodes n LEFT JOIN (SELECT node, SUM(c) AS s FROM c{i} GROUP BY node) s
       ON s.node = n.node
@@ -334,3 +387,145 @@ walk(node, hops) AS (
   WHERE w.hops < {max_hops}
 )
 SELECT node, CAST(MIN(hops) AS INT) AS hops FROM walk GROUP BY node"""
+
+
+# ---------------------------------------------------------------------------
+# Label propagation (community detection)
+# ---------------------------------------------------------------------------
+
+LPA_ITERS = 3
+
+
+def label_propagation(edges: DataFrame, iters: int = LPA_ITERS) -> DataFrame:
+    """(node, community) after ``iters`` rounds of synchronous label
+    propagation over an UNDIRECTED simple edge list (a, b) — the
+    community-detection workhorse (Raghavan et al. 2007) in the same
+    keyed-join/agg formulation as PageRank. Labels start as the node's
+    own id; each round every node adopts the most frequent label among
+    its neighbors, ties broken by the SMALLEST label — integer counts
+    and an integer tie-break, so the fixed round count is bit-exactly
+    replayable (synchronous LPA can oscillate on bipartite structures;
+    a fixed ``iters`` makes that a non-issue for determinism).
+
+    Labels must be integers (node ids): the per-node argmax folds into
+    ONE hash aggregate via ``max(struct(cnt, -label))`` — partial
+    aggregation collapses each node's candidate labels map-side before
+    the exchange, the same no-window shape as nearest-centroid
+    assignment (queries/similarity.py). Per round: one keyed equi-join
+    (labels ⋈ symmetrized edges) + two hash aggs. No windows, no
+    collect; state is the label table itself."""
+    if not isinstance(edges.schema["a"].dataType, IntegralType):
+        raise TypeError(
+            "label_propagation needs integer node ids (labels negate "
+            f"inside the argmax struct); got {edges.schema['a'].dataType.simpleString()}"
+        )
+    sym = edges.select(F.col("a").alias("node"), F.col("b").alias("nbr")).unionByName(
+        edges.select(F.col("b").alias("node"), F.col("a").alias("nbr"))
+    )
+    labels = sym.select("node").distinct().select("node", F.col("node").alias("label"))
+    for _ in range(iters):
+        # labels derives from sym, so qualify the self-join by renaming
+        # the label side's key instead of relying on column lineage
+        votes = (
+            labels.withColumnRenamed("node", "lnode")
+            .join(sym, F.col("lnode") == F.col("nbr"))
+            .select("node", "label")
+        )
+        counts = votes.groupBy("node", "label").agg(F.count(F.lit(1)).alias("cnt"))
+        labels = (
+            counts.groupBy("node")
+            .agg(F.max(F.struct(F.col("cnt"), (-F.col("label")).alias("neg"))).alias("best"))
+            .select("node", (-F.col("best.neg")).alias("label"))
+        )
+    return labels.select("node", F.col("label").alias("community"))
+
+
+def label_propagation_sql(edges_cte: str, iters: int = LPA_ITERS) -> str:
+    """DuckDB twin: the same synchronous rounds as nested CTEs, the
+    argmax expressed as the row_number window it replaces (highest
+    count, then smallest label — identical tie order). ``edges_cte``
+    must define a CTE named ``edges`` with integer columns (a, b)."""
+    parts = [
+        edges_cte,
+        "sym AS (SELECT a AS node, b AS nbr FROM edges "
+        "UNION ALL SELECT b AS node, a AS nbr FROM edges)",
+        "l0 AS (SELECT DISTINCT node, node AS label FROM sym)",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""c{i} AS (
+  SELECT s.node, l.label, COUNT(*) AS cnt
+  FROM sym s JOIN l{i - 1} l ON l.node = s.nbr
+  GROUP BY s.node, l.label
+)"""
+        )
+        parts.append(
+            f"""l{i} AS (
+  SELECT node, label FROM (
+    SELECT node, label,
+           ROW_NUMBER() OVER (PARTITION BY node ORDER BY cnt DESC, label) AS rn
+    FROM c{i}
+  ) WHERE rn = 1
+)"""
+        )
+    return "WITH " + ",\n".join(parts) + f"\nSELECT node, label AS community FROM l{iters}"
+
+
+# ---------------------------------------------------------------------------
+# Bounded weighted shortest paths (Bellman-Ford with a fixed round count)
+# ---------------------------------------------------------------------------
+
+def cheapest_paths(edges: DataFrame, source, rounds: int) -> DataFrame:
+    """(node, cost) — cheapest path cost from ``source`` over directed
+    edges (src, dst, cost) using at most ``rounds`` edges, the weighted
+    generalization of bfs_hops: Bellman-Ford min-relaxation with a
+    fixed round count. ``cost`` must be a non-negative INTEGER column
+    (exact min-sums, no float-accumulation order concerns); after round
+    k every node whose cheapest path uses <= k edges holds its exact
+    cost, so ``rounds`` >= the graph's hop diameter gives exact
+    distances.
+
+    Same scale shape as bfs_hops — per round one keyed equi-join
+    (frontier ⋈ edges, the loop-invariant edge list pre-partitioned on
+    src and cached) + one min hash agg with map-side combine; no
+    windows, no collect."""
+    if not isinstance(edges.schema["cost"].dataType, IntegralType):
+        raise TypeError(
+            "cheapest_paths needs an integer cost column (exact min-sums); "
+            f"got {edges.schema['cost'].dataType.simpleString()} — scale "
+            "real-valued costs to integers first"
+        )
+    from pyspark.sql.types import StructField, StructType
+
+    seed_schema = StructType([StructField("node", edges.schema["src"].dataType)])
+    dist = (
+        edges.sparkSession.createDataFrame([(source,)], seed_schema)
+        .select("node", F.lit(0).cast("long").alias("cost"))
+    )
+    edges = edges.select("src", "dst", F.col("cost").cast("long").alias("ecost"))
+    edges = edges.repartition("src").cache()
+    for _ in range(rounds):
+        nxt = dist.join(edges, dist["node"] == edges["src"]).select(
+            F.col("dst").alias("node"), (F.col("cost") + F.col("ecost")).alias("cost")
+        )
+        dist = dist.unionByName(nxt).groupBy("node").agg(F.min("cost").alias("cost"))
+    return dist
+
+
+def cheapest_paths_sql(edges_cte: str, source_literal: str, rounds: int) -> str:
+    """DuckDB twin: WITH RECURSIVE under UNION (distinct) semantics
+    over (node, cost, hops) — the hops column bounds the recursion at
+    ``rounds`` edges and the distinct set stays finite on cyclic graphs
+    (costs are non-negative integers, so the working set is bounded by
+    |V| x distinct reachable costs x rounds). ``edges_cte`` must define
+    a CTE named ``edges`` with (src, dst, cost)."""
+    return f"""
+WITH RECURSIVE {edges_cte},
+walk(node, cost, hops) AS (
+  SELECT {source_literal} AS node, 0::BIGINT AS cost, 0 AS hops
+  UNION
+  SELECT e.dst AS node, w.cost + e.cost AS cost, w.hops + 1 AS hops
+  FROM walk w JOIN edges e ON e.src = w.node
+  WHERE w.hops < {rounds}
+)
+SELECT node, MIN(cost) AS cost FROM walk GROUP BY node"""

@@ -193,30 +193,12 @@ topk AS (
 SELECT DISTINCT LEAST(node, partner) AS a, GREATEST(node, partner) AS b FROM topk"""
 
 
-@query(
-    "triangle_copurchase_suppliers",
-    oracle=triangle_counts_sql(_knn_copurchase_edges_sql()),
-)
-def q_triangle_copurchase_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-supplier triangle counts over the top-{TRIANGLE_TOPK}
-    co-purchase NEIGHBOR graph — the clustering-structure probe
-    (community density, collusion/spam-farm detection) run on the
-    similarity-graph shape production actually uses. The raw
-    min_shared co-purchase graph is the wrong input: TPC-H customers
-    buy from most suppliers, so that graph is COMPLETE at every scale
-    (tools/triangle_diag.py: density 1.0 at sf0.01 AND sf0.1) and
-    triangle counting on a complete graph is Theta(n^3) for any
-    algorithm — the output itself is cubic. The kNN sparsification
-    (each supplier keeps its {TRIANGLE_TOPK} strongest partners by
-    shared customers, union-symmetrized) bounds degree by 2K-ish, so
-    wedge volume is Theta(n*K^2) — linear in nodes — and triangles
-    measure genuine locality, not saturation. Then the degree-ordered
-    orientation (operators/graph.triangle_counts) enumerates each
-    triangle exactly once with hubs generating zero wedges.
-
-    Plan: pair mining (keyed self-join with the degree_cap lever) ->
-    per-node top-K window (partitioned by node — never global) ->
-    distinct undirected edges -> two keyed equi-joins + hash aggs."""
+def _knn_copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected (a, b) edge list of the top-{TRIANGLE_TOPK}
+    co-purchase NEIGHBOR graph: pair mining with the degree_cap lever,
+    then a per-node top-K window (partitioned by node — never global),
+    union-symmetrized and deduped. The bounded-degree similarity-graph
+    input the triangle and community queries share."""
     from pyspark.sql import Window
 
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
@@ -244,10 +226,36 @@ def q_triangle_copurchase_suppliers(spark: SparkSession, sf_dir: str) -> DataFra
         .filter(F.col("rn") <= TRIANGLE_TOPK)
         .select("node", "partner")
     )
-    edges = topk.select(
+    return topk.select(
         F.least("node", "partner").alias("a"), F.greatest("node", "partner").alias("b")
     ).distinct()
-    return triangle_counts(edges)
+
+
+@query(
+    "triangle_copurchase_suppliers",
+    oracle=triangle_counts_sql(_knn_copurchase_edges_sql()),
+)
+def q_triangle_copurchase_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-supplier triangle counts over the top-{TRIANGLE_TOPK}
+    co-purchase NEIGHBOR graph — the clustering-structure probe
+    (community density, collusion/spam-farm detection) run on the
+    similarity-graph shape production actually uses. The raw
+    min_shared co-purchase graph is the wrong input: TPC-H customers
+    buy from most suppliers, so that graph is COMPLETE at every scale
+    (tools/triangle_diag.py: density 1.0 at sf0.01 AND sf0.1) and
+    triangle counting on a complete graph is Theta(n^3) for any
+    algorithm — the output itself is cubic. The kNN sparsification
+    (each supplier keeps its {TRIANGLE_TOPK} strongest partners by
+    shared customers, union-symmetrized) bounds degree by 2K-ish, so
+    wedge volume is Theta(n*K^2) — linear in nodes — and triangles
+    measure genuine locality, not saturation. Then the degree-ordered
+    orientation (operators/graph.triangle_counts) enumerates each
+    triangle exactly once with hubs generating zero wedges.
+
+    Plan: pair mining (keyed self-join with the degree_cap lever) ->
+    per-node top-K window (partitioned by node — never global) ->
+    distinct undirected edges -> two keyed equi-joins + hash aggs."""
+    return triangle_counts(_knn_copurchase_edges(spark, sf_dir))
 
 
 from nyc_taxi_data_engineering_spark.operators.graph import bfs_hops, bfs_hops_sql
@@ -282,3 +290,117 @@ def q_trade_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select(F.col("s_node").alias("src"), F.col("c_node").alias("dst"))
     )
     return bfs_hops(edges, BFS_SOURCE, BFS_MAX_HOPS)
+
+
+from nyc_taxi_data_engineering_spark.operators.graph import (
+    label_propagation,
+    label_propagation_sql,
+)
+
+PPR_SOURCE = "c1"  # customer 1 exists at every scale factor
+
+
+@query(
+    "ppr_supplier_recommendations",
+    oracle=pagerank_sql(_EDGES_CTE, personalize_literal=f"'{PPR_SOURCE}'"),
+)
+def q_ppr_supplier_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank (random walk with restart) from customer
+    {PPR_SOURCE} over the bidirected trade graph — the recommendation
+    primitive: rank measures relatedness TO THIS CUSTOMER, so nearby
+    suppliers (bought directly, or bought by customers with similar
+    baskets) score high while the global hubs uniform PageRank rewards
+    stay low unless they are actually close. All walk mass starts on
+    the source, teleport returns (1-d) to it, dangling mass restarts
+    there. Same per-round keyed-join + hash-agg shape and the same
+    12-dp DECIMAL bit-exact replay as pagerank_trade_graph; only the
+    three mass terms change (operators/graph.pagerank personalize=)."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("c_node"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("s_node"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("c_node").alias("src"), F.col("s_node").alias("dst")).unionByName(
+        pairs.select(F.col("s_node").alias("src"), F.col("c_node").alias("dst"))
+    )
+    return pagerank(edges, personalize=PPR_SOURCE)
+
+
+@query(
+    "lpa_copurchase_communities",
+    oracle=label_propagation_sql(f"edges AS ({_knn_copurchase_edges_sql()})"),
+)
+def q_lpa_copurchase_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection on the top-{TRIANGLE_TOPK} co-purchase
+    neighbor graph by synchronous label propagation (3 rounds,
+    smallest-label tie-break): suppliers that serve the same customer
+    cliques converge onto a shared community label — the
+    segment-discovery / spam-farm-grouping primitive. Integer counts +
+    integer tie-break make the fixed rounds bit-exactly replayable; the
+    Spark side folds the per-node argmax into one max(struct) hash agg
+    (map-side combine, no window on the big side), the oracle spells
+    the same order as a row_number window. Bounded-degree input (kNN
+    sparsification, like the triangle query) keeps each round's vote
+    join linear in nodes."""
+    return label_propagation(_knn_copurchase_edges(spark, sf_dir))
+
+
+from nyc_taxi_data_engineering_spark.operators.graph import (
+    cheapest_paths,
+    cheapest_paths_sql,
+)
+
+CHEAPEST_ROUNDS = 4
+
+_COST_EDGES_CTE = """wpairs AS (
+    SELECT 'c' || o_custkey AS c_node, 's' || l_suppkey AS s_node,
+           COUNT(DISTINCT o_orderkey) AS w
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY o_custkey, l_suppkey
+),
+edges AS (
+    SELECT c_node AS src, s_node AS dst,
+           CASE WHEN w >= 2 THEN 1 ELSE 2 END AS cost FROM wpairs
+    UNION ALL
+    SELECT s_node AS src, c_node AS dst,
+           CASE WHEN w >= 2 THEN 1 ELSE 2 END AS cost FROM wpairs
+)"""
+
+
+@query(
+    "trade_cheapest_costs",
+    oracle=cheapest_paths_sql(_COST_EDGES_CTE, f"'{BFS_SOURCE}'", CHEAPEST_ROUNDS),
+)
+def q_trade_cheapest_costs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted shortest paths from supplier {BFS_SOURCE} over the
+    bidirected trade graph where strong ties are cheap (edge cost 1
+    when the pair traded >= 2 distinct orders, else 2) — 'how hard is
+    it to reach this counterparty through RELIABLE relationships', the
+    weighted generalization of trade_bfs_hops. Bounded Bellman-Ford
+    ({CHEAPEST_ROUNDS} relaxation rounds, integer costs so min-sums are
+    exact) vs a recursive-CTE oracle carrying a hop counter — again two
+    different formulations forced to agree row-for-row. Per round one
+    keyed equi-join against the cached pre-partitioned edge list + one
+    min hash agg."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    wpairs = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("c_node"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("s_node"),
+        )
+        .agg(F.count_distinct("o_orderkey").alias("w"))
+    )
+    cost = F.when(F.col("w") >= 2, F.lit(1)).otherwise(F.lit(2)).cast("long").alias("cost")
+    edges = wpairs.select(
+        F.col("c_node").alias("src"), F.col("s_node").alias("dst"), cost
+    ).unionByName(
+        wpairs.select(F.col("s_node").alias("src"), F.col("c_node").alias("dst"), cost)
+    )
+    return cheapest_paths(edges, BFS_SOURCE, CHEAPEST_ROUNDS)

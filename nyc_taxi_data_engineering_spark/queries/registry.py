@@ -37,6 +37,9 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # via tests/test_oracle_parity.py, which checks ALL of them.
 ROTATION: list[str] = [
     # Round-7 late additions (never sampled) lead the window:
+    "ppr_supplier_recommendations",
+    "lpa_copurchase_communities",
+    "trade_cheapest_costs",
     "delta_mv_delete_rollup_orders",
     "events_ewma_spikes",
     "props_corrupt_audit",

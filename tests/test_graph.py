@@ -183,3 +183,143 @@ def test_bfs_source_without_outedges_still_seeds_itself(spark):
     edges = _edges(spark, [("a", "b")])
     got = {r["node"]: r["hops"] for r in bfs_hops(edges, "b", 3).collect()}
     assert got == {"b": 0}
+
+
+# ---------------------------------------------------------------------------
+# Personalized PageRank
+# ---------------------------------------------------------------------------
+
+def test_ppr_mass_conserved_and_source_dominates(spark):
+    """Random walk with restart on a path a->b->c (c a sink): teleport
+    and dangling mass both return to the source, so total mass stays
+    1.0 ± rounding every round and the source keeps the largest
+    rank at this damping."""
+    edges = _edges(spark, [("a", "b"), ("b", "c")])
+    for iters in (1, 2, 3):
+        ranks = {r["node"]: r["rank"] for r in pagerank(edges, iters=iters, personalize="a").collect()}
+        assert set(ranks) == {"a", "b", "c"}
+        assert abs(sum(ranks.values()) - 1.0) < 1e-9, (iters, ranks)
+    assert ranks["a"] > ranks["b"] > ranks["c"] > 0
+
+
+def test_ppr_locality_vs_global_pagerank(spark):
+    """Two 2-cycles a<->b and x<->y joined by b->x: personalized from
+    a, the walk's mass stays in a's neighborhood — rank(b) > rank(y)
+    — while nodes unreachable without restarts still get 0-ish mass
+    only via the walk, never teleport."""
+    edges = _edges(spark, [("a", "b"), ("b", "a"), ("x", "y"), ("y", "x"), ("b", "x")])
+    ranks = {r["node"]: r["rank"] for r in pagerank(edges, personalize="a").collect()}
+    # a's cycle partner b holds the most mass (it absorbs a's full rank
+    # every round); the far cycle gets only the leak through b->x
+    assert ranks["b"] > ranks["x"] > 0 and ranks["b"] > ranks["y"] > 0
+    assert ranks["a"] + ranks["b"] > ranks["x"] + ranks["y"]
+    assert abs(sum(ranks.values()) - 1.0) < 1e-9
+
+
+def test_ppr_iters_zero_is_point_mass(spark):
+    ranks = {r["node"]: r["rank"] for r in pagerank(_edges(spark, [("a", "b"), ("b", "a")]), iters=0, personalize="b").collect()}
+    assert ranks == {"a": 0.0, "b": 1.0}
+
+
+# ---------------------------------------------------------------------------
+# Label propagation
+# ---------------------------------------------------------------------------
+
+from nyc_taxi_data_engineering_spark.operators.graph import label_propagation
+
+
+def _uedges(spark, pairs):
+    return spark.createDataFrame(pairs, "a long, b long")
+
+
+def test_lpa_two_cliques_with_bridge(spark):
+    """Two triangles {1,2,3} and {10,11,12} joined by one bridge edge
+    3-10: each clique converges onto its minimum label; the bridge
+    endpoints keep their clique's label because two clique votes beat
+    one bridge vote."""
+    comm = {
+        r["node"]: r["community"]
+        for r in label_propagation(
+            _uedges(spark, [(1, 2), (1, 3), (2, 3), (10, 11), (10, 12), (11, 12), (3, 10)])
+        ).collect()
+    }
+    assert comm[1] == comm[2] == comm[3] == 1
+    assert comm[10] == comm[11] == comm[12]
+    assert comm[10] != comm[1]
+
+
+def test_lpa_single_edge_min_label_wins_ties(spark):
+    """On a single edge each node's only vote is the neighbor's label;
+    synchronous rounds swap labels, and the smallest-label tie-break
+    plays no role — after the fixed odd round count the labels are
+    swapped, deterministically."""
+    comm = {r["node"]: r["community"] for r in label_propagation(_uedges(spark, [(7, 9)])).collect()}
+    # 3 rounds: labels swap each round -> node 7 holds 9's label
+    assert comm == {7: 9, 9: 7}
+
+
+def test_lpa_star_converges_to_center_label_or_min(spark):
+    """Star center 1 with leaves 5,6,7: leaves all adopt the center's
+    label in round 1 and keep re-adopting it; the center adopts the
+    smallest leaf label each round. Deterministic under the fixed
+    3-round contract."""
+    comm = {
+        r["node"]: r["community"]
+        for r in label_propagation(_uedges(spark, [(1, 5), (1, 6), (1, 7)])).collect()
+    }
+    assert comm[5] == comm[6] == comm[7]
+
+
+def test_lpa_rejects_string_nodes(spark):
+    import pytest
+
+    with pytest.raises(TypeError, match="integer node ids"):
+        label_propagation(spark.createDataFrame([("a", "b")], "a string, b string"))
+
+
+# ---------------------------------------------------------------------------
+# Bounded weighted shortest paths
+# ---------------------------------------------------------------------------
+
+from nyc_taxi_data_engineering_spark.operators.graph import cheapest_paths
+
+
+def _wedges(spark, triples):
+    return spark.createDataFrame(triples, "src string, dst string, cost int")
+
+
+def test_cheapest_paths_prefers_cheap_detour(spark):
+    """a->b costs 10 direct, but a->c->b costs 1+1: the relaxation
+    must find the 2-edge detour once rounds >= 2."""
+    edges = _wedges(spark, [("a", "b", 10), ("a", "c", 1), ("c", "b", 1)])
+    one = {r["node"]: r["cost"] for r in cheapest_paths(edges, "a", 1).collect()}
+    assert one == {"a": 0, "b": 10, "c": 1}  # 1 round: only direct edges
+    two = {r["node"]: r["cost"] for r in cheapest_paths(edges, "a", 2).collect()}
+    assert two == {"a": 0, "b": 2, "c": 1}
+
+
+def test_cheapest_paths_cycle_terminates_exact(spark):
+    """Positive-cost cycle a->b->a: the fixed round count terminates
+    and the source keeps cost 0 (no relaxation can beat it)."""
+    edges = _wedges(spark, [("a", "b", 2), ("b", "a", 3)])
+    d = {r["node"]: r["cost"] for r in cheapest_paths(edges, "a", 4).collect()}
+    assert d == {"a": 0, "b": 2}
+
+
+def test_cheapest_paths_unreachable_absent_and_bound_respected(spark):
+    """Chain a-1->b-1->c-1->d: with 2 rounds d is absent (needs 3
+    edges); x (disconnected) never appears."""
+    edges = _wedges(spark, [("a", "b", 1), ("b", "c", 1), ("c", "d", 1), ("x", "x", 1)])
+    d = {r["node"]: r["cost"] for r in cheapest_paths(edges, "a", 2).collect()}
+    assert d == {"a": 0, "b": 1, "c": 2}
+
+
+def test_cheapest_paths_rejects_float_costs(spark):
+    import pytest
+
+    with pytest.raises(TypeError, match="integer cost"):
+        cheapest_paths(
+            spark.createDataFrame([("a", "b", 1.5)], "src string, dst string, cost double"),
+            "a",
+            2,
+        )
