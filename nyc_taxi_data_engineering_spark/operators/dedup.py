@@ -659,3 +659,81 @@ def connected_components(
         if changed == 0:
             return labels
     raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
+
+
+def prefix_filter_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    w: int = T.SHINGLE_WORDS,
+    threshold_num: int = 4,
+    threshold_den: int = 5,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via PREFIX FILTERING
+    (AllPairs / PPJoin family — Bayardo et al. WWW'07, Xiao et al.
+    WWW'08): index only each document's RAREST ``|x| - ceil(tau*|x|) +
+    1`` shingles under the global (document-frequency asc, shingle
+    asc) order, generate candidates from prefix collisions alone, then
+    verify each candidate pair EXACTLY against the full cached shingle
+    sets. Lossless for Jaccard >= tau: any qualifying pair shares at
+    least one token inside both prefixes (overlap >= ceil(tau *
+    max(|x|,|y|)) forces the pigeonhole), so the result is identical
+    to the full inverted-index join — the registered oracle IS the
+    brute inverted-index SQL, making the gate a standing losslessness
+    proof.
+
+    Why this beats the plain inverted index at scale: the index (and
+    the self-join's collision volume) shrinks by ~(1-tau) per doc —
+    at tau=0.8 only ~20% of shingles are indexed, and because the
+    prefix keeps the RAREST shingles, the hottest join keys (the
+    boilerplate n-grams that df_cap exists to drop) fall out of the
+    index for free on most docs. Verification joins each candidate
+    pair once against the cached sets — per-candidate work, zero
+    re-shuffle of the corpus.
+
+    The threshold enters the prefix length as the RATIONAL
+    ``threshold_num/threshold_den`` so ceil(tau*n) is pure integer
+    arithmetic — ``(num*n + den - 1) DIV den`` — identical in both
+    engines (a double 0.8*n crosses integer boundaries differently in
+    IEEE doubles vs DuckDB decimals). The final jaccard filter uses
+    the same rounded-value comparison as shingle_jaccard_pairs."""
+    threshold = threshold_num / threshold_den
+    sets = _shingle_sets(docs, id_col, text_col, w).cache()
+    sizes = sets.select(id_col, F.size("shingles").alias("n"))
+    inv = sets.select(id_col, F.explode("shingles").alias("tok")).select(
+        id_col, F.col("tok"), F.xxhash64("tok").alias("s")
+    )
+    dfreq = inv.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    order = Window.partitionBy(id_col).orderBy("df", "s")
+    alpha = F.expr(f"({threshold_num} * n + {threshold_den - 1}) DIV {threshold_den}")
+    prefix = (
+        inv.join(dfreq, "s")
+        .withColumn("rn", F.row_number().over(order))
+        .join(sizes, id_col)
+        .filter(F.col("rn") <= F.col("n") - alpha + F.lit(1))
+        .select(id_col, "s")
+    )
+    a = prefix.alias("a")
+    b = prefix.alias("b")
+    cand = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(F.col(f"a.{id_col}").alias("a_id"), F.col(f"b.{id_col}").alias("b_id"))
+        .distinct()
+    )
+    sa = sets.select(F.col(id_col).alias("a_id"), F.col("shingles").alias("sha"))
+    sb = sets.select(F.col(id_col).alias("b_id"), F.col("shingles").alias("shb"))
+    verified = (
+        cand.join(sa, "a_id")
+        .join(sb, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            F.size(F.array_intersect("sha", "shb")).alias("common_shingles"),
+            F.size("sha").alias("na"),
+            F.size("shb").alias("nb"),
+        )
+    )
+    jac = F.col("common_shingles") / (F.col("na") + F.col("nb") - F.col("common_shingles"))
+    return verified.select(
+        "a_id", "b_id", "common_shingles", F.round(jac, 6).alias("jaccard")
+    ).filter(F.col("jaccard") >= threshold)

@@ -615,3 +615,31 @@ def q_crossdoc_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     text). Char-overlapping cuts are interval-merged first; the rebuild
     is a lag-complement + ordered concat, keyed per doc, no UDF."""
     return XS.crossdoc_span_scrub(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "prefix_jaccard_pairs",
+    oracle=f"""
+WITH {_SHINGLES_CTE},
+common AS (
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS common_shingles
+    FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+)
+SELECT a_id, b_id, common_shingles,
+       round(common_shingles * 1.0 / (na.n + nb.n - common_shingles), 6) AS jaccard
+FROM common
+JOIN sizes na ON na.doc_id = a_id
+JOIN sizes nb ON nb.doc_id = b_id
+WHERE round(common_shingles * 1.0 / (na.n + nb.n - common_shingles), 6) >= 0.8
+""",
+)
+def q_prefix_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME answer as ngram_jaccard_pairs, computed the PPJoin way:
+    prefix filtering indexes only each doc's ~(1-tau) rarest shingles
+    (rarest-first global order), candidates come from prefix collisions
+    alone, and each candidate verifies exactly against the cached full
+    sets. The oracle is deliberately the BRUTE inverted-index SQL —
+    identical output is a standing proof the prefix filter is lossless
+    at tau=0.8 (operators/dedup.prefix_filter_jaccard_pairs)."""
+    return D.prefix_filter_jaccard_pairs(load_table(spark, sf_dir, "documents"))

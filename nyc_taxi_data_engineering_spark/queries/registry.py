@@ -40,6 +40,7 @@ ROTATION: list[str] = [
     "ppr_supplier_recommendations",
     "lpa_copurchase_communities",
     "trade_cheapest_costs",
+    "prefix_jaccard_pairs",
     "delta_mv_delete_rollup_orders",
     "events_ewma_spikes",
     "props_corrupt_audit",
