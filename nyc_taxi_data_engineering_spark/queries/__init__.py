@@ -32,6 +32,7 @@ _MODULES = [
     "dsir",
     "sketches",
     "graphq",
+    "tpchq",
 ]
 
 _loaded = False

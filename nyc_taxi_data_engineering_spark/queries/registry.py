@@ -36,7 +36,26 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # registration order. Queries pushed past the window keep full local coverage
 # via tests/test_oracle_parity.py, which checks ALL of them.
 ROTATION: list[str] = [
-    # Round-7 late additions (never sampled) lead the window:
+    # Round-8 additions (never sampled) lead the window:
+    "tpch_pricing_summary",
+    "tpch_shipping_priority",
+    "tpch_priority_late_ship",
+    "tpch_local_supplier_volume",
+    "tpch_revenue_change",
+    "tpch_volume_shipping",
+    "tpch_regional_market_share",
+    "tpch_parttype_profit",
+    "tpch_returned_items",
+    "tpch_customer_distribution",
+    "tpch_promotion_effect",
+    "tpch_top_supplier",
+    "tpch_parts_supplier_counts",
+    "tpch_small_quantity_revenue",
+    "tpch_large_volume_customers",
+    "tpch_brand_quantity_revenue",
+    "tpch_promo_part_suppliers",
+    "tpch_dormant_rich_customers",
+    # Round-7 late additions (sampled r7):
     "ppr_supplier_recommendations",
     "lpa_copurchase_communities",
     "trade_cheapest_costs",

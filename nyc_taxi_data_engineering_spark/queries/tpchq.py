@@ -1,0 +1,702 @@
+"""TPC-H-adapted decision-support battery.
+
+The synthetic tables are TPC-H-shaped (TESTDATA.md), so the classic
+decision-support queries are the natural "can I switch my analytics
+here?" acceptance suite — they exercise exactly the optimizer paths a
+100 TB deployment lives on: filter pushdown to the parquet scan,
+filter-THEN-broadcast dim joins, semi/anti joins instead of IN/NOT IN
+materialization, two-level aggregation, correlated-subquery
+decorrelation (per-group threshold as a pre-agg + equi-join, never a
+per-row subquery), scalar-subquery broadcast, and TakeOrderedAndProject
+for top-k instead of a global sort.
+
+Adaptations (the generator's schema is trimmed): no `partsupp`,
+`l_commitdate`/`l_receiptdate`/`l_shipmode`, `o_shippriority`,
+`c_phone/comment` — Q2/Q11/Q12/Q21 have no faithful equivalent and the
+others substitute the nearest available column (noted per query).
+Aggregates that feed the exact-hash oracle gate sum via
+``stable_sum``'s decimal transport (functions/__init__.py:20) so every
+double matches DuckDB bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nyc_taxi_data_engineering_spark.catalog import load_table
+from nyc_taxi_data_engineering_spark.functions import (
+    stable_avg,
+    stable_avg_sql,
+    stable_sum,
+    stable_sum_sql,
+)
+from nyc_taxi_data_engineering_spark.queries.registry import query
+
+def _revenue():
+    """Discounted line revenue, pinned expression shape (lazy: building
+    a Column requires an active session)."""
+    return F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+_REVENUE_SQL = "l_extendedprice * (1.0 - l_discount)"
+
+
+@query(
+    "tpch_pricing_summary",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       {stable_sum_sql('l_quantity')} AS sum_qty,
+       {stable_sum_sql('l_extendedprice')} AS sum_base_price,
+       {stable_sum_sql(_REVENUE_SQL)} AS sum_disc_price,
+       {stable_sum_sql('(' + _REVENUE_SQL + ') * (1.0 + l_tax)')} AS sum_charge,
+       {stable_avg_sql('l_quantity')} AS avg_qty,
+       {stable_avg_sql('l_extendedprice')} AS avg_price,
+       {stable_avg_sql('l_discount', scale=6)} AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def q_tpch_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 pricing summary: ONE scan of lineitem, the shipdate
+    predicate pushed to parquet, eight aggregates in a single hash agg
+    with map-side partials — at 100 TB this is scan-bound, exactly as
+    it should be. disc_price/charge are computed in pinned expression
+    shape so the doubles match DuckDB before the decimal transport."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2001-09-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            stable_sum("l_quantity").alias("sum_qty"),
+            stable_sum("l_extendedprice").alias("sum_base_price"),
+            stable_sum(_revenue()).alias("sum_disc_price"),
+            stable_sum(_revenue() * (F.lit(1.0) + F.col("l_tax"))).alias("sum_charge"),
+            stable_avg("l_quantity").alias("avg_qty"),
+            stable_avg("l_extendedprice").alias("avg_price"),
+            stable_avg("l_discount", scale=6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "tpch_shipping_priority",
+    oracle=f"""
+SELECT l_orderkey,
+       {stable_sum_sql(_REVENUE_SQL)} AS revenue,
+       o_orderdate, o_orderpriority
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '2001-03-15'
+  AND l_shipdate > TIMESTAMP '2001-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+""",
+)
+def q_tpch_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shipping priority (o_orderpriority stands in for the
+    missing o_shippriority): segment-filtered customers join filtered
+    orders join filtered lineitem, then top-10 unshipped orders by
+    revenue. Every filter is pushed below its join; the final top-k is
+    TakeOrderedAndProject (no global sort), with l_orderkey as the
+    deterministic tie-break."""
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("2001-03-15"))
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("2001-03-15"))
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust.select("c_custkey")), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(stable_sum(_revenue()).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "tpch_priority_late_ship",
+    oracle="""
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-07-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+GROUP BY o_orderpriority
+""",
+)
+def q_tpch_priority_late_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 order-priority checking (ship-lag > 90 days stands in
+    for the missing l_commitdate/l_receiptdate pair): EXISTS becomes a
+    LEFT SEMI join — the probe side never duplicates orders no matter
+    how many late lineitems an order has, and Spark plans it as one
+    shuffled semi join, not a per-row subquery."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01")) & (F.col("o_orderdate") < F.lit("1996-07-01"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
+
+
+@query(
+    "tpch_local_supplier_volume",
+    oracle=f"""
+SELECT n_name, {stable_sum_sql(_REVENUE_SQL)} AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY n_name
+""",
+)
+def q_tpch_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 local-supplier volume: revenue where the customer and
+    the lineitem's supplier share a nation inside one region. The
+    supplier/nation/region chain is filtered to the region FIRST and
+    broadcast, so the only big-table shuffle is orders⋈lineitem; the
+    same-nation condition rides the broadcast join as an extra key."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01")) & (F.col("o_orderdate") < F.lit("1998-01-01"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_nationkey", "n_name")
+    )
+    return (
+        li.join(orders.select("o_orderkey", "o_custkey"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(supp),
+            (F.col("l_suppkey") == F.col("s_suppkey")) & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(stable_sum(_revenue()).alias("revenue"))
+    )
+
+
+@query(
+    "tpch_revenue_change",
+    oracle=f"""
+SELECT {stable_sum_sql('l_extendedprice * l_discount', scale=6)} AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount >= 0.02 AND l_discount <= 0.06
+  AND l_quantity < 24
+""",
+)
+def q_tpch_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 forecast revenue change: pure scan-filter-aggregate —
+    every predicate (date range, discount band, quantity cap) reaches
+    the parquet scan as a pushed filter, and the whole query is one
+    WholeStageCodegen span with a 1-row result. The canary for 'is
+    pushdown actually happening'."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+        & (F.col("l_discount") >= 0.02)
+        & (F.col("l_discount") <= 0.06)
+        & (F.col("l_quantity") < 24)
+    ).agg(stable_sum(F.col("l_extendedprice") * F.col("l_discount"), scale=6).alias("revenue"))
+
+
+@query(
+    "tpch_volume_shipping",
+    oracle=f"""
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INT) AS l_year,
+       {stable_sum_sql(_REVENUE_SQL)} AS revenue
+FROM lineitem
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation sn ON sn.n_nationkey = s_nationkey
+JOIN nation cn ON cn.n_nationkey = c_nationkey
+WHERE sn.n_nationkey <> cn.n_nationkey
+  AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY sn.n_name, cn.n_name, CAST(year(l_shipdate) AS INT)
+""",
+)
+def q_tpch_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 volume shipping (all cross-nation pairs rather than one
+    fixed pair, so the result is non-degenerate at every SF): the
+    nation dim is role-played twice via broadcast, the inequality
+    filter runs after both cheap joins, and the only shuffle left is
+    the big-fact orders⋈lineitem equi-join plus the final hash agg."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01")) & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation")
+    sn = nation.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
+    cn = nation.select(F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation"))
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .filter(F.col("sn_key") != F.col("cn_key"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(stable_sum(_revenue()).alias("revenue"))
+    )
+
+
+@query(
+    "tpch_regional_market_share",
+    oracle=f"""
+SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+       {stable_sum_sql(f"CASE WHEN sr.r_name = 'EUROPE' THEN {_REVENUE_SQL} ELSE 0.0 END")}
+         / {stable_sum_sql(_REVENUE_SQL)} AS mkt_share
+FROM lineitem
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation cn ON cn.n_nationkey = c_nationkey
+JOIN region cr ON cr.r_regionkey = cn.n_regionkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation sn ON sn.n_nationkey = s_nationkey
+JOIN region sr ON sr.r_regionkey = sn.n_regionkey
+WHERE cr.r_name = 'EUROPE'
+GROUP BY CAST(year(o_orderdate) AS INT)
+""",
+)
+def q_tpch_regional_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 market share, regionalized (no fixed target nation so
+    every SF has signal): of revenue billed to EUROPE customers, the
+    share supplied from inside EUROPE, per order year. The share is a
+    conditional sum over the SAME aggregation — one pass, one shuffle —
+    and both sums ride the decimal transport so the final division is
+    bit-identical cross-engine."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    cust_dim = (
+        load_table(spark, sf_dir, "customer")
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region.filter(F.col("r_name") == "EUROPE")), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey")
+    )
+    supp_dim = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", F.col("r_name").alias("supp_region"))
+    )
+    rev = _revenue()
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust_dim), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp_dim), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            (
+                stable_sum(F.when(F.col("supp_region") == "EUROPE", rev).otherwise(F.lit(0.0)))
+                / stable_sum(rev)
+            ).alias("mkt_share")
+        )
+    )
+
+
+@query(
+    "tpch_parttype_profit",
+    oracle=f"""
+SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+       {stable_sum_sql(_REVENUE_SQL)} AS sum_profit
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN orders ON o_orderkey = l_orderkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation ON n_nationkey = s_nationkey
+WHERE p_type = 'PROMO'
+GROUP BY n_name, CAST(year(o_orderdate) AS INT)
+""",
+)
+def q_tpch_parttype_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 product-type profit (discounted revenue stands in for
+    profit — no partsupp.ps_supplycost in this schema): the part dim is
+    filtered to the target type BEFORE broadcasting, so the lineitem
+    scan is cut by the broadcast hash join's runtime filter rather than
+    shuffled against the full part table."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO").select("p_partkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(stable_sum(_revenue()).alias("sum_profit"))
+    )
+
+
+@query(
+    "tpch_returned_items",
+    oracle=f"""
+SELECT c_custkey, c_name, {stable_sum_sql(_REVENUE_SQL)} AS revenue,
+       c_acctbal, n_name
+FROM customer
+JOIN orders ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation ON n_nationkey = c_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-07-01'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""",
+)
+def q_tpch_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 returned-item reporting: top-20 customers by returned
+    revenue in a half-year window. Aggregates to customer grain FIRST,
+    then joins the tiny grouped result to the dims — the heavy
+    orders⋈lineitem join never carries customer attributes, and the
+    top-k is TakeOrderedAndProject with c_custkey as tie-break."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01")) & (F.col("o_orderdate") < F.lit("1996-07-01"))
+    )
+    per_cust = (
+        li.join(orders.select("o_orderkey", "o_custkey"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(stable_sum(_revenue()).alias("revenue"))
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        per_cust.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+@query(
+    "tpch_customer_distribution",
+    oracle="""
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+    SELECT c_custkey, COUNT(o_orderkey) AS c_count
+    FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+    GROUP BY c_custkey
+)
+GROUP BY c_count
+""",
+)
+def q_tpch_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 customer order-count distribution: the classic
+    two-level aggregation. Level 1 shuffles orders once on custkey
+    (LEFT join keeps zero-order customers, COUNT(col) skips their NULL
+    slot); level 2 is a near-free re-agg on the tiny (custkey,count)
+    table. No window, no distinct."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    per_cust = (
+        cust.join(orders, F.col("o_custkey") == F.col("c_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@query(
+    "tpch_promotion_effect",
+    oracle=f"""
+SELECT 100.0 * {stable_sum_sql(f"CASE WHEN p_type = 'PROMO' THEN {_REVENUE_SQL} ELSE 0.0 END")}
+       / {stable_sum_sql(_REVENUE_SQL)} AS promo_revenue
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-09-01' AND l_shipdate < TIMESTAMP '1996-10-01'
+""",
+)
+def q_tpch_promotion_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 promotion effect: promo share of one ship-month's
+    revenue. Part joins broadcast (it only contributes a flag), both
+    sums are one conditional pass, and the 100*x/y arithmetic happens
+    on exact decimal-transported doubles."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-09-01")) & (F.col("l_shipdate") < F.lit("1996-10-01"))
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = _revenue()
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            (
+                F.lit(100.0)
+                * stable_sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0)))
+                / stable_sum(rev)
+            ).alias("promo_revenue")
+        )
+    )
+
+
+@query(
+    "tpch_top_supplier",
+    oracle=f"""
+WITH revenue AS (
+    SELECT l_suppkey AS supplier_no, {stable_sum_sql(_REVENUE_SQL)} AS total_revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+    GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+""",
+)
+def q_tpch_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 top supplier: quarterly revenue per supplier, keep the
+    max (ties included, per spec). The scalar max is a 1-row aggregate
+    broadcast back over the tiny per-supplier table — no window, no
+    second scan of lineitem — and revenue doubles are exact via the
+    decimal transport so the equality join is safe cross-engine."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01")) & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        stable_sum(_revenue()).alias("total_revenue")
+    )
+    mx = rev.agg(F.max("total_revenue").alias("max_revenue"))
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(mx), F.col("total_revenue") == F.col("max_revenue"))
+        .join(F.broadcast(supp), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@query(
+    "tpch_parts_supplier_counts",
+    oracle="""
+SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM part JOIN lineitem ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#11' AND p_size <= 10
+GROUP BY p_brand, p_type, p_size
+""",
+)
+def q_tpch_parts_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 parts/supplier relationship (lineitem stands in for
+    the missing partsupp): distinct suppliers per surviving
+    (brand, type, size). COUNT(DISTINCT) expands to a two-stage agg —
+    dedupe on (group, suppkey) then count — one extra shuffle on an
+    already-reduced table, never a global distinct of the fact."""
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#11") & (F.col("p_size") <= 10)
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(part.select("p_partkey", "p_brand", "p_type", "p_size")),
+                F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
+    )
+
+
+@query(
+    "tpch_small_quantity_revenue",
+    oracle=f"""
+WITH part_avg AS (
+    SELECT l_partkey AS pk, 0.2 * {stable_avg_sql('l_quantity')} AS qty_threshold
+    FROM lineitem GROUP BY l_partkey
+)
+SELECT {stable_sum_sql('l_extendedprice')} / 7.0 AS avg_yearly
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN part_avg ON pk = l_partkey
+WHERE p_brand = 'Brand#11' AND l_quantity < qty_threshold
+""",
+)
+def q_tpch_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 small-quantity-order revenue: the correlated
+    per-part-average subquery DECORRELATED — pre-aggregate lineitem to
+    (partkey, 0.2*avg_qty) once, then equi-join the threshold back.
+    At 100 TB the naive correlated form re-scans lineitem per part;
+    this form is two scans total and the threshold table broadcasts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part_avg = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (F.lit(0.2) * stable_avg("l_quantity")).alias("qty_threshold")
+    )
+    brand = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#11").select("p_partkey")
+    return (
+        li.join(F.broadcast(brand), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(part_avg), F.col("pk") == F.col("l_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg((stable_sum("l_extendedprice") / F.lit(7.0)).alias("avg_yearly"))
+    )
+
+
+@query(
+    "tpch_large_volume_customers",
+    oracle=f"""
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+       {stable_sum_sql('l_quantity')} AS sum_qty
+FROM customer
+JOIN orders ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+HAVING {stable_sum_sql('l_quantity')} > 300
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 20
+""",
+)
+def q_tpch_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 large-volume customers: orders whose total quantity
+    exceeds 300. The HAVING filter runs on the orderkey-grain
+    aggregate BEFORE any dim join — at scale the survivors are a few
+    rows per million orders, so customer attributes join to an already
+    tiny table. Top-20 by totalprice, orderkey tie-break."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(stable_sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 300)
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty")
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(20)
+    )
+
+
+@query(
+    "tpch_brand_quantity_revenue",
+    oracle=f"""
+SELECT {stable_sum_sql(_REVENUE_SQL)} AS revenue
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#11' AND l_quantity >= 1 AND l_quantity <= 11 AND p_size <= 5)
+   OR (p_brand = 'Brand#12' AND l_quantity >= 10 AND l_quantity <= 20 AND p_size <= 10)
+   OR (p_brand = 'Brand#21' AND l_quantity >= 20 AND l_quantity <= 30 AND p_size <= 15)
+""",
+)
+def q_tpch_brand_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 discounted revenue (disjunctive predicate): three
+    brand/quantity/size bands OR-ed together. The part side of each
+    disjunct (brand, size) prunes the broadcast dim; the lineitem side
+    (quantity) stays a scan filter — Catalyst splits the conjuncts per
+    side rather than evaluating the whole disjunction post-join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    q = F.col("l_quantity")
+    cond = (
+        ((F.col("p_brand") == "Brand#11") & (q >= 1) & (q <= 11) & (F.col("p_size") <= 5))
+        | ((F.col("p_brand") == "Brand#12") & (q >= 10) & (q <= 20) & (F.col("p_size") <= 10))
+        | ((F.col("p_brand") == "Brand#21") & (q >= 20) & (q <= 30) & (F.col("p_size") <= 15))
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(cond)
+        .agg(stable_sum(_revenue()).alias("revenue"))
+    )
+
+
+@query(
+    "tpch_promo_part_suppliers",
+    oracle=f"""
+SELECT s_suppkey, s_name
+FROM supplier
+WHERE s_suppkey IN (
+    SELECT l_suppkey
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_type = 'PROMO'
+      AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY l_suppkey
+    HAVING {stable_sum_sql('l_quantity')} > 50
+)
+""",
+)
+def q_tpch_promo_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 potential promotion suppliers (adapted to the trimmed
+    schema): suppliers who shipped > 50 units of PROMO parts in 1996.
+    The IN-subquery becomes aggregate-then-LEFT-SEMI-join — the
+    supplier table is probed once against the tiny qualifying-supplier
+    set, never materializing an IN list on the driver."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01")) & (F.col("l_shipdate") < F.lit("1997-01-01"))
+    )
+    promo = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO").select("p_partkey")
+    qualifying = (
+        li.join(F.broadcast(promo), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey")
+        .agg(stable_sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 50)
+        .select("l_suppkey")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return supp.join(F.broadcast(qualifying), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+
+
+@query(
+    "tpch_dormant_rich_customers",
+    oracle=f"""
+WITH avg_bal AS (
+    SELECT {stable_avg_sql('c_acctbal')} AS threshold
+    FROM customer WHERE c_acctbal > 0.0
+)
+SELECT n_name AS nation, COUNT(*) AS numcust,
+       {stable_sum_sql('c_acctbal')} AS totacctbal
+FROM customer
+JOIN nation ON n_nationkey = c_nationkey
+CROSS JOIN avg_bal
+WHERE c_acctbal > threshold
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2001-01-01')
+GROUP BY n_name
+""",
+)
+def q_tpch_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 global-sales-opportunity (nation stands in for the
+    missing phone prefix; 'no 2001 orders' for 'never ordered' — this
+    generator gives every customer at least one order): customers with
+    above-average positive balances and no recent orders, tallied per
+    nation. The scalar average broadcasts as a 1-row cross join; NOT
+    EXISTS is a LEFT ANTI join against the date-filtered orders scan."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    threshold = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        stable_avg("c_acctbal").alias("threshold")
+    )
+    recent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2001-01-01")
+    ).select("o_custkey")
+    return (
+        cust.crossJoin(F.broadcast(threshold))
+        .filter(F.col("c_acctbal") > F.col("threshold"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.count(F.lit(1)).alias("numcust"), stable_sum("c_acctbal").alias("totacctbal"))
+    )
