@@ -529,3 +529,292 @@ walk(node, cost, hops) AS (
   WHERE w.hops < {rounds}
 )
 SELECT node, MIN(cost) AS cost FROM walk GROUP BY node"""
+
+
+# ---------------------------------------------------------------------------
+# HITS (hubs and authorities)
+# ---------------------------------------------------------------------------
+
+HITS_ITERS = 3
+
+
+def hits(edges: DataFrame, iters: int = HITS_ITERS) -> DataFrame:
+    """(node, hub, auth) after ``iters`` rounds of Kleinberg's HITS
+    over directed edges (src, dst) — hubs score by pointing at good
+    authorities, authorities by being pointed at by good hubs. The
+    natural fit for bipartite interaction graphs (customer→supplier,
+    query→document): hubs rank the pointing side, authorities the
+    pointed-at side.
+
+    Determinism contract (same family as :func:`pagerank`): scores
+    live on a 12-dp grid; per-edge transfers are ROUNDED to 12 dp and
+    summed as DECIMAL(28,12) (order-independent, engine-exact); each
+    round normalizes by the L1 norm — a DECIMAL sum of on-grid scores,
+    so the norm itself is exact and the double division + 12-dp
+    re-round is bit-identical cross-engine. (Classic HITS uses the L2
+    norm; any norm only rescales — rankings and ratios are identical —
+    and L1 keeps the contract sqrt-free.)
+
+    Scale shape per round: two keyed equi-joins (scores ⋈ edges on
+    src, then on dst — pre-partition edges once at cluster scale and
+    both reuse the layout), two hash aggs with map-side combine, two
+    1-row broadcast norm aggregates. Fixed driver loop, no collect.
+    """
+    edges = edges.select("src", "dst")
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    dec = f"decimal(28,{_SCALE})"
+    scores = nodes.select(
+        "node", F.lit(1.0).alias("hub"), F.lit(1.0).alias("auth")
+    )
+    for _ in range(iters):
+        # auth'(v) = sum over in-edges (u -> v) of hub(u)
+        a_in = (
+            scores.join(edges, scores["node"] == edges["src"])
+            .select(
+                F.col("dst").alias("node"),
+                F.round(F.col("hub"), _SCALE).cast(dec).alias("t"),
+            )
+            .groupBy("node")
+            .agg(F.sum("t").alias("auth_raw"))
+        )
+        a_norm = a_in.agg(F.sum("auth_raw").alias("an"))
+        auth = (
+            nodes.join(a_in, "node", "left")
+            .crossJoin(F.broadcast(a_norm))
+            .select(
+                "node",
+                F.round(
+                    F.coalesce(F.col("auth_raw").cast("double"), F.lit(0.0))
+                    / F.col("an").cast("double"),
+                    _SCALE,
+                ).alias("auth"),
+            )
+        )
+        # hub'(u) = sum over out-edges (u -> v) of auth'(v)
+        h_in = (
+            auth.join(edges, auth["node"] == edges["dst"])
+            .select(
+                F.col("src").alias("node"),
+                F.col("auth").cast(dec).alias("t"),  # already on the 12-dp grid
+            )
+            .groupBy("node")
+            .agg(F.sum("t").alias("hub_raw"))
+        )
+        h_norm = h_in.agg(F.sum("hub_raw").alias("hn"))
+        hub = (
+            nodes.join(h_in, "node", "left")
+            .crossJoin(F.broadcast(h_norm))
+            .select(
+                "node",
+                F.round(
+                    F.coalesce(F.col("hub_raw").cast("double"), F.lit(0.0))
+                    / F.col("hn").cast("double"),
+                    _SCALE,
+                ).alias("hub"),
+            )
+        )
+        scores = hub.join(auth, "node")
+    return scores.select("node", "hub", "auth")
+
+
+def hits_sql(edges_cte: str, iters: int = HITS_ITERS) -> str:
+    """DuckDB twin of :func:`hits`: the same rounds as nested CTEs,
+    term-for-term — 12-dp rounded DECIMAL(28,12) transfer sums, exact
+    L1 norms, double divisions re-rounded to the grid. ``edges_cte``
+    must define a CTE named ``edges`` with (src, dst)."""
+    dec = f"DECIMAL(28,{_SCALE})"
+    parts = [
+        edges_cte,
+        "nodes AS (SELECT DISTINCT node FROM "
+        "(SELECT src AS node FROM edges UNION ALL SELECT dst AS node FROM edges))",
+        "s0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS hub, "
+        "CAST(1.0 AS DOUBLE) AS auth FROM nodes)",
+    ]
+    for i in range(1, iters + 1):
+        p = i - 1
+        parts.append(
+            f"""ain{i} AS (
+    SELECT e.dst AS node, SUM(CAST(round(s.hub, {_SCALE}) AS {dec})) AS auth_raw
+    FROM s{p} s JOIN edges e ON e.src = s.node GROUP BY e.dst
+)"""
+        )
+        parts.append(
+            f"""auth{i} AS (
+    SELECT n.node,
+           round(CAST(COALESCE(a.auth_raw, 0) AS DOUBLE)
+                 / CAST((SELECT SUM(auth_raw) FROM ain{i}) AS DOUBLE),
+                 {_SCALE}) AS auth
+    FROM nodes n LEFT JOIN ain{i} a ON a.node = n.node
+)"""
+        )
+        parts.append(
+            f"""hin{i} AS (
+    SELECT e.src AS node, SUM(CAST(a.auth AS {dec})) AS hub_raw
+    FROM auth{i} a JOIN edges e ON e.dst = a.node GROUP BY e.src
+)"""
+        )
+        parts.append(
+            f"""s{i} AS (
+    SELECT n.node,
+           round(CAST(COALESCE(h.hub_raw, 0) AS DOUBLE)
+                 / CAST((SELECT SUM(hub_raw) FROM hin{i}) AS DOUBLE),
+                 {_SCALE}) AS hub,
+           a.auth
+    FROM nodes n
+    LEFT JOIN hin{i} h ON h.node = n.node
+    JOIN auth{i} a ON a.node = n.node
+)"""
+        )
+    return "WITH " + ",\n".join(parts) + f"\nSELECT node, hub, auth FROM s{iters}"
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition (bounded peeling)
+# ---------------------------------------------------------------------------
+
+def kcore(edges: DataFrame, k: int, rounds: int) -> DataFrame:
+    """(node, degree) of the subgraph left after ``rounds`` peels of
+    the k-core iteration over an UNDIRECTED simple edge list (a, b),
+    a < b, distinct: each round drops every node with degree < k, then
+    re-derives degrees on the induced subgraph. With enough rounds
+    this is exactly the k-core (the peel reaches a fixed point — a
+    round that drops nobody changes nothing); a fixed ``rounds`` keeps
+    the loop deterministic and driver-bounded, same contract as
+    :func:`pagerank` / :func:`bfs_hops`. Integer arithmetic only — no
+    rounding contract needed.
+
+    Scale shape per round: one degree hash agg + two semi joins
+    (keep edges whose BOTH endpoints survive). The degree table is
+    node-sized (tiny next to edges); at cluster scale pre-partition
+    edges on ``a`` once and the semi joins broadcast the shrinking
+    survivor set."""
+    e = edges.select("a", "b")
+    for _ in range(rounds):
+        deg = (
+            e.select(F.col("a").alias("node"))
+            .unionAll(e.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        keep = deg.filter(F.col("deg") >= k).select("node")
+        e = e.join(
+            keep.select(F.col("node").alias("a")), "a", "left_semi"
+        ).join(keep.select(F.col("node").alias("b")), "b", "left_semi")
+    return (
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+
+
+def kcore_sql(edges_select: str, k: int, rounds: int) -> str:
+    """DuckDB twin of :func:`kcore`: the same bounded peel as nested
+    CTEs. ``edges_select`` is a full SELECT producing (a, b)."""
+    parts = [f"e0 AS (SELECT a, b FROM ({edges_select}))"]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        parts.append(
+            f"""d{i} AS (
+    SELECT node, COUNT(*) AS deg
+    FROM (SELECT a AS node FROM e{p} UNION ALL SELECT b AS node FROM e{p})
+    GROUP BY node
+)"""
+        )
+        parts.append(f"k{i} AS (SELECT node FROM d{i} WHERE deg >= {k})")
+        parts.append(
+            f"""e{i} AS (
+    SELECT e.a, e.b FROM e{p} e
+    WHERE EXISTS (SELECT 1 FROM k{i} x WHERE x.node = e.a)
+      AND EXISTS (SELECT 1 FROM k{i} y WHERE y.node = e.b)
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT node, COUNT(*) AS degree
+FROM (SELECT a AS node FROM e{rounds} UNION ALL SELECT b AS node FROM e{rounds})
+GROUP BY node"""
+    )
+
+
+# ---------------------------------------------------------------------------
+# Link prediction (common neighbors / Jaccard / preferential attachment)
+# ---------------------------------------------------------------------------
+
+def link_predictions(edges: DataFrame, topk: int, min_common: int = 1) -> DataFrame:
+    """Top-``topk`` predicted links over an UNDIRECTED simple edge
+    list (a, b), a < b, distinct: for every NON-adjacent pair with at
+    least ``min_common`` shared neighbors, the three classic
+    neighborhood scores — common-neighbor count, Jaccard of the
+    neighbor sets, preferential attachment deg(a)*deg(b) — ranked by
+    (common desc, jaccard desc, pair). Jaccard divides two exact
+    integers, so the doubles are bit-identical cross-engine.
+
+    Scale shape: symmetrize once, enumerate wedges by ONE self
+    equi-join on the shared mid node (wedge volume is sum(deg²) — on
+    kNN-sparsified input, deg is bounded, so this is linear in nodes;
+    feed raw power-law graphs through a degree cap first, same lever
+    as operators/cooccur.py), hash-agg pairs, anti-join the existing
+    edges, top-k via TakeOrderedAndProject. No windows, no collect."""
+    e = edges.select("a", "b")
+    sym = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    deg = sym.groupBy(F.col("a").alias("node")).agg(F.count(F.lit(1)).alias("deg"))
+    l = sym.select(F.col("a").alias("mid"), F.col("b").alias("u"))
+    r = sym.select(F.col("a").alias("mid"), F.col("b").alias("v"))
+    cand = (
+        l.join(r, "mid")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy(F.col("u").alias("a"), F.col("v").alias("b"))
+        .agg(F.count(F.lit(1)).alias("common_neighbors"))
+        .filter(F.col("common_neighbors") >= min_common)
+        .join(e, ["a", "b"], "left_anti")
+    )
+    return (
+        cand.join(deg.select(F.col("node").alias("a"), F.col("deg").alias("da")), "a")
+        .join(deg.select(F.col("node").alias("b"), F.col("deg").alias("db")), "b")
+        .select(
+            "a",
+            "b",
+            "common_neighbors",
+            (
+                F.col("common_neighbors").cast("double")
+                / (F.col("da") + F.col("db") - F.col("common_neighbors")).cast("double")
+            ).alias("jaccard"),
+            (F.col("da") * F.col("db")).alias("pref_attachment"),
+        )
+        .orderBy(F.col("common_neighbors").desc(), F.col("jaccard").desc(), "a", "b")
+        .limit(topk)
+    )
+
+
+def link_predictions_sql(edges_select: str, topk: int, min_common: int = 1) -> str:
+    """DuckDB twin of :func:`link_predictions`."""
+    return f"""
+WITH e AS (SELECT a, b FROM ({edges_select})),
+sym AS (SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e),
+deg AS (SELECT a AS node, COUNT(*) AS deg FROM sym GROUP BY a),
+cand AS (
+  SELECT l.b AS a, r.b AS b, COUNT(*) AS common_neighbors
+  FROM sym l JOIN sym r ON l.a = r.a AND l.b < r.b
+  GROUP BY l.b, r.b
+  HAVING COUNT(*) >= {min_common}
+),
+new_pairs AS (
+  SELECT c.* FROM cand c
+  WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.a = c.a AND e.b = c.b)
+)
+SELECT n.a, n.b, n.common_neighbors,
+       CAST(n.common_neighbors AS DOUBLE)
+         / CAST(da.deg + db.deg - n.common_neighbors AS DOUBLE) AS jaccard,
+       da.deg * db.deg AS pref_attachment
+FROM new_pairs n
+JOIN deg da ON da.node = n.a
+JOIN deg db ON db.node = n.b
+ORDER BY n.common_neighbors DESC, jaccard DESC, n.a, n.b
+LIMIT {topk}"""

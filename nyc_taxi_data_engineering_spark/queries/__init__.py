@@ -33,6 +33,7 @@ _MODULES = [
     "sketches",
     "graphq",
     "tpchq",
+    "mlprep",
 ]
 
 _loaded = False

@@ -404,3 +404,74 @@ def q_trade_cheapest_costs(spark: SparkSession, sf_dir: str) -> DataFrame:
         wpairs.select(F.col("s_node").alias("src"), F.col("c_node").alias("dst"), cost)
     )
     return cheapest_paths(edges, BFS_SOURCE, CHEAPEST_ROUNDS)
+
+
+from nyc_taxi_data_engineering_spark.operators.graph import (
+    hits,
+    hits_sql,
+    kcore,
+    kcore_sql,
+    link_predictions,
+    link_predictions_sql,
+)
+
+KCORE_K = 4
+KCORE_ROUNDS = 3
+LINKPRED_TOPK = 50
+
+
+@query("hits_purchase_graph", oracle=hits_sql(_SINK_EDGES_CTE))
+def q_hits_purchase_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs/authorities over the directed customer→supplier
+    purchase graph — the bipartite shape HITS was built for: hub score
+    ranks customers by how much they buy from widely-bought suppliers,
+    authority score ranks suppliers by attracting high-hub customers.
+    PageRank on this same graph (pagerank_purchase_sinks) collapses
+    customers to teleport-mass; HITS keeps BOTH sides ranked. Each
+    round is two keyed equi-joins + two hash aggs + two 1-row L1-norm
+    broadcasts, every score on a 12-dp DECIMAL grid so the oracle
+    replays all three rounds bit-for-bit."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    return hits(edges)
+
+
+@query(
+    "kcore_copurchase_suppliers",
+    oracle=kcore_sql(_knn_copurchase_edges_sql(), k=KCORE_K, rounds=KCORE_ROUNDS),
+)
+def q_kcore_copurchase_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition (k={KCORE_K}, {KCORE_ROUNDS} peel rounds)
+    of the top-{TRIANGLE_TOPK} co-purchase neighbor graph: suppliers
+    surviving in the dense co-purchase core with their induced-subgraph
+    degree — the standard dense-community / influential-node filter
+    (and the preprocessing step that makes clique-ish mining tractable:
+    the k-core bounds everything downstream). Pure integer arithmetic;
+    each peel is one degree hash agg + two semi joins against the
+    shrinking survivor set, which at cluster scale broadcasts."""
+    return kcore(_knn_copurchase_edges(spark, sf_dir), k=KCORE_K, rounds=KCORE_ROUNDS)
+
+
+@query(
+    "linkpred_copurchase_suppliers",
+    oracle=link_predictions_sql(_knn_copurchase_edges_sql(), topk=LINKPRED_TOPK),
+)
+def q_linkpred_copurchase_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction on the top-{TRIANGLE_TOPK} co-purchase neighbor
+    graph: the {LINKPRED_TOPK} strongest NON-adjacent supplier pairs by
+    common-neighbor count, with neighbor-set Jaccard and preferential
+    attachment riding along — 'suppliers likely to share customers
+    next' (the recommendation/completion primitive). One wedge
+    self-join on the shared mid node (degree-bounded input keeps wedge
+    volume linear in nodes), pair hash agg, anti-join against existing
+    edges, TakeOrderedAndProject top-k; Jaccard divides two exact
+    integers so the doubles match cross-engine."""
+    return link_predictions(_knn_copurchase_edges(spark, sf_dir), topk=LINKPRED_TOPK)

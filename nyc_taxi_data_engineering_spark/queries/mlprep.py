@@ -1,0 +1,308 @@
+"""ML feature-preparation operators: robust/min-max feature scaling,
+leave-one-out target encoding, Gini-impurity split search (the
+decision-stump trainer), deterministic k-fold assignment, and
+classifier evaluation (confusion matrix → precision/recall/F1) — the
+tabular-ML sibling of the LM-data-prep family (queries/lmprep.py).
+
+Every query is exact-oracle-gated: sums ride the decimal transport
+(functions.stable_sum), quantiles use the shared interpolated-percentile contract
+(Spark ``percentile`` ≡ DuckDB ``quantile_cont``, rounded to 6 dp —
+the nation_order_percentiles pattern), and ratios divide exact
+integers or decimal-transported doubles, which IEEE 754 makes
+bit-identical cross-engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nyc_taxi_data_engineering_spark.catalog import load_table
+from nyc_taxi_data_engineering_spark.functions import stable_sum, stable_sum_sql
+from nyc_taxi_data_engineering_spark.operators.sampling import hash_bucket, hash_bucket_sql
+from nyc_taxi_data_engineering_spark.queries.registry import query
+
+
+@query(
+    "feature_scaling_customers",
+    oracle="""
+WITH stats AS (
+    SELECT c_mktsegment,
+           MIN(c_acctbal) AS mn, MAX(c_acctbal) AS mx,
+           round(quantile_cont(c_acctbal, 0.5), 6) AS med,
+           round(quantile_cont(c_acctbal, 0.75), 6)
+             - round(quantile_cont(c_acctbal, 0.25), 6) AS iqr
+    FROM customer GROUP BY c_mktsegment
+)
+SELECT c_custkey, c.c_mktsegment,
+       (c_acctbal - mn) / (mx - mn) AS minmax_scaled,
+       (c_acctbal - med) / iqr AS robust_scaled
+FROM customer c JOIN stats s ON s.c_mktsegment = c.c_mktsegment
+WHERE c_custkey % 10 = 0
+""",
+)
+def q_feature_scaling_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment feature scaling of account balance, two standard
+    recipes side by side: min-max to [0,1] and robust (median/IQR —
+    outlier-immune, the sklearn RobustScaler). Stats are one grouped
+    agg over the dim; scaled rows join the 5-row stats table by
+    broadcast, so the fact side never shuffles. Median/IQR use the
+    shared interpolated-percentile contract (6-dp rounded), so every
+    scaled double matches cross-engine. Output sampled 1-in-10 by key
+    to keep the gate row count bounded; the scan is complete."""
+    cust = load_table(spark, sf_dir, "customer")
+    stats = cust.groupBy(F.col("c_mktsegment").alias("seg")).agg(
+        F.min("c_acctbal").alias("mn"),
+        F.max("c_acctbal").alias("mx"),
+        F.round(F.expr("percentile(c_acctbal, 0.5)"), 6).alias("med"),
+        (
+            F.round(F.expr("percentile(c_acctbal, 0.75)"), 6)
+            - F.round(F.expr("percentile(c_acctbal, 0.25)"), 6)
+        ).alias("iqr"),
+    )
+    return (
+        cust.join(F.broadcast(stats), cust["c_mktsegment"] == stats["seg"])
+        .filter(F.col("c_custkey") % 10 == 0)
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            ((F.col("c_acctbal") - F.col("mn")) / (F.col("mx") - F.col("mn"))).alias(
+                "minmax_scaled"
+            ),
+            ((F.col("c_acctbal") - F.col("med")) / F.col("iqr")).alias("robust_scaled"),
+        )
+    )
+
+
+@query(
+    "target_encoding_orders",
+    oracle=f"""
+WITH grp AS (
+    SELECT o_orderpriority,
+           {stable_sum_sql('o_totalprice')} AS s,
+           COUNT(*) AS n
+    FROM orders GROUP BY o_orderpriority
+)
+SELECT o_orderkey, o.o_orderpriority,
+       (s - o_totalprice) / CAST(n - 1 AS DOUBLE) AS loo_encoding
+FROM orders o JOIN grp g ON g.o_orderpriority = o.o_orderpriority
+WHERE o_orderkey % 50 = 0
+""",
+)
+def q_target_encoding_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding of order priority against total
+    price — the categorical-feature encoder that avoids self-leakage:
+    each row's encoding is the group mean EXCLUDING the row itself,
+    (sum - x) / (n - 1). Group sums ride the decimal transport so the
+    subtraction and division are bit-identical; the 5-row group table
+    broadcasts. LOO from aggregates is one pass — never a per-row
+    window over the fact at scale. Output sampled 1-in-50 by key."""
+    orders = load_table(spark, sf_dir, "orders")
+    grp = orders.groupBy(F.col("o_orderpriority").alias("prio")).agg(
+        stable_sum("o_totalprice").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    return (
+        orders.join(F.broadcast(grp), orders["o_orderpriority"] == grp["prio"])
+        .filter(F.col("o_orderkey") % 50 == 0)
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            ((F.col("s") - F.col("o_totalprice")) / (F.col("n") - 1).cast("double")).alias(
+                "loo_encoding"
+            ),
+        )
+    )
+
+
+GINI_THRESHOLDS = [i * 25000.0 for i in range(1, 20)]  # fixed candidate grid
+
+
+@query(
+    "gini_split_search_orders",
+    oracle=f"""
+WITH labeled AS (
+    SELECT o_totalprice AS x,
+           CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END AS y
+    FROM orders
+),
+cand AS (SELECT UNNEST({GINI_THRESHOLDS!r}::DOUBLE[]) AS threshold),
+split AS (
+    SELECT threshold,
+           SUM(CASE WHEN x < threshold THEN 1 ELSE 0 END) AS n_left,
+           SUM(CASE WHEN x < threshold THEN y ELSE 0 END) AS pos_left,
+           SUM(CASE WHEN x >= threshold THEN 1 ELSE 0 END) AS n_right,
+           SUM(CASE WHEN x >= threshold THEN y ELSE 0 END) AS pos_right
+    FROM labeled CROSS JOIN cand
+    GROUP BY threshold
+)
+SELECT threshold,
+       CAST(n_left AS BIGINT) AS n_left, CAST(pos_left AS BIGINT) AS pos_left,
+       CAST(n_right AS BIGINT) AS n_right, CAST(pos_right AS BIGINT) AS pos_right,
+       (CAST(n_left AS DOUBLE) / (n_left + n_right))
+         * (1.0 - (CAST(pos_left AS DOUBLE) / n_left) * (CAST(pos_left AS DOUBLE) / n_left)
+                - (1.0 - CAST(pos_left AS DOUBLE) / n_left) * (1.0 - CAST(pos_left AS DOUBLE) / n_left))
+       + (CAST(n_right AS DOUBLE) / (n_left + n_right))
+         * (1.0 - (CAST(pos_right AS DOUBLE) / n_right) * (CAST(pos_right AS DOUBLE) / n_right)
+                - (1.0 - CAST(pos_right AS DOUBLE) / n_right) * (1.0 - CAST(pos_right AS DOUBLE) / n_right))
+       AS weighted_gini
+FROM split
+WHERE n_left > 0 AND n_right > 0
+""",
+)
+def q_gini_split_search_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision-stump training under the gate: weighted Gini impurity
+    of 'is this order high-priority?' for every candidate price
+    threshold on a fixed grid. ONE scan of the fact — the candidate
+    grid broadcasts as a tiny cross join and all four split counts per
+    threshold come out of a single hash agg (19 thresholds × 4
+    conditional sums, not 19 passes). The impurity arithmetic is
+    divisions/products of exact integer counts in pinned expression
+    shape, so both engines produce identical doubles; downstream,
+    argmin-by-gini picks the stump. This is the inner loop of
+    distributed tree learning (each tree node = one such pass)."""
+    orders = load_table(spark, sf_dir, "orders")
+    labeled = orders.select(
+        F.col("o_totalprice").alias("x"),
+        F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1).otherwise(0).alias("y"),
+    )
+    cand = spark.createDataFrame([(t,) for t in GINI_THRESHOLDS], "threshold double")
+    split = (
+        labeled.crossJoin(F.broadcast(cand))
+        .groupBy("threshold")
+        .agg(
+            F.sum(F.when(F.col("x") < F.col("threshold"), 1).otherwise(0)).alias("n_left"),
+            F.sum(F.when(F.col("x") < F.col("threshold"), F.col("y")).otherwise(0)).alias(
+                "pos_left"
+            ),
+            F.sum(F.when(F.col("x") >= F.col("threshold"), 1).otherwise(0)).alias("n_right"),
+            F.sum(F.when(F.col("x") >= F.col("threshold"), F.col("y")).otherwise(0)).alias(
+                "pos_right"
+            ),
+        )
+        .filter((F.col("n_left") > 0) & (F.col("n_right") > 0))
+    )
+    nl, pl = F.col("n_left").cast("double"), F.col("pos_left").cast("double")
+    nr, pr = F.col("n_right").cast("double"), F.col("pos_right").cast("double")
+    tot = F.col("n_left") + F.col("n_right")
+    gini_l = (
+        F.lit(1.0)
+        - (pl / nl) * (pl / nl)
+        - (F.lit(1.0) - pl / nl) * (F.lit(1.0) - pl / nl)
+    )
+    gini_r = (
+        F.lit(1.0)
+        - (pr / nr) * (pr / nr)
+        - (F.lit(1.0) - pr / nr) * (F.lit(1.0) - pr / nr)
+    )
+    return split.select(
+        "threshold",
+        "n_left",
+        "pos_left",
+        "n_right",
+        "pos_right",
+        ((nl / tot) * gini_l + (nr / tot) * gini_r).alias("weighted_gini"),
+    )
+
+
+KFOLDS = 5
+
+
+@query(
+    "kfold_assignment_orders",
+    oracle=f"""
+SELECT {hash_bucket_sql("o_orderkey", seed="cvfold", n_buckets=KFOLDS)} AS fold,
+       COUNT(*) AS n_orders,
+       {stable_sum_sql('o_totalprice')} AS total_price
+FROM orders
+GROUP BY 1
+""",
+)
+def q_kfold_assignment_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic {KFOLDS}-fold cross-validation assignment: fold =
+    md5(key || ':fold') mod K — RNG-free, stable across engines, runs,
+    and cluster sizes (the property sklearn's seeded shuffle does NOT
+    give you on distributed re-runs), and adding rows never moves an
+    existing row's fold. Same salted-hash family as split_assignment
+    (operators/sampling.py) with the fold-count tally + per-fold
+    balance check under the gate."""
+    orders = load_table(spark, sf_dir, "orders")
+    fold = hash_bucket(F.col("o_orderkey"), seed="cvfold", n_buckets=KFOLDS)
+    return orders.groupBy(fold.alias("fold")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        stable_sum("o_totalprice").alias("total_price"),
+    )
+
+
+@query(
+    "domain_tag_eval",
+    oracle="""
+WITH preds AS (
+    SELECT lower(source) AS actual,
+           CASE
+             WHEN length(text) % 3 = 0 THEN 'web'
+             WHEN length(text) % 3 = 1 THEN 'news'
+             ELSE lower(source)
+           END AS predicted
+    FROM documents
+),
+cm AS (
+    SELECT actual, predicted, COUNT(*) AS n FROM preds GROUP BY actual, predicted
+),
+tp AS (SELECT actual AS cls, n AS tp FROM cm WHERE actual = predicted),
+act AS (SELECT actual AS cls, CAST(SUM(n) AS BIGINT) AS n_actual FROM cm GROUP BY actual),
+prd AS (SELECT predicted AS cls, CAST(SUM(n) AS BIGINT) AS n_predicted FROM cm GROUP BY predicted)
+SELECT a.cls,
+       a.n_actual,
+       COALESCE(p.n_predicted, 0) AS n_predicted,
+       COALESCE(t.tp, 0) AS true_positives,
+       CAST(COALESCE(t.tp, 0) AS DOUBLE) / p.n_predicted AS precision,
+       CAST(COALESCE(t.tp, 0) AS DOUBLE) / a.n_actual AS recall,
+       2.0 * COALESCE(t.tp, 0) / (p.n_predicted + a.n_actual) AS f1
+FROM act a
+LEFT JOIN prd p ON p.cls = a.cls
+LEFT JOIN tp t ON t.cls = a.cls
+""",
+)
+def q_domain_tag_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier evaluation under the gate: confusion matrix →
+    per-class precision / recall / F1 for a deterministic mock
+    classifier against the documents' true source labels (the mock
+    mispredicts on a text-length rule, so every confusion cell is
+    reproducible in SQL — the EVAL arithmetic is the operator being
+    certified, the model is a stand-in for any upstream scorer, e.g.
+    the linear probe). The confusion matrix is one hash agg at
+    (actual, predicted) grain — classes², tiny — and every metric
+    divides exact integer counts off that table; F1 is computed as
+    2·tp/(pred+actual) directly, dodging the precision·recall
+    rounding chain."""
+    docs = load_table(spark, sf_dir, "documents")
+    preds = docs.select(
+        F.lower("source").alias("actual"),
+        F.when(F.length("text") % 3 == 0, F.lit("web"))
+        .when(F.length("text") % 3 == 1, F.lit("news"))
+        .otherwise(F.lower("source"))
+        .alias("predicted"),
+    )
+    cm = preds.groupBy("actual", "predicted").agg(F.count(F.lit(1)).alias("n"))
+    tp = cm.filter(F.col("actual") == F.col("predicted")).select(
+        F.col("actual").alias("cls"), F.col("n").alias("tp")
+    )
+    act = cm.groupBy(F.col("actual").alias("cls")).agg(F.sum("n").alias("n_actual"))
+    prd = cm.groupBy(F.col("predicted").alias("cls")).agg(F.sum("n").alias("n_predicted"))
+    return (
+        act.join(prd, "cls", "left")
+        .join(tp, "cls", "left")
+        .select(
+            "cls",
+            "n_actual",
+            F.coalesce("n_predicted", F.lit(0)).alias("n_predicted"),
+            F.coalesce("tp", F.lit(0)).alias("true_positives"),
+            (F.coalesce("tp", F.lit(0)).cast("double") / F.col("n_predicted")).alias("precision"),
+            (F.coalesce("tp", F.lit(0)).cast("double") / F.col("n_actual")).alias("recall"),
+            (
+                F.lit(2.0)
+                * F.coalesce("tp", F.lit(0))
+                / (F.col("n_predicted") + F.col("n_actual"))
+            ).alias("f1"),
+        )
+    )

@@ -55,6 +55,14 @@ ROTATION: list[str] = [
     "tpch_brand_quantity_revenue",
     "tpch_promo_part_suppliers",
     "tpch_dormant_rich_customers",
+    "hits_purchase_graph",
+    "kcore_copurchase_suppliers",
+    "linkpred_copurchase_suppliers",
+    "feature_scaling_customers",
+    "target_encoding_orders",
+    "gini_split_search_orders",
+    "kfold_assignment_orders",
+    "domain_tag_eval",
     # Round-7 late additions (sampled r7):
     "ppr_supplier_recommendations",
     "lpa_copurchase_communities",

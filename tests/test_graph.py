@@ -323,3 +323,71 @@ def test_cheapest_paths_rejects_float_costs(spark):
             "a",
             2,
         )
+
+
+# ---------------------------------------------------------------------------
+# HITS
+# ---------------------------------------------------------------------------
+
+from nyc_taxi_data_engineering_spark.operators.graph import (  # noqa: E402
+    hits,
+    kcore,
+    link_predictions,
+)
+
+
+def test_hits_l1_normalized_and_authority_ordering(spark):
+    """Star into h (a->h, b->h, c->h) plus h->a: h must be the top
+    authority, and both score columns are L1-normalized each round
+    (sums to 1 over nodes with nonzero score, up to 12-dp rounding)."""
+    scores = hits(_edges(spark, [("a", "h"), ("b", "h"), ("c", "h"), ("h", "a")])).collect()
+    auth = {r["node"]: r["auth"] for r in scores}
+    hub = {r["node"]: r["hub"] for r in scores}
+    assert auth["h"] == max(auth.values())
+    assert abs(sum(auth.values()) - 1.0) < 1e-9
+    assert abs(sum(hub.values()) - 1.0) < 1e-9
+    # spokes are pure hubs: zero authority (nothing points at them but h->a)
+    assert auth["b"] == 0.0 and auth["c"] == 0.0
+
+
+def test_hits_bipartite_sides_split_roles(spark):
+    """Bipartite c*->s*: all hub mass sits on the c side, all authority
+    mass on the s side, and the supplier with more in-edges wins."""
+    scores = hits(
+        _edges(spark, [("c1", "s1"), ("c2", "s1"), ("c2", "s2"), ("c3", "s1")])
+    ).collect()
+    auth = {r["node"]: r["auth"] for r in scores}
+    hub = {r["node"]: r["hub"] for r in scores}
+    assert auth["s1"] > auth["s2"] > 0.0
+    assert hub["s1"] == hub["s2"] == 0.0
+    assert auth["c1"] == auth["c2"] == auth["c3"] == 0.0
+
+
+def _upairs(spark, pairs):
+    return spark.createDataFrame(pairs, "a string, b string")
+
+
+def test_kcore_peels_tail_keeps_clique(spark):
+    """K4 with a pendant vertex: the 3-core is exactly the K4 (every
+    clique node has induced degree 3), the pendant and its edge peel
+    off in round one."""
+    k4 = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d")]
+    got = {r["node"]: r["degree"] for r in kcore(_upairs(spark, k4 + [("d", "e")]), k=3, rounds=3).collect()}
+    assert got == {"a": 3, "b": 3, "c": 3, "d": 3}
+
+
+def test_kcore_chain_unravels_completely(spark):
+    """A path a-b-c-d has no 2-core: peeling endpoints cascades until
+    nothing is left (needs multiple rounds — the fixed point matters)."""
+    path = [("a", "b"), ("b", "c"), ("c", "d")]
+    assert kcore(_upairs(spark, path), k=2, rounds=3).count() == 0
+
+
+def test_link_predictions_scores_and_excludes_existing(spark):
+    """Square a-b-c-d-a: the two diagonals are the only non-adjacent
+    pairs, each with 2 common neighbors and Jaccard 2/2=1.0 (sets are
+    identical); existing edges never appear."""
+    sq = [("a", "b"), ("b", "c"), ("c", "d"), ("a", "d")]
+    rows = link_predictions(_upairs(spark, sq), topk=10).collect()
+    got = {(r["a"], r["b"]): (r["common_neighbors"], r["jaccard"], r["pref_attachment"]) for r in rows}
+    assert got == {("a", "c"): (2, 1.0, 4), ("b", "d"): (2, 1.0, 4)}
