@@ -34,6 +34,7 @@ _MODULES = [
     "graphq",
     "tpchq",
     "mlprep",
+    "textml",
 ]
 
 _loaded = False

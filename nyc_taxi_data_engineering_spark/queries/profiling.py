@@ -168,3 +168,65 @@ def q_orders_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         exp.alias("expected"),
         (diff * diff / exp).alias("chi2_term"),
     )
+
+
+from pyspark.sql import functions as F  # noqa: E402
+
+
+@query(
+    "order_price_mad_outliers",
+    oracle="""
+WITH med AS (
+    SELECT o_orderpriority AS prio,
+           round(quantile_cont(o_totalprice, 0.5), 6) AS med
+    FROM orders GROUP BY o_orderpriority
+),
+dev AS (
+    SELECT prio, med, abs(o_totalprice - med) AS adev
+    FROM orders JOIN med ON prio = o_orderpriority
+),
+mad AS (
+    SELECT prio, round(quantile_cont(adev, 0.5), 6) AS mad
+    FROM dev GROUP BY prio
+)
+SELECT d.prio AS o_orderpriority, ANY_VALUE(d.med) AS median_price,
+       ANY_VALUE(m.mad) AS mad,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CASE WHEN d.adev > 3.0 * 1.4826 * m.mad THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers
+FROM dev d JOIN mad m ON m.prio = d.prio
+GROUP BY d.prio
+""",
+)
+def q_order_price_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust (median/MAD) outlier detection per order priority — the
+    z-score's (order_price_outliers) heavy-tail-immune sibling: a few
+    extreme prices move mean AND stddev, masking true outliers; the
+    median absolute deviation moves by at most one order statistic.
+    Threshold 3·1.4826·MAD is the standard normal-consistent cut.
+    Plan: two grouped-percentile aggs (median of price, then median of
+    |price − median|) with the 5-row stat tables broadcast back — the
+    fact scans twice but never sorts globally; the interpolated
+    percentiles ride the shared 6-dp quantile contract."""
+    orders = load_table(spark, sf_dir, "orders")
+    med = orders.groupBy(F.col("o_orderpriority").alias("prio")).agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 6).alias("med")
+    )
+    dev = orders.join(F.broadcast(med), orders["o_orderpriority"] == med["prio"]).select(
+        "prio", "med", F.abs(F.col("o_totalprice") - F.col("med")).alias("adev")
+    )
+    mad = dev.groupBy("prio").agg(F.round(F.expr("percentile(adev, 0.5)"), 6).alias("mad"))
+    return (
+        dev.join(F.broadcast(mad.withColumnRenamed("prio", "mprio")), F.col("prio") == F.col("mprio"))
+        .groupBy(F.col("prio").alias("o_orderpriority"))
+        .agg(
+            F.any_value("med").alias("median_price"),
+            F.any_value("mad").alias("mad"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(
+                F.when(F.col("adev") > F.lit(3.0) * F.lit(1.4826) * F.col("mad"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers"),
+        )
+    )

@@ -63,6 +63,9 @@ ROTATION: list[str] = [
     "gini_split_search_orders",
     "kfold_assignment_orders",
     "domain_tag_eval",
+    "tfidf_top_terms",
+    "nb_lang_confusion",
+    "order_price_mad_outliers",
     # Round-7 late additions (sampled r7):
     "ppr_supplier_recommendations",
     "lpa_copurchase_communities",

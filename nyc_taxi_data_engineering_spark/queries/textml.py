@@ -1,0 +1,211 @@
+"""Text-ML scoring under the exact oracle gate: corpus TF-IDF term
+ranking and a multinomial Naive Bayes classifier whose TRAINING and
+EVALUATION both replay bit-for-bit in DuckDB.
+
+Log contract (the DSIR precedent, queries/dsir.py): natural logs agree
+between Spark and DuckDB to ~1 ulp; rounding every log to 6 dp and
+carrying sums as DECIMAL(18,6) puts both engines on the same grid, so
+even the *scores* — not just the argmax — sit under the hash gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from nyc_taxi_data_engineering_spark.catalog import load_table
+from nyc_taxi_data_engineering_spark.functions import text as T
+from nyc_taxi_data_engineering_spark.operators.sampling import hash_bucket, hash_bucket_sql
+from nyc_taxi_data_engineering_spark.queries.registry import query
+
+TFIDF_TOPK = 10
+
+
+@query(
+    "tfidf_top_terms",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, source, unnest({T.sql_tokens('text')}) AS w FROM documents
+),
+tf AS (SELECT source, w AS token, COUNT(*) AS tf FROM tok GROUP BY source, w),
+df AS (SELECT w AS token, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY w),
+nd AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+scored AS (
+  SELECT source, token, tf,
+         round(ln((SELECT n FROM nd) / df), 6) AS idf
+  FROM tf JOIN df USING (token)
+),
+ranked AS (
+  SELECT source, token, CAST(tf AS BIGINT) AS tf, idf, tf * idf AS tfidf,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY tf * idf DESC, token) AS rn
+  FROM scored
+)
+SELECT source, token, tf, idf, tfidf FROM ranked WHERE rn <= {TFIDF_TOPK}
+""",
+)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{TFIDF_TOPK} TF-IDF terms per source — the keyword-profile /
+    domain-signature primitive (and the BM25 cousin already covered by
+    bm25_search_topk, operators/search.py). tf is term frequency within
+    the source; idf = ln(N_docs/df) rounded to 6 dp (the shared log
+    contract), so tf·idf multiplies an exact integer by an on-grid
+    double — bit-identical cross-engine. Plan: one explode, two hash
+    aggs (tf keyed on (source, token); df a distinct-doc count per
+    token), a vocab-sized equi-join, and a top-k window over the
+    per-source slices of the AGGREGATED table — never over the token
+    stream."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", "source", F.explode(T.tokens(F.col("text"))).alias("w"))
+    tf = tok.groupBy("source", F.col("w").alias("token")).agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy(F.col("w").alias("token")).agg(F.count_distinct("doc_id").alias("df"))
+    nd = docs.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    scored = (
+        tf.join(df, "token")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "source",
+            "token",
+            "tf",
+            F.round(F.log(F.col("n") / F.col("df")), 6).alias("idf"),
+        )
+    )
+    win = Window.partitionBy("source").orderBy((F.col("tf") * F.col("idf")).desc(), "token")
+    return (
+        scored.withColumn("tfidf", F.col("tf") * F.col("idf"))
+        .withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") <= TFIDF_TOPK)
+        .select("source", "token", "tf", "idf", "tfidf")
+    )
+
+
+NB_BUCKETS = 64  # hashed-feature vocabulary (the hashing trick)
+_NB_DEC = "DECIMAL(18,6)"
+
+
+def _nb_oracle() -> str:
+    b = hash_bucket_sql("w", seed="nb", n_buckets=NB_BUCKETS)
+    return f"""
+WITH tok AS (
+  SELECT doc_id, lang, {b} AS bucket
+  FROM (SELECT doc_id, lang, unnest({T.sql_tokens('text')}) AS w FROM documents)
+),
+train AS (SELECT * FROM tok WHERE doc_id % 3 <> 0),
+test  AS (SELECT * FROM tok WHERE doc_id % 3 = 0),
+classes AS (SELECT DISTINCT lang AS cls FROM train),
+cls_tot AS (SELECT lang AS cls, COUNT(*) AS tot FROM train GROUP BY lang),
+cls_cnt AS (SELECT lang AS cls, bucket, COUNT(*) AS cnt
+            FROM train GROUP BY lang, bucket),
+model AS (
+  SELECT c.cls, g.bucket,
+         CAST(round(ln((COALESCE(n.cnt, 0) + 1.0) / (t.tot + {NB_BUCKETS}.0)), 6)
+              AS {_NB_DEC}) AS loglik
+  FROM classes c
+  CROSS JOIN (SELECT UNNEST(generate_series(0, {NB_BUCKETS - 1})) AS bucket) g
+  JOIN cls_tot t ON t.cls = c.cls
+  LEFT JOIN cls_cnt n ON n.cls = c.cls AND n.bucket = g.bucket
+),
+prior AS (
+  SELECT lang AS cls,
+         CAST(round(ln(CAST(COUNT(DISTINCT doc_id) AS DOUBLE)
+                       / (SELECT COUNT(DISTINCT doc_id) FROM train)), 6)
+              AS {_NB_DEC}) AS logprior
+  FROM train GROUP BY lang
+),
+doc_scores AS (
+  SELECT t.doc_id, m.cls, SUM(m.loglik) + ANY_VALUE(p.logprior) AS score
+  FROM test t
+  JOIN model m ON m.bucket = t.bucket
+  JOIN prior p ON p.cls = m.cls
+  GROUP BY t.doc_id, m.cls
+),
+pred AS (
+  SELECT doc_id, cls AS predicted
+  FROM (SELECT doc_id, cls,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY score DESC, cls DESC) AS rn
+        FROM doc_scores)
+  WHERE rn = 1
+),
+truth AS (SELECT DISTINCT doc_id, lang AS actual FROM test)
+SELECT actual, predicted, COUNT(*) AS n_docs
+FROM truth JOIN pred USING (doc_id)
+GROUP BY actual, predicted
+"""
+
+
+@query("nb_lang_confusion", oracle=_nb_oracle())
+def q_nb_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes language classifier with BOTH phases
+    under the gate: train on docs with doc_id % 3 != 0 (add-one
+    smoothed per-class log-likelihoods over {NB_BUCKETS} hashed token
+    buckets — the hashing trick bounds model size BY CONSTRUCTION, so
+    the model always broadcasts), score the held-out third, and report
+    the confusion matrix. Every log rounds to 6 dp and per-doc scores
+    sum as DECIMAL(18,6) (order-independent), so the oracle reproduces
+    the exact same argmax — ties broken by (score desc, class desc) in
+    both engines.
+
+    Scale shape: one explode → two training hash aggs (class-bounded
+    state) → a dense {NB_BUCKETS}×classes model table (tiny, broadcast)
+    → test tokens join the model by bucket → one (doc, class) hash agg
+    → per-doc argmax via max(struct) — no window on the big side —
+    → classes² confusion agg. The per-doc argmax here mirrors
+    lpa/kmeans: fold the comparison into the aggregate, never sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "lang", F.explode(T.tokens(F.col("text"))).alias("w")
+    ).select("doc_id", "lang", hash_bucket(F.col("w"), seed="nb", n_buckets=NB_BUCKETS).alias("bucket"))
+    train = tok.filter(F.col("doc_id") % 3 != 0)
+    test = tok.filter(F.col("doc_id") % 3 == 0)
+    classes = train.select(F.col("lang").alias("cls")).distinct()
+    cls_tot = train.groupBy(F.col("lang").alias("cls")).agg(F.count(F.lit(1)).alias("tot"))
+    cls_cnt = train.groupBy(F.col("lang").alias("cls"), "bucket").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    grid = spark.range(NB_BUCKETS).select(F.col("id").cast("int").alias("bucket"))
+    model = (
+        classes.crossJoin(grid)
+        .join(cls_tot, "cls")
+        .join(cls_cnt, ["cls", "bucket"], "left")
+        .select(
+            "cls",
+            "bucket",
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("cnt"), F.lit(0)) + F.lit(1.0))
+                    / (F.col("tot") + F.lit(float(NB_BUCKETS)))
+                ),
+                6,
+            )
+            .cast(_NB_DEC.lower())
+            .alias("loglik"),
+        )
+    )
+    ntd = train.agg(F.count_distinct("doc_id").alias("ntd"))
+    prior = (
+        train.groupBy(F.col("lang").alias("cls"))
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .crossJoin(F.broadcast(ntd))
+        .select(
+            "cls",
+            F.round(F.log(F.col("nd").cast("double") / F.col("ntd")), 6)
+            .cast(_NB_DEC.lower())
+            .alias("logprior"),
+        )
+    )
+    doc_scores = (
+        test.join(F.broadcast(model), "bucket")
+        .join(F.broadcast(prior), "cls")
+        .groupBy("doc_id", "cls")
+        .agg((F.sum("loglik") + F.any_value("logprior")).alias("score"))
+    )
+    pred = doc_scores.groupBy("doc_id").agg(
+        F.max(F.struct("score", "cls")).alias("best")
+    ).select("doc_id", F.col("best.cls").alias("predicted"))
+    truth = test.select("doc_id", F.col("lang").alias("actual")).distinct()
+    return (
+        truth.join(pred, "doc_id")
+        .groupBy("actual", "predicted")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
