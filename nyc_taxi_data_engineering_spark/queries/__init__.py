@@ -35,6 +35,7 @@ _MODULES = [
     "tpchq",
     "mlprep",
     "textml",
+    "statsq",
 ]
 
 _loaded = False

@@ -66,6 +66,11 @@ ROTATION: list[str] = [
     "tfidf_top_terms",
     "nb_lang_confusion",
     "order_price_mad_outliers",
+    "ab_test_events",
+    "cuped_adjusted_ab",
+    "kaplan_meier_customers",
+    "assoc_rules_suppliers",
+    "revenue_bootstrap_ci",
     # Round-7 late additions (sampled r7):
     "ppr_supplier_recommendations",
     "lpa_copurchase_communities",

@@ -1,0 +1,435 @@
+"""Experiment-analysis / statistical-inference operators under the
+exact oracle gate: two-sample A/B z-test, CUPED variance reduction,
+Kaplan-Meier survival (log-space), association rules
+(support/confidence/lift), and a deterministic half-sample bootstrap
+CI — the product-analytics layer above the profiling family.
+
+Determinism: every sum rides the decimal transport
+(functions.stable_sum), every variance/covariance is derived from
+those exact moments in pinned expression shape (IEEE doubles match
+cross-engine given identical operands), logs ride the 6-dp quantized
+contract (queries/dsir.py precedent), and resampling is md5-hash
+membership (operators/sampling.hash_bucket) — RNG-free, so the
+*resamples themselves* replay in SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from nyc_taxi_data_engineering_spark.catalog import load_table
+from nyc_taxi_data_engineering_spark.functions import stable_sum, stable_sum_sql
+from nyc_taxi_data_engineering_spark.operators.sampling import hash_bucket, hash_bucket_sql
+from nyc_taxi_data_engineering_spark.queries.registry import query
+
+
+@query(
+    "ab_test_events",
+    oracle=f"""
+WITH agg AS (
+    SELECT
+      CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+      CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_c,
+      {stable_sum_sql("CASE WHEN user_id % 2 = 1 THEN value ELSE 0.0 END", scale=6)} AS s_t,
+      {stable_sum_sql("CASE WHEN user_id % 2 = 0 THEN value ELSE 0.0 END", scale=6)} AS s_c,
+      {stable_sum_sql("CASE WHEN user_id % 2 = 1 THEN value * value ELSE 0.0 END", scale=6)} AS ssq_t,
+      {stable_sum_sql("CASE WHEN user_id % 2 = 0 THEN value * value ELSE 0.0 END", scale=6)} AS ssq_c
+    FROM events
+)
+SELECT n_t AS n_treat, n_c AS n_ctrl,
+       s_t / n_t AS mean_treat, s_c / n_c AS mean_ctrl,
+       s_t / n_t - s_c / n_c AS diff,
+       (s_t / n_t - s_c / n_c)
+         / sqrt(((ssq_t - s_t * s_t / n_t) / (n_t - 1.0)) / n_t
+                + ((ssq_c - s_c * s_c / n_c) / (n_c - 1.0)) / n_c) AS z_stat
+FROM agg
+""",
+)
+def q_ab_test_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Welch z-test on event value, arms assigned
+    deterministically by user parity (stand-in for any experiment
+    assignment column): ONE scan computes both arms' count / sum /
+    sum-of-squares as six conditional aggregates; means, variances
+    ((ssq − s²/n)/(n−1)), and the z statistic derive from those exact
+    moments in pinned shape — sqrt is IEEE-correctly-rounded, so even
+    z matches bit-for-bit. The at-scale shape for any metric × arm
+    battery: moments first, statistics from the 1-row table."""
+    ev = load_table(spark, sf_dir, "events")
+    t = F.col("user_id") % 2 == 1
+    agg = ev.agg(
+        F.sum(F.when(t, 1).otherwise(0)).cast("long").alias("n_t"),
+        F.sum(F.when(~t, 1).otherwise(0)).cast("long").alias("n_c"),
+        stable_sum(F.when(t, F.col("value")).otherwise(F.lit(0.0)), scale=6).alias("s_t"),
+        stable_sum(F.when(~t, F.col("value")).otherwise(F.lit(0.0)), scale=6).alias("s_c"),
+        stable_sum(
+            F.when(t, F.col("value") * F.col("value")).otherwise(F.lit(0.0)), scale=6
+        ).alias("ssq_t"),
+        stable_sum(
+            F.when(~t, F.col("value") * F.col("value")).otherwise(F.lit(0.0)), scale=6
+        ).alias("ssq_c"),
+    )
+    mean_t = F.col("s_t") / F.col("n_t")
+    mean_c = F.col("s_c") / F.col("n_c")
+    var_t = (F.col("ssq_t") - F.col("s_t") * F.col("s_t") / F.col("n_t")) / (
+        F.col("n_t") - F.lit(1.0)
+    )
+    var_c = (F.col("ssq_c") - F.col("s_c") * F.col("s_c") / F.col("n_c")) / (
+        F.col("n_c") - F.lit(1.0)
+    )
+    return agg.select(
+        F.col("n_t").alias("n_treat"),
+        F.col("n_c").alias("n_ctrl"),
+        mean_t.alias("mean_treat"),
+        mean_c.alias("mean_ctrl"),
+        (mean_t - mean_c).alias("diff"),
+        ((mean_t - mean_c) / F.sqrt(var_t / F.col("n_t") + var_c / F.col("n_c"))).alias(
+            "z_stat"
+        ),
+    )
+
+
+_CUPED_SPLIT = "2024-01-16"
+
+
+@query(
+    "cuped_adjusted_ab",
+    oracle=f"""
+WITH per_user AS (
+    SELECT user_id, CAST(user_id % 2 AS INT) AS arm,
+      {stable_sum_sql(f"CASE WHEN ts < TIMESTAMP '{_CUPED_SPLIT}' THEN value ELSE 0.0 END", scale=6)} AS x,
+      {stable_sum_sql(f"CASE WHEN ts >= TIMESTAMP '{_CUPED_SPLIT}' THEN value ELSE 0.0 END", scale=6)} AS y
+    FROM events GROUP BY user_id
+),
+mom AS (
+    SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+           {stable_sum_sql('x', scale=6)} AS sx, {stable_sum_sql('y', scale=6)} AS sy,
+           {stable_sum_sql('x * x', scale=6)} AS sxx,
+           {stable_sum_sql('x * y', scale=6)} AS sxy
+    FROM per_user
+),
+theta AS (
+    SELECT n, sx / n AS xbar,
+           (sxy - sx * sy / n) / (sxx - sx * sx / n) AS theta
+    FROM mom
+),
+adj AS (
+    SELECT arm, x, y, y - theta * (x - xbar) AS y_adj
+    FROM per_user CROSS JOIN theta
+),
+arms AS (
+    SELECT
+      CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+      CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_c,
+      {stable_sum_sql('CASE WHEN arm = 1 THEN y ELSE 0.0 END', scale=6)} AS sy_t,
+      {stable_sum_sql('CASE WHEN arm = 0 THEN y ELSE 0.0 END', scale=6)} AS sy_c,
+      {stable_sum_sql('CASE WHEN arm = 1 THEN round(y_adj, 6) ELSE 0.0 END', scale=6)} AS sa_t,
+      {stable_sum_sql('CASE WHEN arm = 0 THEN round(y_adj, 6) ELSE 0.0 END', scale=6)} AS sa_c
+    FROM adj
+)
+SELECT (SELECT theta FROM theta) AS theta,
+       sy_t / n_t - sy_c / n_c AS diff_raw,
+       sa_t / n_t - sa_c / n_c AS diff_cuped
+FROM arms
+""",
+)
+def q_cuped_adjusted_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction (Deng et al. 2013) — the standard
+    experiment-sensitivity lever: per-user pre-period value is the
+    covariate x, post-period value the outcome y; θ = cov(x,y)/var(x)
+    from pooled exact moments, and the adjusted outcome
+    y − θ(x − x̄) removes the covariate-explained variance from the
+    arm comparison. Three aggregation levels, each tiny after the
+    first: per-user conditional sums (one events scan), a 1-row moment
+    table, a 1-row arm summary. Adjusted values round to 6 dp before
+    the decimal-transport arm sums so the order-independence contract
+    holds end to end."""
+    ev = load_table(spark, sf_dir, "events")
+    pre = F.col("ts") < F.lit(_CUPED_SPLIT)
+    per_user = ev.groupBy("user_id").agg(
+        stable_sum(F.when(pre, F.col("value")).otherwise(F.lit(0.0)), scale=6).alias("x"),
+        stable_sum(F.when(~pre, F.col("value")).otherwise(F.lit(0.0)), scale=6).alias("y"),
+    ).select((F.col("user_id") % 2).cast("int").alias("arm"), "x", "y")
+    mom = per_user.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        stable_sum("x", scale=6).alias("sx"),
+        stable_sum("y", scale=6).alias("sy"),
+        stable_sum(F.col("x") * F.col("x"), scale=6).alias("sxx"),
+        stable_sum(F.col("x") * F.col("y"), scale=6).alias("sxy"),
+    )
+    theta = mom.select(
+        (F.col("sx") / F.col("n")).alias("xbar"),
+        (
+            (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n"))
+            / (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"))
+        ).alias("theta"),
+    )
+    adj = per_user.crossJoin(F.broadcast(theta)).select(
+        "arm",
+        "y",
+        "theta",
+        (F.col("y") - F.col("theta") * (F.col("x") - F.col("xbar"))).alias("y_adj"),
+    )
+    t = F.col("arm") == 1
+    arms = adj.agg(
+        F.any_value("theta").alias("theta"),
+        F.sum(F.when(t, 1).otherwise(0)).cast("long").alias("n_t"),
+        F.sum(F.when(~t, 1).otherwise(0)).cast("long").alias("n_c"),
+        stable_sum(F.when(t, F.col("y")).otherwise(F.lit(0.0)), scale=6).alias("sy_t"),
+        stable_sum(F.when(~t, F.col("y")).otherwise(F.lit(0.0)), scale=6).alias("sy_c"),
+        stable_sum(
+            F.when(t, F.round(F.col("y_adj"), 6)).otherwise(F.lit(0.0)), scale=6
+        ).alias("sa_t"),
+        stable_sum(
+            F.when(~t, F.round(F.col("y_adj"), 6)).otherwise(F.lit(0.0)), scale=6
+        ).alias("sa_c"),
+    )
+    return arms.select(
+        "theta",
+        (F.col("sy_t") / F.col("n_t") - F.col("sy_c") / F.col("n_c")).alias("diff_raw"),
+        (F.col("sa_t") / F.col("n_t") - F.col("sa_c") / F.col("n_c")).alias("diff_cuped"),
+    )
+
+
+_KM_CUTOFF = "2001-01-01"
+
+
+@query(
+    "kaplan_meier_customers",
+    oracle=f"""
+WITH spans AS (
+    SELECT o_custkey,
+           date_diff('day', MIN(o_orderdate), MAX(o_orderdate)) AS t,
+           CASE WHEN MAX(o_orderdate) < TIMESTAMP '{_KM_CUTOFF}' THEN 1 ELSE 0 END AS event
+    FROM orders GROUP BY o_custkey
+),
+by_t AS (
+    SELECT t, CAST(COUNT(*) AS BIGINT) AS c, CAST(SUM(event) AS BIGINT) AS d
+    FROM spans GROUP BY t
+),
+risk AS (
+    SELECT t, c, d,
+           (SELECT COUNT(*) FROM spans)
+             - COALESCE(SUM(c) OVER (ORDER BY t
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_at_risk
+    FROM by_t
+),
+km AS (
+    SELECT t, n_at_risk, d,
+           SUM(CAST(round(ln(1.0 - CAST(d AS DOUBLE) / n_at_risk), 6)
+                    AS DECIMAL(18,6)))
+             OVER (ORDER BY t) AS ls
+    FROM risk
+    WHERE d > 0 AND d < n_at_risk
+)
+SELECT t AS duration_days, CAST(n_at_risk AS BIGINT) AS n_at_risk, d AS n_events,
+       CAST(ls AS DOUBLE) AS log_survival
+FROM km
+""",
+)
+def q_kaplan_meier_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival estimator over customer activity spans
+    (duration = days between first and last order; 'death' = went
+    quiet before {_KM_CUTOFF}, later activity = right-censored) — the
+    churn/retention curve done properly, i.e. censoring-aware. The
+    estimator runs in LOG space: each factor ln(1 − d/n) rounds to
+    6 dp and the cumulative product becomes a cumulative DECIMAL sum —
+    order-independent and bit-exact where a chained double product is
+    neither. Times where d = n (everyone at risk dies) would send
+    log S to −∞ and are excluded, as are pure-censoring times (d = 0,
+    factor 1). Plan: one fact scan to customer grain, then everything
+    happens on the duration table (≤ distinct durations rows — tiny),
+    where windows are safe."""
+    orders = load_table(spark, sf_dir, "orders")
+    spans = orders.groupBy("o_custkey").agg(
+        F.datediff(F.max("o_orderdate"), F.min("o_orderdate")).alias("t"),
+        F.when(F.max("o_orderdate") < F.lit(_KM_CUTOFF), 1).otherwise(0).alias("event"),
+    )
+    by_t = spans.groupBy("t").agg(
+        F.count(F.lit(1)).alias("c"), F.sum("event").cast("long").alias("d")
+    )
+    total = spans.agg(F.count(F.lit(1)).alias("n_total"))
+    w_prev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    risk = (
+        by_t.crossJoin(F.broadcast(total))
+        .withColumn(
+            "n_at_risk",
+            F.col("n_total") - F.coalesce(F.sum("c").over(w_prev), F.lit(0)),
+        )
+        .filter((F.col("d") > 0) & (F.col("d") < F.col("n_at_risk")))
+    )
+    w_cum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    factor = F.round(
+        F.log(F.lit(1.0) - F.col("d").cast("double") / F.col("n_at_risk")), 6
+    ).cast("decimal(18,6)")
+    return risk.withColumn("ls", F.sum(factor).over(w_cum)).select(
+        F.col("t").alias("duration_days"),
+        "n_at_risk",
+        F.col("d").alias("n_events"),
+        F.col("ls").cast("double").alias("log_survival"),
+    )
+
+
+ASSOC_CTX_CAP = 50  # drop customers linked to more suppliers than this
+ASSOC_MIN_SHARED = 2
+ASSOC_TOPK = 50
+
+
+@query(
+    "assoc_rules_suppliers",
+    oracle=f"""
+WITH links AS (
+    SELECT DISTINCT l_suppkey AS item, o_custkey AS ctx
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+),
+ctx_deg AS (SELECT ctx, COUNT(*) AS deg FROM links GROUP BY ctx),
+kept AS (SELECT item, l.ctx FROM links l JOIN ctx_deg d ON d.ctx = l.ctx
+         WHERE d.deg <= {ASSOC_CTX_CAP}),
+item_cnt AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS cnt FROM kept GROUP BY item),
+n_ctx AS (SELECT CAST(COUNT(DISTINCT ctx) AS BIGINT) AS n FROM kept),
+pairs AS (
+    SELECT a.item AS x, b.item AS y, CAST(COUNT(*) AS BIGINT) AS shared
+    FROM kept a JOIN kept b ON a.ctx = b.ctx AND a.item < b.item
+    GROUP BY a.item, b.item
+    HAVING COUNT(*) >= {ASSOC_MIN_SHARED}
+),
+rules AS (
+    SELECT x AS antecedent, y AS consequent, shared FROM pairs
+    UNION ALL
+    SELECT y AS antecedent, x AS consequent, shared FROM pairs
+)
+SELECT antecedent, consequent, shared,
+       CAST(shared AS DOUBLE) / (SELECT n FROM n_ctx) AS support,
+       CAST(shared AS DOUBLE) / ca.cnt AS confidence,
+       CAST(shared AS DOUBLE) * (SELECT n FROM n_ctx) / (ca.cnt * cb.cnt) AS lift
+FROM rules
+JOIN item_cnt ca ON ca.item = antecedent
+JOIN item_cnt cb ON cb.item = consequent
+ORDER BY lift DESC, antecedent, consequent
+LIMIT {ASSOC_TOPK}
+""",
+)
+def q_assoc_rules_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over supplier co-purchase
+    baskets (customer = basket): support, confidence, and lift for
+    every direction of every pair sharing ≥{ASSOC_MIN_SHARED} baskets,
+    top-{ASSOC_TOPK} by lift. The ctx-degree cap is the same
+    celebrity-basket lever as operators/cooccur.py — a customer linked
+    to everything generates deg² pair rows and zero signal, so it's
+    dropped BEFORE the self-join. Every metric divides exact integers,
+    so the doubles (and the lift ordering) match cross-engine; ties
+    break on the pair ids. Plan: distinct links, degree filter, keyed
+    self-join + pair hash agg, two broadcast joins to item counts,
+    TakeOrderedAndProject."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    links = (
+        o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(F.col("l_suppkey").alias("item"), F.col("o_custkey").alias("ctx"))
+        .distinct()
+    )
+    ctx_deg = links.groupBy("ctx").agg(F.count(F.lit(1)).alias("deg"))
+    kept = links.join(
+        F.broadcast(ctx_deg.filter(F.col("deg") <= ASSOC_CTX_CAP).select("ctx")), "ctx"
+    )
+    item_cnt = kept.groupBy("item").agg(F.count(F.lit(1)).alias("cnt"))
+    n_ctx = kept.agg(F.count_distinct("ctx").alias("n"))
+    a = kept.select(F.col("item").alias("x"), "ctx")
+    b = kept.select(F.col("item").alias("y"), "ctx")
+    pairs = (
+        a.join(b, "ctx")
+        .filter(F.col("x") < F.col("y"))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= ASSOC_MIN_SHARED)
+    )
+    rules = pairs.select(
+        F.col("x").alias("antecedent"), F.col("y").alias("consequent"), "shared"
+    ).unionByName(
+        pairs.select(F.col("y").alias("antecedent"), F.col("x").alias("consequent"), "shared")
+    )
+    ca = item_cnt.select(F.col("item").alias("antecedent"), F.col("cnt").alias("cnt_a"))
+    cb = item_cnt.select(F.col("item").alias("consequent"), F.col("cnt").alias("cnt_b"))
+    return (
+        rules.join(F.broadcast(ca), "antecedent")
+        .join(F.broadcast(cb), "consequent")
+        .crossJoin(F.broadcast(n_ctx))
+        .select(
+            "antecedent",
+            "consequent",
+            "shared",
+            (F.col("shared").cast("double") / F.col("n")).alias("support"),
+            (F.col("shared").cast("double") / F.col("cnt_a")).alias("confidence"),
+            (
+                F.col("shared").cast("double") * F.col("n") / (F.col("cnt_a") * F.col("cnt_b"))
+            ).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), "antecedent", "consequent")
+        .limit(ASSOC_TOPK)
+    )
+
+
+BOOT_B = 32  # resamples; each keeps ~half the rows by md5 membership
+
+
+@query(
+    "revenue_bootstrap_ci",
+    oracle=f"""
+WITH grid AS (SELECT UNNEST(generate_series(0, {BOOT_B - 1})) AS b),
+stats AS (
+    SELECT b,
+           2.0 * {stable_sum_sql('o_totalprice')} AS stat
+    FROM orders CROSS JOIN grid
+    WHERE {hash_bucket_sql("o_orderkey || '#' || b", seed="boot", n_buckets=2)} = 0
+    GROUP BY b
+),
+ranked AS (
+    SELECT stat, ROW_NUMBER() OVER (ORDER BY stat, b) AS rn FROM stats
+),
+point AS (SELECT {stable_sum_sql('o_totalprice')} AS estimate FROM orders)
+SELECT (SELECT estimate FROM point) AS estimate,
+       (SELECT stat FROM ranked WHERE rn = 2) AS ci_lo,
+       (SELECT stat FROM ranked WHERE rn = {BOOT_B - 1}) AS ci_hi,
+       CAST({BOOT_B} AS BIGINT) AS n_resamples
+""",
+)
+def q_revenue_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic half-sample bootstrap CI for total revenue: each
+    of the {BOOT_B} resamples keeps an order iff
+    md5('boot'|orderkey#b) lands even — RNG-free, so resample
+    membership (and therefore the CI itself) replays exactly in SQL
+    and across cluster re-runs. Each resample's doubled half-sum
+    estimates the total; the CI is the [2nd, {BOOT_B - 1}th] order
+    statistic picked by explicit row_number (no engine-specific
+    quantile convention). Plan: fact × {BOOT_B}-row broadcast grid →
+    membership filter → one hash agg keyed on b ({BOOT_B} groups,
+    map-side combine does almost all the work) → window over
+    {BOOT_B} rows. The at-scale bootstrap: one pass, no shuffling
+    the fact {BOOT_B} times."""
+    orders = load_table(spark, sf_dir, "orders")
+    grid = spark.range(BOOT_B).select(F.col("id").cast("int").alias("b"))
+    member_key = F.concat(
+        F.col("o_orderkey").cast("string"), F.lit("#"), F.col("b").cast("string")
+    )
+    stats = (
+        orders.crossJoin(F.broadcast(grid))
+        .filter(hash_bucket(member_key, seed="boot", n_buckets=2) == 0)
+        .groupBy("b")
+        .agg((F.lit(2.0) * stable_sum("o_totalprice")).alias("stat"))
+    )
+    ranked = stats.withColumn(
+        "rn", F.row_number().over(Window.orderBy("stat", "b"))
+    )
+    lo = ranked.filter(F.col("rn") == 2).select(F.col("stat").alias("ci_lo"))
+    hi = ranked.filter(F.col("rn") == BOOT_B - 1).select(F.col("stat").alias("ci_hi"))
+    point = orders.agg(stable_sum("o_totalprice").alias("estimate"))
+    return (
+        point.crossJoin(F.broadcast(lo))
+        .crossJoin(F.broadcast(hi))
+        .select(
+            "estimate",
+            "ci_lo",
+            "ci_hi",
+            F.lit(BOOT_B).cast("long").alias("n_resamples"),
+        )
+    )
