@@ -71,6 +71,7 @@ ROTATION: list[str] = [
     "kaplan_meier_customers",
     "assoc_rules_suppliers",
     "revenue_bootstrap_ci",
+    "delta_dv_delete_orders",
     # Round-7 late additions (sampled r7):
     "ppr_supplier_recommendations",
     "lpa_copurchase_communities",

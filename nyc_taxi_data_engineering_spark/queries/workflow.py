@@ -732,3 +732,48 @@ def q_delta_mv_delete_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFra
         .filter(F.col("n_orders") > 0)
         .select("o_orderstatus", "n_orders", F.col("tp").cast("double").alias("total_price"))
     )
+
+
+@query(
+    "delta_dv_delete_orders",
+    oracle="""
+SELECT o_orderstatus, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders
+WHERE NOT (o_orderstatus = 'P' OR o_totalprice < 1000.0)
+GROUP BY o_orderstatus
+""",
+)
+def q_delta_dv_delete_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level DELETE via DELETION VECTORS (the Delta protocol's
+    ``deletionVectors`` table feature, sources/delta_log.py:
+    delete_delta): commit orders into a Delta table, delete the
+    in-progress/low-value rows by predicate WITHOUT rewriting a single
+    data file — each touched file's add action gains an inline
+    bitmap-descriptor of dead row indexes; the snapshot read applies
+    them as one broadcast anti join on (file, row_index) — then
+    aggregate the survivors. The oracle recomputes from the raw table
+    with the negated predicate, so a row wrongly surviving OR wrongly
+    deleted hash-mismatches. File-set immutability, DV accumulation
+    across two deletes, time-travel/RESTORE/VACUUM/checkpoint/change-
+    feed interplay are pinned in test_delta_log.
+
+    100 TB shape: GDPR-style selective erasure costs O(deleted rows)
+    bitmap bytes instead of copy-on-write's O(touched files) data
+    bytes; reads pay one anti join whose build side is exactly the
+    log-resident tombstones."""
+    from pyspark.sql import functions as F
+
+    from nyc_taxi_data_engineering_spark.catalog import load_table
+    from nyc_taxi_data_engineering_spark.sources import delta_log as D
+
+    tbl = _tmp_table("delta_dv_orders")
+    shutil.rmtree(tbl, ignore_errors=True)
+    orders = load_table(spark, sf_dir, "orders")
+    D.write_delta(orders.repartition(8), tbl, mode="overwrite")
+    D.delete_delta(spark, tbl, "o_orderstatus = 'P' OR o_totalprice < 1000.0")
+    snap = D.read_delta_log(spark, tbl)
+    return snap.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total_price"),
+    )

@@ -989,3 +989,125 @@ def test_null_test_data_skipping(spark, tmp_path):
     assert {r["id"] for r in only_null.collect()} == {2}
     non_null = D.read_delta_log(spark, ptbl, predicates=[("grp", "not_null", None)])
     assert {r["id"] for r in non_null.collect()} == {1, 3}
+
+
+# ---------------------------------------------------------------------------
+# Deletion vectors
+# ---------------------------------------------------------------------------
+
+
+def _data_files(path):
+    return sorted(
+        f for f in os.listdir(path) if f.endswith(".parquet")
+    )
+
+
+@pytest.fixture()
+def dv_table(spark, tmp_path):
+    """100 rows over 4 files, m = id % 10."""
+    path = str(tmp_path / "dvtbl")
+    df = spark.range(100).select(F.col("id"), (F.col("id") % 10).alias("m"))
+    D.write_delta(df.repartition(4), path, mode="overwrite")
+    return path
+
+
+def test_dv_delete_never_touches_data_files(spark, dv_table):
+    before = _data_files(dv_table)
+    mtimes = {f: os.path.getmtime(os.path.join(dv_table, f)) for f in before}
+    v = D.delete_delta(spark, dv_table, "m = 3")
+    assert v == 1
+    assert _data_files(dv_table) == before
+    assert all(
+        os.path.getmtime(os.path.join(dv_table, f)) == mtimes[f] for f in before
+    )
+    snap = D.read_delta_log(spark, dv_table)
+    assert snap.count() == 90
+    assert snap.filter("m = 3").count() == 0
+
+
+def test_dv_accumulates_across_deletes_and_time_travels(spark, dv_table):
+    D.delete_delta(spark, dv_table, "m = 3")
+    D.delete_delta(spark, dv_table, "m = 7")
+    assert D.read_delta_log(spark, dv_table).count() == 80
+    # pre-delete snapshots still see everything
+    assert D.read_delta_log(spark, dv_table, version_as_of=0).count() == 100
+    assert D.read_delta_log(spark, dv_table, version_as_of=1).count() == 90
+
+
+def test_dv_noop_delete_commits_nothing(spark, dv_table):
+    v0 = D.latest_version(dv_table)
+    assert D.delete_delta(spark, dv_table, "m = 42") == v0
+    assert D.latest_version(dv_table) == v0
+
+
+def test_dv_protocol_declares_table_feature(spark, dv_table):
+    D.delete_delta(spark, dv_table, "m = 3")
+    state = D._replay_state(dv_table)
+    proto = state["protocol"]
+    assert proto["minReaderVersion"] == 3 and proto["minWriterVersion"] == 7
+    assert D.DV_FEATURE in proto["readerFeatures"]
+    assert D.DV_FEATURE in proto["writerFeatures"]
+    # descriptor shape on every surviving touched add
+    dv_adds = [a for a in state["adds"].values() if a.get("deletionVector")]
+    assert dv_adds
+    for a in dv_adds:
+        dv = a["deletionVector"]
+        assert dv["storageType"] == "i"
+        assert dv["cardinality"] > 0
+        assert dv["sizeInBytes"] > 0
+
+
+def test_dv_restore_undeletes(spark, dv_table):
+    D.delete_delta(spark, dv_table, "m = 3")
+    D.restore_delta(dv_table, 0)
+    assert D.read_delta_log(spark, dv_table).count() == 100
+    # restore is undoable: flip forward again to the deleted state
+    D.restore_delta(dv_table, 1)
+    assert D.read_delta_log(spark, dv_table).count() == 90
+
+
+def test_dv_vacuum_keeps_referenced_files(spark, dv_table):
+    before = _data_files(dv_table)
+    D.delete_delta(spark, dv_table, "m = 3")
+    D.vacuum_delta(dv_table, keep_last=1)
+    assert _data_files(dv_table) == before
+    assert D.read_delta_log(spark, dv_table).count() == 90
+
+
+def test_dv_checkpoint_round_trip(spark, dv_table):
+    D.delete_delta(spark, dv_table, "id < 50")
+    D.write_checkpoint(dv_table)
+    # append AFTER the checkpoint so replay starts from it
+    D.write_delta(
+        spark.range(100, 110).select(F.col("id"), (F.col("id") % 10).alias("m")),
+        dv_table,
+        mode="append",
+    )
+    assert D.read_delta_log(spark, dv_table).count() == 60
+
+
+def test_dv_change_feed_reports_row_deletes(spark, dv_table):
+    v = D.delete_delta(spark, dv_table, "m = 3")
+    diff = D.delta_version_diff(spark, dv_table, key="id", version_from=v - 1, version_to=v)
+    changes = {r["change_type"] for r in diff.collect()}
+    assert changes == {"delete"}
+    assert diff.count() == 10
+
+
+def test_dv_rejected_on_partitioned_tables(spark, tmp_path):
+    path = str(tmp_path / "ptbl")
+    df = spark.range(20).select(F.col("id"), (F.col("id") % 2).alias("p"))
+    D.write_delta(df, path, mode="overwrite", partition_by="p")
+    with pytest.raises(D.DeltaLogError, match="partitioned"):
+        D.delete_delta(spark, path, "id = 1")
+
+
+def test_dv_codec_roundtrip_and_guards():
+    dv = D._encode_dv([5, 1, 99, 1, 0])
+    assert D._decode_dv(dv) == [0, 1, 5, 99]
+    assert dv["cardinality"] == 4
+    with pytest.raises(D.DeltaLogError, match="storageType"):
+        D._decode_dv({"storageType": "p", "pathOrInlineDv": "x"})
+    # large sparse vector round-trips
+    big = list(range(0, 100000, 97))
+    assert D._decode_dv(D._encode_dv(big)) == big

@@ -589,3 +589,96 @@ def test_pca_rounds_keyed_aggs_vector_broadcast(spark, sf_dir):
     assert "Window" not in plan
     assert "BroadcastExchange" in plan
     assert "partial_sum" in plan
+
+
+# ---------------------------------------------------------------------------
+# Round-8 families
+# ---------------------------------------------------------------------------
+
+
+def test_tpch_q6_full_pushdown_single_stage(spark, sf_dir):
+    """Q6 is the pushdown canary: every predicate must reach the
+    parquet scan, and the whole query is scan->agg (no join, no
+    exchange besides the final 1-row gather)."""
+    plan = _plan(spark, sf_dir, "tpch_revenue_change")
+    assert "PushedFilters:" in plan
+    pushed = next(line for line in plan.splitlines() if "PushedFilters" in line)
+    for frag in ("l_shipdate", "l_discount", "l_quantity"):
+        assert frag in pushed, frag
+    assert "Join" not in plan
+
+
+def test_tpch_dims_broadcast_not_shuffled(spark, sf_dir):
+    """The dim chains (nation/region/filtered supplier/part) must ride
+    broadcast joins; only fact-fact joins may sort-merge shuffle."""
+    for q, max_smj in (
+        ("tpch_local_supplier_volume", 1),  # orders<->lineitem only
+        ("tpch_parttype_profit", 1),
+        ("tpch_volume_shipping", 1),
+        ("tpch_returned_items", 1),
+    ):
+        plan = _plan(spark, sf_dir, q)
+        assert "BroadcastHashJoin" in plan, q
+        assert plan.count("SortMergeJoin") <= max_smj, q
+
+
+def test_tpch_topk_is_take_ordered_not_global_sort(spark, sf_dir):
+    """Top-k queries must plan TakeOrderedAndProject — a global Sort
+    followed by limit would shuffle-sort the entire aggregate."""
+    for q in ("tpch_shipping_priority", "tpch_returned_items", "tpch_large_volume_customers"):
+        plan = _plan(spark, sf_dir, q)
+        assert "TakeOrderedAndProject" in plan, q
+
+
+def test_tpch_semi_anti_joins_planned(spark, sf_dir):
+    """EXISTS/IN/NOT-EXISTS surfaces must plan as semi/anti joins, not
+    aggregated subquery materializations."""
+    assert "LeftSemi" in _plan(spark, sf_dir, "tpch_priority_late_ship")
+    assert "LeftSemi" in _plan(spark, sf_dir, "tpch_promo_part_suppliers")
+    assert "LeftAnti" in _plan(spark, sf_dir, "tpch_dormant_rich_customers")
+
+
+def test_tpch_q17_decorrelated_single_fact_reuse(spark, sf_dir):
+    """Q17's per-part threshold must come from a pre-agg + broadcast
+    equi-join — a correlated per-row subquery would show up as a
+    nested loop / cartesian."""
+    plan = _plan(spark, sf_dir, "tpch_small_quantity_revenue")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_stats_single_scan_conditional_moments(spark, sf_dir):
+    """The A/B test computes all six arm-moments in ONE pass: exactly
+    one lineitem/events FileScan, no join."""
+    plan = _plan(spark, sf_dir, "ab_test_events")
+    assert plan.count("FileScan") == 1
+    assert "Join" not in plan
+    assert "partial_sum" in plan  # map-side combine on the moments
+
+
+def test_bootstrap_grid_broadcast_one_agg(spark, sf_dir):
+    """The bootstrap must broadcast the 32-row grid against the fact
+    (one scan) — not scan the fact 32 times — and aggregate by b with
+    map-side partials."""
+    plan = _plan(spark, sf_dir, "revenue_bootstrap_ci")
+    orders_scans = sum(
+        1 for line in plan.splitlines() if "FileScan" in line and "orders" in line
+    )
+    assert orders_scans <= 2  # stat pass + point-estimate pass
+    assert "partial_sum" in plan
+
+
+def test_nb_model_broadcast_no_window_on_tokens(spark, sf_dir):
+    """NB scoring joins the dense model to test tokens by broadcast;
+    the per-doc argmax is a hash agg (max struct), never a window over
+    the token stream."""
+    plan = _plan(spark, sf_dir, "nb_lang_confusion")
+    assert "BroadcastHashJoin" in plan
+    assert "Window" not in plan
+
+
+def test_linkpred_keyed_equi_join_only(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "linkpred_copurchase_suppliers")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
