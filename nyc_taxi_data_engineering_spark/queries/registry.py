@@ -72,6 +72,7 @@ ROTATION: list[str] = [
     "assoc_rules_suppliers",
     "revenue_bootstrap_ci",
     "delta_dv_delete_orders",
+    "delta_dv_update_orders",
     # Round-7 late additions (sampled r7):
     "ppr_supplier_recommendations",
     "lpa_copurchase_communities",

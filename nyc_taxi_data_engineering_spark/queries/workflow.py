@@ -777,3 +777,60 @@ def q_delta_dv_delete_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total_price"),
     )
+
+
+@query(
+    "delta_dv_update_orders",
+    oracle="""
+WITH updated AS (
+    SELECT CASE WHEN o_orderstatus = 'P' THEN '1-URGENT'
+                ELSE o_orderpriority END AS o_orderpriority,
+           CASE WHEN o_orderstatus = 'P'
+                THEN CAST(CAST(o_totalprice * 1.1 AS DECIMAL(18,2)) AS DOUBLE)
+                ELSE o_totalprice END AS price
+    FROM orders
+)
+SELECT o_orderpriority, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM updated
+GROUP BY o_orderpriority
+""",
+)
+def q_delta_dv_update_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level UPDATE via deletion vectors (delete_delta's sibling,
+    sources/delta_log.py update_delta): commit orders, UPDATE the
+    pending rows in place — priority escalated to 1-URGENT, price
+    marked up 10% — as ONE atomic commit that tombstones the matched
+    positions (no file rewrite) and appends their updated images, then
+    aggregate by priority through the snapshot. The oracle applies the
+    same transformation with CASE/FILTER arithmetic over the raw
+    table, so a row updated twice, missed, or resurrected from a
+    tombstone all hash-mismatch. The updated price rides the same
+    DECIMAL(18,2) transport on both sides.
+
+    100 TB shape: the update writes O(matched rows) new data +
+    O(matched rows) bitmap bytes; copy-on-write would rewrite every
+    file containing a match."""
+    from pyspark.sql import functions as F
+
+    from nyc_taxi_data_engineering_spark.catalog import load_table
+    from nyc_taxi_data_engineering_spark.sources import delta_log as D
+
+    tbl = _tmp_table("delta_dvu_orders")
+    shutil.rmtree(tbl, ignore_errors=True)
+    orders = load_table(spark, sf_dir, "orders")
+    D.write_delta(orders.repartition(8), tbl, mode="overwrite")
+    D.update_delta(
+        spark,
+        tbl,
+        "o_orderstatus = 'P'",
+        {
+            "o_orderpriority": "'1-URGENT'",
+            "o_totalprice": "CAST(o_totalprice * 1.1 AS DECIMAL(18,2))",
+        },
+    )
+    snap = D.read_delta_log(spark, tbl)
+    return snap.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total_price"),
+    )

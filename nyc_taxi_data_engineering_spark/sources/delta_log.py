@@ -1627,15 +1627,51 @@ def delete_delta(spark: SparkSession, table_path: str, predicate: str) -> int:
     (delta_version_diff) reports the deleted rows as row-level
     deletes; checkpoints persist the DV descriptor."""
     state = _replay_state(table_path)
+    actions, n_rows = _dv_mark_actions(spark, state, table_path, predicate)
+    if not actions:
+        return state["version"]
+    now_ms = int(time.time() * 1000)
+    commit_info = {
+        "commitInfo": {
+            "timestamp": now_ms,
+            "operation": "DELETE",
+            "operationParameters": {"predicate": predicate},
+            "operationMetrics": {
+                "numDeletedRows": n_rows,
+                "numDeletionVectorsAdded": len(actions) // 2,
+            },
+        }
+    }
+    version = state["version"] + 1
+    _write_commit(
+        table_path,
+        version,
+        [commit_info, {"protocol": _dv_protocol(state["protocol"])}] + actions,
+    )
+    _maybe_checkpoint(table_path, version)
+    return version
+
+
+def _dv_mark_actions(
+    spark: SparkSession, state: dict, table_path: str, predicate: str
+) -> tuple[list[dict], int]:
+    """Shared core of DV DELETE/UPDATE: evaluate ``predicate`` over the
+    active files (one distributed scan, ``_metadata`` hidden columns),
+    union hit positions into each touched file's existing DV, and
+    return ([remove+add action per touched file], rows marked). Empty
+    list = nothing matched. Positions already dead in a file's current
+    DV never re-match: the scan reads the files RAW, so the predicate
+    is re-evaluated on dead rows too — they just union into the same
+    positions (idempotent)."""
     if state["metaData"].get("partitionColumns"):
         raise DeltaLogError(
-            "delete_delta: deletion vectors on partitioned tables are not "
-            "supported by this engine — use a partition-pruned rewrite"
+            "deletion vectors on partitioned tables are not supported by "
+            "this engine — use a partition-pruned rewrite"
         )
     schema = StructType.fromJson(json.loads(state["metaData"]["schemaString"]))
     adds = state["adds"]
     if not adds:
-        return state["version"]
+        return [], 0
     files = [os.path.join(table_path, p) for p in adds]
     hits = (
         spark.read.schema(schema)
@@ -1648,30 +1684,19 @@ def delete_delta(spark: SparkSession, table_path: str, predicate: str) -> int:
         .collect()
     )
     if not hits:
-        return state["version"]
+        return [], 0
     by_file: dict[str, set] = {}
     for r in hits:
         by_file.setdefault(r["f"], set()).add(r["i"])
     now_ms = int(time.time() * 1000)
-    actions: list[dict] = [
-        {
-            "commitInfo": {
-                "timestamp": now_ms,
-                "operation": "DELETE",
-                "operationParameters": {"predicate": predicate},
-                "operationMetrics": {
-                    "numDeletedRows": sum(len(v) for v in by_file.values()),
-                    "numDeletionVectorsAdded": len(by_file),
-                },
-            }
-        },
-        {"protocol": _dv_protocol(state["protocol"])},
-    ]
+    actions: list[dict] = []
+    n_rows = 0
     for rel, new_idx in sorted(by_file.items()):
         old_add = adds[rel]
         old_dv = old_add.get("deletionVector")
-        if old_dv:
-            new_idx |= set(_decode_dv(old_dv))
+        already = set(_decode_dv(old_dv)) if old_dv else set()
+        n_rows += len(new_idx - already)
+        new_idx |= already
         remove = {
             "path": rel,
             "deletionTimestamp": now_ms,
@@ -1684,7 +1709,80 @@ def delete_delta(spark: SparkSession, table_path: str, predicate: str) -> int:
         new_add["deletionVector"] = _encode_dv(new_idx)
         new_add["dataChange"] = True
         actions.append({"add": new_add})
+    return actions, n_rows
+
+
+def update_delta(
+    spark: SparkSession,
+    table_path: str,
+    predicate: str,
+    assignments: dict[str, str],
+) -> int:
+    """Row-level UPDATE as one atomic commit: matching LIVE rows are
+    tombstoned via deletion vectors (no file rewrite) and their updated
+    images — original columns with each ``assignments[col]`` SQL
+    expression applied — are appended as new files. Readers at the
+    prior version see the old rows; readers at this version see only
+    the new images. Nothing matched → no commit, current version
+    returned.
+
+    The matched-row read goes through the DV-AWARE snapshot (already-
+    deleted rows can't resurrect as updated copies), while the
+    tombstone marking re-evaluates the predicate on the raw files
+    (idempotent for dead rows — see _dv_mark_actions). Copy-on-write
+    UPDATE rewrites every touched file; this writes O(matched rows)
+    data + O(matched rows) bitmap — the protocol's DV-update shape."""
+    unknown = [c for c in assignments if not c]
+    if unknown or not assignments:
+        raise DeltaLogError("update_delta: assignments must map column -> SQL expr")
+    state = _replay_state(table_path)
+    schema = StructType.fromJson(json.loads(state["metaData"]["schemaString"]))
+    for c in assignments:
+        if c not in [f.name for f in schema.fields]:
+            raise DeltaLogError(f"update_delta: unknown column {c!r}")
+    snap = read_delta_log(spark, table_path)
+    matched = snap.filter(F.expr(predicate))
+    updated = matched.select(
+        *[
+            F.expr(assignments[f.name]).cast(f.dataType).alias(f.name)
+            if f.name in assignments
+            else F.col(f.name)
+            for f in schema.fields
+        ]
+    )
+    mark_actions, n_rows = _dv_mark_actions(spark, state, table_path, predicate)
+    if not mark_actions:
+        return state["version"]
+    staging = os.path.join(
+        table_path, f"_staging-{uuid.uuid4().hex}"
+    )
+    updated.write.mode("overwrite").parquet(staging)
+    new_adds = _promote_staged_files(staging, table_path)
+    import shutil as _shutil
+
+    _shutil.rmtree(staging, ignore_errors=True)
+    now_ms = int(time.time() * 1000)
+    actions = [
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "UPDATE",
+                "operationParameters": {"predicate": predicate},
+                "operationMetrics": {
+                    "numUpdatedRows": n_rows,
+                    "numAddedFiles": len(new_adds),
+                },
+            }
+        },
+        {"protocol": _dv_protocol(state["protocol"])},
+    ]
+    actions += mark_actions
+    actions += [{"add": a} for a in new_adds]
     version = state["version"] + 1
-    _write_commit(table_path, version, actions)
+    try:
+        _write_commit(table_path, version, actions)
+    except DeltaLogError:
+        _rollback_promoted(table_path, new_adds)
+        raise
     _maybe_checkpoint(table_path, version)
     return version

@@ -1111,3 +1111,47 @@ def test_dv_codec_roundtrip_and_guards():
     # large sparse vector round-trips
     big = list(range(0, 100000, 97))
     assert D._decode_dv(D._encode_dv(big)) == big
+
+
+def test_dv_update_atomic_tombstone_plus_append(spark, dv_table):
+    before = _data_files(dv_table)
+    v = D.update_delta(spark, dv_table, "m = 3", {"m": "m + 100"})
+    assert v == 1
+    snap = D.read_delta_log(spark, dv_table)
+    assert snap.count() == 100  # update, not delete
+    assert snap.filter("m = 3").count() == 0
+    assert snap.filter("m = 103").count() == 10
+    # original files untouched; new files appended
+    after = _data_files(dv_table)
+    assert set(before) <= set(after) and len(after) > len(before)
+    # prior version still shows the old values
+    assert D.read_delta_log(spark, dv_table, version_as_of=0).filter("m = 3").count() == 10
+
+
+def test_dv_update_then_update_same_rows(spark, dv_table):
+    """Second update must hit rows living in the FIRST update's new
+    files (DV on appended files), not resurrect tombstoned originals."""
+    D.update_delta(spark, dv_table, "m = 3", {"m": "m + 100"})
+    D.update_delta(spark, dv_table, "m = 103", {"m": "m + 1000"})
+    snap = D.read_delta_log(spark, dv_table)
+    assert snap.count() == 100
+    assert snap.filter("m = 1103").count() == 10
+    assert snap.filter("m = 103").count() == 0
+
+
+def test_dv_update_noop_and_validation(spark, dv_table):
+    v0 = D.latest_version(dv_table)
+    assert D.update_delta(spark, dv_table, "m = 42", {"m": "m"}) == v0
+    with pytest.raises(D.DeltaLogError, match="unknown column"):
+        D.update_delta(spark, dv_table, "m = 1", {"nope": "1"})
+    with pytest.raises(D.DeltaLogError, match="assignments"):
+        D.update_delta(spark, dv_table, "m = 1", {})
+
+
+def test_dv_update_assignment_casts_to_column_type(spark, dv_table):
+    """Assignment expressions cast to the table schema's column type —
+    a double expression landing in a long column stays long."""
+    D.update_delta(spark, dv_table, "m = 4", {"m": "m * 2.0"})
+    snap = D.read_delta_log(spark, dv_table)
+    assert dict(snap.dtypes)["m"] == "bigint"
+    assert snap.filter("m = 8").count() == 20  # 10 updated + 10 original m=8
