@@ -73,6 +73,7 @@ ROTATION: list[str] = [
     "revenue_bootstrap_ci",
     "delta_dv_delete_orders",
     "delta_dv_update_orders",
+    "delta_rename_customers",
     # Round-7 late additions (sampled r7):
     "ppr_supplier_recommendations",
     "lpa_copurchase_communities",

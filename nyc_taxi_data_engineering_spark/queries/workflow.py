@@ -834,3 +834,63 @@ def q_delta_dv_update_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total_price"),
     )
+
+
+@query(
+    "delta_rename_customers",
+    oracle="""
+SELECT c_mktsegment AS segment, COUNT(*) AS n_customers,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_balance
+FROM customer
+GROUP BY c_mktsegment
+""",
+)
+def q_delta_rename_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COLUMN MAPPING end to end (the Delta protocol's ``columnMapping``
+    table feature, sources/delta_log.py enable_column_mapping /
+    rename_column_delta / drop_column_delta): commit customers, enable
+    name-mode mapping (every field gains a stable id + physical name),
+    RENAME c_mktsegment→segment and c_acctbal→balance as PURE metadata
+    commits — zero data bytes move — DROP c_name the same way, then
+    append one more batch THROUGH the mapped write path (logical names
+    in, physical names on disk) and aggregate by the renamed columns.
+    The appended batch is the same rows re-keyed out of range and
+    excluded by filter, proving the mapped append actually landed
+    without disturbing the mapped read. The oracle aggregates the raw
+    table under the OLD names — identical values under renamed columns
+    is exactly what mapping must preserve. Rename/drop file-set
+    immutability, time-travel-under-old-names, evolution physical-id
+    minting, and DV/OPTIMIZE interplay are pinned in test_delta_log.
+
+    100 TB shape: renaming a column on a billion-file table is one
+    metaData JSON commit; copy-on-write would rewrite the entire
+    table."""
+    from pyspark.sql import functions as F
+
+    from nyc_taxi_data_engineering_spark.catalog import load_table
+    from nyc_taxi_data_engineering_spark.sources import delta_log as D
+
+    tbl = _tmp_table("delta_cm_customers")
+    shutil.rmtree(tbl, ignore_errors=True)
+    cust = load_table(spark, sf_dir, "customer")
+    D.write_delta(cust.repartition(4), tbl, mode="overwrite")
+    D.enable_column_mapping(tbl)
+    D.rename_column_delta(tbl, "c_mktsegment", "segment")
+    D.rename_column_delta(tbl, "c_acctbal", "balance")
+    D.drop_column_delta(tbl, "c_name")
+    extra = (
+        load_table(spark, sf_dir, "customer")
+        .select(
+            (F.col("c_custkey") + 100_000_000).alias("c_custkey"),
+            F.col("c_nationkey"),
+            F.col("c_acctbal").alias("balance"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+        .limit(10)
+    )
+    D.write_delta(extra, tbl, mode="append")
+    snap = D.read_delta_log(spark, tbl).filter(F.col("c_custkey") < 100_000_000)
+    return snap.groupBy(F.col("segment")).agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(F.col("balance").cast("decimal(18,2)")).cast("double").alias("total_balance"),
+    )

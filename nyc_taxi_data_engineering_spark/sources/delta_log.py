@@ -532,7 +532,13 @@ def read_delta_log(
                 if _partition_admits((a.get("partitionValues") or {}).get(col), op, val)
             ]
         if stat_preds:
+            if _cm_enabled(state["metaData"]):
+                # footer stats are keyed by PHYSICAL column names
+                phys = {f.name: _physical_name(f) for f in schema.fields}
+                stat_preds = [(phys.get(c, c), op, v) for c, op, v in stat_preds]
             adds = [a for a in adds if _file_survives(a, stat_preds)]
+    mapped = _cm_enabled(state["metaData"])
+    read_schema = _physical_schema(schema) if mapped else schema
     dv_adds = [a for a in adds if a.get("deletionVector")]
     plain_adds = [a for a in adds if not a.get("deletionVector")]
     if dv_adds and part_cols:
@@ -541,7 +547,7 @@ def read_delta_log(
     parts: list[DataFrame] = []
     if plain_adds:
         files = [os.path.join(table_path, a["path"]) for a in plain_adds]
-        reader = spark.read.schema(schema)
+        reader = spark.read.schema(read_schema)
         if part_cols:
             # partition columns live in the directory names, not the
             # data files; basePath + the committed schema makes Spark
@@ -549,6 +555,10 @@ def read_delta_log(
             # them at the end, so re-project to the committed order.
             reader = reader.option("basePath", table_path)
             parts.append(reader.parquet(*files).select(*cols))
+        elif mapped:
+            # column-mapped table: files store PHYSICAL names; project
+            # back to the logical schema (renames/drops are metadata)
+            parts.append(_to_logical(reader.parquet(*files), schema))
         else:
             parts.append(reader.parquet(*files))
     if dv_adds:
@@ -565,14 +575,13 @@ def read_delta_log(
             for i in _decode_dv(a["deletionVector"])
         ]
         tdf = spark.createDataFrame(tombs, "f string, i long")
-        scan = spark.read.schema(schema).parquet(*files).select(
+        scan = spark.read.schema(read_schema).parquet(*files).select(
             "*",
             F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1).alias("f"),
             F.col("_metadata.row_index").alias("i"),
         )
-        parts.append(
-            scan.join(F.broadcast(tdf), ["f", "i"], "left_anti").select(*cols)
-        )
+        live = scan.join(F.broadcast(tdf), ["f", "i"], "left_anti")
+        parts.append(_to_logical(live, schema) if mapped else live.select(*cols))
     if not parts:
         return spark.createDataFrame([], schema)
     out = parts[0]
@@ -908,24 +917,47 @@ def write_delta(
 
                 # Existing fields keep their declared nullability (real Delta
                 # preserves it on evolution — erasing it would disarm the
-                # missing_required check on every later write); only the
-                # APPENDED columns are forced nullable, because prior files
-                # have no values for them and will read back NULL.
-                evolved = StructType(
-                    [
-                        StructField(f.name, f.dataType, f.nullable)
-                        for f in prior_schema.fields
-                    ]
-                    + [
+                # missing_required check on every later write) AND their
+                # field metadata (column-mapping ids/physical names live
+                # there); only the APPENDED columns are forced nullable,
+                # because prior files have no values for them and will read
+                # back NULL. On a column-mapped table, new fields mint fresh
+                # never-reused physical names and bump maxColumnId.
+                appended = []
+                if _cm_enabled({"configuration": prior_config}):
+                    max_id = int(prior_config.get(CM_MAXID_KEY, "0"))
+                    for f in df.schema.fields:
+                        if f.name not in prior_types:
+                            max_id += 1
+                            md = dict(f.metadata or {})
+                            md[_CM_ID] = max_id
+                            md[_CM_PHYS] = f"col-{max_id}-{uuid.uuid4().hex[:8]}"
+                            appended.append(StructField(f.name, f.dataType, True, md))
+                    prior_config[CM_MAXID_KEY] = str(max_id)
+                else:
+                    appended = [
                         StructField(f.name, f.dataType, True)
                         for f in df.schema.fields
                         if f.name not in prior_types
                     ]
+                evolved = StructType(
+                    [
+                        StructField(f.name, f.dataType, f.nullable, dict(f.metadata or {}))
+                        for f in prior_schema.fields
+                    ]
+                    + appended
                 )
 
     os.makedirs(table_path, exist_ok=True)
     staging = os.path.join(table_path, f".staging-{uuid.uuid4().hex}")
-    writer = df.write.mode("overwrite")
+    stage_df = df
+    if prior is not None and _cm_enabled({"configuration": prior_config}):
+        # column-mapped table: data files store PHYSICAL names
+        cm_schema = evolved or StructType.fromJson(
+            json.loads(prior_state["metaData"]["schemaString"])
+        )
+        stage_df = _to_physical(df, cm_schema)
+    writer = stage_df.write.mode("overwrite")
     if part_cols:
         writer = writer.partitionBy(*part_cols)
     writer.parquet(staging)
@@ -956,7 +988,19 @@ def write_delta(
                 "metaData": {
                     "id": table_id,
                     "format": {"provider": "parquet", "options": {}},
-                    "schemaString": (evolved or df.schema).json(),
+                    # column-mapped tables must keep the mapped schema
+                    # (df.schema carries no mapping metadata); otherwise
+                    # the incoming/evolved schema defines the table
+                    "schemaString": (
+                        evolved.json()
+                        if evolved is not None
+                        else (
+                            prior_state["metaData"]["schemaString"]
+                            if prior is not None
+                            and _cm_enabled({"configuration": prior_config})
+                            else df.schema.json()
+                        )
+                    ),
                     "partitionColumns": part_cols,
                     # configuration (incl. CHECK constraints) survives
                     # overwrites/evolution - dropping it would silently
@@ -1105,17 +1149,16 @@ def compact_delta(
     state = _replay_state(table_path)
     schema = StructType.fromJson(json.loads(state["metaData"]["schemaString"]))
     part_cols = state["metaData"].get("partitionColumns") or []
-    files = [os.path.join(table_path, p) for p in state["adds"]]
-    if not files:
+    if not state["adds"]:
         raise DeltaLogError("nothing to compact: empty snapshot")
-    reader = spark.read.schema(schema)
-    if part_cols:
-        reader = reader.option("basePath", table_path)
-    df = (
-        reader.parquet(*files)
-        .select(*[f.name for f in schema.fields])
-        .coalesce(target_files)
-    )
+    # Read through the SNAPSHOT (not the raw files): on a DV'd table the
+    # rewrite materializes the deletion vectors away (logical rows are
+    # unchanged, so dataChange:false stays truthful — real OPTIMIZE does
+    # exactly this), and on a column-mapped table the logical read +
+    # physical re-stage keeps on-disk names stable.
+    df = read_delta_log(spark, table_path).coalesce(target_files)
+    if _cm_enabled(state["metaData"]):
+        df = _to_physical(df, schema)
     staging = os.path.join(table_path, f".staging-{uuid.uuid4().hex}")
     writer = df.write.mode("overwrite")
     if part_cols:
@@ -1673,16 +1716,21 @@ def _dv_mark_actions(
     if not adds:
         return [], 0
     files = [os.path.join(table_path, p) for p in adds]
-    hits = (
-        spark.read.schema(schema)
-        .parquet(*files)
-        .filter(F.expr(predicate))
-        .select(
-            F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1).alias("f"),
-            F.col("_metadata.row_index").alias("i"),
-        )
-        .collect()
+    mapped = _cm_enabled(state["metaData"])
+    scan = spark.read.schema(
+        _physical_schema(schema) if mapped else schema
+    ).parquet(*files)
+    meta_cols = scan.select(
+        F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1).alias("f"),
+        F.col("_metadata.row_index").alias("i"),
+        "*",
     )
+    if mapped:
+        # predicate is written against LOGICAL names
+        meta_cols = meta_cols.select(
+            "f", "i", *[F.col(_physical_name(fl)).alias(fl.name) for fl in schema.fields]
+        )
+    hits = meta_cols.filter(F.expr(predicate)).select("f", "i").collect()
     if not hits:
         return [], 0
     by_file: dict[str, set] = {}
@@ -1756,6 +1804,8 @@ def update_delta(
     staging = os.path.join(
         table_path, f"_staging-{uuid.uuid4().hex}"
     )
+    if _cm_enabled(state["metaData"]):
+        updated = _to_physical(updated, schema)
     updated.write.mode("overwrite").parquet(staging)
     new_adds = _promote_staged_files(staging, table_path)
     import shutil as _shutil
@@ -1786,3 +1836,218 @@ def update_delta(
         raise
     _maybe_checkpoint(table_path, version)
     return version
+
+
+# ---------------------------------------------------------------------------
+# Column mapping (rename / drop columns without rewriting data files)
+# ---------------------------------------------------------------------------
+
+CM_FEATURE = "columnMapping"
+CM_MODE_KEY = "delta.columnMapping.mode"
+CM_MAXID_KEY = "delta.columnMapping.maxColumnId"
+_CM_ID = "delta.columnMapping.id"
+_CM_PHYS = "delta.columnMapping.physicalName"
+
+
+def _cm_enabled(meta: dict) -> bool:
+    return (meta.get("configuration") or {}).get(CM_MODE_KEY) == "name"
+
+
+def _physical_name(field) -> str:
+    return (field.metadata or {}).get(_CM_PHYS, field.name)
+
+
+def _physical_schema(schema: StructType) -> StructType:
+    """The on-disk schema of a column-mapped table: same types and
+    nullability, fields under their PHYSICAL names."""
+    from pyspark.sql.types import StructField
+
+    return StructType(
+        [
+            StructField(_physical_name(f), f.dataType, f.nullable)
+            for f in schema.fields
+        ]
+    )
+
+
+def _to_physical(df: DataFrame, schema: StructType) -> DataFrame:
+    """Rename a logical-named DataFrame to physical names for staging."""
+    return df.select(
+        *[F.col(f.name).alias(_physical_name(f)) for f in schema.fields if f.name in df.columns]
+    )
+
+
+def _to_logical(df: DataFrame, schema: StructType) -> DataFrame:
+    """Rename a physical-named scan back to the logical schema."""
+    return df.select(
+        *[F.col(_physical_name(f)).alias(f.name) for f in schema.fields]
+    )
+
+
+def _cm_protocol(prior: dict | None) -> dict:
+    rf = set((prior or {}).get("readerFeatures") or [])
+    wf = set((prior or {}).get("writerFeatures") or [])
+    rf.add(CM_FEATURE)
+    wf.add(CM_FEATURE)
+    return {
+        "minReaderVersion": 3,
+        "minWriterVersion": 7,
+        "readerFeatures": sorted(rf),
+        "writerFeatures": sorted(wf),
+    }
+
+
+def _cm_guard(meta: dict, op: str) -> None:
+    if _cm_enabled(meta):
+        raise DeltaLogError(
+            f"{op} on a column-mapped table is not supported by this engine"
+        )
+
+
+def enable_column_mapping(table_path: str) -> int:
+    """ALTER TABLE ... SET TBLPROPERTIES delta.columnMapping.mode=name:
+    every schema field gains a stable column id and a PHYSICAL name
+    (for an in-place upgrade, the current name — existing data files
+    already store that), decoupling the logical schema from parquet
+    column names. From here on, RENAME and DROP COLUMN are pure
+    metadata commits (rename_column_delta / drop_column_delta), reads
+    map physical→logical, and writes map logical→physical. Protocol
+    upgrades to table features with ``columnMapping`` in both feature
+    sets. Idempotent. Partitioned tables are rejected (their directory
+    layout bakes in column names)."""
+    state = _replay_state(table_path)
+    meta = state["metaData"]
+    if _cm_enabled(meta):
+        return state["version"]
+    if meta.get("partitionColumns"):
+        raise DeltaLogError(
+            "column mapping on partitioned tables is not supported by this engine"
+        )
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    from pyspark.sql.types import StructField
+
+    fields = []
+    for i, f in enumerate(schema.fields, start=1):
+        md = dict(f.metadata or {})
+        md[_CM_ID] = i
+        md[_CM_PHYS] = f.name
+        fields.append(StructField(f.name, f.dataType, f.nullable, md))
+    config = dict(meta.get("configuration") or {})
+    config[CM_MODE_KEY] = "name"
+    config[CM_MAXID_KEY] = str(len(fields))
+    now_ms = int(time.time() * 1000)
+    new_meta = dict(meta)
+    new_meta["schemaString"] = StructType(fields).json()
+    new_meta["configuration"] = config
+    actions = [
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": "SET TBLPROPERTIES",
+                "operationParameters": {CM_MODE_KEY: "name"},
+            }
+        },
+        {"protocol": _cm_protocol(state["protocol"])},
+        {"metaData": new_meta},
+    ]
+    version = state["version"] + 1
+    _write_commit(table_path, version, actions)
+    _maybe_checkpoint(table_path, version)
+    return version
+
+
+def _cm_metadata_commit(table_path: str, op: str, params: dict, new_schema: StructType) -> int:
+    state = _replay_state(table_path)
+    now_ms = int(time.time() * 1000)
+    new_meta = dict(state["metaData"])
+    new_meta["schemaString"] = new_schema.json()
+    actions = [
+        {
+            "commitInfo": {
+                "timestamp": now_ms,
+                "operation": op,
+                "operationParameters": params,
+            }
+        },
+        {"metaData": new_meta},
+    ]
+    version = state["version"] + 1
+    _write_commit(table_path, version, actions)
+    _maybe_checkpoint(table_path, version)
+    return version
+
+
+def _constraint_mentions(config: dict, col: str) -> list[str]:
+    import re
+
+    pat = re.compile(rf"\b{re.escape(col)}\b", re.IGNORECASE)
+    return [n for n, expr in _constraints(config).items() if pat.search(expr)]
+
+
+def rename_column_delta(table_path: str, old: str, new: str) -> int:
+    """ALTER TABLE ... RENAME COLUMN — a PURE metadata commit: the
+    logical field name changes, the physical name (what every data
+    file stores) does not, so ZERO bytes of data move. Requires column
+    mapping (enable_column_mapping); renames that would break a CHECK
+    constraint referencing the column are rejected, as real Delta
+    does. Old snapshots time-travel under the old name."""
+    state = _replay_state(table_path)
+    meta = state["metaData"]
+    if not _cm_enabled(meta):
+        raise DeltaLogError(
+            "rename requires column mapping: call enable_column_mapping first"
+        )
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    names = [f.name for f in schema.fields]
+    if old not in names:
+        raise DeltaLogError(f"rename: no such column {old!r}")
+    if new in names:
+        raise DeltaLogError(f"rename: column {new!r} already exists")
+    hit = _constraint_mentions(meta.get("configuration") or {}, old)
+    if hit:
+        raise DeltaLogError(
+            f"rename: column {old!r} is referenced by CHECK constraint(s) {hit}"
+        )
+    from pyspark.sql.types import StructField
+
+    fields = [
+        StructField(new if f.name == old else f.name, f.dataType, f.nullable, dict(f.metadata or {}))
+        for f in schema.fields
+    ]
+    return _cm_metadata_commit(
+        table_path, "RENAME COLUMN", {"from": old, "to": new}, StructType(fields)
+    )
+
+
+def drop_column_delta(table_path: str, col: str) -> int:
+    """ALTER TABLE ... DROP COLUMN — also pure metadata under column
+    mapping: the field leaves the logical schema; the physical column
+    stays in the files and simply stops being read (and a later
+    re-add under a fresh physical name would NOT resurrect old
+    values, because physical names never get reused). Constraint
+    references reject the drop."""
+    state = _replay_state(table_path)
+    meta = state["metaData"]
+    if not _cm_enabled(meta):
+        raise DeltaLogError(
+            "drop column requires column mapping: call enable_column_mapping first"
+        )
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    names = [f.name for f in schema.fields]
+    if col not in names:
+        raise DeltaLogError(f"drop: no such column {col!r}")
+    if len(names) == 1:
+        raise DeltaLogError("drop: cannot drop the last column")
+    hit = _constraint_mentions(meta.get("configuration") or {}, col)
+    if hit:
+        raise DeltaLogError(
+            f"drop: column {col!r} is referenced by CHECK constraint(s) {hit}"
+        )
+    from pyspark.sql.types import StructField
+
+    fields = [
+        StructField(f.name, f.dataType, f.nullable, dict(f.metadata or {}))
+        for f in schema.fields
+        if f.name != col
+    ]
+    return _cm_metadata_commit(table_path, "DROP COLUMN", {"column": col}, StructType(fields))

@@ -1155,3 +1155,141 @@ def test_dv_update_assignment_casts_to_column_type(spark, dv_table):
     snap = D.read_delta_log(spark, dv_table)
     assert dict(snap.dtypes)["m"] == "bigint"
     assert snap.filter("m = 8").count() == 20  # 10 updated + 10 original m=8
+
+
+# ---------------------------------------------------------------------------
+# Column mapping
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def cm_table(spark, tmp_path):
+    path = str(tmp_path / "cmtbl")
+    df = spark.range(50).select(
+        F.col("id"), (F.col("id") % 5).alias("m"), F.lit("x").alias("s")
+    )
+    D.write_delta(df.repartition(2), path, mode="overwrite")
+    D.enable_column_mapping(path)
+    return path
+
+
+def test_cm_rename_is_pure_metadata(spark, cm_table):
+    before = _data_files(cm_table)
+    D.rename_column_delta(cm_table, "m", "bucket")
+    assert _data_files(cm_table) == before
+    snap = D.read_delta_log(spark, cm_table)
+    assert snap.columns == ["id", "bucket", "s"]
+    assert snap.agg(F.sum("bucket")).first()[0] == 100
+    # time travel shows the old name
+    assert D.read_delta_log(spark, cm_table, version_as_of=0).columns == ["id", "m", "s"]
+
+
+def test_cm_enable_idempotent_and_protocol(spark, cm_table):
+    v = D.latest_version(cm_table)
+    assert D.enable_column_mapping(cm_table) == v  # no new commit
+    state = D._replay_state(cm_table)
+    assert D.CM_FEATURE in state["protocol"]["readerFeatures"]
+    cfg = state["metaData"]["configuration"]
+    assert cfg[D.CM_MODE_KEY] == "name" and cfg[D.CM_MAXID_KEY] == "3"
+
+
+def test_cm_append_and_overwrite_keep_mapping(spark, cm_table):
+    D.rename_column_delta(cm_table, "m", "bucket")
+    more = spark.range(100, 110).select(
+        F.col("id"), (F.col("id") % 5).alias("bucket"), F.lit("y").alias("s")
+    )
+    D.write_delta(more, cm_table, mode="append")
+    assert D.read_delta_log(spark, cm_table).count() == 60
+    # overwrite through the mapped path: logical names in, mapping kept
+    D.write_delta(more, cm_table, mode="overwrite")
+    snap = D.read_delta_log(spark, cm_table)
+    assert snap.count() == 10 and snap.columns == ["id", "bucket", "s"]
+    assert D._cm_enabled(D._replay_state(cm_table)["metaData"])
+
+
+def test_cm_drop_column_and_no_resurrection(spark, cm_table):
+    D.drop_column_delta(cm_table, "s")
+    assert D.read_delta_log(spark, cm_table).columns == ["id", "m"]
+    # re-adding a column with the dropped NAME mints a fresh physical
+    # name — old file values must NOT come back
+    more = spark.range(200, 205).select(
+        F.col("id"), (F.col("id") % 5).alias("m"), F.lit("new").alias("s")
+    )
+    D.write_delta(more, cm_table, mode="append", merge_schema=True)
+    snap = D.read_delta_log(spark, cm_table)
+    vals = {r["s"] for r in snap.filter("id < 100").select("s").collect()}
+    assert vals == {None}  # old rows read NULL, never the buried "x"
+    assert snap.filter("s = 'new'").count() == 5
+
+
+def test_cm_schema_evolution_assigns_fresh_physical_ids(spark, cm_table):
+    more = spark.range(300, 305).select(
+        F.col("id"), (F.col("id") % 5).alias("m"), F.lit("x").alias("s"),
+        F.lit(1.5).alias("score"),
+    )
+    D.write_delta(more, cm_table, mode="append", merge_schema=True)
+    state = D._replay_state(cm_table)
+    from pyspark.sql.types import StructType
+    import json as _json
+
+    schema = StructType.fromJson(_json.loads(state["metaData"]["schemaString"]))
+    by_name = {f.name: f for f in schema.fields}
+    assert by_name["score"].metadata[D._CM_PHYS].startswith("col-4-")
+    assert state["metaData"]["configuration"][D.CM_MAXID_KEY] == "4"
+    # old rows read the new column as NULL; new rows carry it
+    snap = D.read_delta_log(spark, cm_table)
+    assert snap.filter("score = 1.5").count() == 5
+    assert snap.filter("score IS NULL").count() == 50
+
+
+def test_cm_dv_delete_update_and_compact_interplay(spark, cm_table):
+    D.rename_column_delta(cm_table, "m", "bucket")
+    D.delete_delta(spark, cm_table, "bucket = 2")
+    assert D.read_delta_log(spark, cm_table).count() == 40
+    D.update_delta(spark, cm_table, "bucket = 3", {"bucket": "bucket + 10"})
+    snap = D.read_delta_log(spark, cm_table)
+    assert snap.filter("bucket = 13").count() == 10 and snap.count() == 40
+    # OPTIMIZE materializes the DVs and keeps physical names readable
+    D.compact_delta(spark, cm_table, target_files=1)
+    snap2 = D.read_delta_log(spark, cm_table)
+    assert snap2.count() == 40 and snap2.columns == ["id", "bucket", "s"]
+
+
+def test_cm_stats_skipping_translates_renamed_predicates(spark, cm_table):
+    D.rename_column_delta(cm_table, "id", "row_id")
+    pruned = D.read_delta_log(spark, cm_table, predicates=[("row_id", ">=", 1000)])
+    assert pruned.count() == 0
+
+
+def test_cm_guards(spark, cm_table, tmp_path):
+    with pytest.raises(D.DeltaLogError, match="no such column"):
+        D.rename_column_delta(cm_table, "nope", "x")
+    with pytest.raises(D.DeltaLogError, match="already exists"):
+        D.rename_column_delta(cm_table, "m", "s")
+    D.drop_column_delta(cm_table, "id")
+    D.drop_column_delta(cm_table, "m")
+    with pytest.raises(D.DeltaLogError, match="last column"):
+        D.drop_column_delta(cm_table, "s")
+    # unmapped table rejects rename; partitioned table rejects enabling
+    plain = str(tmp_path / "plain")
+    D.write_delta(spark.range(5).select("id", (F.col("id") % 2).alias("p")), plain)
+    with pytest.raises(D.DeltaLogError, match="enable_column_mapping"):
+        D.rename_column_delta(plain, "id", "x")
+    part = str(tmp_path / "part")
+    D.write_delta(
+        spark.range(5).select("id", (F.col("id") % 2).alias("p")), part, partition_by="p"
+    )
+    with pytest.raises(D.DeltaLogError, match="partitioned"):
+        D.enable_column_mapping(part)
+
+
+def test_cm_rename_blocked_by_constraint_reference(spark, tmp_path):
+    path = str(tmp_path / "ctbl")
+    D.write_delta(spark.range(10).select("id", (F.col("id") % 5).alias("m")), path)
+    D.add_constraint(spark, path, "m_small", "m < 100")
+    D.enable_column_mapping(path)
+    with pytest.raises(D.DeltaLogError, match="constraint"):
+        D.rename_column_delta(path, "m", "bucket")
+    with pytest.raises(D.DeltaLogError, match="constraint"):
+        D.drop_column_delta(path, "m")
+    D.rename_column_delta(path, "id", "row_id")  # unreferenced column renames fine
