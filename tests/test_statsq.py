@@ -1,0 +1,96 @@
+"""Semantic invariants for the experiment-analysis family (statsq) and
+ML-prep queries — the oracle gate proves cross-engine equality; these
+prove the STATISTICS mean what they claim."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nyc_taxi_data_engineering_spark.queries.registry import registry
+
+_REG = registry()
+
+
+def test_bootstrap_ci_brackets_estimate_and_is_ordered(spark, sf_dir):
+    row = _REG["revenue_bootstrap_ci"].fn(spark, sf_dir).first()
+    assert row["ci_lo"] <= row["ci_hi"]
+    # half-sample estimates straddle the truth for a sum statistic
+    assert row["ci_lo"] <= row["estimate"] * 1.15
+    assert row["ci_hi"] >= row["estimate"] * 0.85
+    assert row["n_resamples"] == 32
+
+
+def test_kaplan_meier_log_survival_monotone_nonincreasing(spark, sf_dir):
+    rows = (
+        _REG["kaplan_meier_customers"].fn(spark, sf_dir)
+        .orderBy("duration_days")
+        .collect()
+    )
+    assert rows, "KM curve should be non-empty"
+    ls = [r["log_survival"] for r in rows]
+    assert all(a >= b for a, b in zip(ls, ls[1:]))  # survival only decreases
+    assert all(r["n_events"] >= 1 for r in rows)
+    # at-risk counts shrink over time
+    n = [r["n_at_risk"] for r in rows]
+    assert all(a >= b for a, b in zip(n, n[1:]))
+
+
+def test_ab_test_moments_match_naive_computation(spark, sf_dir):
+    row = _REG["ab_test_events"].fn(spark, sf_dir).first()
+    from nyc_taxi_data_engineering_spark.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events").toPandas()
+    t = ev[ev.user_id % 2 == 1].value
+    c = ev[ev.user_id % 2 == 0].value
+    assert row["n_treat"] == len(t) and row["n_ctrl"] == len(c)
+    assert abs(row["mean_treat"] - t.mean()) < 1e-6
+    assert abs(row["mean_ctrl"] - c.mean()) < 1e-6
+    import math
+
+    se = math.sqrt(t.var(ddof=1) / len(t) + c.var(ddof=1) / len(c))
+    assert abs(row["z_stat"] - (t.mean() - c.mean()) / se) < 1e-6
+
+
+def test_cuped_theta_matches_covariance_ratio(spark, sf_dir):
+    row = _REG["cuped_adjusted_ab"].fn(spark, sf_dir).first()
+    from nyc_taxi_data_engineering_spark.catalog import load_table
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events").toPandas()
+    pre = ev[ev.ts < pd.Timestamp("2024-01-16")].groupby("user_id").value.sum()
+    post = ev[ev.ts >= pd.Timestamp("2024-01-16")].groupby("user_id").value.sum()
+    users = ev.user_id.unique()
+    x = pre.reindex(users).fillna(0.0)
+    y = post.reindex(users).fillna(0.0)
+    theta = x.cov(y) / x.var()
+    assert abs(row["theta"] - theta) < 1e-4
+
+
+def test_gini_split_best_threshold_separates_labels(spark, sf_dir):
+    rows = _REG["gini_split_search_orders"].fn(spark, sf_dir).collect()
+    # the parent impurity bounds every weighted split impurity from above
+    n_pos = sum(r["pos_left"] + r["pos_right"] for r in rows[:1])
+    n_tot = sum(r["n_left"] + r["n_right"] for r in rows[:1])
+    p = n_pos / n_tot
+    parent = 1.0 - p * p - (1.0 - p) * (1.0 - p)
+    assert all(r["weighted_gini"] <= parent + 1e-12 for r in rows)
+
+
+def test_assoc_rules_metric_ranges(spark, sf_dir):
+    rows = _REG["assoc_rules_suppliers"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 < r["support"] <= 1.0
+        assert 0.0 < r["confidence"] <= 1.0
+        assert r["lift"] > 0.0
+        assert r["antecedent"] != r["consequent"]
+
+
+def test_nb_confusion_covers_every_test_doc_once(spark, sf_dir):
+    from nyc_taxi_data_engineering_spark.catalog import load_table
+
+    cm = _REG["nb_lang_confusion"].fn(spark, sf_dir)
+    n_pred = cm.agg(F.sum("n_docs")).first()[0]
+    docs = load_table(spark, sf_dir, "documents")
+    n_test = docs.filter(F.col("doc_id") % 3 == 0).count()
+    assert n_pred == n_test  # argmax assigns exactly one class per doc
