@@ -413,3 +413,98 @@ def q_props_corrupt_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(1 - F.col("ok")).cast("bigint").alias("n_corrupt"),
         F.sum("k").cast("bigint").alias("sum_k_valid"),
     )
+
+
+ATTR_WINDOW_H = 24  # credit clicks within this many hours before a purchase
+
+
+@query(
+    "attribution_multitouch_events",
+    oracle=f"""
+WITH clicks AS (
+    SELECT user_id, event_id AS click_id, ts AS click_ts
+    FROM events WHERE event_type = 'click'
+),
+purchases AS (
+    SELECT user_id, event_id AS purchase_id, ts AS purchase_ts, value
+    FROM events WHERE event_type = 'purchase'
+),
+touches AS (
+    SELECT p.purchase_id, p.value, c.click_id, c.click_ts,
+           COUNT(*) OVER (PARTITION BY p.purchase_id) AS n_touches,
+           ROW_NUMBER() OVER (PARTITION BY p.purchase_id
+                              ORDER BY c.click_ts DESC, c.click_id DESC) AS recency
+    FROM purchases p
+    JOIN clicks c
+      ON c.user_id = p.user_id
+     AND c.click_ts < p.purchase_ts
+     AND c.click_ts >= p.purchase_ts - INTERVAL {ATTR_WINDOW_H} HOUR
+),
+credit AS (
+    SELECT click_id,
+           CAST(round(value / n_touches, 6) AS DECIMAL(18,6)) AS linear_credit,
+           CASE WHEN recency = 1 THEN CAST(value AS DECIMAL(18,6))
+                ELSE CAST(0 AS DECIMAL(18,6)) END AS last_touch_credit
+    FROM touches
+)
+SELECT click_id,
+       CAST(SUM(linear_credit) AS DOUBLE) AS linear_value,
+       CAST(SUM(last_touch_credit) AS DOUBLE) AS last_touch_value,
+       COUNT(*) AS n_purchases_touched
+FROM credit
+GROUP BY click_id
+""",
+)
+def q_attribution_multitouch_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch attribution — linear and last-touch credit side by
+    side: every click within {ATTR_WINDOW_H}h before a purchase shares
+    that purchase's value equally (linear), while the most recent click
+    takes it all (last-touch); ties on the same timestamp break by
+    event id. Credit divides DECIMAL(18,6) by an exact integer so the
+    per-touch shares (and their re-aggregation per click) match
+    bit-for-bit cross-engine.
+
+    Scale shape: the click×purchase interval join is keyed on user_id
+    FIRST (per-user touch lists are session-sized, so the range
+    condition explodes nothing — the same per-key-interval shape as
+    click_purchase_attribution's streaming twin); the per-purchase
+    window runs on the touch table, already reduced to matched pairs,
+    never on the raw event stream."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        "value",
+    )
+    touches = purchases.join(
+        clicks,
+        (clicks["user_id"] == purchases["user_id"])
+        & (F.col("click_ts") < F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {ATTR_WINDOW_H} HOUR")),
+    ).select("purchase_id", "value", "click_id", "click_ts")
+    from pyspark.sql import Window
+
+    w_cnt = Window.partitionBy("purchase_id")
+    w_rec = Window.partitionBy("purchase_id").orderBy(
+        F.col("click_ts").desc(), F.col("click_id").desc()
+    )
+    credit = touches.select(
+        "click_id",
+        F.round(F.col("value") / F.count(F.lit(1)).over(w_cnt), 6)
+        .cast("decimal(18,6)")
+        .alias("linear_credit"),
+        F.when(
+            F.row_number().over(w_rec) == 1, F.col("value").cast("decimal(18,6)")
+        )
+        .otherwise(F.lit(0).cast("decimal(18,6)"))
+        .alias("last_touch_credit"),
+    )
+    return credit.groupBy("click_id").agg(
+        F.sum("linear_credit").cast("double").alias("linear_value"),
+        F.sum("last_touch_credit").cast("double").alias("last_touch_value"),
+        F.count(F.lit(1)).alias("n_purchases_touched"),
+    )

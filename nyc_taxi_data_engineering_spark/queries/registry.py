@@ -74,6 +74,8 @@ ROTATION: list[str] = [
     "delta_dv_delete_orders",
     "delta_dv_update_orders",
     "delta_rename_customers",
+    "attribution_multitouch_events",
+    "zipf_fit_tokens",
     # Round-7 late additions (sampled r7):
     "ppr_supplier_recommendations",
     "lpa_copurchase_communities",

@@ -209,3 +209,90 @@ def q_nb_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("actual", "predicted")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+ZIPF_TOPK = 100
+
+
+@query(
+    "zipf_fit_tokens",
+    oracle=f"""
+WITH tok AS (
+  SELECT unnest({T.sql_tokens('text')}) AS w FROM documents
+),
+freq AS (SELECT w, COUNT(*) AS f FROM tok GROUP BY w),
+ranked AS (
+  SELECT CAST(round(ln(CAST(ROW_NUMBER() OVER (ORDER BY f DESC, w) AS DOUBLE)), 6)
+              AS DECIMAL(18,6)) AS x,
+         CAST(round(ln(CAST(f AS DOUBLE)), 6) AS DECIMAL(18,6)) AS y
+  FROM freq
+  ORDER BY f DESC, w
+  LIMIT {ZIPF_TOPK}
+),
+mom AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE), 6) AS DECIMAL(18,6))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(round(CAST(x AS DOUBLE) * CAST(y AS DOUBLE), 6) AS DECIMAL(18,6))) AS DOUBLE) AS sxy
+  FROM ranked
+)
+SELECT CAST(n AS BIGINT) AS n_tokens,
+       (n * sxy - sx * sy) / (n * sxx - sx * sx) AS zipf_slope,
+       (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n AS intercept
+FROM mom
+""",
+)
+def q_zipf_fit_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit for the corpus: least-squares slope of
+    ln(frequency) against ln(rank) over the top-{ZIPF_TOPK} tokens — a
+    natural corpus should land near the canonical −1; a corpus of
+    boilerplate or template spam bends the curve, making the slope a
+    one-number corpus-health diagnostic (and a drift alarm between
+    ingests). Every log AND every cross-product rounds to 6 dp and
+    sums as DECIMAL (the dsir/textml grid contract), so slope and
+    intercept are bit-identical cross-engine. Plan: one explode + one
+    vocab hash agg; the rank window and the regression run over
+    {ZIPF_TOPK} rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(T.tokens(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    ranked = (
+        freq.withColumn(
+            "rnk", F.row_number().over(Window.orderBy(F.col("f").desc(), "w"))
+        )
+        .filter(F.col("rnk") <= ZIPF_TOPK)
+        .select(
+            F.round(F.log(F.col("rnk").cast("double")), 6).cast("decimal(18,6)").alias("x"),
+            F.round(F.log(F.col("f").cast("double")), 6).cast("decimal(18,6)").alias("y"),
+        )
+    )
+    mom = ranked.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(
+            F.round(F.col("x").cast("double") * F.col("x").cast("double"), 6).cast(
+                "decimal(18,6)"
+            )
+        )
+        .cast("double")
+        .alias("sxx"),
+        F.sum(
+            F.round(F.col("x").cast("double") * F.col("y").cast("double"), 6).cast(
+                "decimal(18,6)"
+            )
+        )
+        .cast("double")
+        .alias("sxy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return mom.select(
+        F.col("n").cast("long").alias("n_tokens"),
+        slope.alias("zipf_slope"),
+        ((F.col("sy") - slope * F.col("sx")) / F.col("n")).alias("intercept"),
+    )
