@@ -76,6 +76,7 @@ ROTATION: list[str] = [
     "delta_rename_customers",
     "attribution_multitouch_events",
     "zipf_fit_tokens",
+    "delta_cdf_feed_orders",
     # Round-7 late additions (sampled r7):
     "ppr_supplier_recommendations",
     "lpa_copurchase_communities",

@@ -894,3 +894,62 @@ def q_delta_rename_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_customers"),
         F.sum(F.col("balance").cast("decimal(18,2)")).cast("double").alias("total_balance"),
     )
+
+
+@query(
+    "delta_cdf_feed_orders",
+    oracle="""
+WITH changes AS (
+    SELECT 'delete' AS _change_type, o_totalprice FROM orders
+    WHERE o_orderstatus = 'P'
+    UNION ALL
+    SELECT 'update_preimage', o_totalprice FROM orders
+    WHERE o_orderstatus = 'F' AND o_totalprice < 2000.0
+    UNION ALL
+    SELECT 'update_postimage',
+           CAST(CAST(o_totalprice * 2.0 AS DECIMAL(18,2)) AS DOUBLE)
+    FROM orders
+    WHERE o_orderstatus = 'F' AND o_totalprice < 2000.0
+)
+SELECT _change_type, COUNT(*) AS n_rows,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM changes
+GROUP BY _change_type
+""",
+)
+def q_delta_cdf_feed_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHANGE DATA FEED write-side + protocol-rule reader
+    (sources/delta_log.py enable_change_data_feed / read_change_feed):
+    commit orders, enable CDF, DELETE the pending rows and UPDATE the
+    cheap completed rows — both write their changed rows to
+    ``_change_data/`` referenced by ``cdc`` actions — then read
+    ``table_changes`` over those two commits and aggregate the feed by
+    change type. The oracle reconstructs the exact expected feed
+    (deletes = the P rows, pre/postimages = the cheap F rows before
+    and after the 2× markup) from the raw table, so a missing
+    preimage, doubled postimage, or insert leaking into the range all
+    hash-mismatch. Downstream, this feed is what incremental consumers
+    (MV maintenance, replication, audit) tail instead of diffing
+    snapshots — per-commit cost ∝ changed rows, never table size."""
+    from pyspark.sql import functions as F
+
+    from nyc_taxi_data_engineering_spark.catalog import load_table
+    from nyc_taxi_data_engineering_spark.sources import delta_log as D
+
+    tbl = _tmp_table("delta_cdf_orders")
+    shutil.rmtree(tbl, ignore_errors=True)
+    orders = load_table(spark, sf_dir, "orders")
+    D.write_delta(orders.repartition(8), tbl, mode="overwrite")  # v0
+    D.enable_change_data_feed(tbl)  # v1
+    D.delete_delta(spark, tbl, "o_orderstatus = 'P'")  # v2
+    D.update_delta(  # v3
+        spark,
+        tbl,
+        "o_orderstatus = 'F' AND o_totalprice < 2000.0",
+        {"o_totalprice": "CAST(o_totalprice * 2.0 AS DECIMAL(18,2))"},
+    )
+    feed = D.read_change_feed(spark, tbl, version_from=2, version_to=3)
+    return feed.groupBy("_change_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total_price"),
+    )

@@ -1205,6 +1205,11 @@ def vacuum_delta(table_path: str, keep_last: int = 1) -> list[str]:
     for v in range(max(0, latest - keep_last + 1), latest + 1):
         files, _ = _replay(table_path, v)
         keep |= {os.path.relpath(p, table_path) for p in files}
+        # change-data files of retained commits stay readable; older
+        # ones age out with their versions, like real CDF retention
+        keep |= {
+            a["cdc"]["path"] for a in _read_commit(table_path, v) if "cdc" in a
+        }
     deleted = []
     for root, dirs, names in os.walk(table_path):
         # the log and any in-flight staging dirs are never data files
@@ -1673,6 +1678,16 @@ def delete_delta(spark: SparkSession, table_path: str, predicate: str) -> int:
     actions, n_rows = _dv_mark_actions(spark, state, table_path, predicate)
     if not actions:
         return state["version"]
+    if _cdf_enabled(state["metaData"]):
+        # change files carry the deleted LIVE rows (dead rows already
+        # left the feed when their own delete committed)
+        schema = StructType.fromJson(json.loads(state["metaData"]["schemaString"]))
+        deleted = read_delta_log(spark, table_path).filter(F.expr(predicate))
+        if _cm_enabled(state["metaData"]):
+            deleted = _to_physical(deleted, schema)
+        actions += _write_cdc_files(
+            deleted.withColumn("_change_type", F.lit("delete")), table_path
+        )
     now_ms = int(time.time() * 1000)
     commit_info = {
         "commitInfo": {
@@ -1681,7 +1696,6 @@ def delete_delta(spark: SparkSession, table_path: str, predicate: str) -> int:
             "operationParameters": {"predicate": predicate},
             "operationMetrics": {
                 "numDeletedRows": n_rows,
-                "numDeletionVectorsAdded": len(actions) // 2,
             },
         }
     }
@@ -1801,6 +1815,18 @@ def update_delta(
     mark_actions, n_rows = _dv_mark_actions(spark, state, table_path, predicate)
     if not mark_actions:
         return state["version"]
+    cdc_actions: list[dict] = []
+    if _cdf_enabled(state["metaData"]):
+        pre = matched.withColumn("_change_type", F.lit("update_preimage"))
+        post = updated.withColumn("_change_type", F.lit("update_postimage"))
+        change = pre.unionByName(post)
+        if _cm_enabled(state["metaData"]):
+            # change files store physical names, like the data files
+            change = change.select(
+                *[F.col(f.name).alias(_physical_name(f)) for f in schema.fields],
+                "_change_type",
+            )
+        cdc_actions = _write_cdc_files(change, table_path)
     staging = os.path.join(
         table_path, f"_staging-{uuid.uuid4().hex}"
     )
@@ -1828,6 +1854,7 @@ def update_delta(
     ]
     actions += mark_actions
     actions += [{"add": a} for a in new_adds]
+    actions += cdc_actions
     version = state["version"] + 1
     try:
         _write_commit(table_path, version, actions)
@@ -2051,3 +2078,175 @@ def drop_column_delta(table_path: str, col: str) -> int:
         if f.name != col
     ]
     return _cm_metadata_commit(table_path, "DROP COLUMN", {"column": col}, StructType(fields))
+
+
+# ---------------------------------------------------------------------------
+# Change Data Feed (write-side cdc files + protocol-rule reader)
+# ---------------------------------------------------------------------------
+
+CDF_FEATURE = "changeDataFeed"
+CDF_KEY = "delta.enableChangeDataFeed"
+_CDC_DIR = "_change_data"
+
+
+def _cdf_enabled(meta: dict) -> bool:
+    return (meta.get("configuration") or {}).get(CDF_KEY) == "true"
+
+
+def enable_change_data_feed(table_path: str) -> int:
+    """ALTER TABLE ... SET TBLPROPERTIES delta.enableChangeDataFeed=true:
+    from the NEXT commit on, row-changing operations that can't be
+    derived from add/remove actions alone (DV DELETE, UPDATE) also
+    write their changed rows to ``_change_data/`` parquet, referenced
+    by ``cdc`` actions — the protocol's change-file surface. Readers
+    (read_change_feed) follow the spec's rule: a commit WITH cdc
+    actions is described by exactly those files; a commit without them
+    falls back to its add actions (inserts). Idempotent."""
+    state = _replay_state(table_path)
+    if _cdf_enabled(state["metaData"]):
+        return state["version"]
+    config = dict(state["metaData"].get("configuration") or {})
+    config[CDF_KEY] = "true"
+    wf = set((state["protocol"] or {}).get("writerFeatures") or [])
+    wf.add(CDF_FEATURE)
+    proto = dict(state["protocol"] or {"minReaderVersion": 1})
+    proto["minWriterVersion"] = 7
+    proto["minReaderVersion"] = max(3, int(proto.get("minReaderVersion", 1)))
+    proto["readerFeatures"] = sorted(set(proto.get("readerFeatures") or []))
+    proto["writerFeatures"] = sorted(wf)
+    new_meta = dict(state["metaData"])
+    new_meta["configuration"] = config
+    now_ms = int(time.time() * 1000)
+    version = state["version"] + 1
+    _write_commit(
+        table_path,
+        version,
+        [
+            {
+                "commitInfo": {
+                    "timestamp": now_ms,
+                    "operation": "SET TBLPROPERTIES",
+                    "operationParameters": {CDF_KEY: "true"},
+                }
+            },
+            {"protocol": proto},
+            {"metaData": new_meta},
+        ],
+    )
+    _maybe_checkpoint(table_path, version)
+    return version
+
+
+def _write_cdc_files(change_df: DataFrame, table_path: str) -> list[dict]:
+    """Stage a change DataFrame (data columns + ``_change_type``) into
+    ``_change_data/`` and return its ``cdc`` action dicts."""
+    staging = os.path.join(table_path, f".cdc-staging-{uuid.uuid4().hex}")
+    change_df.write.mode("overwrite").parquet(staging)
+    import shutil as _shutil
+
+    os.makedirs(os.path.join(table_path, _CDC_DIR), exist_ok=True)
+    actions = []
+    for name in sorted(os.listdir(staging)):
+        if not name.endswith(".parquet"):
+            continue
+        rel = f"{_CDC_DIR}/cdc-{uuid.uuid4().hex}.parquet"
+        os.replace(os.path.join(staging, name), os.path.join(table_path, rel))
+        actions.append(
+            {
+                "cdc": {
+                    "path": rel,
+                    "partitionValues": {},
+                    "size": os.path.getsize(os.path.join(table_path, rel)),
+                    "dataChange": False,
+                }
+            }
+        )
+    _shutil.rmtree(staging, ignore_errors=True)
+    return actions
+
+
+def read_change_feed(
+    spark: SparkSession,
+    table_path: str,
+    version_from: int,
+    version_to: int | None = None,
+) -> DataFrame:
+    """``table_changes(table, from, to)`` per the protocol's reader
+    rule, commit by commit over ``[version_from, version_to]``:
+
+    - a commit carrying ``cdc`` actions is described by EXACTLY those
+      change files (their ``_change_type`` column says insert /
+      delete / update_preimage / update_postimage);
+    - a commit without cdc actions contributes its dataChange adds as
+      ``insert`` rows (appends don't need change files — real CDF
+      skips them too); non-dataChange commits (OPTIMIZE) contribute
+      nothing. Remove-only rewrites without cdc files raise: their
+      row-level changes are not reconstructible commit-locally —
+      that's exactly what the cdc files are for (the snapshot-diff
+      fallback for such tables is delta_version_diff).
+
+    Every row carries ``_change_type`` and ``_commit_version``. Needs
+    CDF enabled BEFORE the first commit you want to read."""
+    latest = latest_version(table_path)
+    if latest is None:
+        raise DeltaLogError(f"not a Delta table: {table_path}")
+    upto = latest if version_to is None else version_to
+    state = _replay_state(table_path, upto)
+    schema = StructType.fromJson(json.loads(state["metaData"]["schemaString"]))
+    mapped = _cm_enabled(state["metaData"])
+    out: DataFrame | None = None
+    for v in range(version_from, upto + 1):
+        actions = _read_commit(table_path, v)
+        cdc = [a["cdc"] for a in actions if "cdc" in a]
+        part: DataFrame | None = None
+        if cdc:
+            files = [os.path.join(table_path, c["path"]) for c in cdc]
+            part = spark.read.parquet(*files)
+            if mapped:
+                keep = [f.name for f in schema.fields]
+                part = part.select(
+                    *[
+                        F.col(_physical_name(fl)).alias(fl.name)
+                        for fl in schema.fields
+                    ],
+                    "_change_type",
+                )
+            else:
+                part = part.select(*[f.name for f in schema.fields], "_change_type")
+        else:
+            adds = [
+                a["add"]
+                for a in actions
+                if "add" in a and a["add"].get("dataChange", True)
+            ]
+            removes = [
+                a["remove"]
+                for a in actions
+                if "remove" in a and a["remove"].get("dataChange", True)
+            ]
+            if removes:
+                raise DeltaLogError(
+                    f"version {v} rewrites files without change files; enable "
+                    "CDF before such commits or use delta_version_diff"
+                )
+            if adds:
+                files = [os.path.join(table_path, a["path"]) for a in adds]
+                read_schema = _physical_schema(schema) if mapped else schema
+                scan = spark.read.schema(read_schema).parquet(*files)
+                if mapped:
+                    scan = _to_logical(scan, schema)
+                part = scan.withColumn("_change_type", F.lit("insert"))
+        if part is None:
+            continue
+        part = part.withColumn("_commit_version", F.lit(v).cast("long"))
+        out = part if out is None else out.unionByName(part)
+    if out is None:
+        cols = [f.name for f in schema.fields]
+        from pyspark.sql.types import LongType, StringType, StructField
+
+        empty = StructType(
+            schema.fields
+            + [StructField("_change_type", StringType()), StructField("_commit_version", LongType())]
+        )
+        return spark.createDataFrame([], empty)
+    return out

@@ -1293,3 +1293,68 @@ def test_cm_rename_blocked_by_constraint_reference(spark, tmp_path):
     with pytest.raises(D.DeltaLogError, match="constraint"):
         D.drop_column_delta(path, "m")
     D.rename_column_delta(path, "id", "row_id")  # unreferenced column renames fine
+
+
+# ---------------------------------------------------------------------------
+# Change Data Feed
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def cdf_table(spark, tmp_path):
+    path = str(tmp_path / "cdftbl")
+    df = spark.range(60).select(F.col("id"), (F.col("id") % 6).alias("m"))
+    D.write_delta(df.repartition(2), path)  # v0
+    D.enable_change_data_feed(path)  # v1
+    return path
+
+
+def test_cdf_delete_and_update_write_change_files(spark, cdf_table):
+    D.delete_delta(spark, cdf_table, "m = 2")  # v2
+    D.update_delta(spark, cdf_table, "m = 3", {"m": "m + 100"})  # v3
+    feed = D.read_change_feed(spark, cdf_table, version_from=2)
+    counts = {
+        r["_change_type"]: r["n"]
+        for r in feed.groupBy("_change_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert counts == {"delete": 10, "update_preimage": 10, "update_postimage": 10}
+    # pre/postimages pair up: every preimage id has a postimage id
+    pre = {r["id"] for r in feed.filter("_change_type = 'update_preimage'").collect()}
+    post = {r["id"] for r in feed.filter("_change_type = 'update_postimage'").collect()}
+    assert pre == post and len(pre) == 10
+    versions = {r["_commit_version"] for r in feed.select("_commit_version").distinct().collect()}
+    assert versions == {2, 3}
+
+
+def test_cdf_appends_synthesize_inserts_without_change_files(spark, cdf_table):
+    v = D.write_delta(
+        spark.range(100, 105).select(F.col("id"), (F.col("id") % 6).alias("m")),
+        cdf_table,
+        mode="append",
+    )
+    log_dir = os.path.join(cdf_table, "_delta_log")
+    commit = open(os.path.join(log_dir, f"{v:020d}.json")).read()
+    assert '"cdc"' not in commit  # appends need no change files
+    feed = D.read_change_feed(spark, cdf_table, version_from=v)
+    assert feed.count() == 5
+    assert {r["_change_type"] for r in feed.collect()} == {"insert"}
+
+
+def test_cdf_rewrite_without_change_files_raises(spark, tmp_path):
+    path = str(tmp_path / "nocdf")
+    D.write_delta(spark.range(10).select("id"), path)  # v0
+    D.write_delta(spark.range(5).select("id"), path, mode="overwrite")  # v1: removes
+    with pytest.raises(D.DeltaLogError, match="change files"):
+        D.read_change_feed(spark, path, version_from=1)
+
+
+def test_cdf_vacuum_retains_change_files_in_window(spark, cdf_table):
+    D.delete_delta(spark, cdf_table, "m = 2")  # v2
+    assert D.vacuum_delta(cdf_table, keep_last=10) == []
+    assert D.read_change_feed(spark, cdf_table, version_from=2, version_to=2).count() == 10
+
+
+def test_cdf_empty_range_returns_typed_empty(spark, cdf_table):
+    feed = D.read_change_feed(spark, cdf_table, version_from=1, version_to=1)
+    assert feed.count() == 0
+    assert "_change_type" in feed.columns and "_commit_version" in feed.columns
