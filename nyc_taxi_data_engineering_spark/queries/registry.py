@@ -77,6 +77,7 @@ ROTATION: list[str] = [
     "attribution_multitouch_events",
     "zipf_fit_tokens",
     "delta_cdf_feed_orders",
+    "ab_bootstrap_diff_ci",
     # Round-7 late additions (sampled r7):
     "ppr_supplier_recommendations",
     "lpa_copurchase_communities",

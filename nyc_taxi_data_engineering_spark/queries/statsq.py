@@ -433,3 +433,71 @@ def q_revenue_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(BOOT_B).cast("long").alias("n_resamples"),
         )
     )
+
+
+AB_BOOT_B = 32
+
+
+@query(
+    "ab_bootstrap_diff_ci",
+    oracle=f"""
+WITH grid AS (SELECT UNNEST(generate_series(0, {AB_BOOT_B - 1})) AS b),
+member AS (
+    SELECT b, user_id % 2 AS arm, value
+    FROM events CROSS JOIN grid
+    WHERE {hash_bucket_sql("event_id || '#' || b", seed="abboot", n_buckets=2)} = 0
+),
+stats AS (
+    SELECT b,
+           {stable_sum_sql('CASE WHEN arm = 1 THEN value ELSE 0.0 END', scale=6)}
+             / SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END)
+           - {stable_sum_sql('CASE WHEN arm = 0 THEN value ELSE 0.0 END', scale=6)}
+             / SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS diff
+    FROM member
+    GROUP BY b
+),
+ranked AS (SELECT diff, ROW_NUMBER() OVER (ORDER BY diff, b) AS rn FROM stats)
+SELECT (SELECT diff FROM ranked WHERE rn = 2) AS ci_lo,
+       (SELECT diff FROM ranked WHERE rn = {AB_BOOT_B - 1}) AS ci_hi,
+       CAST((SELECT COUNT(*) FROM ranked WHERE diff > 0.0) AS BIGINT) AS n_positive,
+       CAST({AB_BOOT_B} AS BIGINT) AS n_resamples
+""",
+)
+def q_ab_bootstrap_diff_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bootstrap CI for the A/B mean DIFFERENCE — the
+    distribution-free companion to ab_test_events' parametric z:
+    {AB_BOOT_B} deterministic half-resamples (md5 membership on
+    (event, b), the revenue_bootstrap_ci machinery), each yielding a
+    mean-treat − mean-ctrl; the CI is explicit order statistics and
+    n_positive counts resamples where treatment wins (a sign-
+    stability readout). Everything replays in SQL because the
+    resamples themselves are hash-deterministic. One fact scan × a
+    broadcast {AB_BOOT_B}-row grid → one hash agg keyed on b."""
+    ev = load_table(spark, sf_dir, "events")
+    grid = spark.range(AB_BOOT_B).select(F.col("id").cast("int").alias("b"))
+    key = F.concat(F.col("event_id").cast("string"), F.lit("#"), F.col("b").cast("string"))
+    t = F.col("user_id") % 2 == 1
+    stats = (
+        ev.crossJoin(F.broadcast(grid))
+        .filter(hash_bucket(key, seed="abboot", n_buckets=2) == 0)
+        .groupBy("b")
+        .agg(
+            (
+                stable_sum(F.when(t, F.col("value")).otherwise(F.lit(0.0)), scale=6)
+                / F.sum(F.when(t, 1).otherwise(0))
+                - stable_sum(F.when(~t, F.col("value")).otherwise(F.lit(0.0)), scale=6)
+                / F.sum(F.when(~t, 1).otherwise(0))
+            ).alias("diff")
+        )
+    )
+    ranked = stats.withColumn("rn", F.row_number().over(Window.orderBy("diff", "b")))
+    lo = ranked.filter(F.col("rn") == 2).select(F.col("diff").alias("ci_lo"))
+    hi = ranked.filter(F.col("rn") == AB_BOOT_B - 1).select(F.col("diff").alias("ci_hi"))
+    pos = stats.agg(
+        F.sum(F.when(F.col("diff") > 0.0, 1).otherwise(0)).cast("long").alias("n_positive")
+    )
+    return (
+        lo.crossJoin(F.broadcast(hi))
+        .crossJoin(F.broadcast(pos))
+        .select("ci_lo", "ci_hi", "n_positive", F.lit(AB_BOOT_B).cast("long").alias("n_resamples"))
+    )
