@@ -30,11 +30,10 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # entries of ``queries()`` in dict order, so registration order decides which
 # queries earn a driver CORRECTNESS row each round. This list pins the front
 # of that window explicitly instead of leaving it to module-import order.
-# Round 7 ordering: the 19 new round-7 queries (never sampled), then the
-# r4-vintage names (stalest driver-green — last verified three rounds ago)
-# filling the rest of the window; the r5/r6-green tail follows in
-# registration order. Queries pushed past the window keep full local coverage
-# via tests/test_oracle_parity.py, which checks ALL of them.
+# Round 8 ordering: the 42 new round-8 queries (never sampled) lead, then
+# the round-7-late names and the r4-vintage stalest driver-greens fill the
+# remainder. Queries pushed past the window keep full local coverage via
+# tests/test_oracle_parity.py, which checks ALL of them.
 ROTATION: list[str] = [
     # Round-8 additions (never sampled) lead the window:
     "tpch_pricing_summary",
