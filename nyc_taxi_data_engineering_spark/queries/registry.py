@@ -30,7 +30,7 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # entries of ``queries()`` in dict order, so registration order decides which
 # queries earn a driver CORRECTNESS row each round. This list pins the front
 # of that window explicitly instead of leaving it to module-import order.
-# Round 8 ordering: the 42 new round-8 queries (never sampled) lead, then
+# Round 8 ordering: the 41 new round-8 queries (never sampled) lead, then
 # the round-7-late names and the r4-vintage stalest driver-greens fill the
 # remainder. Queries pushed past the window keep full local coverage via
 # tests/test_oracle_parity.py, which checks ALL of them.
