@@ -40,6 +40,35 @@ PAGERANK_ITERS = 3
 _SCALE = 12  # dp kept per contribution / rank
 
 
+def _pin(df: DataFrame) -> DataFrame:
+    """Eagerly materialize ``df`` and TRUNCATE its lineage
+    (``localCheckpoint(eager=True)``).
+
+    The fixed-point operators in this module re-reference two kinds of
+    DataFrames many times: loop-invariant inputs (the edge list — often
+    an expensive fact-fact join built by the caller) and the per-round
+    state (ranks / labels / scores / surviving edges), which next
+    round's plan references 2-3 times. Lazy ``.cache()`` is NOT enough
+    here: the logical plan still grows by a full round every iteration
+    (branching 2-3x per round where state has multiple consumers), and
+    both Catalyst analysis and the cache manager's plan-matching walk
+    that exponentially-growing tree — measured on the sf0.1 co-purchase
+    graph, per-round caching made HITS *slower* (>10x) while the
+    uncached k-core peel spent 207 s re-deriving its kNN edge build
+    3^rounds times. An eager local checkpoint does what an iterative
+    engine actually needs: compute the state ONCE, keep the partitions,
+    and hand every consumer a flat scan (k-core peel: 207 s -> ~8 s at
+    sf0.1; HITS: 43 s -> ~9 s).
+
+    Cluster note: ``localCheckpoint`` stores partitions on executors —
+    the right single-job trade. On a long-lived 1000-executor pipeline
+    where executor loss mid-query must be survivable, swap for
+    ``spark.sparkContext.setCheckpointDir(...)`` + ``df.checkpoint()``
+    (same semantics, HDFS-backed); values are unchanged either way, so
+    the 12-dp determinism contract is untouched."""
+    return df.localCheckpoint(eager=True)
+
+
 def pagerank(
     edges: DataFrame,
     iters: int = PAGERANK_ITERS,
@@ -74,18 +103,22 @@ def pagerank(
             "real-valued weights to integers first"
         )
     w = F.col(weight) if weight is not None else F.lit(1).cast("long")
-    edges = edges.select("src", "dst", w.alias("w"))
+    # Pin the normalized edge list: srcs/nodes/dangling/outdeg all
+    # derive from it, and for the trade graphs the caller's edge build
+    # is itself a fact-fact join that would otherwise re-execute once
+    # per derivation per round.
+    edges = _pin(edges.select("src", "dst", w.alias("w")))
     srcs = edges.select(F.col("src").alias("node")).distinct()
-    nodes = (
+    nodes = _pin(
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))
         .distinct()
     )
-    dangling = nodes.join(srcs, "node", "left_anti")
+    dangling = _pin(nodes.join(srcs, "node", "left_anti"))
     n_row = nodes.agg(F.count(F.lit(1)).cast("double").alias("n"))
     outdeg = edges.groupBy("src").agg(F.sum("w").alias("strength"))
     # (src, dst, w, strength) is loop-invariant: build once, reuse every round
-    ew = edges.join(outdeg, "src")
+    ew = _pin(edges.join(outdeg, "src"))
     if personalize is None:
         ranks = nodes.crossJoin(F.broadcast(n_row)).select(
             "node", (F.lit(1.0) / F.col("n")).alias("rank")
@@ -98,7 +131,7 @@ def pagerank(
         ranks = nodes.select("node", ind.alias("rank"))
     teleport = (F.lit(1.0) - F.lit(PAGERANK_DAMPING)) / F.col("n")
     zero_dm = F.lit(0).cast(f"decimal(28,{_SCALE})")
-    for _ in range(iters):
+    for it in range(iters):
         contrib = ranks.join(ew, ranks["node"] == ew["src"]).select(
             F.col("dst").alias("node"),
             F.round(F.col("rank") * F.col("w") / F.col("strength"), _SCALE)
@@ -140,6 +173,14 @@ def pagerank(
                 ).alias("rank"),
             )
         )
+        # ranks has THREE consumers next round (contribution join,
+        # dangling-mass sum, and the rank-update base): pin so each
+        # round starts from a flat node-sized scan. The LAST round
+        # stays lazy — the returned plan keeps one full round's shape
+        # (hash aggs, broadcast mass terms) visible to .explain and
+        # the plan-property tests.
+        if it < iters - 1:
+            ranks = _pin(ranks)
     return ranks
 
 
@@ -241,6 +282,10 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     self equi-join on the low endpoint, one closing equi-join on
     (v, w), one per-node hash agg. Everything keyed; no windows, no
     collect."""
+    # edges feeds the degree union (twice) and the orientation join;
+    # oriented feeds both wedge sides and the closing join — pin each
+    # so the caller's edge build executes once (see _pin).
+    edges = _pin(edges.select("a", "b"))
     deg = (
         edges.select(F.col("a").alias("node"))
         .unionAll(edges.select(F.col("b").alias("node")))
@@ -255,10 +300,12 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     lower_first = (F.col("da") < F.col("db")) | (
         (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
     )
-    oriented = e.select(
-        F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("src"),
-        F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
-        F.when(lower_first, F.col("db")).otherwise(F.col("da")).alias("ddeg"),
+    oriented = _pin(
+        e.select(
+            F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("src"),
+            F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
+            F.when(lower_first, F.col("db")).otherwise(F.col("da")).alias("ddeg"),
+        )
     )
     e1 = oriented.select(F.col("src").alias("u"), F.col("dst").alias("v"), F.col("ddeg").alias("dv"))
     e2 = oriented.select(F.col("src").alias("u"), F.col("dst").alias("w"), F.col("ddeg").alias("dw"))
@@ -419,11 +466,16 @@ def label_propagation(edges: DataFrame, iters: int = LPA_ITERS) -> DataFrame:
             "label_propagation needs integer node ids (labels negate "
             f"inside the argmax struct); got {edges.schema['a'].dataType.simpleString()}"
         )
-    sym = edges.select(F.col("a").alias("node"), F.col("b").alias("nbr")).unionByName(
-        edges.select(F.col("b").alias("node"), F.col("a").alias("nbr"))
+    # Loop-invariant symmetrized edge list: pin it so every round's
+    # vote join starts from a flat scan instead of re-deriving the
+    # caller's edge build (see _pin).
+    sym = _pin(
+        edges.select(F.col("a").alias("node"), F.col("b").alias("nbr")).unionByName(
+            edges.select(F.col("b").alias("node"), F.col("a").alias("nbr"))
+        )
     )
     labels = sym.select("node").distinct().select("node", F.col("node").alias("label"))
-    for _ in range(iters):
+    for it in range(iters):
         # labels derives from sym, so qualify the self-join by renaming
         # the label side's key instead of relying on column lineage
         votes = (
@@ -437,6 +489,8 @@ def label_propagation(edges: DataFrame, iters: int = LPA_ITERS) -> DataFrame:
             .agg(F.max(F.struct(F.col("cnt"), (-F.col("label")).alias("neg"))).alias("best"))
             .select("node", (-F.col("best.neg")).alias("label"))
         )
+        if it < iters - 1:  # keep the per-round plan flat; last stays lazy
+            labels = _pin(labels)
     return labels.select("node", F.col("label").alias("community"))
 
 
@@ -560,8 +614,12 @@ def hits(edges: DataFrame, iters: int = HITS_ITERS) -> DataFrame:
     both reuse the layout), two hash aggs with map-side combine, two
     1-row broadcast norm aggregates. Fixed driver loop, no collect.
     """
-    edges = edges.select("src", "dst")
-    nodes = (
+    # Pin the loop-invariant inputs: every round probes edges twice
+    # and nodes twice, and for the purchase graph the caller's edge
+    # build is a fact-fact join + distinct that must not re-execute
+    # per probe per round (see _pin).
+    edges = _pin(edges.select("src", "dst"))
+    nodes = _pin(
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))
         .distinct()
@@ -570,9 +628,10 @@ def hits(edges: DataFrame, iters: int = HITS_ITERS) -> DataFrame:
     scores = nodes.select(
         "node", F.lit(1.0).alias("hub"), F.lit(1.0).alias("auth")
     )
-    for _ in range(iters):
-        # auth'(v) = sum over in-edges (u -> v) of hub(u)
-        a_in = (
+    for it in range(iters):
+        # auth'(v) = sum over in-edges (u -> v) of hub(u).  Pinned:
+        # consumed by both the norm aggregate and the auth join.
+        a_in = _pin(
             scores.join(edges, scores["node"] == edges["src"])
             .select(
                 F.col("dst").alias("node"),
@@ -594,8 +653,11 @@ def hits(edges: DataFrame, iters: int = HITS_ITERS) -> DataFrame:
                 ).alias("auth"),
             )
         )
+        # auth is consumed twice (the hub update and the round's final
+        # score join) — pin so the second consumer is a flat scan.
+        auth = _pin(auth)
         # hub'(u) = sum over out-edges (u -> v) of auth'(v)
-        h_in = (
+        h_in = _pin(
             auth.join(edges, auth["node"] == edges["dst"])
             .select(
                 F.col("src").alias("node"),
@@ -618,6 +680,8 @@ def hits(edges: DataFrame, iters: int = HITS_ITERS) -> DataFrame:
             )
         )
         scores = hub.join(auth, "node")
+        if it < iters - 1:  # next round's flat state; last stays lazy
+            scores = _pin(scores)
     return scores.select("node", "hub", "auth")
 
 
@@ -692,7 +756,12 @@ def kcore(edges: DataFrame, k: int, rounds: int) -> DataFrame:
     node-sized (tiny next to edges); at cluster scale pre-partition
     edges on ``a`` once and the semi joins broadcast the shrinking
     survivor set."""
-    e = edges.select("a", "b")
+    # Each peel reads the previous round's edge set three times (the
+    # degree union twice, then as the semi-join probe); pinning every
+    # round's survivors keeps the plan flat — uncached, round r
+    # re-derives the caller's edge build 3^r times (measured 207 s at
+    # sf0.1 on the co-purchase kNN graph; ~8 s pinned — see _pin).
+    e = _pin(edges.select("a", "b"))
     for _ in range(rounds):
         deg = (
             e.select(F.col("a").alias("node"))
@@ -701,9 +770,10 @@ def kcore(edges: DataFrame, k: int, rounds: int) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("deg"))
         )
         keep = deg.filter(F.col("deg") >= k).select("node")
-        e = e.join(
-            keep.select(F.col("node").alias("a")), "a", "left_semi"
-        ).join(keep.select(F.col("node").alias("b")), "b", "left_semi")
+        e = _pin(
+            e.join(keep.select(F.col("node").alias("a")), "a", "left_semi")
+            .join(keep.select(F.col("node").alias("b")), "b", "left_semi")
+        )
     return (
         e.select(F.col("a").alias("node"))
         .unionAll(e.select(F.col("b").alias("node")))
@@ -762,7 +832,10 @@ def link_predictions(edges: DataFrame, topk: int, min_common: int = 1) -> DataFr
     feed raw power-law graphs through a degree cap first, same lever
     as operators/cooccur.py), hash-agg pairs, anti-join the existing
     edges, top-k via TakeOrderedAndProject. No windows, no collect."""
-    e = edges.select("a", "b")
+    # sym feeds the wedge self-join (both sides) and the degree agg,
+    # and e the anti-join — five probes of the caller's edge build
+    # without the pin (see _pin).
+    e = _pin(edges.select("a", "b"))
     sym = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
     deg = sym.groupBy(F.col("a").alias("node")).agg(F.count(F.lit(1)).alias("deg"))
     l = sym.select(F.col("a").alias("mid"), F.col("b").alias("u"))

@@ -420,18 +420,19 @@ def q_revenue_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = stats.withColumn(
         "rn", F.row_number().over(Window.orderBy("stat", "b"))
     )
-    lo = ranked.filter(F.col("rn") == 2).select(F.col("stat").alias("ci_lo"))
-    hi = ranked.filter(F.col("rn") == BOOT_B - 1).select(F.col("stat").alias("ci_hi"))
+    # Both order statistics from ONE aggregate over the 32-row ranked
+    # table — separate lo/hi filter branches would re-execute the whole
+    # stats subtree (an orders scan each) once per branch.
+    ci = ranked.agg(
+        F.max(F.when(F.col("rn") == 2, F.col("stat"))).alias("ci_lo"),
+        F.max(F.when(F.col("rn") == BOOT_B - 1, F.col("stat"))).alias("ci_hi"),
+    )
     point = orders.agg(stable_sum("o_totalprice").alias("estimate"))
-    return (
-        point.crossJoin(F.broadcast(lo))
-        .crossJoin(F.broadcast(hi))
-        .select(
-            "estimate",
-            "ci_lo",
-            "ci_hi",
-            F.lit(BOOT_B).cast("long").alias("n_resamples"),
-        )
+    return point.crossJoin(F.broadcast(ci)).select(
+        "estimate",
+        "ci_lo",
+        "ci_hi",
+        F.lit(BOOT_B).cast("long").alias("n_resamples"),
     )
 
 
@@ -491,13 +492,13 @@ def q_ab_bootstrap_diff_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     ranked = stats.withColumn("rn", F.row_number().over(Window.orderBy("diff", "b")))
-    lo = ranked.filter(F.col("rn") == 2).select(F.col("diff").alias("ci_lo"))
-    hi = ranked.filter(F.col("rn") == AB_BOOT_B - 1).select(F.col("diff").alias("ci_hi"))
-    pos = stats.agg(
-        F.sum(F.when(F.col("diff") > 0.0, 1).otherwise(0)).cast("long").alias("n_positive")
-    )
-    return (
-        lo.crossJoin(F.broadcast(hi))
-        .crossJoin(F.broadcast(pos))
-        .select("ci_lo", "ci_hi", "n_positive", F.lit(AB_BOOT_B).cast("long").alias("n_resamples"))
+    # One aggregate over the 32-row ranked table yields both order
+    # statistics AND the sign-stability count — separate filter
+    # branches would re-execute the stats subtree (a fact scan each).
+    return ranked.agg(
+        F.max(F.when(F.col("rn") == 2, F.col("diff"))).alias("ci_lo"),
+        F.max(F.when(F.col("rn") == AB_BOOT_B - 1, F.col("diff"))).alias("ci_hi"),
+        F.sum(F.when(F.col("diff") > 0.0, 1).otherwise(0)).cast("long").alias("n_positive"),
+    ).select(
+        "ci_lo", "ci_hi", "n_positive", F.lit(AB_BOOT_B).cast("long").alias("n_resamples")
     )
