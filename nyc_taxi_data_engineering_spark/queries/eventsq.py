@@ -508,3 +508,87 @@ def q_attribution_multitouch_events(spark: SparkSession, sf_dir: str) -> DataFra
         F.sum("last_touch_credit").cast("double").alias("last_touch_value"),
         F.count(F.lit(1)).alias("n_purchases_touched"),
     )
+
+
+@query(
+    "funnel_time_to_convert",
+    oracle="""
+WITH su AS (
+  SELECT user_id, MIN(ts) AS signup_ts
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+),
+conv AS (
+  SELECT su.user_id,
+         (MIN(epoch_us(e.ts)) - MIN(epoch_us(su.signup_ts))) / 3600000000.0 AS hours
+  FROM su JOIN events e
+    ON e.user_id = su.user_id AND e.event_type = 'purchase' AND e.ts >= su.signup_ts
+  GROUP BY su.user_id
+),
+ranked AS (
+  SELECT hours,
+         ROW_NUMBER() OVER (ORDER BY hours, user_id) AS rn,
+         COUNT(*) OVER () AS n
+  FROM conv
+)
+SELECT CAST(MAX(n) AS BIGINT) AS n_converted,
+       MAX(CASE WHEN rn = 1 THEN hours END) AS min_hours,
+       MAX(CASE WHEN rn = (n + 1) // 2 THEN hours END) AS median_hours,
+       MAX(CASE WHEN rn = (9 * n + 9) // 10 THEN hours END) AS p90_hours,
+       MAX(CASE WHEN rn = n THEN hours END) AS max_hours
+FROM ranked
+""",
+)
+def q_funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution for the signup→purchase funnel:
+    hours from a user's first signup to their first purchase at or
+    after it, summarized as explicit order statistics (min / median /
+    p90 / max picked by row_number — no engine-specific quantile
+    interpolation, so the oracle replays exactly). The latency
+    companion to events_funnel_signup_purchase's conversion RATE: two
+    user-keyed aggregates and one user equi-join do all the heavy
+    lifting map-side; the final window ranks only the converted-user
+    summary (one row per converted user). The hour delta divides exact
+    integer microseconds by a constant — the same IEEE double in both
+    engines. Quantile indexes are pure integer arithmetic
+    ((n+1)//2, ceil(9n/10) = (9n+9)//10)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    su = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user_id"), F.col("ts").alias("p_ts")
+    )
+    conv = (
+        su.join(
+            purchases,
+            (F.col("user_id") == F.col("p_user_id")) & (F.col("p_ts") >= F.col("signup_ts")),
+        )
+        .groupBy("user_id")
+        .agg(
+            (
+                (F.min(F.unix_micros("p_ts")) - F.min(F.unix_micros("signup_ts")))
+                / F.lit(3600000000.0)
+            ).alias("hours")
+        )
+    )
+    ranked = conv.select(
+        "hours",
+        F.row_number().over(Window.orderBy("hours", "user_id")).alias("rn"),
+        F.count(F.lit(1)).over(
+            Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ).alias("n"),
+    )
+    pick = lambda cond: F.max(F.when(cond, F.col("hours")))
+    med_rn = F.floor((F.col("n") + 1) / 2)
+    p90_rn = F.floor((9 * F.col("n") + 9) / 10)
+    return ranked.agg(
+        F.max("n").cast("long").alias("n_converted"),
+        pick(F.col("rn") == 1).alias("min_hours"),
+        pick(F.col("rn") == med_rn).alias("median_hours"),
+        pick(F.col("rn") == p90_rn).alias("p90_hours"),
+        pick(F.col("rn") == F.col("n")).alias("max_hours"),
+    )

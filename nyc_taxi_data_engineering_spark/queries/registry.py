@@ -35,7 +35,14 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # remainder. Queries pushed past the window keep full local coverage via
 # tests/test_oracle_parity.py, which checks ALL of them.
 ROTATION: list[str] = [
-    # Round-8 additions (never sampled) lead the window:
+    # Round-8 late additions (never sampled) lead the window:
+    "events_cusum_changepoint",
+    "daily_revenue_forecast_eval",
+    "events_dau_wau_stickiness",
+    "funnel_time_to_convert",
+    "delta_constraint_gate_orders",
+    "delta_clone_diverge_nation",
+    # Round-8 additions (never sampled):
     "tpch_pricing_summary",
     "tpch_shipping_priority",
     "tpch_priority_late_ship",

@@ -234,3 +234,197 @@ def q_events_ewma_spikes(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("c").cast("double") > F.lit(EWMA_SPIKE_FACTOR) * ewma).alias("is_spike"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM change-point detection over the hourly event-rate series
+# ---------------------------------------------------------------------------
+#
+# One-sided CUSUM statistics against the series' own mean, computed by
+# the prefix-sum identity  S+_t = P_t - min_{0<=j<=t} P_j  (and the
+# mirrored S-_t with max), where P_t = sum_{i<=t} (c_i - mean). To keep
+# the oracle exact, everything is SCALED BY n (the hour count):
+# n*P_t = n*prefix_t - t*total is INTEGER arithmetic, the running
+# min/max stay integers, and the single terminal division of two exact
+# integers is the same IEEE double in both engines — no rounding
+# contract needed anywhere.
+
+@query(
+    "events_cusum_changepoint",
+    oracle="""
+WITH hours AS (
+    SELECT make_timestamp((epoch_us(ts) // 3600000000) * 3600000000) AS hour,
+           COUNT(*) AS c
+    FROM events GROUP BY 1
+),
+tot AS (SELECT COUNT(*) AS n, SUM(c) AS total FROM hours),
+p AS (
+    SELECT hour, c,
+           (SELECT n FROM tot) * SUM(c) OVER w
+             - ROW_NUMBER() OVER w * (SELECT total FROM tot) AS scaled
+    FROM hours
+    WINDOW w AS (ORDER BY hour ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+s AS (
+    SELECT hour, c, scaled,
+           LEAST(0, MIN(scaled) OVER w) AS lo,
+           GREATEST(0, MAX(scaled) OVER w) AS hi
+    FROM p
+    WINDOW w AS (ORDER BY hour ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT hour, c AS n_events,
+       CAST(scaled - lo AS DOUBLE) / (SELECT CAST(n AS DOUBLE) FROM tot) AS cusum_up,
+       CAST(hi - scaled AS DOUBLE) / (SELECT CAST(n AS DOUBLE) FROM tot) AS cusum_down
+FROM s
+""",
+)
+def q_events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-hour CUSUM change-point statistics for the event rate:
+    cusum_up peaks where a sustained upward level shift ends, cusum_down
+    where a downward one does — the classic sequential-detection
+    companion to the EWMA spike flags (events_ewma_spikes), sensitive to
+    small persistent shifts a point-wise threshold misses. Scale shape:
+    raw events collapse to the hourly series FIRST (one map-side-combined
+    hash agg over the fact — the only big-data pass), then three windows
+    run over the tiny series; the 1-row (n, total) aggregate enters as a
+    broadcast. The n-scaled integer formulation keeps the whole
+    recursion exact (see module comment)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    hours = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(F.col("w.start").alias("hour"), "c")
+    )
+    tot = hours.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("c").alias("total")
+    )
+    w = Window.orderBy("hour").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rn = F.row_number().over(Window.orderBy("hour"))
+    p = (
+        hours.crossJoin(F.broadcast(tot))
+        .select(
+            "hour",
+            "c",
+            "n",
+            (F.col("n") * F.sum("c").over(w) - rn * F.col("total")).alias("scaled"),
+        )
+    )
+    s = p.select(
+        "hour",
+        "c",
+        "n",
+        "scaled",
+        F.least(F.lit(0).cast("long"), F.min("scaled").over(w)).alias("lo"),
+        F.greatest(F.lit(0).cast("long"), F.max("scaled").over(w)).alias("hi"),
+    )
+    return s.select(
+        "hour",
+        F.col("c").alias("n_events"),
+        ((F.col("scaled") - F.col("lo")).cast("double") / F.col("n").cast("double")).alias(
+            "cusum_up"
+        ),
+        ((F.col("hi") - F.col("scaled")).cast("double") / F.col("n").cast("double")).alias(
+            "cusum_down"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Seasonal-naive forecast + error metrics over daily revenue
+# ---------------------------------------------------------------------------
+
+@query(
+    "daily_revenue_forecast_eval",
+    oracle=f"""
+WITH daily AS (
+    SELECT CAST(o_orderdate AS DATE) AS d,
+           {stable_sum_sql('o_totalprice', 2, 23)} AS rev
+    FROM orders GROUP BY 1
+),
+joined AS (
+    SELECT a.d, a.rev, f.rev AS fc
+    FROM daily a JOIN daily f ON f.d = a.d - INTERVAL 7 DAY
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+       {stable_sum_sql('ABS(rev - fc)', 2, 23)} / COUNT(*) AS mae,
+       {stable_sum_sql('rev - fc', 2, 23)} / COUNT(*) AS bias,
+       {stable_sum_sql('ROUND(ABS(rev - fc) / rev, 9)', 9, 18)} / COUNT(*) AS mape
+FROM joined
+""",
+)
+def q_daily_revenue_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive backtest on the daily revenue series: forecast
+    each day with the value seven days earlier (the strongest cheap
+    baseline for weekly-seasonal series and the yardstick any real
+    model must beat), scored with MAE / bias / MAPE over every day
+    that has a lag-7 partner. One fact scan collapses to the daily
+    series; the lag is a keyed self-join on the tiny series (an exact
+    calendar shift — window lag would silently mis-lag across date
+    gaps). Revenue is decimal-exact; MAPE's per-day ratio is an IEEE
+    division of two exact doubles rounded to a 9-dp grid before the
+    decimal sum, so every metric replays bit-identically."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        stable_sum("o_totalprice", 2, 23).alias("rev")
+    )
+    fc = daily.select(F.col("d").alias("fd"), F.col("rev").alias("fc"))
+    joined = daily.join(fc, F.col("fd") == F.date_sub(F.col("d"), 7)).select("d", "rev", "fc")
+    diff = F.col("rev") - F.col("fc")
+    n = F.count(F.lit(1))
+    return joined.agg(
+        n.cast("long").alias("n_days"),
+        (stable_sum(F.abs(diff), 2, 23) / n).alias("mae"),
+        (stable_sum(diff, 2, 23) / n).alias("bias"),
+        (stable_sum(F.round(F.abs(diff) / F.col("rev"), 9), 9, 18) / n).alias("mape"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# DAU / trailing-7-day WAU / stickiness
+# ---------------------------------------------------------------------------
+
+@query(
+    "events_dau_wau_stickiness",
+    oracle="""
+WITH ud AS (
+    SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+),
+dau AS (SELECT day, COUNT(DISTINCT user_id) AS dau FROM ud GROUP BY 1),
+spread AS (
+    SELECT user_id, CAST(unnest(generate_series(day, day + INTERVAL 6 DAY, INTERVAL 1 DAY)) AS DATE) AS wday
+    FROM ud
+),
+wau AS (SELECT wday, COUNT(DISTINCT user_id) AS wau FROM spread GROUP BY 1)
+SELECT strftime(dau.day, '%Y-%m-%d') AS day, dau.dau, wau.wau,
+       CAST(dau.dau AS DOUBLE) / CAST(wau.wau AS DOUBLE) AS stickiness
+FROM dau JOIN wau ON wau.wday = dau.day
+""",
+)
+def q_events_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active users, trailing-7-day weekly active users, and the
+    DAU/WAU stickiness ratio per day — the engagement-health readout
+    every product pipeline ships. The trailing-window COUNT DISTINCT
+    (which no range-window can express) becomes a scatter: each (user,
+    day) contributes membership to the 7 window-end days it covers via
+    an exploded date sequence, then one distinct hash agg per window
+    end. Linear in events x7, no self-join of the fact against itself,
+    no window over users; the integer ratio divides exactly."""
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select("user_id", F.col("ts").cast("date").alias("day")).distinct()
+    dau = ud.groupBy("day").agg(F.count_distinct("user_id").alias("dau"))
+    spread = ud.select(
+        "user_id",
+        F.explode(F.sequence(F.col("day"), F.date_add(F.col("day"), 6))).alias("wday"),
+    )
+    wau = spread.groupBy("wday").agg(F.count_distinct("user_id").alias("wau"))
+    return (
+        dau.join(wau, dau["day"] == wau["wday"])
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "dau",
+            "wau",
+            (F.col("dau").cast("double") / F.col("wau").cast("double")).alias("stickiness"),
+        )
+    )

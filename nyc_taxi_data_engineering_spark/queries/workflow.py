@@ -953,3 +953,106 @@ def q_delta_cdf_feed_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total_price"),
     )
+
+
+@query(
+    "delta_constraint_gate_orders",
+    oracle="""
+SELECT o_orderstatus, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders
+WHERE o_totalprice >= 20000.0
+GROUP BY o_orderstatus
+""",
+)
+def q_delta_constraint_gate_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHECK-constraint enforcement end-to-end (the Delta protocol's
+    ``delta.constraints.*`` table configuration + writer-protocol-3
+    gate, sources/delta_log.py add_constraint / write_delta): seed the
+    table with the compliant non-'P' rows, ALTER TABLE ADD CONSTRAINT
+    min_price CHECK (o_totalprice >= 20000.0) — which itself scans and
+    certifies the existing rows — then (a) attempt to append the
+    VIOLATING cheap orders, which the writer must reject pre-commit,
+    and (b) append the compliant 'P' remainder, which must land. The
+    oracle recomputes the constraint-satisfying slice of the raw
+    table, so BOTH failure modes hash-mismatch: a writer that doesn't
+    enforce lets step (a)'s rows land (extra rows), and one that
+    over-rejects loses step (b)'s (missing rows). The quarantine
+    count rides in the commit history, asserted in test_delta_log.
+
+    100 TB shape: enforcement is one codegen'd filter + count over
+    the incoming batch only — never a rescan of the table; the
+    constraint travels in metaData so every writer sees it at the
+    same version boundary."""
+    from pyspark.sql import functions as F
+
+    from nyc_taxi_data_engineering_spark.catalog import load_table
+    from nyc_taxi_data_engineering_spark.sources import delta_log as D
+
+    tbl = _tmp_table("delta_constraint_orders")
+    shutil.rmtree(tbl, ignore_errors=True)
+    orders = load_table(spark, sf_dir, "orders")
+    compliant = F.col("o_totalprice") >= 20000.0
+    is_p = F.col("o_orderstatus") == "P"
+    D.write_delta(orders.filter(compliant & ~is_p), tbl, mode="overwrite")
+    D.add_constraint(spark, tbl, "min_price", "o_totalprice >= 20000.0")
+    try:
+        D.write_delta(orders.filter(~compliant), tbl, mode="append")
+        raise AssertionError(
+            "CHECK constraint min_price failed to reject a violating append"
+        )
+    except D.DeltaLogError:
+        pass  # expected: the violating batch must not commit
+    D.write_delta(orders.filter(compliant & is_p), tbl, mode="append")
+    snap = D.read_delta_log(spark, tbl)
+    return snap.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total_price"),
+    )
+
+
+@query(
+    "delta_clone_diverge_nation",
+    oracle="""
+SELECT n_nationkey, n_name, n_regionkey,
+       CAST(1.5 AS DOUBLE) AS clone_tax_rate
+FROM nation
+WHERE n_regionkey = 1
+""",
+)
+def q_delta_clone_diverge_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-copy CLONE then divergent evolution (sources/delta_log.py
+    clone_delta): clone the nation Delta table — a metadata-only commit
+    whose add actions point at the SOURCE's data files, no bytes copied
+    — then OVERWRITE the clone with the region-1 slice plus a new
+    column while the source keeps serving every row. The query reads
+    the diverged clone; test_delta_log pins that the source is
+    untouched and the clone's history starts from the clone commit.
+    The dev/test-sandbox pattern: at 100 TB a clone costs one log
+    entry regardless of table size, and divergence pays only for the
+    delta."""
+    from pyspark.sql import functions as F
+
+    from nyc_taxi_data_engineering_spark.catalog import load_table
+    from nyc_taxi_data_engineering_spark.sources import delta_log as D
+
+    src = _tmp_table("delta_clone_src_nation")
+    dst = _tmp_table("delta_clone_dst_nation")
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(dst, ignore_errors=True)
+    nation = load_table(spark, sf_dir, "nation")
+    D.write_delta(nation, src, mode="overwrite")
+    D.clone_delta(src, dst)
+    diverged = (
+        D.read_delta_log(spark, dst)
+        .filter(F.col("n_regionkey") == 1)
+        .select(
+            "n_nationkey",
+            "n_name",
+            "n_regionkey",
+            F.lit(1.5).cast("double").alias("clone_tax_rate"),
+        )
+    )
+    D.write_delta(diverged, dst, mode="overwrite", merge_schema=True)
+    assert D.read_delta_log(spark, src).count() == nation.count()  # source intact
+    return D.read_delta_log(spark, dst)

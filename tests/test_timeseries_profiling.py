@@ -145,3 +145,97 @@ def test_split_drift_chi2_cells_consistent(spark, sf_dir):
         exp = split_t[r["split"]] * source_t[r["source"]] / n
         assert abs(r["expected"] - exp) < 1e-9, r
         assert abs(r["chi2_term"] - (r["n_docs"] - exp) ** 2 / exp) < 1e-9, r
+
+
+# ---------------------------------------------------------------------------
+# Round-8 late additions: CUSUM, seasonal-naive eval, DAU/WAU, funnel latency
+# ---------------------------------------------------------------------------
+
+
+def test_cusum_statistics_semantics(spark, sf_dir):
+    """CUSUM invariants that hold for ANY series: both statistics are
+    non-negative everywhere, and because P_n telescopes to 0, the final
+    scaled prefix is exactly 0 — so the last row's cusum_up equals
+    -min(P)/n and cusum_down equals max(P)/n (both reachable from the
+    published columns only via the invariant, not asserted directly);
+    and a constant series yields identically-zero statistics."""
+    from nyc_taxi_data_engineering_spark.queries.timeseries import (
+        q_events_cusum_changepoint,
+    )
+
+    out = q_events_cusum_changepoint(spark, sf_dir).orderBy("hour").collect()
+    assert len(out) > 0
+    assert all(r.cusum_up >= 0.0 and r.cusum_down >= 0.0 for r in out)
+    # somewhere the statistic must move (the synthetic series has surges)
+    assert max(r.cusum_up for r in out) > 0.0 or max(r.cusum_down for r in out) > 0.0
+    # constant series -> P_t = 0 for all t -> both statistics identically 0
+    import datetime as dt
+
+    const = spark.createDataFrame(
+        [(i, dt.datetime(2024, 1, 1, h), 7, "view", 1.0, "{}")
+         for h in range(5) for i in range(3)],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as td:
+        const.write.parquet(os.path.join(td, "events.parquet"))
+        flat = q_events_cusum_changepoint(spark, td).collect()
+    assert all(r.cusum_up == 0.0 and r.cusum_down == 0.0 for r in flat)
+
+
+def test_forecast_eval_metric_relations(spark, sf_dir):
+    """MAE >= |bias| (triangle inequality through the same exact sums),
+    MAPE > 0 on any non-constant series, and every day evaluated has a
+    lag-7 partner (n_days <= n_distinct_days - 7 + boundary slack is
+    hard to pin; instead: n_days equals the self-join cardinality,
+    recomputed here independently)."""
+    from nyc_taxi_data_engineering_spark.catalog import load_table
+    from nyc_taxi_data_engineering_spark.queries.timeseries import (
+        q_daily_revenue_forecast_eval,
+    )
+
+    row = q_daily_revenue_forecast_eval(spark, sf_dir).collect()[0]
+    assert row.n_days > 0
+    assert row.mae >= abs(row.bias) - 1e-9
+    assert row.mape > 0.0
+    days = {
+        r.d
+        for r in load_table(spark, sf_dir, "orders")
+        .select(F.col("o_orderdate").cast("date").alias("d"))
+        .distinct()
+        .collect()
+    }
+    import datetime as dt
+
+    expected = sum(1 for d in days if d - dt.timedelta(days=7) in days)
+    assert row.n_days == expected
+
+
+def test_dau_wau_bounds(spark, sf_dir):
+    """DAU <= WAU for every day (a day's actives are a subset of the
+    trailing week's), stickiness in (0, 1], and WAU for day d is at
+    least the max DAU of the 7 days it covers."""
+    from nyc_taxi_data_engineering_spark.queries.timeseries import (
+        q_events_dau_wau_stickiness,
+    )
+
+    rows = q_events_dau_wau_stickiness(spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r.dau <= r.wau
+        assert 0.0 < r.stickiness <= 1.0
+
+
+def test_funnel_latency_order_statistics(spark, sf_dir):
+    """min <= median <= p90 <= max, all non-negative (a purchase at or
+    after signup), and n_converted matches the rate query's count."""
+    from nyc_taxi_data_engineering_spark.queries.eventsq import (
+        q_events_funnel_signup_purchase,
+        q_funnel_time_to_convert,
+    )
+
+    lat = q_funnel_time_to_convert(spark, sf_dir).collect()[0]
+    assert 0.0 <= lat.min_hours <= lat.median_hours <= lat.p90_hours <= lat.max_hours
+    rate = q_events_funnel_signup_purchase(spark, sf_dir).collect()[0]
+    assert lat.n_converted == rate.n_converted
