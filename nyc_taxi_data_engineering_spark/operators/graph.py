@@ -35,38 +35,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import IntegralType
 
+from nyc_taxi_data_engineering_spark.operators import pin as _pin
+
 PAGERANK_DAMPING = 0.85
 PAGERANK_ITERS = 3
 _SCALE = 12  # dp kept per contribution / rank
-
-
-def _pin(df: DataFrame) -> DataFrame:
-    """Eagerly materialize ``df`` and TRUNCATE its lineage
-    (``localCheckpoint(eager=True)``).
-
-    The fixed-point operators in this module re-reference two kinds of
-    DataFrames many times: loop-invariant inputs (the edge list — often
-    an expensive fact-fact join built by the caller) and the per-round
-    state (ranks / labels / scores / surviving edges), which next
-    round's plan references 2-3 times. Lazy ``.cache()`` is NOT enough
-    here: the logical plan still grows by a full round every iteration
-    (branching 2-3x per round where state has multiple consumers), and
-    both Catalyst analysis and the cache manager's plan-matching walk
-    that exponentially-growing tree — measured on the sf0.1 co-purchase
-    graph, per-round caching made HITS *slower* (>10x) while the
-    uncached k-core peel spent 207 s re-deriving its kNN edge build
-    3^rounds times. An eager local checkpoint does what an iterative
-    engine actually needs: compute the state ONCE, keep the partitions,
-    and hand every consumer a flat scan (k-core peel: 207 s -> ~8 s at
-    sf0.1; HITS: 43 s -> ~9 s).
-
-    Cluster note: ``localCheckpoint`` stores partitions on executors —
-    the right single-job trade. On a long-lived 1000-executor pipeline
-    where executor loss mid-query must be survivable, swap for
-    ``spark.sparkContext.setCheckpointDir(...)`` + ``df.checkpoint()``
-    (same semantics, HDFS-backed); values are unchanged either way, so
-    the 12-dp determinism contract is untouched."""
-    return df.localCheckpoint(eager=True)
 
 
 def pagerank(

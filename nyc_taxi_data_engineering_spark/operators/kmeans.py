@@ -93,10 +93,14 @@ def lloyd_kmeans(
     under the FINAL centroids and centroids-long is (c_id, pos, val).
     ``corpus`` must be (vec_id, v: array<double>); caching it is the
     caller's choice (it feeds 2·iters consumers)."""
+    from nyc_taxi_data_engineering_spark.operators import pin
+
     cent = seed_centroids(corpus, k)
     for _ in range(iters):
         assign = assign_clusters(corpus, cent)
-        cent = update_centroids(corpus, assign)
+        # cent is k rows but its lineage is the whole previous round;
+        # pinning it keeps every round's plan one-round deep (see pin).
+        cent = pin(update_centroids(corpus, assign))
     # One closing assignment so the returned labels really are under the
     # FINAL centroids (inside the loop, update runs after assign, so the
     # last loop assignment is one round stale).

@@ -32,6 +32,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from nyc_taxi_data_engineering_spark.operators import pin
+
 PROBE_ITERS = 3
 PROBE_LR = 0.1
 _S = 12
@@ -62,8 +64,14 @@ def train_linear_probe(
             .crossJoin(F.broadcast(b))
             .select("vec_id", (F.col("xw") + F.col("b")).alias("pred"))
         )
-        r = pred.join(y, "vec_id").select(
-            "vec_id", F.round(F.col("pred") - F.col("y"), _S).alias("r")
+        # residuals feed BOTH the gradient join and the bias sum; pin
+        # (operators.pin) so the second consumer is a flat scan instead
+        # of a second full x-pass, and so per-round lineage stays one
+        # round deep.
+        r = pin(
+            pred.join(y, "vec_id").select(
+                "vec_id", F.round(F.col("pred") - F.col("y"), _S).alias("r")
+            )
         )
         g = (
             x.join(r, "vec_id")
