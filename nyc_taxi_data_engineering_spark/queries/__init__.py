@@ -36,6 +36,7 @@ _MODULES = [
     "mlprep",
     "textml",
     "statsq",
+    "recsys",
 ]
 
 _loaded = False

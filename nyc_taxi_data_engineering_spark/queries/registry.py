@@ -36,6 +36,7 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # tests/test_oracle_parity.py, which checks ALL of them.
 ROTATION: list[str] = [
     # Round-8 late additions (never sampled) lead the window:
+    "als_supplier_recommendations",
     "events_cusum_changepoint",
     "daily_revenue_forecast_eval",
     "events_dau_wau_stickiness",
