@@ -682,3 +682,64 @@ def test_linkpred_keyed_equi_join_only(spark, sf_dir):
     plan = _plan(spark, sf_dir, "linkpred_copurchase_suppliers")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Round-8 late additions
+# ---------------------------------------------------------------------------
+
+
+def test_cusum_preaggregates_before_windows(spark, sf_dir):
+    """The CUSUM windows (running sum/min/max) may only run over the
+    HOURLY series — the fact scan must collapse through a partial hash
+    agg first, and the (n, total) scalar enters broadcast-side."""
+    plan = _plan(spark, sf_dir, "events_cusum_changepoint")
+    assert "partial_count" in plan or "partial_sum" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row (n,total) broadcast
+    assert "CartesianProduct" not in plan
+    # windows exist but never directly over the events scan: the scan
+    # feeds an aggregate first
+    lines = plan.splitlines()
+    scan_idx = next(i for i, l in enumerate(lines) if "FileScan" in l and "events" in l)
+    agg_above = any("HashAggregate" in l for l in lines[:scan_idx])
+    assert agg_above
+
+
+def test_dau_wau_no_cartesian_no_global_window(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "events_dau_wau_stickiness")
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan  # pure explode + hash aggs + join
+    assert "Generate explode" in plan or "Generate" in plan
+
+
+def test_forecast_eval_single_fact_scan_chain(spark, sf_dir):
+    """The backtest reads orders for the daily series; the lag-7 join
+    runs on the aggregated series (both sides HashAggregate), never a
+    fact-fact self-join."""
+    plan = _plan(spark, sf_dir, "daily_revenue_forecast_eval")
+    assert "CartesianProduct" not in plan
+    orders_scans = sum(
+        1 for l in plan.splitlines() if "FileScan" in l and "orders" in l
+    )
+    assert orders_scans <= 2  # actuals + forecast side of the tiny series
+
+
+def test_funnel_latency_window_only_on_converted(spark, sf_dir):
+    """The ranking window runs over the per-user summary (one row per
+    converted user), after two keyed aggregates — no window touches
+    the raw events scan side of the plan."""
+    plan = _plan(spark, sf_dir, "funnel_time_to_convert")
+    assert "CartesianProduct" not in plan
+    assert plan.count("FileScan") <= 2  # signup pass + purchase pass
+
+
+def test_als_serving_broadcasts_items_and_partitions_topk(spark, sf_dir):
+    """ALS serving must broadcast the item-factor side (never shuffle
+    the candidate cross join) and rank per-user (partitioned window,
+    no global sort)."""
+    plan = _plan(spark, sf_dir, "als_supplier_recommendations")
+    assert "BroadcastNestedLoopJoin" in plan  # user-cohort x item factors
+    assert "CartesianProduct" not in plan
+    for line in plan.splitlines():
+        if "Window" in line and "row_number" in line:
+            assert "user_id" in line  # partition key present
