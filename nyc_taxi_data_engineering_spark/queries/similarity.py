@@ -1124,3 +1124,99 @@ def q_embedding_top2_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     x = emb.select("vec_id", F.posexplode("v").alias("pos", "val"))
     return top2_components(x)
+
+
+@query(
+    "probe_calibration_brier",
+    oracle=f"""
+WITH model AS ({train_linear_probe_sql(_PCA_CORPUS_CTE, _PROBE_TARGET_CTE)}),
+xx AS (
+  SELECT vec_id, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS val
+  FROM (SELECT vec_id, embedding,
+               unnest(range(1, len(embedding) + 1)) AS i
+        FROM embeddings)
+),
+scores AS (
+  SELECT xx.vec_id,
+         round(CAST(SUM(CAST(round(xx.val * m.weight, 12) AS DECIMAL(38,12))) AS DOUBLE)
+               + (SELECT weight FROM model WHERE dim = 0), 12) AS score
+  FROM xx JOIN model m ON m.dim = xx.pos + 1
+  GROUP BY xx.vec_id
+),
+labeled AS (
+  SELECT s.score,
+         CASE WHEN e.label = 0 THEN 1.0 ELSE 0.0 END AS y,
+         LEAST(9, GREATEST(0, CAST(FLOOR(s.score * 10.0) AS INT))) AS bin
+  FROM scores s JOIN embeddings e ON e.vec_id = s.vec_id
+)
+SELECT bin,
+       COUNT(*) AS n,
+       CAST(SUM(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+       round(CAST(SUM(CAST(score AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*), 9)
+         AS mean_score,
+       CAST(SUM(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+         AS pos_rate,
+       round(CAST(SUM(CAST(round((score - y) * (score - y), 12) AS DECIMAL(38,12)))
+                  AS DOUBLE) / COUNT(*), 9) AS bin_brier
+FROM labeled
+GROUP BY bin
+""",
+)
+def q_probe_calibration_brier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram + Brier decomposition for the curation
+    classifier: bin the probe's scores into ten fixed [0,1) buckets
+    (outliers clamp into the edge bins) and report, per bin, the mean
+    predicted score vs the empirical positive rate — the calibration
+    readout that tells a pipeline whether 'score 0.8' MEANS 80% — plus
+    the per-bin Brier contribution mean((score-y)^2). Everything is
+    libm-free (no log-loss exp/log): bin indexes are floor-of-double
+    on bit-identical 12-dp scores, rates divide exact integers, and
+    score sums / squared-error sums ride the DECIMAL transport — so
+    the whole diagram replays bit-for-bit in the oracle. Scoring
+    100 TB is the same broadcast-model pass as
+    linear_probe_class_scores; the diagram aggregates to ten rows."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = emb.select(
+        "vec_id", F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "val")
+    )
+    y = emb.select(
+        "vec_id",
+        F.when(F.col("label") == 0, F.lit(1.0)).otherwise(F.lit(0.0)).alias("y"),
+    )
+    model = train_linear_probe(x, y)
+    bias_row = model.filter(F.col("dim") == 0).select(F.col("weight").alias("bias"))
+    wpos = model.filter(F.col("dim") > 0).select(
+        (F.col("dim") - 1).alias("pos"), F.col("weight").alias("w")
+    )
+    scores = (
+        x.join(F.broadcast(wpos), "pos")
+        .groupBy("vec_id")
+        .agg(
+            F.sum(F.round(F.col("val") * F.col("w"), 12).cast("decimal(38,12)"))
+            .cast("double")
+            .alias("xw")
+        )
+        .crossJoin(F.broadcast(bias_row))
+        .select("vec_id", F.round(F.col("xw") + F.col("bias"), 12).alias("score"))
+    )
+    labeled = scores.join(y, "vec_id").select(
+        "score",
+        "y",
+        F.least(
+            F.lit(9), F.greatest(F.lit(0), F.floor(F.col("score") * 10.0).cast("int"))
+        ).alias("bin"),
+    )
+    err2 = F.round((F.col("score") - F.col("y")) * (F.col("score") - F.col("y")), 12)
+    n = F.count(F.lit(1))
+    npos = F.sum(F.when(F.col("y") == 1.0, 1).otherwise(0))
+    return labeled.groupBy("bin").agg(
+        n.alias("n"),
+        npos.cast("long").alias("n_pos"),
+        F.round(
+            F.sum(F.col("score").cast("decimal(38,12)")).cast("double") / n, 9
+        ).alias("mean_score"),
+        (npos.cast("double") / n).alias("pos_rate"),
+        F.round(
+            F.sum(err2.cast("decimal(38,12)")).cast("double") / n, 9
+        ).alias("bin_brier"),
+    )
