@@ -37,6 +37,7 @@ _REGISTRY: dict[str, QuerySpec] = {}
 ROTATION: list[str] = [
     # Round-8 late additions (never sampled) lead the window:
     "als_supplier_recommendations",
+    "probe_calibration_brier",
     "events_cusum_changepoint",
     "daily_revenue_forecast_eval",
     "events_dau_wau_stickiness",

@@ -1143,10 +1143,15 @@ scores AS (
   FROM xx JOIN model m ON m.dim = xx.pos + 1
   GROUP BY xx.vec_id
 ),
+ext AS (SELECT MIN(score) AS lo, MAX(score) AS hi FROM scores),
 labeled AS (
   SELECT s.score,
          CASE WHEN e.label = 0 THEN 1.0 ELSE 0.0 END AS y,
-         LEAST(9, GREATEST(0, CAST(FLOOR(s.score * 10.0) AS INT))) AS bin
+         CASE WHEN (SELECT hi FROM ext) > (SELECT lo FROM ext)
+              THEN LEAST(9, GREATEST(0, CAST(FLOOR(
+                     (s.score - (SELECT lo FROM ext))
+                     / ((SELECT hi FROM ext) - (SELECT lo FROM ext)) * 10.0) AS INT)))
+              ELSE 0 END AS bin
   FROM scores s JOIN embeddings e ON e.vec_id = s.vec_id
 )
 SELECT bin,
@@ -1164,8 +1169,11 @@ GROUP BY bin
 )
 def q_probe_calibration_brier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reliability diagram + Brier decomposition for the curation
-    classifier: bin the probe's scores into ten fixed [0,1) buckets
-    (outliers clamp into the edge bins) and report, per bin, the mean
+    classifier: bin the probe's scores into ten
+    min-max-normalized DECILE buckets (a raw [0,1) grid would collapse —
+    an uncalibrated linear probe's scores cluster tightly, so the
+    standard readout bins by relative score; the 1-row min/max enters
+    as a broadcast) and report, per bin, the mean
     predicted score vs the empirical positive rate — the calibration
     readout that tells a pipeline whether 'score 0.8' MEANS 80% — plus
     the per-bin Brier contribution mean((score-y)^2). Everything is
@@ -1199,12 +1207,25 @@ def q_probe_calibration_brier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(bias_row))
         .select("vec_id", F.round(F.col("xw") + F.col("bias"), 12).alias("score"))
     )
-    labeled = scores.join(y, "vec_id").select(
-        "score",
-        "y",
+    ext = scores.agg(F.min("score").alias("lo"), F.max("score").alias("hi"))
+    norm_bin = F.when(
+        F.col("hi") > F.col("lo"),
         F.least(
-            F.lit(9), F.greatest(F.lit(0), F.floor(F.col("score") * 10.0).cast("int"))
-        ).alias("bin"),
+            F.lit(9),
+            F.greatest(
+                F.lit(0),
+                F.floor(
+                    (F.col("score") - F.col("lo"))
+                    / (F.col("hi") - F.col("lo"))
+                    * 10.0
+                ).cast("int"),
+            ),
+        ),
+    ).otherwise(F.lit(0))
+    labeled = (
+        scores.join(y, "vec_id")
+        .crossJoin(F.broadcast(ext))
+        .select("score", "y", norm_bin.alias("bin"))
     )
     err2 = F.round((F.col("score") - F.col("y")) * (F.col("score") - F.col("y")), 12)
     n = F.count(F.lit(1))

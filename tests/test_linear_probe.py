@@ -45,3 +45,26 @@ def test_bias_moves_toward_base_rate(spark):
     w = {r["dim"]: r["weight"] for r in train_linear_probe(x, y, iters=1, lr=0.1).collect()}
     assert abs(w[0] - 0.1 * 0.75) < 1e-9
     assert w[1] == 0.0
+
+
+def test_calibration_diagram_semantics(spark, sf_dir):
+    """The decile diagram must cover the whole corpus, keep rates and
+    Brier terms in [0,1], and actually separate: the top decile's
+    positive rate exceeds the bottom decile's (the probe trains toward
+    class 0 = positive)."""
+    from pyspark.sql import functions as F
+
+    from nyc_taxi_data_engineering_spark.catalog import load_table
+    from nyc_taxi_data_engineering_spark.queries.similarity import (
+        q_probe_calibration_brier,
+    )
+
+    rows = {r.bin: r for r in q_probe_calibration_brier(spark, sf_dir).collect()}
+    n_total = load_table(spark, sf_dir, "embeddings").count()
+    assert sum(r.n for r in rows.values()) == n_total
+    for r in rows.values():
+        assert 0.0 <= r.pos_rate <= 1.0
+        assert 0.0 <= r.bin_brier <= 1.0 + 1e-9
+        assert r.n_pos <= r.n
+    lo_bin, hi_bin = min(rows), max(rows)
+    assert rows[hi_bin].pos_rate > rows[lo_bin].pos_rate
