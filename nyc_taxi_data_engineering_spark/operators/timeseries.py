@@ -54,3 +54,37 @@ def forward_fill(
     for c in cols:
         out = out.withColumn(f"{c}{suffix}", F.last(c, ignorenulls=True).over(w))
     return out
+
+
+def linear_interpolate(
+    df: DataFrame, key: str, date_col: str, value_col: str, out_col: str
+) -> DataFrame:
+    """Per-key LINEAR interpolation across date gaps: each NULL between
+    two observed values takes the straight-line value at its day offset
+    (leading/trailing NULLs stay NULL — there is nothing to anchor
+    them). Two per-key windows (last-non-NULL behind, first-non-NULL
+    ahead, each carrying its anchor DATE in a struct) and one
+    arithmetic projection; the fraction divides two exact integer day
+    counts, so the interpolated doubles are bit-identical
+    cross-engine. Same shuffle shape as forward_fill: one hash
+    exchange on the key, windows sorted within partitions."""
+    wb = Window.partitionBy(key).orderBy(date_col).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wf = Window.partitionBy(key).orderBy(date_col).rowsBetween(
+        0, Window.unboundedFollowing
+    )
+    anchor = F.when(
+        F.col(value_col).isNotNull(), F.struct(F.col(date_col), F.col(value_col))
+    )
+    prev = F.last(anchor, ignorenulls=True).over(wb)
+    nxt = F.first(anchor, ignorenulls=True).over(wf)
+    num = F.datediff(F.col(date_col), prev[date_col]).cast("double")
+    den = F.datediff(nxt[date_col], prev[date_col]).cast("double")
+    interp = prev[value_col] + (nxt[value_col] - prev[value_col]) * (num / den)
+    return df.withColumn(
+        out_col,
+        F.when(F.col(value_col).isNotNull(), F.col(value_col)).otherwise(
+            F.when(prev.isNotNull() & nxt.isNotNull(), interp)
+        ),
+    )

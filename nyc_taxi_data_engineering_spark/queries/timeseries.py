@@ -14,8 +14,11 @@ from nyc_taxi_data_engineering_spark.queries.registry import query
 
 # One year keeps the dense spine ~365 x |suppliers| — representative
 # without exploding the oracle compare. The range predicate (not
-# year()) reaches the parquet scan as a pushed filter.
-_LO, _HI = "1994-01-01", "1995-01-01"
+# year()) reaches the parquet scan as a pushed filter. 1996, not 1994:
+# the synthetic shipdates span 1995-2001, and an out-of-range window
+# passes the gate TRIVIALLY on 0 rows (caught in round 8 when the
+# interpolation twin also came back empty).
+_LO, _HI = "1996-01-01", "1997-01-01"
 
 
 @query(
@@ -46,7 +49,7 @@ FROM spine s LEFT JOIN daily ON s.l_suppkey = daily.l_suppkey AND s.d = daily.d
 )
 def q_supplier_daily_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dense per-supplier daily revenue: every day in each supplier's
-    observed 1994 range appears, gaps flagged and forward-filled with
+    observed 1996 range appears, gaps flagged and forward-filled with
     the last traded value. Spine generation is per-key sequence +
     explode (distributed, no driver calendar); the fill is one
     per-supplier running window. Dense output is |suppliers| x ~365
@@ -427,4 +430,79 @@ def q_events_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             "wau",
             (F.col("dau").cast("double") / F.col("wau").cast("double")).alias("stickiness"),
         )
+    )
+
+
+@query(
+    "supplier_daily_interpolate",
+    oracle=f"""
+WITH daily AS (
+  SELECT l_suppkey, CAST(l_shipdate AS DATE) AS d,
+         {stable_sum_sql('l_extendedprice * (1 - l_discount)', 4, 23)} AS rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '{_LO}' AND l_shipdate < TIMESTAMP '{_HI}'
+  GROUP BY 1, 2
+),
+bounds AS (SELECT l_suppkey, MIN(d) AS lo, MAX(d) AS hi FROM daily GROUP BY 1),
+spine AS (
+  SELECT l_suppkey, CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS d
+  FROM bounds
+),
+dense AS (
+  SELECT s.l_suppkey, s.d, daily.rev
+  FROM spine s LEFT JOIN daily ON s.l_suppkey = daily.l_suppkey AND s.d = daily.d
+),
+anchored AS (
+  SELECT l_suppkey, d, rev,
+         last_value(CASE WHEN rev IS NOT NULL THEN d END IGNORE NULLS)
+           OVER wb AS pd,
+         last_value(rev IGNORE NULLS) OVER wb AS pv,
+         first_value(CASE WHEN rev IS NOT NULL THEN d END IGNORE NULLS)
+           OVER wf AS nd,
+         first_value(rev IGNORE NULLS) OVER wf AS nv
+  FROM dense
+  WINDOW wb AS (PARTITION BY l_suppkey ORDER BY d
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wf AS (PARTITION BY l_suppkey ORDER BY d
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT l_suppkey, strftime(d, '%Y-%m-%d') AS ship_date,
+       rev IS NULL AS is_gap,
+       rev,
+       CASE WHEN rev IS NOT NULL THEN rev
+            WHEN pd IS NOT NULL AND nd IS NOT NULL
+            THEN pv + (nv - pv) * (CAST(d - pd AS DOUBLE) / CAST(nd - pd AS DOUBLE))
+       END AS rev_li
+FROM anchored
+""",
+)
+def q_supplier_daily_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation across each supplier's daily-revenue gaps —
+    the smoother companion to supplier_daily_gapfill's step-function
+    forward fill (a 3-day gap between 100 and 400 reads 175/250/325,
+    not 100/100/100; the right pre-processing for trend models that
+    can't see gap flags). Same dense-spine construction; the fill is
+    two per-key anchored windows and a straight-line projection whose
+    fraction divides exact integer day counts — bit-identical doubles
+    in both engines with no rounding contract."""
+    from nyc_taxi_data_engineering_spark.operators.timeseries import linear_interpolate
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(_LO)) & (F.col("l_shipdate") < F.lit(_HI))
+    )
+    daily = li.groupBy(
+        "l_suppkey", F.col("l_shipdate").cast("date").alias("d")
+    ).agg(
+        stable_sum(
+            F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")), 4, 23
+        ).alias("rev")
+    )
+    dense = gap_fill(daily, "l_suppkey", "d", ["rev"])
+    out = linear_interpolate(dense, "l_suppkey", "d", "rev", "rev_li")
+    return out.select(
+        "l_suppkey",
+        F.date_format("d", "yyyy-MM-dd").alias("ship_date"),
+        "is_gap",
+        "rev",
+        "rev_li",
     )

@@ -239,3 +239,24 @@ def test_funnel_latency_order_statistics(spark, sf_dir):
     assert 0.0 <= lat.min_hours <= lat.median_hours <= lat.p90_hours <= lat.max_hours
     rate = q_events_funnel_signup_purchase(spark, sf_dir).collect()[0]
     assert lat.n_converted == rate.n_converted
+
+
+def test_linear_interpolate_straight_line(spark):
+    """A 2-day gap between 10 and 40 must read 20 and 30 (straight
+    line), observed rows keep their value, and a leading gap (nothing
+    behind it) stays NULL."""
+    from nyc_taxi_data_engineering_spark.operators.timeseries import (
+        gap_fill,
+        linear_interpolate,
+    )
+
+    dense = gap_fill(_series(spark), "k", "d", ["v"])
+    out = {
+        (r.k, str(r.d)): r.v_li
+        for r in linear_interpolate(dense, "k", "d", "v", "v_li").collect()
+    }
+    assert out[(1, "2024-01-01")] == 10.0
+    assert out[(1, "2024-01-02")] == 20.0
+    assert out[(1, "2024-01-03")] == 30.0
+    assert out[(1, "2024-01-04")] == 40.0
+    assert out[(2, "2024-02-01")] == 99.0
