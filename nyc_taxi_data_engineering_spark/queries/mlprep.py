@@ -306,3 +306,71 @@ def q_domain_tag_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("f1"),
         )
     )
+
+
+PIT_USER_MOD = 50  # pinned cohort: every 50th customer
+
+
+@query(
+    "pit_customer_features_orders",
+    oracle=f"""
+WITH feats AS (
+  SELECT o_orderkey, o_custkey, CAST(o_orderdate AS DATE) AS d, o_totalprice,
+         COUNT(*) OVER w AS n_prior_orders,
+         CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(23,2))) OVER w, 0)
+              AS DOUBLE) AS prior_spend,
+         CAST(o_orderdate AS DATE)
+           - LAG(CAST(o_orderdate AS DATE)) OVER
+               (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+           AS days_since_prev
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT o_orderkey, o_custkey, strftime(d, '%Y-%m-%d') AS order_date,
+       o_totalprice, CAST(n_prior_orders AS BIGINT) AS n_prior_orders,
+       prior_spend, CAST(days_since_prev AS BIGINT) AS days_since_prev
+FROM feats
+WHERE o_custkey % {PIT_USER_MOD} = 0
+""",
+)
+def q_pit_customer_features_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free POINT-IN-TIME training features — the feature-store
+    contract every supervised pipeline on transactional data needs:
+    for each order, the customer's history STRICTLY BEFORE that order
+    (prior order count, prior decimal-exact spend, days since the
+    previous order), never the row itself, never the future. One
+    customer-keyed window with an UNBOUNDED..1 PRECEDING frame and a
+    (date, orderkey) determinism sort does all three; the per-key
+    shuffle is the only exchange, so 100 TB costs one hash partition
+    by customer. The gate catches leakage structurally: including the
+    current row shifts every count/sum and hash-mismatches."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    wkey = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w = wkey.rowsBetween(Window.unboundedPreceding, -1)
+    d = F.col("o_orderdate").cast("date")
+    feats = o.select(
+        "o_orderkey",
+        "o_custkey",
+        d.alias("d"),
+        "o_totalprice",
+        F.count(F.lit(1)).over(w).alias("n_prior_orders"),
+        F.coalesce(
+            F.sum(F.col("o_totalprice").cast("decimal(23,2)")).over(w),
+            F.lit(0).cast("decimal(23,2)"),
+        )
+        .cast("double")
+        .alias("prior_spend"),
+        F.datediff(d, F.lag(d).over(wkey)).alias("days_since_prev"),
+    )
+    return feats.filter(F.col("o_custkey") % PIT_USER_MOD == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        F.date_format("d", "yyyy-MM-dd").alias("order_date"),
+        "o_totalprice",
+        F.col("n_prior_orders").cast("long").alias("n_prior_orders"),
+        "prior_spend",
+        F.col("days_since_prev").cast("long").alias("days_since_prev"),
+    )

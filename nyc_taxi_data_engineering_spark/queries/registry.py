@@ -30,14 +30,20 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # entries of ``queries()`` in dict order, so registration order decides which
 # queries earn a driver CORRECTNESS row each round. This list pins the front
 # of that window explicitly instead of leaving it to module-import order.
-# Round 8 ordering: the 41 new round-8 queries (never sampled) lead, then
-# the round-7-late names and the r4-vintage stalest driver-greens fill the
+# Round 8 ordering: the 50 new round-8 queries (never sampled) lead — the
+# late additions (ALS, calibration, CUSUM/forecast/DAU-WAU/funnel,
+# constraint/clone, interpolation + the re-earning gapfill) first, then the
+# main round-8 block (TPC-H battery, graph/ML-prep/text-ML/stats families,
+# Delta DV/column-mapping/CDF) — with round-7-late names filling any
 # remainder. Queries pushed past the window keep full local coverage via
 # tests/test_oracle_parity.py, which checks ALL of them.
 ROTATION: list[str] = [
     # Round-8 late additions (never sampled) lead the window:
     "als_supplier_recommendations",
     "probe_calibration_brier",
+    "supplier_daily_interpolate",
+    "pit_customer_features_orders",
+    "supplier_daily_gapfill",  # re-earn a non-trivial row after the 0-row fix
     "events_cusum_changepoint",
     "daily_revenue_forecast_eval",
     "events_dau_wau_stickiness",
