@@ -30,7 +30,7 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # entries of ``queries()`` in dict order, so registration order decides which
 # queries earn a driver CORRECTNESS row each round. This list pins the front
 # of that window explicitly instead of leaving it to module-import order.
-# Round 8 ordering: the 50 new round-8 queries (never sampled) lead — the
+# Round 8 ordering: the ~52 new round-8 queries (never sampled) lead — the
 # late additions (ALS, calibration, CUSUM/forecast/DAU-WAU/funnel,
 # constraint/clone, interpolation + the re-earning gapfill) first, then the
 # main round-8 block (TPC-H battery, graph/ML-prep/text-ML/stats families,
