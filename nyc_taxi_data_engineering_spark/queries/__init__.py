@@ -37,6 +37,7 @@ _MODULES = [
     "textml",
     "statsq",
     "recsys",
+    "paretoq",
 ]
 
 _loaded = False

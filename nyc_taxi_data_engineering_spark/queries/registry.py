@@ -92,6 +92,10 @@ ROTATION: list[str] = [
     "zipf_fit_tokens",
     "delta_cdf_feed_orders",
     "ab_bootstrap_diff_ci",
+    # Round-8 final additions (never sampled; next in line after the window):
+    "pareto_skyline_parts",
+    "revenue_acf_lags",
+    "revenue_seasonal_dow",
     # Round-7 late additions (sampled r7):
     "ppr_supplier_recommendations",
     "lpa_copurchase_communities",

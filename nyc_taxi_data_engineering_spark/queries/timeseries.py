@@ -4,7 +4,7 @@ applied to the flagship revenue rollup)."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from nyc_taxi_data_engineering_spark.catalog import load_table
@@ -505,4 +505,159 @@ def q_supplier_daily_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "is_gap",
         "rev",
         "rev_li",
+    )
+
+
+_ACF_MAX_LAG = 7
+
+_ACF_MOMENTS_SQL = """
+daily AS (
+  SELECT o_orderdate AS d,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DECIMAL(14,2)) AS x
+  FROM orders GROUP BY o_orderdate
+),
+idx AS (SELECT row_number() OVER (ORDER BY d) AS rn,
+               x, CAST(x AS DECIMAL(19,2)) AS xw FROM daily),
+ks AS (SELECT * FROM (VALUES (1),(2),(3),(4),(5),(6),(7)) AS t(k)),
+gmo AS (
+  SELECT COUNT(*) AS n, SUM(x) AS s, SUM(xw * xw) AS ssq FROM idx
+),
+perk AS (
+  SELECT ks.k,
+         SUM(a.xw * b.xw) AS p,
+         SUM(CASE WHEN b.x IS NOT NULL THEN a.x END) AS h,
+         SUM(b.x) AS t,
+         COUNT(b.x) AS nk
+  FROM idx a
+  CROSS JOIN ks
+  LEFT JOIN idx b ON b.rn = a.rn + ks.k
+  GROUP BY ks.k
+)
+"""
+
+
+@query(
+    "revenue_acf_lags",
+    oracle=f"""
+WITH {_ACF_MOMENTS_SQL}
+SELECT k AS lag_k, nk AS n_pairs,
+       round((CAST(p AS DOUBLE)
+              - (CAST(s AS DOUBLE) / n) * (CAST(h AS DOUBLE) + CAST(t AS DOUBLE))
+              + nk * (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n))
+             / (CAST(ssq AS DOUBLE) - (CAST(s AS DOUBLE) / n) * CAST(s AS DOUBLE)), 6)
+         AS acf
+FROM perk CROSS JOIN gmo
+ORDER BY lag_k
+""",
+)
+def q_revenue_acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1..7 autocorrelation of the daily order-revenue series.
+
+    100 TB shape: the full fact table collapses to one row per day in
+    a single hash aggregation (map-side combine), and every window /
+    lead after that touches only the ~thousands-of-rows day series —
+    the same pre-aggregate-then-window contract as the rolling-revenue
+    and CUSUM queries. Exactness: per-day totals are quantized to
+    DECIMAL(18,4), so cross-products and their sums are exact decimals
+    in both engines; the centered numerator is recovered algebraically
+    (P − m(H+T) + n_k m²) from exact moments in pinned double shape —
+    no order-dependent double summation anywhere. The oracle replays
+    the lead as an rn self-join; lead(x,k) over the day index is the
+    same pairing."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(14,2)"))
+        .cast("decimal(14,2)")
+        .alias("x")
+    )
+    w = Window.orderBy("d")
+    leads = daily.select(
+        "x", *[F.lead("x", k).over(w).alias(f"x{k}") for k in range(1, _ACF_MAX_LAG + 1)]
+    )
+    aggs = [
+        F.count("x").alias("n"),
+        F.sum("x").alias("s"),
+        F.sum(F.col("x") * F.col("x")).alias("ssq"),
+    ]
+    for k in range(1, _ACF_MAX_LAG + 1):
+        xk = F.col(f"x{k}")
+        aggs += [
+            F.sum(F.col("x") * xk).alias(f"p{k}"),
+            F.sum(F.when(xk.isNotNull(), F.col("x"))).alias(f"h{k}"),
+            F.sum(xk).alias(f"t{k}"),
+            F.count(xk).alias(f"nk{k}"),
+        ]
+    row = leads.agg(*aggs)
+    m = F.col("s").cast("double") / F.col("n")
+    den = F.col("ssq").cast("double") - m * F.col("s").cast("double")
+    entries = []
+    for k in range(1, _ACF_MAX_LAG + 1):
+        num = (
+            F.col(f"p{k}").cast("double")
+            - m * (F.col(f"h{k}").cast("double") + F.col(f"t{k}").cast("double"))
+            + F.col(f"nk{k}") * m * m
+        )
+        entries.append(
+            F.struct(
+                F.lit(k).alias("lag_k"),
+                F.col(f"nk{k}").alias("n_pairs"),
+                F.round(num / den, 6).alias("acf"),
+            )
+        )
+    return (
+        row.select(F.explode(F.array(*entries)).alias("e"))
+        .select("e.*")
+        .orderBy("lag_k")
+    )
+
+
+@query(
+    "revenue_seasonal_dow",
+    oracle="""
+WITH daily AS (
+  SELECT o_orderdate AS d,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DECIMAL(14,2)) AS x
+  FROM orders GROUP BY o_orderdate
+),
+gmo AS (SELECT COUNT(*) AS n, SUM(x) AS s FROM daily)
+SELECT isodow(d) - 1 AS dow,
+       COUNT(*) AS n_days,
+       round(CAST(SUM(x) AS DOUBLE) / COUNT(*), 6) AS dow_avg,
+       round((CAST(SUM(x) AS DOUBLE) / COUNT(*))
+             / (CAST(s AS DOUBLE) / n), 6) AS seasonal_index
+FROM daily CROSS JOIN gmo
+GROUP BY isodow(d) - 1, s, n
+ORDER BY dow
+""",
+)
+def q_revenue_seasonal_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonal indices of daily order revenue (0=Monday):
+    each weekday's average daily total over the grand average — the
+    multiplicative seasonal factor a forecast divides out. Same
+    pre-aggregate contract as revenue_acf_lags: one hash agg to the
+    day series, then a 7-group rollup against a 1-row broadcast of the
+    grand moments. Exact decimal day totals; averages and the index
+    derived in pinned double shape, rounded to 6 dp."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(14,2)"))
+        .cast("decimal(14,2)")
+        .alias("x")
+    )
+    glob = daily.agg(F.count("x").alias("n"), F.sum("x").alias("s"))
+    dow = daily.groupBy(F.weekday("d").alias("dow")).agg(
+        F.count(F.lit(1)).alias("n_days"), F.sum("x").alias("sd")
+    )
+    davg = F.col("sd").cast("double") / F.col("n_days")
+    return (
+        dow.crossJoin(F.broadcast(glob))
+        .select(
+            "dow",
+            "n_days",
+            F.round(davg, 6).alias("dow_avg"),
+            F.round(davg / (F.col("s").cast("double") / F.col("n")), 6).alias(
+                "seasonal_index"
+            ),
+        )
+        .orderBy("dow")
     )
