@@ -230,3 +230,202 @@ def q_order_price_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_outliers"),
         )
     )
+
+
+from pyspark.sql import Window  # noqa: E402
+
+from nyc_taxi_data_engineering_spark.operators.sampling import (  # noqa: E402
+    hash_bucket,
+    hash_bucket_sql,
+)
+
+
+@query(
+    "mi_order_priority_status",
+    oracle="""
+WITH xy AS (
+  SELECT o_orderpriority AS priority, o_orderstatus AS status, COUNT(*) AS nxy
+  FROM orders GROUP BY o_orderpriority, o_orderstatus
+),
+mx AS (SELECT priority, SUM(nxy) AS nx FROM xy GROUP BY priority),
+my AS (SELECT status, SUM(nxy) AS ny FROM xy GROUP BY status),
+tot AS (SELECT SUM(nxy) AS n_tot FROM xy)
+SELECT xy.priority, xy.status, xy.nxy AS n_cell,
+       round(ln((CAST(xy.nxy AS DOUBLE) * n_tot) / (CAST(nx AS DOUBLE) * ny)), 6)
+         AS pmi,
+       round((CAST(xy.nxy AS DOUBLE) / n_tot)
+             * round(ln((CAST(xy.nxy AS DOUBLE) * n_tot) / (CAST(nx AS DOUBLE) * ny)), 6), 6)
+         AS mi_contribution
+FROM xy JOIN mx USING (priority) JOIN my USING (status) CROSS JOIN tot
+ORDER BY priority, status
+""",
+)
+def q_mi_order_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information between order priority and order
+    status — the categorical-dependence profile (summing
+    mi_contribution gives the mutual information; independence → all
+    cells ≈ 0). One hash aggregation produces the contingency table;
+    the marginals are re-aggregations of that tiny table joined back
+    broadcast — the fact table is scanned exactly once regardless of
+    cardinality. ln over integer-count ratios in pinned double shape,
+    quantized to 6 dp (the [[dsir-log-contract]] precedent); the
+    contribution multiplies the QUANTIZED pmi so both engines sum
+    identical terms."""
+    orders = load_table(spark, sf_dir, "orders")
+    xy = orders.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderstatus").alias("status"),
+    ).agg(F.count(F.lit(1)).alias("nxy"))
+    mx = xy.groupBy("priority").agg(F.sum("nxy").alias("nx"))
+    my = xy.groupBy("status").agg(F.sum("nxy").alias("ny"))
+    tot = xy.agg(F.sum("nxy").alias("n_tot"))
+    pmi_raw = F.log(
+        (F.col("nxy").cast("double") * F.col("n_tot"))
+        / (F.col("nx").cast("double") * F.col("ny"))
+    )
+    pmi_q = F.round(pmi_raw, 6)
+    return (
+        xy.join(F.broadcast(mx), "priority")
+        .join(F.broadcast(my), "status")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "priority",
+            "status",
+            F.col("nxy").alias("n_cell"),
+            pmi_q.alias("pmi"),
+            F.round((F.col("nxy").cast("double") / F.col("n_tot")) * pmi_q, 6).alias(
+                "mi_contribution"
+            ),
+        )
+        .orderBy("priority", "status")
+    )
+
+
+_PSI_BIN_W = 50000
+_PSI_BINS = 10
+
+
+@query(
+    "psi_split_drift_orders",
+    oracle=f"""
+WITH binned AS (
+  SELECT LEAST(CAST(FLOOR(o_totalprice / {_PSI_BIN_W}) AS INT), {_PSI_BINS - 1}) AS bin,
+         {hash_bucket_sql('o_orderkey', 'psi', 2)} AS arm
+  FROM orders
+),
+cells AS (
+  SELECT bin,
+         SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n_a,
+         SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n_b
+  FROM binned GROUP BY bin
+),
+tot AS (SELECT SUM(n_a) AS ta, SUM(n_b) AS tb FROM cells)
+SELECT bin, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       round((CAST(n_a + 1 AS DOUBLE) / (ta + {_PSI_BINS})
+              - CAST(n_b + 1 AS DOUBLE) / (tb + {_PSI_BINS}))
+             * ln((CAST(n_a + 1 AS DOUBLE) / (ta + {_PSI_BINS}))
+                  / (CAST(n_b + 1 AS DOUBLE) / (tb + {_PSI_BINS}))), 6) AS psi_term
+FROM cells CROSS JOIN tot
+ORDER BY bin
+""",
+)
+def q_psi_split_drift_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability index between two md5-hash split halves of
+    orders over fixed price bins — the production drift monitor for
+    "did this week's data shift vs last week's" (here: arm A vs arm B
+    of a deterministic split, so expected PSI ≈ 0). One scan builds
+    per-(bin, arm) counts as conditional aggregates; Laplace +1
+    smoothing keeps one-sided bins finite. Summing psi_term gives the
+    PSI; > 0.2 is the conventional alarm. Pinned double shape + 6 dp."""
+    orders = load_table(spark, sf_dir, "orders")
+    binned = orders.select(
+        F.least(
+            F.floor(F.col("o_totalprice") / _PSI_BIN_W).cast("int"), F.lit(_PSI_BINS - 1)
+        ).alias("bin"),
+        hash_bucket(F.col("o_orderkey"), "psi", 2).alias("arm"),
+    )
+    cells = binned.groupBy("bin").agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("n_b"),
+    )
+    tot = cells.agg(F.sum("n_a").alias("ta"), F.sum("n_b").alias("tb"))
+    p_a = (F.col("n_a") + 1).cast("double") / (F.col("ta") + _PSI_BINS)
+    p_b = (F.col("n_b") + 1).cast("double") / (F.col("tb") + _PSI_BINS)
+    return (
+        cells.crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            "n_a",
+            "n_b",
+            F.round((p_a - p_b) * F.log(p_a / p_b), 6).alias("psi_term"),
+        )
+        .orderBy("bin")
+    )
+
+
+@query(
+    "key_skew_diagnostics",
+    oracle="""
+WITH per AS (
+  SELECT l_suppkey, COUNT(*) AS cnt FROM lineitem GROUP BY l_suppkey
+),
+tot AS (SELECT COUNT(*) AS n_keys, SUM(cnt) AS n_rows, MAX(cnt) AS max_cnt FROM per),
+ranked AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, l_suppkey) AS rk FROM per),
+topk AS (SELECT SUM(cnt) AS top_cnt FROM ranked WHERE rk <= 10),
+ent AS (
+  SELECT SUM(CAST(round(-((CAST(cnt AS DOUBLE) / n_rows)
+                          * ln(CAST(cnt AS DOUBLE) / n_rows)), 6)
+                  AS DECIMAL(18,6))) AS s_ent
+  FROM per CROSS JOIN tot
+)
+SELECT n_keys, CAST(n_rows AS BIGINT) AS n_rows,
+       round(CAST(max_cnt AS DOUBLE) / n_rows, 6) AS max_share,
+       round(CAST(top_cnt AS DOUBLE) / n_rows, 6) AS top10_share,
+       CAST(s_ent AS DOUBLE) AS entropy,
+       round(CAST(s_ent AS DOUBLE) / ln(CAST(n_keys AS DOUBLE)), 6) AS entropy_ratio
+FROM tot CROSS JOIN topk CROSS JOIN ent
+""",
+)
+def q_key_skew_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew profile of lineitem's supplier key: key count,
+    hottest-key share, top-10 share, and Shannon entropy vs the uniform
+    maximum — the diagnostic that decides whether a join on this key
+    needs salting ([[skew-salting]]) before it burns an executor. The
+    fact table collapses to one row per key in a single map-side-combined
+    aggregation; every ranking/window after that touches only the key
+    table. Entropy terms are 6-dp-quantized pre-sum (decimal transport)
+    so both engines add identical numbers."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per = li.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy(F.col("cnt").desc(), F.col("l_suppkey"))
+    ranked = per.withColumn("rk", F.row_number().over(w))
+    tot = per.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("cnt").alias("n_rows"),
+        F.max("cnt").alias("max_cnt"),
+    )
+    topk = ranked.filter(F.col("rk") <= 10).agg(F.sum("cnt").alias("top_cnt"))
+    p = F.col("cnt").cast("double") / F.col("n_rows")
+    ent = (
+        per.crossJoin(F.broadcast(tot))
+        .select(F.round(-(p * F.log(p)), 6).cast("decimal(18,6)").alias("term"))
+        .agg(F.sum("term").alias("s_ent"))
+    )
+    return (
+        tot.crossJoin(F.broadcast(topk))
+        .crossJoin(F.broadcast(ent))
+        .select(
+            "n_keys",
+            F.col("n_rows").cast("bigint").alias("n_rows"),
+            F.round(F.col("max_cnt").cast("double") / F.col("n_rows"), 6).alias(
+                "max_share"
+            ),
+            F.round(F.col("top_cnt").cast("double") / F.col("n_rows"), 6).alias(
+                "top10_share"
+            ),
+            F.col("s_ent").cast("double").alias("entropy"),
+            F.round(
+                F.col("s_ent").cast("double") / F.log(F.col("n_keys").cast("double")), 6
+            ).alias("entropy_ratio"),
+        )
+    )

@@ -96,6 +96,9 @@ ROTATION: list[str] = [
     "pareto_skyline_parts",
     "revenue_acf_lags",
     "revenue_seasonal_dow",
+    "mi_order_priority_status",
+    "psi_split_drift_orders",
+    "key_skew_diagnostics",
     # Round-7 late additions (sampled r7):
     "ppr_supplier_recommendations",
     "lpa_copurchase_communities",
