@@ -43,21 +43,31 @@ def _skyline_pass(df: DataFrame, bucket_col, price="p_retailprice", size="p_size
 
     Returns the rows of ``df`` not dominated by any row in the same
     bucket (dominance: other.price <= price AND other.size >= size with
-    at least one strict). Plan shape: groupBy (bucket, price) -> window
-    over the per-price rows -> broadcast-join back (the per-price table
-    is ≤ |distinct prices| rows, far smaller than df).
+    at least one strict). Plan shape: ZERO joins — prices quantize to
+    integer cents (2-dp data), so one sorted window stage answers both
+    dominance tests: ``_prev_best`` = best size among STRICTLY cheaper
+    rows (RANGE … -1 on the cent key) and ``_best_eq`` = best size at
+    this exact price. A row survives iff it matches its price-peers'
+    max and strictly beats every cheaper row's best; (price, size) ties
+    all survive (neither dominates). Both specs share one partitioning
+    and sort, so the whole pass is a single window exec over a single
+    scan of ``df``.
     """
-    tagged = df.withColumn("_b", bucket_col)
-    per_price = tagged.groupBy("_b", price).agg(F.max(size).alias("_best_size"))
-    w = Window.partitionBy("_b").orderBy(price).rowsBetween(Window.unboundedPreceding, -1)
-    per_price = per_price.withColumn("_prev_best", F.max("_best_size").over(w))
-    keep = per_price.filter(
-        F.col("_prev_best").isNull() | (F.col("_prev_best") < F.col("_best_size"))
+    tagged = df.withColumn("_b", bucket_col).withColumn(
+        "_pc", F.round(F.col(price) * 100).cast("long")
     )
+    w_strict = (
+        Window.partitionBy("_b").orderBy("_pc").rangeBetween(Window.unboundedPreceding, -1)
+    )
+    w_eq = Window.partitionBy("_b", "_pc")
     return (
-        tagged.join(F.broadcast(keep), ["_b", price])
-        .filter(F.col(size) == F.col("_best_size"))
-        .drop("_b", "_best_size", "_prev_best")
+        tagged.withColumn("_prev_best", F.max(size).over(w_strict))
+        .withColumn("_best_eq", F.max(size).over(w_eq))
+        .filter(
+            (F.col(size) == F.col("_best_eq"))
+            & (F.col("_prev_best").isNull() | (F.col("_prev_best") < F.col(size)))
+        )
+        .drop("_b", "_pc", "_prev_best", "_best_eq")
     )
 
 

@@ -275,7 +275,7 @@ def q_mi_order_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     xy = orders.groupBy(
         F.col("o_orderpriority").alias("priority"),
         F.col("o_orderstatus").alias("status"),
-    ).agg(F.count(F.lit(1)).alias("nxy"))
+    ).agg(F.count(F.lit(1)).alias("nxy")).cache()
     mx = xy.groupBy("priority").agg(F.sum("nxy").alias("nx"))
     my = xy.groupBy("status").agg(F.sum("nxy").alias("ny"))
     tot = xy.agg(F.sum("nxy").alias("n_tot"))
@@ -347,7 +347,7 @@ def q_psi_split_drift_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = binned.groupBy("bin").agg(
         F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("n_a"),
         F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("n_b"),
-    )
+    ).cache()
     tot = cells.agg(F.sum("n_a").alias("ta"), F.sum("n_b").alias("tb"))
     p_a = (F.col("n_a") + 1).cast("double") / (F.col("ta") + _PSI_BINS)
     p_b = (F.col("n_b") + 1).cast("double") / (F.col("tb") + _PSI_BINS)
@@ -396,7 +396,7 @@ def q_key_skew_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
     table. Entropy terms are 6-dp-quantized pre-sum (decimal transport)
     so both engines add identical numbers."""
     li = load_table(spark, sf_dir, "lineitem")
-    per = li.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("cnt"))
+    per = li.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("cnt")).cache()
     w = Window.orderBy(F.col("cnt").desc(), F.col("l_suppkey"))
     ranked = per.withColumn("rk", F.row_number().over(w))
     tot = per.agg(

@@ -643,7 +643,7 @@ def q_revenue_seasonal_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("o_totalprice").cast("decimal(14,2)"))
         .cast("decimal(14,2)")
         .alias("x")
-    )
+    ).cache()
     glob = daily.agg(F.count("x").alias("n"), F.sum("x").alias("s"))
     dow = daily.groupBy(F.weekday("d").alias("dow")).agg(
         F.count(F.lit(1)).alias("n_days"), F.sum("x").alias("sd")

@@ -743,3 +743,73 @@ def test_als_serving_broadcasts_items_and_partitions_topk(spark, sf_dir):
     for line in plan.splitlines():
         if "Window" in line and "row_number" in line:
             assert "user_id" in line  # partition key present
+
+
+# ---------------------------------------------------------------------------
+# Round-8 final additions (skyline / ACF / profiling trio)
+# ---------------------------------------------------------------------------
+
+
+def test_skyline_single_scan_no_joins(spark, sf_dir):
+    """The two-level skyline must be pure window passes over ONE part
+    scan — the quadratic NOT-EXISTS shape of the oracle (a self-join)
+    must never appear in the physical plan."""
+    plan = _plan(spark, sf_dir, "pareto_skyline_parts")
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+    part_scans = sum(
+        1 for l in plan.splitlines() if "FileScan" in l and "part" in l
+    )
+    assert part_scans == 1
+
+
+def test_acf_preaggregates_then_single_window(spark, sf_dir):
+    """ACF collapses orders to the day series in one scan + hash agg;
+    the 7 leads ride one window over that tiny series; no self-join of
+    the fact ever happens."""
+    plan = _plan(spark, sf_dir, "revenue_acf_lags")
+    assert plan.count("FileScan") == 1
+    assert "Join" not in plan
+    assert "partial_sum" in plan  # map-side combine into the day series
+    lines = plan.splitlines()
+    scan_idx = next(i for i, l in enumerate(lines) if "FileScan" in l)
+    assert any("HashAggregate" in l for l in lines[:scan_idx])
+
+
+def test_seasonal_dow_single_cached_series(spark, sf_dir):
+    """Both the weekday rollup and the grand moments re-read the CACHED
+    day series — the orders fact is scanned once, and the grand moments
+    enter as a 1-row broadcast."""
+    plan = _plan(spark, sf_dir, "revenue_seasonal_dow")
+    assert "InMemoryTableScan" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row (n, s) broadcast
+    assert "CartesianProduct" not in plan
+
+
+def test_mi_marginals_reaggregate_cached_cells(spark, sf_dir):
+    """PMI's marginals must be re-aggregations of the cached cell table
+    (InMemoryTableScan), broadcast back against it — never second/third
+    scans of the orders fact."""
+    plan = _plan(spark, sf_dir, "mi_order_priority_status")
+    assert "InMemoryTableScan" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_psi_single_scan_conditional_cells(spark, sf_dir):
+    """PSI builds per-(bin, arm) counts as conditional aggregates in
+    one pass over the cached cell table; totals enter broadcast-side."""
+    plan = _plan(spark, sf_dir, "psi_split_drift_orders")
+    assert "InMemoryTableScan" in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_skew_diagnostics_windows_only_on_key_table(spark, sf_dir):
+    """The skew profile's ranking window and entropy pass run over the
+    cached per-key table; lineitem collapses through one partial-combine
+    aggregation."""
+    plan = _plan(spark, sf_dir, "key_skew_diagnostics")
+    assert "InMemoryTableScan" in plan
+    assert "partial_count" in plan
+    assert "CartesianProduct" not in plan
