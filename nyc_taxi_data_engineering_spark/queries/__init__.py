@@ -38,6 +38,7 @@ _MODULES = [
     "statsq",
     "recsys",
     "paretoq",
+    "geoq",
 ]
 
 _loaded = False

@@ -39,6 +39,10 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # tests/test_oracle_parity.py, which checks ALL of them.
 ROTATION: list[str] = [
     # Round-8 late additions (never sampled) lead the window:
+    "geo_od_cell_flows",
+    "geo_pickup_hotspots",
+    "geo_radius_pairs_customers",
+    "geo_nearest_hub",
     "als_supplier_recommendations",
     "probe_calibration_brier",
     "supplier_daily_interpolate",

@@ -813,3 +813,33 @@ def test_skew_diagnostics_windows_only_on_key_table(spark, sf_dir):
     assert "InMemoryTableScan" in plan
     assert "partial_count" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_geo_radius_pairs_no_cross_join(spark, sf_dir):
+    """The 1-km pairs query must be the neighbor-cell EQUI-join — never
+    a cartesian/nested-loop candidate generator (its oracle is the
+    brute self-join; the plan must not be)."""
+    plan = _plan(spark, sf_dir, "geo_radius_pairs_customers")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    )
+
+
+def test_geo_nearest_hub_broadcasts_hubs(spark, sf_dir):
+    """Hub assignment: the 25-row hub side rides a broadcast nested
+    loop (a per-row loop over 25, not a shuffle); the argmin joins are
+    hash joins; nothing cartesian."""
+    plan = _plan(spark, sf_dir, "geo_nearest_hub")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_geo_od_flows_single_scan_partial_agg(spark, sf_dir):
+    """OD flows: one scan of orders (both endpoints derive in the same
+    projection), one hash agg with map-side partial combine, no window."""
+    plan = _plan(spark, sf_dir, "geo_od_cell_flows")
+    assert plan.count("FileScan parquet") == 1
+    assert "partial_count" in plan or "partial_sum" in plan
+    assert "Window" not in plan
