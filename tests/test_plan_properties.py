@@ -12,6 +12,11 @@ from nyc_taxi_data_engineering_spark.queries.registry import registry
 
 
 def _plan(spark, sf_dir, name: str) -> str:
+    # Plan pins must be order-independent: a cached sub-plan left behind
+    # by an earlier test (the parity suite runs every query in the same
+    # session) would substitute InMemoryRelation for a FileScan and
+    # flip scan-count assertions. Start from a clean cache manager.
+    spark.catalog.clearCache()
     df = registry()[name].fn(spark, sf_dir)
     return df._jdf.queryExecution().executedPlan().toString()
 
