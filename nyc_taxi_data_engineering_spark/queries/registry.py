@@ -39,6 +39,7 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # tests/test_oracle_parity.py, which checks ALL of them.
 ROTATION: list[str] = [
     # Round-8 late additions (never sampled) lead the window:
+    "hybrid_rrf_search",
     "geo_od_cell_flows",
     "geo_pickup_hotspots",
     "geo_radius_pairs_customers",

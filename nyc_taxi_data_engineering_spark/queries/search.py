@@ -68,3 +68,160 @@ def q_bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 top-5 for three fixed keyword queries — inverted-index
     keyed joins only; scores summed in exact decimal for engine parity."""
     return bm25_topk(load_table(spark, sf_dir, "documents"), SEARCH_QUERIES, k=TOP_K)
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: lexical BM25 + dense cosine, fused by Reciprocal
+# Rank Fusion (Cormack et al. 2009: score = sum over arms of
+# 1/(K + rank), K = 60). The RAG-stack shape: two independent top-20
+# retrievals per query, one tiny full-outer fusion join, fused top-10.
+# Each keyword query is paired with a pinned anchor embedding
+# (vec_id 0/1/2 — doc_id and vec_id share the 0..n id space), so both
+# arms rank the SAME item space and the fusion is meaningful.
+# ---------------------------------------------------------------------------
+
+ARM_K = 20  # per-arm retrieval depth
+RRF_C = 60  # the standard RRF constant
+FUSED_K = 10
+_ANCHORS = [("q1", 0), ("q2", 1), ("q3", 2)]
+
+_ANCHOR_SQL = " UNION ALL ".join(
+    f"SELECT '{qid}' AS query_id, {vid} AS vec_id" for qid, vid in _ANCHORS
+)
+
+
+@query(
+    "hybrid_rrf_search",
+    oracle=f"""
+WITH toks AS (
+    SELECT doc_id, unnest({sql_tokens('text')}) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl FROM dl),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+qt AS (
+    {_QT}
+),
+contrib AS (
+    SELECT qt.query_id, tf.doc_id, {_CONTRIB} AS c
+    FROM qt
+    JOIN tf USING (term)
+    JOIN dfreq d USING (term)
+    JOIN dl USING (doc_id), stats s
+),
+lex_score AS (
+    SELECT query_id, doc_id,
+           CAST(SUM(CAST(c AS DECIMAL(18,9))) AS DOUBLE) AS score
+    FROM contrib GROUP BY query_id, doc_id
+),
+lex AS (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS lex_rank
+    FROM lex_score
+),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+n AS (SELECT vec_id, v,
+             sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+      FROM e),
+anchors AS ({_ANCHOR_SQL}),
+qv AS (
+    SELECT a.query_id, n.v, n.nrm, n.vec_id AS anchor_id
+    FROM anchors a JOIN n ON n.vec_id = a.vec_id
+),
+ds AS (
+    SELECT q.query_id, c.vec_id AS doc_id,
+           list_sum(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * c.v[i]))
+             / (q.nrm * c.nrm) AS cos
+    FROM qv q JOIN n c ON c.vec_id <> q.anchor_id
+),
+dense AS (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, doc_id) AS dense_rank
+    FROM ds
+),
+fused AS (
+    SELECT COALESCE(l.query_id, d.query_id) AS query_id,
+           COALESCE(l.doc_id, d.doc_id) AS doc_id,
+           l.lex_rank, d.dense_rank,
+           (CASE WHEN l.lex_rank IS NULL THEN 0.0 ELSE 1.0 / ({RRF_C} + l.lex_rank) END
+            + CASE WHEN d.dense_rank IS NULL THEN 0.0 ELSE 1.0 / ({RRF_C} + d.dense_rank) END
+           ) AS rrf_score
+    FROM (SELECT * FROM lex WHERE lex_rank <= {ARM_K}) l
+    FULL OUTER JOIN (SELECT * FROM dense WHERE dense_rank <= {ARM_K}) d
+      ON l.query_id = d.query_id AND l.doc_id = d.doc_id
+),
+ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY rrf_score DESC, doc_id) AS rrf_rank
+    FROM fused
+)
+SELECT query_id, doc_id, lex_rank::INT AS lex_rank, dense_rank::INT AS dense_rank,
+       rrf_score, rrf_rank::INT AS rrf_rank
+FROM ranked WHERE rrf_rank <= {FUSED_K}
+ORDER BY query_id, rrf_rank
+""",
+)
+def q_hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid top-10: BM25 top-20 ∪ dense-cosine top-20 per query,
+    RRF-fused (1/(60+rank) per arm, missing arm contributes 0).
+
+    100 TB: each arm keeps its own scale shape — the lexical arm is
+    the inverted-index keyed join (only queried terms shuffle), the
+    dense arm broadcasts the 3 anchor vectors over one corpus scan —
+    and the fusion join only ever sees ARM_K rows per (query, arm),
+    so fusing is free at any corpus size. Cross-engine exactness:
+    BM25 scores ride the decimal sum, cosines ride the pinned
+    sequential fold (queries/similarity.dot), and the RRF score is a
+    two-term sum of exact rationals in pinned order.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from nyc_taxi_data_engineering_spark.queries.similarity import _corpus, dot
+
+    docs = load_table(spark, sf_dir, "documents")
+    lex = (
+        bm25_topk(docs, SEARCH_QUERIES, k=ARM_K)
+        .select("query_id", "doc_id", F.col("rank").alias("lex_rank"))
+    )
+
+    corpus = _corpus(spark, sf_dir)
+    anchors = spark.createDataFrame(_ANCHORS, "query_id string, vec_id bigint")
+    qv = corpus.join(F.broadcast(anchors), "vec_id").select(
+        "query_id",
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+        F.col("vec_id").alias("anchor_id"),
+    )
+    ds = corpus.join(F.broadcast(qv), F.col("vec_id") != F.col("anchor_id")).select(
+        "query_id",
+        F.col("vec_id").alias("doc_id"),
+        (dot(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm"))).alias("cos"),
+    )
+    w_dense = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("doc_id"))
+    dense = (
+        ds.withColumn("dense_rank", F.row_number().over(w_dense))
+        .filter(F.col("dense_rank") <= ARM_K)
+        .select("query_id", "doc_id", "dense_rank")
+    )
+
+    arm = lambda r: F.when(r.isNull(), F.lit(0.0)).otherwise(  # noqa: E731
+        F.lit(1.0) / (F.lit(RRF_C) + r)
+    )
+    fused = lex.join(dense, ["query_id", "doc_id"], "full_outer").withColumn(
+        "rrf_score", arm(F.col("lex_rank")) + arm(F.col("dense_rank"))
+    )
+    w_rrf = Window.partitionBy("query_id").orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+    return (
+        fused.withColumn("rrf_rank", F.row_number().over(w_rrf))
+        .filter(F.col("rrf_rank") <= FUSED_K)
+        .select(
+            "query_id",
+            "doc_id",
+            F.col("lex_rank").cast("int").alias("lex_rank"),
+            F.col("dense_rank").cast("int").alias("dense_rank"),
+            "rrf_score",
+            F.col("rrf_rank").cast("int").alias("rrf_rank"),
+        )
+        .orderBy("query_id", "rrf_rank")
+    )

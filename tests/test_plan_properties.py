@@ -848,3 +848,13 @@ def test_geo_od_flows_single_scan_partial_agg(spark, sf_dir):
     assert plan.count("FileScan parquet") == 1
     assert "partial_count" in plan or "partial_sum" in plan
     assert "Window" not in plan
+
+
+def test_hybrid_rrf_arms_keep_their_scale_shapes(spark, sf_dir):
+    """Hybrid retrieval: the dense arm broadcasts the 3 anchors (never
+    shuffles the corpus against them), the lexical arm stays an
+    inverted-index equi-join, and nothing is cartesian — the fusion
+    join only sees per-arm top-K rows."""
+    plan = _plan(spark, sf_dir, "hybrid_rrf_search")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
