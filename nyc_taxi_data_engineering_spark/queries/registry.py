@@ -40,6 +40,8 @@ _REGISTRY: dict[str, QuerySpec] = {}
 ROTATION: list[str] = [
     # Round-8 late additions (never sampled) lead the window:
     "hybrid_rrf_search",
+    "holt_linear_forecast",
+    "theil_sen_trend",
     "geo_od_cell_flows",
     "geo_pickup_hotspots",
     "geo_radius_pairs_customers",

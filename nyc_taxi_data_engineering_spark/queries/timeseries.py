@@ -661,3 +661,237 @@ def q_revenue_seasonal_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dow")
     )
+
+
+# ---------------------------------------------------------------------------
+# Holt linear-trend smoothing (double exponential smoothing) with a
+# one-step-ahead backtest — the trend-aware upgrade of the EWMA/
+# seasonal-naive forecasters.
+#
+# alpha = beta = 1/2 pins every coefficient to a binary fraction, and
+# the recursion l' = x/2 + (l+b)/2, b' = (l'-l)/2 + b/2 is written with
+# IDENTICAL association in the Spark fold and the DuckDB recursive CTE,
+# so the state doubles are bit-identical at every step — the absolute
+# forecast errors accumulate in the same pinned sequential order, and
+# no rounding contract is needed anywhere.
+#
+# 100 TB design: the fact collapses to the daily series in one
+# map-side-combined hash agg; the inherently-sequential recursion then
+# runs as ONE F.aggregate fold over a sort_array'd series on a single
+# row — series-sized (days), never data-sized, no driver loop, no UDF.
+# ---------------------------------------------------------------------------
+
+_HOLT_DAILY_SQL = """
+daily AS (
+  SELECT o_orderdate AS d,
+         CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DECIMAL(14,2)) AS DOUBLE) AS x
+  FROM orders GROUP BY o_orderdate
+)
+"""
+
+
+@query(
+    "holt_linear_forecast",
+    oracle=f"""
+WITH RECURSIVE {_HOLT_DAILY_SQL},
+s AS (SELECT d, x, row_number() OVER (ORDER BY d) AS rn FROM daily),
+rec AS (
+    SELECT rn, x AS l, CAST(0.0 AS DOUBLE) AS b, CAST(0.0 AS DOUBLE) AS es
+    FROM s WHERE rn = 1
+    UNION ALL
+    SELECT s.rn,
+           0.5 * s.x + 0.5 * (r.l + r.b),
+           0.5 * ((0.5 * s.x + 0.5 * (r.l + r.b)) - r.l) + 0.5 * r.b,
+           r.es + abs(s.x - (r.l + r.b))
+    FROM rec r JOIN s ON s.rn = r.rn + 1
+)
+SELECT rn::INT AS n_days,
+       l AS final_level,
+       b AS final_trend,
+       es / CAST(rn - 1 AS DOUBLE) AS mae,
+       l + b AS forecast_1,
+       l + 7.0 * b AS forecast_7
+FROM rec WHERE rn = (SELECT MAX(rn) FROM s)
+""",
+)
+def q_holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear method over daily order revenue: final (level,
+    trend) state, one-step-ahead MAE over the whole series, and the
+    1-day / 7-day-ahead forecasts. See block comment for the exactness
+    and scale contract."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(14,2)"))
+        .cast("decimal(14,2)")
+        .cast("double")
+        .alias("x")
+    )
+    series = daily.agg(F.sort_array(F.collect_list(F.struct("d", "x"))).alias("s"))
+    half = F.lit(0.5)
+
+    def step(acc, e):
+        lvl = half * e["x"] + half * (acc["l"] + acc["b"])
+        return F.struct(
+            lvl.alias("l"),
+            (half * (lvl - acc["l"]) + half * acc["b"]).alias("b"),
+            (acc["es"] + F.abs(e["x"] - (acc["l"] + acc["b"]))).alias("es"),
+        )
+
+    init = F.struct(
+        F.element_at(F.col("s"), 1)["x"].alias("l"),
+        F.lit(0.0).alias("b"),
+        F.lit(0.0).alias("es"),
+    )
+    folded = F.aggregate(F.slice(F.col("s"), F.lit(2), F.size("s") - 1), init, step)
+    return series.select(
+        F.size("s").cast("int").alias("n_days"),
+        folded["l"].alias("final_level"),
+        folded["b"].alias("final_trend"),
+        (folded["es"] / (F.size("s") - 1).cast("double")).alias("mae"),
+        (folded["l"] + folded["b"]).alias("forecast_1"),
+        (folded["l"] + F.lit(7.0) * folded["b"]).alias("forecast_7"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Theil–Sen robust slope + Mann–Kendall trend test over the daily
+# revenue series — the outlier-proof answer to "is revenue trending?".
+#
+# Exactness: day indices and the S statistic are integers; every pair
+# slope (x_j - x_i) / (dd_j - dd_i) is one IEEE division of identical
+# operands; the medians are ORDER STATISTICS (lower median at position
+# (n+1)//2, pinned) so no averaging ever mixes doubles; Var(S) is
+# integer arithmetic with one terminal /18.0.
+#
+# 100 TB design: the fact collapses to the day series first, so the
+# O(days²) pair enumeration (~3M pairs for a 7-year series) is
+# SCALE-FREE with respect to data volume — it grows with calendar
+# time, not rows. The single-partition selection window runs over day
+# pairs only, never over fact rows.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "theil_sen_trend",
+    oracle=f"""
+WITH {_HOLT_DAILY_SQL},
+s AS (
+  SELECT x, date_diff('day', TIMESTAMP '1970-01-01', d) AS dd FROM daily
+),
+pairs AS (
+  SELECT (b.x - a.x) / CAST(b.dd - a.dd AS DOUBLE) AS slope,
+         CAST(sign(b.x - a.x) AS BIGINT) AS sgn
+  FROM s a JOIN s b ON a.dd < b.dd
+),
+np AS (SELECT COUNT(*) AS n_pairs, CAST(SUM(sgn) AS BIGINT) AS s_stat FROM pairs),
+med AS (
+  SELECT slope AS theil_slope
+  FROM (SELECT slope, row_number() OVER (ORDER BY slope) AS rn FROM pairs), np
+  WHERE rn = (np.n_pairs + 1) // 2
+),
+nd AS (SELECT COUNT(*) AS n_days FROM s),
+ties AS (
+  SELECT COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0) AS tie_term
+  FROM (SELECT COUNT(*) AS t FROM s GROUP BY x) WHERE t > 1
+),
+vs AS (
+  SELECT (n_days * (n_days - 1) * (2 * n_days + 5) - tie_term) / 18.0 AS var_s
+  FROM nd, ties
+),
+resid AS (
+  SELECT s.x - med.theil_slope * CAST(s.dd AS DOUBLE) AS r FROM s, med
+),
+med_i AS (
+  SELECT r AS intercept
+  FROM (SELECT r, row_number() OVER (ORDER BY r) AS rn FROM resid), nd
+  WHERE rn = (nd.n_days + 1) // 2
+)
+SELECT nd.n_days::INT AS n_days, np.n_pairs, np.s_stat, vs.var_s,
+       CASE WHEN np.s_stat > 0 THEN (np.s_stat - 1) / sqrt(vs.var_s)
+            WHEN np.s_stat < 0 THEN (np.s_stat + 1) / sqrt(vs.var_s)
+            ELSE 0.0 END AS z_mk,
+       med.theil_slope, med_i.intercept
+FROM nd, np, vs, med, med_i
+""",
+)
+def q_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen median slope + intercept and the Mann–Kendall S/z
+    trend statistics for daily order revenue. One row."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (
+        orders.groupBy(F.col("o_orderdate").alias("d"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(14,2)"))
+            .cast("decimal(14,2)")
+            .cast("double")
+            .alias("x")
+        )
+        .select("x", F.datediff(F.col("d"), F.lit("1970-01-01")).alias("dd"))
+        .cache()
+    )
+    a = daily.select(F.col("x").alias("xa"), F.col("dd").alias("dda"))
+    b = daily.select(F.col("x").alias("xb"), F.col("dd").alias("ddb"))
+    pairs = a.join(b, F.col("dda") < F.col("ddb")).select(
+        ((F.col("xb") - F.col("xa")) / (F.col("ddb") - F.col("dda")).cast("double")).alias(
+            "slope"
+        ),
+        F.signum(F.col("xb") - F.col("xa")).cast("bigint").alias("sgn"),
+    )
+    np_df = pairs.agg(F.count(F.lit(1)).alias("n_pairs"), F.sum("sgn").alias("s_stat"))
+    w = Window.orderBy("slope")
+    med = (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .crossJoin(F.broadcast(np_df.select("n_pairs")))
+        .filter(F.col("rn") == F.expr("(n_pairs + 1) div 2"))
+        .select(F.col("slope").alias("theil_slope"))
+    )
+    nd = daily.agg(F.count(F.lit(1)).alias("n_days"))
+    ties = (
+        daily.groupBy("x")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .filter(F.col("t") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)), F.lit(0)
+            ).alias("tie_term")
+        )
+    )
+    vs = nd.crossJoin(ties).select(
+        (
+            (
+                F.col("n_days") * (F.col("n_days") - 1) * (2 * F.col("n_days") + 5)
+                - F.col("tie_term")
+            )
+            / F.lit(18.0)
+        ).alias("var_s")
+    )
+    resid = daily.crossJoin(F.broadcast(med)).select(
+        (F.col("x") - F.col("theil_slope") * F.col("dd").cast("double")).alias("r")
+    )
+    w_r = Window.orderBy("r")
+    med_i = (
+        resid.withColumn("rn", F.row_number().over(w_r))
+        .crossJoin(F.broadcast(nd))
+        .filter(F.col("rn") == F.expr("(n_days + 1) div 2"))
+        .select(F.col("r").alias("intercept"))
+    )
+    z = (
+        F.when(F.col("s_stat") > 0, (F.col("s_stat") - 1) / F.sqrt(F.col("var_s")))
+        .when(F.col("s_stat") < 0, (F.col("s_stat") + 1) / F.sqrt(F.col("var_s")))
+        .otherwise(F.lit(0.0))
+    )
+    return (
+        nd.crossJoin(np_df)
+        .crossJoin(vs)
+        .crossJoin(med)
+        .crossJoin(med_i)
+        .select(
+            F.col("n_days").cast("int").alias("n_days"),
+            "n_pairs",
+            "s_stat",
+            "var_s",
+            z.alias("z_mk"),
+            "theil_slope",
+            "intercept",
+        )
+    )

@@ -858,3 +858,26 @@ def test_hybrid_rrf_arms_keep_their_scale_shapes(spark, sf_dir):
     plan = _plan(spark, sf_dir, "hybrid_rrf_search")
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_holt_fold_is_one_scan_no_join_no_window(spark, sf_dir):
+    """Holt smoothing: the fact collapses through ONE map-side-combined
+    hash agg; the sequential recursion is an expression fold on a
+    single row — no join, no window, no second scan, no UDF."""
+    plan = _plan(spark, sf_dir, "holt_linear_forecast")
+    assert plan.count("FileScan parquet") == 1
+    assert "partial_sum" in plan
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert "Python" not in plan  # stays JVM-side
+
+
+def test_theil_sen_pairs_only_on_cached_day_series(spark, sf_dir):
+    """Theil–Sen / Mann–Kendall: the fact is scanned once into the
+    CACHED day series; the O(days²) pair theta-join and the selection
+    windows run over that series only (series-bounded, scale-free wrt
+    fact rows — the one sanctioned cartesian in the repo besides 1-row
+    assemblies)."""
+    plan = _plan(spark, sf_dir, "theil_sen_trend")
+    assert "InMemoryTableScan" in plan
+    assert "partial_sum" in plan
