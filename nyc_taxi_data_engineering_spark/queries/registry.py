@@ -39,6 +39,7 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # tests/test_oracle_parity.py, which checks ALL of them.
 ROTATION: list[str] = [
     # Round-8 late additions (never sampled) lead the window:
+    "triplog_roundtrip_trips",
     "hybrid_rrf_search",
     "holt_linear_forecast",
     "theil_sen_trend",

@@ -13,8 +13,11 @@ import os
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from nyc_taxi_data_engineering_spark.catalog import register_views
+from nyc_taxi_data_engineering_spark.functions import stable_sum_sql
+from nyc_taxi_data_engineering_spark.operators.geo import derive_point_sql, distance_km_sql
 from nyc_taxi_data_engineering_spark.plans.sql_runner import SqlStep, run_sql_workflow
 from nyc_taxi_data_engineering_spark.queries.registry import query
 
@@ -1056,3 +1059,63 @@ def q_delta_clone_diverge_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     D.write_delta(diverged, dst, mode="overwrite", merge_schema=True)
     assert D.read_delta_log(spark, src).count() == nation.count()  # source intact
     return D.read_delta_log(spark, dst)
+
+
+@query(
+    "triplog_roundtrip_trips",
+    oracle=f"""
+WITH pts AS (
+    SELECT o_orderpriority AS vendor, o_totalprice,
+           {derive_point_sql("o_orderkey", "pu", "pu")},
+           {derive_point_sql("o_orderkey", "do", "do")}
+    FROM orders
+)
+SELECT vendor, COUNT(*) AS n_trips,
+       {stable_sum_sql(distance_km_sql("pu_lat", "pu_lon", "do_lat", "do_lon"), 6)} AS total_km,
+       {stable_sum_sql("o_totalprice")} AS total_fare
+FROM pts GROUP BY vendor ORDER BY vendor
+""",
+)
+def q_triplog_roundtrip_trips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python DataSource roundtrip (sources/triplog.py): project
+    orders into trip records (md5-derived OD distance from the geo
+    family), write them through ``format("triplog")`` (task-commit
+    protocol, one file per task), read them back through the same
+    format (one partition per file), and aggregate per vendor. The
+    oracle computes the identical aggregate straight from the parquet
+    — so the gate proves the bespoke text format roundtrips every
+    double BIT-EXACTLY (repr-out/float-in) and the source's
+    partition-parallel read loses nothing."""
+    from nyc_taxi_data_engineering_spark.catalog import load_table
+    from nyc_taxi_data_engineering_spark.functions import stable_sum
+    from nyc_taxi_data_engineering_spark.operators.geo import derive_point, distance_km
+    from nyc_taxi_data_engineering_spark.sources.triplog import register
+
+    register(spark)
+    orders = derive_point(
+        derive_point(load_table(spark, sf_dir, "orders"), "o_orderkey", "pu", "pu"),
+        "o_orderkey",
+        "do",
+        "do",
+    )
+    trips = orders.select(
+        F.col("o_orderkey").alias("trip_id"),
+        F.col("o_orderpriority").alias("vendor"),
+        F.col("o_orderdate").alias("ts"),
+        distance_km(
+            F.col("pu_lat"), F.col("pu_lon"), F.col("do_lat"), F.col("do_lon")
+        ).alias("distance_km"),
+        F.col("o_totalprice").alias("fare"),
+    )
+    path = _tmp_table("triplog_trips")
+    trips.write.format("triplog").mode("overwrite").save(path)
+    back = spark.read.format("triplog").load(path)
+    return (
+        back.groupBy("vendor")
+        .agg(
+            F.count(F.lit(1)).alias("n_trips"),
+            stable_sum(F.col("distance_km"), 6).alias("total_km"),
+            stable_sum(F.col("fare")).alias("total_fare"),
+        )
+        .orderBy("vendor")
+    )
