@@ -42,6 +42,7 @@ from pyspark.sql.datasource import (
     DataSourceReader,
     DataSourceWriter,
     InputPartition,
+    SimpleDataSourceStreamReader,
     WriterCommitMessage,
 )
 from pyspark.sql.types import (
@@ -159,6 +160,63 @@ class TripLogWriter(DataSourceWriter):
                 os.remove(m.tmp_path)
 
 
+class TripLogStreamReader(SimpleDataSourceStreamReader):
+    """Micro-batch tailing of a triplog directory.
+
+    Offset = the lexicographic high-water FILENAME consumed so far
+    (``{"watermark": name}``), the same monotone-arrival contract
+    Spark's own file stream source leans on: a producer must publish
+    files whose names sort AFTER everything already consumed (e.g.
+    zero-padded sequence or timestamp prefixes). ``read`` consumes
+    every file past the watermark and advances it;
+    ``readBetweenOffsets`` re-reads exactly the files in
+    ``(start, end]`` — deterministic replay, so a restarted query
+    re-produces identical batches and downstream exactly-once sinks
+    (streaming/delta_ingest.py) stay exactly-once end to end.
+    """
+
+    def __init__(self, options: dict) -> None:
+        path = options.get("path")
+        if not path:
+            raise ValueError("triplog: 'path' option is required")
+        self._dir = path
+        self._batch = TripLogReader(options)
+
+    def _files_after(self, watermark: str, upto: str | None = None) -> list[str]:
+        if not os.path.isdir(self._dir):
+            return []
+        names = sorted(
+            f for f in os.listdir(self._dir) if f.endswith(".triplog") and f > watermark
+        )
+        if upto is not None:
+            names = [f for f in names if f <= upto]
+        return names
+
+    def initialOffset(self) -> dict:
+        return {"watermark": ""}
+
+    def read(self, start: dict) -> tuple:
+        names = self._files_after(start["watermark"])
+        if not names:
+            return [], start
+        return self._read_files(names), {"watermark": names[-1]}
+
+    def readBetweenOffsets(self, start: dict, end: dict) -> list[tuple]:
+        return self._read_files(self._files_after(start["watermark"], end["watermark"]))
+
+    def commit(self, end: dict) -> None:
+        pass  # nothing to clean up: files stay owned by the producer
+
+    def _read_files(self, names: list[str]) -> list[tuple]:
+        # materialized (not a generator): the streaming harness pickles
+        # the batch rows driver-side — the documented Simple-reader
+        # small-batch regime
+        rows: list[tuple] = []
+        for name in names:
+            rows.extend(self._batch.read(_FilePartition(os.path.join(self._dir, name))))
+        return rows
+
+
 class TripLogDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -172,6 +230,9 @@ class TripLogDataSource(DataSource):
 
     def writer(self, schema: StructType, overwrite: bool) -> TripLogWriter:
         return TripLogWriter(self.options, overwrite)
+
+    def simpleStreamReader(self, schema: StructType) -> TripLogStreamReader:
+        return TripLogStreamReader(self.options)
 
 
 def register(spark) -> None:
