@@ -207,10 +207,15 @@ def geo_nearest_hub(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5-derived); report per-hub counts and exact total distance.
 
     100 TB: the hub table broadcasts (BroadcastNestedLoopJoin over 25
-    rows is a per-row loop, not a shuffle); the argmin is two hash
-    aggregations — min-distance per customer, then the deterministic
-    min hub id among exact-tie hubs (bit-identical doubles make the
-    equality join portable). No window, no sort on the big side.
+    rows is a per-row loop, not a shuffle); the argmin folds INTO one
+    hash aggregation — ``min(struct(dist_km, hub_id))`` orders structs
+    field-by-field, so map-side partial aggregation collapses each
+    customer's 25 scored rows to one BEFORE the exchange (the
+    queries/similarity.nearest_centroid shape; measured: the r8 sf10
+    probe put the two-agg join-back variant at slope 6.5 — this shape
+    shuffles n rows instead of 2×25n). Tie-break matches the oracle's
+    two-step equality formulation: smallest distance, then smallest
+    hub id (bit-identical doubles make the tie semantics portable).
     """
     hubs = derive_point(
         load_table(spark, sf_dir, "nation").select(F.col("n_nationkey").alias("hub_id")),
@@ -228,13 +233,10 @@ def geo_nearest_hub(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dist_km"
         ),
     )
-    m = d.groupBy("c_custkey").agg(F.min("dist_km").alias("best_km")).withColumnRenamed(
-        "c_custkey", "_mkey"
-    )
     a = (
-        d.join(m, (d["c_custkey"] == m["_mkey"]) & (d["dist_km"] == m["best_km"]))
-        .groupBy("c_custkey")
-        .agg(F.min("hub_id").alias("hub_id"), F.min("best_km").alias("best_km"))
+        d.groupBy("c_custkey")
+        .agg(F.min(F.struct(F.col("dist_km"), F.col("hub_id"))).alias("best"))
+        .select(F.col("best.hub_id").alias("hub_id"), F.col("best.dist_km").alias("best_km"))
     )
     return (
         a.groupBy("hub_id")

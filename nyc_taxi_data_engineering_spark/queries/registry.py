@@ -40,6 +40,7 @@ _REGISTRY: dict[str, QuerySpec] = {}
 ROTATION: list[str] = [
     # Round-8 late additions (never sampled) lead the window:
     "triplog_roundtrip_trips",
+    "als_ranking_eval",
     "hybrid_rrf_search",
     "holt_linear_forecast",
     "theil_sen_trend",

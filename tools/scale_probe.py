@@ -96,7 +96,16 @@ KEY_COLS = {
     "embeddings": ["vec_id"],
 }
 # Output file-split targets so the sf1 scan parallelizes like real data.
-N_FILES = {"lineitem": 16, "orders": 8, "events": 8, "documents": 8, "embeddings": 8}
+N_FILES = {
+    "lineitem": 16,
+    "orders": 8,
+    "events": 8,
+    "documents": 8,
+    "embeddings": 8,
+    # customer matters since the r8 geo family: a single-file customer
+    # table capped the hub/radius probes at 2-way scan parallelism
+    "customer": 4,
+}
 
 
 def _replicated(spark, src, table: str, replicas: int):
