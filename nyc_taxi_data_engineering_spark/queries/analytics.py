@@ -762,3 +762,114 @@ def q_orders_grouping_sets_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_sales",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# RFM segmentation — the classic customer-value analysis: quintile
+# scores for Recency / Frequency / Monetary, a pinned segment rule
+# chain, per-segment rollup. Same scale contract as
+# customer_spend_deciles: NO global-sort ntile — quintile thresholds
+# come from one percentile aggregate broadcast to every task, so
+# scoring is embarrassingly parallel. Spark's ``percentile`` and
+# DuckDB's ``quantile_cont`` share the linear-interpolation
+# definition; R/F are exact integers and M is a decimal-exact sum, so
+# every threshold comparison agrees bit-for-bit.
+# ---------------------------------------------------------------------------
+
+_RFM_QS = [0.2, 0.4, 0.6, 0.8]
+_RFM_SEGMENT_SQL = """CASE
+  WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4 THEN 'champion'
+  WHEN r_score >= 4 AND f_score >= 3 THEN 'loyal'
+  WHEN r_score >= 4 THEN 'recent'
+  WHEN r_score <= 2 AND f_score >= 4 THEN 'at_risk'
+  WHEN r_score <= 2 AND m_score >= 4 THEN 'cant_lose'
+  WHEN r_score <= 2 THEN 'hibernating'
+  ELSE 'regular' END"""
+
+
+@query(
+    "rfm_segments_customers",
+    oracle=f"""
+WITH rfm AS (
+  SELECT o_custkey,
+         CAST(date_diff('day', MAX(o_orderdate),
+              (SELECT MAX(o_orderdate) FROM orders)) AS DOUBLE) AS recency,
+         CAST(COUNT(*) AS DOUBLE) AS frequency,
+         {stable_sum_sql('o_totalprice', 2, 18)} AS monetary
+  FROM orders GROUP BY o_custkey
+),
+ths AS (
+  SELECT quantile_cont(recency, {_RFM_QS}) AS rt,
+         quantile_cont(frequency, {_RFM_QS}) AS ft,
+         quantile_cont(monetary, {_RFM_QS}) AS mt
+  FROM rfm
+),
+scored AS (
+  SELECT o_custkey, recency, frequency, monetary,
+         CAST(6 - (len(list_filter(rt, t -> recency > t)) + 1) AS INTEGER) AS r_score,
+         CAST(len(list_filter(ft, t -> frequency > t)) + 1 AS INTEGER) AS f_score,
+         CAST(len(list_filter(mt, t -> monetary > t)) + 1 AS INTEGER) AS m_score
+  FROM rfm, ths
+)
+SELECT {_RFM_SEGMENT_SQL} AS segment,
+       COUNT(*) AS n_customers,
+       CAST(SUM(CAST(recency AS BIGINT)) AS DOUBLE) / COUNT(*) AS avg_recency_days,
+       CAST(SUM(CAST(frequency AS BIGINT)) AS DOUBLE) / COUNT(*) AS avg_orders,
+       {stable_sum_sql('monetary', 2, 18)} AS total_spend
+FROM scored GROUP BY 1 ORDER BY segment
+""",
+)
+def q_rfm_segments_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM quintile segmentation of customers with a pinned rule chain
+    (champion / loyal / recent / at_risk / cant_lose / hibernating /
+    regular), rolled up per segment. R counts days back from the
+    corpus's own max order date (1-row broadcast anchor); scores 5 =
+    best on every axis."""
+    orders = load_table(spark, sf_dir, "orders")
+    anchor = orders.agg(F.max("o_orderdate").alias("_anchor"))
+    rfm = (
+        orders.crossJoin(F.broadcast(anchor))
+        .groupBy("o_custkey")
+        .agg(
+            F.datediff(F.first("_anchor"), F.max("o_orderdate"))
+            .cast("double")
+            .alias("recency"),
+            F.count(F.lit(1)).cast("double").alias("frequency"),
+            stable_sum("o_totalprice", 2, 18).alias("monetary"),
+        )
+    )
+    qs = ", ".join(str(q) for q in _RFM_QS)
+    ths = rfm.agg(
+        F.expr(f"percentile(recency, array({qs}))").alias("rt"),
+        F.expr(f"percentile(frequency, array({qs}))").alias("ft"),
+        F.expr(f"percentile(monetary, array({qs}))").alias("mt"),
+    )
+    bucket = lambda arr, v: (  # noqa: E731
+        F.size(F.filter(F.col(arr), lambda t: F.col(v) > t)) + 1
+    )
+    scored = rfm.crossJoin(F.broadcast(ths)).select(
+        "o_custkey",
+        "recency",
+        "frequency",
+        "monetary",
+        (F.lit(6) - bucket("rt", "recency")).cast("int").alias("r_score"),
+        bucket("ft", "frequency").cast("int").alias("f_score"),
+        bucket("mt", "monetary").cast("int").alias("m_score"),
+    )
+    return (
+        scored.withColumn("segment", F.expr(_RFM_SEGMENT_SQL))
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            (
+                F.sum(F.col("recency").cast("bigint")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_recency_days"),
+            (
+                F.sum(F.col("frequency").cast("bigint")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_orders"),
+            stable_sum("monetary", 2, 18).alias("total_spend"),
+        )
+        .orderBy("segment")
+    )

@@ -41,6 +41,7 @@ ROTATION: list[str] = [
     # Round-8 late additions (never sampled) lead the window:
     "triplog_roundtrip_trips",
     "als_ranking_eval",
+    "rfm_segments_customers",
     "hybrid_rrf_search",
     "holt_linear_forecast",
     "theil_sen_trend",
