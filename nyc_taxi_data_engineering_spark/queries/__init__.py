@@ -39,6 +39,7 @@ _MODULES = [
     "recsys",
     "paretoq",
     "geoq",
+    "markovq",
 ]
 
 _loaded = False

@@ -42,6 +42,7 @@ ROTATION: list[str] = [
     "triplog_roundtrip_trips",
     "als_ranking_eval",
     "rfm_segments_customers",
+    "markov_attribution_events",
     "hybrid_rrf_search",
     "holt_linear_forecast",
     "theil_sen_trend",

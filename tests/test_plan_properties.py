@@ -881,3 +881,18 @@ def test_theil_sen_pairs_only_on_cached_day_series(spark, sf_dir):
     plan = _plan(spark, sf_dir, "theil_sen_trend")
     assert "InMemoryTableScan" in plan
     assert "partial_sum" in plan
+
+
+def test_markov_attribution_iterates_on_one_row(spark, sf_dir):
+    """Markov removal-effect attribution: the 5-variant x 15-round
+    value iteration must be single-row expression evaluation — after
+    the journey window and the matrix pivot there are NO further
+    joins, windows, or scans (the whole chain is projections over one
+    aggregated row)."""
+    plan = _plan(spark, sf_dir, "markov_attribution_events")
+    assert "CartesianProduct" not in plan
+    assert plan.count("FileScan parquet") == 1  # ONE events scan: truncation, end, and lag are all windows
+    # every Project after the final HashAggregate is single-row math;
+    # no Window may appear downstream of the aggregate
+    post_agg = plan.split("HashAggregate", 1)[0]
+    assert "Window" not in post_agg
