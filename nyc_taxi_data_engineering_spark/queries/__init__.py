@@ -40,6 +40,7 @@ _MODULES = [
     "paretoq",
     "geoq",
     "markovq",
+    "pii",
 ]
 
 _loaded = False

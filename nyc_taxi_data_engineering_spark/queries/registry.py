@@ -43,6 +43,8 @@ ROTATION: list[str] = [
     "als_ranking_eval",
     "rfm_segments_customers",
     "markov_attribution_events",
+    "pii_detect_docs",
+    "pii_redact_docs",
     "hybrid_rrf_search",
     "holt_linear_forecast",
     "theil_sen_trend",

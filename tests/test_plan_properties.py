@@ -896,3 +896,20 @@ def test_markov_attribution_iterates_on_one_row(spark, sf_dir):
     # no Window may appear downstream of the aggregate
     post_agg = plan.split("HashAggregate", 1)[0]
     assert "Window" not in post_agg
+
+
+def test_pii_redact_is_shuffle_free_single_scan(spark, sf_dir):
+    """PII redaction is pure per-row regex in codegen: ONE documents
+    scan and NO hash-partition exchange (the only exchange allowed is
+    the output sort's range partitioning)."""
+    plan = _plan(spark, sf_dir, "pii_redact_docs")
+    assert plan.count("FileScan parquet") == 1
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_pii_detect_one_scan_one_agg(spark, sf_dir):
+    """Detection is one scan + one (lang, source) hash agg with a
+    map-side partial."""
+    plan = _plan(spark, sf_dir, "pii_detect_docs")
+    assert plan.count("FileScan parquet") == 1
+    assert "partial_sum" in plan or "partial_count" in plan

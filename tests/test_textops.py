@@ -107,3 +107,39 @@ def test_gopher_gates_rule_by_rule(spark, tmp_path):
     assert got[3]["keep"] is False and got[3]["mean_word_len"] < 3
     assert got[4]["keep"] is False and got[4]["alpha_word_ratio"] < 0.8
     assert got[5]["keep"] is False and got[5]["stopword_hits"] == 0
+
+
+def test_pii_redaction_complete_and_counted(spark, sf_dir):
+    """Every planted PII category is removed (residual re-scan = 0 on
+    every doc) and detection finds real positives AND negatives."""
+    from nyc_taxi_data_engineering_spark.queries.pii import (
+        q_pii_detect_docs,
+        q_pii_redact_docs,
+    )
+
+    red = q_pii_redact_docs(spark, sf_dir).collect()
+    assert all(r["residual_pii"] == 0 for r in red)
+    assert any(r["chars_removed"] > 0 for r in red)  # redaction really fired
+    assert any(r["chars_removed"] == 0 for r in red)  # clean docs untouched
+
+    det = q_pii_detect_docs(spark, sf_dir).collect()
+    assert sum(r["emails"] for r in det) > 0
+    assert sum(r["ccs"] for r in det) > 0
+    total = sum(r["n_docs"] for r in det)
+    with_pii = sum(r["docs_with_pii"] for r in det)
+    assert 0 < with_pii < total  # mixed corpus, not all-or-nothing
+
+
+def test_pii_patterns_no_cross_category_bleed(spark):
+    """The redaction chain order keeps categories from eating each
+    other's spans: a doc with all five planted shapes redacts to the
+    five tokens exactly."""
+    from nyc_taxi_data_engineering_spark.queries.pii import _redact_col
+
+    txt = (
+        "x card 1234 5678 9012 3456 ssn 123-45-6789 "
+        "call (212) 555-0142 mail bob.smith+a@ex.co from 10.1.2.3 y"
+    )
+    df = spark.createDataFrame([(txt,)], "text string")
+    out = df.select(_redact_col(F.col("text")).alias("r")).collect()[0]["r"]
+    assert out == "x card <CC> ssn <SSN> call <PHONE> mail <EMAIL> from <IP> y"
