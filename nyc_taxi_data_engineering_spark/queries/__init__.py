@@ -41,6 +41,7 @@ _MODULES = [
     "geoq",
     "markovq",
     "pii",
+    "shapleyq",
 ]
 
 _loaded = False

@@ -45,6 +45,7 @@ ROTATION: list[str] = [
     "markov_attribution_events",
     "pii_detect_docs",
     "pii_redact_docs",
+    "shapley_attribution_events",
     "hybrid_rrf_search",
     "holt_linear_forecast",
     "theil_sen_trend",

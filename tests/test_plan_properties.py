@@ -913,3 +913,15 @@ def test_pii_detect_one_scan_one_agg(spark, sf_dir):
     plan = _plan(spark, sf_dir, "pii_detect_docs")
     assert plan.count("FileScan parquet") == 1
     assert "partial_sum" in plan or "partial_count" in plan
+
+
+def test_shapley_single_scan_single_row_math(spark, sf_dir):
+    """Shapley attribution: ONE events scan, the per-user bit_or agg,
+    one global agg to a single row — the 2^4 coalition arithmetic must
+    be row-local projections, never a join or window downstream of the
+    final aggregate."""
+    plan = _plan(spark, sf_dir, "shapley_attribution_events")
+    assert plan.count("FileScan parquet") == 1
+    assert "CartesianProduct" not in plan
+    post_agg = plan.split("HashAggregate", 1)[0]
+    assert "Window" not in post_agg and "Join" not in post_agg

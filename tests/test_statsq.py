@@ -94,3 +94,39 @@ def test_nb_confusion_covers_every_test_doc_once(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     n_test = docs.filter(F.col("doc_id") % 3 == 0).count()
     assert n_pred == n_test  # argmax assigns exactly one class per doc
+
+
+def test_shapley_efficiency_axiom(spark, sf_dir):
+    """Sum of Shapley values must equal v(full) - v(empty): the
+    conversion rate of all journeys minus the rate of journeys that
+    converted with no channel exposure at all."""
+    from pyspark.sql import functions as F
+
+    from nyc_taxi_data_engineering_spark.queries.shapleyq import (
+        q_shapley_attribution_events,
+    )
+    from nyc_taxi_data_engineering_spark.queries.registry import registry
+
+    rows = q_shapley_attribution_events(spark, sf_dir).collect()
+    assert [r["channel"] for r in rows] == ["click", "error", "signup", "view"]
+    total_phi = sum(r["shapley_value"] for r in rows)
+    shares = sum(r["attribution_share"] for r in rows)
+    assert abs(shares - 1.0) < 1e-12
+
+    # recompute v(full) and v(empty) directly from events
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    per_user = (
+        ev.groupBy("user_id")
+        .agg(
+            F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("conv"),
+            F.min(
+                F.when(F.col("event_type") == "purchase", F.struct("ts", "event_id"))
+            ).alias("first_p"),
+            F.min(F.struct("ts", "event_id")).alias("first_e"),
+        )
+    )
+    n = per_user.count()
+    v_full = per_user.filter("conv = 1").count() / n
+    # v(empty): converted journeys whose FIRST event is the purchase
+    v_empty = per_user.filter("conv = 1 AND first_p = first_e").count() / n
+    assert abs(total_phi - (v_full - v_empty)) < 1e-9
