@@ -46,6 +46,7 @@ ROTATION: list[str] = [
     "pii_detect_docs",
     "pii_redact_docs",
     "shapley_attribution_events",
+    "did_uplift_events",
     "hybrid_rrf_search",
     "holt_linear_forecast",
     "theil_sen_trend",

@@ -502,3 +502,87 @@ def q_ab_bootstrap_diff_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "ci_lo", "ci_hi", "n_positive", F.lit(AB_BOOT_B).cast("long").alias("n_resamples")
     )
+
+
+# --- Difference-in-differences -------------------------------------------
+# Treatment by user parity (the repo's deterministic stand-in for an
+# assignment column, same as ab_test_events), periods split at a pinned
+# mid-range cutover, outcome = purchase event value. The whole 2x2 cell
+# table is ONE conditional-aggregate row (single scan, map-side combine);
+# every mean is an exact decimal sum with one terminal double division,
+# and the DiD estimate combines the four means with IEEE ops that are
+# bit-identical across engines.
+
+_DID_CUTOVER = "2024-01-16 00:00:00"
+
+
+def _did_cells() -> list[str]:
+    out = []
+    for g, gcond in (("treat", "user_id % 2 = 1"), ("ctrl", "user_id % 2 = 0")):
+        for p, pcond in (
+            (
+                "pre",
+                f"ts < TIMESTAMP '{_DID_CUTOVER}'",
+            ),
+            (
+                "post",
+                f"ts >= TIMESTAMP '{_DID_CUTOVER}'",
+            ),
+        ):
+            cond = f"event_type = 'purchase' AND {gcond} AND {pcond}"
+            out.append(
+                f"CAST(SUM(CASE WHEN {cond} THEN 1 ELSE 0 END) AS BIGINT) AS n_{g}_{p}"
+            )
+            out.append(
+                stable_sum_sql(f"CASE WHEN {cond} THEN value ELSE 0.0 END", scale=6)
+                + f" AS s_{g}_{p}"
+            )
+    return out
+
+
+def _did_means() -> dict[str, str]:
+    return {
+        f"mean_{g}_{p}": (
+            f"CASE WHEN n_{g}_{p} = 0 THEN CAST(0.0 AS DOUBLE)"
+            f" ELSE s_{g}_{p} / n_{g}_{p} END"
+        )
+        for g in ("treat", "ctrl")
+        for p in ("pre", "post")
+    }
+
+
+_DID_M = _did_means()
+_DID_EST = (
+    f"(({_DID_M['mean_treat_post']}) - ({_DID_M['mean_treat_pre']}))"
+    f" - (({_DID_M['mean_ctrl_post']}) - ({_DID_M['mean_ctrl_pre']}))"
+)
+
+
+@query(
+    "did_uplift_events",
+    oracle=f"""
+WITH agg AS (SELECT {', '.join(_did_cells())} FROM events)
+SELECT n_treat_pre, n_treat_post, n_ctrl_pre, n_ctrl_post,
+       {_DID_M['mean_treat_pre']} AS mean_treat_pre,
+       {_DID_M['mean_treat_post']} AS mean_treat_post,
+       {_DID_M['mean_ctrl_pre']} AS mean_ctrl_pre,
+       {_DID_M['mean_ctrl_post']} AS mean_ctrl_post,
+       {_DID_EST} AS did_estimate
+FROM agg
+""",
+)
+def q_did_uplift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences on purchase value: the 2x2
+    (group x period) cell means from one conditional-aggregate scan,
+    and the DiD estimate (treated post-pre change minus control
+    post-pre change). 1 row."""
+    ev = load_table(spark, sf_dir, "events")
+    agg = ev.agg(*[F.expr(c) for c in _did_cells()])
+    return agg.select(
+        "n_treat_pre",
+        "n_treat_post",
+        "n_ctrl_pre",
+        "n_ctrl_post",
+        *[F.expr(e).alias(k) for k, e in _DID_M.items()],
+        F.expr(_DID_EST).alias("did_estimate"),
+    )
