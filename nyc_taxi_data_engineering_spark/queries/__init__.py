@@ -42,6 +42,7 @@ _MODULES = [
     "markovq",
     "pii",
     "shapleyq",
+    "cohortq",
 ]
 
 _loaded = False

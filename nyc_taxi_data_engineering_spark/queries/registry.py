@@ -47,6 +47,7 @@ ROTATION: list[str] = [
     "pii_redact_docs",
     "shapley_attribution_events",
     "did_uplift_events",
+    "cohort_ltv_customers",
     "hybrid_rrf_search",
     "holt_linear_forecast",
     "theil_sen_trend",

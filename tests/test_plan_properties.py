@@ -925,3 +925,17 @@ def test_shapley_single_scan_single_row_math(spark, sf_dir):
     assert "CartesianProduct" not in plan
     post_agg = plan.split("HashAggregate", 1)[0]
     assert "Window" not in post_agg and "Join" not in post_agg
+
+
+def test_cohort_ltv_windows_over_grid_not_orders(spark, sf_dir):
+    """The LTV cumsum window must run over the (cohort x age) grid —
+    i.e. downstream of the grid aggregation — never over raw orders,
+    and the customer-key join stays an equi-join."""
+    plan = _plan(spark, sf_dir, "cohort_ltv_customers")
+    assert "CartesianProduct" not in plan
+    assert "partial_sum" in plan  # grid agg has a map-side combine
+    # the Window's input is aggregated: every Window line in the tree
+    # appears ABOVE (before) the first HashAggregate, meaning its child
+    # chain contains the aggregate, not a bare scan
+    first_scan = plan.index("FileScan")
+    assert "Window" not in plan[first_scan:]
