@@ -43,6 +43,7 @@ _MODULES = [
     "pii",
     "shapleyq",
     "cohortq",
+    "boostq",
 ]
 
 _loaded = False

@@ -48,6 +48,8 @@ ROTATION: list[str] = [
     "shapley_attribution_events",
     "did_uplift_events",
     "cohort_ltv_customers",
+    "adaboost_stumps_orders",
+    "adaboost_eval_orders",
     "hybrid_rrf_search",
     "holt_linear_forecast",
     "theil_sen_trend",

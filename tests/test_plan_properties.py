@@ -939,3 +939,15 @@ def test_cohort_ltv_windows_over_grid_not_orders(spark, sf_dir):
     # chain contains the aggregate, not a bare scan
     first_scan = plan.index("FileScan")
     assert "Window" not in plan[first_scan:]
+
+
+def test_adaboost_rounds_reuse_cached_matrix(spark, sf_dir):
+    """Boosting's per-round passes must re-read the CACHED candidate
+    matrix (InMemoryTableScan), not re-scan parquet per round, and the
+    1-row state joins must be broadcasts, never a shuffled join."""
+    plan = _plan(spark, sf_dir, "adaboost_eval_orders")
+    # every boosting pass (3 rounds + the scoring pass) reads the cache;
+    # FileScans in the tree text are the InMemoryRelation's fill plan
+    # reprinted per reference, not real re-scans
+    assert plan.count("InMemoryTableScan") >= 4
+    assert "SortMergeJoin" not in plan

@@ -130,3 +130,25 @@ def test_shapley_efficiency_axiom(spark, sf_dir):
     # v(empty): converted journeys whose FIRST event is the purchase
     v_empty = per_user.filter("conv = 1 AND first_p = first_e").count() / n
     assert abs(total_phi - (v_full - v_empty)) < 1e-9
+
+
+def test_adaboost_recovers_planted_majority(spark, sf_dir):
+    """The 3 rounds must pick the 3 DIFFERENT planted features (the
+    2-of-3 majority is unrepresentable by any single stump), every
+    weighted error stays < 0.5 (weak-learner condition), and ensemble
+    accuracy approaches the 5%-label-flip noise ceiling."""
+    from nyc_taxi_data_engineering_spark.queries.boostq import (
+        q_adaboost_eval_orders,
+        q_adaboost_stumps_orders,
+    )
+
+    trace = q_adaboost_stumps_orders(spark, sf_dir).collect()
+    assert [r["round"] for r in trace] == [1, 2, 3]
+    assert all(0.0 < r["epsilon"] < 0.5 for r in trace)
+    assert all(r["odds_factor"] > 1.0 for r in trace)
+    families = {r["stump"].split(":")[0].split("<")[0] for r in trace}
+    assert len(families) == 3  # one stump per planted feature family
+
+    ev = q_adaboost_eval_orders(spark, sf_dir).collect()[0]
+    assert ev["accuracy"] >= 0.9
+    assert ev["tp"] + ev["fp"] + ev["fn"] + ev["tn"] > 0
