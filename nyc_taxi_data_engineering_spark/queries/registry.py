@@ -50,6 +50,7 @@ ROTATION: list[str] = [
     "cohort_ltv_customers",
     "adaboost_stumps_orders",
     "adaboost_eval_orders",
+    "delta_hilbert_orders",
     "hybrid_rrf_search",
     "holt_linear_forecast",
     "theil_sen_trend",

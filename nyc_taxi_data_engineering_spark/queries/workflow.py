@@ -1119,3 +1119,49 @@ def q_triplog_roundtrip_trips(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vendor")
     )
+
+
+@query(
+    "delta_hilbert_orders",
+    oracle=f"""
+SELECT o_orderstatus, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders
+WHERE o_custkey <= {ZORDER_CUST_CUT} AND o_orderkey <= {ZORDER_KEY_CUT}
+GROUP BY o_orderstatus
+""",
+)
+def q_delta_hilbert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert clustering composed with Delta stats skipping — the
+    locality-superior alternative to delta_zorder_orders on the SAME
+    two-dimensional predicate: orders cluster along the Hilbert curve
+    of (o_custkey, o_orderkey) into 16 files, commit through the Delta
+    log, and the 2-D read prunes files from per-file min/max before
+    the residual filter. The Hilbert walk never takes Morton's
+    diagonal jumps, so per-file bounding boxes are tighter and the
+    log prunes at least as hard (tests/test_layout.py measures both).
+    The oracle recomputes from the raw table, so over-pruning or a
+    missing residual hash-mismatches."""
+    from pyspark.sql import functions as F
+
+    from nyc_taxi_data_engineering_spark.catalog import load_table
+    from nyc_taxi_data_engineering_spark.operators.layout import hilbert_cluster
+    from nyc_taxi_data_engineering_spark.sources import delta_log as D
+
+    tbl = _tmp_table("delta_hilbert_orders")
+    shutil.rmtree(tbl, ignore_errors=True)
+    orders = load_table(spark, sf_dir, "orders")
+    D.write_delta(hilbert_cluster(orders, ["o_custkey", "o_orderkey"], 16), tbl, mode="overwrite")
+    snap = D.read_delta_log(
+        spark,
+        tbl,
+        predicates=[("o_custkey", "<=", ZORDER_CUST_CUT), ("o_orderkey", "<=", ZORDER_KEY_CUT)],
+    )
+    return (
+        snap.filter((F.col("o_custkey") <= ZORDER_CUST_CUT) & (F.col("o_orderkey") <= ZORDER_KEY_CUT))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total_price"),
+        )
+    )

@@ -1358,3 +1358,38 @@ def test_cdf_empty_range_returns_typed_empty(spark, cdf_table):
     feed = D.read_change_feed(spark, cdf_table, version_from=1, version_to=1)
     assert feed.count() == 0
     assert "_change_type" in feed.columns and "_commit_version" in feed.columns
+
+
+def test_hilbert_delta_prunes_at_least_as_hard_as_zorder(spark, tmp_path):
+    """Hilbert-clustered commit: both clustered columns prune via the
+    log, and on this uniform grid the Hilbert layout's tighter
+    bounding boxes keep no MORE files than Morton for the same
+    predicates."""
+    from nyc_taxi_data_engineering_spark.operators.layout import (
+        hilbert_cluster,
+        zorder_cluster,
+    )
+
+    df = spark.range(0, 4096).select(
+        (F.col("id") % 64).alias("a"), (F.col("id") / 64).cast("long").alias("b")
+    )
+    paths = {}
+    for name, cluster in (("h", hilbert_cluster), ("z", zorder_cluster)):
+        p = str(tmp_path / f"{name}tbl")
+        D.write_delta(cluster(df, ["a", "b"], 16), p, mode="overwrite")
+        paths[name] = p
+
+    def n_files(path, preds):
+        state = D._replay_state(path)
+        return sum(1 for a in state["adds"].values() if D._file_survives(a, preds))
+
+    total_h = len(D._replay(paths["h"])[0])
+    assert total_h >= 8
+    for preds in ([("a", "<=", 7)], [("b", "<=", 7)], [("a", "<=", 7), ("b", "<=", 7)]):
+        kept_h = n_files(paths["h"], preds)
+        kept_z = n_files(paths["z"], preds)
+        assert kept_h < total_h / 2, (preds, kept_h, total_h)
+        assert kept_h <= kept_z, (preds, kept_h, kept_z)
+    # correctness: pruned read returns exactly the matching rows
+    snap = D.read_delta_log(spark, paths["h"], predicates=[("a", "<=", 7), ("b", "<=", 7)])
+    assert snap.filter("a <= 7 AND b <= 7").count() == df.filter("a <= 7 AND b <= 7").count()

@@ -73,3 +73,73 @@ def test_compaction_reduces_file_count(spark, tmp_path):
     files = glob.glob(os.path.join(dst, "*.parquet"))
     assert n == 1 and len(files) == 1
     assert spark.read.parquet(dst).count() == 10_000
+
+
+def test_hilbert_curve_is_a_gapless_unit_step_walk(spark):
+    """The defining Hilbert property (and what Morton lacks): d values
+    over the full 8x8 grid are a permutation of 0..63 AND every
+    consecutive pair of cells on the curve is one unit apart in the
+    grid — no diagonal jumps, ever."""
+    from pyspark.sql import functions as F
+
+    from nyc_taxi_data_engineering_spark.operators.layout import with_hilbert
+
+    cells = spark.range(64).select(
+        (F.col("id") % 8).alias("x"), (F.col("id") / 8).cast("long").alias("y")
+    )
+    rows = (
+        with_hilbert(cells, F.col("x"), F.col("y"), bits=3)
+        .orderBy("_hd")
+        .collect()
+    )
+    assert [r["_hd"] for r in rows] == list(range(64))
+    for a, b in zip(rows, rows[1:]):
+        assert abs(a["x"] - b["x"]) + abs(a["y"] - b["y"]) == 1
+
+
+def test_hilbert_cluster_prunes_both_dimensions(spark, tmp_path):
+    """Hilbert-clustered files must allow stats skipping on BOTH
+    columns, like Z-order: a range predicate on either column selects
+    a strict subset of files by footer min/max."""
+    import pyarrow.parquet as pq
+
+    from nyc_taxi_data_engineering_spark.operators.layout import hilbert_cluster
+
+    df = spark.range(64_000).selectExpr(
+        "id % 256 AS x", "CAST(id / 256 AS LONG) AS y", "id AS payload"
+    )
+    path = str(tmp_path / "hilbert")
+    hilbert_cluster(df, ["x", "y"], 16).write.mode("overwrite").parquet(path)
+
+    import glob
+
+    files = sorted(glob.glob(f"{path}/*.parquet"))
+    assert len(files) >= 8
+    kept_x = kept_y = 0
+    for f in files:
+        md = pq.read_metadata(f)
+        lo_x = min(md.row_group(i).column(0).statistics.min for i in range(md.num_row_groups))
+        hi_x = max(md.row_group(i).column(0).statistics.max for i in range(md.num_row_groups))
+        lo_y = min(md.row_group(i).column(1).statistics.min for i in range(md.num_row_groups))
+        hi_y = max(md.row_group(i).column(1).statistics.max for i in range(md.num_row_groups))
+        if lo_x <= 32:
+            kept_x += 1
+        if lo_y <= 32:
+            kept_y += 1
+        del hi_x, hi_y
+    # a predicate x<=32 (or y<=32) must skip most files on stats alone
+    assert kept_x <= len(files) // 2
+    assert kept_y <= len(files) // 2
+
+
+def test_hilbert_cluster_preserves_rows(spark, tmp_path):
+    from nyc_taxi_data_engineering_spark.operators.layout import hilbert_cluster
+
+    df = spark.range(10_000).selectExpr("id % 100 AS x", "CAST(id / 100 AS LONG) AS y")
+    path = str(tmp_path / "h2")
+    hilbert_cluster(df, ["x", "y"], 4).write.mode("overwrite").parquet(path)
+    back = spark.read.parquet(path)
+    assert back.count() == 10_000
+    assert back.selectExpr("sum(x)", "sum(y)").collect() == df.selectExpr(
+        "sum(x)", "sum(y)"
+    ).collect()
