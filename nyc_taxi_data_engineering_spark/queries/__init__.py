@@ -44,6 +44,7 @@ _MODULES = [
     "shapleyq",
     "cohortq",
     "boostq",
+    "unigramq",
 ]
 
 _loaded = False

@@ -51,6 +51,7 @@ ROTATION: list[str] = [
     "adaboost_stumps_orders",
     "adaboost_eval_orders",
     "delta_hilbert_orders",
+    "unigram_tokenize_words",
     "hybrid_rrf_search",
     "holt_linear_forecast",
     "theil_sen_trend",

@@ -99,3 +99,30 @@ def test_unigram_scores_positive_and_bounded(spark, sf_dir):
     import math
 
     assert scores.filter(F.col("avg_neg_logp") > math.log(n)).count() == 0
+
+
+def test_unigram_viterbi_matches_reference_dp(spark, sf_dir):
+    """The expression-space Viterbi must agree with an independent
+    driver-side DP on every corpus word (score AND piece count,
+    including the fewer-pieces tie-break), and the pinned model must
+    make multi-char pieces actually win."""
+    from nyc_taxi_data_engineering_spark.queries.unigramq import (
+        q_unigram_tokenize_words,
+        viterbi_reference,
+    )
+
+    rows = q_unigram_tokenize_words(spark, sf_dir).collect()
+    assert len(rows) > 10
+    by_word = {}
+    for r in rows:
+        ref_score, ref_pieces = viterbi_reference(r["word"])
+        assert (r["score_micro"], r["n_pieces"]) == (ref_score, ref_pieces), r["word"]
+        by_word[r["word"]] = r
+    assert by_word["join"]["n_pieces"] == 1  # whole-word piece wins
+    # no word does worse than all-singles (chars are a complete
+    # fallback), and the model's pieces make MOST words strictly better
+    better = 0
+    for w, r in by_word.items():
+        assert r["score_micro"] >= len(w) * -3_000_000
+        better += r["score_micro"] > len(w) * -3_000_000
+    assert better >= len(by_word) * 2 // 3
