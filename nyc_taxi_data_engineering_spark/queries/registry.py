@@ -52,6 +52,7 @@ ROTATION: list[str] = [
     "adaboost_eval_orders",
     "delta_hilbert_orders",
     "unigram_tokenize_words",
+    "tpch_waiting_suppliers",
     "hybrid_rrf_search",
     "holt_linear_forecast",
     "theil_sen_trend",

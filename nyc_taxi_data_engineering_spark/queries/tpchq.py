@@ -12,7 +12,7 @@ for top-k instead of a global sort.
 
 Adaptations (the generator's schema is trimmed): no `partsupp`,
 `l_commitdate`/`l_receiptdate`/`l_shipmode`, `o_shippriority`,
-`c_phone/comment` — Q2/Q11/Q12/Q21 have no faithful equivalent and the
+`c_phone/comment` — Q2/Q11/Q12 have no faithful equivalent (Q21 adapts via the Q4 ship-lag convention) and the
 others substitute the nearest available column (noted per query).
 Aggregates that feed the exact-hash oracle gate sum via
 ``stable_sum``'s decimal transport (functions/__init__.py:20) so every
@@ -21,7 +21,7 @@ double matches DuckDB bit-for-bit.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from nyc_taxi_data_engineering_spark.catalog import load_table
@@ -699,4 +699,72 @@ def q_tpch_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy(F.col("n_name").alias("nation"))
         .agg(F.count(F.lit(1)).alias("numcust"), stable_sum("c_acctbal").alias("totacctbal"))
+    )
+
+
+@query(
+    "tpch_waiting_suppliers",
+    oracle="""
+WITH per_os AS (
+    SELECT l_orderkey, l_suppkey,
+           MAX(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY THEN 1 ELSE 0 END) AS late
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderstatus = 'F'
+    GROUP BY l_orderkey, l_suppkey
+),
+flagged AS (
+    SELECT *,
+           COUNT(*) OVER (PARTITION BY l_orderkey) AS n_supp,
+           SUM(late) OVER (PARTITION BY l_orderkey) AS n_late
+    FROM per_os
+)
+SELECT s_name, COUNT(*) AS numwait
+FROM flagged
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey AND n_name IN ('NATION_3', 'NATION_7')
+WHERE late = 1 AND n_supp > 1 AND n_late = 1
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 25
+""",
+)
+def q_tpch_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 suppliers-who-kept-orders-waiting (ship-lag > 90 days
+    stands in for the missing commit/receipt dates, the Q4
+    convention): among finished multi-supplier orders, count per
+    supplier the orders where it was the ONLY late shipper. The
+    correlated EXISTS / NOT EXISTS pair decorrelates into one
+    (order, supplier) aggregate plus two windows over the SAME
+    order-key partitioning — a single extra shuffle over the already
+    order-supplier-collapsed table, never a per-row subquery; the
+    supplier/nation dims broadcast."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    per_os = (
+        li.join(orders.select("o_orderkey", "o_orderdate"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.max(
+                F.when(
+                    F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY"), 1
+                ).otherwise(0)
+            ).alias("late")
+        )
+    )
+    w = Window.partitionBy("l_orderkey")
+    flagged = per_os.withColumn("n_supp", F.count(F.lit(1)).over(w)).withColumn(
+        "n_late", F.sum("late").over(w)
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    nat = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_3", "NATION_7")
+    )
+    return (
+        flagged.filter((F.col("late") == 1) & (F.col("n_supp") > 1) & (F.col("n_late") == 1))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nat.select("n_nationkey")), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(25)
     )
