@@ -53,6 +53,7 @@ ROTATION: list[str] = [
     "delta_hilbert_orders",
     "unigram_tokenize_words",
     "tpch_waiting_suppliers",
+    "mv_rewrite_rollup_orders",
     "hybrid_rrf_search",
     "holt_linear_forecast",
     "theil_sen_trend",

@@ -1165,3 +1165,60 @@ def q_delta_hilbert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total_price"),
         )
     )
+
+
+@query(
+    "mv_rewrite_rollup_orders",
+    oracle="""
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price
+FROM orders
+WHERE o_orderpriority = '1-URGENT'
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""",
+)
+def q_mv_rewrite_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-view query rewriting end to end: a
+    (status, priority) additive-state MV materializes to Delta, then a
+    COARSER aggregate (by status, filtered on the other key, asking
+    for count + sum + avg) routes through the rewriter — which must
+    answer from the MV with roll-up compensation, never touching the
+    base table. The oracle recomputes from raw orders, so a stale MV,
+    a bad roll-up, or an avg stored (instead of derived) all
+    hash-mismatch."""
+    from pyspark.sql import functions as F
+
+    from nyc_taxi_data_engineering_spark.catalog import load_table
+    from nyc_taxi_data_engineering_spark.operators.mv_rewrite import (
+        AggRequest,
+        MaterializedView,
+        answer,
+        build_mv,
+    )
+
+    tbl = _tmp_table("mv_rewrite_orders")
+    shutil.rmtree(tbl, ignore_errors=True)
+    orders = load_table(spark, sf_dir, "orders")
+    mv = MaterializedView(
+        name="orders_by_status_priority",
+        base_table="orders",
+        group_keys=("o_orderstatus", "o_orderpriority"),
+        sums={"sum_price": "o_totalprice"},
+        path=tbl,
+    )
+    build_mv(orders, mv)
+    req = AggRequest(
+        keys=("o_orderstatus",),
+        aggs={
+            "n_orders": ("count", None),
+            "total_price": ("sum", "o_totalprice"),
+            "avg_price": ("avg", "o_totalprice"),
+        },
+        filters=(("o_orderpriority", "=", "1-URGENT"),),
+    )
+    out, used_mv = answer(spark, mv, req, orders)
+    assert used_mv, "rewriter must answer this request from the MV"
+    return out.orderBy("o_orderstatus")

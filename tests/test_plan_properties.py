@@ -951,3 +951,11 @@ def test_adaboost_rounds_reuse_cached_matrix(spark, sf_dir):
     # reprinted per reference, not real re-scans
     assert plan.count("InMemoryTableScan") >= 4
     assert "SortMergeJoin" not in plan
+
+
+def test_mv_rewrite_never_touches_the_base_table(spark, sf_dir):
+    """The rewritten aggregate's plan must read ONLY the MV's Delta
+    files — a single tiny scan — with the base orders table absent."""
+    plan = _plan(spark, sf_dir, "mv_rewrite_rollup_orders")
+    assert "orders.parquet" not in plan
+    assert plan.count("FileScan parquet") == 1
