@@ -54,6 +54,7 @@ ROTATION: list[str] = [
     "unigram_tokenize_words",
     "tpch_waiting_suppliers",
     "mv_rewrite_rollup_orders",
+    "holt_winters_forecast",
     "hybrid_rrf_search",
     "holt_linear_forecast",
     "theil_sen_trend",

@@ -895,3 +895,121 @@ def q_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             "intercept",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Holt-Winters additive (level + trend + weekly seasonality) — the
+# seasonal extension of holt_linear_forecast, same exactness contract:
+# alpha = beta = gamma = 0.5 (exactly representable), the fold's IEEE
+# op sequence written identically in the Spark F.aggregate lambda and
+# the DuckDB recursive CTE, day-of-week as epoch_days % 7 (dayofweek()
+# disagrees between engines: Spark is 1-7 Sun-first, DuckDB 0-6).
+# Seasonal state is a 7-slot array on the Spark side and s0..s6
+# columns in the CTE — same values, same update order.
+# 100 TB: the fact collapses to the daily series before the fold, so
+# the recursion length is calendar days, not data size (scale-free).
+# ---------------------------------------------------------------------------
+
+_HW_SI = "CASE s.dow WHEN 0 THEN r.s0 WHEN 1 THEN r.s1 WHEN 2 THEN r.s2 WHEN 3 THEN r.s3 WHEN 4 THEN r.s4 WHEN 5 THEN r.s5 ELSE r.s6 END"
+_HW_LNEW = f"0.5 * (s.x - ({_HW_SI})) + 0.5 * (r.l + r.b)"
+
+
+def _hw_snew(i: int) -> str:
+    return (
+        f"CASE WHEN s.dow = {i} THEN 0.5 * (s.x - ({_HW_LNEW})) + 0.5 * ({_HW_SI})"
+        f" ELSE r.s{i} END"
+    )
+
+
+@query(
+    "holt_winters_forecast",
+    oracle=f"""
+WITH RECURSIVE {_HOLT_DAILY_SQL},
+s AS (
+  SELECT x, date_diff('day', TIMESTAMP '1970-01-01', d) % 7 AS dow,
+         row_number() OVER (ORDER BY d) AS rn
+  FROM daily
+),
+rec AS (
+    SELECT rn, dow, x AS l, CAST(0.0 AS DOUBLE) AS b,
+           CAST(0.0 AS DOUBLE) AS s0, CAST(0.0 AS DOUBLE) AS s1,
+           CAST(0.0 AS DOUBLE) AS s2, CAST(0.0 AS DOUBLE) AS s3,
+           CAST(0.0 AS DOUBLE) AS s4, CAST(0.0 AS DOUBLE) AS s5,
+           CAST(0.0 AS DOUBLE) AS s6, CAST(0.0 AS DOUBLE) AS es
+    FROM s WHERE rn = 1
+    UNION ALL
+    SELECT s.rn, s.dow,
+           {_HW_LNEW},
+           0.5 * (({_HW_LNEW}) - r.l) + 0.5 * r.b,
+           {_hw_snew(0)}, {_hw_snew(1)}, {_hw_snew(2)}, {_hw_snew(3)},
+           {_hw_snew(4)}, {_hw_snew(5)}, {_hw_snew(6)},
+           r.es + abs(s.x - (r.l + r.b + ({_HW_SI})))
+    FROM rec r JOIN s ON s.rn = r.rn + 1
+)
+SELECT rn::INT AS n_days,
+       l AS final_level,
+       b AS final_trend,
+       es / CAST(rn - 1 AS DOUBLE) AS mae,
+       (l + b) + (CASE (dow + 1) % 7 WHEN 0 THEN s0 WHEN 1 THEN s1 WHEN 2 THEN s2
+                  WHEN 3 THEN s3 WHEN 4 THEN s4 WHEN 5 THEN s5 ELSE s6 END) AS forecast_1,
+       (l + 7.0 * b) + (CASE dow WHEN 0 THEN s0 WHEN 1 THEN s1 WHEN 2 THEN s2
+                        WHEN 3 THEN s3 WHEN 4 THEN s4 WHEN 5 THEN s5 ELSE s6 END) AS forecast_7
+FROM rec WHERE rn = (SELECT MAX(rn) FROM s)
+""",
+)
+def q_holt_winters_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt-Winters additive over daily order revenue: final level and
+    trend after the level/trend/weekly-seasonal fold, one-step-ahead
+    MAE, and the 1-day / 7-day forecasts (7 days ahead lands on the
+    same weekday, so it reuses the last day's seasonal)."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(14,2)"))
+        .cast("decimal(14,2)")
+        .cast("double")
+        .alias("x")
+    )
+    series = daily.select(
+        "d",
+        "x",
+        (F.datediff(F.col("d"), F.lit("1970-01-01").cast("date")) % 7).alias("dow"),
+    ).agg(F.sort_array(F.collect_list(F.struct("d", "x", "dow"))).alias("s"))
+    half = F.lit(0.5)
+
+    def step(acc, e):
+        si = F.element_at(acc["sea"], e["dow"].cast("int") + 1)
+        lnew = half * (e["x"] - si) + half * (acc["l"] + acc["b"])
+        return F.struct(
+            lnew.alias("l"),
+            (half * (lnew - acc["l"]) + half * acc["b"]).alias("b"),
+            F.transform(
+                acc["sea"],
+                lambda v, j: F.when(
+                    j == e["dow"].cast("int"), half * (e["x"] - lnew) + half * si
+                ).otherwise(v),
+            ).alias("sea"),
+            (acc["es"] + F.abs(e["x"] - (acc["l"] + acc["b"] + si))).alias("es"),
+        )
+
+    init = F.struct(
+        F.element_at(F.col("s"), 1)["x"].alias("l"),
+        F.lit(0.0).alias("b"),
+        F.array(*[F.lit(0.0) for _ in range(7)]).alias("sea"),
+        F.lit(0.0).alias("es"),
+    )
+    folded = F.aggregate(F.slice(F.col("s"), F.lit(2), F.size("s") - 1), init, step)
+    last_dow = F.element_at(F.col("s"), F.size("s"))["dow"].cast("int")
+    return series.select(
+        F.size("s").cast("int").alias("n_days"),
+        folded["l"].alias("final_level"),
+        folded["b"].alias("final_trend"),
+        (folded["es"] / (F.size("s") - 1).cast("double")).alias("mae"),
+        (
+            (folded["l"] + folded["b"])
+            + F.element_at(folded["sea"], ((last_dow + 1) % 7) + 1)
+        ).alias("forecast_1"),
+        (
+            (folded["l"] + F.lit(7.0) * folded["b"])
+            + F.element_at(folded["sea"], last_dow + 1)
+        ).alias("forecast_7"),
+    )

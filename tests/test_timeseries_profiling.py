@@ -260,3 +260,20 @@ def test_linear_interpolate_straight_line(spark):
     assert out[(1, "2024-01-03")] == 30.0
     assert out[(1, "2024-01-04")] == 40.0
     assert out[(2, "2024-02-01")] == 99.0
+
+
+def test_holt_winters_state_is_finite_and_seasonal_slots_fill(spark, sf_dir):
+    """The seasonal fold must produce finite state and a real MAE, and
+    its one-step MAE should not be wildly worse than plain Holt (the
+    seasonal terms start at 0, so early steps match Holt exactly)."""
+    import math
+
+    from nyc_taxi_data_engineering_spark.queries.registry import registry
+
+    hw = registry()["holt_winters_forecast"].fn(spark, sf_dir).collect()[0]
+    h = registry()["holt_linear_forecast"].fn(spark, sf_dir).collect()[0]
+    assert hw["n_days"] == h["n_days"] > 100
+    for c in ("final_level", "final_trend", "mae", "forecast_1", "forecast_7"):
+        assert math.isfinite(hw[c]), c
+    assert hw["mae"] > 0
+    assert hw["mae"] < 3.0 * h["mae"]
