@@ -55,6 +55,7 @@ ROTATION: list[str] = [
     "tpch_waiting_suppliers",
     "mv_rewrite_rollup_orders",
     "holt_winters_forecast",
+    "gdpr_erasure_audit",
     "hybrid_rrf_search",
     "holt_linear_forecast",
     "theil_sen_trend",

@@ -1222,3 +1222,55 @@ def q_mv_rewrite_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     out, used_mv = answer(spark, mv, req, orders)
     assert used_mv, "rewriter must answer this request from the MV"
     return out.orderBy("o_orderstatus")
+
+
+@query(
+    "gdpr_erasure_audit",
+    oracle="""
+WITH targets AS (SELECT c_custkey FROM customer WHERE c_custkey % 97 = 3)
+SELECT 'customer' AS tbl,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM customer) AS rows_before,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM customer WHERE c_custkey % 97 <> 3) AS rows_after,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM targets) AS rows_erased,
+       CAST(0 AS BIGINT) AS residual
+UNION ALL
+SELECT 'orders',
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM orders),
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM orders WHERE o_custkey % 97 <> 3),
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM orders WHERE o_custkey % 97 = 3),
+       CAST(0 AS BIGINT)
+ORDER BY tbl
+""",
+)
+def q_gdpr_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten, end to end on the Delta path: a subject
+    set (every 97th customer) is erased from BOTH the customer table
+    and its dependent orders via deletion vectors — no file rewrites —
+    and the audit reports per table the before/after/erased counts
+    plus a residual re-scan of the LIVE snapshot that must come back
+    zero. The oracle recomputes every count from the raw tables, so a
+    missed file, an over-broad DV, or a dependent-table skip all
+    hash-mismatch. (Time-travel to the pre-erasure version still
+    serves the rows — retention policy is vacuum's job; the change
+    feed records the deletes row-level — both proven in
+    tests/test_cdc.py / test_delta_log.py.)"""
+    from pyspark.sql import functions as F
+
+    from nyc_taxi_data_engineering_spark.catalog import load_table
+    from nyc_taxi_data_engineering_spark.sources import delta_log as D
+
+    rows = []
+    for tbl, key in (("customer", "c_custkey"), ("orders", "o_custkey")):
+        path = _tmp_table(f"gdpr_{tbl}")
+        shutil.rmtree(path, ignore_errors=True)
+        src = load_table(spark, sf_dir, tbl)
+        D.write_delta(src, path, mode="overwrite")
+        before = D.read_delta_log(spark, path).count()
+        D.delete_delta(spark, path, f"{key} % 97 = 3")
+        live = D.read_delta_log(spark, path)
+        after = live.count()
+        residual = live.filter(F.expr(f"{key} % 97 = 3")).count()
+        rows.append((tbl, before, after, before - after, residual))
+    return spark.createDataFrame(
+        rows, "tbl string, rows_before bigint, rows_after bigint, rows_erased bigint, residual bigint"
+    ).orderBy("tbl")
