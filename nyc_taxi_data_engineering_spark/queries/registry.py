@@ -56,6 +56,7 @@ ROTATION: list[str] = [
     "mv_rewrite_rollup_orders",
     "holt_winters_forecast",
     "gdpr_erasure_audit",
+    "uplift_by_decile_events",
     "hybrid_rrf_search",
     "holt_linear_forecast",
     "theil_sen_trend",

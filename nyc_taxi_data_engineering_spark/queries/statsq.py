@@ -586,3 +586,83 @@ def q_did_uplift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[F.expr(e).alias(k) for k, e in _DID_M.items()],
         F.expr(_DID_EST).alias("did_estimate"),
     )
+
+
+# --- Uplift by decile ------------------------------------------------------
+# The targeting companion to did_uplift_events: rank users into deciles
+# by their PRE-period engagement (the CUPED covariate idea), then per
+# decile compare treated vs control POST-period purchase value — the
+# table a campaign owner reads to find who the treatment actually moves.
+# Determinism: decile assignment is ntile over (pre_value, user_id) — a
+# total order, so ranks replay exactly; means are decimal sums with one
+# terminal division.
+
+
+@query(
+    "uplift_by_decile_events",
+    oracle=f"""
+WITH per_user AS (
+    SELECT user_id,
+           user_id % 2 AS treat,
+           {stable_sum_sql(f"CASE WHEN ts < TIMESTAMP '{_DID_CUTOVER}' THEN value ELSE 0.0 END", scale=6)} AS pre_value,
+           {stable_sum_sql(f"CASE WHEN ts >= TIMESTAMP '{_DID_CUTOVER}' AND event_type = 'purchase' THEN value ELSE 0.0 END", scale=6)} AS post_purchase,
+           CAST(SUM(CASE WHEN ts >= TIMESTAMP '{_DID_CUTOVER}' AND event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS post_n
+    FROM events
+    GROUP BY user_id
+),
+ranked AS (
+    SELECT *, ntile(10) OVER (ORDER BY pre_value, user_id) AS decile FROM per_user
+)
+SELECT decile,
+       CAST(SUM(CASE WHEN treat = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_treat,
+       CAST(SUM(CASE WHEN treat = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ctrl,
+       {stable_sum_sql("CASE WHEN treat = 1 THEN post_purchase ELSE 0.0 END", scale=6)}
+         / SUM(CASE WHEN treat = 1 THEN 1 ELSE 0 END) AS mean_treat,
+       {stable_sum_sql("CASE WHEN treat = 0 THEN post_purchase ELSE 0.0 END", scale=6)}
+         / SUM(CASE WHEN treat = 0 THEN 1 ELSE 0 END) AS mean_ctrl,
+       {stable_sum_sql("CASE WHEN treat = 1 THEN post_purchase ELSE 0.0 END", scale=6)}
+         / SUM(CASE WHEN treat = 1 THEN 1 ELSE 0 END)
+       - {stable_sum_sql("CASE WHEN treat = 0 THEN post_purchase ELSE 0.0 END", scale=6)}
+         / SUM(CASE WHEN treat = 0 THEN 1 ELSE 0 END) AS uplift
+FROM ranked
+GROUP BY decile
+ORDER BY decile
+""",
+)
+def q_uplift_by_decile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per pre-engagement decile: treated/control user counts, mean
+    post-period purchase value per arm, and the uplift. 10 rows; one
+    user-keyed agg, one ntile window over the per-user table, one
+    decile agg."""
+    ev = load_table(spark, sf_dir, "events")
+    cut = f"TIMESTAMP '{_DID_CUTOVER}'"
+    per_user = ev.groupBy("user_id").agg(
+        F.expr(f"user_id % 2").alias("treat"),
+        stable_sum(F.expr(f"CASE WHEN ts < {cut} THEN value ELSE 0.0 END"), scale=6).alias("pre_value"),
+        stable_sum(
+            F.expr(f"CASE WHEN ts >= {cut} AND event_type = 'purchase' THEN value ELSE 0.0 END"),
+            scale=6,
+        ).alias("post_purchase"),
+        F.expr(
+            f"CAST(SUM(CASE WHEN ts >= {cut} AND event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("post_n"),
+    )
+    ranked = per_user.withColumn(
+        "decile", F.ntile(10).over(Window.orderBy("pre_value", "user_id"))
+    )
+    t = F.col("treat") == 1
+    n_t = F.sum(F.when(t, 1).otherwise(0))
+    n_c = F.sum(F.when(~t, 1).otherwise(0))
+    s_t = stable_sum(F.when(t, F.col("post_purchase")).otherwise(0.0), scale=6)
+    s_c = stable_sum(F.when(~t, F.col("post_purchase")).otherwise(0.0), scale=6)
+    return (
+        ranked.groupBy("decile")
+        .agg(
+            n_t.cast("bigint").alias("n_treat"),
+            n_c.cast("bigint").alias("n_ctrl"),
+            (s_t / n_t).alias("mean_treat"),
+            (s_c / n_c).alias("mean_ctrl"),
+            (s_t / n_t - s_c / n_c).alias("uplift"),
+        )
+        .orderBy("decile")
+    )
