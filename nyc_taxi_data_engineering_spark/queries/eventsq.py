@@ -592,3 +592,54 @@ def q_funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         pick(F.col("rn") == p90_rn).alias("p90_hours"),
         pick(F.col("rn") == F.col("n")).alias("max_hours"),
     )
+
+
+_VARIANT_J = (
+    "('{\"u\": {\"id\": ' || CAST(user_id AS STRING) || ', \"ty\": \"' || event_type"
+    " || '\"}, \"vals\": [' || CAST(event_id % 5 AS STRING) || ', '"
+    " || CAST(event_id % 11 AS STRING) || ']}')"
+)
+
+
+@query(
+    "events_variant_paths",
+    oracle=f"""
+WITH nested AS (SELECT event_type, {_VARIANT_J} AS j FROM events)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(json_extract_string(j, '$.u.id') AS BIGINT)) AS BIGINT) AS sum_uid,
+       CAST(SUM(CAST(json_extract_string(j, '$.vals[1]') AS BIGINT)) AS BIGINT) AS sum_val1,
+       CAST(SUM(CASE WHEN json_extract_string(j, '$.u.ty') = event_type THEN 1 ELSE 0 END) AS BIGINT) AS ty_roundtrip
+FROM nested
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def q_events_variant_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The VARIANT semi-structured surface (Spark 4 parse_json /
+    variant_get) on nested objects and arrays: a nested JSON document
+    is planted from the event columns, parsed ONCE to a variant, and
+    typed values extract by path — an object field, an array element,
+    and a string round-trip sanity count — aggregated per event type.
+    The DuckDB oracle reads the same paths with its JSON functions, so
+    the two engines' path semantics must coincide value-for-value.
+    Single scan, one hash agg; variant decode is per-row codegen."""
+    ev = load_table(spark, sf_dir, "events")
+    nested = ev.select(
+        "event_type", F.parse_json(F.expr(_VARIANT_J)).alias("v")
+    )
+    vg = lambda path, t: F.expr(f"variant_get(v, '{path}', '{t}')")  # noqa: E731
+    return (
+        nested.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(vg("$.u.id", "bigint")).cast("bigint").alias("sum_uid"),
+            F.sum(vg("$.vals[1]", "bigint")).cast("bigint").alias("sum_val1"),
+            F.sum(
+                F.when(vg("$.u.ty", "string") == F.col("event_type"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("ty_roundtrip"),
+        )
+        .orderBy("event_type")
+    )

@@ -57,6 +57,8 @@ ROTATION: list[str] = [
     "holt_winters_forecast",
     "gdpr_erasure_audit",
     "uplift_by_decile_events",
+    "holt_recursive_sql_60d",
+    "events_variant_paths",
     "hybrid_rrf_search",
     "holt_linear_forecast",
     "theil_sen_trend",

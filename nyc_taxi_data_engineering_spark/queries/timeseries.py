@@ -1013,3 +1013,55 @@ def q_holt_winters_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.element_at(folded["sea"], last_dow + 1)
         ).alias("forecast_7"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Recursive-CTE surface (Spark 4's WITH RECURSIVE): the Holt fold over
+# the final 60-day revenue window as ONE portable SQL text that BOTH
+# engines execute verbatim — three formulations of the same recurrence
+# now agree (F.aggregate fold, Spark recursive CTE, DuckDB recursive
+# CTE). Spark's recursion supports UNION ALL only and iterates level
+# by level (spark.sql.cteRecursionLevelLimit defaults to 100), so the
+# recursion must be a LINEAR chain with bounded depth: a pinned
+# two-month window (<= 61 levels) — the pattern to reach for when a
+# fold must live in pure SQL; unbounded series belong to F.aggregate.
+# ---------------------------------------------------------------------------
+
+_HOLT60_SQL = """
+WITH RECURSIVE daily AS (
+  SELECT o_orderdate AS d,
+         CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DECIMAL(14,2)) AS DOUBLE) AS x
+  FROM orders
+  WHERE o_orderdate >= TIMESTAMP '2001-06-01 00:00:00'
+  GROUP BY o_orderdate
+),
+s AS (SELECT d, x, row_number() OVER (ORDER BY d) AS rn FROM daily),
+rec AS (
+    SELECT rn, x AS l, CAST(0.0 AS DOUBLE) AS b, CAST(0.0 AS DOUBLE) AS es
+    FROM s WHERE rn = 1
+    UNION ALL
+    SELECT s.rn,
+           0.5 * s.x + 0.5 * (r.l + r.b),
+           0.5 * ((0.5 * s.x + 0.5 * (r.l + r.b)) - r.l) + 0.5 * r.b,
+           r.es + abs(s.x - (r.l + r.b))
+    FROM rec r JOIN s ON s.rn = r.rn + 1
+)
+SELECT CAST(rn AS INT) AS n_days,
+       l AS final_level,
+       b AS final_trend,
+       es / CAST(rn - 1 AS DOUBLE) AS mae,
+       l + b AS forecast_1
+FROM rec WHERE rn = (SELECT MAX(rn) FROM s)
+"""
+
+
+@query("holt_recursive_sql_60d", oracle=_HOLT60_SQL)
+def q_holt_recursive_sql_60d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's method over the final two months, run through Spark's
+    WITH RECURSIVE — the SQL text is character-identical to the DuckDB
+    oracle, so the gate directly certifies Spark's recursive-CTE
+    execution against an independent engine."""
+    from nyc_taxi_data_engineering_spark.catalog import register_views
+
+    register_views(spark, sf_dir, names=("orders",))
+    return spark.sql(_HOLT60_SQL)
