@@ -6,7 +6,7 @@ deterministic enough to sit under the exact DuckDB oracle gate.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from nyc_taxi_data_engineering_spark.catalog import load_table_parallel as load_table
@@ -475,3 +475,86 @@ def q_linkpred_copurchase_suppliers(spark: SparkSession, sf_dir: str) -> DataFra
     edges, TakeOrderedAndProject top-k; Jaccard divides two exact
     integers so the doubles match cross-engine."""
     return link_predictions(_knn_copurchase_edges(spark, sf_dir), topk=LINKPRED_TOPK)
+
+
+ITEMCF_TOPK = 5
+
+
+@query(
+    "itemcf_supplier_neighbors",
+    oracle=f"""
+WITH {_COPURCHASE_LINKS},
+lk AS (SELECT DISTINCT e, ctx FROM links),
+hot AS (SELECT ctx FROM lk GROUP BY ctx HAVING COUNT(*) > {COPURCHASE_DEGREE_CAP}),
+kept AS (SELECT * FROM lk WHERE ctx NOT IN (SELECT ctx FROM hot)),
+deg AS (SELECT e, CAST(COUNT(*) AS BIGINT) AS d FROM kept GROUP BY e),
+pairs AS (
+    SELECT a.e AS a, b.e AS b, CAST(COUNT(*) AS BIGINT) AS shared
+    FROM kept a JOIN kept b ON a.ctx = b.ctx AND a.e < b.e
+    GROUP BY a.e, b.e
+    HAVING COUNT(*) >= {COPURCHASE_MIN_SHARED}
+),
+sym AS (
+    SELECT a AS item, b AS neighbor, shared FROM pairs
+    UNION ALL
+    SELECT b, a, shared FROM pairs
+),
+scored AS (
+    SELECT s.item, s.neighbor, s.shared,
+           CAST(s.shared AS DOUBLE) / sqrt(CAST(da.d AS DOUBLE) * CAST(db.d AS DOUBLE)) AS cosine
+    FROM sym s
+    JOIN deg da ON s.item = da.e
+    JOIN deg db ON s.neighbor = db.e
+),
+ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY item ORDER BY cosine DESC, neighbor) AS rank
+    FROM scored
+)
+SELECT item, neighbor, shared AS shared_customers, cosine, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {ITEMCF_TOPK}
+ORDER BY item, rank
+""",
+)
+def q_itemcf_supplier_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering: each supplier's top-{k}
+    nearest neighbors by cosine over the binary customer-incidence
+    vectors — shared customers normalized by sqrt(deg·deg), the
+    memory-based recommender beside the model-based ALS. Reuses the
+    co-purchase machinery (distinct links, hot-context cap, keyed
+    self-join); degrees broadcast back onto the pair table; sqrt is
+    IEEE-correctly-rounded so the cosine is bit-exact cross-engine.
+    The per-item top-k window runs over the already-collapsed pair
+    table (pairs, not raw links)."""
+    from nyc_taxi_data_engineering_spark.operators.cooccur import cooccurrence_pairs
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    links = o.join(li, o["o_orderkey"] == li["l_orderkey"]).select(
+        F.col("l_suppkey").alias("supplier"), F.col("o_custkey").alias("customer")
+    )
+    lk = links.select(F.col("supplier").alias("e"), F.col("customer").alias("ctx")).distinct()
+    hot = lk.groupBy("ctx").count().filter(F.col("count") > COPURCHASE_DEGREE_CAP).select("ctx")
+    kept = lk.join(hot, "ctx", "left_anti")
+    deg = kept.groupBy("e").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    pairs = cooccurrence_pairs(
+        links, "supplier", "customer",
+        degree_cap=COPURCHASE_DEGREE_CAP, min_shared=COPURCHASE_MIN_SHARED,
+    ).withColumnRenamed("shared_contexts", "shared")
+    sym = pairs.select(F.col("a").alias("item"), F.col("b").alias("neighbor"), "shared").unionByName(
+        pairs.select(F.col("b").alias("item"), F.col("a").alias("neighbor"), "shared")
+    )
+    scored = (
+        sym.join(F.broadcast(deg.withColumnRenamed("e", "item").withColumnRenamed("d", "da")), "item")
+        .join(F.broadcast(deg.withColumnRenamed("e", "neighbor").withColumnRenamed("d", "db")), "neighbor")
+        .select(
+            "item", "neighbor", "shared",
+            (F.col("shared").cast("double") / F.sqrt(F.col("da").cast("double") * F.col("db").cast("double"))).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("item").orderBy(F.col("cosine").desc(), "neighbor")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= ITEMCF_TOPK)
+        .select("item", "neighbor", F.col("shared").alias("shared_customers"), "cosine", F.col("rank").cast("int").alias("rank"))
+        .orderBy("item", "rank")
+    )

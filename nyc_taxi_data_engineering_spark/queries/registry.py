@@ -59,6 +59,7 @@ ROTATION: list[str] = [
     "uplift_by_decile_events",
     "holt_recursive_sql_60d",
     "events_variant_paths",
+    "itemcf_supplier_neighbors",
     "hybrid_rrf_search",
     "holt_linear_forecast",
     "theil_sen_trend",
