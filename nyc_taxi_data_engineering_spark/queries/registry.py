@@ -60,6 +60,7 @@ ROTATION: list[str] = [
     "holt_recursive_sql_60d",
     "events_variant_paths",
     "itemcf_supplier_neighbors",
+    "trimmed_winsor_price_stats",
     "hybrid_rrf_search",
     "holt_linear_forecast",
     "theil_sen_trend",

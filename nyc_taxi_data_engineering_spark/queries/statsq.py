@@ -666,3 +666,82 @@ def q_uplift_by_decile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+# --- Trimmed / winsorized means -------------------------------------------
+# Robust location estimates per order priority: drop (trim) or clamp
+# (winsorize) the extreme 5% per tail. Exactness: ranks are row_number
+# over (price, orderkey) — a total order; the 5% cut k = floor(n/20)
+# is integer-only arithmetic ((n - n%20)/20 — exact division, so the
+# int/int -> double dialect difference can't bite); tail boundary
+# values are the ranked rows at k+1 and n-k picked by a windowed MAX
+# over a single non-null; means ride the decimal transport.
+
+
+@query(
+    "trimmed_winsor_price_stats",
+    oracle=f"""
+WITH ranked AS (
+    SELECT o_orderpriority AS priority, o_totalprice AS v,
+           row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey) AS rn,
+           COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+    FROM orders
+),
+cut AS (SELECT *, CAST((n - n % 20) / 20 AS BIGINT) AS k FROM ranked),
+bounded AS (
+    SELECT *,
+           MAX(CASE WHEN rn = k + 1 THEN v END) OVER (PARTITION BY priority) AS lo_v,
+           MAX(CASE WHEN rn = n - k THEN v END) OVER (PARTITION BY priority) AS hi_v
+    FROM cut
+)
+SELECT priority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       {stable_sum_sql("v", scale=2)} / COUNT(*) AS mean_price,
+       {stable_sum_sql("CASE WHEN rn > k AND rn <= n - k THEN v ELSE 0.0 END", scale=2)}
+         / SUM(CASE WHEN rn > k AND rn <= n - k THEN 1 ELSE 0 END) AS trimmed_mean,
+       {stable_sum_sql("CASE WHEN rn <= k THEN lo_v WHEN rn > n - k THEN hi_v ELSE v END", scale=2)}
+         / COUNT(*) AS winsor_mean
+FROM bounded
+GROUP BY priority
+ORDER BY priority
+""",
+)
+def q_trimmed_winsor_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per order priority: plain, 5%-trimmed, and 5%-winsorized mean
+    price — the outlier-robust location battery. One rank shuffle on
+    the group key; the boundary windows reuse the same partitioning."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_totalprice").alias("v"),
+        "o_orderkey",
+    )
+    wp = Window.partitionBy("priority")
+    ranked = (
+        orders.withColumn("rn", F.row_number().over(wp.orderBy("v", "o_orderkey")))
+        .withColumn("n", F.count(F.lit(1)).over(wp))
+        .withColumn("k", F.expr("CAST((n - n % 20) / 20 AS BIGINT)"))
+    )
+    bounded = ranked.withColumn(
+        "lo_v", F.max(F.when(F.col("rn") == F.col("k") + 1, F.col("v"))).over(wp)
+    ).withColumn(
+        "hi_v", F.max(F.when(F.col("rn") == F.col("n") - F.col("k"), F.col("v"))).over(wp)
+    )
+    kept = (F.col("rn") > F.col("k")) & (F.col("rn") <= F.col("n") - F.col("k"))
+    wins = (
+        F.when(F.col("rn") <= F.col("k"), F.col("lo_v"))
+        .when(F.col("rn") > F.col("n") - F.col("k"), F.col("hi_v"))
+        .otherwise(F.col("v"))
+    )
+    return (
+        bounded.groupBy("priority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            (stable_sum("v", scale=2) / F.count(F.lit(1))).alias("mean_price"),
+            (
+                stable_sum(F.when(kept, F.col("v")).otherwise(0.0), scale=2)
+                / F.sum(F.when(kept, 1).otherwise(0))
+            ).alias("trimmed_mean"),
+            (stable_sum(wins, scale=2) / F.count(F.lit(1))).alias("winsor_mean"),
+        )
+        .orderBy("priority")
+    )
