@@ -61,6 +61,7 @@ ROTATION: list[str] = [
     "events_variant_paths",
     "itemcf_supplier_neighbors",
     "trimmed_winsor_price_stats",
+    "unigram_tokenize_docs",
     "hybrid_rrf_search",
     "holt_linear_forecast",
     "theil_sen_trend",

@@ -179,3 +179,78 @@ def viterbi_reference(word: str) -> tuple[int, int]:
                 best[i] = cand
     assert best[len(word)] is not None
     return best[len(word)]
+
+
+def _word_dp_ctes() -> str:
+    """The words-with-DP CTE chain (word, n_occurrences, n_pieces,
+    score_micro as CTE ``wfin``), shared by both unigram queries."""
+    dp = _dp_cols()
+    sql = """toks AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+),
+words AS (
+    SELECT word, COUNT(*) AS n_occurrences
+    FROM toks
+    WHERE word <> '' AND regexp_full_match(word, '[a-z]{1,8}')
+    GROUP BY word
+)"""
+    src = "words"
+    for i, (name, expr) in enumerate(dp):
+        sql += f",\nd{i} AS (SELECT *, {expr} AS {name} FROM {src})"
+        src = f"d{i}"
+    sql += f""",
+wfin AS (
+    SELECT word,
+           CAST({_N_PIECES.replace('dpkey', 'wkey')} AS BIGINT) AS n_pieces,
+           {_SCORE.replace('dpkey', 'wkey')} AS score_micro
+    FROM (SELECT word, {_FINAL_KEY} AS wkey FROM {src})
+)"""
+    return sql
+
+
+@query(
+    "unigram_tokenize_docs",
+    oracle=f"""
+WITH {_word_dp_ctes()}
+SELECT t.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(w.n_pieces) AS BIGINT) AS n_tokens,
+       CAST(SUM(w.score_micro) AS BIGINT) AS score_micro
+FROM toks t JOIN wfin w ON t.word = w.word
+GROUP BY t.doc_id
+ORDER BY t.doc_id
+""",
+)
+def q_unigram_tokenize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus tokenization end to end: every doc's unigram-LM token
+    count and total segmentation score, via a BROADCAST join of the
+    exploded words onto the DP'd distinct-word table — the 100 TB
+    shape (the model rides the closure; the corpus never shuffles,
+    only the per-doc hash agg does)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("word")).filter(
+        F.col("word") != ""
+    )
+    words = (
+        toks.filter(F.col("word").rlike("^[a-z]{1,8}$"))
+        .select("word")
+        .distinct()
+    )
+    work = words
+    for name, expr in _dp_cols():
+        work = work.withColumn(name, F.expr(expr))
+    wfin = work.withColumn("wkey", F.expr(_FINAL_KEY)).select(
+        "word",
+        F.expr(_N_PIECES.replace("dpkey", "wkey")).cast("bigint").alias("n_pieces"),
+        F.expr(_SCORE.replace("dpkey", "wkey")).alias("score_micro"),
+    )
+    return (
+        toks.join(F.broadcast(wfin.select("word", "n_pieces", "score_micro")), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum("n_pieces").cast("bigint").alias("n_tokens"),
+            F.sum("score_micro").cast("bigint").alias("score_micro"),
+        )
+        .orderBy("doc_id")
+    )
