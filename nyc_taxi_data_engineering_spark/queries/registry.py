@@ -62,6 +62,7 @@ ROTATION: list[str] = [
     "itemcf_supplier_neighbors",
     "trimmed_winsor_price_stats",
     "unigram_tokenize_docs",
+    "nelson_aalen_customers",
     "hybrid_rrf_search",
     "holt_linear_forecast",
     "theil_sen_trend",

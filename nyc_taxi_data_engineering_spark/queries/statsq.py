@@ -745,3 +745,84 @@ def q_trimmed_winsor_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority")
     )
+
+
+@query(
+    "nelson_aalen_customers",
+    oracle=f"""
+WITH spans AS (
+    SELECT o_custkey,
+           date_diff('day', MIN(o_orderdate), MAX(o_orderdate)) AS t,
+           CASE WHEN MAX(o_orderdate) < TIMESTAMP '{_KM_CUTOFF}' THEN 1 ELSE 0 END AS event
+    FROM orders GROUP BY o_custkey
+),
+by_t AS (
+    SELECT t, CAST(COUNT(*) AS BIGINT) AS c, CAST(SUM(event) AS BIGINT) AS d
+    FROM spans GROUP BY t
+),
+risk AS (
+    SELECT t, c, d,
+           (SELECT COUNT(*) FROM spans)
+             - COALESCE(SUM(c) OVER (ORDER BY t
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_at_risk
+    FROM by_t
+),
+na AS (
+    SELECT t, n_at_risk, d,
+           SUM(CAST(round(CAST(d AS DOUBLE) / n_at_risk, 6) AS DECIMAL(18,6)))
+             OVER (ORDER BY t) AS h,
+           SUM(CAST(round(CAST(d AS DOUBLE) / (CAST(n_at_risk AS DOUBLE) * n_at_risk), 9)
+                    AS DECIMAL(18,9)))
+             OVER (ORDER BY t) AS hv
+    FROM risk
+    WHERE d > 0
+)
+SELECT t AS duration_days, CAST(n_at_risk AS BIGINT) AS n_at_risk, d AS n_events,
+       CAST(h AS DOUBLE) AS cum_hazard,
+       CAST(hv AS DOUBLE) AS cum_hazard_var
+FROM na
+""",
+)
+def q_nelson_aalen_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson-Aalen cumulative hazard over the same censored customer
+    spans as kaplan_meier_customers: H(t) = sum of d/n increments with
+    the KM family's quantized-increment transport (each d/n rounds to
+    6 dp, the variance increments d/n² to 9 dp, cumulated as exact
+    DECIMAL sums — order-free where raw double accumulation is not).
+    Unlike KM, d = n times are fine (no log), only d = 0 rows drop.
+    Same plan: fact collapses to customer grain, then everything runs
+    on the tiny duration table."""
+    orders = load_table(spark, sf_dir, "orders")
+    spans = orders.groupBy("o_custkey").agg(
+        F.datediff(F.max("o_orderdate"), F.min("o_orderdate")).alias("t"),
+        F.when(F.max("o_orderdate") < F.lit(_KM_CUTOFF), 1).otherwise(0).alias("event"),
+    )
+    by_t = spans.groupBy("t").agg(
+        F.count(F.lit(1)).alias("c"), F.sum("event").cast("long").alias("d")
+    )
+    total = spans.agg(F.count(F.lit(1)).alias("n_total"))
+    w_prev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    risk = (
+        by_t.crossJoin(F.broadcast(total))
+        .withColumn(
+            "n_at_risk",
+            F.col("n_total") - F.coalesce(F.sum("c").over(w_prev), F.lit(0)),
+        )
+        .filter(F.col("d") > 0)
+    )
+    w_cum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    h_inc = F.round(F.col("d").cast("double") / F.col("n_at_risk"), 6).cast("decimal(18,6)")
+    hv_inc = F.round(
+        F.col("d").cast("double") / (F.col("n_at_risk").cast("double") * F.col("n_at_risk")), 9
+    ).cast("decimal(18,9)")
+    return (
+        risk.withColumn("h", F.sum(h_inc).over(w_cum))
+        .withColumn("hv", F.sum(hv_inc).over(w_cum))
+        .select(
+            F.col("t").alias("duration_days"),
+            F.col("n_at_risk").cast("bigint").alias("n_at_risk"),
+            F.col("d").alias("n_events"),
+            F.col("h").cast("double").alias("cum_hazard"),
+            F.col("hv").cast("double").alias("cum_hazard_var"),
+        )
+    )
