@@ -18,7 +18,7 @@ deterministic because all supplier names have equal length.)
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from nyc_taxi_data_engineering_spark.catalog import load_table
@@ -192,4 +192,80 @@ def q_mdm_levenshtein_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             100.0 * (F.lit(1) - lev * 1.0 / F.greatest(F.length(a), F.length(b))), 2
         ).alias("lev_similarity"),
+    )
+
+
+SNM_WINDOW = 2
+
+
+@query(
+    "mdm_snm_candidate_pairs",
+    oracle=f"""
+WITH vendors AS (
+    SELECT s_suppkey AS vendor_id, s_name AS vendor_name FROM supplier
+    UNION ALL
+    SELECT s_suppkey + 10000, s_name FROM supplier WHERE s_suppkey % 10 = 0
+    UNION ALL
+    SELECT s_suppkey + 10000, s_name || ' ltd' FROM supplier WHERE s_suppkey % 10 = 3
+    UNION ALL
+    SELECT s_suppkey + 10000, 'Totally Different Co ' || CAST(s_suppkey AS VARCHAR)
+    FROM supplier WHERE s_suppkey % 10 = 7
+),
+ranked AS (
+    SELECT vendor_id, vendor_name,
+           lead(vendor_id, 1) OVER w AS id1, lead(vendor_name, 1) OVER w AS nm1,
+           lead(vendor_id, 2) OVER w AS id2, lead(vendor_name, 2) OVER w AS nm2
+    FROM vendors
+    WINDOW w AS (ORDER BY vendor_name, vendor_id)
+),
+pairs AS (
+    SELECT LEAST(vendor_id, id1) AS a_vendor_id, GREATEST(vendor_id, id1) AS b_vendor_id,
+           1 AS rank_gap, CASE WHEN vendor_name = nm1 THEN 1 ELSE 0 END AS same_name
+    FROM ranked WHERE id1 IS NOT NULL
+    UNION ALL
+    SELECT LEAST(vendor_id, id2), GREATEST(vendor_id, id2),
+           2, CASE WHEN vendor_name = nm2 THEN 1 ELSE 0 END
+    FROM ranked WHERE id2 IS NOT NULL
+)
+SELECT a_vendor_id, b_vendor_id, CAST(rank_gap AS INT) AS rank_gap,
+       CAST(same_name AS INT) AS same_name
+FROM pairs
+ORDER BY a_vendor_id, b_vendor_id, rank_gap
+""",
+)
+def q_mdm_snm_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood candidate generation — the OTHER classic
+    blocking strategy beside equality blocking (mdm_candidate_pairs):
+    sort all records by the match key, pair each record with its next
+    {SNM_WINDOW} neighbors via lead windows. Catches near-key
+    duplicates equality blocks miss ('X' vs 'X ltd' sort adjacent)
+    while missing full renames — the documented recall trade-off
+    (tests assert both). At scale the single sort becomes
+    repartitionByRange + per-partition windows with a boundary-overlap
+    pass; here the vendor dim is dimension-sized so one window is the
+    right plan."""
+    v = _vendors(spark, sf_dir)
+    w = Window.orderBy("vendor_name", "vendor_id")
+    ranked = v.select(
+        "vendor_id",
+        "vendor_name",
+        F.lead("vendor_id", 1).over(w).alias("id1"),
+        F.lead("vendor_name", 1).over(w).alias("nm1"),
+        F.lead("vendor_id", 2).over(w).alias("id2"),
+        F.lead("vendor_name", 2).over(w).alias("nm2"),
+    )
+    def _branch(idc, nmc, gap):
+        return (
+            ranked.filter(F.col(idc).isNotNull())
+            .select(
+                F.least("vendor_id", F.col(idc)).alias("a_vendor_id"),
+                F.greatest("vendor_id", F.col(idc)).alias("b_vendor_id"),
+                F.lit(gap).cast("int").alias("rank_gap"),
+                F.when(F.col("vendor_name") == F.col(nmc), 1).otherwise(0).cast("int").alias("same_name"),
+            )
+        )
+    return (
+        _branch("id1", "nm1", 1)
+        .unionByName(_branch("id2", "nm2", 2))
+        .orderBy("a_vendor_id", "b_vendor_id", "rank_gap")
     )

@@ -63,6 +63,7 @@ ROTATION: list[str] = [
     "trimmed_winsor_price_stats",
     "unigram_tokenize_docs",
     "nelson_aalen_customers",
+    "mdm_snm_candidate_pairs",
     "hybrid_rrf_search",
     "holt_linear_forecast",
     "theil_sen_trend",

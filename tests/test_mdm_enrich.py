@@ -88,3 +88,31 @@ def test_candidate_pairs_hot_block_guard(spark):
     assert candidate_pairs(
         records, "vendor_id", ["block"], ["vendor_name"], max_block_size=None
     ).count() == 1226
+
+
+def test_snm_recall_tradeoff(spark, sf_dir):
+    """Sorted-neighborhood must catch BOTH exact-name dups and the
+    ' ltd' near-key dups (they sort adjacent), while the full renames
+    ('Totally Different Co') stay uncaught — the documented trade-off
+    vs equality blocking."""
+    from nyc_taxi_data_engineering_spark.queries.mdm import q_mdm_snm_candidate_pairs
+
+    rows = q_mdm_snm_candidate_pairs(spark, sf_dir).collect()
+    pairs = {(r["a_vendor_id"], r["b_vendor_id"]) for r in rows}
+    keys = [
+        r["s_suppkey"]
+        for r in spark.read.parquet(f"{sf_dir}/supplier.parquet").select("s_suppkey").collect()
+    ]
+    # exact dup (k%10==0): base k and clone k+10000 share the name -> adjacent
+    exact = [(k, k + 10000) for k in keys if k % 10 == 0]
+    assert all(p in pairs for p in exact), "exact-name dups must be caught"
+    # near-key dup (k%10==3): 'name' vs 'name ltd' sort adjacent
+    near = [(k, k + 10000) for k in keys if k % 10 == 3]
+    assert all(p in pairs for p in near), "' ltd' dups must be caught"
+    # full renames (k%10==7) sort far away: SNM misses them
+    renamed = [(k, k + 10000) for k in keys if k % 10 == 7]
+    assert not any(p in pairs for p in renamed), "renames are out of reach by design"
+    # same_name marks exactly the exact-name pairs among the planted dups
+    same = {(r["a_vendor_id"], r["b_vendor_id"]) for r in rows if r["same_name"] == 1}
+    assert all(p in same for p in exact)
+    assert not any(p in same for p in near)
