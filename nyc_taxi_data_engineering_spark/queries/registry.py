@@ -64,6 +64,7 @@ ROTATION: list[str] = [
     "unigram_tokenize_docs",
     "nelson_aalen_customers",
     "mdm_snm_candidate_pairs",
+    "revenue_concentration_customers",
     "hybrid_rrf_search",
     "holt_linear_forecast",
     "theil_sen_trend",

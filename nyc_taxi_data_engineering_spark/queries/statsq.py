@@ -826,3 +826,105 @@ def q_nelson_aalen_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("hv").cast("double").alias("cum_hazard_var"),
         )
     )
+
+
+# --- Revenue concentration: Lorenz deciles, Gini, HHI ----------------------
+# Exactness: customer spends ride the decimal transport; the Gini uses
+# the rank formulation G = 2*sum(r_i*x_i)/(n*sum(x)) - (n+1)/n with
+# integer ranks times decimal spends (exact products, exact sums, one
+# terminal double combination); HHI quantizes each squared share to
+# 12 dp before the order-free decimal sum. Ranks are a total order
+# (spend, custkey).
+
+
+@query(
+    "revenue_concentration_customers",
+    oracle=f"""
+WITH spend AS (
+    SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS x
+    FROM orders GROUP BY o_custkey
+),
+ranked AS (
+    SELECT x, row_number() OVER (ORDER BY x, o_custkey) AS r,
+           COUNT(*) OVER () AS n,
+           SUM(x) OVER () AS tot
+    FROM spend
+),
+gini AS (
+    SELECT MAX(n) AS n,
+           CAST(MAX(tot) AS DOUBLE) AS tot,
+           CAST(SUM(r * x) AS DOUBLE) AS rx,
+           {stable_sum_sql("round((CAST(x AS DOUBLE) / CAST(tot AS DOUBLE)) * (CAST(x AS DOUBLE) / CAST(tot AS DOUBLE)), 12)", scale=12, precision=28)} AS hhi
+    FROM ranked
+),
+deciles AS (
+    SELECT CAST(ntile(10) OVER (ORDER BY x, r) AS INT) AS decile, x FROM ranked
+),
+lorenz AS (
+    SELECT decile,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(x) AS DOUBLE) AS decile_spend
+    FROM deciles GROUP BY decile
+)
+SELECT l.decile, l.n_customers, l.decile_spend,
+       l.decile_spend / g.tot AS spend_share,
+       2.0 * g.rx / (g.n * g.tot) - (g.n + 1.0) / g.n AS gini,
+       g.hhi AS hhi
+FROM lorenz l CROSS JOIN gini g
+ORDER BY l.decile
+""",
+)
+def q_revenue_concentration_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer revenue concentration: per spend decile the customer
+    count, spend, and share, with the corpus-level Gini coefficient
+    and Herfindahl index repeated alongside (one 1-row broadcast). The
+    fact collapses to customer grain first; every window runs over the
+    customer table."""
+    orders = load_table(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("x")
+    )
+    w_all = Window.orderBy("x", "o_custkey")
+    ranked = spend.select(
+        "x",
+        F.row_number().over(w_all).alias("r"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+        F.sum("x").over(Window.partitionBy()).alias("tot"),
+    )
+    gini = ranked.agg(
+        F.max("n").alias("n"),
+        F.max("tot").cast("double").alias("tot"),
+        F.sum(F.col("r") * F.col("x")).cast("double").alias("rx"),
+        F.sum(
+            F.round(
+                (F.col("x").cast("double") / F.col("tot").cast("double"))
+                * (F.col("x").cast("double") / F.col("tot").cast("double")),
+                12,
+            ).cast("decimal(28,12)")
+        )
+        .cast("double")
+        .alias("hhi"),
+    )
+    deciles = ranked.select(
+        F.ntile(10).over(Window.orderBy("x", "r")).cast("int").alias("decile"), "x"
+    )
+    lorenz = deciles.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum("x").cast("double").alias("decile_spend"),
+    )
+    g = F.broadcast(gini)
+    return (
+        lorenz.crossJoin(g)
+        .select(
+            "decile",
+            "n_customers",
+            "decile_spend",
+            (F.col("decile_spend") / F.col("tot")).alias("spend_share"),
+            (
+                F.lit(2.0) * F.col("rx") / (F.col("n") * F.col("tot"))
+                - (F.col("n") + F.lit(1.0)) / F.col("n")
+            ).alias("gini"),
+            F.col("hhi").alias("hhi"),
+        )
+        .orderBy("decile")
+    )
