@@ -643,3 +643,113 @@ def q_events_variant_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "attribution_decay_position_events",
+    oracle=f"""
+WITH clicks AS (
+    SELECT user_id, event_id AS click_id, ts AS click_ts
+    FROM events WHERE event_type = 'click'
+),
+purchases AS (
+    SELECT user_id, event_id AS purchase_id, ts AS purchase_ts, value
+    FROM events WHERE event_type = 'purchase'
+),
+touches AS (
+    SELECT p.purchase_id, p.value, c.click_id,
+           COUNT(*) OVER (PARTITION BY p.purchase_id) AS n_touches,
+           ROW_NUMBER() OVER (PARTITION BY p.purchase_id
+                              ORDER BY c.click_ts DESC, c.click_id DESC) AS recency,
+           epoch(p.purchase_ts) - epoch(c.click_ts) AS gap_s
+    FROM purchases p
+    JOIN clicks c
+      ON c.user_id = p.user_id
+     AND c.click_ts < p.purchase_ts
+     AND c.click_ts >= p.purchase_ts - INTERVAL {ATTR_WINDOW_H} HOUR
+),
+weighted AS (
+    SELECT *,
+           1.0 / CAST(1 << CAST((gap_s - gap_s % 3600) / 3600 AS INT) AS DOUBLE) AS w
+    FROM touches
+),
+shared AS (
+    SELECT *,
+           w / SUM(w) OVER (PARTITION BY purchase_id) AS decay_share,
+           CASE WHEN n_touches = 1 THEN 1.0
+                WHEN n_touches = 2 THEN 0.5
+                WHEN recency = 1 THEN 0.4
+                WHEN recency = n_touches THEN 0.4
+                ELSE 0.2 / (n_touches - 2) END AS position_share
+    FROM weighted
+)
+SELECT click_id,
+       CAST(SUM(CAST(round(value * decay_share, 6) AS DECIMAL(18,6))) AS DOUBLE) AS decay_value,
+       CAST(SUM(CAST(round(value * position_share, 6) AS DECIMAL(18,6))) AS DOUBLE) AS position_value,
+       COUNT(*) AS n_purchases_touched
+FROM shared
+GROUP BY click_id
+""",
+)
+def q_attribution_decay_position_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decay and position-based (U-shaped) credit — completing
+    the five-model attribution suite (linear/last-touch in
+    attribution_multitouch_events, removal-effect in markovq, Shapley
+    in shapleyq). Exactness: decay weights are DYADIC (1/2^hours-ago
+    via integer shift — every weight, and every per-purchase weight
+    SUM, is an exact double, so the normalizing division is one IEEE
+    op), hour gaps use the modulo-exact integer division, U-shape
+    constants are pinned literals, and per-touch credits quantize to
+    6 dp decimals before the per-click re-aggregation. Same keyed
+    interval-join shape as the linear/last-touch twin."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        "value",
+    )
+    touches = purchases.join(
+        clicks,
+        (clicks["user_id"] == purchases["user_id"])
+        & (F.col("click_ts") < F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {ATTR_WINDOW_H} HOUR")),
+    ).select(
+        "purchase_id",
+        "value",
+        "click_id",
+        "click_ts",
+        F.expr("unix_timestamp(purchase_ts) - unix_timestamp(click_ts)").alias("gap_s"),
+    )
+    wp = Window.partitionBy("purchase_id")
+    t = (
+        touches.withColumn("n_touches", F.count(F.lit(1)).over(wp))
+        .withColumn(
+            "recency",
+            F.row_number().over(wp.orderBy(F.col("click_ts").desc(), F.col("click_id").desc())),
+        )
+        .withColumn(
+            "w",
+            F.expr("1.0 / CAST(1 << CAST((gap_s - gap_s % 3600) / 3600 AS INT) AS DOUBLE)"),
+        )
+    )
+    shared = t.withColumn("decay_share", F.col("w") / F.sum("w").over(wp)).withColumn(
+        "position_share",
+        F.when(F.col("n_touches") == 1, F.lit(1.0))
+        .when(F.col("n_touches") == 2, F.lit(0.5))
+        .when(F.col("recency") == 1, F.lit(0.4))
+        .when(F.col("recency") == F.col("n_touches"), F.lit(0.4))
+        .otherwise(F.lit(0.2) / (F.col("n_touches") - 2)),
+    )
+    return shared.groupBy("click_id").agg(
+        F.sum(F.round(F.col("value") * F.col("decay_share"), 6).cast("decimal(18,6)"))
+        .cast("double")
+        .alias("decay_value"),
+        F.sum(F.round(F.col("value") * F.col("position_share"), 6).cast("decimal(18,6)"))
+        .cast("double")
+        .alias("position_value"),
+        F.count(F.lit(1)).alias("n_purchases_touched"),
+    )

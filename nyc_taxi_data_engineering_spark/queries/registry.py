@@ -65,6 +65,7 @@ ROTATION: list[str] = [
     "nelson_aalen_customers",
     "mdm_snm_candidate_pairs",
     "revenue_concentration_customers",
+    "attribution_decay_position_events",
     "hybrid_rrf_search",
     "holt_linear_forecast",
     "theil_sen_trend",
