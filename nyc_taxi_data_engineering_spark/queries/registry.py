@@ -66,6 +66,7 @@ ROTATION: list[str] = [
     "mdm_snm_candidate_pairs",
     "revenue_concentration_customers",
     "attribution_decay_position_events",
+    "quantile_normalize_spend",
     "hybrid_rrf_search",
     "holt_linear_forecast",
     "theil_sen_trend",

@@ -928,3 +928,87 @@ def q_revenue_concentration_customers(spark: SparkSession, sf_dir: str) -> DataF
         )
         .orderBy("decile")
     )
+
+
+# --- Quantile normalization -------------------------------------------------
+# The ML-prep distribution aligner: map each market segment's customer
+# spend distribution onto the POOLED spend distribution by rank, so
+# downstream models see segment-free marginals. Exactness: ranks are
+# total orders; the nearest-rank target position is pure integer
+# arithmetic p = max(1, floor(r_g * N / n_g)) via the modulo-exact
+# division; the mapped value comes from an equi-join on that position.
+# Scale: runs on the CUSTOMER-grain table (dim-sized) — at fact scale
+# the same mapping runs on a fixed-width histogram instead of exact
+# ranks (the documented approximation path).
+
+
+@query(
+    "quantile_normalize_spend",
+    oracle=f"""
+WITH spend AS (
+    SELECT c.c_mktsegment AS segment, o.o_custkey AS ck,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS v
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment, o.o_custkey
+),
+pooled AS (
+    SELECT v, row_number() OVER (ORDER BY v, ck) AS pr FROM spend
+),
+grouped AS (
+    SELECT segment, ck, v,
+           row_number() OVER (PARTITION BY segment ORDER BY v, ck) AS r,
+           COUNT(*) OVER (PARTITION BY segment) AS ng,
+           COUNT(*) OVER () AS n
+    FROM spend
+),
+mapped AS (
+    SELECT g.segment, g.v,
+           p.v AS nv
+    FROM grouped g
+    JOIN pooled p
+      ON p.pr = GREATEST(1, CAST((g.r * g.n - (g.r * g.n) % g.ng) / g.ng AS BIGINT))
+)
+SELECT segment,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       {stable_sum_sql("v", scale=2)} / COUNT(*) AS mean_spend,
+       {stable_sum_sql("nv", scale=2)} / COUNT(*) AS mean_normalized
+FROM mapped
+GROUP BY segment
+ORDER BY segment
+""",
+)
+def q_quantile_normalize_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-normalize customer spend across market segments: per
+    segment the raw mean and the mean after mapping each customer onto
+    the pooled distribution's value at the equivalent rank. Segment
+    means differ before, converge after — the aligner working."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    spend = (
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .groupBy(F.col("c_mktsegment").alias("segment"), F.col("o_custkey").alias("ck"))
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("v"))
+    )
+    pooled = spend.select("v", F.row_number().over(Window.orderBy("v", "ck")).alias("pr"))
+    ws = Window.partitionBy("segment")
+    grouped = (
+        spend.withColumn("r", F.row_number().over(ws.orderBy("v", "ck")))
+        .withColumn("ng", F.count(F.lit(1)).over(ws))
+        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy()))
+    )
+    pos = F.greatest(
+        F.lit(1).cast("bigint"),
+        F.expr("CAST((r * n - (r * n) % ng) / ng AS BIGINT)"),
+    )
+    mapped = grouped.withColumn("pos", pos).join(
+        pooled.withColumnRenamed("v", "nv"), F.col("pos") == F.col("pr")
+    )
+    return (
+        mapped.groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            (stable_sum("v", scale=2) / F.count(F.lit(1))).alias("mean_spend"),
+            (stable_sum("nv", scale=2) / F.count(F.lit(1))).alias("mean_normalized"),
+        )
+        .orderBy("segment")
+    )
