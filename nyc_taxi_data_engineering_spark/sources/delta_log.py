@@ -541,8 +541,10 @@ def read_delta_log(
     read_schema = _physical_schema(schema) if mapped else schema
     dv_adds = [a for a in adds if a.get("deletionVector")]
     plain_adds = [a for a in adds if not a.get("deletionVector")]
-    if dv_adds and part_cols:
-        raise DeltaLogError("deletion vectors on a partitioned table are unsupported")
+    if dv_adds and part_cols and mapped:
+        raise DeltaLogError(
+            "deletion vectors on a partitioned AND column-mapped table are unsupported"
+        )
     cols = [f.name for f in schema.fields]
     parts: list[DataFrame] = []
     if plain_adds:
@@ -569,15 +571,20 @@ def read_delta_log(
         # descriptors came FROM the log), so the anti join's build side
         # is bounded by what the log itself holds.
         files = [os.path.join(table_path, a["path"]) for a in dv_adds]
+        # tombstones key by the table-relative path (partition dirs +
+        # filename) — basenames are NOT unique across partition dirs
         tombs = [
             (a["path"], int(i))
             for a in dv_adds
             for i in _decode_dv(a["deletionVector"])
         ]
         tdf = spark.createDataFrame(tombs, "f string, i long")
-        scan = spark.read.schema(read_schema).parquet(*files).select(
+        reader = spark.read.schema(read_schema)
+        if part_cols:
+            reader = reader.option("basePath", table_path)
+        scan = reader.parquet(*files).select(
             "*",
-            F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1).alias("f"),
+            _rel_path_col(len(part_cols)).alias("f"),
             F.col("_metadata.row_index").alias("i"),
         )
         live = scan.join(F.broadcast(tdf), ["f", "i"], "left_anti")
@@ -1566,6 +1573,19 @@ def read_delta_appends(
 DV_FEATURE = "deletionVectors"
 
 
+def _rel_path_col(n_part_cols: int):
+    """Column: the scanned file's path RELATIVE to the table root —
+    the last (partition dirs + filename) segments of
+    ``_metadata.file_path`` — matching the add actions' ``path`` keys.
+    Partition values with characters the writer URI-encodes would
+    break this match; this engine's partition values are the plain
+    ``col=value`` strings write_delta itself produced."""
+    k = n_part_cols + 1
+    return F.array_join(
+        F.slice(F.split(F.col("_metadata.file_path"), "/"), -k, k), "/"
+    )
+
+
 def _encode_dv(indexes) -> dict:
     """Serialize row indexes into an INLINE deletion-vector descriptor
     (``storageType: "i"`` — the payload lives in the action itself, the
@@ -1673,7 +1693,10 @@ def delete_delta(spark: SparkSession, table_path: str, predicate: str) -> int:
     sees the rows again (the OLD add has no DV); RESTORE flips DVs
     back; VACUUM keeps the file (still referenced); the change feed
     (delta_version_diff) reports the deleted rows as row-level
-    deletes; checkpoints persist the DV descriptor."""
+    deletes; checkpoints persist the DV descriptor. PARTITIONED
+    tables are supported (predicates may reference partition columns,
+    which basePath discovery rebuilds for the marking scan); the one
+    unsupported combination is partitioned + column-mapped."""
     state = _replay_state(table_path)
     actions, n_rows = _dv_mark_actions(spark, state, table_path, predicate)
     if not actions:
@@ -1720,22 +1743,26 @@ def _dv_mark_actions(
     DV never re-match: the scan reads the files RAW, so the predicate
     is re-evaluated on dead rows too — they just union into the same
     positions (idempotent)."""
-    if state["metaData"].get("partitionColumns"):
+    part_cols = state["metaData"].get("partitionColumns") or []
+    mapped = _cm_enabled(state["metaData"])
+    if part_cols and mapped:
         raise DeltaLogError(
-            "deletion vectors on partitioned tables are not supported by "
-            "this engine — use a partition-pruned rewrite"
+            "deletion vectors on a partitioned AND column-mapped table are "
+            "not supported by this engine — use a partition-pruned rewrite"
         )
     schema = StructType.fromJson(json.loads(state["metaData"]["schemaString"]))
     adds = state["adds"]
     if not adds:
         return [], 0
     files = [os.path.join(table_path, p) for p in adds]
-    mapped = _cm_enabled(state["metaData"])
-    scan = spark.read.schema(
-        _physical_schema(schema) if mapped else schema
-    ).parquet(*files)
+    reader = spark.read.schema(_physical_schema(schema) if mapped else schema)
+    if part_cols:
+        # partition columns live in directory names; basePath discovery
+        # rebuilds them so the predicate may reference them
+        reader = reader.option("basePath", table_path)
+    scan = reader.parquet(*files)
     meta_cols = scan.select(
-        F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1).alias("f"),
+        _rel_path_col(len(part_cols)).alias("f"),
         F.col("_metadata.row_index").alias("i"),
         "*",
     )
@@ -1749,6 +1776,8 @@ def _dv_mark_actions(
         return [], 0
     by_file: dict[str, set] = {}
     for r in hits:
+        if r["f"] not in adds:
+            raise DeltaLogError(f"marking scan hit unknown file {r['f']!r}")
         by_file.setdefault(r["f"], set()).add(r["i"])
     now_ms = int(time.time() * 1000)
     actions: list[dict] = []
@@ -1798,6 +1827,14 @@ def update_delta(
     if unknown or not assignments:
         raise DeltaLogError("update_delta: assignments must map column -> SQL expr")
     state = _replay_state(table_path)
+    if state["metaData"].get("partitionColumns"):
+        # the updated images are appended as UNPARTITIONED files, which
+        # would corrupt a Hive layout — DELETE supports partitions
+        # (delete_delta), UPDATE deliberately does not yet
+        raise DeltaLogError(
+            "update_delta on a partitioned table is not supported — "
+            "delete + partitioned append, or a partition-pruned rewrite"
+        )
     schema = StructType.fromJson(json.loads(state["metaData"]["schemaString"]))
     for c in assignments:
         if c not in [f.name for f in schema.fields]:

@@ -1094,12 +1094,17 @@ def test_dv_change_feed_reports_row_deletes(spark, dv_table):
     assert diff.count() == 10
 
 
-def test_dv_rejected_on_partitioned_tables(spark, tmp_path):
+def test_dv_on_partitioned_tables_contract(spark, tmp_path):
+    """DELETE supports partitioned tables (the full behavior matrix is
+    test_dv_delete_on_partitioned_table); UPDATE still rejects them —
+    its appended images would not land in the Hive layout."""
     path = str(tmp_path / "ptbl")
     df = spark.range(20).select(F.col("id"), (F.col("id") % 2).alias("p"))
     D.write_delta(df, path, mode="overwrite", partition_by="p")
+    D.delete_delta(spark, path, "id = 1")
+    assert D.read_delta_log(spark, path).count() == 19
     with pytest.raises(D.DeltaLogError, match="partitioned"):
-        D.delete_delta(spark, path, "id = 1")
+        D.update_delta(spark, path, "id = 2", {"id": "id + 100"})
 
 
 def test_dv_codec_roundtrip_and_guards():
@@ -1393,3 +1398,53 @@ def test_hilbert_delta_prunes_at_least_as_hard_as_zorder(spark, tmp_path):
     # correctness: pruned read returns exactly the matching rows
     snap = D.read_delta_log(spark, paths["h"], predicates=[("a", "<=", 7), ("b", "<=", 7)])
     assert snap.filter("a <= 7 AND b <= 7").count() == df.filter("a <= 7 AND b <= 7").count()
+
+
+def test_dv_delete_on_partitioned_table(spark, tmp_path):
+    """DV DELETE on a Hive-partitioned table: predicates on DATA and
+    on PARTITION columns both mark correctly, partition pruning still
+    works over DV'd files, and time-travel resurrects the rows."""
+    path = str(tmp_path / "dv_part")
+    df = spark.range(0, 400).selectExpr(
+        "CAST(id % 4 AS INT) AS part", "id AS k", "CAST(id * 1.5 AS DOUBLE) AS v"
+    )
+    D.write_delta(df, path, mode="overwrite", partition_by=["part"])
+
+    # delete on a data column spanning every partition
+    v1 = D.delete_delta(spark, path, "k % 10 = 0")
+    snap = D.read_delta_log(spark, path)
+    assert snap.count() == 360
+    assert snap.filter("k % 10 = 0").count() == 0
+
+    # k % 10 = 0 rows are even, so they live only in parts 0 and 2
+    by_part = {
+        r["part"]: r["n"]
+        for r in snap.groupBy("part").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_part == {0: 80, 1: 100, 2: 80, 3: 100}
+
+    # delete on the PARTITION column itself
+    D.delete_delta(spark, path, "part = 3")
+    snap = D.read_delta_log(spark, path)
+    assert snap.count() == 260
+    assert snap.filter("part = 3").count() == 0
+
+    # partition pruning composes with DVs: only part=1 files are read
+    pruned = D.read_delta_log(spark, path, predicates=[("part", "=", 1)])
+    assert pruned.filter("part = 1").count() == 100
+
+    # per-partition counts are exact after both deletes
+    got = {
+        r["part"]: r["n"]
+        for r in snap.groupBy("part").agg(F.count("*").alias("n")).collect()
+    }
+    assert got == {0: 80, 1: 100, 2: 80}
+
+    # time-travel to the pre-delete snapshot sees all 400 rows
+    assert D.read_delta_log(spark, path, version_as_of=v1 - 1).count() == 400
+
+    # UPDATE on partitioned stays explicitly unsupported
+    import pytest as _pytest
+
+    with _pytest.raises(D.DeltaLogError, match="partitioned"):
+        D.update_delta(spark, path, "k = 5", {"v": "0.0"})
