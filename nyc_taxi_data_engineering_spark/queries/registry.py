@@ -67,6 +67,7 @@ ROTATION: list[str] = [
     "revenue_concentration_customers",
     "attribution_decay_position_events",
     "quantile_normalize_spend",
+    "delta_partitioned_dv_orders",
     "hybrid_rrf_search",
     "holt_linear_forecast",
     "theil_sen_trend",

@@ -1274,3 +1274,45 @@ def q_gdpr_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "tbl string, rows_before bigint, rows_after bigint, rows_erased bigint, residual bigint"
     ).orderBy("tbl")
+
+
+@query(
+    "delta_partitioned_dv_orders",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders
+WHERE o_orderstatus = 'F' AND o_custkey % 97 <> 3
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+def q_delta_partitioned_dv_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deletion vectors composed with Hive partitioning: orders commit
+    partitioned by status, a data-column DELETE marks rows via DVs in
+    every partition (no file rewrites), and the read prunes to ONE
+    partition off the log's partitionValues while the DV anti-join
+    drops the tombstoned rows. The oracle recomputes from the raw
+    table, so a cross-partition tombstone mixup (the basename-collision
+    trap), an over-broad DV, or broken pruning all hash-mismatch."""
+    from pyspark.sql import functions as F
+
+    from nyc_taxi_data_engineering_spark.catalog import load_table
+    from nyc_taxi_data_engineering_spark.sources import delta_log as D
+
+    tbl = _tmp_table("delta_part_dv_orders")
+    shutil.rmtree(tbl, ignore_errors=True)
+    orders = load_table(spark, sf_dir, "orders")
+    D.write_delta(orders, tbl, mode="overwrite", partition_by=["o_orderstatus"])
+    D.delete_delta(spark, tbl, "o_custkey % 97 = 3")
+    snap = D.read_delta_log(spark, tbl, predicates=[("o_orderstatus", "=", "F")])
+    return (
+        snap.filter(F.col("o_orderstatus") == "F")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
