@@ -558,3 +558,60 @@ def q_itemcf_supplier_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("item", "neighbor", F.col("shared").alias("shared_customers"), "cosine", F.col("rank").cast("int").alias("rank"))
         .orderBy("item", "rank")
     )
+
+
+TEXTRANK_WINDOW = 2
+
+_TEXTRANK_EDGES = f"""toks AS (
+    SELECT d.doc_id, t.w AS word, t.i AS pos
+    FROM documents d,
+    LATERAL (SELECT unnest(string_split(d.text, ' ')) AS w,
+                    generate_subscripts(string_split(d.text, ' '), 1) AS i) t
+    WHERE t.w <> ''
+),
+cooc AS (
+    SELECT a.word AS src, b.word AS dst, CAST(COUNT(*) AS BIGINT) AS w
+    FROM toks a JOIN toks b
+      ON a.doc_id = b.doc_id
+     AND b.pos > a.pos AND b.pos <= a.pos + {TEXTRANK_WINDOW}
+     AND a.word <> b.word
+    GROUP BY a.word, b.word
+),
+edges AS (
+    SELECT src, dst, w FROM cooc
+    UNION ALL
+    SELECT dst, src, w FROM cooc
+)"""
+
+
+@query("textrank_keywords", oracle=pagerank_sql(_TEXTRANK_EDGES, weighted=True))
+def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau 2004): weighted
+    PageRank over the word co-occurrence graph (words within
+    {TEXTRANK_WINDOW} positions in a document, edge weight = corpus
+    co-occurrence count, symmetrized). Pure composition of existing
+    machinery: positional explode -> one keyed self-join bounded by
+    the window (never all-pairs) -> the DECIMAL-replay weighted
+    PageRank with its dangling-mass term. Graph size is
+    vocabulary-bounded (Zipf), so the iteration cost is scale-free in
+    corpus size — only the co-occurrence count pass sees the data."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "word")
+    ).filter(F.col("word") != "")
+    a, b = toks.alias("a"), toks.alias("b")
+    cooc = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("b.pos") > F.col("a.pos"))
+            & (F.col("b.pos") <= F.col("a.pos") + TEXTRANK_WINDOW)
+            & (F.col("a.word") != F.col("b.word")),
+        )
+        .groupBy(F.col("a.word").alias("src"), F.col("b.word").alias("dst"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
+    )
+    edges = cooc.unionByName(
+        cooc.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+    )
+    return pagerank(edges, weight="w")

@@ -68,6 +68,7 @@ ROTATION: list[str] = [
     "attribution_decay_position_events",
     "quantile_normalize_spend",
     "delta_partitioned_dv_orders",
+    "textrank_keywords",
     "hybrid_rrf_search",
     "holt_linear_forecast",
     "theil_sen_trend",
