@@ -753,3 +753,40 @@ def q_attribution_decay_position_events(spark: SparkSession, sf_dir: str) -> Dat
         .alias("position_value"),
         F.count(F.lit(1)).alias("n_purchases_touched"),
     )
+
+
+@query(
+    "event_path_trigrams",
+    oracle="""
+WITH seq AS (
+    SELECT user_id, event_type,
+           lead(event_type, 1) OVER w AS e2,
+           lead(event_type, 2) OVER w AS e3
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT event_type AS e1, e2, e3, CAST(COUNT(*) AS BIGINT) AS n_paths
+FROM seq WHERE e3 IS NOT NULL
+GROUP BY e1, e2, e3
+ORDER BY n_paths DESC, e1, e2, e3
+LIMIT 20
+""",
+)
+def q_event_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 behavioral path trigrams: the order-3 extension of the
+    first-order transition matrix (event_transition_matrix) — two lead
+    windows on ONE user-keyed sort, a trigram hash agg, and a
+    deterministic top-k (TakeOrdered, count-then-lexicographic)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).filter(F.col("e3").isNotNull())
+    return (
+        seq.groupBy("e1", "e2", "e3")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_paths"))
+        .orderBy(F.col("n_paths").desc(), "e1", "e2", "e3")
+        .limit(20)
+    )

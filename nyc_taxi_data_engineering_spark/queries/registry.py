@@ -69,6 +69,7 @@ ROTATION: list[str] = [
     "quantile_normalize_spend",
     "delta_partitioned_dv_orders",
     "textrank_keywords",
+    "event_path_trigrams",
     "hybrid_rrf_search",
     "holt_linear_forecast",
     "theil_sen_trend",
