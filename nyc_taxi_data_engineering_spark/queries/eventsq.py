@@ -790,3 +790,66 @@ def q_event_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_paths").desc(), "e1", "e2", "e3")
         .limit(20)
     )
+
+
+@query(
+    "user_activity_streaks",
+    oracle="""
+WITH days AS (
+    SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+),
+isl AS (
+    SELECT user_id, d,
+           date_diff('day', DATE '1970-01-01', d)
+             - row_number() OVER (PARTITION BY user_id ORDER BY d) AS grp
+    FROM days
+),
+streaks AS (
+    SELECT user_id, MIN(d) AS streak_start, MAX(d) AS streak_end,
+           CAST(COUNT(*) AS BIGINT) AS streak_days
+    FROM isl GROUP BY user_id, grp
+),
+best AS (
+    SELECT *, row_number() OVER (PARTITION BY user_id
+                                 ORDER BY streak_days DESC, streak_start) AS rk
+    FROM streaks
+)
+SELECT user_id, strftime(streak_start, '%Y-%m-%d') AS streak_start,
+       strftime(streak_end, '%Y-%m-%d') AS streak_end, streak_days
+FROM best WHERE rk = 1
+ORDER BY user_id
+""",
+)
+def q_user_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-active-day streak per user — the
+    gaps-and-islands pattern: island id = epoch-day minus the per-user
+    day rank (constant within a consecutive run), one distinct, two
+    hash aggs, two windows on the SAME user partitioning. Integer
+    arithmetic end to end; dates format engine-natively."""
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select("user_id", F.col("ts").cast("date").alias("d")).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    isl = days.withColumn(
+        "grp",
+        F.datediff(F.col("d"), F.lit("1970-01-01").cast("date"))
+        - F.row_number().over(w),
+    )
+    streaks = isl.groupBy("user_id", "grp").agg(
+        F.min("d").alias("streak_start"),
+        F.max("d").alias("streak_end"),
+        F.count(F.lit(1)).cast("bigint").alias("streak_days"),
+    )
+    wb = Window.partitionBy("user_id").orderBy(
+        F.col("streak_days").desc(), "streak_start"
+    )
+    return (
+        streaks.withColumn("rk", F.row_number().over(wb))
+        .filter(F.col("rk") == 1)
+        .select(
+            "user_id",
+            F.date_format("streak_start", "yyyy-MM-dd").alias("streak_start"),
+            F.date_format("streak_end", "yyyy-MM-dd").alias("streak_end"),
+            "streak_days",
+        )
+        .orderBy("user_id")
+    )

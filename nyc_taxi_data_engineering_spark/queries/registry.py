@@ -70,6 +70,8 @@ ROTATION: list[str] = [
     "delta_partitioned_dv_orders",
     "textrank_keywords",
     "event_path_trigrams",
+    "user_activity_streaks",
+    "revenue_max_drawdown",
     "hybrid_rrf_search",
     "holt_linear_forecast",
     "theil_sen_trend",

@@ -1065,3 +1065,55 @@ def q_holt_recursive_sql_60d(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir, names=("orders",))
     return spark.sql(_HOLT60_SQL)
+
+
+@query(
+    "revenue_max_drawdown",
+    oracle=f"""
+WITH {_HOLT_DAILY_SQL},
+cum AS (
+    SELECT d, x,
+           SUM(CAST(x AS DECIMAL(18,2))) OVER (ORDER BY d) AS equity
+    FROM daily
+),
+dd AS (
+    SELECT d, CAST(equity AS DOUBLE) AS equity,
+           CAST(MAX(equity) OVER (ORDER BY d) AS DOUBLE) AS peak
+    FROM cum
+)
+SELECT strftime(d, '%Y-%m-%d') AS day, equity, peak,
+       equity / peak - 1.0 AS drawdown
+FROM dd
+ORDER BY drawdown, day
+LIMIT 10
+""",
+)
+def q_revenue_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 10 worst drawdown days of the cumulative daily-revenue
+    'equity curve': running decimal-exact cumsum, running peak
+    (cummax window), drawdown = equity/peak - 1 as one IEEE division.
+    All windows run on the collapsed day series (scale-free)."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(14,2)"))
+        .cast("decimal(14,2)")
+        .cast("double")
+        .alias("x")
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    cum = daily.withColumn("equity", F.sum(F.col("x").cast("decimal(18,2)")).over(w))
+    dd = cum.select(
+        "d",
+        F.col("equity").cast("double").alias("equity"),
+        F.max("equity").over(w).cast("double").alias("peak"),
+    )
+    return (
+        dd.select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            "equity",
+            "peak",
+            (F.col("equity") / F.col("peak") - F.lit(1.0)).alias("drawdown"),
+        )
+        .orderBy("drawdown", "day")
+        .limit(10)
+    )
