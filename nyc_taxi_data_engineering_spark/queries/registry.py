@@ -72,6 +72,7 @@ ROTATION: list[str] = [
     "event_path_trigrams",
     "user_activity_streaks",
     "revenue_max_drawdown",
+    "delta_generated_year_orders",
     "hybrid_rrf_search",
     "holt_linear_forecast",
     "theil_sen_trend",

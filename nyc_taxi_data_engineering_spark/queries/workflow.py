@@ -1316,3 +1316,43 @@ def q_delta_partitioned_dv_orders(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "delta_generated_year_orders",
+    oracle="""
+SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders
+GROUP BY 1
+ORDER BY o_year
+""",
+)
+def q_delta_generated_year_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generated columns end to end: a third of orders seeds a Delta
+    table carrying o_year, the column is marked GENERATED
+    (year(o_orderdate)), and the remaining two thirds append WITHOUT
+    it — the writer must compute it per the stored expression. The
+    oracle recomputes the per-year counts from the raw table, so a
+    missed computation, a stale expression, or a dropped batch all
+    hash-mismatch."""
+    from pyspark.sql import functions as F
+
+    from nyc_taxi_data_engineering_spark.catalog import load_table
+    from nyc_taxi_data_engineering_spark.sources import delta_log as D
+
+    tbl = _tmp_table("delta_gen_year_orders")
+    shutil.rmtree(tbl, ignore_errors=True)
+    orders = load_table(spark, sf_dir, "orders")
+    seed = orders.filter(F.col("o_orderkey") % 3 == 0).withColumn(
+        "o_year", F.year("o_orderdate").cast("int")
+    )
+    D.write_delta(seed, tbl, mode="overwrite")
+    D.set_generated_column(spark, tbl, "o_year", "CAST(year(o_orderdate) AS INT)")
+    D.write_delta(orders.filter(F.col("o_orderkey") % 3 != 0), tbl, mode="append")
+    return (
+        D.read_delta_log(spark, tbl)
+        .groupBy("o_year")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
+        .orderBy("o_year")
+    )

@@ -873,6 +873,25 @@ def write_delta(
                         f"CHECK constraint {cname!r} ({cexpr}) violated by "
                         f"incoming row {bad[0].asDict()}"
                     )
+        # Generated columns (delta.generationExpression): compute when
+        # the batch omits the column, validate (null-safe equality)
+        # when it supplies one — the spec's writer obligations.
+        gen_cols = _generated_columns(prior_state["metaData"])
+        if gen_cols:
+            tbl_schema = StructType.fromJson(
+                json.loads(prior_state["metaData"]["schemaString"])
+            )
+            types = {f.name: f.dataType for f in tbl_schema.fields}
+            for gname, gexpr in sorted(gen_cols.items()):
+                if gname not in df.columns:
+                    df = df.withColumn(gname, F.expr(gexpr).cast(types[gname]))
+                else:
+                    bad = df.filter(~F.col(gname).eqNullSafe(F.expr(gexpr))).take(1)
+                    if bad:
+                        raise DeltaLogError(
+                            f"generated column {gname!r} must equal ({gexpr}); "
+                            f"incoming row disagrees: {bad[0].asDict()}"
+                        )
         if not part_cols and partition_by is None:
             part_cols = list(prior_parts)  # inherit the table's partitioning
         if part_cols != prior_parts:
@@ -2286,4 +2305,105 @@ def read_change_feed(
             + [StructField("_change_type", StringType()), StructField("_commit_version", LongType())]
         )
         return spark.createDataFrame([], empty)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Generated columns (delta.generationExpression in field metadata) and
+# the symlink-format manifest (external-engine interop)
+# ---------------------------------------------------------------------------
+
+GENERATION_KEY = "delta.generationExpression"
+# generated columns are a writer-protocol-4 feature in the spec
+GENERATED_PROTOCOL = {"minReaderVersion": 1, "minWriterVersion": 4}
+
+
+def _generated_columns(meta: dict) -> dict[str, str]:
+    """column name -> generation expression, from schema field metadata."""
+    schema = json.loads(meta["schemaString"])
+    return {
+        f["name"]: f["metadata"][GENERATION_KEY]
+        for f in schema.get("fields", [])
+        if (f.get("metadata") or {}).get(GENERATION_KEY)
+    }
+
+
+def set_generated_column(
+    spark: SparkSession, table_path: str, name: str, expr: str
+) -> int:
+    """Mark an EXISTING column as generated: validates that every
+    current row already satisfies ``column <=> expr`` (one scan — the
+    safety real Delta gets by only allowing generation expressions at
+    CREATE TABLE), then re-emits metaData with
+    ``delta.generationExpression`` in the field's metadata and bumps
+    the writer protocol to 4. From here on every write_delta COMPUTES
+    the column when the incoming batch omits it and VALIDATES it when
+    supplied — the spec's writer obligations. Returns the version."""
+    latest = latest_version(table_path)
+    if latest is None:
+        raise DeltaLogError(f"not a Delta table: {table_path}")
+    state = _replay_state(table_path)
+    schema_json = json.loads(state["metaData"]["schemaString"])
+    fld = next((f for f in schema_json["fields"] if f["name"] == name), None)
+    if fld is None:
+        raise DeltaLogError(f"set_generated_column: no column {name!r}")
+    if (fld.get("metadata") or {}).get(GENERATION_KEY):
+        raise DeltaLogError(f"column {name!r} is already generated")
+    snap = read_delta_log(spark, table_path)
+    bad = snap.filter(~F.col(name).eqNullSafe(F.expr(expr))).take(1)
+    if bad:
+        raise DeltaLogError(
+            f"cannot mark {name!r} generated as ({expr}): existing row "
+            f"disagrees: {bad[0].asDict()}"
+        )
+    fld.setdefault("metadata", {})[GENERATION_KEY] = expr
+    meta = dict(state["metaData"])
+    meta["schemaString"] = json.dumps(schema_json)
+    actions = [
+        {
+            "commitInfo": {
+                "timestamp": int(time.time() * 1000),
+                "operation": "SET GENERATED COLUMN",
+                "operationParameters": {"name": name, "expr": expr},
+            }
+        },
+        {"protocol": dict(GENERATED_PROTOCOL)},
+        {"metaData": meta},
+    ]
+    new_version = latest + 1
+    _write_commit(table_path, new_version, actions)
+    _maybe_checkpoint(table_path, new_version)
+    return new_version
+
+
+def generate_symlink_manifest(table_path: str) -> list[str]:
+    """Write the ``_symlink_format_manifest`` an external engine
+    (Presto/Trino/Athena's SymlinkTextInputFormat) reads to see the
+    CURRENT Delta snapshot as plain parquet: one ``manifest`` text
+    file of absolute file URIs — per partition directory on a
+    partitioned table, one at the root otherwise. Regenerate after
+    every commit you want externally visible (exactly Delta's
+    GENERATE symlink_format_manifest contract). Returns the manifest
+    paths written; stale manifest dirs from dropped partitions are
+    removed."""
+    import shutil as _shutil
+
+    state = _replay_state(table_path)
+    part_cols = state["metaData"].get("partitionColumns") or []
+    root = os.path.join(table_path, "_symlink_format_manifest")
+    _shutil.rmtree(root, ignore_errors=True)
+    groups: dict[str, list[str]] = {}
+    for rel in state["adds"]:
+        sub = os.path.dirname(rel) if part_cols else ""
+        groups.setdefault(sub, []).append(
+            "file://" + os.path.abspath(os.path.join(table_path, rel))
+        )
+    out = []
+    for sub, uris in sorted(groups.items()):
+        d = os.path.join(root, sub) if sub else root
+        os.makedirs(d, exist_ok=True)
+        mpath = os.path.join(d, "manifest")
+        with open(mpath, "w") as f:
+            f.write("\n".join(sorted(uris)) + "\n")
+        out.append(mpath)
     return out

@@ -1448,3 +1448,78 @@ def test_dv_delete_on_partitioned_table(spark, tmp_path):
 
     with _pytest.raises(D.DeltaLogError, match="partitioned"):
         D.update_delta(spark, path, "k = 5", {"v": "0.0"})
+
+
+def test_generated_column_compute_validate_and_guard(spark, tmp_path):
+    """set_generated_column: refuses when existing rows disagree;
+    after marking, appends WITHOUT the column compute it, appends WITH
+    a wrong value fail, appends with the right value pass."""
+    path = str(tmp_path / "gen_tbl")
+    df = spark.range(10).selectExpr("id AS k", "CAST(id * 2 AS BIGINT) AS dbl")
+    D.write_delta(df, path, mode="overwrite")
+    with pytest.raises(D.DeltaLogError, match="disagrees"):
+        D.set_generated_column(spark, path, "dbl", "k * 3")
+    D.set_generated_column(spark, path, "dbl", "k * 2")
+    with pytest.raises(D.DeltaLogError, match="already generated"):
+        D.set_generated_column(spark, path, "dbl", "k * 2")
+
+    # append omitting the generated column: writer computes it
+    D.write_delta(spark.range(10, 15).selectExpr("id AS k"), path, mode="append")
+    snap = D.read_delta_log(spark, path)
+    assert snap.count() == 15
+    assert snap.filter("dbl <> k * 2").count() == 0
+
+    # append with a WRONG supplied value: rejected before staging
+    bad = spark.range(20, 21).selectExpr("id AS k", "CAST(99 AS BIGINT) AS dbl")
+    with pytest.raises(D.DeltaLogError, match="generated column"):
+        D.write_delta(bad, path, mode="append")
+    # correct supplied value passes
+    ok = spark.range(20, 21).selectExpr("id AS k", "CAST(id * 2 AS BIGINT) AS dbl")
+    D.write_delta(ok, path, mode="append")
+    assert D.read_delta_log(spark, path).count() == 16
+
+
+def test_symlink_manifest_tracks_snapshot(spark, tmp_path):
+    """The symlink manifest lists EXACTLY the active files, follows
+    the snapshot through delete + compact, and splits per partition
+    directory on a partitioned table."""
+    import os as _os
+
+    path = str(tmp_path / "man_tbl")
+    df = spark.range(100).selectExpr("CAST(id % 2 AS INT) AS p", "id AS k")
+    D.write_delta(df, path, mode="overwrite", partition_by=["p"])
+
+    def listed():
+        uris = []
+        for m in D.generate_symlink_manifest(path):
+            with open(m) as f:
+                uris += [u.strip() for u in f if u.strip()]
+        return sorted(uris)
+
+    def active():
+        st = D._replay_state(path)
+        return sorted(
+            "file://" + _os.path.abspath(_os.path.join(path, rel)) for rel in st["adds"]
+        )
+
+    assert listed() == active()
+    manifests = D.generate_symlink_manifest(path)
+    assert any("/p=0/" in m for m in manifests) and any("/p=1/" in m for m in manifests)
+
+    # external view stays exact through a DV delete (files unchanged)
+    # and a compaction (files replaced)
+    D.delete_delta(spark, path, "k % 10 = 0")
+    assert listed() == active()
+    flat = str(tmp_path / "man_flat")
+    D.write_delta(spark.range(50).selectExpr("id AS k"), flat, mode="overwrite")
+    D.compact_delta(spark, flat, target_files=1)
+    def listed_flat():
+        uris = []
+        for m in D.generate_symlink_manifest(flat):
+            with open(m) as f:
+                uris += [u.strip() for u in f if u.strip()]
+        return sorted(uris)
+    st = D._replay_state(flat)
+    assert listed_flat() == sorted(
+        "file://" + _os.path.abspath(_os.path.join(flat, rel)) for rel in st["adds"]
+    )
