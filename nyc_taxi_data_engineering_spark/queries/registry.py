@@ -73,6 +73,8 @@ ROTATION: list[str] = [
     "user_activity_streaks",
     "revenue_max_drawdown",
     "delta_generated_year_orders",
+    "ks_test_events",
+    "mann_whitney_events",
     "hybrid_rrf_search",
     "holt_linear_forecast",
     "theil_sen_trend",

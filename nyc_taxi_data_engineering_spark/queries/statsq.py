@@ -1012,3 +1012,137 @@ def q_quantile_normalize_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+# --- Nonparametric two-sample tests ----------------------------------------
+# KS and Mann-Whitney over the parity arms, both EXACT until one
+# terminal op: the KS statistic is a max over integer CDF gaps
+# (max |n2*cum1 - n1*cum2| / (n1*n2) — kept as an integer numerator),
+# and the U statistic is an integer rank sum with midranks handled by
+# average-of-integer-bounds (exact .5 fractions are dyadic). The only
+# irrational step is the final sqrt (IEEE correctly rounded).
+
+
+@query(
+    "ks_test_events",
+    oracle="""
+WITH s AS (
+    SELECT value AS v, CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END AS arm,
+           event_id
+    FROM events
+),
+n AS (
+    SELECT CAST(SUM(arm) AS BIGINT) AS n1,
+           CAST(SUM(1 - arm) AS BIGINT) AS n2
+    FROM s
+),
+cum AS (
+    SELECT v,
+           SUM(arm) OVER (ORDER BY v, event_id) AS c1,
+           SUM(1 - arm) OVER (ORDER BY v, event_id) AS c2
+    FROM s
+),
+gap AS (
+    SELECT MAX(abs(n.n2 * c.c1 - n.n1 * c.c2)) AS num, MAX(n.n1) AS n1, MAX(n.n2) AS n2
+    FROM cum c CROSS JOIN n
+)
+SELECT n1, n2,
+       CAST(num AS DOUBLE) / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) AS ks_d,
+       sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)))
+         * (CAST(num AS DOUBLE) / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))) AS ks_scaled
+FROM gap
+""",
+)
+def q_ks_test_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov on event value between the parity
+    arms: D as an exact integer-numerator max over the merged order,
+    plus the sqrt(n1*n2/(n1+n2))-scaled statistic. 1 row."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("value").alias("v"),
+        F.when(F.col("user_id") % 2 == 1, 1).otherwise(0).alias("arm"),
+        "event_id",
+    )
+    n = ev.agg(
+        F.sum("arm").cast("bigint").alias("n1"),
+        F.sum(F.lit(1) - F.col("arm")).cast("bigint").alias("n2"),
+    )
+    w = Window.orderBy("v", "event_id").rowsBetween(Window.unboundedPreceding, 0)
+    cum = ev.select(
+        F.sum("arm").over(w).alias("c1"),
+        F.sum(F.lit(1) - F.col("arm")).over(w).alias("c2"),
+    )
+    gap = cum.crossJoin(F.broadcast(n)).agg(
+        F.max(F.abs(F.col("n2") * F.col("c1") - F.col("n1") * F.col("c2"))).alias("num"),
+        F.max("n1").alias("n1"),
+        F.max("n2").alias("n2"),
+    )
+    d = F.col("num").cast("double") / (F.col("n1").cast("double") * F.col("n2").cast("double"))
+    scale = F.sqrt(
+        F.col("n1").cast("double") * F.col("n2").cast("double")
+        / (F.col("n1").cast("double") + F.col("n2").cast("double"))
+    )
+    return gap.select("n1", "n2", d.alias("ks_d"), (scale * d).alias("ks_scaled"))
+
+
+@query(
+    "mann_whitney_events",
+    oracle="""
+WITH s AS (
+    SELECT value AS v, CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END AS arm
+    FROM events
+),
+r AS (
+    SELECT arm,
+           rank() OVER (ORDER BY v) AS lo,
+           CAST(COUNT(*) OVER (PARTITION BY v) AS BIGINT) AS t
+    FROM s
+),
+-- midrank = lo + (t-1)/2; keep 2*midrank integer for exactness
+sums AS (
+    SELECT CAST(SUM(CASE WHEN arm = 1 THEN 2 * lo + t - 1 ELSE 0 END) AS BIGINT) AS two_r1,
+           CAST(SUM(arm) AS BIGINT) AS n1,
+           CAST(SUM(1 - arm) AS BIGINT) AS n2
+    FROM r
+)
+SELECT n1, n2,
+       (CAST(two_r1 AS DOUBLE) / 2.0) - CAST(n1 * (n1 + 1) AS DOUBLE) / 2.0 AS u1,
+       (CAST(two_r1 AS DOUBLE) / 2.0 - CAST(n1 * (n1 + 1) AS DOUBLE) / 2.0
+         - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 2.0)
+       / sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) + 1.0) / 12.0)
+         AS z_stat
+FROM sums
+""",
+)
+def q_mann_whitney_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (rank-sum) on event value between the parity
+    arms: midranks kept as the integer 2*midrank = 2*rank + ties - 1
+    so the rank sum is exact; U and the normal-approximation z (no tie
+    correction — values are effectively continuous) each take one
+    terminal double step. 1 row."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("value").alias("v"),
+        F.when(F.col("user_id") % 2 == 1, 1).otherwise(0).alias("arm"),
+    )
+    r = ev.select(
+        "arm",
+        F.rank().over(Window.orderBy("v")).alias("lo"),
+        F.count(F.lit(1)).over(Window.partitionBy("v")).cast("bigint").alias("t"),
+    )
+    sums = r.agg(
+        F.sum(
+            F.when(F.col("arm") == 1, 2 * F.col("lo") + F.col("t") - 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("two_r1"),
+        F.sum("arm").cast("bigint").alias("n1"),
+        F.sum(F.lit(1) - F.col("arm")).cast("bigint").alias("n2"),
+    )
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    u1 = F.col("two_r1").cast("double") / F.lit(2.0) - (
+        F.col("n1") * (F.col("n1") + 1)
+    ).cast("double") / F.lit(2.0)
+    z = (u1 - n1d * n2d / F.lit(2.0)) / F.sqrt(
+        n1d * n2d * (n1d + n2d + F.lit(1.0)) / F.lit(12.0)
+    )
+    return sums.select("n1", "n2", u1.alias("u1"), z.alias("z_stat"))
