@@ -959,3 +959,39 @@ def test_mv_rewrite_never_touches_the_base_table(spark, sf_dir):
     plan = _plan(spark, sf_dir, "mv_rewrite_rollup_orders")
     assert "orders.parquet" not in plan
     assert plan.count("FileScan parquet") == 1
+
+
+def test_itemcf_and_textrank_stay_keyed_joins(spark, sf_dir):
+    """Candidate/pair generation in the new CF and TextRank paths must
+    remain keyed equi-joins — a nested-loop here is the d² explosion
+    the degree cap exists to prevent."""
+    plan = _plan(spark, sf_dir, "itemcf_supplier_neighbors")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # textrank composes PageRank, whose 1-row mass terms legitimately
+    # plan as tiny BroadcastNestedLoopJoins — only a cartesian of two
+    # data-sized sides is forbidden
+    plan = _plan(spark, sf_dir, "textrank_keywords")
+    assert "CartesianProduct" not in plan
+
+
+def test_uplift_deciles_rank_over_user_grain(spark, sf_dir):
+    """The ntile must run AFTER the per-user collapse: the single
+    global-order window sees |users| rows, never raw events."""
+    plan = _plan(spark, sf_dir, "uplift_by_decile_events")
+    first_scan = plan.index("FileScan")
+    # the only Window sits above the user-grain HashAggregate
+    assert "Window" not in plan[first_scan:]
+
+
+def test_gdpr_and_partitioned_dv_read_prunes(spark, sf_dir):
+    """The partitioned-DV query's read must list only the pruned
+    partition's files (partitionValues pruning happens in the log
+    layer, before Spark; the residual filter remains row-level)."""
+    plan = _plan(spark, sf_dir, "delta_partitioned_dv_orders")
+    assert "CartesianProduct" not in plan
+    # every scanned file path carries the pruned partition directory
+    import re
+
+    for m in re.finditer(r"o_orderstatus=([A-Z])", plan):
+        assert m.group(1) == "F"
