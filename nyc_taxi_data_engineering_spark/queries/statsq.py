@@ -616,14 +616,18 @@ ranked AS (
 SELECT decile,
        CAST(SUM(CASE WHEN treat = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_treat,
        CAST(SUM(CASE WHEN treat = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ctrl,
-       {stable_sum_sql("CASE WHEN treat = 1 THEN post_purchase ELSE 0.0 END", scale=6)}
-         / SUM(CASE WHEN treat = 1 THEN 1 ELSE 0 END) AS mean_treat,
-       {stable_sum_sql("CASE WHEN treat = 0 THEN post_purchase ELSE 0.0 END", scale=6)}
-         / SUM(CASE WHEN treat = 0 THEN 1 ELSE 0 END) AS mean_ctrl,
-       {stable_sum_sql("CASE WHEN treat = 1 THEN post_purchase ELSE 0.0 END", scale=6)}
-         / SUM(CASE WHEN treat = 1 THEN 1 ELSE 0 END)
-       - {stable_sum_sql("CASE WHEN treat = 0 THEN post_purchase ELSE 0.0 END", scale=6)}
-         / SUM(CASE WHEN treat = 0 THEN 1 ELSE 0 END) AS uplift
+       CASE WHEN SUM(CASE WHEN treat = 1 THEN 1 ELSE 0 END) = 0 THEN CAST(0.0 AS DOUBLE)
+            ELSE {stable_sum_sql("CASE WHEN treat = 1 THEN post_purchase ELSE 0.0 END", scale=6)}
+                 / SUM(CASE WHEN treat = 1 THEN 1 ELSE 0 END) END AS mean_treat,
+       CASE WHEN SUM(CASE WHEN treat = 0 THEN 1 ELSE 0 END) = 0 THEN CAST(0.0 AS DOUBLE)
+            ELSE {stable_sum_sql("CASE WHEN treat = 0 THEN post_purchase ELSE 0.0 END", scale=6)}
+                 / SUM(CASE WHEN treat = 0 THEN 1 ELSE 0 END) END AS mean_ctrl,
+       CASE WHEN SUM(CASE WHEN treat = 1 THEN 1 ELSE 0 END) = 0
+              OR SUM(CASE WHEN treat = 0 THEN 1 ELSE 0 END) = 0 THEN CAST(0.0 AS DOUBLE)
+            ELSE {stable_sum_sql("CASE WHEN treat = 1 THEN post_purchase ELSE 0.0 END", scale=6)}
+                 / SUM(CASE WHEN treat = 1 THEN 1 ELSE 0 END)
+               - {stable_sum_sql("CASE WHEN treat = 0 THEN post_purchase ELSE 0.0 END", scale=6)}
+                 / SUM(CASE WHEN treat = 0 THEN 1 ELSE 0 END) END AS uplift
 FROM ranked
 GROUP BY decile
 ORDER BY decile
@@ -660,9 +664,11 @@ def q_uplift_by_decile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             n_t.cast("bigint").alias("n_treat"),
             n_c.cast("bigint").alias("n_ctrl"),
-            (s_t / n_t).alias("mean_treat"),
-            (s_c / n_c).alias("mean_ctrl"),
-            (s_t / n_t - s_c / n_c).alias("uplift"),
+            F.when(n_t == 0, F.lit(0.0)).otherwise(s_t / n_t).alias("mean_treat"),
+            F.when(n_c == 0, F.lit(0.0)).otherwise(s_c / n_c).alias("mean_ctrl"),
+            F.when((n_t == 0) | (n_c == 0), F.lit(0.0))
+            .otherwise(s_t / n_t - s_c / n_c)
+            .alias("uplift"),
         )
         .orderBy("decile")
     )
