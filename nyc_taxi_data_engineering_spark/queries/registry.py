@@ -75,6 +75,7 @@ ROTATION: list[str] = [
     "delta_generated_year_orders",
     "ks_test_events",
     "mann_whitney_events",
+    "kruskal_wallis_events",
     "hybrid_rrf_search",
     "holt_linear_forecast",
     "theil_sen_trend",

@@ -1152,3 +1152,67 @@ def q_mann_whitney_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         n1d * n2d * (n1d + n2d + F.lit(1.0)) / F.lit(12.0)
     )
     return sums.select("n1", "n2", u1.alias("u1"), z.alias("z_stat"))
+
+
+@query(
+    "kruskal_wallis_events",
+    oracle="""
+WITH r AS (
+    SELECT event_type,
+           rank() OVER (ORDER BY value) AS lo,
+           CAST(COUNT(*) OVER (PARTITION BY value) AS BIGINT) AS t
+    FROM events
+),
+g AS (
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_g,
+           CAST(SUM(2 * lo + t - 1) AS BIGINT) AS two_rsum
+    FROM r GROUP BY event_type
+),
+tot AS (SELECT CAST(SUM(n_g) AS BIGINT) AS n FROM g),
+h AS (
+    SELECT
+      12.0 / (CAST(MAX(n) AS DOUBLE) * (CAST(MAX(n) AS DOUBLE) + 1.0))
+        * SUM((CAST(two_rsum AS DOUBLE) / 2.0) * (CAST(two_rsum AS DOUBLE) / 2.0) / CAST(n_g AS DOUBLE))
+        - 3.0 * (CAST(MAX(n) AS DOUBLE) + 1.0) AS h_stat,
+      CAST(MAX(n) AS BIGINT) AS n,
+      CAST(COUNT(*) AS BIGINT) AS k_groups
+    FROM g CROSS JOIN tot
+)
+SELECT n, k_groups, h_stat FROM h
+""",
+)
+def q_kruskal_wallis_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis rank ANOVA across the five event types on event
+    value: midranks via the integer 2*rank + ties - 1 transport, group
+    rank sums exact, H assembled from a FIXED 5-term sum of identical
+    IEEE operands (group order pinned by the single-row aggregation
+    over the 5-row group table — both engines sum the same 5 doubles;
+    determinism holds because the operand set is tiny and identical,
+    not because the sum is decimal). 1 row."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    r = ev.select(
+        "event_type",
+        F.rank().over(Window.orderBy("value")).alias("lo"),
+        F.count(F.lit(1)).over(Window.partitionBy("value")).cast("bigint").alias("t"),
+    )
+    g = r.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_g"),
+        F.sum(2 * F.col("lo") + F.col("t") - 1).cast("bigint").alias("two_rsum"),
+    )
+    tot = g.agg(F.sum("n_g").cast("bigint").alias("n"))
+    nd = F.col("n").cast("double")
+    rs = F.col("two_rsum").cast("double") / F.lit(2.0)
+    return (
+        g.crossJoin(F.broadcast(tot))
+        .agg(
+            (
+                F.lit(12.0) / (F.max(nd) * (F.max(nd) + F.lit(1.0)))
+                * F.sum(rs * rs / F.col("n_g").cast("double"))
+                - F.lit(3.0) * (F.max(nd) + F.lit(1.0))
+            ).alias("h_stat"),
+            F.max("n").cast("bigint").alias("n"),
+            F.count(F.lit(1)).cast("bigint").alias("k_groups"),
+        )
+        .select("n", "k_groups", "h_stat")
+    )
