@@ -440,3 +440,48 @@ def test_stream_stream_left_outer_emits_unmatched_after_watermark(spark, stream_
         if r["user_id"] in (1, 2)
     }
     assert stream_rows == batch_rows == {(0, 1), (2, None)}
+
+
+def test_transform_with_state_matches_batch(spark, stream_dirs):
+    """The Spark 4 transformWithStateInPandas surface: running totals
+    through the new StatefulProcessor must equal the batch aggregate
+    (and therefore the applyInPandasWithState twin) on the same data."""
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithState's state protocol needs protobuf (not in this container)",
+    )
+    from nyc_taxi_data_engineering_spark.streaming.stateful import (
+        ROCKSDB_PROVIDER,
+        running_user_totals_tws,
+    )
+
+    src, ckpt = stream_dirs
+    events = _mk_events(
+        spark,
+        [(0, 1, "click", 1.0), (5, 2, "view", 2.5), (9, 1, "click", 4.0), (12, 2, "view", 0.5)],
+    )
+    _write_batch(events, src)
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER)
+    try:
+        stream = running_user_totals_tws(read_events_stream(spark, src))
+        run_available_now(stream, "tws_totals", ckpt, output_mode="update")
+        latest = {
+            r["user_id"]: r
+            for r in spark.table("tws_totals").orderBy("last_ts").collect()
+        }
+    finally:
+        if prev:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    batch = {
+        r["user_id"]: r
+        for r in events.groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    assert set(latest) == set(batch)
+    for uid, b in batch.items():
+        assert latest[uid]["n_events"] == b["n"]
+        assert abs(latest[uid]["sum_value"] - b["s"]) < 1e-9
