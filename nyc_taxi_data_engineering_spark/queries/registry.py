@@ -76,6 +76,7 @@ ROTATION: list[str] = [
     "ks_test_events",
     "mann_whitney_events",
     "kruskal_wallis_events",
+    "eb_shrunk_urgent_rates",
     "hybrid_rrf_search",
     "holt_linear_forecast",
     "theil_sen_trend",

@@ -1216,3 +1216,98 @@ def q_kruskal_wallis_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("n", "k_groups", "h_stat")
     )
+
+
+# --- Empirical-Bayes rate shrinkage -----------------------------------------
+# James-Stein-style beta-binomial shrinkage of per-customer urgent-order
+# rates toward the corpus prior: method-of-moments (mu, var) of the raw
+# rates fit Beta(alpha, beta), and every customer's rate shrinks to
+# (k + alpha) / (n + alpha + beta). Exactness: k and n are integers;
+# raw rates are single divisions; mu and var come from 12-dp-quantized
+# decimal sums of those rates (order-free); alpha/beta/shrunk are fixed
+# chains of IEEE ops on identical operands. Small-n customers shrink
+# hard toward the prior, large-n customers barely move — the test
+# asserts exactly that monotonicity.
+
+_EB_MOMENTS = """
+per_cust AS (
+    SELECT o_custkey,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS k,
+           CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS raw_rate
+    FROM orders GROUP BY o_custkey
+),
+mom AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_cust,
+           CAST(SUM(CAST(round(raw_rate, 12) AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS mu,
+           CAST(SUM(CAST(round(raw_rate * raw_rate, 12) AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*)
+             - (CAST(SUM(CAST(round(raw_rate, 12) AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*))
+             * (CAST(SUM(CAST(round(raw_rate, 12) AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*)) AS var
+    FROM per_cust
+),
+prior AS (
+    SELECT n_cust, mu, var,
+           mu * (mu * (1.0 - mu) / var - 1.0) AS alpha,
+           (1.0 - mu) * (mu * (1.0 - mu) / var - 1.0) AS beta
+    FROM mom
+)
+"""
+
+
+@query(
+    "eb_shrunk_urgent_rates",
+    oracle=f"""
+WITH {_EB_MOMENTS}
+SELECT o_custkey, n, k, raw_rate,
+       (CAST(k AS DOUBLE) + alpha) / (CAST(n AS DOUBLE) + alpha + beta) AS shrunk_rate,
+       alpha, beta
+FROM per_cust CROSS JOIN prior
+ORDER BY o_custkey
+""",
+)
+def q_eb_shrunk_urgent_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per customer: urgent-order count, raw rate, and the
+    beta-binomial empirically-shrunk rate (method-of-moments prior fit
+    on the rate distribution, broadcast as one row)."""
+    orders = load_table(spark, sf_dir, "orders")
+    urgent = F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(urgent).cast("bigint").alias("k"),
+        (F.sum(urgent).cast("double") / F.count(F.lit(1))).alias("raw_rate"),
+    )
+    q12 = lambda c: F.round(c, 12).cast("decimal(28,12)")  # noqa: E731
+    mom = per_cust.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cust"),
+        (F.sum(q12(F.col("raw_rate"))).cast("double") / F.count(F.lit(1))).alias("mu"),
+        (
+            F.sum(q12(F.col("raw_rate") * F.col("raw_rate"))).cast("double") / F.count(F.lit(1))
+            - (F.sum(q12(F.col("raw_rate"))).cast("double") / F.count(F.lit(1)))
+            * (F.sum(q12(F.col("raw_rate"))).cast("double") / F.count(F.lit(1)))
+        ).alias("var"),
+    )
+    scale = F.col("mu") * (F.lit(1.0) - F.col("mu")) / F.col("var") - F.lit(1.0)
+    prior = mom.select(
+        "n_cust",
+        "mu",
+        "var",
+        (F.col("mu") * scale).alias("alpha"),
+        ((F.lit(1.0) - F.col("mu")) * scale).alias("beta"),
+    )
+    return (
+        per_cust.crossJoin(F.broadcast(prior))
+        .select(
+            "o_custkey",
+            "n",
+            "k",
+            "raw_rate",
+            (
+                (F.col("k").cast("double") + F.col("alpha"))
+                / (F.col("n").cast("double") + F.col("alpha") + F.col("beta"))
+            ).alias("shrunk_rate"),
+            "alpha",
+            "beta",
+        )
+        .orderBy("o_custkey")
+    )

@@ -152,3 +152,35 @@ def test_adaboost_recovers_planted_majority(spark, sf_dir):
     ev = q_adaboost_eval_orders(spark, sf_dir).collect()[0]
     assert ev["accuracy"] >= 0.9
     assert ev["tp"] + ev["fp"] + ev["fn"] + ev["tn"] > 0
+
+
+def test_eb_shrinkage_monotone_in_evidence(spark, sf_dir):
+    """Shrinkage must pull every raw rate TOWARD the prior mean, and
+    pull harder when the customer has fewer orders: |shrunk - mu| grows
+    with n for customers at the same raw rate."""
+    from nyc_taxi_data_engineering_spark.queries.statsq import q_eb_shrunk_urgent_rates
+
+    rows = q_eb_shrunk_urgent_rates(spark, sf_dir).collect()
+    assert rows
+    alpha, beta = rows[0]["alpha"], rows[0]["beta"]
+    assert alpha > 0 and beta > 0
+    mu = alpha / (alpha + beta)
+    for r in rows:
+        lo, hi = sorted((r["raw_rate"], mu))
+        assert lo - 1e-12 <= r["shrunk_rate"] <= hi + 1e-12  # between raw and prior
+    # zero-order evidence would land exactly on the prior: check the
+    # weakest-evidence customer sits closest to mu among same-raw-rate peers
+    from collections import defaultdict
+
+    by_rate = defaultdict(list)
+    for r in rows:
+        by_rate[round(r["raw_rate"], 9)].append(r)
+    checked = 0
+    for grp in by_rate.values():
+        if len(grp) < 2:
+            continue
+        grp = sorted(grp, key=lambda r: r["n"])
+        dist = [abs(r["shrunk_rate"] - mu) for r in grp]
+        assert all(a <= b + 1e-12 for a, b in zip(dist, dist[1:]))
+        checked += 1
+    assert checked > 0
