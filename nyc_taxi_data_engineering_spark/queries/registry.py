@@ -144,6 +144,9 @@ ROTATION: list[str] = [
     "mi_order_priority_status",
     "psi_split_drift_orders",
     "key_skew_diagnostics",
+    # Round-8 continuation additions (never sampled; queue behind the window):
+    "spearman_quantity_price",
+    "anova_price_by_priority",
     # Round-7 late additions (sampled r7):
     "ppr_supplier_recommendations",
     "lpa_copurchase_communities",

@@ -1311,3 +1311,152 @@ def q_eb_shrunk_urgent_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_custkey")
     )
+
+
+# --- Spearman rank correlation ----------------------------------------------
+
+
+@query(
+    "spearman_quantity_price",
+    oracle="""
+WITH r AS (
+    SELECT
+      2 * rank() OVER (ORDER BY l_quantity)
+        + CAST(COUNT(*) OVER (PARTITION BY l_quantity) AS BIGINT) - 1 AS ax,
+      2 * rank() OVER (ORDER BY l_extendedprice)
+        + CAST(COUNT(*) OVER (PARTITION BY l_extendedprice) AS BIGINT) - 1 AS ay
+    FROM lineitem
+),
+s AS (
+    SELECT CAST(COUNT(*) AS DECIMAL(38,0)) AS n,
+           CAST(SUM(CAST(ax AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx,
+           CAST(SUM(CAST(ay AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sy,
+           CAST(SUM(CAST(ax * ay AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxy,
+           CAST(SUM(CAST(ax * ax AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxx,
+           CAST(SUM(CAST(ay * ay AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS syy
+    FROM r
+)
+SELECT CAST(n AS BIGINT) AS n,
+       CAST(n * sxy - sx * sy AS DOUBLE)
+         / sqrt(CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE))
+         AS rho_spearman
+FROM s
+""",
+)
+def q_spearman_quantity_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between l_quantity and
+    l_extendedprice: tie-aware midranks carried as the INTEGER
+    2*midrank = 2*rank + ties - 1 (the Mann-Whitney transport, so
+    every rank moment is exact), then Pearson on the doubled midranks
+    — the factor of 2 cancels in rho. All five sums ride
+    DECIMAL(38,0) (bigint SUM would overflow past sf1: sum(ax*ay) ~
+    n^3), the centered numerator/denominators stay decimal-exact, and
+    the ONLY floating steps are the final two casts, one multiply,
+    sqrt, and divide — identical operands in both engines. The two
+    global rank windows are the documented single-partition
+    global-order term shared with the KS/percentile battery; at scale
+    Spearman over a sample or banded rank approximation replaces the
+    exact global sort. 1 row."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_quantity", "l_extendedprice")
+    dec = "decimal(38,0)"
+    r = li.select(
+        (
+            2 * F.rank().over(Window.orderBy("l_quantity"))
+            + F.count(F.lit(1)).over(Window.partitionBy("l_quantity")).cast("bigint")
+            - 1
+        ).alias("ax"),
+        (
+            2 * F.rank().over(Window.orderBy("l_extendedprice"))
+            + F.count(F.lit(1)).over(Window.partitionBy("l_extendedprice")).cast("bigint")
+            - 1
+        ).alias("ay"),
+    )
+    s = r.agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum(F.col("ax").cast(dec)).cast(dec).alias("sx"),
+        F.sum(F.col("ay").cast(dec)).cast(dec).alias("sy"),
+        F.sum((F.col("ax") * F.col("ay")).cast(dec)).cast(dec).alias("sxy"),
+        F.sum((F.col("ax") * F.col("ax")).cast(dec)).cast(dec).alias("sxx"),
+        F.sum((F.col("ay") * F.col("ay")).cast(dec)).cast(dec).alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den_x = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    den_y = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return s.select(
+        F.col("n").cast("bigint").alias("n"),
+        (num / F.sqrt(den_x * den_y)).alias("rho_spearman"),
+    )
+
+
+# --- One-way ANOVA ----------------------------------------------------------
+
+
+@query(
+    "anova_price_by_priority",
+    oracle=f"""
+WITH g AS (
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_g,
+           {stable_sum_sql('o_totalprice', scale=6, precision=38)} AS s_g,
+           {stable_sum_sql('o_totalprice * o_totalprice', scale=6, precision=38)} AS ssq_g
+    FROM orders GROUP BY o_orderpriority
+),
+tot AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS k_groups,
+           CAST(SUM(n_g) AS BIGINT) AS n,
+           CAST(SUM(CAST(s_g AS DECIMAL(38,6))) AS DOUBLE) AS s,
+           CAST(SUM(CAST(ssq_g AS DECIMAL(38,6))) AS DOUBLE) AS ssq,
+           CAST(SUM(CAST(round(s_g * s_g / n_g, 6) AS DECIMAL(38,6))) AS DOUBLE) AS sb
+    FROM g
+)
+SELECT k_groups, n,
+       sb - s * s / n AS ss_between,
+       ssq - sb AS ss_within,
+       ((sb - s * s / n) / (k_groups - 1.0))
+         / ((ssq - sb) / (CAST(n AS DOUBLE) - k_groups)) AS f_stat
+FROM tot
+""",
+)
+def q_anova_price_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F across the five order priorities on
+    o_totalprice — the parametric sibling of kruskal_wallis_events.
+    ONE scan builds the per-group moment table (count / decimal-exact
+    sum / sum-of-squares at 6 dp, precision 38 so squared prices
+    can't overflow); the 5-row rollup re-enters the decimal transport
+    for every cross-group sum — s_g and ssq_g are already on the 6-dp
+    grid so re-casting is exact, and the group mean-square terms
+    s_g^2/n_g round to 6 dp before the decimal sum (the EB-shrinkage
+    precedent), making all three sums order-independent instead of
+    leaning on 5-operand float-sum luck. SSB = sum(s_g^2/n_g) - S^2/N,
+    SSW = sum(ssq_g) - sum(s_g^2/n_g), F = (SSB/(k-1))/(SSW/(N-k)) —
+    a fixed chain of IEEE ops on identical operands. 1 row."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderpriority", "o_totalprice")
+    g = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_g"),
+        stable_sum("o_totalprice", scale=6, precision=38).alias("s_g"),
+        stable_sum(F.col("o_totalprice") * F.col("o_totalprice"), scale=6, precision=38).alias(
+            "ssq_g"
+        ),
+    )
+    tot = g.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k_groups"),
+        F.sum("n_g").cast("bigint").alias("n"),
+        F.sum(F.col("s_g").cast("decimal(38,6)")).cast("double").alias("s"),
+        F.sum(F.col("ssq_g").cast("decimal(38,6)")).cast("double").alias("ssq"),
+        F.sum(
+            F.round(F.col("s_g") * F.col("s_g") / F.col("n_g"), 6).cast("decimal(38,6)")
+        )
+        .cast("double")
+        .alias("sb"),
+    )
+    kd = F.col("k_groups").cast("double")
+    nd = F.col("n").cast("double")
+    ssb = F.col("sb") - F.col("s") * F.col("s") / F.col("n")
+    ssw = F.col("ssq") - F.col("sb")
+    return tot.select(
+        "k_groups",
+        "n",
+        ssb.alias("ss_between"),
+        ssw.alias("ss_within"),
+        ((ssb / (kd - F.lit(1.0))) / (ssw / (nd - kd))).alias("f_stat"),
+    )

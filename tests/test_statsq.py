@@ -184,3 +184,49 @@ def test_eb_shrinkage_monotone_in_evidence(spark, sf_dir):
         assert all(a <= b + 1e-12 for a, b in zip(dist, dist[1:]))
         checked += 1
     assert checked > 0
+
+
+def test_spearman_matches_direct_computation(spark, sf_dir):
+    """rho from the 2x-midrank transport must equal scipy-free direct
+    Spearman (Pearson on pandas average ranks) and sit in [-1, 1];
+    quantity and extendedprice are positively related by construction."""
+    from nyc_taxi_data_engineering_spark.queries.statsq import q_spearman_quantity_price
+
+    row = q_spearman_quantity_price(spark, sf_dir).collect()[0]
+    import pandas as pd
+
+    pdf = pd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_quantity", "l_extendedprice"])
+    rx = pdf["l_quantity"].rank(method="average")
+    ry = pdf["l_extendedprice"].rank(method="average")
+    expected = rx.corr(ry)  # Pearson on midranks == Spearman
+    assert row["n"] == len(pdf)
+    assert abs(row["rho_spearman"] - expected) < 1e-9
+    assert -1.0 <= row["rho_spearman"] <= 1.0
+    # the synthetic generator draws price independently of quantity,
+    # so rho must sit near zero — a strong |rho| would mean the rank
+    # transport is broken, not that the data is correlated
+    assert abs(row["rho_spearman"]) < 0.1
+
+
+def test_anova_decomposition_and_f(spark, sf_dir):
+    """SSB + SSW must equal total SS (within quantization), F must be
+    finite and non-negative, and the group/total counts must add up."""
+    from nyc_taxi_data_engineering_spark.queries.statsq import q_anova_price_by_priority
+
+    row = q_anova_price_by_priority(spark, sf_dir).collect()[0]
+    import pandas as pd
+
+    pdf = pd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderpriority", "o_totalprice"])
+    assert row["k_groups"] == pdf["o_orderpriority"].nunique()
+    assert row["n"] == len(pdf)
+    x = pdf["o_totalprice"]
+    ss_total = float((x * x).sum() - x.sum() ** 2 / len(x))
+    assert abs((row["ss_between"] + row["ss_within"]) - ss_total) < max(1e-6 * ss_total, 1.0)
+    assert row["ss_between"] >= 0 and row["ss_within"] > 0
+    assert row["f_stat"] >= 0
+    # direct F cross-check
+    g = pdf.groupby("o_orderpriority")["o_totalprice"]
+    sb = float(sum(s * s / n for s, n in zip(g.sum(), g.count())) - x.sum() ** 2 / len(x))
+    sw = ss_total - sb
+    f_direct = (sb / (row["k_groups"] - 1)) / (sw / (len(x) - row["k_groups"]))
+    assert abs(row["f_stat"] - f_direct) < max(1e-6 * abs(f_direct), 1e-9)
