@@ -467,13 +467,14 @@ def label_propagation(edges: DataFrame, iters: int = LPA_ITERS) -> DataFrame:
     return labels.select("node", F.col("label").alias("community"))
 
 
-def label_propagation_sql(edges_cte: str, iters: int = LPA_ITERS) -> str:
-    """DuckDB twin: the same synchronous rounds as nested CTEs, the
-    argmax expressed as the row_number window it replaces (highest
-    count, then smallest label — identical tie order). ``edges_cte``
-    must define a CTE named ``edges`` with integer columns (a, b)."""
+def lpa_ctes(iters: int = LPA_ITERS) -> str:
+    """The LPA rounds as a reusable CTE-list fragment (no WITH, no
+    final SELECT): defines ``sym`` and ``l0``..``l{iters}`` on top of
+    a CTE named ``edges`` the caller must have defined with integer
+    columns (a, b). ``label_propagation_sql`` and the modularity
+    oracle both build on this so the round semantics can never drift
+    between the community query and its quality score."""
     parts = [
-        edges_cte,
         "sym AS (SELECT a AS node, b AS nbr FROM edges "
         "UNION ALL SELECT b AS node, a AS nbr FROM edges)",
         "l0 AS (SELECT DISTINCT node, node AS label FROM sym)",
@@ -495,7 +496,117 @@ def label_propagation_sql(edges_cte: str, iters: int = LPA_ITERS) -> str:
   ) WHERE rn = 1
 )"""
         )
-    return "WITH " + ",\n".join(parts) + f"\nSELECT node, label AS community FROM l{iters}"
+    return ",\n".join(parts)
+
+
+def label_propagation_sql(edges_cte: str, iters: int = LPA_ITERS) -> str:
+    """DuckDB twin: the same synchronous rounds as nested CTEs, the
+    argmax expressed as the row_number window it replaces (highest
+    count, then smallest label — identical tie order). ``edges_cte``
+    must define a CTE named ``edges`` with integer columns (a, b)."""
+    return (
+        "WITH "
+        + edges_cte
+        + ",\n"
+        + lpa_ctes(iters)
+        + f"\nSELECT node, label AS community FROM l{iters}"
+    )
+
+
+def modularity(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """Per-community Newman modularity contributions over an UNDIRECTED
+    simple edge list (a, b) and a (node, community) assignment — the
+    standard partition-quality score, so a community run (LPA, CC,
+    k-means-on-graph) carries its own evaluation:
+
+        Q = sum_c [ in_c / m  -  (tot_c / 2m)^2 ]
+
+    with m = |edges|, in_c = edges internal to c, tot_c = degree sum of
+    c's nodes. Everything up to the last step is INTEGER (counts and
+    degree sums), so both engines derive q_contrib from identical
+    operands in a pinned double chain — no sums of floats anywhere.
+
+    Plan: degree = one hash agg on the symmetrized list; internal
+    edges = two keyed joins edge→label (broadcast-eligible when the
+    label table is small, plain shuffle joins otherwise) + one hash
+    agg; the 1-row m aggregate broadcasts onto the community table.
+    Linear in |E| at any scale; no windows, no collect."""
+    m = edges.agg(F.count(F.lit(1)).cast("bigint").alias("m"))
+    sym = edges.select(F.col("a").alias("node")).unionByName(
+        edges.select(F.col("b").alias("node"))
+    )
+    deg = sym.groupBy("node").agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+    la = labels.select(F.col("node").alias("a"), F.col("community").alias("ca"))
+    lb = labels.select(F.col("node").alias("b"), F.col("community").alias("cb"))
+    internal = (
+        edges.join(la, "a")
+        .join(lb, "b")
+        .filter(F.col("ca") == F.col("cb"))
+        .groupBy(F.col("ca").alias("community"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("internal_edges"))
+    )
+    tot = (
+        labels.join(deg, "node")
+        .groupBy("community")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+            F.sum("deg").cast("bigint").alias("degree_sum"),
+        )
+    )
+    md = F.col("m").cast("double")
+    frac = F.col("degree_sum").cast("double") / (F.lit(2.0) * md)
+    return (
+        tot.join(internal, "community", "left")
+        .crossJoin(F.broadcast(m))
+        .select(
+            "community",
+            "n_nodes",
+            F.coalesce("internal_edges", F.lit(0).cast("bigint")).alias("internal_edges"),
+            "degree_sum",
+            (
+                F.coalesce("internal_edges", F.lit(0).cast("bigint")).cast("double") / md
+                - frac * frac
+            ).alias("q_contrib"),
+        )
+        .orderBy("community")
+    )
+
+
+def modularity_sql(edges_cte: str, labels_cte: str) -> str:
+    """DuckDB twin of :func:`modularity`. ``edges_cte`` must define
+    ``edges`` (a, b); ``labels_cte`` must define ``labels``
+    (node, community) — e.g. :func:`lpa_ctes` plus a rename."""
+    return f"""
+WITH {edges_cte},
+{labels_cte},
+m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM edges),
+deg AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS deg
+  FROM (SELECT a AS node FROM edges UNION ALL SELECT b AS node FROM edges)
+  GROUP BY node
+),
+internal AS (
+  SELECT la.community, CAST(COUNT(*) AS BIGINT) AS internal_edges
+  FROM edges e
+  JOIN labels la ON la.node = e.a
+  JOIN labels lb ON lb.node = e.b
+  WHERE la.community = lb.community
+  GROUP BY la.community
+),
+tot AS (
+  SELECT l.community, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+         CAST(SUM(d.deg) AS BIGINT) AS degree_sum
+  FROM labels l JOIN deg d ON d.node = l.node
+  GROUP BY l.community
+)
+SELECT t.community, t.n_nodes,
+       COALESCE(i.internal_edges, CAST(0 AS BIGINT)) AS internal_edges,
+       t.degree_sum,
+       CAST(COALESCE(i.internal_edges, 0) AS DOUBLE) / CAST((SELECT m FROM m) AS DOUBLE)
+         - (CAST(t.degree_sum AS DOUBLE) / (2.0 * CAST((SELECT m FROM m) AS DOUBLE)))
+           * (CAST(t.degree_sum AS DOUBLE) / (2.0 * CAST((SELECT m FROM m) AS DOUBLE))) AS q_contrib
+FROM tot t LEFT JOIN internal i ON i.community = t.community
+ORDER BY t.community"""
 
 
 # ---------------------------------------------------------------------------

@@ -615,3 +615,34 @@ def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         cooc.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
     )
     return pagerank(edges, weight="w")
+
+
+from nyc_taxi_data_engineering_spark.operators.graph import (
+    LPA_ITERS,
+    lpa_ctes,
+    modularity,
+    modularity_sql,
+)
+
+
+@query(
+    "modularity_copurchase_communities",
+    oracle=modularity_sql(
+        f"edges AS ({_knn_copurchase_edges_sql()})",
+        lpa_ctes()
+        + f",\nlabels AS (SELECT node, label AS community FROM l{LPA_ITERS})",
+    ),
+)
+def q_modularity_copurchase_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the LPA community assignment on the
+    top-{TRIANGLE_TOPK} co-purchase neighbor graph — the partition
+    carries its own quality score, per community: node count, internal
+    edge count, degree sum, and the Q contribution
+    in_c/m - (tot_c/2m)^2. Integer counts all the way; the only doubles
+    are the final pinned per-row chain, so no float sums cross engine
+    boundaries. Same bounded-degree kNN edges as the triangle and LPA
+    queries (one edge build shared across the family); the label join
+    is two keyed equi-joins + hash aggs — linear in |E|."""
+    edges = _knn_copurchase_edges(spark, sf_dir)
+    labels = label_propagation(edges)
+    return modularity(edges, labels)

@@ -147,6 +147,7 @@ ROTATION: list[str] = [
     # Round-8 continuation additions (never sampled; queue behind the window):
     "spearman_quantity_price",
     "anova_price_by_priority",
+    "modularity_copurchase_communities",
     # Round-7 late additions (sampled r7):
     "ppr_supplier_recommendations",
     "lpa_copurchase_communities",

@@ -391,3 +391,41 @@ def test_link_predictions_scores_and_excludes_existing(spark):
     rows = link_predictions(_upairs(spark, sq), topk=10).collect()
     got = {(r["a"], r["b"]): (r["common_neighbors"], r["jaccard"], r["pref_attachment"]) for r in rows}
     assert got == {("a", "c"): (2, 1.0, 4), ("b", "d"): (2, 1.0, 4)}
+
+
+from nyc_taxi_data_engineering_spark.operators.graph import modularity  # noqa: E402
+
+
+def test_modularity_two_triangles_bridge(spark):
+    """Two triangles joined by one bridge, the textbook partition:
+    m = 7, each community has 3 internal edges and degree sum 7, so
+    q_contrib = 3/7 - (7/14)^2 per community and Q = 2*(3/7 - 1/4)."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)], "a int, b int"
+    )
+    labels = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 10), (4, 20), (5, 20), (6, 20)],
+        "node int, community int",
+    )
+    rows = modularity(edges, labels).collect()
+    assert [r["community"] for r in rows] == [10, 20]
+    for r in rows:
+        assert r["n_nodes"] == 3
+        assert r["internal_edges"] == 3
+        assert r["degree_sum"] == 7
+        assert abs(r["q_contrib"] - (3.0 / 7.0 - 0.25)) < 1e-12
+
+
+def test_modularity_singleton_partition_zero_internal(spark):
+    """Every node its own community: internal_edges = 0 everywhere and
+    q_contrib is the pure -(deg/2m)^2 penalty — the left join's
+    COALESCE path, not an accidental inner join."""
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "a int, b int")
+    labels = spark.createDataFrame(
+        [(1, 1), (2, 2), (3, 3)], "node int, community int"
+    )
+    rows = {r["community"]: r for r in modularity(edges, labels).collect()}
+    assert len(rows) == 3
+    assert all(r["internal_edges"] == 0 for r in rows.values())
+    assert abs(rows[2]["q_contrib"] - (-(2.0 / 4.0) ** 2)) < 1e-12
+    assert abs(rows[1]["q_contrib"] - (-(1.0 / 4.0) ** 2)) < 1e-12
