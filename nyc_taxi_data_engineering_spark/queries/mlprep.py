@@ -374,3 +374,109 @@ def q_pit_customer_features_orders(spark: SparkSession, sf_dir: str) -> DataFram
         "prior_spend",
         F.col("days_since_prev").cast("long").alias("days_since_prev"),
     )
+
+
+@query(
+    "feature_auc_screen_orders",
+    oracle="""
+WITH base AS (
+    SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END AS pos,
+           CAST(o_totalprice AS DOUBLE) AS totalprice,
+           CAST(day(o_orderdate) AS DOUBLE) AS order_dom,
+           CAST(o_custkey % 97 AS DOUBLE) AS custkey_mod97
+    FROM orders
+),
+m AS (
+    SELECT 'totalprice' AS feature, pos, totalprice AS v FROM base
+    UNION ALL
+    SELECT 'order_dom' AS feature, pos, order_dom AS v FROM base
+    UNION ALL
+    SELECT 'custkey_mod97' AS feature, pos, custkey_mod97 AS v FROM base
+),
+r AS (
+    SELECT feature, pos,
+           rank() OVER (PARTITION BY feature ORDER BY v) AS lo,
+           CAST(COUNT(*) OVER (PARTITION BY feature, v) AS BIGINT) AS t
+    FROM m
+),
+g AS (
+    SELECT feature,
+           CAST(SUM(CASE WHEN pos = 1 THEN 2 * lo + t - 1 ELSE 0 END) AS BIGINT) AS two_r1,
+           CAST(SUM(pos) AS BIGINT) AS n_pos,
+           CAST(SUM(1 - pos) AS BIGINT) AS n_neg
+    FROM r GROUP BY feature
+)
+SELECT feature, n_pos, n_neg,
+       (CAST(two_r1 AS DOUBLE) / 2.0 - CAST(n_pos * (n_pos + 1) AS DOUBLE) / 2.0)
+         / (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)) AS auc,
+       2.0 * ((CAST(two_r1 AS DOUBLE) / 2.0 - CAST(n_pos * (n_pos + 1) AS DOUBLE) / 2.0)
+         / (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE))) - 1.0 AS gini_coef
+FROM g ORDER BY feature
+""",
+)
+def q_feature_auc_screen_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Univariate feature screening by rank-based ROC-AUC — the
+    standard first pass of tabular feature selection, and the
+    classifier-evaluation metric itself: for each candidate feature,
+    AUC of ranking the positive class (urgent/high-priority orders)
+    plus the Gini coefficient 2*AUC-1. One of the three features
+    (custkey_mod97) is structured noise, so the output self-validates:
+    its AUC sits at ~0.5 while totalprice / order_dom may deviate.
+
+    Exactness: the Wilcoxon-Mann-Whitney identity AUC =
+    (R1 - n1(n1+1)/2) / (n1*n2) with tie midranks carried as the
+    INTEGER 2*midrank = 2*rank + ties - 1 (the statsq transport), so
+    the rank sum is exact and the AUC is a single terminal double
+    division; the half-integer two_r1/2 and the triangular number are
+    both dyadic-exact doubles below 2^53.
+
+    Scale: the melt is a per-row stack (no shuffle); exact ranks need
+    one sort per feature — Window.partitionBy(feature) shuffles each
+    feature's rows to one ordering, features rank in parallel. The
+    final agg is a 3-row hash agg. For k features over n rows this is
+    k parallel sorts of n — the unavoidable cost of EXACT AUC; at
+    100 TB you'd screen on a stratified sample or bucketed histogram
+    AUC, both of which this plan degrades to by swapping the rank CTE."""
+    base = load_table(spark, sf_dir, "orders").select(
+        F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)
+        .otherwise(0)
+        .alias("pos"),
+        F.col("o_totalprice").cast("double").alias("totalprice"),
+        F.dayofmonth("o_orderdate").cast("double").alias("order_dom"),
+        (F.col("o_custkey") % 97).cast("double").alias("custkey_mod97"),
+    )
+    m = base.select(
+        "pos",
+        F.expr(
+            "stack(3, 'totalprice', totalprice, 'order_dom', order_dom, "
+            "'custkey_mod97', custkey_mod97)"
+        ).alias("feature", "v"),
+    )
+    from pyspark.sql import Window
+
+    wf = Window.partitionBy("feature").orderBy("v")
+    wt = Window.partitionBy("feature", "v")
+    r = m.select(
+        "feature",
+        "pos",
+        F.rank().over(wf).alias("lo"),
+        F.count(F.lit(1)).over(wt).cast("bigint").alias("t"),
+    )
+    g = r.groupBy("feature").agg(
+        F.sum(F.when(F.col("pos") == 1, 2 * F.col("lo") + F.col("t") - 1).otherwise(0))
+        .cast("bigint")
+        .alias("two_r1"),
+        F.sum("pos").cast("bigint").alias("n_pos"),
+        F.sum(F.lit(1) - F.col("pos")).cast("bigint").alias("n_neg"),
+    )
+    auc = (
+        F.col("two_r1").cast("double") / F.lit(2.0)
+        - (F.col("n_pos") * (F.col("n_pos") + 1)).cast("double") / F.lit(2.0)
+    ) / (F.col("n_pos").cast("double") * F.col("n_neg").cast("double"))
+    return g.select(
+        "feature",
+        "n_pos",
+        "n_neg",
+        auc.alias("auc"),
+        (F.lit(2.0) * auc - F.lit(1.0)).alias("gini_coef"),
+    ).orderBy("feature")

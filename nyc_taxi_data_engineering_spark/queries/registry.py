@@ -148,6 +148,7 @@ ROTATION: list[str] = [
     "spearman_quantity_price",
     "anova_price_by_priority",
     "modularity_copurchase_communities",
+    "feature_auc_screen_orders",
     # Round-7 late additions (sampled r7):
     "ppr_supplier_recommendations",
     "lpa_copurchase_communities",
