@@ -975,3 +975,120 @@ JOIN deg da ON da.node = n.a
 JOIN deg db ON db.node = n.b
 ORDER BY n.common_neighbors DESC, jaccard DESC, n.a, n.b
 LIMIT {topk}"""
+
+
+# ---------------------------------------------------------------------------
+# Harmonic centrality (bounded multi-source BFS)
+# ---------------------------------------------------------------------------
+
+
+def _harmonic_scale(max_hops: int) -> int:
+    """lcm(1..max_hops): the factor that makes every 1/d term integer."""
+    from math import lcm
+
+    return lcm(*range(1, max_hops + 1))
+
+
+def harmonic_centrality(edges: DataFrame, max_hops: int) -> DataFrame:
+    """Per-node harmonic centrality sum_{v: 0<d(u,v)<=max_hops} 1/d(u,v)
+    over an UNDIRECTED simple edge list (a, b) — the bounded-radius form
+    (Boldi & Vigna 2014) that a distributed engine can actually compute:
+    exact all-pairs distances are V-squared work, but a hop bound keeps
+    the frontier at sum_h deg^h per source, which on the bounded-degree
+    kNN graphs this repo builds is a small constant per node.
+
+    Exactness: distances are integers, so 1/d is rational with
+    denominator dividing lcm(1..max_hops) — the sum is carried as the
+    INTEGER ``harmonic_x{scale}`` and the double form is one terminal
+    division. Per-hop reach counts ride along for free.
+
+    Plan per round: the frontier (rows that FIRST appeared at hops h-1,
+    not the settled set) equi-joins the cached symmetrized edge list,
+    then a min hash agg folds the relaxation — bfs_hops generalized to
+    all sources at once. No windows, no collect; the distance table is
+    the only state and it is bounded by reachable pairs."""
+    scale = _harmonic_scale(max_hops)
+    sym = (
+        edges.select(F.col("a").alias("node"), F.col("b").alias("nbr"))
+        .unionByName(edges.select(F.col("b").alias("node"), F.col("a").alias("nbr")))
+        .repartition("node")
+        .cache()
+    )
+    dist = sym.select("node").distinct().select(
+        F.col("node").alias("src"), "node", F.lit(0).cast("int").alias("hops")
+    )
+    for h in range(1, max_hops + 1):
+        # dist derives from sym, so qualify the self-join by renaming
+        # the frontier's key instead of relying on column lineage (the
+        # label_propagation pattern).
+        frontier = dist.filter(F.col("hops") == h - 1).withColumnRenamed(
+            "node", "fnode"
+        )
+        nxt = frontier.join(sym, F.col("fnode") == F.col("node")).select(
+            "src", F.col("nbr").alias("node"), F.lit(h).cast("int").alias("hops")
+        )
+        dist = (
+            dist.unionByName(nxt)
+            .groupBy("src", "node")
+            .agg(F.min("hops").alias("hops"))
+        )
+        if h < max_hops:
+            dist = _pin(dist)
+    wexpr = F.when(F.col("hops") == 1, F.lit(scale // 1))
+    for h in range(2, max_hops + 1):
+        wexpr = wexpr.when(F.col("hops") == h, F.lit(scale // h))
+    reach_cols = [
+        F.sum(F.when(F.col("hops") == h, 1).otherwise(0))
+        .cast("bigint")
+        .alias(f"n_hop{h}")
+        for h in range(1, max_hops + 1)
+    ]
+    return (
+        dist.filter(F.col("hops") > 0)
+        .groupBy(F.col("src").alias("node"))
+        .agg(
+            *reach_cols,
+            F.sum(wexpr.otherwise(0)).cast("bigint").alias(f"harmonic_x{scale}"),
+        )
+        .select(
+            "node",
+            *[f"n_hop{h}" for h in range(1, max_hops + 1)],
+            f"harmonic_x{scale}",
+            (F.col(f"harmonic_x{scale}").cast("double") / F.lit(float(scale))).alias(
+                "harmonic"
+            ),
+        )
+        .orderBy("node")
+    )
+
+
+def harmonic_centrality_sql(edges_cte: str, max_hops: int) -> str:
+    """DuckDB twin: multi-source WITH RECURSIVE under UNION (distinct)
+    semantics — the working set is (src, node, hops) triples bounded by
+    reachable-pairs x max_hops, not paths. ``edges_cte`` must define a
+    CTE named ``edges`` with integer columns (a, b)."""
+    scale = _harmonic_scale(max_hops)
+    reach = ",\n       ".join(
+        f"CAST(SUM(CASE WHEN hops = {h} THEN 1 ELSE 0 END) AS BIGINT) AS n_hop{h}"
+        for h in range(1, max_hops + 1)
+    )
+    warm = " ".join(
+        f"WHEN hops = {h} THEN {scale // h}" for h in range(1, max_hops + 1)
+    )
+    return f"""
+WITH RECURSIVE {edges_cte},
+sym AS (SELECT a AS node, b AS nbr FROM edges
+        UNION ALL SELECT b AS node, a AS nbr FROM edges),
+walk(src, node, hops) AS (
+  SELECT node, node, 0 FROM (SELECT DISTINCT node FROM sym)
+  UNION
+  SELECT w.src, s.nbr, w.hops + 1
+  FROM walk w JOIN sym s ON s.node = w.node
+  WHERE w.hops < {max_hops}
+),
+d AS (SELECT src, node, MIN(hops) AS hops FROM walk GROUP BY src, node)
+SELECT src AS node,
+       {reach},
+       CAST(SUM(CASE {warm} ELSE 0 END) AS BIGINT) AS harmonic_x{scale},
+       CAST(SUM(CASE {warm} ELSE 0 END) AS BIGINT) / CAST({scale} AS DOUBLE) AS harmonic
+FROM d WHERE hops > 0 GROUP BY src ORDER BY node"""

@@ -646,3 +646,31 @@ def q_modularity_copurchase_communities(spark: SparkSession, sf_dir: str) -> Dat
     edges = _knn_copurchase_edges(spark, sf_dir)
     labels = label_propagation(edges)
     return modularity(edges, labels)
+
+
+from nyc_taxi_data_engineering_spark.operators.graph import (
+    harmonic_centrality,
+    harmonic_centrality_sql,
+)
+
+HARMONIC_HOPS = 3
+
+
+@query(
+    "harmonic_centrality_suppliers",
+    oracle=harmonic_centrality_sql(
+        f"edges AS ({_knn_copurchase_edges_sql()})", max_hops=HARMONIC_HOPS
+    ),
+)
+def q_harmonic_centrality_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-radius harmonic centrality on the co-purchase kNN graph:
+    per supplier, reach counts at 1/2/3 hops and sum(1/d) over that
+    ball — who sits closest to everyone in the purchasing network. The
+    lcm(1,2,3)=6-scaled sum is an exact INTEGER (distances are
+    integers), the double form one terminal division; multi-source BFS
+    runs as three frontier-join + min-agg rounds over the cached
+    symmetrized edge list, with per-source frontiers bounded by the
+    kNN degree cap — sum_h k^h nodes, not V."""
+    return harmonic_centrality(
+        _knn_copurchase_edges(spark, sf_dir), max_hops=HARMONIC_HOPS
+    )

@@ -149,6 +149,7 @@ ROTATION: list[str] = [
     "anova_price_by_priority",
     "modularity_copurchase_communities",
     "feature_auc_screen_orders",
+    "harmonic_centrality_suppliers",
     # Round-7 late additions (sampled r7):
     "ppr_supplier_recommendations",
     "lpa_copurchase_communities",

@@ -429,3 +429,35 @@ def test_modularity_singleton_partition_zero_internal(spark):
     assert all(r["internal_edges"] == 0 for r in rows.values())
     assert abs(rows[2]["q_contrib"] - (-(2.0 / 4.0) ** 2)) < 1e-12
     assert abs(rows[1]["q_contrib"] - (-(1.0 / 4.0) ** 2)) < 1e-12
+
+
+from nyc_taxi_data_engineering_spark.operators.graph import (  # noqa: E402
+    harmonic_centrality,
+)
+
+
+def test_harmonic_centrality_path_graph(spark):
+    """Path 1-2-3-4-5, radius 3. Node 3 reaches everyone: 2 at hop 1,
+    2 at hop 2 -> 6x-harmonic = 2*6 + 2*3 = 18. Node 1 reaches 2/3/4 at
+    hops 1/2/3 -> 6 + 3 + 2 = 11. Endpoint symmetry pins node 5."""
+    edges = spark.createDataFrame([(1, 2), (2, 3), (3, 4), (4, 5)], "a int, b int")
+    rows = {r["node"]: r for r in harmonic_centrality(edges, max_hops=3).collect()}
+    assert rows[3]["harmonic_x6"] == 18 and rows[3]["n_hop3"] == 0
+    assert rows[1]["harmonic_x6"] == 11
+    assert (rows[1]["n_hop1"], rows[1]["n_hop2"], rows[1]["n_hop3"]) == (1, 1, 1)
+    assert rows[5]["harmonic_x6"] == rows[1]["harmonic_x6"]
+    assert abs(rows[3]["harmonic"] - 3.0) < 1e-15
+    # node 1 cannot see node 5 (distance 4 > radius): 4 rows of reach
+    assert rows[1]["n_hop1"] + rows[1]["n_hop2"] + rows[1]["n_hop3"] == 3
+
+
+def test_harmonic_centrality_disconnected_components(spark):
+    """Two disjoint edges: every node sees exactly its one partner at
+    hop 1 and nothing else — cross-component leakage would show up as
+    extra reach."""
+    edges = spark.createDataFrame([(1, 2), (10, 20)], "a int, b int")
+    rows = harmonic_centrality(edges, max_hops=3).collect()
+    assert len(rows) == 4
+    for r in rows:
+        assert (r["n_hop1"], r["n_hop2"], r["n_hop3"]) == (1, 0, 0)
+        assert r["harmonic_x6"] == 6 and r["harmonic"] == 1.0
