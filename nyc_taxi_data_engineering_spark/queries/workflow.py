@@ -1356,3 +1356,65 @@ def q_delta_generated_year_orders(spark: SparkSession, sf_dir: str) -> DataFrame
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
         .orderBy("o_year")
     )
+
+
+VACUUM_KEEP_MOD = 3  # v1 keeps orders with o_orderkey % 3 != 0
+
+
+@query(
+    "delta_vacuum_orders",
+    oracle=f"""
+SELECT o_orderstatus,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+       CAST(12 AS BIGINT) AS files_deleted,
+       CAST(2 AS BIGINT) AS files_on_disk
+FROM orders
+WHERE o_orderkey % {VACUUM_KEEP_MOD} <> 0
+GROUP BY o_orderstatus
+""",
+)
+def q_delta_vacuum_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VACUUM under the correctness gate (delta_log.vacuum_delta —
+    delta-spark's VACUUM with a version-based retention window):
+    commit orders as 8 files (v0), overwrite with the 2-in-{VACUUM_KEEP_MOD}
+    survivor set as 4 files (v1), OPTIMIZE down to 2 (v2,
+    dataChange:false), then vacuum with keep_last=1. The 8 v0 files
+    and the 4 pre-compaction v1 files are unreferenced by the retained
+    snapshot and must be PHYSICALLY deleted — exactly 12 — while the
+    2 live files stay; the audit columns pin both counts and a
+    directory walk recounts what actually survived on disk. The
+    rollup reads THROUGH the post-vacuum snapshot, so a vacuum that
+    deleted a live file (data loss) or resurrected a dead one breaks
+    the hash against the oracle's from-raw recompute.
+
+    100 TB shape: vacuum is log-replay (list retained snapshots'
+    files) + a storage listing diff — O(files), zero data reads; the
+    deletes are embarrassingly parallel fire-and-forget."""
+    from nyc_taxi_data_engineering_spark.catalog import load_table
+    from nyc_taxi_data_engineering_spark.sources import delta_log as D
+
+    tbl = _tmp_table("delta_vacuum_orders")
+    shutil.rmtree(tbl, ignore_errors=True)
+    orders = load_table(spark, sf_dir, "orders")
+    D.write_delta(orders.repartition(8), tbl, mode="overwrite")  # v0: 8 files
+    survivors = orders.filter(F.col("o_orderkey") % VACUUM_KEEP_MOD != 0)
+    D.write_delta(survivors.repartition(4), tbl, mode="overwrite")  # v1: 4 files
+    D.compact_delta(spark, tbl, target_files=2)  # v2: 2 files, dataChange false
+    deleted = D.vacuum_delta(tbl, keep_last=1)
+    on_disk = sum(
+        1
+        for root, dirs, names in os.walk(tbl)
+        if "_delta_log" not in root
+        for n in names
+        if n.endswith(".parquet")
+    )
+    snap = D.read_delta_log(spark, tbl)
+    return snap.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_price"),
+        F.lit(len(deleted)).cast("bigint").alias("files_deleted"),
+        F.lit(on_disk).cast("bigint").alias("files_on_disk"),
+    )
