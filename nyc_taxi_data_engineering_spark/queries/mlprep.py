@@ -480,3 +480,103 @@ def q_feature_auc_screen_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         auc.alias("auc"),
         (F.lit(2.0) * auc - F.lit(1.0)).alias("gini_coef"),
     ).orderBy("feature")
+
+
+AUC_HIST_BINS = 64
+AUC_HIST_LO = 0.0  # o_totalprice observed range at any SF starts near 800
+AUC_HIST_HI = 600_000.0
+
+
+@query(
+    "histogram_auc_orders",
+    oracle=f"""
+WITH base AS (
+    SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END AS pos,
+           CAST(LEAST(GREATEST(CAST(floor((o_totalprice - {AUC_HIST_LO}) * {AUC_HIST_BINS} / ({AUC_HIST_HI} - {AUC_HIST_LO})) AS BIGINT), 0), {AUC_HIST_BINS - 1}) AS BIGINT) AS bin
+    FROM orders
+),
+h AS (
+    SELECT bin,
+           CAST(SUM(pos) AS BIGINT) AS np,
+           CAST(SUM(1 - pos) AS BIGINT) AS nn
+    FROM base GROUP BY bin
+),
+tot AS (SELECT CAST(SUM(np) AS BIGINT) AS tp, CAST(SUM(nn) AS BIGINT) AS tn FROM h),
+c AS (
+    SELECT bin, np, nn,
+           CAST(SUM(np) OVER (ORDER BY bin) AS BIGINT) AS cp,
+           CAST(SUM(nn) OVER (ORDER BY bin) AS BIGINT) AS cn
+    FROM h
+),
+-- trapezoid: each negative pairs with the positives in STRICTLY
+-- higher bins plus half the in-bin ties; keep the doubled form
+-- integer so the sum is exact
+s AS (
+    SELECT CAST(SUM(nn * (2 * ((SELECT tp FROM tot) - cp) + np)) AS BIGINT) AS two_area,
+           CAST(COUNT(*) AS BIGINT) AS nonempty_bins
+    FROM c
+)
+SELECT nonempty_bins, tp AS n_pos, tn AS n_neg,
+       CAST(two_area AS DOUBLE) / 2.0 / (CAST(tp AS DOUBLE) * CAST(tn AS DOUBLE)) AS auc_hist
+FROM s CROSS JOIN tot
+""",
+)
+def q_histogram_auc_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-bucketed AUC — the 100 TB companion to the exact
+    rank AUC (feature_auc_screen_orders): bucket the score into
+    {AUC_HIST_BINS} fixed-width bins (one hash agg with map-side
+    combine, NO global sort), then the trapezoid rule over cumulative
+    bin counts, which equals exact AUC with ties-within-bin broken at
+    the midrank — the standard production approximation whose error is
+    bounded by the in-bin tie mass. Everything up to the last step is
+    INTEGER: each bin contributes neg_in_bin * (2*prior_pos +
+    pos_in_bin) to the DOUBLED area, so the sum is exact and the AUC
+    is one terminal double chain. The window runs over {AUC_HIST_BINS}
+    rows, not n."""
+    bins = F.lit(AUC_HIST_BINS)
+    width = F.lit(AUC_HIST_HI - AUC_HIST_LO)
+    base = load_table(spark, sf_dir, "orders").select(
+        F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)
+        .otherwise(0)
+        .alias("pos"),
+        F.least(
+            F.greatest(
+                F.floor(
+                    (F.col("o_totalprice") - F.lit(AUC_HIST_LO)) * bins / width
+                ).cast("bigint"),
+                F.lit(0).cast("bigint"),
+            ),
+            F.lit(AUC_HIST_BINS - 1).cast("bigint"),
+        ).alias("bin"),
+    )
+    h = base.groupBy("bin").agg(
+        F.sum("pos").cast("bigint").alias("np"),
+        F.sum(F.lit(1) - F.col("pos")).cast("bigint").alias("nn"),
+    )
+    from pyspark.sql import Window
+
+    wb = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    tp_row = h.agg(F.sum("np").cast("bigint").alias("tp"))
+    c = h.select(
+        "np",
+        "nn",
+        F.sum("np").over(wb).cast("bigint").alias("cp"),
+    ).crossJoin(F.broadcast(tp_row))
+    s = c.agg(
+        F.sum(F.col("nn") * (2 * (F.col("tp") - F.col("cp")) + F.col("np")))
+        .cast("bigint")
+        .alias("two_area"),
+        F.count(F.lit(1)).cast("bigint").alias("nonempty_bins"),
+        F.sum("np").cast("bigint").alias("n_pos"),
+        F.sum("nn").cast("bigint").alias("n_neg"),
+    )
+    return s.select(
+        "nonempty_bins",
+        "n_pos",
+        "n_neg",
+        (
+            F.col("two_area").cast("double")
+            / F.lit(2.0)
+            / (F.col("n_pos").cast("double") * F.col("n_neg").cast("double"))
+        ).alias("auc_hist"),
+    )

@@ -151,6 +151,7 @@ ROTATION: list[str] = [
     "feature_auc_screen_orders",
     "harmonic_centrality_suppliers",
     "delta_vacuum_orders",
+    "histogram_auc_orders",
     # Round-7 late additions (sampled r7):
     "ppr_supplier_recommendations",
     "lpa_copurchase_communities",
