@@ -1092,3 +1092,104 @@ SELECT src AS node,
        CAST(SUM(CASE {warm} ELSE 0 END) AS BIGINT) AS harmonic_x{scale},
        CAST(SUM(CASE {warm} ELSE 0 END) AS BIGINT) / CAST({scale} AS DOUBLE) AS harmonic
 FROM d WHERE hops > 0 GROUP BY src ORDER BY node"""
+
+
+def conductance(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """Per-community conductance phi(c) = cut_c / min(vol_c, 2m - vol_c)
+    over an UNDIRECTED simple edge list (a, b) and a (node, community)
+    assignment — the boundary-quality complement to :func:`modularity`
+    (a good community has LOW conductance; modularity can reward big
+    sparse blobs that conductance exposes). cut_c counts edges with
+    exactly one endpoint in c, vol_c sums degrees of c's nodes —
+    integers end to end, so phi is one terminal double division.
+
+    Same plan shape as modularity: one degree hash agg on the
+    symmetrized list, two keyed label joins + one hash agg for the cut,
+    a 1-row broadcast total. Linear in |E|."""
+    m = edges.agg(F.count(F.lit(1)).cast("bigint").alias("m"))
+    sym = edges.select(F.col("a").alias("node")).unionByName(
+        edges.select(F.col("b").alias("node"))
+    )
+    deg = sym.groupBy("node").agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+    la = labels.select(F.col("node").alias("a"), F.col("community").alias("ca"))
+    lb = labels.select(F.col("node").alias("b"), F.col("community").alias("cb"))
+    ej = edges.join(la, "a").join(lb, "b")
+    # a cut edge contributes to BOTH sides' cut counts
+    cut = (
+        ej.filter(F.col("ca") != F.col("cb"))
+        .select(F.col("ca").alias("community"))
+        .unionByName(
+            ej.filter(F.col("ca") != F.col("cb")).select(
+                F.col("cb").alias("community")
+            )
+        )
+        .groupBy("community")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cut_edges"))
+    )
+    vol = (
+        labels.join(deg, "node")
+        .groupBy("community")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+            F.sum("deg").cast("bigint").alias("volume"),
+        )
+    )
+    denom = F.least(F.col("volume"), 2 * F.col("m") - F.col("volume"))
+    return (
+        vol.join(cut, "community", "left")
+        .crossJoin(F.broadcast(m))
+        .select(
+            "community",
+            "n_nodes",
+            F.coalesce("cut_edges", F.lit(0).cast("bigint")).alias("cut_edges"),
+            "volume",
+            F.when(denom > 0,
+                   F.coalesce("cut_edges", F.lit(0).cast("bigint")).cast("double")
+                   / denom.cast("double"))
+            .otherwise(F.lit(0.0))
+            .alias("phi"),
+        )
+        .orderBy("community")
+    )
+
+
+def conductance_sql(edges_cte: str, labels_cte: str) -> str:
+    """DuckDB twin of :func:`conductance`. ``edges_cte`` must define
+    ``edges`` (a, b); ``labels_cte`` must define ``labels``
+    (node, community)."""
+    return f"""
+WITH {edges_cte},
+{labels_cte},
+m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM edges),
+deg AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS deg
+  FROM (SELECT a AS node FROM edges UNION ALL SELECT b AS node FROM edges)
+  GROUP BY node
+),
+ej AS (
+  SELECT la.community AS ca, lb.community AS cb
+  FROM edges e
+  JOIN labels la ON la.node = e.a
+  JOIN labels lb ON lb.node = e.b
+),
+cut AS (
+  SELECT community, CAST(COUNT(*) AS BIGINT) AS cut_edges
+  FROM (SELECT ca AS community FROM ej WHERE ca <> cb
+        UNION ALL SELECT cb AS community FROM ej WHERE ca <> cb)
+  GROUP BY community
+),
+vol AS (
+  SELECT l.community, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+         CAST(SUM(d.deg) AS BIGINT) AS volume
+  FROM labels l JOIN deg d ON d.node = l.node
+  GROUP BY l.community
+)
+SELECT v.community, v.n_nodes,
+       COALESCE(c.cut_edges, CAST(0 AS BIGINT)) AS cut_edges,
+       v.volume,
+       CASE WHEN LEAST(v.volume, 2 * (SELECT m FROM m) - v.volume) > 0
+            THEN CAST(COALESCE(c.cut_edges, 0) AS DOUBLE)
+                 / CAST(LEAST(v.volume, 2 * (SELECT m FROM m) - v.volume) AS DOUBLE)
+            ELSE 0.0 END AS phi
+FROM vol v LEFT JOIN cut c ON c.community = v.community
+ORDER BY v.community"""

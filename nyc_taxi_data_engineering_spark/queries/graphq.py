@@ -674,3 +674,30 @@ def q_harmonic_centrality_suppliers(spark: SparkSession, sf_dir: str) -> DataFra
     return harmonic_centrality(
         _knn_copurchase_edges(spark, sf_dir), max_hops=HARMONIC_HOPS
     )
+
+
+from nyc_taxi_data_engineering_spark.operators.graph import (
+    conductance,
+    conductance_sql,
+)
+
+
+@query(
+    "conductance_copurchase_communities",
+    oracle=conductance_sql(
+        f"edges AS ({_knn_copurchase_edges_sql()})",
+        lpa_ctes()
+        + f",\nlabels AS (SELECT node, label AS community FROM l{LPA_ITERS})",
+    ),
+)
+def q_conductance_copurchase_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conductance of each LPA community on the co-purchase kNN graph —
+    the boundary-quality complement to the modularity query: cut edges
+    (counted toward both sides), node count, degree volume, and
+    phi = cut / min(vol, 2m - vol). Integer counts throughout, one
+    terminal division; the LPA rounds come from the same shared CTE
+    fragment as the community query itself, so the assignment being
+    scored is definitionally the one LPA produced."""
+    edges = _knn_copurchase_edges(spark, sf_dir)
+    labels = label_propagation(edges)
+    return conductance(edges, labels)

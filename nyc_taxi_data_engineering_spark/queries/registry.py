@@ -152,6 +152,7 @@ ROTATION: list[str] = [
     "harmonic_centrality_suppliers",
     "delta_vacuum_orders",
     "histogram_auc_orders",
+    "conductance_copurchase_communities",
     # Round-7 late additions (sampled r7):
     "ppr_supplier_recommendations",
     "lpa_copurchase_communities",

@@ -461,3 +461,33 @@ def test_harmonic_centrality_disconnected_components(spark):
     for r in rows:
         assert (r["n_hop1"], r["n_hop2"], r["n_hop3"]) == (1, 0, 0)
         assert r["harmonic_x6"] == 6 and r["harmonic"] == 1.0
+
+
+from nyc_taxi_data_engineering_spark.operators.graph import conductance  # noqa: E402
+
+
+def test_conductance_two_triangles_bridge(spark):
+    """Two triangles joined by a bridge: each community's cut is the
+    single bridge edge, volume 7, so phi = 1/7."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)], "a int, b int"
+    )
+    labels = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 10), (4, 20), (5, 20), (6, 20)],
+        "node int, community int",
+    )
+    rows = conductance(edges, labels).collect()
+    assert [r["community"] for r in rows] == [10, 20]
+    for r in rows:
+        assert r["cut_edges"] == 1 and r["volume"] == 7
+        assert abs(r["phi"] - 1.0 / 7.0) < 1e-15
+
+
+def test_conductance_whole_graph_is_zero_cut(spark):
+    """Everything in one community: no cut edges, and min(vol, 2m-vol)
+    is 0 so phi pins to 0.0 instead of dividing by zero."""
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "a int, b int")
+    labels = spark.createDataFrame([(1, 7), (2, 7), (3, 7)], "node int, community int")
+    rows = conductance(edges, labels).collect()
+    assert len(rows) == 1
+    assert rows[0]["cut_edges"] == 0 and rows[0]["phi"] == 0.0
