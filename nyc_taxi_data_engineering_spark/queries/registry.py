@@ -153,6 +153,7 @@ ROTATION: list[str] = [
     "delta_vacuum_orders",
     "histogram_auc_orders",
     "conductance_copurchase_communities",
+    "phrase_search_docs",
     # Round-7 late additions (sampled r7):
     "ppr_supplier_recommendations",
     "lpa_copurchase_communities",

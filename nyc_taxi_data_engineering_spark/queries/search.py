@@ -225,3 +225,87 @@ def q_hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id", "rrf_rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Positional phrase search: exact-adjacency matching over a positional
+# inverted index — the IR primitive BM25's bag-of-words scoring can't
+# express ("value table part" as a phrase, not three terms anywhere).
+# ---------------------------------------------------------------------------
+
+PHRASES = [
+    ("p1", "value table part"),
+    ("p2", "fast table value"),
+]
+
+
+def _phrase_sql(qid: str, text: str) -> str:
+    terms = text.split()
+    joins = "\n      ".join(
+        f"JOIN toks t{i} ON t{i}.doc_id = t0.doc_id AND t{i}.pos = t0.pos + {i} "
+        f"AND t{i}.term = '{t}'"
+        for i, t in enumerate(terms[1:], start=1)
+    )
+    return f"""
+    SELECT '{qid}' AS phrase_id, t0.doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches
+    FROM toks t0
+      {joins}
+    WHERE t0.term = '{terms[0]}'
+    GROUP BY t0.doc_id"""
+
+
+@query(
+    "phrase_search_docs",
+    oracle=f"""
+WITH base AS (
+    SELECT doc_id, {sql_tokens('text')} AS toklist FROM documents
+),
+toks AS (
+    SELECT doc_id, g.i AS pos, toklist[g.i] AS term
+    FROM base, UNNEST(generate_series(1, len(toklist))) AS g(i)
+)
+{" UNION ALL ".join(_phrase_sql(qid, text) for qid, text in PHRASES)}
+ORDER BY phrase_id, doc_id
+""",
+)
+def q_phrase_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search over a positional inverted index: posexplode
+    the corpus once into (doc_id, pos, term) postings, then match each
+    n-word phrase by filtering the FIRST term's postings (tiny after
+    predicate pushdown on the term) and equi-joining the remaining
+    terms on (doc_id, pos + offset) — adjacency as join keys, the
+    classic positional-index plan. Per-doc match counts; docs with no
+    occurrence drop out via the inner joins.
+
+    Scale: postings build is one narrow projection pass; each phrase
+    costs (n_terms - 1) keyed equi-joins whose inputs are ONLY that
+    term's postings — df(term) rows, not the corpus — and the term
+    filters reach the scan. No windows, no collect."""
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim(F.col("text")), r"\s+")).alias("pos", "term"),
+    )
+    out = None
+    for qid, text in PHRASES:
+        terms = text.split()
+        cur = toks.filter(F.col("term") == terms[0]).select(
+            "doc_id", F.col("pos").alias("p0")
+        )
+        for i, t in enumerate(terms[1:], start=1):
+            ti = toks.filter(F.col("term") == t).select(
+                F.col("doc_id").alias(f"d{i}"), F.col("pos").alias(f"p{i}")
+            )
+            cur = cur.join(
+                ti,
+                (F.col("doc_id") == F.col(f"d{i}"))
+                & (F.col(f"p{i}") == F.col("p0") + i),
+            ).drop(f"d{i}", f"p{i}")
+        g = cur.groupBy("doc_id").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_matches")
+        )
+        g = g.select(F.lit(qid).alias("phrase_id"), "doc_id", "n_matches")
+        out = g if out is None else out.unionByName(g)
+    return out.orderBy("phrase_id", "doc_id")
