@@ -154,6 +154,7 @@ ROTATION: list[str] = [
     "histogram_auc_orders",
     "conductance_copurchase_communities",
     "phrase_search_docs",
+    "probe_calibration_ece",
     # Round-7 late additions (sampled r7):
     "ppr_supplier_recommendations",
     "lpa_copurchase_communities",

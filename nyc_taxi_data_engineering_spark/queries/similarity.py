@@ -1241,3 +1241,53 @@ def q_probe_calibration_brier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(err2.cast("decimal(38,12)")).cast("double") / n, 9
         ).alias("bin_brier"),
     )
+
+
+def _brier_oracle() -> str:
+    # the registered diagram oracle, captured AFTER its decorator ran —
+    # ECE composes on the identical text so the two can never drift
+    from nyc_taxi_data_engineering_spark.queries.registry import _REGISTRY
+
+    return _REGISTRY["probe_calibration_brier"].oracle
+
+
+@query(
+    "probe_calibration_ece",
+    oracle=f"""
+WITH diagram AS ({_brier_oracle()}),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM diagram)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_bins,
+       (SELECT total FROM tot) AS n_scored,
+       CAST(SUM(CAST(round(CAST(n AS DOUBLE) / CAST((SELECT total FROM tot) AS DOUBLE)
+                           * abs(pos_rate - mean_score), 12) AS DECIMAL(38,12)))
+            AS DOUBLE) AS ece,
+       MAX(abs(pos_rate - mean_score)) AS max_gap
+FROM diagram
+""",
+)
+def q_probe_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected Calibration Error over the probe's reliability diagram
+    (probe_calibration_brier): ECE = sum_b (n_b/N) * |pos_rate_b -
+    mean_score_b| — the single-number calibration readout beside the
+    per-bin diagram — plus the worst-bin gap (MCE). Composes directly
+    on the diagram query's DataFrame and on its ORACLE TEXT, so the
+    binning being scored is definitionally the one the diagram shows.
+    Per-bin terms are pinned double chains on already-bit-identical
+    inputs, rounded to 12 dp and summed as DECIMAL — the 10-row sum is
+    order-independent, so the one float hazard (sum order across bins)
+    is gone. Aggregating ten rows costs nothing at any scale."""
+    diagram = q_probe_calibration_brier(spark, sf_dir)
+    tot = diagram.agg(F.sum("n").cast("bigint").alias("total"))
+    gap = F.abs(F.col("pos_rate") - F.col("mean_score"))
+    term = F.round(
+        F.col("n").cast("double") / F.col("total").cast("double") * gap, 12
+    ).cast("decimal(38,12)")
+    return (
+        diagram.crossJoin(F.broadcast(tot))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bins"),
+            F.max("total").cast("bigint").alias("n_scored"),
+            F.sum(term).cast("double").alias("ece"),
+            F.max(gap).alias("max_gap"),
+        )
+    )
