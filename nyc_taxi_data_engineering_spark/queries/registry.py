@@ -155,6 +155,7 @@ ROTATION: list[str] = [
     "conductance_copurchase_communities",
     "phrase_search_docs",
     "probe_calibration_ece",
+    "srm_check_events",
     # Round-7 late additions (sampled r7):
     "ppr_supplier_recommendations",
     "lpa_copurchase_communities",

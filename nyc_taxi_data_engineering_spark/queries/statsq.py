@@ -1460,3 +1460,65 @@ def q_anova_price_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         ssw.alias("ss_within"),
         ((ssb / (kd - F.lit(1.0))) / (ssw / (nd - kd))).alias("f_stat"),
     )
+
+
+SRM_SEED = "srm-v1"
+
+
+@query(
+    "srm_check_events",
+    oracle=f"""
+WITH assign AS (
+    SELECT DISTINCT user_id,
+           {hash_bucket_sql('user_id', seed=SRM_SEED, n_buckets=2)} AS arm
+    FROM events
+),
+counts AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(arm) AS BIGINT) AS n_treat,
+           CAST(SUM(1 - arm) AS BIGINT) AS n_control
+    FROM assign
+)
+SELECT n, n_treat, n_control,
+       2.0 * ((CAST(n_treat AS DOUBLE) - CAST(n AS DOUBLE) / 2.0)
+              * (CAST(n_treat AS DOUBLE) - CAST(n AS DOUBLE) / 2.0))
+           / (CAST(n AS DOUBLE) / 2.0) AS chi2,
+       CASE WHEN 2.0 * ((CAST(n_treat AS DOUBLE) - CAST(n AS DOUBLE) / 2.0)
+              * (CAST(n_treat AS DOUBLE) - CAST(n AS DOUBLE) / 2.0))
+           / (CAST(n AS DOUBLE) / 2.0) > 3.841 THEN 1 ELSE 0 END AS srm_flag
+FROM counts
+""",
+)
+def q_srm_check_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch guardrail — the first thing a trustworthy
+    experimentation pipeline checks before reading ANY metric: md5-hash
+    users into two arms at a designed 50/50 (the same deterministic
+    randomization the split/sampling family uses), then the 1-df
+    chi-square against the design ratio, flagged at the 95% critical
+    value 3.841. A buggy exposure pipe (bots filtered from one arm,
+    a crash in one variant) shows up here before it poisons the
+    metrics. Unit of analysis is the USER (one distinct per user, not
+    per event — SRM on exposure units, not traffic).
+
+    Exactness: counts are integers; (n_treat - n/2) is a dyadic-exact
+    double and the chi-square is a pinned multiply-divide chain —
+    both engines write the identical expression. One distinct + one
+    1-row agg; scales as a hash agg."""
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    assign = ev.distinct().select(
+        hash_bucket(F.col("user_id"), seed=SRM_SEED, n_buckets=2).alias("arm")
+    )
+    counts = assign.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("arm").cast("bigint").alias("n_treat"),
+        F.sum(F.lit(1) - F.col("arm")).cast("bigint").alias("n_control"),
+    )
+    d = F.col("n_treat").cast("double") - F.col("n").cast("double") / F.lit(2.0)
+    chi2 = F.lit(2.0) * (d * d) / (F.col("n").cast("double") / F.lit(2.0))
+    return counts.select(
+        "n",
+        "n_treat",
+        "n_control",
+        chi2.alias("chi2"),
+        F.when(chi2 > F.lit(3.841), 1).otherwise(0).alias("srm_flag"),
+    )
