@@ -156,6 +156,7 @@ ROTATION: list[str] = [
     "phrase_search_docs",
     "probe_calibration_ece",
     "srm_check_events",
+    "holt_per_supplier_forecast",
     # Round-7 late additions (sampled r7):
     "ppr_supplier_recommendations",
     "lpa_copurchase_communities",

@@ -1117,3 +1117,83 @@ def q_revenue_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("drawdown", "day")
         .limit(10)
     )
+
+
+@query(
+    "holt_per_supplier_forecast",
+    oracle="""
+WITH RECURSIVE daily AS (
+    SELECT l_suppkey, CAST(l_shipdate AS DATE) AS d,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(16,2))) AS DECIMAL(16,2)) AS DOUBLE) AS x
+    FROM lineitem GROUP BY l_suppkey, CAST(l_shipdate AS DATE)
+),
+s AS (SELECT l_suppkey, d, x,
+             row_number() OVER (PARTITION BY l_suppkey ORDER BY d) AS rn
+      FROM daily),
+rec AS (
+    SELECT l_suppkey, rn, x AS l, CAST(0.0 AS DOUBLE) AS b, CAST(0.0 AS DOUBLE) AS es
+    FROM s WHERE rn = 1
+    UNION ALL
+    SELECT s.l_suppkey, s.rn,
+           0.5 * s.x + 0.5 * (r.l + r.b),
+           0.5 * ((0.5 * s.x + 0.5 * (r.l + r.b)) - r.l) + 0.5 * r.b,
+           r.es + abs(s.x - (r.l + r.b))
+    FROM rec r JOIN s ON s.l_suppkey = r.l_suppkey AND s.rn = r.rn + 1
+),
+last AS (SELECT l_suppkey, MAX(rn) AS n FROM s GROUP BY l_suppkey)
+SELECT r.l_suppkey, r.rn::INT AS n_days,
+       r.l AS final_level, r.b AS final_trend,
+       r.es / CAST(r.rn - 1 AS DOUBLE) AS mae,
+       r.l + 7.0 * r.b AS forecast_7
+FROM rec r JOIN last t ON t.l_suppkey = r.l_suppkey AND t.n = r.rn
+ORDER BY r.l_suppkey
+""",
+)
+def q_holt_per_supplier_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear method fit INDEPENDENTLY per supplier — the
+    fleet-forecasting shape (one model per SKU/store/key, thousands at
+    once) that a driver loop can never scale to: each supplier's daily
+    revenue series is collapsed by one hash agg, collected into a
+    calendar-bounded sorted array, and folded with the SAME pinned
+    0.5/0.5 update chain as the global holt_linear_forecast — the fold
+    runs inside codegen, partition-parallel across suppliers, with
+    per-group state bounded by observed days, not rows. Final (level,
+    trend), one-step-ahead MAE, and the 7-day forecast per supplier.
+    The oracle walks the identical IEEE chain as a grouped recursive
+    CTE, so every level/trend double matches bit-for-bit."""
+    li = load_table(spark, sf_dir, "lineitem")
+    daily = li.groupBy(
+        "l_suppkey", F.col("l_shipdate").cast("date").alias("d")
+    ).agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(16,2)"))
+        .cast("decimal(16,2)")
+        .cast("double")
+        .alias("x")
+    )
+    series = daily.groupBy("l_suppkey").agg(
+        F.sort_array(F.collect_list(F.struct("d", "x"))).alias("s")
+    )
+    half = F.lit(0.5)
+
+    def step(acc, e):
+        lvl = half * e["x"] + half * (acc["l"] + acc["b"])
+        return F.struct(
+            lvl.alias("l"),
+            (half * (lvl - acc["l"]) + half * acc["b"]).alias("b"),
+            (acc["es"] + F.abs(e["x"] - (acc["l"] + acc["b"]))).alias("es"),
+        )
+
+    init = F.struct(
+        F.element_at(F.col("s"), 1)["x"].alias("l"),
+        F.lit(0.0).alias("b"),
+        F.lit(0.0).alias("es"),
+    )
+    folded = F.aggregate(F.slice(F.col("s"), F.lit(2), F.size("s") - 1), init, step)
+    return series.select(
+        "l_suppkey",
+        F.size("s").cast("int").alias("n_days"),
+        folded["l"].alias("final_level"),
+        folded["b"].alias("final_trend"),
+        (folded["es"] / (F.size("s") - 1).cast("double")).alias("mae"),
+        (folded["l"] + F.lit(7.0) * folded["b"]).alias("forecast_7"),
+    ).orderBy("l_suppkey")
