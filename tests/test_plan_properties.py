@@ -995,3 +995,45 @@ def test_gdpr_and_partitioned_dv_read_prunes(spark, sf_dir):
 
     for m in re.finditer(r"o_orderstatus=([A-Z])", plan):
         assert m.group(1) == "F"
+
+
+def test_feature_auc_ranks_partition_by_feature(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "feature_auc_screen_orders")
+    # exact ranks need a sort, but it must be PER FEATURE (hash
+    # partitioning on the feature key), never a single-partition
+    # global window over the melted fact
+    assert "hashpartitioning(feature" in plan
+    # the melt is a generate, not a shuffle-heavy union of scans
+    assert plan.count("FileScan") == 1
+
+
+def test_histogram_auc_no_fact_sort(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "histogram_auc_orders")
+    # the whole point vs exact AUC: the fact is binned by ONE hash agg
+    # with map-side combine; the only Sort allowed is the 64-row bin
+    # window, which sits above the aggregation
+    assert "partial_sum" in plan
+    scan_to_agg = plan.split("HashAggregate")[-1]  # below the first agg
+    assert "Sort" not in scan_to_agg
+
+
+def test_phrase_search_pushes_term_filters(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "phrase_search_docs")
+    # adjacency joins are keyed equi-joins, never nested loops over
+    # the postings
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_harmonic_centrality_joins_are_keyed(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "harmonic_centrality_suppliers")
+    assert "CartesianProduct" not in plan
+    # min-relaxation folds via hash aggregation with partial combine
+    assert "partial_min" in plan
+
+
+def test_modularity_broadcasts_total_and_keys_label_joins(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "modularity_copurchase_communities")
+    # the 1-row m aggregate enters as a broadcast, label joins are keyed
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
