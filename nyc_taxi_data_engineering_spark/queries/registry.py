@@ -157,6 +157,7 @@ ROTATION: list[str] = [
     "probe_calibration_ece",
     "srm_check_events",
     "holt_per_supplier_forecast",
+    "token_entropy_docs",
     # Round-7 late additions (sampled r7):
     "ppr_supplier_recommendations",
     "lpa_copurchase_communities",

@@ -549,3 +549,81 @@ def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("lift").desc(), "w1", "w2")
         .limit(PMI_TOPK)
     )
+
+
+ENTROPY_BOTTOM_K = 20
+
+
+@query(
+    "token_entropy_docs",
+    oracle=f"""
+WITH toks AS (
+    SELECT doc_id, unnest({T.sql_tokens('text')}) AS tok FROM documents
+),
+tc AS (
+    SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS c
+    FROM toks GROUP BY doc_id, tok
+),
+d AS (
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           CAST(SUM(CAST(round(CAST(c AS DOUBLE) * round(ln(CAST(c AS DOUBLE)), 6), 6)
+                         AS DECIMAL(38,6))) AS DOUBLE) AS s
+    FROM tc GROUP BY doc_id
+),
+h AS (
+    SELECT doc_id, n_tokens, n_distinct,
+           round(ln(CAST(n_tokens AS DOUBLE)), 6)
+             - s / CAST(n_tokens AS DOUBLE) AS entropy_nats
+    FROM d
+)
+SELECT doc_id, n_tokens, n_distinct, entropy_nats
+FROM h
+ORDER BY entropy_nats, doc_id
+LIMIT {ENTROPY_BOTTOM_K}
+""",
+)
+def q_token_entropy_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-entropy quality screen — the Shannon-entropy repetition
+    signal the Gopher gates' ratio heuristics miss (a doc looping one
+    phrase has healthy lengths but collapsed entropy): per doc,
+    H = ln(n) - (1/n) * sum_t c_t ln(c_t) over token counts, reported
+    for the {ENTROPY_BOTTOM_K} most-degenerate docs (ascending H,
+    doc_id tiebreak). Shared whitespace tokenizer; counts are exact
+    integers; each c*ln(c) term rounds to 6 dp (the Kaplan-Meier ln
+    transport — engines' ln differ ulps, the rounded grid absorbs it)
+    and sums as DECIMAL, leaving one division and one subtraction of
+    pinned doubles.
+
+    Scale: one explode + two hash aggs with map-side combine; the
+    bottom-k is a TakeOrdered, never a global sort."""
+    toks = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok")
+    )
+    tc = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    d = tc.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+        F.sum(
+            F.round(
+                F.col("c").cast("double") * F.round(F.log(F.col("c").cast("double")), 6),
+                6,
+            ).cast("decimal(38,6)")
+        )
+        .cast("double")
+        .alias("s"),
+    )
+    return (
+        d.select(
+            "doc_id",
+            "n_tokens",
+            "n_distinct",
+            (
+                F.round(F.log(F.col("n_tokens").cast("double")), 6)
+                - F.col("s") / F.col("n_tokens").cast("double")
+            ).alias("entropy_nats"),
+        )
+        .orderBy("entropy_nats", "doc_id")
+        .limit(ENTROPY_BOTTOM_K)
+    )
