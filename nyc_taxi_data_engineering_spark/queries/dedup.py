@@ -643,3 +643,65 @@ def q_prefix_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical output is a standing proof the prefix filter is lossless
     at tau=0.8 (operators/dedup.prefix_filter_jaccard_pairs)."""
     return D.prefix_filter_jaccard_pairs(load_table(spark, sf_dir, "documents"))
+
+
+MLT_ANCHOR_DOC = 0
+MLT_TOPK = 10
+
+
+@query(
+    "similar_docs_to_anchor",
+    oracle=f"""
+WITH {_SHINGLES_CTE},
+anchor AS (SELECT s FROM inv WHERE doc_id = {MLT_ANCHOR_DOC}),
+common AS (
+    SELECT i.doc_id, CAST(COUNT(*) AS BIGINT) AS common_shingles
+    FROM inv i JOIN anchor a ON a.s = i.s
+    WHERE i.doc_id <> {MLT_ANCHOR_DOC}
+    GROUP BY i.doc_id
+),
+na AS (SELECT n FROM sizes WHERE doc_id = {MLT_ANCHOR_DOC})
+SELECT c.doc_id, c.common_shingles,
+       round(c.common_shingles * 1.0
+             / ((SELECT n FROM na) + nb.n - c.common_shingles), 6) AS jaccard
+FROM common c JOIN sizes nb ON nb.doc_id = c.doc_id
+ORDER BY jaccard DESC, c.doc_id
+LIMIT {MLT_TOPK}
+""",
+)
+def q_similar_docs_to_anchor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """More-like-this: top-{MLT_TOPK} documents by exact shingle
+    Jaccard to one anchor doc — the SERVING shape of the dedup index
+    (the pair queries sweep the corpus; this probes it). The anchor's
+    shingle set is one row, so its exploded postings BROADCAST onto
+    the corpus-side inverted index: per-probe cost is
+    df(anchor's shingles), never a self-join, and the top-k is a
+    TakeOrdered. Same tokenizer/shingle width as the dedup family;
+    integer intersections, one division per candidate."""
+    docs = load_table(spark, sf_dir, "documents")
+    sets = D._shingle_sets(docs, "doc_id", "text", T.SHINGLE_WORDS)
+    inv = sets.select("doc_id", F.explode("shingles").alias("s"))
+    sizes = sets.select("doc_id", F.size("shingles").alias("n"))
+    anchor = inv.filter(F.col("doc_id") == MLT_ANCHOR_DOC).select("s")
+    na = sizes.filter(F.col("doc_id") == MLT_ANCHOR_DOC).select(
+        F.col("n").alias("na")
+    )
+    common = (
+        inv.filter(F.col("doc_id") != MLT_ANCHOR_DOC)
+        .join(F.broadcast(anchor), "s")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("common_shingles"))
+    )
+    jac = F.round(
+        F.col("common_shingles")
+        * F.lit(1.0)
+        / (F.col("na") + F.col("n") - F.col("common_shingles")),
+        6,
+    )
+    return (
+        common.join(sizes, "doc_id")
+        .crossJoin(F.broadcast(na))
+        .select("doc_id", "common_shingles", jac.alias("jaccard"))
+        .orderBy(F.col("jaccard").desc(), "doc_id")
+        .limit(MLT_TOPK)
+    )

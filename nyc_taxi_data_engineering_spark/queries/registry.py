@@ -158,6 +158,7 @@ ROTATION: list[str] = [
     "srm_check_events",
     "holt_per_supplier_forecast",
     "token_entropy_docs",
+    "similar_docs_to_anchor",
     # Round-7 late additions (sampled r7):
     "ppr_supplier_recommendations",
     "lpa_copurchase_communities",
