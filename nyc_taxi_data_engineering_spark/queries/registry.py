@@ -159,6 +159,7 @@ ROTATION: list[str] = [
     "holt_per_supplier_forecast",
     "token_entropy_docs",
     "similar_docs_to_anchor",
+    "ipw_ate_events",
     # Round-7 late additions (sampled r7):
     "ppr_supplier_recommendations",
     "lpa_copurchase_communities",

@@ -1522,3 +1522,134 @@ def q_srm_check_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         chi2.alias("chi2"),
         F.when(chi2 > F.lit(3.841), 1).otherwise(0).alias("srm_flag"),
     )
+
+
+IPW_DECILES = 10
+IPW_CLIP_LO = 0.05
+IPW_CLIP_HI = 0.95
+
+
+@query(
+    "ipw_ate_events",
+    oracle=f"""
+WITH u AS (
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS INT) AS t,
+           CAST(CAST(SUM(CASE WHEN event_type = 'purchase'
+                              THEN CAST(value AS DECIMAL(18,6)) ELSE CAST(0 AS DECIMAL(18,6)) END)
+                     AS DECIMAL(18,6)) AS DOUBLE) AS y
+    FROM events GROUP BY user_id
+),
+d AS (
+    SELECT user_id, t, y,
+           ntile({IPW_DECILES}) OVER (ORDER BY n_events, user_id) AS decile
+    FROM u
+),
+p AS (
+    SELECT decile,
+           LEAST({IPW_CLIP_HI}, GREATEST({IPW_CLIP_LO},
+               CAST(SUM(t) AS DOUBLE) / COUNT(*))) AS prop
+    FROM d GROUP BY decile
+),
+w AS (
+    SELECT d.t, d.y,
+           CASE WHEN d.t = 1 THEN round(d.y / p.prop, 6)
+                ELSE round(d.y / (1.0 - p.prop), 6) END AS wy
+    FROM d JOIN p ON p.decile = d.decile
+),
+agg AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(t) AS BIGINT) AS n_treated,
+           CAST(SUM(CASE WHEN t = 1 THEN CAST(wy AS DECIMAL(38,6)) END) AS DOUBLE) AS s1,
+           CAST(SUM(CASE WHEN t = 0 THEN CAST(wy AS DECIMAL(38,6)) END) AS DOUBLE) AS s0,
+           CAST(SUM(CASE WHEN t = 1 THEN CAST(y AS DECIMAL(38,6)) END) AS DOUBLE) AS y1,
+           CAST(SUM(CASE WHEN t = 0 THEN CAST(y AS DECIMAL(38,6)) END) AS DOUBLE) AS y0
+    FROM w
+)
+SELECT n_users, n_treated,
+       y1 / CAST(n_treated AS DOUBLE)
+         - y0 / CAST(n_users - n_treated AS DOUBLE) AS naive_diff,
+       s1 / CAST(n_users AS DOUBLE) - s0 / CAST(n_users AS DOUBLE) AS ate_ipw
+FROM agg
+""",
+)
+def q_ipw_ate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse-propensity-weighted ATE of 'ever clicked' on per-user
+    purchase value — the observational-causal estimator beside the
+    randomized (A/B), panel (DiD), and heterogeneity (uplift) queries:
+    stratify users into activity deciles (the confounder — heavy users
+    click more AND buy more), estimate propensity as the decile's
+    exact treated rate clipped to [{IPW_CLIP_LO}, {IPW_CLIP_HI}] (the
+    standard positivity guard), weight outcomes by 1/p or 1/(1-p),
+    and contrast with the naive difference-in-means the adjustment
+    corrects. Counts and raw sums are exact; each weighted outcome
+    rounds to 6 dp and sums as DECIMAL; the four terminal divisions
+    are pinned. ntile ties break on user_id, so stratification is
+    deterministic.
+
+    Scale: one user-grain hash agg, a 10-row propensity table
+    broadcast back, one more agg. The ntile runs on the USER grain
+    (documented single-sort term shared with uplift_by_decile)."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.max(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("int")
+        .alias("t"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.col("value").cast("decimal(18,6)"),
+            ).otherwise(F.lit(0).cast("decimal(18,6)"))
+        )
+        .cast("decimal(18,6)")
+        .cast("double")
+        .alias("y"),
+    )
+    d = u.select(
+        "t",
+        "y",
+        F.ntile(IPW_DECILES).over(Window.orderBy("n_events", "user_id")).alias("decile"),
+    )
+    p = d.groupBy("decile").agg(
+        F.least(
+            F.lit(IPW_CLIP_HI),
+            F.greatest(
+                F.lit(IPW_CLIP_LO),
+                F.sum("t").cast("double") / F.count(F.lit(1)),
+            ),
+        ).alias("prop")
+    )
+    w = d.join(F.broadcast(p), "decile").select(
+        "t",
+        "y",
+        F.when(F.col("t") == 1, F.round(F.col("y") / F.col("prop"), 6))
+        .otherwise(F.round(F.col("y") / (F.lit(1.0) - F.col("prop")), 6))
+        .alias("wy"),
+    )
+    agg = w.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("t").cast("bigint").alias("n_treated"),
+        F.sum(F.when(F.col("t") == 1, F.col("wy").cast("decimal(38,6)")))
+        .cast("double")
+        .alias("s1"),
+        F.sum(F.when(F.col("t") == 0, F.col("wy").cast("decimal(38,6)")))
+        .cast("double")
+        .alias("s0"),
+        F.sum(F.when(F.col("t") == 1, F.col("y").cast("decimal(38,6)")))
+        .cast("double")
+        .alias("y1"),
+        F.sum(F.when(F.col("t") == 0, F.col("y").cast("decimal(38,6)")))
+        .cast("double")
+        .alias("y0"),
+    )
+    nt = F.col("n_treated").cast("double")
+    nc = (F.col("n_users") - F.col("n_treated")).cast("double")
+    nu = F.col("n_users").cast("double")
+    return agg.select(
+        "n_users",
+        "n_treated",
+        (F.col("y1") / nt - F.col("y0") / nc).alias("naive_diff"),
+        (F.col("s1") / nu - F.col("s0") / nu).alias("ate_ipw"),
+    )
