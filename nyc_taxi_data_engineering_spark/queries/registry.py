@@ -160,6 +160,7 @@ ROTATION: list[str] = [
     "token_entropy_docs",
     "similar_docs_to_anchor",
     "ipw_ate_events",
+    "croston_per_supplier_demand",
     # Round-7 late additions (sampled r7):
     "ppr_supplier_recommendations",
     "lpa_copurchase_communities",

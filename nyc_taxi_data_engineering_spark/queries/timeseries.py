@@ -1197,3 +1197,79 @@ def q_holt_per_supplier_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         (folded["es"] / (F.size("s") - 1).cast("double")).alias("mae"),
         (folded["l"] + F.lit(7.0) * folded["b"]).alias("forecast_7"),
     ).orderBy("l_suppkey")
+
+
+@query(
+    "croston_per_supplier_demand",
+    oracle="""
+WITH RECURSIVE daily AS (
+    SELECT l_suppkey, CAST(l_shipdate AS DATE) AS d,
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(16,2))) AS DECIMAL(16,2)) AS DOUBLE) AS q
+    FROM lineitem GROUP BY l_suppkey, CAST(l_shipdate AS DATE)
+),
+s AS (SELECT l_suppkey, d, q,
+             row_number() OVER (PARTITION BY l_suppkey ORDER BY d) AS rn
+      FROM daily),
+rec AS (
+    SELECT l_suppkey, rn, d, q AS z, CAST(1.0 AS DOUBLE) AS p
+    FROM s WHERE rn = 1
+    UNION ALL
+    SELECT s.l_suppkey, s.rn, s.d,
+           0.5 * s.q + 0.5 * r.z,
+           0.5 * CAST(s.d - r.d AS DOUBLE) + 0.5 * r.p
+    FROM rec r JOIN s ON s.l_suppkey = r.l_suppkey AND s.rn = r.rn + 1
+),
+last AS (SELECT l_suppkey, MAX(rn) AS n FROM s GROUP BY l_suppkey)
+SELECT r.l_suppkey, r.rn::INT AS n_demand_days,
+       r.z AS smoothed_size, r.p AS smoothed_interval,
+       r.z / r.p AS demand_rate
+FROM rec r JOIN last t ON t.l_suppkey = r.l_suppkey AND t.n = r.rn
+ORDER BY r.l_suppkey
+""",
+)
+def q_croston_per_supplier_demand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Croston's method per supplier — THE intermittent-demand
+    forecaster (sparse shipment calendars break Holt: zero days drag
+    the level): smooth demand SIZE and inter-demand INTERVAL as
+    separate 0.5-EWMAs updated only on demand days, forecast rate =
+    size/interval per day. The interval rides in the fold state as the
+    previous demand DATE, so gaps are exact integer day differences.
+    Same fleet shape as holt_per_supplier_forecast: one hash agg to
+    demand days, a calendar-bounded sorted-array fold in codegen,
+    partition-parallel across suppliers; the oracle replays the
+    identical IEEE chain as a grouped recursive CTE."""
+    li = load_table(spark, sf_dir, "lineitem")
+    daily = li.groupBy(
+        "l_suppkey", F.col("l_shipdate").cast("date").alias("d")
+    ).agg(
+        F.sum(F.col("l_quantity").cast("decimal(16,2)"))
+        .cast("decimal(16,2)")
+        .cast("double")
+        .alias("q")
+    )
+    series = daily.groupBy("l_suppkey").agg(
+        F.sort_array(F.collect_list(F.struct("d", "q"))).alias("s")
+    )
+    half = F.lit(0.5)
+
+    def step(acc, e):
+        return F.struct(
+            (half * e["q"] + half * acc["z"]).alias("z"),
+            (half * F.datediff(e["d"], acc["d"]).cast("double") + half * acc["p"]).alias(
+                "p"
+            ),
+            e["d"].alias("d"),
+        )
+
+    first = F.element_at(F.col("s"), 1)
+    init = F.struct(
+        first["q"].alias("z"), F.lit(1.0).alias("p"), first["d"].alias("d")
+    )
+    folded = F.aggregate(F.slice(F.col("s"), F.lit(2), F.size("s") - 1), init, step)
+    return series.select(
+        "l_suppkey",
+        F.size("s").cast("int").alias("n_demand_days"),
+        folded["z"].alias("smoothed_size"),
+        folded["p"].alias("smoothed_interval"),
+        (folded["z"] / folded["p"]).alias("demand_rate"),
+    ).orderBy("l_suppkey")
