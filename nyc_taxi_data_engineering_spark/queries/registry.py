@@ -161,6 +161,7 @@ ROTATION: list[str] = [
     "similar_docs_to_anchor",
     "ipw_ate_events",
     "croston_per_supplier_demand",
+    "rdd_quantity_discount",
     # Round-7 late additions (sampled r7):
     "ppr_supplier_recommendations",
     "lpa_copurchase_communities",

@@ -1653,3 +1653,107 @@ def q_ipw_ate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("y1") / nt - F.col("y0") / nc).alias("naive_diff"),
         (F.col("s1") / nu - F.col("s0") / nu).alias("ate_ipw"),
     )
+
+
+RDD_CUTOFF = 25  # running variable: l_quantity; treatment side: x >= 25
+RDD_BANDWIDTH = 10
+
+
+@query(
+    "rdd_quantity_discount",
+    oracle=f"""
+WITH w AS (
+    SELECT CAST(l_quantity AS BIGINT) - {RDD_CUTOFF} AS x,
+           CAST(l_discount AS DECIMAL(18,6)) AS y,
+           CASE WHEN l_quantity >= {RDD_CUTOFF} THEN 1 ELSE 0 END AS side
+    FROM lineitem
+    WHERE l_quantity >= {RDD_CUTOFF - RDD_BANDWIDTH}
+      AND l_quantity < {RDD_CUTOFF + RDD_BANDWIDTH}
+),
+m AS (
+    SELECT side,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(x) AS BIGINT) AS sx,
+           CAST(SUM(x * x) AS BIGINT) AS sxx,
+           CAST(SUM(y) AS DOUBLE) AS sy,
+           CAST(SUM(CAST(x AS DECIMAL(18,6)) * y) AS DOUBLE) AS sxy
+    FROM w GROUP BY side
+),
+fit AS (
+    SELECT side, n,
+           (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / CAST(n * sxx - sx * sx AS DOUBLE) AS slope,
+           (sy - ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                  / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+             / CAST(n AS DOUBLE) AS limit_at_cutoff
+    FROM m
+)
+SELECT l.n AS n_left, r.n AS n_right,
+       l.slope AS slope_left, r.slope AS slope_right,
+       l.limit_at_cutoff AS limit_left, r.limit_at_cutoff AS limit_right,
+       r.limit_at_cutoff - l.limit_at_cutoff AS rd_estimate
+FROM fit l, fit r
+WHERE l.side = 0 AND r.side = 1
+""",
+)
+def q_rdd_quantity_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sharp regression discontinuity at l_quantity = {RDD_CUTOFF}:
+    local LINEAR fits on each side of the cutoff within a
+    ±{RDD_BANDWIDTH}-unit bandwidth, RD estimate = difference of the
+    two fits' limits AT the cutoff — the quasi-experimental estimator
+    completing the causal suite (randomized A/B, panel DiD,
+    observational IPW, heterogeneity uplift; this one identifies off a
+    policy threshold). Local-linear, not local-mean, because a sloped
+    outcome biases the naive two-means contrast at the boundary.
+
+    Exactness: the running variable is centered INTEGER, so n/sx/sxx
+    and the OLS denominator n*sxx - sx^2 are exact integers; y and xy
+    ride the DECIMAL(18,6) transport; slope and limit are pinned
+    double chains written identically in both engines. One scan with
+    the bandwidth filter pushed to parquet, one 2-row hash agg."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_quantity") >= RDD_CUTOFF - RDD_BANDWIDTH)
+        & (F.col("l_quantity") < RDD_CUTOFF + RDD_BANDWIDTH)
+    )
+    w = li.select(
+        (F.col("l_quantity").cast("bigint") - RDD_CUTOFF).alias("x"),
+        F.col("l_discount").cast("decimal(18,6)").alias("y"),
+        F.when(F.col("l_quantity") >= RDD_CUTOFF, 1).otherwise(0).alias("side"),
+    )
+    m = w.groupBy("side").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x").cast("decimal(18,6)") * F.col("y")).cast("double").alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    sxd = F.col("sx").cast("double")
+    slope = (nd * F.col("sxy") - sxd * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    ).cast("double")
+    fit = m.select(
+        "side",
+        "n",
+        slope.alias("slope"),
+        ((F.col("sy") - slope * sxd) / nd).alias("limit_at_cutoff"),
+    )
+    l = fit.filter(F.col("side") == 0).select(
+        F.col("n").alias("n_left"),
+        F.col("slope").alias("slope_left"),
+        F.col("limit_at_cutoff").alias("limit_left"),
+    )
+    r = fit.filter(F.col("side") == 1).select(
+        F.col("n").alias("n_right"),
+        F.col("slope").alias("slope_right"),
+        F.col("limit_at_cutoff").alias("limit_right"),
+    )
+    return l.crossJoin(r).select(
+        "n_left",
+        "n_right",
+        "slope_left",
+        "slope_right",
+        "limit_left",
+        "limit_right",
+        (F.col("limit_right") - F.col("limit_left")).alias("rd_estimate"),
+    )
