@@ -162,6 +162,8 @@ ROTATION: list[str] = [
     "ipw_ate_events",
     "croston_per_supplier_demand",
     "rdd_quantity_discount",
+    "annotator_kappa_langid",
+    "mcnemar_rules_orders",
     # Round-7 late additions (sampled r7):
     "ppr_supplier_recommendations",
     "lpa_copurchase_communities",

@@ -1757,3 +1757,72 @@ def q_rdd_quantity_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
         "limit_right",
         (F.col("limit_right") - F.col("limit_left")).alias("rd_estimate"),
     )
+
+
+MCNEMAR_PRICE_CUT = 150_000.0
+
+
+@query(
+    "mcnemar_rules_orders",
+    oracle=f"""
+WITH w AS (
+    SELECT CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y,
+           CASE WHEN o_totalprice >= {MCNEMAR_PRICE_CUT} THEN 1 ELSE 0 END AS a,
+           CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END AS b
+    FROM orders
+),
+d AS (
+    SELECT CAST(SUM(CASE WHEN a = y AND b <> y THEN 1 ELSE 0 END) AS BIGINT) AS only_a,
+           CAST(SUM(CASE WHEN a <> y AND b = y THEN 1 ELSE 0 END) AS BIGINT) AS only_b,
+           CAST(SUM(CASE WHEN a = y AND b = y THEN 1 ELSE 0 END) AS BIGINT) AS both_right,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM w
+)
+SELECT n, both_right, only_a, only_b,
+       CAST((only_a - only_b) * (only_a - only_b) AS DOUBLE)
+         / CAST(only_a + only_b AS DOUBLE) AS chi2,
+       CASE WHEN CAST((only_a - only_b) * (only_a - only_b) AS DOUBLE)
+                 / CAST(only_a + only_b AS DOUBLE) > 3.841 THEN 1 ELSE 0 END AS differ_flag
+FROM d
+""",
+)
+def q_mcnemar_rules_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's test between two classifiers ON THE SAME ROWS — the
+    paired comparison that accuracy deltas get wrong (two models can
+    share accuracy yet err on disjoint rows): price-threshold vs
+    priority rules predicting order finality, discordant counts b/c
+    (only-A-right, only-B-right), chi2 = (b-c)^2/(b+c) at the 3.841
+    critical value. Everything is integer until one terminal division.
+    One scan, one 1-row agg — the eval-stat sibling of the AUC and
+    kappa queries."""
+    w = load_table(spark, sf_dir, "orders").select(
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"),
+        F.when(F.col("o_totalprice") >= MCNEMAR_PRICE_CUT, 1).otherwise(0).alias("a"),
+        F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)
+        .otherwise(0)
+        .alias("b"),
+    )
+    d = w.agg(
+        F.sum(F.when((F.col("a") == F.col("y")) & (F.col("b") != F.col("y")), 1).otherwise(0))
+        .cast("bigint")
+        .alias("only_a"),
+        F.sum(F.when((F.col("a") != F.col("y")) & (F.col("b") == F.col("y")), 1).otherwise(0))
+        .cast("bigint")
+        .alias("only_b"),
+        F.sum(F.when((F.col("a") == F.col("y")) & (F.col("b") == F.col("y")), 1).otherwise(0))
+        .cast("bigint")
+        .alias("both_right"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    diff = F.col("only_a") - F.col("only_b")
+    chi2 = (diff * diff).cast("double") / (F.col("only_a") + F.col("only_b")).cast(
+        "double"
+    )
+    return d.select(
+        "n",
+        "both_right",
+        "only_a",
+        "only_b",
+        chi2.alias("chi2"),
+        F.when(chi2 > F.lit(3.841), 1).otherwise(0).alias("differ_flag"),
+    )

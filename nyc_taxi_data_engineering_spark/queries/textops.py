@@ -627,3 +627,72 @@ def q_token_entropy_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("entropy_nats", "doc_id")
         .limit(ENTROPY_BOTTOM_K)
     )
+
+
+@query(
+    "annotator_kappa_langid",
+    oracle=f"""
+WITH cm AS (
+    SELECT lang AS truth, {T.sql_lang_id('text')} AS pred,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM documents GROUP BY lang, pred
+),
+tot AS (
+    SELECT CAST(SUM(n) AS BIGINT) AS nn,
+           CAST(SUM(CASE WHEN truth = pred THEN n ELSE 0 END) AS BIGINT) AS agree
+    FROM cm
+),
+marg AS (
+    SELECT CAST(SUM(r.rn * c.cn) AS BIGINT) AS chance_prod
+    FROM (SELECT truth AS k, SUM(n) AS rn FROM cm GROUP BY truth) r
+    JOIN (SELECT pred AS k, SUM(n) AS cn FROM cm GROUP BY pred) c ON c.k = r.k
+)
+SELECT nn AS n_docs, agree AS n_agree,
+       CAST(agree AS DOUBLE) / CAST(nn AS DOUBLE) AS po,
+       CAST(chance_prod AS DOUBLE) / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)) AS pe,
+       (CAST(agree AS DOUBLE) / CAST(nn AS DOUBLE)
+         - CAST(chance_prod AS DOUBLE) / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)))
+       / (1.0 - CAST(chance_prod AS DOUBLE) / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)))
+         AS kappa
+FROM tot, marg
+""",
+)
+def q_annotator_kappa_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between the marker-word language-ID heuristic and
+    the labeled lang column — the chance-corrected agreement score
+    every weak-supervision / annotation-QA pipeline reports where raw
+    accuracy misleads (a 5-class labeler gets ~20% agreement free).
+    po and pe come from the same confusion counts as
+    text_langid_confusion; marginal products sum as exact BIGINTs
+    (classes are few), so kappa is a pinned double chain with three
+    divisions. One scan, one small hash agg."""
+    docs = load_table(spark, sf_dir, "documents")
+    cm = (
+        docs.select(
+            F.col("lang").alias("truth"), T.lang_id(F.col("text")).alias("pred")
+        )
+        .groupBy("truth", "pred")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    tot = cm.agg(
+        F.sum("n").cast("bigint").alias("nn"),
+        F.sum(F.when(F.col("truth") == F.col("pred"), F.col("n")).otherwise(0))
+        .cast("bigint")
+        .alias("agree"),
+    )
+    r = cm.groupBy(F.col("truth").alias("k")).agg(F.sum("n").alias("rn"))
+    c = cm.groupBy(F.col("pred").alias("k")).agg(F.sum("n").alias("cn"))
+    marg = (
+        r.join(c, "k")
+        .agg(F.sum(F.col("rn") * F.col("cn")).cast("bigint").alias("chance_prod"))
+    )
+    nnd = F.col("nn").cast("double")
+    po = F.col("agree").cast("double") / nnd
+    pe = F.col("chance_prod").cast("double") / (nnd * nnd)
+    return tot.crossJoin(F.broadcast(marg)).select(
+        F.col("nn").alias("n_docs"),
+        F.col("agree").alias("n_agree"),
+        po.alias("po"),
+        pe.alias("pe"),
+        ((po - pe) / (F.lit(1.0) - pe)).alias("kappa"),
+    )
