@@ -164,6 +164,7 @@ ROTATION: list[str] = [
     "rdd_quantity_discount",
     "annotator_kappa_langid",
     "mcnemar_rules_orders",
+    "kmeans_silhouette_embeddings",
     # Round-7 late additions (sampled r7):
     "ppr_supplier_recommendations",
     "lpa_copurchase_communities",

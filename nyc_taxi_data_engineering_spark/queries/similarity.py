@@ -1291,3 +1291,108 @@ def q_probe_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(gap).alias("max_gap"),
         )
     )
+
+
+_SIL_DIST = (
+    "sqrt(round(list_sum(list_transform(range(1, len(e.v) + 1),"
+    " i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i]))), 6))"
+)
+
+_SILHOUETTE_ORACLE = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+seeds AS (
+    SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS c_id, v AS cv
+    FROM e ORDER BY vec_id LIMIT 8
+),
+{_km_assign_cte('seeds', 'a1')},
+{_km_means_cte('a1', 'm1')},
+c1 AS (SELECT c_id, list(val ORDER BY pos) AS cv FROM m1 GROUP BY c_id),
+{_km_assign_cte('c1', 'a2')},
+{_km_means_cte('a2', 'm2')},
+c2 AS (SELECT c_id, list(val ORDER BY pos) AS cv FROM m2 GROUP BY c_id),
+{_km_assign_cte('c2', 'a3')},
+dist AS (
+    SELECT e.vec_id, c.c_id, {_SIL_DIST} AS d
+    FROM e CROSS JOIN c2 c
+),
+ab AS (
+    SELECT d.vec_id, a.c_id,
+           MIN(CASE WHEN d.c_id = a.c_id THEN d.d END) AS a_dist,
+           MIN(CASE WHEN d.c_id <> a.c_id THEN d.d END) AS b_dist
+    FROM dist d JOIN a3 a ON a.vec_id = d.vec_id
+    GROUP BY d.vec_id, a.c_id
+),
+s AS (
+    SELECT c_id,
+           CASE WHEN GREATEST(a_dist, b_dist) > 0.0
+                THEN round((b_dist - a_dist) / GREATEST(a_dist, b_dist), 6)
+                ELSE 0.0 END AS sil
+    FROM ab
+)
+SELECT c_id AS cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(SUM(CAST(sil AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS mean_silhouette
+FROM s GROUP BY c_id ORDER BY c_id
+"""
+
+
+@query("kmeans_silhouette_embeddings", oracle=_SILHOUETTE_ORACLE)
+def q_kmeans_silhouette_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centroid-based (simplified) silhouette per k-means cluster —
+    the clustering-quality readout beside the centroid table, same
+    role modularity/conductance play for communities: per vector
+    a = distance to its own centroid, b = nearest OTHER centroid,
+    s = (b-a)/max(a,b), averaged per cluster. The centroid variant is
+    the one that scales: it needs k distances per vector (one
+    broadcast crossJoin), not the O(n²) pairwise matrix of full
+    silhouette. sqrt is IEEE-correctly-rounded in both engines (unlike
+    ln), so every distance and ratio is bit-identical; each s rounds
+    to 6 dp and cluster means ride the DECIMAL transport. Replays the
+    SAME two Lloyd rounds + closing assignment as kmeans_embeddings.
+    (A singleton cluster scores ~1 here, not full-silhouette's 0 —
+    its vector IS its centroid; documented variant semantics.)"""
+    from nyc_taxi_data_engineering_spark.operators.kmeans import lloyd_kmeans
+
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .cache()
+    )
+    assign, cent_long = lloyd_kmeans(emb, k=8, iters=2)
+    cent = (
+        cent_long.groupBy("c_id")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "val"))).alias("sv"))
+        .select(F.col("c_id").alias("cc_id"), F.transform("sv", lambda s: s.val).alias("cv"))
+    )
+    l2 = F.aggregate(
+        F.zip_with(F.col("v"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    dist = emb.crossJoin(F.broadcast(cent)).select(
+        "vec_id", F.col("cc_id"), F.sqrt(F.round(l2, 6)).alias("d")
+    )
+    ab = (
+        dist.join(assign, "vec_id")
+        .groupBy("vec_id", "c_id")
+        .agg(
+            F.min(F.when(F.col("cc_id") == F.col("c_id"), F.col("d"))).alias("a_dist"),
+            F.min(F.when(F.col("cc_id") != F.col("c_id"), F.col("d"))).alias("b_dist"),
+        )
+    )
+    mx = F.greatest(F.col("a_dist"), F.col("b_dist"))
+    sil = F.when(
+        mx > F.lit(0.0),
+        F.round((F.col("b_dist") - F.col("a_dist")) / mx, 6),
+    ).otherwise(F.lit(0.0))
+    return (
+        ab.select("c_id", sil.alias("sil"))
+        .groupBy(F.col("c_id").alias("cluster_id"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+            (
+                F.sum(F.col("sil").cast("decimal(38,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("mean_silhouette"),
+        )
+        .orderBy("cluster_id")
+    )
