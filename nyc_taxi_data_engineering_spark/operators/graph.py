@@ -1193,3 +1193,77 @@ SELECT v.community, v.n_nodes,
             ELSE 0.0 END AS phi
 FROM vol v LEFT JOIN cut c ON c.community = v.community
 ORDER BY v.community"""
+
+
+def assortativity(edges: DataFrame) -> DataFrame:
+    """Degree-assortativity coefficient of an UNDIRECTED simple edge
+    list (a, b) — Newman 2002: the Pearson correlation of endpoint
+    degrees over the DIRECTED edge multiset (each undirected edge
+    counted both ways, the standard convention). Positive: hubs link
+    hubs (social nets); negative: hubs link leaves (tech/biological
+    nets) — the one-number topology diagnostic that says which regime
+    a graph is in before you pick degree caps.
+
+    Degrees and all five moments are INTEGERS (sums of deg, deg², and
+    endpoint products over edges) carried as DECIMAL(38,0) — bigint
+    products overflow past ~1e5-degree hubs — so r is a pinned double
+    chain: r = (m*sxy - sx*sy) / sqrt((m*sxx - sx*sx) * (m*syy - sy*sy))
+    with sqrt IEEE-exact. Plan: one degree hash agg + two keyed joins
+    edge→degree + one 1-row agg. Linear in |E|."""
+    sym = edges.select(F.col("a").alias("x"), F.col("b").alias("y")).unionByName(
+        edges.select(F.col("b").alias("x"), F.col("a").alias("y"))
+    )
+    deg = sym.groupBy(F.col("x").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("deg")
+    )
+    dx = deg.select(F.col("node").alias("x"), F.col("deg").alias("da"))
+    dy = deg.select(F.col("node").alias("y"), F.col("deg").alias("db"))
+    j = sym.join(dx, "x").join(dy, "y")
+    dec = "decimal(38,0)"
+    m = j.agg(
+        F.count(F.lit(1)).cast(dec).alias("m"),
+        F.sum(F.col("da").cast(dec)).alias("sx"),
+        F.sum(F.col("db").cast(dec)).alias("sy"),
+        F.sum((F.col("da") * F.col("db")).cast(dec)).alias("sxy"),
+        F.sum((F.col("da") * F.col("da")).cast(dec)).alias("sxx"),
+        F.sum((F.col("db") * F.col("db")).cast(dec)).alias("syy"),
+    )
+    md = F.col("m").cast("double")
+    sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
+    num = md * F.col("sxy").cast("double") - sxd * syd
+    den = F.sqrt(
+        (md * F.col("sxx").cast("double") - sxd * sxd)
+        * (md * F.col("syy").cast("double") - syd * syd)
+    )
+    return m.select(
+        (F.col("m").cast("bigint") / 2).cast("bigint").alias("n_edges"),
+        (num / den).alias("assortativity"),
+    )
+
+
+def assortativity_sql(edges_cte: str) -> str:
+    """DuckDB twin of :func:`assortativity`. ``edges_cte`` must define
+    ``edges`` (a, b)."""
+    return f"""
+WITH {edges_cte},
+sym AS (SELECT a AS x, b AS y FROM edges UNION ALL SELECT b AS x, a AS y FROM edges),
+deg AS (SELECT x AS node, CAST(COUNT(*) AS BIGINT) AS deg FROM sym GROUP BY x),
+j AS (
+  SELECT dx.deg AS da, dy.deg AS db
+  FROM sym s JOIN deg dx ON dx.node = s.x JOIN deg dy ON dy.node = s.y
+),
+m AS (
+  SELECT CAST(COUNT(*) AS DECIMAL(38,0)) AS m,
+         CAST(SUM(CAST(da AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx,
+         CAST(SUM(CAST(db AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sy,
+         CAST(SUM(CAST(da * db AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxy,
+         CAST(SUM(CAST(da * da AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxx,
+         CAST(SUM(CAST(db * db AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS syy
+  FROM j
+)
+SELECT CAST(CAST(m AS BIGINT) / 2 AS BIGINT) AS n_edges,
+       (CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       / sqrt((CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+              * (CAST(m AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+         AS assortativity
+FROM m"""

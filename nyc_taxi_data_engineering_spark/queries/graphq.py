@@ -701,3 +701,23 @@ def q_conductance_copurchase_communities(spark: SparkSession, sf_dir: str) -> Da
     edges = _knn_copurchase_edges(spark, sf_dir)
     labels = label_propagation(edges)
     return conductance(edges, labels)
+
+
+from nyc_taxi_data_engineering_spark.operators.graph import (
+    assortativity,
+    assortativity_sql,
+)
+
+
+@query(
+    "assortativity_copurchase",
+    oracle=assortativity_sql(f"edges AS ({_knn_copurchase_edges_sql()})"),
+)
+def q_assortativity_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the co-purchase kNN graph — do heavily
+    connected suppliers partner with each other (positive) or with
+    peripherals (negative)? The topology diagnostic that motivates the
+    degree caps the candidate generators rely on. Integer degree
+    moments as DECIMAL(38,0), one pinned Pearson chain with an
+    IEEE-exact sqrt; one degree agg + two keyed joins, edge-linear."""
+    return assortativity(_knn_copurchase_edges(spark, sf_dir))

@@ -165,6 +165,7 @@ ROTATION: list[str] = [
     "annotator_kappa_langid",
     "mcnemar_rules_orders",
     "kmeans_silhouette_embeddings",
+    "assortativity_copurchase",
     # Round-7 late additions (sampled r7):
     "ppr_supplier_recommendations",
     "lpa_copurchase_communities",
