@@ -210,3 +210,91 @@ def q_pii_redact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.length("ptext") - F.length("rtext")).cast("bigint").alias("chars_removed"),
         residual.cast("bigint").alias("residual_pii"),
     ).orderBy("doc_id")
+
+
+KANON_K = 5  # groups smaller than k are re-identifiable
+KANON_BAL_BUCKETS = 10
+
+
+@query(
+    "k_anonymity_audit_customers",
+    oracle=f"""
+WITH qi AS (
+    SELECT c_nationkey, c_mktsegment,
+           CAST(LEAST({KANON_BAL_BUCKETS - 1}, GREATEST(0,
+               CAST(floor((c_acctbal + 1000.0) / 1200.0) AS BIGINT))) AS BIGINT)
+             AS bal_bucket,
+           CASE WHEN c_acctbal < 0.0 THEN 'overdrawn' ELSE 'funded' END AS sensitive
+    FROM customer
+),
+g AS (
+    SELECT c_nationkey, c_mktsegment, bal_bucket,
+           CAST(COUNT(*) AS BIGINT) AS group_size,
+           CAST(COUNT(DISTINCT sensitive) AS BIGINT) AS l_diversity
+    FROM qi GROUP BY c_nationkey, c_mktsegment, bal_bucket
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(SUM(CASE WHEN group_size < {KANON_K} THEN 1 ELSE 0 END) AS BIGINT)
+         AS groups_below_k,
+       CAST(SUM(CASE WHEN group_size < {KANON_K} THEN group_size ELSE 0 END) AS BIGINT)
+         AS customers_at_risk,
+       CAST(MIN(group_size) AS BIGINT) AS k_anonymity,
+       CAST(SUM(CASE WHEN l_diversity < 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS homogeneous_groups,
+       CAST(SUM(CASE WHEN group_size < {KANON_K} THEN group_size ELSE 0 END) AS DOUBLE)
+         / CAST(SUM(group_size) AS DOUBLE) AS at_risk_rate
+FROM g
+""",
+)
+def q_k_anonymity_audit_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity / l-diversity audit over the quasi-identifier tuple
+    (nation, market segment, balance bucket) — the privacy readout a
+    release pipeline checks BEFORE publishing "anonymized" data: the
+    dataset's k (its smallest QI group), how many groups and customers
+    sit below k={KANON_K} (re-identifiable by QI join), and how many
+    groups are l<2 homogeneous in the sensitive attribute (everyone in
+    the group shares it, so the QI alone discloses it — the
+    homogeneity attack k-anonymity misses). Bucketing the balance is
+    itself the generalization step of the k-anonymization loop; all
+    counts are exact integers, one terminal rate division.
+
+    Scale: one hash agg over the QI tuple + one 1-row rollup —
+    auditing 100 TB costs one shuffle of group-sized state."""
+    c = load_table(spark, sf_dir, "customer")
+    qi = c.select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.least(
+            F.lit(KANON_BAL_BUCKETS - 1),
+            F.greatest(
+                F.lit(0),
+                F.floor((F.col("c_acctbal") + F.lit(1000.0)) / F.lit(1200.0)).cast(
+                    "bigint"
+                ),
+            ),
+        )
+        .cast("bigint")
+        .alias("bal_bucket"),
+        F.when(F.col("c_acctbal") < 0.0, "overdrawn")
+        .otherwise("funded")
+        .alias("sensitive"),
+    )
+    g = qi.groupBy("c_nationkey", "c_mktsegment", "bal_bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("group_size"),
+        F.countDistinct("sensitive").cast("bigint").alias("l_diversity"),
+    )
+    below = F.when(F.col("group_size") < KANON_K, F.col("group_size")).otherwise(0)
+    return g.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.sum(F.when(F.col("group_size") < KANON_K, 1).otherwise(0))
+        .cast("bigint")
+        .alias("groups_below_k"),
+        F.sum(below).cast("bigint").alias("customers_at_risk"),
+        F.min("group_size").cast("bigint").alias("k_anonymity"),
+        F.sum(F.when(F.col("l_diversity") < 2, 1).otherwise(0))
+        .cast("bigint")
+        .alias("homogeneous_groups"),
+        (F.sum(below).cast("double") / F.sum("group_size").cast("double")).alias(
+            "at_risk_rate"
+        ),
+    )

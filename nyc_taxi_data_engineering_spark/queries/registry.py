@@ -166,6 +166,7 @@ ROTATION: list[str] = [
     "mcnemar_rules_orders",
     "kmeans_silhouette_embeddings",
     "assortativity_copurchase",
+    "k_anonymity_audit_customers",
     # Round-7 late additions (sampled r7):
     "ppr_supplier_recommendations",
     "lpa_copurchase_communities",
