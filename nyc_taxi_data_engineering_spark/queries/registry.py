@@ -167,6 +167,8 @@ ROTATION: list[str] = [
     "kmeans_silhouette_embeddings",
     "assortativity_copurchase",
     "k_anonymity_audit_customers",
+    "jdbc_roundtrip_nation",
+    "delta_history_audit_orders",
     # Round-7 late additions (sampled r7):
     "ppr_supplier_recommendations",
     "lpa_copurchase_communities",

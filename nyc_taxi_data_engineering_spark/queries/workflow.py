@@ -1418,3 +1418,95 @@ def q_delta_vacuum_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(len(deleted)).cast("bigint").alias("files_deleted"),
         F.lit(on_disk).cast("bigint").alias("files_on_disk"),
     )
+
+
+@query(
+    "jdbc_roundtrip_nation",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+)
+def q_jdbc_roundtrip_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S12 under the driver gate: bulk-load the nation dim into an
+    embedded Derby database over JDBC (the same writer path a
+    Postgres/Redshift curated target uses — reference
+    ppcurated_rds.py:64-72), write it TWICE so overwrite-not-append is
+    what the hash certifies, read it back over JDBC, and match the
+    original bit-for-bit. Upgrades the sink from test-only to
+    driver-visible. At scale the JDBC writer is per-partition batched
+    inserts; dims are the realistic payload (facts belong in parquet)."""
+    from nyc_taxi_data_engineering_spark.catalog import load_table
+    from nyc_taxi_data_engineering_spark.sources import write_jdbc
+
+    db = _tmp_table("jdbc_nation_db")
+    shutil.rmtree(db, ignore_errors=True)
+    url = f"jdbc:derby:{db};create=true"
+    driver = "org.apache.derby.iapi.jdbc.AutoloadedDriver"
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    write_jdbc(nation, url, "curated_nation", driver=driver)
+    write_jdbc(nation, url, "curated_nation", driver=driver)  # replace, not append
+    return (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "curated_nation")
+        .option("driver", driver)
+        .load()
+        .orderBy("n_nationkey")
+    )
+
+
+@query(
+    "delta_history_audit_orders",
+    oracle="""
+SELECT * FROM (VALUES
+    (CAST(3 AS BIGINT), 'OPTIMIZE', 0),
+    (CAST(2 AS BIGINT), 'WRITE', 1),
+    (CAST(1 AS BIGINT), 'WRITE', 1),
+    (CAST(0 AS BIGINT), 'WRITE', 1)
+) AS t(version, operation, data_change)
+""",
+)
+def q_delta_history_audit_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 under the driver gate: DESCRIBE HISTORY semantics from
+    commitInfo replay — seed orders (v0), append (v1), overwrite (v2),
+    OPTIMIZE (v3, dataChange:false), then return (version, operation,
+    data_change) newest-first and match the pinned expected ledger.
+    data_change comes from the commits' ACTUAL add/remove action flags
+    (any action with dataChange true), not from the operation label —
+    so a compaction that forgot to mark its rewrite dataChange:false
+    (poisoning every change-feed consumer downstream) mismatches here.
+    History is a pure log read — O(commits), no data I/O at any scale."""
+    from pyspark.sql import Row
+
+    from nyc_taxi_data_engineering_spark.catalog import load_table
+    from nyc_taxi_data_engineering_spark.sources import delta_log as D
+
+    tbl = _tmp_table("delta_history_orders")
+    shutil.rmtree(tbl, ignore_errors=True)
+    orders = load_table(spark, sf_dir, "orders")
+    D.write_delta(orders.repartition(4), tbl, mode="overwrite")  # v0
+    D.write_delta(orders.limit(100), tbl, mode="append")  # v1
+    D.write_delta(orders.repartition(4), tbl, mode="overwrite")  # v2
+    D.compact_delta(spark, tbl, target_files=2)  # v3
+    hist = D.delta_log_history(tbl)
+
+    def changed(v: int) -> int:
+        acts = D._read_commit(tbl, v)
+        return int(
+            any(
+                a[k].get("dataChange", True)
+                for a in acts
+                for k in ("add", "remove")
+                if k in a
+            )
+        )
+
+    rows = [
+        Row(
+            version=int(h["version"]),
+            operation=str(h.get("operation", "")),
+            data_change=changed(int(h["version"])),
+        )
+        for h in hist
+    ]
+    return spark.createDataFrame(rows)
