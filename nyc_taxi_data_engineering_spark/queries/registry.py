@@ -169,6 +169,8 @@ ROTATION: list[str] = [
     "k_anonymity_audit_customers",
     "jdbc_roundtrip_nation",
     "delta_history_audit_orders",
+    "pipeline_run_audit",
+    "lineage_record_audit",
     # Round-7 late additions (sampled r7):
     "ppr_supplier_recommendations",
     "lpa_copurchase_communities",

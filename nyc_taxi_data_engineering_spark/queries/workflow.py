@@ -1510,3 +1510,116 @@ def q_delta_history_audit_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         for h in hist
     ]
     return spark.createDataFrame(rows)
+
+
+@query(
+    "pipeline_run_audit",
+    oracle="""
+SELECT * FROM (VALUES
+    ('load_orders', 'SUCCEEDED', 1),
+    ('flaky_enrich', 'SUCCEEDED', 3),
+    ('governance_gate', 'HALTED', 1),
+    ('publish', 'SKIPPED', 0)
+) AS t(stage, status, attempts)
+""",
+)
+def q_pipeline_run_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C10 under the driver gate: the orchestrated DAG's retry /
+    choice-state / halt semantics exercised on REAL data and certified
+    against a pinned run ledger — load succeeds first try, a flaky
+    enrichment (fails twice, succeeds on the 3rd allowed attempt —
+    the reference's 3-attempt retry envelope), a governance gate that
+    HALTS (the Choice-state FAIL branch, not an error), and a publish
+    stage that must be SKIPPED, never run. A retry loop that
+    over-retries, a gate whose halt surfaces as FAILED, or a publish
+    that runs after a halt all mismatch. Orchestration is
+    driver-side control flow; the stages themselves are ordinary
+    distributed jobs."""
+    from pyspark.sql import Row
+
+    from nyc_taxi_data_engineering_spark.catalog import load_table
+    from nyc_taxi_data_engineering_spark.plans.orchestrator import (
+        Pipeline,
+        PipelineHalt,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    flaky_state = {"calls": 0}
+
+    def load_orders(ctx):
+        return orders.count()
+
+    def flaky_enrich(ctx):
+        flaky_state["calls"] += 1
+        if flaky_state["calls"] < 3:
+            raise RuntimeError("transient enrich failure")
+        return (
+            orders.agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")))
+            .collect()[0][0]
+        )
+
+    def governance_gate(ctx):
+        raise PipelineHalt("freshness below threshold — notify and stop")
+
+    def publish(ctx):  # pragma: no cover - must never run
+        raise AssertionError("publish ran after a halt")
+
+    pipe = (
+        Pipeline("audit_demo")
+        .add("load_orders", load_orders)
+        .add("flaky_enrich", flaky_enrich, retries=3)
+        .add("governance_gate", governance_gate)
+        .add("publish", publish)
+    )
+    _, runs = pipe.run()
+    return spark.createDataFrame(
+        [Row(stage=r.stage, status=r.status, attempts=r.attempts) for r in runs]
+    )
+
+
+@query(
+    "lineage_record_audit",
+    oracle="""
+SELECT * FROM (VALUES
+    ('daily_revenue', 'validate', 'raw', 'orders', 'validated', 'orders_clean',
+     'validate_and_split', 'quality', 1),
+    ('daily_revenue', 'enrich', 'validated', 'orders_clean', 'enriched',
+     'orders_enriched', 'enrich_with_dims', 'join', 1),
+    ('daily_revenue', 'aggregate', 'enriched', 'orders_enriched', 'curated',
+     'daily_vendor_revenue', 'revenue_rollup', 'aggregation', 1)
+) AS t(pipeline_name, pipeline_stage, source_layer, source_dataset,
+       dataset_layer, dataset_name, transformation_name, transformation_type,
+       lineage_version)
+""",
+)
+def q_lineage_record_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C9 under the driver gate: the append-only lineage ledger for the
+    flagship pipeline's three hops (raw→validated→enriched→curated),
+    emitted through plans/lineage.LineageHop with the injected clock
+    and hash-matched against the expected ledger — the audit artifact
+    is data-at-rest, never a control channel (reference
+    write_data_lineage lambda; SURVEY §3.1 step 4)."""
+    from nyc_taxi_data_engineering_spark.plans.lineage import (
+        LineageHop,
+        lineage_table,
+    )
+
+    hops = [
+        LineageHop(
+            "daily_revenue", "validate", "raw", "orders", "validated",
+            "orders_clean", "validate_and_split", "quality",
+        ),
+        LineageHop(
+            "daily_revenue", "enrich", "validated", "orders_clean", "enriched",
+            "orders_enriched", "enrich_with_dims", "join",
+        ),
+        LineageHop(
+            "daily_revenue", "aggregate", "enriched", "orders_enriched", "curated",
+            "daily_vendor_revenue", "revenue_rollup", "aggregation",
+        ),
+    ]
+    return lineage_table(spark, hops).select(
+        "pipeline_name", "pipeline_stage", "source_layer", "source_dataset",
+        "dataset_layer", "dataset_name", "transformation_name",
+        "transformation_type", "lineage_version",
+    )
