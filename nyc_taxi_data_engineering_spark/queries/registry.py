@@ -171,6 +171,7 @@ ROTATION: list[str] = [
     "delta_history_audit_orders",
     "pipeline_run_audit",
     "lineage_record_audit",
+    "json_metrics_roundtrip",
     # Round-7 late additions (sampled r7):
     "ppr_supplier_recommendations",
     "lpa_copurchase_communities",

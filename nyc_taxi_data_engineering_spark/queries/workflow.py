@@ -1623,3 +1623,46 @@ def q_lineage_record_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dataset_layer", "dataset_name", "transformation_name",
         "transformation_type", "lineage_version",
     )
+
+
+@query(
+    "json_metrics_roundtrip",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders GROUP BY o_orderpriority
+""",
+)
+def q_json_metrics_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S11 under the driver gate: the single-file JSON metrics sink
+    (coalesce(1) — metrics frames are tiny by contract) written and
+    read back with an explicit schema, hash-matched to recomputing the
+    metrics from raw. Certifies the JSON round trip preserves exact
+    doubles (Spark writes shortest-roundtrip representations) and
+    bigints — the quiet failure mode of metrics pipelines is a lossy
+    serialization nobody diffs."""
+    from pyspark.sql import types as T
+
+    from nyc_taxi_data_engineering_spark.catalog import load_table
+    from nyc_taxi_data_engineering_spark.sources import write_json_metrics
+
+    out = _tmp_table("json_metrics_out")
+    shutil.rmtree(out, ignore_errors=True)
+    metrics = load_table(spark, sf_dir, "orders").groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_price"),
+    )
+    write_json_metrics(metrics, out)
+    schema = T.StructType(
+        [
+            T.StructField("o_orderpriority", T.StringType()),
+            T.StructField("n_orders", T.LongType()),
+            T.StructField("total_price", T.DoubleType()),
+        ]
+    )
+    return spark.read.schema(schema).json(out).select(
+        "o_orderpriority", "n_orders", "total_price"
+    )
