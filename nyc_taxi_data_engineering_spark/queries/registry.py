@@ -172,6 +172,7 @@ ROTATION: list[str] = [
     "pipeline_run_audit",
     "lineage_record_audit",
     "json_metrics_roundtrip",
+    "hll_wau_events",
     # Round-7 late additions (sampled r7):
     "ppr_supplier_recommendations",
     "lpa_copurchase_communities",

@@ -351,3 +351,129 @@ def q_kmv_split_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(jac, 6).alias("jaccard_est"),
         F.round(jac * union_est, 3).alias("intersection_est"),
     )
+
+
+from nyc_taxi_data_engineering_spark.operators.sketches import (
+    HLL_ALPHA,
+    HLL_M,
+    HLL_RHO_BITS,
+    _HLL_SCALE,
+)
+
+WAU_WINDOW = 7
+
+
+@query(
+    "hll_wau_events",
+    oracle=f"""
+WITH days AS (SELECT DISTINCT CAST(ts AS DATE) AS d FROM events),
+ud AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
+regs AS (
+    SELECT d,
+           ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 4))::BIGINT % {HLL_M} AS reg,
+           MAX(CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 5, 13))::BIGINT = 0
+                    THEN {HLL_RHO_BITS + 1}
+                    ELSE {HLL_RHO_BITS + 1}
+                         - length(bin(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 5, 13))::BIGINT))
+               END) AS max_rho
+    FROM ud GROUP BY d, reg
+),
+scat AS (
+    SELECT r.d + CAST(g.i AS INTEGER) AS target_day, r.reg, r.max_rho
+    FROM regs r, UNNEST(generate_series(0, {WAU_WINDOW - 1})) AS g(i)
+),
+merged AS (
+    SELECT s.target_day, s.reg, MAX(s.max_rho) AS max_rho
+    FROM scat s JOIN days t ON t.d = s.target_day
+    GROUP BY s.target_day, s.reg
+),
+est AS (
+    SELECT target_day,
+           CAST(COUNT(*) AS BIGINT) AS n_registers_used,
+           CAST(SUM((CAST(1 AS BIGINT) << GREATEST({HLL_RHO_BITS} - max_rho, 0))) AS BIGINT)
+             AS s_observed
+    FROM merged GROUP BY target_day
+),
+exact_scat AS (
+    SELECT u.d + CAST(g.i AS INTEGER) AS target_day, u.user_id
+    FROM ud u, UNNEST(generate_series(0, {WAU_WINDOW - 1})) AS g(i)
+),
+exact AS (
+    SELECT e.target_day, CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS wau_exact
+    FROM exact_scat e JOIN days t ON t.d = e.target_day
+    GROUP BY e.target_day
+)
+SELECT strftime(x.target_day, '%Y-%m-%d') AS day,
+       x.wau_exact,
+       round({HLL_ALPHA!r} * {_HLL_SCALE!r}
+             / CAST(s_observed + ({HLL_M} - n_registers_used)
+                    * (CAST(1 AS BIGINT) << {HLL_RHO_BITS}) AS DOUBLE), 3) AS wau_est,
+       round(abs(round({HLL_ALPHA!r} * {_HLL_SCALE!r}
+             / CAST(s_observed + ({HLL_M} - n_registers_used)
+                    * (CAST(1 AS BIGINT) << {HLL_RHO_BITS}) AS DOUBLE), 3) - wau_exact)
+             / wau_exact, 6) AS rel_error
+FROM exact x JOIN est ON est.target_day = x.target_day
+ORDER BY day
+""",
+)
+def q_hll_wau_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-{WAU_WINDOW}-day WAU via MERGEABLE HLL register tables —
+    the 100 TB path for COUNT DISTINCT over sliding windows, where the
+    exact scatter (events_dau_wau_stickiness) reshuffles user ids: here
+    each day keeps a {HLL_M}-register sketch, the day-offset scatter
+    moves REGISTERS (m rows/day, independent of users), and the window
+    merge is a MAX hash agg — per-day state is constant, so the
+    window's cost no longer grows with distinct users. Exact WAU rides
+    along for the per-day relative error, putting the approximation
+    quality itself under the hash gate (md5 registers are
+    engine-deterministic; the estimate's one float op replays
+    bit-for-bit)."""
+    from nyc_taxi_data_engineering_spark.operators.sketches import hll_registers
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("ts").cast("date").alias("d"), "user_id"
+    )
+    ud = ev.distinct()
+    days = ud.select("d").distinct()
+    regs = hll_registers(ud, "d", "user_id")
+    offs = F.explode(F.sequence(F.lit(0), F.lit(WAU_WINDOW - 1))).alias("i")
+    scat = regs.select("d", "reg", "max_rho", offs).select(
+        F.date_add("d", F.col("i")).alias("target_day"), "reg", "max_rho"
+    )
+    merged = (
+        scat.join(days.select(F.col("d").alias("target_day")), "target_day")
+        .groupBy("target_day", "reg")
+        .agg(F.max("max_rho").alias("max_rho"))
+    )
+    term = F.expr(
+        f"shiftleft(CAST(1 AS BIGINT), greatest({HLL_RHO_BITS} - max_rho, 0))"
+    )
+    est = merged.groupBy("target_day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_registers_used"),
+        F.sum(term).cast("bigint").alias("s_observed"),
+    )
+    exact = (
+        ud.select(F.date_add("d", F.col("i")).alias("target_day"), "user_id", offs)
+        .select("target_day", "user_id")
+        .join(days.select(F.col("d").alias("target_day")), "target_day")
+        .groupBy("target_day")
+        .agg(F.count_distinct("user_id").cast("bigint").alias("wau_exact"))
+    )
+    s_total = (
+        F.col("s_observed")
+        + (F.lit(HLL_M).cast("long") - F.col("n_registers_used"))
+        * F.lit(1 << HLL_RHO_BITS).cast("long")
+    ).cast("double")
+    est_v = F.round(F.lit(HLL_ALPHA) * F.lit(_HLL_SCALE) / s_total, 3)
+    return (
+        exact.join(est, "target_day")
+        .select(
+            F.date_format("target_day", "yyyy-MM-dd").alias("day"),
+            "wau_exact",
+            est_v.alias("wau_est"),
+            F.round(
+                F.abs(est_v - F.col("wau_exact")) / F.col("wau_exact"), 6
+            ).alias("rel_error"),
+        )
+        .orderBy("day")
+    )
