@@ -173,6 +173,7 @@ ROTATION: list[str] = [
     "lineage_record_audit",
     "json_metrics_roundtrip",
     "hll_wau_events",
+    "stl_decompose_revenue",
     # Round-7 late additions (sampled r7):
     "ppr_supplier_recommendations",
     "lpa_copurchase_communities",

@@ -1273,3 +1273,124 @@ def q_croston_per_supplier_demand(spark: SparkSession, sf_dir: str) -> DataFrame
         folded["p"].alias("smoothed_interval"),
         (folded["z"] / folded["p"]).alias("demand_rate"),
     ).orderBy("l_suppkey")
+
+
+STL_TAIL_DAYS = 28  # report the decomposition's last four weeks
+
+
+@query(
+    "stl_decompose_revenue",
+    oracle=f"""
+WITH {_HOLT_DAILY_SQL},
+t AS (
+    SELECT d, x,
+           date_diff('day', TIMESTAMP '1970-01-01', d) % 7 AS dow,
+           row_number() OVER (ORDER BY d) AS rn,
+           CAST(COUNT(*) OVER () AS BIGINT) AS n,
+           CASE WHEN row_number() OVER (ORDER BY d) > 3
+                 AND row_number() OVER (ORDER BY d) <= CAST(COUNT(*) OVER () AS BIGINT) - 3
+                THEN CAST(CAST(SUM(CAST(CAST(x AS DECIMAL(14,2)) AS DECIMAL(20,2)))
+                          OVER (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+                          AS DOUBLE) / 7.0 AS DOUBLE)
+           END AS trend
+    FROM daily
+),
+det AS (SELECT d, x, dow, rn, n, trend, x - trend AS detrended FROM t),
+sea AS (
+    SELECT dow,
+           round(CAST(SUM(CAST(round(detrended, 6) AS DECIMAL(28,6))) AS DOUBLE)
+                 / COUNT(detrended), 6) AS seasonal
+    FROM det WHERE detrended IS NOT NULL GROUP BY dow
+),
+out AS (
+    SELECT strftime(det.d, '%Y-%m-%d') AS day, det.x, det.trend, s.seasonal,
+           det.x - det.trend - s.seasonal AS residual,
+           det.rn, det.n
+    FROM det JOIN sea s ON s.dow = det.dow
+    WHERE det.trend IS NOT NULL
+)
+SELECT day, x, trend, seasonal, residual
+FROM out WHERE rn > n - 3 - {STL_TAIL_DAYS}
+ORDER BY day
+""",
+)
+def q_stl_decompose_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical seasonal decomposition (STL-lite) of daily order
+    revenue: trend = centered 7-day moving average (DECIMAL-exact sum,
+    one /7.0), seasonal = per-weekday mean of the detrended series
+    (6-dp-quantized decimal transport), residual = x - trend -
+    seasonal — the anomaly-detection front-end that separates "weekend
+    dip" from "real drop". Weekday is epoch-days % 7 (dayofweek()
+    disagrees across engines); edge days without a full MA window are
+    excluded like statsmodels' naive mode; last {STL_TAIL_DAYS}
+    decomposed days reported. Everything runs on the COLLAPSED day
+    series — scale-free with respect to fact rows, the one sort is
+    calendar-bounded."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(14,2)"))
+        .cast("decimal(14,2)")
+        .cast("double")
+        .alias("x")
+    )
+    w = Window.orderBy("d")
+    wma = w.rowsBetween(-3, 3)
+    t = daily.select(
+        "d",
+        "x",
+        (F.datediff(F.col("d"), F.lit("1970-01-01").cast("date")) % 7).alias("dow"),
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(
+            Window.orderBy(F.lit(1)).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .cast("bigint")
+        .alias("n"),
+        (
+            F.sum(F.col("x").cast("decimal(14,2)").cast("decimal(20,2)")).over(wma)
+            .cast("double")
+            / F.lit(7.0)
+        ).alias("ma"),
+    )
+    det = t.select(
+        "d",
+        "x",
+        "dow",
+        "rn",
+        "n",
+        F.when(
+            (F.col("rn") > 3) & (F.col("rn") <= F.col("n") - 3), F.col("ma")
+        ).alias("trend"),
+    ).withColumn("detrended", F.col("x") - F.col("trend"))
+    sea = (
+        det.filter(F.col("detrended").isNotNull())
+        .groupBy("dow")
+        .agg(
+            F.round(
+                F.sum(F.round(F.col("detrended"), 6).cast("decimal(28,6)")).cast(
+                    "double"
+                )
+                / F.count("detrended"),
+                6,
+            ).alias("seasonal")
+        )
+    )
+    out = (
+        det.filter(F.col("trend").isNotNull())
+        .join(F.broadcast(sea), "dow")
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            "x",
+            "trend",
+            "seasonal",
+            (F.col("x") - F.col("trend") - F.col("seasonal")).alias("residual"),
+            "rn",
+            "n",
+        )
+    )
+    return (
+        out.filter(F.col("rn") > F.col("n") - 3 - STL_TAIL_DAYS)
+        .select("day", "x", "trend", "seasonal", "residual")
+        .orderBy("day")
+    )
