@@ -174,6 +174,7 @@ ROTATION: list[str] = [
     "json_metrics_roundtrip",
     "hll_wau_events",
     "stl_decompose_revenue",
+    "growth_accounting_weekly",
     # Round-7 late additions (sampled r7):
     "ppr_supplier_recommendations",
     "lpa_copurchase_communities",
