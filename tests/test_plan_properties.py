@@ -1037,3 +1037,17 @@ def test_modularity_broadcasts_total_and_keys_label_joins(spark, sf_dir):
     # the 1-row m aggregate enters as a broadcast, label joins are keyed
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_hll_wau_no_fact_window(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "hll_wau_events")
+    # the whole point: the sliding COUNT DISTINCT is a register scatter
+    # + MAX hash agg — no Window operator anywhere in the plan
+    assert "Window" not in plan
+    assert "partial_max" in plan
+
+
+def test_growth_accounting_user_keyed_no_window(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "growth_accounting_weekly")
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
