@@ -172,6 +172,14 @@ def _probe(qs, spark, small_dir, big_dir, reps, small_label, big_label):
     _run(warm, spark, big_dir)
     small, big = {}, {}
     for name in sorted(qs):
+        # Drop the PREVIOUS query's pinned/cached state before timing the
+        # next one: pin()-heavy queries (graph/community family) leave
+        # cached tables in the block manager, and the resulting memory
+        # pressure measurably distorts small later queries (wave-6 STL
+        # read 11.4 s in-probe vs 1.1 s in a clean session). Within one
+        # query's reps the cache stays — a query's own pins are part of
+        # its plan, not leakage.
+        spark.catalog.clearCache()
         small[name] = round(statistics.median(_run(qs[name], spark, small_dir) for _ in range(reps)), 3)
         big[name] = round(statistics.median(_run(qs[name], spark, big_dir) for _ in range(reps)), 3)
         print(f"{name}: {small_label}={small[name]}s {big_label}={big[name]}s", file=sys.stderr)
