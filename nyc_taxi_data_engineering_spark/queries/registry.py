@@ -175,6 +175,7 @@ ROTATION: list[str] = [
     "hll_wau_events",
     "stl_decompose_revenue",
     "growth_accounting_weekly",
+    "conformal_forecast_interval",
     # Round-7 late additions (sampled r7):
     "ppr_supplier_recommendations",
     "lpa_copurchase_communities",

@@ -1394,3 +1394,113 @@ def q_stl_decompose_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("day", "x", "trend", "seasonal", "residual")
         .orderBy("day")
     )
+
+
+CONFORMAL_ALPHA_PCT = 10  # 90% target coverage
+CONFORMAL_CAL_PCT = 80  # first 80% of forecastable days calibrate
+
+
+@query(
+    "conformal_forecast_interval",
+    oracle=f"""
+WITH {_HOLT_DAILY_SQL},
+f AS (
+    SELECT d, x,
+           lag(x, 7) OVER (ORDER BY d) AS pred,
+           row_number() OVER (ORDER BY d) AS rn
+    FROM daily
+),
+r AS (
+    SELECT d, abs(x - pred) AS ae,
+           row_number() OVER (ORDER BY d) AS rn,
+           CAST(COUNT(*) OVER () AS BIGINT) AS n
+    FROM f WHERE pred IS NOT NULL
+),
+split AS (
+    SELECT *, CAST(floor(n * {CONFORMAL_CAL_PCT} / 100.0) AS BIGINT) AS n_cal FROM r
+),
+q AS (
+    SELECT ae AS q_alpha FROM (
+        SELECT ae, row_number() OVER (ORDER BY ae, d) AS qr,
+               MAX(n_cal) OVER () AS n_cal
+        FROM split WHERE rn <= n_cal
+    ) WHERE qr = CAST(ceil((n_cal + 1) * (100 - {CONFORMAL_ALPHA_PCT}) / 100.0) AS BIGINT)
+)
+SELECT CAST(MAX(s.n_cal) AS BIGINT) AS n_cal,
+       CAST(COUNT(*) AS BIGINT) AS n_test,
+       MAX(q.q_alpha) AS q_alpha,
+       CAST(SUM(CASE WHEN s.ae <= q.q_alpha THEN 1 ELSE 0 END) AS DOUBLE)
+         / COUNT(*) AS coverage
+FROM split s CROSS JOIN q
+WHERE s.rn > s.n_cal
+""",
+)
+def q_conformal_forecast_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction interval for the seasonal-naive
+    (lag-7) revenue forecast — distribution-free uncertainty
+    quantification, the modern answer to "how wide should the band
+    be": the first {CONFORMAL_CAL_PCT}% of forecastable days
+    calibrate, q_alpha is the EXACT ceil((n+1)(1-alpha))-th order
+    statistic of absolute calibration errors (the finite-sample
+    coverage guarantee needs that +1 — an off-by-one here silently
+    voids the guarantee, which is why the index arithmetic sits under
+    the hash gate), and empirical coverage on the held-out tail checks
+    the promise. Residuals and the quantile are order statistics with
+    day tiebreaks — no averaging, no libm; coverage is one integer
+    division. Day-series-bounded, scale-free wrt fact rows."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(14,2)"))
+        .cast("decimal(14,2)")
+        .cast("double")
+        .alias("x")
+    )
+    w = Window.orderBy("d")
+    f = daily.select("d", "x", F.lag("x", 7).over(w).alias("pred"))
+    r = f.filter(F.col("pred").isNotNull()).select(
+        "d",
+        F.abs(F.col("x") - F.col("pred")).alias("ae"),
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1))
+        .over(
+            Window.orderBy(F.lit(1)).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .cast("bigint")
+        .alias("n"),
+    )
+    split = r.withColumn(
+        "n_cal",
+        F.floor(F.col("n") * CONFORMAL_CAL_PCT / F.lit(100.0)).cast("bigint"),
+    )
+    cal = split.filter(F.col("rn") <= F.col("n_cal")).select(
+        "ae",
+        "d",
+        F.row_number().over(Window.orderBy("ae", "d")).alias("qr"),
+        F.max("n_cal")
+        .over(
+            Window.orderBy(F.lit(1)).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .alias("n_cal"),
+    )
+    q = cal.filter(
+        F.col("qr")
+        == F.ceil(
+            (F.col("n_cal") + 1) * (100 - CONFORMAL_ALPHA_PCT) / F.lit(100.0)
+        ).cast("bigint")
+    ).select(F.col("ae").alias("q_alpha"))
+    test = split.filter(F.col("rn") > F.col("n_cal"))
+    return test.crossJoin(F.broadcast(q)).agg(
+        F.max("n_cal").cast("bigint").alias("n_cal"),
+        F.count(F.lit(1)).cast("bigint").alias("n_test"),
+        F.max("q_alpha").alias("q_alpha"),
+        (
+            F.sum(F.when(F.col("ae") <= F.col("q_alpha"), 1).otherwise(0)).cast(
+                "double"
+            )
+            / F.count(F.lit(1))
+        ).alias("coverage"),
+    )
