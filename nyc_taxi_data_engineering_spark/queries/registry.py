@@ -176,6 +176,7 @@ ROTATION: list[str] = [
     "stl_decompose_revenue",
     "growth_accounting_weekly",
     "conformal_forecast_interval",
+    "ope_replay_events",
     # Round-7 late additions (sampled r7):
     "ppr_supplier_recommendations",
     "lpa_copurchase_communities",

@@ -1826,3 +1826,97 @@ def q_mcnemar_rules_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         chi2.alias("chi2"),
         F.when(chi2 > F.lit(3.841), 1).otherwise(0).alias("differ_flag"),
     )
+
+
+OPE_SEED = "ope-log-v1"
+OPE_POLICY_DECILE = 6  # target policy: treat iff activity decile >= 6
+
+
+@query(
+    "ope_replay_events",
+    oracle=f"""
+WITH u AS (
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(CAST(SUM(CASE WHEN event_type = 'purchase'
+                              THEN CAST(value AS DECIMAL(18,6)) ELSE CAST(0 AS DECIMAL(18,6)) END)
+                     AS DECIMAL(18,6)) AS DOUBLE) AS r,
+           {hash_bucket_sql('user_id', seed=OPE_SEED, n_buckets=2)} AS a
+    FROM events GROUP BY user_id
+),
+d AS (
+    SELECT user_id, r, a,
+           CASE WHEN ntile(10) OVER (ORDER BY n_events, user_id) >= {OPE_POLICY_DECILE}
+                THEN 1 ELSE 0 END AS pi
+    FROM u
+),
+agg AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(CASE WHEN pi = a THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+           CAST(SUM(CAST(r AS DECIMAL(38,6))) AS DOUBLE) AS sum_r,
+           CAST(SUM(CASE WHEN pi = a THEN CAST(r AS DECIMAL(38,6)) END) AS DOUBLE)
+             AS sum_r_matched
+    FROM d
+)
+SELECT n_users, n_matched,
+       sum_r / CAST(n_users AS DOUBLE) AS v_logging,
+       2.0 * sum_r_matched / CAST(n_users AS DOUBLE) AS v_ips,
+       sum_r_matched / CAST(n_matched AS DOUBLE) AS v_snips
+FROM agg
+""",
+)
+def q_ope_replay_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline policy evaluation by inverse-propensity replay (Li et
+    al. 2011) — "what would this targeting rule have earned?" answered
+    from LOGGED data, no new experiment: the logging policy assigned
+    users to two arms uniformly at random (md5, propensity exactly
+    1/2), the target policy treats iff activity decile >=
+    {OPE_POLICY_DECILE}; its IPS value keeps only users where the
+    policy AGREES with the logged action, reweighting by 1/p — with
+    p = 1/2 the weight is EXACTLY 2, so the estimator is a pure
+    decimal sum doubled, no rounding contract at all. The
+    self-normalized variant (SNIPS, lower variance) and the logging
+    policy's own value ride along. One user-grain hash agg + the
+    user-grain ntile; scales like the IPW query."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase", F.col("value").cast("decimal(18,6)")
+            ).otherwise(F.lit(0).cast("decimal(18,6)"))
+        )
+        .cast("decimal(18,6)")
+        .cast("double")
+        .alias("r"),
+        F.first(hash_bucket(F.col("user_id"), seed=OPE_SEED, n_buckets=2)).alias("a"),
+    )
+    d = u.select(
+        "r",
+        "a",
+        F.when(
+            F.ntile(10).over(Window.orderBy("n_events", "user_id"))
+            >= OPE_POLICY_DECILE,
+            1,
+        )
+        .otherwise(0)
+        .alias("pi"),
+    )
+    agg = d.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum(F.when(F.col("pi") == F.col("a"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_matched"),
+        F.sum(F.col("r").cast("decimal(38,6)")).cast("double").alias("sum_r"),
+        F.sum(F.when(F.col("pi") == F.col("a"), F.col("r").cast("decimal(38,6)")))
+        .cast("double")
+        .alias("sum_r_matched"),
+    )
+    nu = F.col("n_users").cast("double")
+    return agg.select(
+        "n_users",
+        "n_matched",
+        (F.col("sum_r") / nu).alias("v_logging"),
+        (F.lit(2.0) * F.col("sum_r_matched") / nu).alias("v_ips"),
+        (F.col("sum_r_matched") / F.col("n_matched").cast("double")).alias("v_snips"),
+    )
