@@ -715,3 +715,50 @@ def audio_fingerprints(audio: DataFrame) -> DataFrame:
             )
 
     return audio.mapInPandas(run, schema=AUDIO_FP_SCHEMA)
+
+
+HIST_BINS = 16
+
+_HIST_SCHEMA = (
+    "doc_id bigint, n_bytes bigint, "
+    + ", ".join(f"h{i} bigint" for i in range(HIST_BINS))
+)
+
+
+def byte_histogram_arrow(media: DataFrame) -> DataFrame:
+    """``mapInArrow`` byte histogramming — the Arrow-NATIVE sibling of
+    the mapInPandas operators above: the UDF receives raw
+    ``pyarrow.RecordBatch`` objects (no pandas materialization at all —
+    for binary-heavy rows the pandas object-dtype detour is the single
+    biggest Python-side cost) and emits batches back. Per payload:
+    byte count and a {HIST_BINS}-bin histogram of byte values
+    (bin = byte >> 4), the content-type fingerprinting pass a media
+    pipeline runs before routing to decoders. numpy does the counting
+    on a zero-copy buffer view per row; output is one fixed-width
+    batch per input batch."""
+    import numpy as np
+    import pyarrow as pa
+
+    fields = [("doc_id", pa.int64()), ("n_bytes", pa.int64())] + [
+        (f"h{i}", pa.int64()) for i in range(HIST_BINS)
+    ]
+    out_schema = pa.schema(fields)
+
+    def run(batches):
+        for batch in batches:
+            doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+            payloads = batch.column("payload")
+            n = len(batch)
+            n_bytes = np.zeros(n, dtype=np.int64)
+            hists = np.zeros((n, HIST_BINS), dtype=np.int64)
+            for i in range(n):
+                buf = payloads[i].as_buffer()
+                arr = np.frombuffer(buf, dtype=np.uint8)
+                n_bytes[i] = arr.size
+                if arr.size:
+                    hists[i] = np.bincount(arr >> 4, minlength=HIST_BINS)
+            cols = [pa.array(doc_ids, pa.int64()), pa.array(n_bytes)]
+            cols += [pa.array(hists[:, b]) for b in range(HIST_BINS)]
+            yield pa.RecordBatch.from_arrays(cols, schema=out_schema)
+
+    return media.select("doc_id", "payload").mapInArrow(run, schema=_HIST_SCHEMA)

@@ -621,3 +621,35 @@ def q_image_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster_size",
         (F.col("id") == F.col("component")).alias("is_canonical"),
     )
+
+
+_HIST_COLS = ",\n       ".join(
+    f"SUM(CASE WHEN b >= {i * 16} AND b < {(i + 1) * 16} THEN 1 ELSE 0 END)::BIGINT AS h{i}"
+    for i in range(M.HIST_BINS)
+)
+
+
+@query(
+    "media_byte_histogram_arrow",
+    oracle=f"""
+WITH bytes AS (
+    SELECT d.doc_id,
+           octet_length(encode(d.text)) AS n_bytes,
+           ord(substr(d.text, CAST(g.i AS INTEGER), 1)) AS b
+    FROM documents d,
+         UNNEST(generate_series(1, octet_length(encode(d.text)))) AS g(i)
+)
+SELECT doc_id, CAST(MAX(n_bytes) AS BIGINT) AS n_bytes,
+       {_HIST_COLS}
+FROM bytes GROUP BY doc_id
+""",
+)
+def q_media_byte_histogram_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mapInArrow execution surface under the gate: per-payload
+    16-bin byte histograms computed on raw Arrow RecordBatches —
+    zero pandas materialization, numpy counting on zero-copy buffer
+    views — hash-matched against the oracle recomputing every byte's
+    bin in SQL (documents are ASCII, so ord(char) == byte). Beside the
+    mapInPandas family this pins the third Python execution surface
+    (row UDF < pandas UDF < Arrow-native) the engine exposes."""
+    return M.byte_histogram_arrow(_media(spark, sf_dir))

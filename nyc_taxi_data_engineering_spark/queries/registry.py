@@ -177,6 +177,7 @@ ROTATION: list[str] = [
     "growth_accounting_weekly",
     "conformal_forecast_interval",
     "ope_replay_events",
+    "media_byte_histogram_arrow",
     # Round-7 late additions (sampled r7):
     "ppr_supplier_recommendations",
     "lpa_copurchase_communities",
