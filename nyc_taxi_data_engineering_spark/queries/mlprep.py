@@ -580,3 +580,131 @@ def q_histogram_auc_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n_pos").cast("double") * F.col("n_neg").cast("double"))
         ).alias("auc_hist"),
     )
+
+
+AUC_BOOT_B = 16  # md5 half-sample resamples
+
+
+@query(
+    "auc_bootstrap_ci_orders",
+    oracle=f"""
+WITH base AS (
+    SELECT o_orderkey,
+           CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END AS pos,
+           CAST(LEAST(GREATEST(CAST(floor((o_totalprice - {AUC_HIST_LO}) * {AUC_HIST_BINS} / ({AUC_HIST_HI} - {AUC_HIST_LO})) AS BIGINT), 0), {AUC_HIST_BINS - 1}) AS BIGINT) AS bin
+    FROM orders
+),
+memb AS (
+    SELECT g.b, base.pos, base.bin
+    FROM base, UNNEST(generate_series(0, {AUC_BOOT_B - 1})) AS g(b)
+    WHERE CAST(('0x' || substr(md5('aucboot' || '|' || CAST(g.b AS VARCHAR) || '|' || CAST(base.o_orderkey AS VARCHAR)), 1, 8))::BIGINT % 2 AS INT) = 0
+),
+h AS (
+    SELECT b, bin,
+           CAST(SUM(pos) AS BIGINT) AS np,
+           CAST(SUM(1 - pos) AS BIGINT) AS nn
+    FROM memb GROUP BY b, bin
+),
+c AS (
+    SELECT b, np, nn,
+           CAST(SUM(np) OVER (PARTITION BY b ORDER BY bin) AS BIGINT) AS cp,
+           CAST(SUM(np) OVER (PARTITION BY b) AS BIGINT) AS tp,
+           CAST(SUM(nn) OVER (PARTITION BY b) AS BIGINT) AS tn
+    FROM h
+),
+auc AS (
+    SELECT b,
+           CAST(SUM(nn * (2 * (tp - cp) + np)) AS DOUBLE) / 2.0
+             / (CAST(MAX(tp) AS DOUBLE) * CAST(MAX(tn) AS DOUBLE)) AS a
+    FROM c GROUP BY b
+),
+r AS (SELECT a, row_number() OVER (ORDER BY a, b) AS rn FROM auc)
+SELECT CAST({AUC_BOOT_B} AS BIGINT) AS n_resamples,
+       MAX(CASE WHEN rn = 2 THEN a END) AS ci_lo,
+       MAX(CASE WHEN rn = {AUC_BOOT_B - 1} THEN a END) AS ci_hi,
+       MAX(CASE WHEN rn = 2 THEN a END) <= MAX(CASE WHEN rn = {AUC_BOOT_B - 1} THEN a END) AS ci_ordered
+FROM r
+""",
+)
+def q_auc_bootstrap_ci_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bootstrap confidence interval for the histogram AUC — the
+    uncertainty a single AUC number hides, computed in ONE distributed
+    pass: md5 half-sample membership scatters each row into its
+    resamples (the statsq bootstrap transport — deterministic, so the
+    RESAMPLES replay in SQL), each resample's AUC is the same exact
+    doubled-integer trapezoid over its own bin counts, and the CI is
+    explicit order statistics (2nd / {AUC_BOOT_B - 1}th of
+    {AUC_BOOT_B}). Cost: one scan fanned x{AUC_BOOT_B}, then
+    per-(resample, bin) hash aggs — bins x resamples state, never a
+    per-row sort; at 100 TB this is the only affordable way to put an
+    error bar on a ranking metric."""
+    from nyc_taxi_data_engineering_spark.operators.sampling import hash_bucket
+
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)
+        .otherwise(0)
+        .alias("pos"),
+        F.least(
+            F.greatest(
+                F.floor(
+                    (F.col("o_totalprice") - F.lit(AUC_HIST_LO))
+                    * F.lit(AUC_HIST_BINS)
+                    / F.lit(AUC_HIST_HI - AUC_HIST_LO)
+                ).cast("bigint"),
+                F.lit(0).cast("bigint"),
+            ),
+            F.lit(AUC_HIST_BINS - 1).cast("bigint"),
+        ).alias("bin"),
+    )
+    memb = base.select(
+        "pos",
+        "bin",
+        F.explode(F.sequence(F.lit(0), F.lit(AUC_BOOT_B - 1))).alias("b"),
+        "o_orderkey",
+    ).filter(
+        hash_bucket(
+            F.concat_ws("|", F.col("b"), F.col("o_orderkey")),
+            seed="aucboot",
+            n_buckets=2,
+        )
+        == 0
+    )
+    h = memb.groupBy("b", "bin").agg(
+        F.sum("pos").cast("bigint").alias("np"),
+        F.sum(F.lit(1) - F.col("pos")).cast("bigint").alias("nn"),
+    )
+    from pyspark.sql import Window
+
+    wb = Window.partitionBy("b").orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wt = Window.partitionBy("b")
+    c = h.select(
+        "b",
+        "np",
+        "nn",
+        F.sum("np").over(wb).cast("bigint").alias("cp"),
+        F.sum("np").over(wt).cast("bigint").alias("tp"),
+        F.sum("nn").over(wt).cast("bigint").alias("tn"),
+    )
+    auc = c.groupBy("b").agg(
+        (
+            F.sum(F.col("nn") * (2 * (F.col("tp") - F.col("cp")) + F.col("np")))
+            .cast("double")
+            / F.lit(2.0)
+            / (F.max("tp").cast("double") * F.max("tn").cast("double"))
+        ).alias("a")
+    )
+    r = auc.select(
+        "a", F.row_number().over(Window.orderBy("a", "b")).alias("rn")
+    )
+    return r.agg(
+        F.lit(AUC_BOOT_B).cast("bigint").alias("n_resamples"),
+        F.max(F.when(F.col("rn") == 2, F.col("a"))).alias("ci_lo"),
+        F.max(F.when(F.col("rn") == AUC_BOOT_B - 1, F.col("a"))).alias("ci_hi"),
+        (
+            F.max(F.when(F.col("rn") == 2, F.col("a")))
+            <= F.max(F.when(F.col("rn") == AUC_BOOT_B - 1, F.col("a")))
+        ).alias("ci_ordered"),
+    )

@@ -178,6 +178,7 @@ ROTATION: list[str] = [
     "conformal_forecast_interval",
     "ope_replay_events",
     "media_byte_histogram_arrow",
+    "auc_bootstrap_ci_orders",
     # Round-7 late additions (sampled r7):
     "ppr_supplier_recommendations",
     "lpa_copurchase_communities",
