@@ -179,6 +179,7 @@ ROTATION: list[str] = [
     "ope_replay_events",
     "media_byte_histogram_arrow",
     "auc_bootstrap_ci_orders",
+    "proximity_search_docs",
     # Round-7 late additions (sampled r7):
     "ppr_supplier_recommendations",
     "lpa_copurchase_communities",

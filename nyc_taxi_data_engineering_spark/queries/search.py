@@ -309,3 +309,60 @@ def q_phrase_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         g = g.select(F.lit(qid).alias("phrase_id"), "doc_id", "n_matches")
         out = g if out is None else out.unionByName(g)
     return out.orderBy("phrase_id", "doc_id")
+
+
+PROX_TERMS = ("vector", "merge")
+PROX_SLOP = 4
+
+
+@query(
+    "proximity_search_docs",
+    oracle=f"""
+WITH base AS (
+    SELECT doc_id, {sql_tokens('text')} AS toklist FROM documents
+),
+toks AS (
+    SELECT doc_id, g.i AS pos, toklist[g.i] AS term
+    FROM base, UNNEST(generate_series(1, len(toklist))) AS g(i)
+),
+a AS (SELECT doc_id, pos FROM toks WHERE term = '{PROX_TERMS[0]}'),
+b AS (SELECT doc_id, pos FROM toks WHERE term = '{PROX_TERMS[1]}')
+SELECT a.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(MIN(abs(a.pos - b.pos)) AS BIGINT) AS min_span
+FROM a JOIN b ON b.doc_id = a.doc_id
+WHERE abs(a.pos - b.pos) <= {PROX_SLOP}
+GROUP BY a.doc_id
+ORDER BY a.doc_id
+""",
+)
+def q_proximity_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proximity (slop) search — '{PROX_TERMS[0]}' within
+    {PROX_SLOP} positions of '{PROX_TERMS[1]}', any order: the IR
+    operator between bag-of-words BM25 and exact phrase match.
+    Each term's postings are filtered at the scan (df(term)-sized),
+    the candidate join is KEYED on doc_id, and the slop is a post-join
+    band filter — never an inequality join over the corpus. Per-doc
+    qualifying pair count and tightest span."""
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim(F.col("text")), r"\s+")).alias("pos", "term"),
+    )
+    a = toks.filter(F.col("term") == PROX_TERMS[0]).select("doc_id", F.col("pos").alias("pa"))
+    b = toks.filter(F.col("term") == PROX_TERMS[1]).select(
+        F.col("doc_id").alias("doc_b"), F.col("pos").alias("pb")
+    )
+    span = F.abs(F.col("pa") - F.col("pb"))
+    return (
+        a.join(b, F.col("doc_id") == F.col("doc_b"))
+        .filter(span <= PROX_SLOP)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.min(span).cast("bigint").alias("min_span"),
+        )
+        .orderBy("doc_id")
+    )
