@@ -180,6 +180,7 @@ ROTATION: list[str] = [
     "media_byte_histogram_arrow",
     "auc_bootstrap_ci_orders",
     "proximity_search_docs",
+    "haar_decompose_revenue",
     # Round-7 late additions (sampled r7):
     "ppr_supplier_recommendations",
     "lpa_copurchase_communities",

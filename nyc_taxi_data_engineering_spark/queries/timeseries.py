@@ -1504,3 +1504,94 @@ def q_conformal_forecast_interval(spark: SparkSession, sf_dir: str) -> DataFrame
             / F.count(F.lit(1))
         ).alias("coverage"),
     )
+
+
+HAAR_N = 1024  # first 2^10 observed days
+HAAR_LEVELS = 5
+
+
+def _haar_level_sql(prev: str, out: str, lvl: int) -> str:
+    return f"""{out} AS (
+    SELECT CAST(floor((rn + 1) / 2.0) AS BIGINT) AS rn,
+           (MAX(CASE WHEN rn % 2 = 1 THEN v END)
+            + MAX(CASE WHEN rn % 2 = 0 THEN v END)) / 2.0 AS v,
+           (MAX(CASE WHEN rn % 2 = 1 THEN v END)
+            - MAX(CASE WHEN rn % 2 = 0 THEN v END)) / 2.0 AS d
+    FROM {prev} GROUP BY CAST(floor((rn + 1) / 2.0) AS BIGINT)
+),
+d{lvl} AS (
+    SELECT {lvl} AS level, CAST(COUNT(*) AS BIGINT) AS n_coeffs,
+           CAST(SUM(CAST(round(d * d, 6) AS DECIMAL(38,6))) AS DOUBLE) AS energy,
+           MAX(abs(d)) AS max_abs_coeff
+    FROM {out}
+)"""
+
+
+_HAAR_LEVELS_SQL = ",\n".join(
+    _haar_level_sql(f"s{i - 1}" if i > 1 else "s0", f"s{i}", i)
+    for i in range(1, HAAR_LEVELS + 1)
+)
+
+
+@query(
+    "haar_decompose_revenue",
+    oracle=f"""
+WITH {_HOLT_DAILY_SQL},
+s0 AS (
+    SELECT row_number() OVER (ORDER BY d) AS rn, x AS v
+    FROM daily QUALIFY row_number() OVER (ORDER BY d) <= {HAAR_N}
+),
+{_HAAR_LEVELS_SQL}
+SELECT level, n_coeffs, energy, max_abs_coeff
+FROM (SELECT * FROM d1 UNION ALL SELECT * FROM d2 UNION ALL SELECT * FROM d3
+      UNION ALL SELECT * FROM d4 UNION ALL SELECT * FROM d5)
+ORDER BY level
+""",
+)
+def q_haar_decompose_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Haar wavelet multiresolution decomposition of the first
+    {HAAR_N} days of revenue — the signal-processing answer to "at
+    what time scale does the variance live" (level 1 ≈ day-to-day
+    noise, level 3 ≈ weekly, level 5 ≈ monthly): {HAAR_LEVELS} levels
+    of pairwise (a+b)/2 averages carried forward and (a-b)/2 detail
+    coefficients, per level the coefficient count, energy (6-dp
+    decimal-quantized sum of squares) and the largest |coefficient|
+    (a localized shock detector). Every average and detail is ONE
+    add/sub plus an exact halving of bit-identical doubles, so the
+    whole pyramid replays exactly; each level is a hash agg over a
+    halving series — log2(n) rounds, series-bounded, scale-free wrt
+    fact rows."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(14,2)"))
+        .cast("decimal(14,2)")
+        .cast("double")
+        .alias("x")
+    )
+    s = (
+        daily.select(F.row_number().over(Window.orderBy("d")).alias("rn"), F.col("x").alias("v"))
+        .filter(F.col("rn") <= HAAR_N)
+    )
+    rows = []
+    for lvl in range(1, HAAR_LEVELS + 1):
+        pair = F.floor((F.col("rn") + 1) / F.lit(2.0)).cast("bigint")
+        o = F.max(F.when(F.col("rn") % 2 == 1, F.col("v")))
+        e = F.max(F.when(F.col("rn") % 2 == 0, F.col("v")))
+        nxt = s.groupBy(pair.alias("rn")).agg(
+            ((o + e) / F.lit(2.0)).alias("v"), ((o - e) / F.lit(2.0)).alias("d")
+        )
+        rows.append(
+            nxt.agg(
+                F.lit(lvl).alias("level"),
+                F.count(F.lit(1)).cast("bigint").alias("n_coeffs"),
+                F.sum(F.round(F.col("d") * F.col("d"), 6).cast("decimal(38,6)"))
+                .cast("double")
+                .alias("energy"),
+                F.max(F.abs(F.col("d"))).alias("max_abs_coeff"),
+            )
+        )
+        s = nxt.select("rn", "v")
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("level")
