@@ -853,3 +853,99 @@ def q_user_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+MARKOV_POWER_ITERS = 4
+
+
+def _stationary_iter_sql(prev: str, out: str) -> str:
+    return f"""{out} AS (
+    SELECT t.next_type AS state,
+           CAST(SUM(CAST(round(p.pi * t.p_next, 12) AS DECIMAL(28,12))) AS DOUBLE) AS pi
+    FROM {prev} p JOIN tm t ON t.prev_type = p.state
+    GROUP BY t.next_type
+)"""
+
+
+_STATIONARY_ITERS_SQL = ",\n".join(
+    _stationary_iter_sql(f"p{i - 1}", f"p{i}")
+    for i in range(1, MARKOV_POWER_ITERS + 1)
+)
+
+
+@query(
+    "markov_stationary_events",
+    oracle=f"""
+WITH seq AS (
+    SELECT user_id, event_type,
+           lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+    FROM events
+),
+t AS (
+    SELECT prev_type, event_type AS next_type, COUNT(*) AS n_transitions
+    FROM seq WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, event_type
+),
+tot AS (SELECT prev_type, SUM(n_transitions) AS row_total FROM t GROUP BY prev_type),
+tm AS (
+    SELECT t.prev_type, t.next_type,
+           CAST(t.n_transitions AS DOUBLE) / CAST(tot.row_total AS DOUBLE) AS p_next
+    FROM t JOIN tot ON t.prev_type = tot.prev_type
+),
+k AS (SELECT CAST(COUNT(DISTINCT prev_type) AS DOUBLE) AS k FROM tm),
+p0 AS (SELECT DISTINCT prev_type AS state, 1.0 / (SELECT k FROM k) AS pi FROM tm),
+{_STATIONARY_ITERS_SQL}
+SELECT state, pi FROM p{MARKOV_POWER_ITERS} ORDER BY state
+""",
+)
+def q_markov_stationary_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the event-type Markov chain — where
+    user behavior settles in the long run, the one-vector summary of
+    the transition matrix: {MARKOV_POWER_ITERS} power iterations
+    pi' = pi P from the uniform start, each mass term rounded to 12 dp
+    and summed as DECIMAL(28,12) (the PageRank determinism contract —
+    a k-term double sum has engine-dependent order, the decimal grid
+    does not). The chain itself comes from the same lag-window build
+    as event_transition_matrix; every iteration is a keyed join + hash
+    agg over the TYPE x TYPE matrix — constant-size work regardless of
+    data volume once the matrix is built."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.withColumn("prev_type", F.lag("event_type").over(w))
+    t = (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+    tot = t.groupBy("prev_type").agg(F.sum("n_transitions").alias("row_total"))
+    tm = t.join(F.broadcast(tot), "prev_type").select(
+        "prev_type",
+        "next_type",
+        (F.col("n_transitions").cast("double") / F.col("row_total").cast("double")).alias(
+            "p_next"
+        ),
+    )
+    tm = tm.cache()
+    k_row = tm.agg(F.countDistinct("prev_type").cast("double").alias("k"))
+    pi = (
+        tm.select(F.col("prev_type").alias("state"))
+        .distinct()
+        .crossJoin(F.broadcast(k_row))
+        .select("state", (F.lit(1.0) / F.col("k")).alias("pi"))
+    )
+    for _ in range(MARKOV_POWER_ITERS):
+        pi = (
+            pi.withColumnRenamed("state", "prev_type")
+            .join(tm, "prev_type")
+            .groupBy(F.col("next_type").alias("state"))
+            .agg(
+                F.sum(
+                    F.round(F.col("pi") * F.col("p_next"), 12).cast("decimal(28,12)")
+                )
+                .cast("double")
+                .alias("pi")
+            )
+        )
+    return pi.orderBy("state")

@@ -181,6 +181,7 @@ ROTATION: list[str] = [
     "auc_bootstrap_ci_orders",
     "proximity_search_docs",
     "haar_decompose_revenue",
+    "markov_stationary_events",
     # Round-7 late additions (sampled r7):
     "ppr_supplier_recommendations",
     "lpa_copurchase_communities",
