@@ -708,3 +708,91 @@ def q_auc_bootstrap_ci_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.max(F.when(F.col("rn") == AUC_BOOT_B - 1, F.col("a")))
         ).alias("ci_ordered"),
     )
+
+
+_GAINS_QS = "[0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]"
+
+
+@query(
+    "gains_curve_orders",
+    oracle=f"""
+WITH base AS (
+    SELECT CAST(o_totalprice AS DOUBLE) AS score,
+           CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END AS pos
+    FROM orders
+),
+ths AS (SELECT quantile_cont(score, {_GAINS_QS}) AS ths FROM base),
+dec AS (
+    SELECT pos,
+           CAST(len(list_filter(ths.ths, t -> score > t)) + 1 AS INTEGER) AS decile
+    FROM base, ths
+),
+g AS (
+    SELECT decile,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(pos) AS BIGINT) AS n_pos
+    FROM dec GROUP BY decile
+),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS tn, CAST(SUM(n_pos) AS BIGINT) AS tp FROM g)
+SELECT g.decile, g.n, g.n_pos,
+       CAST(g.n_pos AS DOUBLE) / CAST(g.n AS DOUBLE)
+         / (CAST(tot.tp AS DOUBLE) / CAST(tot.tn AS DOUBLE)) AS lift,
+       CAST(SUM(g.n_pos) OVER (ORDER BY g.decile DESC) AS DOUBLE)
+         / CAST(tot.tp AS DOUBLE) AS cum_capture
+FROM g, tot
+ORDER BY g.decile
+""",
+)
+def q_gains_curve_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative-gains / lift curve — the targeting readout AUC hides
+    ("mail the top 2 deciles, capture what share of responders?"): per
+    score decile, the positive rate's lift over base rate and the
+    cumulative capture working DOWN from the best decile. Deciles come
+    from broadcast percentile thresholds, NOT a global ntile sort (the
+    customer_spend_deciles pattern — embarrassingly parallel bucket
+    assignment); the cumulative window runs over 10 rows. Integer
+    counts, pinned division chains."""
+    base = load_table(spark, sf_dir, "orders").select(
+        F.col("o_totalprice").cast("double").alias("score"),
+        F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)
+        .otherwise(0)
+        .alias("pos"),
+    )
+    ths = base.agg(F.expr(f"percentile(score, array({_GAINS_QS[1:-1]}))").alias("ths"))
+    dec = base.crossJoin(F.broadcast(ths)).select(
+        "pos",
+        (
+            F.size(F.filter("ths", lambda t: F.col("score") > t)) + 1
+        )
+        .cast("int")
+        .alias("decile"),
+    )
+    g = dec.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("pos").cast("bigint").alias("n_pos"),
+    )
+    tot = g.agg(
+        F.sum("n").cast("bigint").alias("tn"), F.sum("n_pos").cast("bigint").alias("tp")
+    )
+    from pyspark.sql import Window
+
+    wcum = Window.orderBy(F.col("decile").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        g.crossJoin(F.broadcast(tot))
+        .select(
+            "decile",
+            "n",
+            "n_pos",
+            (
+                F.col("n_pos").cast("double")
+                / F.col("n").cast("double")
+                / (F.col("tp").cast("double") / F.col("tn").cast("double"))
+            ).alias("lift"),
+            (
+                F.sum("n_pos").over(wcum).cast("double") / F.col("tp").cast("double")
+            ).alias("cum_capture"),
+        )
+        .orderBy("decile")
+    )

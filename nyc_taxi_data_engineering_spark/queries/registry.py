@@ -182,6 +182,7 @@ ROTATION: list[str] = [
     "proximity_search_docs",
     "haar_decompose_revenue",
     "markov_stationary_events",
+    "gains_curve_orders",
     # Round-7 late additions (sampled r7):
     "ppr_supplier_recommendations",
     "lpa_copurchase_communities",
