@@ -183,6 +183,7 @@ ROTATION: list[str] = [
     "haar_decompose_revenue",
     "markov_stationary_events",
     "gains_curve_orders",
+    "feature_hashing_collisions",
     # Round-7 late additions (sampled r7):
     "ppr_supplier_recommendations",
     "lpa_copurchase_communities",

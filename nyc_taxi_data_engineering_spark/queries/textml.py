@@ -296,3 +296,71 @@ def q_zipf_fit_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         slope.alias("zipf_slope"),
         ((F.col("sy") - slope * F.col("sx")) / F.col("n")).alias("intercept"),
     )
+
+
+FEATHASH_BUCKETS = 4096
+
+
+@query(
+    "feature_hashing_collisions",
+    oracle=f"""
+WITH toks AS (
+    SELECT DISTINCT unnest({T.sql_tokens('text')}) AS tok FROM documents
+),
+h AS (
+    SELECT tok,
+           CAST(('0x' || substr(md5('feat' || '|' || tok), 1, 8))::BIGINT
+                % {FEATHASH_BUCKETS} AS INT) AS bucket
+    FROM toks
+),
+b AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_toks FROM h GROUP BY bucket)
+SELECT CAST(SUM(n_toks) AS BIGINT) AS n_distinct_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_buckets_occupied,
+       CAST({FEATHASH_BUCKETS} AS BIGINT) AS n_buckets,
+       1.0 - CAST(COUNT(*) AS DOUBLE) / CAST(SUM(n_toks) AS DOUBLE) AS collision_rate,
+       CAST(MAX(n_toks) AS BIGINT) AS max_bucket_tokens,
+       CAST(SUM(CASE WHEN n_toks > 1 THEN n_toks ELSE 0 END) AS BIGINT)
+         AS tokens_sharing_buckets
+FROM b
+""",
+)
+def q_feature_hashing_collisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick collision audit for the {FEATHASH_BUCKETS}-bucket
+    feature space the hashed-feature models (Naive Bayes, DSIR, the
+    linear probe) project into: how much of the vocabulary actually
+    collides, the worst bucket's load, and the collision rate
+    1 - occupied/distinct — the number that says whether a hashed
+    model's errors are capacity or collisions. Deterministic md5
+    bucketing (the sampling-family transport), one distinct + two hash
+    aggs, one terminal division."""
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok"))
+        .distinct()
+    )
+    h = toks.select(
+        (
+            F.conv(
+                F.substring(F.md5(F.concat_ws("|", F.lit("feat"), F.col("tok"))), 1, 8),
+                16,
+                10,
+            ).cast("long")
+            % FEATHASH_BUCKETS
+        )
+        .cast("int")
+        .alias("bucket")
+    )
+    b = h.groupBy("bucket").agg(F.count(F.lit(1)).cast("bigint").alias("n_toks"))
+    return b.agg(
+        F.sum("n_toks").cast("bigint").alias("n_distinct_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets_occupied"),
+        F.lit(FEATHASH_BUCKETS).cast("bigint").alias("n_buckets"),
+        (
+            F.lit(1.0)
+            - F.count(F.lit(1)).cast("double") / F.sum("n_toks").cast("double")
+        ).alias("collision_rate"),
+        F.max("n_toks").cast("bigint").alias("max_bucket_tokens"),
+        F.sum(F.when(F.col("n_toks") > 1, F.col("n_toks")).otherwise(0))
+        .cast("bigint")
+        .alias("tokens_sharing_buckets"),
+    )
