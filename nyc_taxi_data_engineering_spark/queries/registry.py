@@ -184,6 +184,7 @@ ROTATION: list[str] = [
     "markov_stationary_events",
     "gains_curve_orders",
     "feature_hashing_collisions",
+    "runs_test_revenue",
     # Round-7 late additions (sampled r7):
     "ppr_supplier_recommendations",
     "lpa_copurchase_communities",

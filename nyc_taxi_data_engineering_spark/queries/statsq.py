@@ -1920,3 +1920,99 @@ def q_ope_replay_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(2.0) * F.col("sum_r_matched") / nu).alias("v_ips"),
         (F.col("sum_r_matched") / F.col("n_matched").cast("double")).alias("v_snips"),
     )
+
+
+@query(
+    "runs_test_revenue",
+    oracle="""
+WITH daily AS (
+    SELECT o_orderdate AS d,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DECIMAL(14,2)) AS DOUBLE) AS x
+    FROM orders GROUP BY o_orderdate
+),
+chg AS (
+    SELECT d, CASE WHEN x > lag(x) OVER (ORDER BY d) THEN 1 ELSE 0 END AS up,
+           lag(x) OVER (ORDER BY d) AS prev
+    FROM daily
+),
+s AS (
+    SELECT up,
+           CASE WHEN lag(up) OVER (ORDER BY d) IS NULL
+                  OR up <> lag(up) OVER (ORDER BY d) THEN 1 ELSE 0 END AS new_run
+    FROM chg WHERE prev IS NOT NULL
+),
+agg AS (
+    SELECT CAST(SUM(new_run) AS BIGINT) AS runs,
+           CAST(SUM(up) AS BIGINT) AS n_up,
+           CAST(SUM(1 - up) AS BIGINT) AS n_down,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM s
+)
+SELECT n, n_up, n_down, runs,
+       1.0 + 2.0 * CAST(n_up AS DOUBLE) * CAST(n_down AS DOUBLE) / CAST(n AS DOUBLE)
+         AS expected_runs,
+       (CAST(runs AS DOUBLE)
+         - (1.0 + 2.0 * CAST(n_up AS DOUBLE) * CAST(n_down AS DOUBLE) / CAST(n AS DOUBLE)))
+       / sqrt(2.0 * CAST(n_up AS DOUBLE) * CAST(n_down AS DOUBLE)
+              * (2.0 * CAST(n_up AS DOUBLE) * CAST(n_down AS DOUBLE) - CAST(n AS DOUBLE))
+              / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))
+         AS z_stat
+FROM agg
+""",
+)
+def q_runs_test_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald–Wolfowitz runs test on the SIGNS of day-over-day revenue
+    changes — the randomness check behind residual diagnostics (too
+    few runs: momentum/trend the forecaster missed; too many:
+    oscillation/overdifferencing): runs counted by the gaps-and-islands
+    sign-change trick, expectation 1 + 2*n1*n2/n and its variance from
+    pure integers, one terminal z chain with an IEEE-exact sqrt.
+    Day-series-bounded, scale-free wrt fact rows."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(14,2)"))
+        .cast("decimal(14,2)")
+        .cast("double")
+        .alias("x")
+    )
+    w = Window.orderBy("d")
+    chg = daily.select(
+        "d",
+        F.when(F.col("x") > F.lag("x").over(w), 1).otherwise(0).alias("up"),
+        F.lag("x").over(w).alias("prev"),
+    ).filter(F.col("prev").isNotNull())
+    s = chg.select(
+        "up",
+        F.when(
+            F.lag("up").over(w).isNull() | (F.col("up") != F.lag("up").over(w)), 1
+        )
+        .otherwise(0)
+        .alias("new_run"),
+    )
+    agg = s.agg(
+        F.sum("new_run").cast("bigint").alias("runs"),
+        F.sum("up").cast("bigint").alias("n_up"),
+        F.sum(F.lit(1) - F.col("up")).cast("bigint").alias("n_down"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    nu, nd, n = (
+        F.col("n_up").cast("double"),
+        F.col("n_down").cast("double"),
+        F.col("n").cast("double"),
+    )
+    exp_r = F.lit(1.0) + F.lit(2.0) * nu * nd / n
+    var = (
+        F.lit(2.0)
+        * nu
+        * nd
+        * (F.lit(2.0) * nu * nd - n)
+        / (n * n * (n - F.lit(1.0)))
+    )
+    return agg.select(
+        "n",
+        "n_up",
+        "n_down",
+        "runs",
+        exp_r.alias("expected_runs"),
+        ((F.col("runs").cast("double") - exp_r) / F.sqrt(var)).alias("z_stat"),
+    )
