@@ -949,3 +949,97 @@ def q_markov_stationary_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return pi.orderBy("state")
+
+
+PATHDIST_USERS = 12  # most-active users, deterministic tiebreak
+PATHDIST_CAP = 100  # first events per user
+
+
+@query(
+    "path_edit_distance_pairs",
+    oracle=f"""
+WITH ranked AS (
+    SELECT user_id, COUNT(*) AS n_events
+    FROM events GROUP BY user_id
+    ORDER BY n_events DESC, user_id LIMIT {PATHDIST_USERS}
+),
+paths AS (
+    SELECT e.user_id,
+           array_to_string((list(substr(e.event_type, 1, 1)
+                                 ORDER BY e.ts, e.event_id))[1:{PATHDIST_CAP}], '') AS path
+    FROM events e JOIN ranked r ON r.user_id = e.user_id
+    GROUP BY e.user_id
+)
+SELECT a.user_id AS user_a, b.user_id AS user_b,
+       CAST(length(a.path) AS BIGINT) AS len_a,
+       CAST(length(b.path) AS BIGINT) AS len_b,
+       CAST(levenshtein(a.path, b.path) AS BIGINT) AS edit_distance,
+       1.0 - CAST(levenshtein(a.path, b.path) AS DOUBLE)
+             / CAST(GREATEST(length(a.path), length(b.path)) AS DOUBLE) AS similarity
+FROM paths a JOIN paths b ON a.user_id < b.user_id
+ORDER BY user_a, user_b
+""",
+)
+def q_path_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral-path similarity by EDIT DISTANCE — do two users walk
+    the product the same way, including order (the question co-visit
+    counts and Markov matrices can't answer): each of the
+    {PATHDIST_USERS} most-active users becomes a type-initial string
+    (first {PATHDIST_CAP} events, deterministic (ts, event_id) order),
+    then native levenshtein over all pairs — an exact integer in both
+    engines, normalized to a similarity by the longer path. The
+    pairwise stage is top-K-bounded by design (K²/2 pairs of
+    length-capped strings — the O(len²) DP cost is the reason
+    production pipelines never edit-distance a full corpus; the dedup
+    family's shingle/MinHash operators are the scale path)."""
+    ev = load_table(spark, sf_dir, "events")
+    ranked = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy(F.col("n_events").desc(), "user_id")
+        .limit(PATHDIST_USERS)
+        .select("user_id")
+    )
+    paths = (
+        ev.join(F.broadcast(ranked), "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.slice(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct(
+                                    "ts",
+                                    "event_id",
+                                    F.substring("event_type", 1, 1).alias("c"),
+                                )
+                            )
+                        ),
+                        lambda x: x["c"],
+                    ),
+                    1,
+                    PATHDIST_CAP,
+                ),
+                "",
+            ).alias("path")
+        )
+    )
+    a = paths.select(F.col("user_id").alias("user_a"), F.col("path").alias("pa"))
+    b = paths.select(F.col("user_id").alias("user_b"), F.col("path").alias("pb"))
+    dist = F.levenshtein("pa", "pb").cast("bigint")
+    sim = F.lit(1.0) - dist.cast("double") / F.greatest(
+        F.length("pa"), F.length("pb")
+    ).cast("double")
+    return (
+        a.join(b, F.col("user_a") < F.col("user_b"))
+        .select(
+            "user_a",
+            "user_b",
+            F.length("pa").cast("bigint").alias("len_a"),
+            F.length("pb").cast("bigint").alias("len_b"),
+            dist.alias("edit_distance"),
+            sim.alias("similarity"),
+        )
+        .orderBy("user_a", "user_b")
+    )

@@ -185,6 +185,7 @@ ROTATION: list[str] = [
     "gains_curve_orders",
     "feature_hashing_collisions",
     "runs_test_revenue",
+    "path_edit_distance_pairs",
     # Round-7 late additions (sampled r7):
     "ppr_supplier_recommendations",
     "lpa_copurchase_communities",
