@@ -186,6 +186,7 @@ ROTATION: list[str] = [
     "feature_hashing_collisions",
     "runs_test_revenue",
     "path_edit_distance_pairs",
+    "cramers_v_orders",
     # Round-7 late additions (sampled r7):
     "ppr_supplier_recommendations",
     "lpa_copurchase_communities",

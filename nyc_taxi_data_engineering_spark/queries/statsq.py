@@ -2016,3 +2016,86 @@ def q_runs_test_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         exp_r.alias("expected_runs"),
         ((F.col("runs").cast("double") - exp_r) / F.sqrt(var)).alias("z_stat"),
     )
+
+
+@query(
+    "cramers_v_orders",
+    oracle="""
+WITH cells AS (
+    SELECT o_orderpriority AS r, o_orderstatus AS c, CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders GROUP BY o_orderpriority, o_orderstatus
+),
+marg AS (
+    SELECT r, c, n,
+           CAST(SUM(n) OVER (PARTITION BY r) AS BIGINT) AS nr,
+           CAST(SUM(n) OVER (PARTITION BY c) AS BIGINT) AS nc,
+           CAST(SUM(n) OVER () AS BIGINT) AS nn
+    FROM cells
+),
+contrib AS (
+    SELECT nn,
+           round((CAST(n AS DOUBLE) - CAST(nr AS DOUBLE) * CAST(nc AS DOUBLE) / CAST(nn AS DOUBLE))
+                 * (CAST(n AS DOUBLE) - CAST(nr AS DOUBLE) * CAST(nc AS DOUBLE) / CAST(nn AS DOUBLE))
+                 / (CAST(nr AS DOUBLE) * CAST(nc AS DOUBLE) / CAST(nn AS DOUBLE)), 6) AS chi,
+           CAST(COUNT(DISTINCT r) OVER () AS BIGINT) AS nrows,
+           CAST(COUNT(DISTINCT c) OVER () AS BIGINT) AS ncols
+    FROM marg
+)
+SELECT CAST(MAX(nn) AS BIGINT) AS n,
+       MAX(nrows) AS n_rows, MAX(ncols) AS n_cols,
+       CAST(SUM(CAST(chi AS DECIMAL(38,6))) AS DOUBLE) AS chi2,
+       sqrt(CAST(SUM(CAST(chi AS DECIMAL(38,6))) AS DOUBLE)
+            / (CAST(MAX(nn) AS DOUBLE)
+               * CAST(LEAST(MAX(nrows), MAX(ncols)) - 1 AS DOUBLE))) AS cramers_v
+FROM contrib
+""",
+)
+def q_cramers_v_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V between order priority and order status — the
+    normalized EFFECT SIZE the chi-square statistic itself isn't (chi2
+    grows with n; V in [0,1] is comparable across datasets): per-cell
+    (o-e)²/e contributions on pinned double chains, quantized to 6 dp
+    and summed as DECIMAL so the 15-cell sum is order-independent,
+    then V = sqrt(chi2 / (n * (min(r,c)-1))) with an IEEE-exact sqrt.
+    One contingency hash agg; marginals from windows over the tiny
+    cell table."""
+    cells = load_table(spark, sf_dir, "orders").groupBy(
+        F.col("o_orderpriority").alias("r"), F.col("o_orderstatus").alias("c")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    wr = Window.partitionBy("r")
+    wc = Window.partitionBy("c")
+    wa = Window.orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    marg = cells.select(
+        "r",
+        "c",
+        "n",
+        F.sum("n").over(wr).cast("bigint").alias("nr"),
+        F.sum("n").over(wc).cast("bigint").alias("nc"),
+        F.sum("n").over(wa).cast("bigint").alias("nn"),
+    )
+    e = F.col("nr").cast("double") * F.col("nc").cast("double") / F.col("nn").cast(
+        "double"
+    )
+    chi = F.round((F.col("n").cast("double") - e) * (F.col("n").cast("double") - e) / e, 6)
+    contrib = marg.select(
+        "nn",
+        chi.alias("chi"),
+        F.size(F.collect_set("r").over(wa)).cast("bigint").alias("nrows"),
+        F.size(F.collect_set("c").over(wa)).cast("bigint").alias("ncols"),
+    )
+    chi2 = F.sum(F.col("chi").cast("decimal(38,6)")).cast("double")
+    return contrib.agg(
+        F.max("nn").cast("bigint").alias("n"),
+        F.max("nrows").alias("n_rows"),
+        F.max("ncols").alias("n_cols"),
+        chi2.alias("chi2"),
+        F.sqrt(
+            chi2
+            / (
+                F.max("nn").cast("double")
+                * (F.least(F.max("nrows"), F.max("ncols")) - 1).cast("double")
+            )
+        ).alias("cramers_v"),
+    )
