@@ -187,6 +187,7 @@ ROTATION: list[str] = [
     "runs_test_revenue",
     "path_edit_distance_pairs",
     "cramers_v_orders",
+    "bh_fdr_events",
     # Round-7 late additions (sampled r7):
     "ppr_supplier_recommendations",
     "lpa_copurchase_communities",

@@ -2099,3 +2099,133 @@ def q_cramers_v_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("cramers_v"),
     )
+
+
+# Phi^{-1}(1 - (i/5 * 0.05)/2) for i = 1..5, precomputed in pure Python
+# (math.erf bisection, 200 halvings) — the Benford expected-frequency
+# pattern: no libm inverse-normal at QUERY time in either engine.
+BH_Z_THRESHOLDS = {1: 2.575829, 2: 2.326348, 3: 2.17009, 4: 2.053749, 5: 1.959964}
+_BH_THR_VALUES = ", ".join(f"({i}, {z})" for i, z in BH_Z_THRESHOLDS.items())
+
+
+@query(
+    "bh_fdr_events",
+    oracle=f"""
+WITH s AS (
+    SELECT event_type, CAST(value AS DOUBLE) AS v,
+           CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END AS arm
+    FROM events
+),
+r AS (
+    SELECT event_type, arm,
+           rank() OVER (PARTITION BY event_type ORDER BY v) AS lo,
+           CAST(COUNT(*) OVER (PARTITION BY event_type, v) AS BIGINT) AS t
+    FROM s
+),
+g AS (
+    SELECT event_type,
+           CAST(SUM(CASE WHEN arm = 1 THEN 2 * lo + t - 1 ELSE 0 END) AS BIGINT) AS two_r1,
+           CAST(SUM(arm) AS BIGINT) AS n1,
+           CAST(SUM(1 - arm) AS BIGINT) AS n2
+    FROM r GROUP BY event_type
+),
+z AS (
+    SELECT event_type,
+           abs((CAST(two_r1 AS DOUBLE) / 2.0 - CAST(n1 * (n1 + 1) AS DOUBLE) / 2.0
+                - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 2.0)
+               / sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                      * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) + 1.0) / 12.0)) AS abs_z
+    FROM g
+),
+rk AS (
+    SELECT event_type, abs_z,
+           CAST(row_number() OVER (ORDER BY abs_z DESC, event_type) AS BIGINT) AS rnk
+    FROM z
+),
+thr(rnk, z_thr) AS (VALUES {_BH_THR_VALUES}),
+j AS (
+    SELECT rk.event_type, rk.abs_z, rk.rnk, thr.z_thr,
+           CASE WHEN rk.abs_z >= thr.z_thr THEN 1 ELSE 0 END AS passed
+    FROM rk JOIN thr ON thr.rnk = rk.rnk
+),
+k AS (SELECT MAX(CASE WHEN passed = 1 THEN rnk END) AS k FROM j)
+SELECT j.event_type, j.abs_z, j.rnk AS bh_rank, j.z_thr,
+       CASE WHEN j.rnk <= COALESCE(k.k, 0) THEN 1 ELSE 0 END AS rejected
+FROM j, k
+ORDER BY j.rnk
+""",
+)
+def q_bh_fdr_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg FDR control over a FAMILY of tests — the
+    multiple-testing correction every metrics platform needs once it
+    runs one test per segment: a Mann-Whitney z per event type (the
+    2x-midrank integer transport, ranks within type), |z| ranked
+    descending, each rank compared to its precomputed
+    Phi-inverse((1 - i/m*alpha/2)) threshold (pure-Python erf-bisection
+    constants — no inverse-normal libm call at query time in EITHER
+    engine), and the BH step-up rule rejects every rank up to the
+    LARGEST passing one — including weaker tests dragged across by a
+    stronger one, the part naive per-test thresholds get wrong.
+    Per-type rank sorts partition-parallel; the family table is
+    type-bounded."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.col("value").cast("double").alias("v"),
+        F.when(F.col("user_id") % 2 == 1, 1).otherwise(0).alias("arm"),
+    )
+    r = ev.select(
+        "event_type",
+        "arm",
+        F.rank().over(Window.partitionBy("event_type").orderBy("v")).alias("lo"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("event_type", "v"))
+        .cast("bigint")
+        .alias("t"),
+    )
+    g = r.groupBy("event_type").agg(
+        F.sum(F.when(F.col("arm") == 1, 2 * F.col("lo") + F.col("t") - 1).otherwise(0))
+        .cast("bigint")
+        .alias("two_r1"),
+        F.sum("arm").cast("bigint").alias("n1"),
+        F.sum(F.lit(1) - F.col("arm")).cast("bigint").alias("n2"),
+    )
+    n1d, n2d = F.col("n1").cast("double"), F.col("n2").cast("double")
+    u1 = F.col("two_r1").cast("double") / F.lit(2.0) - (
+        F.col("n1") * (F.col("n1") + 1)
+    ).cast("double") / F.lit(2.0)
+    z = F.abs(
+        (u1 - n1d * n2d / F.lit(2.0))
+        / F.sqrt(n1d * n2d * (n1d + n2d + F.lit(1.0)) / F.lit(12.0))
+    )
+    rk = g.select("event_type", z.alias("abs_z")).select(
+        "event_type",
+        "abs_z",
+        F.row_number()
+        .over(Window.orderBy(F.col("abs_z").desc(), "event_type"))
+        .cast("bigint")
+        .alias("rnk"),
+    )
+    spark_thr = ev.sparkSession.createDataFrame(
+        [(i, zt) for i, zt in BH_Z_THRESHOLDS.items()], "rnk bigint, z_thr double"
+    )
+    j = rk.join(F.broadcast(spark_thr), "rnk").select(
+        "event_type",
+        "abs_z",
+        "rnk",
+        "z_thr",
+        F.when(F.col("abs_z") >= F.col("z_thr"), 1).otherwise(0).alias("passed"),
+    )
+    k = j.agg(F.max(F.when(F.col("passed") == 1, F.col("rnk"))).alias("k"))
+    return (
+        j.crossJoin(F.broadcast(k))
+        .select(
+            "event_type",
+            "abs_z",
+            F.col("rnk").alias("bh_rank"),
+            "z_thr",
+            F.when(F.col("rnk") <= F.coalesce(F.col("k"), F.lit(0)), 1)
+            .otherwise(0)
+            .alias("rejected"),
+        )
+        .orderBy("bh_rank")
+    )
