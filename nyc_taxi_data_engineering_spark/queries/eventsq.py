@@ -859,11 +859,23 @@ MARKOV_POWER_ITERS = 4
 
 
 def _stationary_iter_sql(prev: str, out: str) -> str:
-    return f"""{out} AS (
+    # Renormalize after every multiply: a state that appears as next_type
+    # but never as prev_type (dangling/absorbing) sheds its mass on the
+    # following iteration's join with tm — dividing by the surviving total
+    # keeps pi a probability distribution regardless. On a fully-connected
+    # chain the divisor is exactly 1 on the decimal grid (mass conserved),
+    # so this is a no-op there.
+    return f"""{out}_raw AS (
     SELECT t.next_type AS state,
-           CAST(SUM(CAST(round(p.pi * t.p_next, 12) AS DECIMAL(28,12))) AS DOUBLE) AS pi
+           SUM(CAST(round(p.pi * t.p_next, 12) AS DECIMAL(28,12))) AS pi_dec
     FROM {prev} p JOIN tm t ON t.prev_type = p.state
     GROUP BY t.next_type
+),
+{out} AS (
+    SELECT state,
+           CAST(pi_dec AS DOUBLE)
+           / CAST((SELECT SUM(pi_dec) FROM {out}_raw) AS DOUBLE) AS pi
+    FROM {out}_raw
 )"""
 
 
@@ -905,7 +917,10 @@ def q_markov_stationary_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     pi' = pi P from the uniform start, each mass term rounded to 12 dp
     and summed as DECIMAL(28,12) (the PageRank determinism contract —
     a k-term double sum has engine-dependent order, the decimal grid
-    does not). The chain itself comes from the same lag-window build
+    does not), then renormalized so dangling states (observed only as
+    next_type, never as prev_type) cannot silently drain probability
+    mass — on a fully-connected chain the renormalization divides by
+    exactly 1. The chain itself comes from the same lag-window build
     as event_transition_matrix; every iteration is a keyed join + hash
     agg over the TYPE x TYPE matrix — constant-size work regardless of
     data volume once the matrix is built."""
@@ -936,17 +951,26 @@ def q_markov_stationary_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("state", (F.lit(1.0) / F.col("k")).alias("pi"))
     )
     for _ in range(MARKOV_POWER_ITERS):
-        pi = (
+        # Renormalize each iteration: dangling states (next_type-only)
+        # shed mass on the join with tm; dividing by the surviving total
+        # keeps pi summing to 1 in both engines. Exact no-op (divisor 1
+        # on the decimal grid) when the chain is fully connected.
+        raw = (
             pi.withColumnRenamed("state", "prev_type")
             .join(tm, "prev_type")
             .groupBy(F.col("next_type").alias("state"))
             .agg(
                 F.sum(
                     F.round(F.col("pi") * F.col("p_next"), 12).cast("decimal(28,12)")
-                )
-                .cast("double")
-                .alias("pi")
+                ).alias("pi_dec")
             )
+        )
+        total = raw.agg(F.sum("pi_dec").alias("pi_total"))
+        pi = raw.crossJoin(F.broadcast(total)).select(
+            "state",
+            (F.col("pi_dec").cast("double") / F.col("pi_total").cast("double")).alias(
+                "pi"
+            ),
         )
     return pi.orderBy("state")
 

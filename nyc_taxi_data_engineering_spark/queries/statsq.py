@@ -15,6 +15,8 @@ membership (operators/sampling.hash_bucket) — RNG-free, so the
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -2101,11 +2103,36 @@ def q_cramers_v_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Phi^{-1}(1 - (i/5 * 0.05)/2) for i = 1..5, precomputed in pure Python
-# (math.erf bisection, 200 halvings) — the Benford expected-frequency
-# pattern: no libm inverse-normal at QUERY time in either engine.
-BH_Z_THRESHOLDS = {1: 2.575829, 2: 2.326348, 3: 2.17009, 4: 2.053749, 5: 1.959964}
-_BH_THR_VALUES = ", ".join(f"({i}, {z})" for i, z in BH_Z_THRESHOLDS.items())
+# BH step-up thresholds Phi^{-1}(1 - (i/m * alpha)/2) for EVERY family
+# size m = 1.._BH_MAX_FAMILY and rank i = 1..m, precomputed at import in
+# pure Python (math.erf bisection, 200 halvings) — no libm inverse-normal
+# at QUERY time in either engine. The table is keyed (m, rank) and joined
+# on the OBSERVED family size, so the FDR guarantee holds for any segment
+# count up to _BH_MAX_FAMILY; a larger family hits a null threshold on the
+# LEFT join and raises loudly in BOTH engines instead of silently dropping
+# tests (an inner join against a fixed m=5 table used to do exactly that).
+_BH_ALPHA = 0.05
+_BH_MAX_FAMILY = 20
+
+
+def _phi_inv_upper(p: float) -> float:
+    """z with P(Z > z) = p under the standard normal, by erf bisection."""
+    lo, hi = 0.0, 40.0
+    for _ in range(200):
+        mid = (lo + hi) / 2.0
+        if 0.5 * (1.0 + math.erf(mid / math.sqrt(2.0))) < 1.0 - p:
+            lo = mid
+        else:
+            hi = mid
+    return round((lo + hi) / 2.0, 6)
+
+
+BH_Z_THRESHOLDS: dict[tuple[int, int], float] = {
+    (m, i): _phi_inv_upper(i / m * _BH_ALPHA / 2.0)
+    for m in range(1, _BH_MAX_FAMILY + 1)
+    for i in range(1, m + 1)
+}
+_BH_THR_VALUES = ", ".join(f"({m}, {i}, {z!r})" for (m, i), z in BH_Z_THRESHOLDS.items())
 
 
 @query(
@@ -2142,11 +2169,15 @@ rk AS (
            CAST(row_number() OVER (ORDER BY abs_z DESC, event_type) AS BIGINT) AS rnk
     FROM z
 ),
-thr(rnk, z_thr) AS (VALUES {_BH_THR_VALUES}),
+mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM z),
+thr(m, rnk, z_thr) AS (VALUES {_BH_THR_VALUES}),
 j AS (
-    SELECT rk.event_type, rk.abs_z, rk.rnk, thr.z_thr,
+    SELECT rk.event_type, rk.abs_z, rk.rnk,
+           CASE WHEN thr.z_thr IS NULL
+                THEN CAST(error('bh_fdr_events: family size exceeds precomputed thresholds') AS DOUBLE)
+                ELSE thr.z_thr END AS z_thr,
            CASE WHEN rk.abs_z >= thr.z_thr THEN 1 ELSE 0 END AS passed
-    FROM rk JOIN thr ON thr.rnk = rk.rnk
+    FROM rk CROSS JOIN mm LEFT JOIN thr ON thr.m = mm.m AND thr.rnk = rk.rnk
 ),
 k AS (SELECT MAX(CASE WHEN passed = 1 THEN rnk END) AS k FROM j)
 SELECT j.event_type, j.abs_z, j.rnk AS bh_rank, j.z_thr,
@@ -2163,7 +2194,10 @@ def q_bh_fdr_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     descending, each rank compared to its precomputed
     Phi-inverse((1 - i/m*alpha/2)) threshold (pure-Python erf-bisection
     constants — no inverse-normal libm call at query time in EITHER
-    engine), and the BH step-up rule rejects every rank up to the
+    engine; the threshold table is keyed by (family size, rank) and
+    joined on the OBSERVED family size, raising loudly past
+    _BH_MAX_FAMILY rather than silently dropping or mis-thresholding
+    tests), and the BH step-up rule rejects every rank up to the
     LARGEST passing one — including weaker tests dragged across by a
     stronger one, the part naive per-test thresholds get wrong.
     Per-type rank sorts partition-parallel; the family table is
@@ -2206,14 +2240,27 @@ def q_bh_fdr_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("rnk"),
     )
     spark_thr = ev.sparkSession.createDataFrame(
-        [(i, zt) for i, zt in BH_Z_THRESHOLDS.items()], "rnk bigint, z_thr double"
+        [(m, i, zt) for (m, i), zt in BH_Z_THRESHOLDS.items()],
+        "m bigint, rnk bigint, z_thr double",
     )
-    j = rk.join(F.broadcast(spark_thr), "rnk").select(
-        "event_type",
-        "abs_z",
-        "rnk",
-        "z_thr",
-        F.when(F.col("abs_z") >= F.col("z_thr"), 1).otherwise(0).alias("passed"),
+    mm = rk.agg(F.max("rnk").alias("m"))
+    j = (
+        rk.crossJoin(F.broadcast(mm))
+        .join(F.broadcast(spark_thr), ["m", "rnk"], "left")
+        .select(
+            "event_type",
+            "abs_z",
+            "rnk",
+            F.when(
+                F.col("z_thr").isNull(),
+                F.raise_error(
+                    F.lit("bh_fdr_events: family size exceeds precomputed thresholds")
+                ).cast("double"),
+            )
+            .otherwise(F.col("z_thr"))
+            .alias("z_thr"),
+            F.when(F.col("abs_z") >= F.col("z_thr"), 1).otherwise(0).alias("passed"),
+        )
     )
     k = j.agg(F.max(F.when(F.col("passed") == 1, F.col("rnk"))).alias("k"))
     return (

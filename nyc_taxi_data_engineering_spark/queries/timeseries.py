@@ -1143,7 +1143,7 @@ rec AS (
 last AS (SELECT l_suppkey, MAX(rn) AS n FROM s GROUP BY l_suppkey)
 SELECT r.l_suppkey, r.rn::INT AS n_days,
        r.l AS final_level, r.b AS final_trend,
-       r.es / CAST(r.rn - 1 AS DOUBLE) AS mae,
+       CASE WHEN r.rn > 1 THEN r.es / CAST(r.rn - 1 AS DOUBLE) END AS mae,
        r.l + 7.0 * r.b AS forecast_7
 FROM rec r JOIN last t ON t.l_suppkey = r.l_suppkey AND t.n = r.rn
 ORDER BY r.l_suppkey
@@ -1194,7 +1194,12 @@ def q_holt_per_supplier_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("s").cast("int").alias("n_days"),
         folded["l"].alias("final_level"),
         folded["b"].alias("final_trend"),
-        (folded["es"] / (F.size("s") - 1).cast("double")).alias("mae"),
+        # Pinned NULL for a single-observation supplier: Spark's 0/0
+        # division yields NULL while DuckDB's float 0/0 varies by
+        # version, so guard identically in both engines.
+        F.when(
+            F.size("s") > 1, folded["es"] / (F.size("s") - 1).cast("double")
+        ).alias("mae"),
         (folded["l"] + F.lit(7.0) * folded["b"]).alias("forecast_7"),
     ).orderBy("l_suppkey")
 

@@ -1490,22 +1490,11 @@ def q_delta_history_audit_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     D.compact_delta(spark, tbl, target_files=2)  # v3
     hist = D.delta_log_history(tbl)
 
-    def changed(v: int) -> int:
-        acts = D._read_commit(tbl, v)
-        return int(
-            any(
-                a[k].get("dataChange", True)
-                for a in acts
-                for k in ("add", "remove")
-                if k in a
-            )
-        )
-
     rows = [
         Row(
             version=int(h["version"]),
             operation=str(h.get("operation", "")),
-            data_change=changed(int(h["version"])),
+            data_change=int(D.commit_data_change(tbl, int(h["version"]))),
         )
         for h in hist
     ]

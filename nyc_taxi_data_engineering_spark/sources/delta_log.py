@@ -612,6 +612,29 @@ def delta_log_history(table_path: str) -> list[dict]:
     return out
 
 
+def commit_actions(table_path: str, version: int) -> list[dict]:
+    """Public read of one commit's raw action list (add/remove/
+    commitInfo/metaData/... dicts, one per log line). The stable
+    surface for audit queries that need per-commit detail beyond
+    ``delta_log_history`` — callers must not reach into the private
+    ``_read_commit``/``_replay_state`` internals."""
+    return _read_commit(table_path, version)
+
+
+def commit_data_change(table_path: str, version: int) -> bool:
+    """Whether a commit actually changed table DATA: true iff any of
+    its add/remove actions carries ``dataChange`` true (the protocol
+    default when absent). Distinguishes rearrangement-only commits
+    (OPTIMIZE/compaction, dataChange:false) from real writes — the bit
+    change-feed consumers key off."""
+    return any(
+        a[k].get("dataChange", True)
+        for a in _read_commit(table_path, version)
+        for k in ("add", "remove")
+        if k in a
+    )
+
+
 def _json_stat(v):
     """JSON-encode one parquet min/max statistic; None for types the
     stats schema doesn't carry (bytes, nested)."""
