@@ -41,7 +41,13 @@ ROTATION: list[str] = [
     # Round-9 window: ALL 96 never-driver-sampled queries lead. The driver
     # samples the first ~50 each round, so round 9 consumes the first 50 and
     # round 10 the remaining 46 — finishing the sweep to 319/319 driver-green.
-    # New round-9 queries are inserted AFTER these 96 (sampled round 10+).
+    # New round-9 queries are inserted AFTER these 96 (sampled round 10+),
+    # EXCEPT the three partsupp-surrogate TPC-H closers, which lead so the
+    # judge's round-9 done-criterion (Q2/Q11/Q20 green in CORRECTNESS_r09)
+    # is driver-checked this round; 47 of the 96 follow inside the window.
+    "tpch_min_cost_supplier",
+    "tpch_important_stock",
+    "tpch_excess_stock",
     "events_cusum_changepoint",
     "daily_revenue_forecast_eval",
     "events_dau_wau_stickiness",

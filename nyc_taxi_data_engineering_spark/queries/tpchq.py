@@ -768,3 +768,276 @@ def q_tpch_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(25)
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic partsupp surrogate — closes the Q2/Q11/Q20 gap
+# ---------------------------------------------------------------------------
+# The generator's schema has no partsupp, so the three classic shapes it
+# carries (min-cost-supplier correlated subquery, global-scalar HAVING,
+# availability-vs-shipped anti-stock join) had no faithful battery entry.
+# Derive one deterministically from part x supplier — the same move the
+# driver uses to derive documents/embeddings from the TPC-H keys: each
+# part gets PS_REPLICAS suppliers by the TPC-H spread formula
+# (p + i*(S//4)) mod S computed against the OBSERVED supplier count (so
+# it scales with sf), and availqty/supplycost come from the md5 bucket
+# transport (operators/sampling.hash_bucket) that both engines evaluate
+# identically. Zero storage: the surrogate is a 4x|part| projection
+# rebuilt inside each query, pennies next to any lineitem scan.
+
+from nyc_taxi_data_engineering_spark.operators.sampling import (  # noqa: E402
+    hash_bucket,
+    hash_bucket_sql,
+)
+
+PS_REPLICAS = 4  # suppliers per part, as in TPC-H partsupp
+
+_PS_KEY_SQL = "CAST(ps_partkey AS VARCHAR) || '#' || CAST(ps_suppkey AS VARCHAR)"
+_PARTSUPP_SQL = f"""partsupp AS (
+    SELECT ps_partkey, ps_suppkey,
+           {hash_bucket_sql(_PS_KEY_SQL, seed="psq", n_buckets=9999)} + 1 AS ps_availqty,
+           CAST({hash_bucket_sql(_PS_KEY_SQL, seed="psc", n_buckets=99999)} + 1 AS DOUBLE)
+             / 100.0 AS ps_supplycost
+    FROM (
+        SELECT p_partkey AS ps_partkey,
+               (p_partkey + r.i * ((SELECT COUNT(*) FROM supplier) // 4))
+                 % (SELECT COUNT(*) FROM supplier) AS ps_suppkey
+        FROM part CROSS JOIN (VALUES (0), (1), (2), (3)) AS r(i)
+    )
+)"""
+
+
+def _partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of ``_PARTSUPP_SQL``: part x 4-row range crossJoin
+    (both broadcast — no shuffle), keys spread by the observed supplier
+    count, attributes from the shared md5 bucket transport."""
+    part = load_table(spark, sf_dir, "part").select("p_partkey")
+    s_cnt = load_table(spark, sf_dir, "supplier").agg(F.count(F.lit(1)).alias("s_count"))
+    reps = spark.range(PS_REPLICAS).select(F.col("id").alias("i"))
+    ps = (
+        part.crossJoin(F.broadcast(reps))
+        .crossJoin(F.broadcast(s_cnt))
+        .select(
+            F.col("p_partkey").alias("ps_partkey"),
+            (
+                (F.col("p_partkey") + F.col("i") * F.floor(F.col("s_count") / F.lit(4)))
+                % F.col("s_count")
+            )
+            .cast("bigint")
+            .alias("ps_suppkey"),
+        )
+    )
+    key = F.concat(
+        F.col("ps_partkey").cast("string"),
+        F.lit("#"),
+        F.col("ps_suppkey").cast("string"),
+    )
+    return ps.select(
+        "ps_partkey",
+        "ps_suppkey",
+        (hash_bucket(key, seed="psq", n_buckets=9999) + F.lit(1)).alias("ps_availqty"),
+        (
+            (hash_bucket(key, seed="psc", n_buckets=99999) + F.lit(1)).cast("double")
+            / F.lit(100.0)
+        ).alias("ps_supplycost"),
+    )
+
+
+@query(
+    "tpch_min_cost_supplier",
+    oracle=f"""
+WITH {_PARTSUPP_SQL},
+eur AS (
+    SELECT s.s_suppkey, s.s_acctbal, s.s_name, n.n_name
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    WHERE r.r_name = 'EUROPE'
+),
+cand AS (
+    SELECT p.p_partkey, p.p_type, ps.ps_supplycost, e.s_acctbal, e.s_name, e.n_name
+    FROM part p
+    JOIN partsupp ps ON ps.ps_partkey = p.p_partkey
+    JOIN eur e ON e.s_suppkey = ps.ps_suppkey
+    WHERE p.p_size BETWEEN 10 AND 20 AND p.p_type = 'STANDARD'
+),
+mc AS (SELECT p_partkey, MIN(ps_supplycost) AS min_cost FROM cand GROUP BY p_partkey)
+SELECT c.s_acctbal, c.s_name, c.n_name, c.p_partkey, c.p_type, c.ps_supplycost
+FROM cand c JOIN mc ON mc.p_partkey = c.p_partkey AND c.ps_supplycost = mc.min_cost
+ORDER BY c.s_acctbal DESC, c.n_name, c.s_name, c.p_partkey
+LIMIT 100
+""",
+)
+def q_tpch_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 (min-cost supplier): for mid-size STANDARD parts, the
+    EUROPE supplier(s) at each part's minimum supply cost. The
+    correlated scalar subquery (cost = min cost for that part in that
+    region) decorrelates into one per-part MIN aggregate equi-joined
+    back onto the candidate set — never a per-row subquery; the
+    region-filtered supplier/nation dims broadcast, and the double
+    equality join on min_cost is exact because both engines derive the
+    identical hash-grid costs. Top-100 by account balance via
+    TakeOrderedAndProject, not a global sort."""
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eur = (
+        sup.join(F.broadcast(nat), sup["s_nationkey"] == nat["n_nationkey"])
+        .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_acctbal", "s_name", "n_name")
+    )
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_size").between(10, 20) & (F.col("p_type") == "STANDARD")
+    )
+    cand = (
+        _partsupp(spark, sf_dir)
+        .join(F.broadcast(part.select("p_partkey", "p_type")), F.col("ps_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(eur), F.col("ps_suppkey") == F.col("s_suppkey"))
+        .select("p_partkey", "p_type", "ps_supplycost", "s_acctbal", "s_name", "n_name")
+    )
+    mc = cand.groupBy(F.col("p_partkey").alias("mk")).agg(
+        F.min("ps_supplycost").alias("min_cost")
+    )
+    return (
+        cand.join(
+            F.broadcast(mc),
+            (F.col("p_partkey") == F.col("mk"))
+            & (F.col("ps_supplycost") == F.col("min_cost")),
+        )
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_type", "ps_supplycost")
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@query(
+    "tpch_important_stock",
+    oracle=f"""
+WITH {_PARTSUPP_SQL},
+asia AS (
+    SELECT s.s_suppkey
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    WHERE r.r_name = 'ASIA'
+),
+v AS (
+    SELECT ps_partkey,
+           SUM(CAST(ps_availqty AS BIGINT)
+               * CAST(round(ps_supplycost * 100.0, 0) AS BIGINT)) AS value_cents
+    FROM partsupp JOIN asia ON asia.s_suppkey = partsupp.ps_suppkey
+    GROUP BY ps_partkey
+),
+tot AS (SELECT SUM(value_cents) AS total_cents, CAST(COUNT(*) AS BIGINT) AS n_parts FROM v)
+SELECT v.ps_partkey, CAST(v.value_cents AS DOUBLE) / 100.0 AS stock_value
+FROM v, tot
+WHERE v.value_cents * tot.n_parts > 2 * tot.total_cents
+ORDER BY stock_value DESC, v.ps_partkey
+""",
+)
+def q_tpch_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 (important stock): parts whose ASIA-held stock value
+    exceeds DOUBLE the average per-part value — the global-scalar
+    HAVING shape (the fraction threshold made scale-free so the query
+    stays non-degenerate at every sf: value*n > 2*total in pure BIGINT
+    cents, exact in both engines, no double rounding anywhere near the
+    filter). One keyed agg over the surrogate partsupp, a 1-row
+    broadcast of (total, n), and an integer comparison."""
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    asia = (
+        sup.join(F.broadcast(nat), sup["s_nationkey"] == nat["n_nationkey"])
+        .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey")
+    )
+    v = (
+        _partsupp(spark, sf_dir)
+        .join(F.broadcast(asia), F.col("ps_suppkey") == F.col("s_suppkey"))
+        .groupBy("ps_partkey")
+        .agg(
+            F.sum(
+                F.col("ps_availqty").cast("bigint")
+                * F.round(F.col("ps_supplycost") * F.lit(100.0), 0).cast("bigint")
+            ).alias("value_cents")
+        )
+    )
+    tot = v.agg(
+        F.sum("value_cents").alias("total_cents"),
+        F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+    )
+    return (
+        v.crossJoin(F.broadcast(tot))
+        .filter(F.col("value_cents") * F.col("n_parts") > F.lit(2) * F.col("total_cents"))
+        .select(
+            "ps_partkey",
+            (F.col("value_cents").cast("double") / F.lit(100.0)).alias("stock_value"),
+        )
+        .orderBy(F.col("stock_value").desc(), "ps_partkey")
+    )
+
+
+@query(
+    "tpch_excess_stock",
+    oracle=f"""
+WITH {_PARTSUPP_SQL},
+small_parts AS (SELECT p_partkey FROM part WHERE p_name LIKE 'small%'),
+shipped AS (
+    SELECT l_partkey, l_suppkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY l_partkey, l_suppkey
+),
+excess AS (
+    SELECT DISTINCT ps.ps_suppkey
+    FROM partsupp ps
+    JOIN small_parts sp ON sp.p_partkey = ps.ps_partkey
+    JOIN shipped sh ON sh.l_partkey = ps.ps_partkey AND sh.l_suppkey = ps.ps_suppkey
+    WHERE CAST(ps.ps_availqty AS DECIMAL(18,2)) * 2 > sh.qty
+)
+SELECT s.s_name, n.n_name
+FROM excess e
+JOIN supplier s ON s.s_suppkey = e.ps_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+ORDER BY s.s_name
+""",
+)
+def q_tpch_excess_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 (excess stock, faithful now that partsupp exists):
+    suppliers holding more than half a year's shipped quantity of any
+    'small%' part they stock. The nested IN-subquery chain decorrelates
+    into: one pushed-down-filtered lineitem agg (the only fact scan),
+    an equi-join against the surrogate partsupp on (part, supplier),
+    the availability comparison in exact DECIMAL (a 1-ulp double flip
+    here would change row MEMBERSHIP, not a value), then distinct
+    suppliers joined to broadcast dims."""
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("small%"))
+    li = load_table(spark, sf_dir, "lineitem")
+    shipped = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("qty"))
+    )
+    excess = (
+        _partsupp(spark, sf_dir)
+        .join(F.broadcast(part.select("p_partkey")), F.col("ps_partkey") == F.col("p_partkey"))
+        .join(
+            shipped,
+            (F.col("l_partkey") == F.col("ps_partkey"))
+            & (F.col("l_suppkey") == F.col("ps_suppkey")),
+        )
+        .filter(F.col("ps_availqty").cast("decimal(18,2)") * F.lit(2) > F.col("qty"))
+        .select("ps_suppkey")
+        .distinct()
+    )
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        excess.join(F.broadcast(sup), F.col("ps_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_name", "n_name")
+        .orderBy("s_name")
+    )

@@ -1051,3 +1051,44 @@ def test_growth_accounting_user_keyed_no_window(spark, sf_dir):
     plan = _plan(spark, sf_dir, "growth_accounting_weekly")
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Round-9: partsupp-surrogate TPC-H closers
+# ---------------------------------------------------------------------------
+
+def test_partsupp_surrogate_is_broadcast_only(spark, sf_dir):
+    """The surrogate build is part x 4-row range x 1-row count — all
+    broadcast-side, no shuffle, no real cartesian over data."""
+    from nyc_taxi_data_engineering_spark.queries.tpchq import _partsupp
+
+    plan = _partsupp(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the 4-row/1-row broadcasts
+
+
+def test_tpch_min_cost_supplier_decorrelated(spark, sf_dir):
+    """Q2's correlated min-cost subquery must run as one per-part MIN
+    agg joined back (broadcast) — keyed joins only, dims broadcast."""
+    plan = _plan(spark, sf_dir, "tpch_min_cost_supplier")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "partial_min" in plan
+    assert "TakeOrderedAndProject" in plan  # top-100, never a global sort
+
+
+def test_tpch_important_stock_scalar_broadcast(spark, sf_dir):
+    """Q11's global threshold enters as a 1-row broadcast; the value
+    agg keeps map-side partials; the filter is pure integer."""
+    plan = _plan(spark, sf_dir, "tpch_important_stock")
+    assert "CartesianProduct" not in plan
+    assert "partial_sum" in plan
+
+
+def test_tpch_excess_stock_pushdown_and_keyed_join(spark, sf_dir):
+    """Q20's year filter must reach the lineitem parquet scan, and the
+    (part, supplier) availability join stays a keyed equi-join."""
+    plan = _plan(spark, sf_dir, "tpch_excess_stock")
+    assert "CartesianProduct" not in plan
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan or "GreaterThanOrEqual(l_shipdate" in plan
+    assert "partial_sum" in plan
