@@ -41,6 +41,35 @@ from nyc_taxi_data_engineering_spark.session import get_spark  # noqa: E402
 
 FAST_CUTOFF_S = 1.0  # first-rep walls under this earn the larger rep count
 
+# Queries pinned to the full rep count regardless of their first-rep
+# wall: simhash_docs drifted 1.224 -> 2.154 -> 1.739 s across r4/r7/r8
+# with UNCHANGED code and per-rep spans of 1.7-2.8 s — above the fast
+# cutoff, so the 3-rep median couldn't separate JVM/page-cache state
+# left by earlier queries from real regression. A 7-rep median can.
+FORCE_FULL_REPS = {"simhash_docs"}
+
+# Second board: a fixed 10-query slice of the heaviest engine families
+# (dedup clustering, MinHash LSH, IVF-PQ ANN, LPA communities, TPC-H
+# scan-agg, ExactSubstr spans, HLL windowed WAU, ALS, k-means,
+# dangling-mass PageRank). The 13 headline queries cover <5% of the
+# 300+-query registry and none of these families; this board puts them
+# under the same median-noop regime so round-over-round regression
+# tracking sees the new engine surface too. Recorded under "board2*"
+# keys — "value"/"queries" stay the headline board, so cross-round
+# totals remain like-for-like.
+BOARD2 = [
+    "dedup_clusters_docs",
+    "minhash_lsh_pairs",
+    "ivfpq_ann_topk",
+    "lpa_copurchase_communities",
+    "tpch_pricing_summary",
+    "crossdoc_repeated_spans",
+    "hll_wau_events",
+    "als_supplier_recommendations",
+    "kmeans_embeddings",
+    "pagerank_purchase_sinks",
+]
+
 
 def run_query(fn, spark, sf_dir: str) -> float:
     t0 = time.perf_counter()
@@ -48,13 +77,16 @@ def run_query(fn, spark, sf_dir: str) -> float:
     return time.perf_counter() - t0
 
 
-def run_query_reps(fn, spark, sf_dir: str, reps: int, reps_fast: int) -> list[float]:
+def run_query_reps(
+    fn, spark, sf_dir: str, reps: int, reps_fast: int, force_full: bool = False
+) -> list[float]:
     """The base reps' median decides the budget (the first rep alone
     is codegen-inflated): sub-``FAST_CUTOFF_S`` queries are
-    noise-dominated, so they extend to ``reps_fast`` total. Returns
-    every rep's wall seconds."""
+    noise-dominated, so they extend to ``reps_fast`` total — as do
+    drift-flagged ``force_full`` queries. Returns every rep's wall
+    seconds."""
     walls = [run_query(fn, spark, sf_dir) for _ in range(reps)]
-    if statistics.median(walls) < FAST_CUTOFF_S:
+    if force_full or statistics.median(walls) < FAST_CUTOFF_S:
         walls.extend(run_query(fn, spark, sf_dir) for _ in range(reps_fast - reps))
     return walls
 
@@ -76,11 +108,28 @@ def main() -> None:
     timings: dict[str, float] = {}
     detail: dict[str, list[float]] = {}
     for name in sorted(qs):
-        walls = run_query_reps(qs[name], spark, sf_dir, reps, reps_fast)
+        walls = run_query_reps(
+            qs[name], spark, sf_dir, reps, reps_fast, force_full=name in FORCE_FULL_REPS
+        )
         timings[name] = round(statistics.median(walls), 3)
         detail[name] = [round(w, 3) for w in walls]
 
     total = round(sum(timings.values()), 3)
+
+    # Second board (heavy families), same regime. clearCache between
+    # queries mirrors tools/scale_probe._probe: the pin()-heavy graph /
+    # clustering queries leave checkpointed state that would distort
+    # whoever runs next; a query's own pins within its reps stay.
+    from nyc_taxi_data_engineering_spark.queries import all_queries
+
+    reg = all_queries()
+    board2: dict[str, float] = {}
+    board2_detail: dict[str, list[float]] = {}
+    for name in BOARD2:
+        spark.catalog.clearCache()
+        walls = run_query_reps(reg[name], spark, sf_dir, reps, reps_fast)
+        board2[name] = round(statistics.median(walls), 3)
+        board2_detail[name] = [round(w, 3) for w in walls]
     print(
         json.dumps(
             {
@@ -96,6 +145,9 @@ def main() -> None:
                 "reps": reps,
                 "reps_fast": reps_fast,
                 "reps_detail": detail,
+                "board2_total": round(sum(board2.values()), 3),
+                "board2": board2,
+                "board2_reps_detail": board2_detail,
             }
         )
     )
