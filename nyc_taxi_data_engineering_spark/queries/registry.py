@@ -48,6 +48,9 @@ ROTATION: list[str] = [
     "tpch_min_cost_supplier",
     "tpch_important_stock",
     "tpch_excess_stock",
+    "tpch_shipmode_priority",
+    # (4 closers + 96 never-sampled = 100 = exactly two 50-query windows:
+    # round 9 samples the closers + 46, round 10 the remaining 50.)
     "events_cusum_changepoint",
     "daily_revenue_forecast_eval",
     "events_dau_wau_stickiness",
@@ -145,6 +148,7 @@ ROTATION: list[str] = [
     "cramers_v_orders",
     "bh_fdr_events",
     # --- round-9 additions queue here (never sampled) ---
+    "bloom_decontamination_docs",
     # Already driver-green at least once (kept for stable ordering):
     "triplog_roundtrip_trips",
     "als_ranking_eval",

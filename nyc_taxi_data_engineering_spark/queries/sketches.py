@@ -477,3 +477,111 @@ def q_hll_wau_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter decontamination gate
+# ---------------------------------------------------------------------------
+
+from nyc_taxi_data_engineering_spark.operators.sketches import (  # noqa: E402
+    BLOOM_BITS_PER_KEY,
+    bloom_build,
+    bloom_positions_sql,
+    bloom_probe,
+)
+
+_BLOOM_SPLIT_SEED = "bloomsplit"
+_BLOOM_REF_BUCKET = 0  # bucket 0 of 10 = the held-out reference split
+
+
+def _bloom_pos_unnest_sql(key_expr: str) -> str:
+    return "unnest([" + ", ".join(bloom_positions_sql(key_expr, "m")) + "]) AS pos"
+
+
+@query(
+    "bloom_decontamination_docs",
+    oracle=f"""
+WITH d AS (
+    SELECT doc_id, md5(text) AS fp,
+           {SA.hash_bucket_sql('doc_id', seed=_BLOOM_SPLIT_SEED, n_buckets=10)} AS bkt
+    FROM documents
+),
+ref AS (SELECT DISTINCT fp FROM d WHERE bkt = {_BLOOM_REF_BUCKET}),
+probe AS (SELECT doc_id, fp FROM d WHERE bkt <> {_BLOOM_REF_BUCKET}),
+mm AS (SELECT CAST({BLOOM_BITS_PER_KEY} * COUNT(*) AS BIGINT) AS m FROM ref),
+rpos AS (SELECT {_bloom_pos_unnest_sql('fp')} FROM ref, mm),
+words AS (
+    SELECT pos // 32 AS word_idx,
+           bit_or(1::BIGINT << CAST(pos % 32 AS INT)) AS w
+    FROM rpos GROUP BY pos // 32
+),
+ppos AS (SELECT fp, {_bloom_pos_unnest_sql('fp')} FROM (SELECT DISTINCT fp FROM probe), mm),
+tested AS (
+    SELECT p.fp,
+           MIN(CASE WHEN (COALESCE(w.w, 0) >> CAST(p.pos % 32 AS INT)) & 1 = 1
+                    THEN 1 ELSE 0 END) AS bloom_hit
+    FROM ppos p LEFT JOIN words w ON p.pos // 32 = w.word_idx
+    GROUP BY p.fp
+),
+truth AS (
+    SELECT pr.doc_id, t.bloom_hit,
+           CASE WHEN pr.fp IN (SELECT fp FROM ref) THEN 1 ELSE 0 END AS is_true
+    FROM probe pr JOIN tested t ON t.fp = pr.fp
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_probe,
+       CAST(SUM(bloom_hit) AS BIGINT) AS n_flagged,
+       CAST(SUM(is_true) AS BIGINT) AS n_true_dups,
+       CAST(SUM(CASE WHEN bloom_hit = 1 AND is_true = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_false_positives,
+       CAST(SUM(CASE WHEN bloom_hit = 0 AND is_true = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_false_negatives,
+       CAST(SUM(CASE WHEN bloom_hit = 1 AND is_true = 0 THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(COUNT(*) - SUM(is_true) AS DOUBLE) AS fp_rate
+FROM truth
+""",
+)
+def q_bloom_decontamination_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination — the broadcastable membership gate
+    every 100 TB training pipeline screens with: fingerprint (md5 of
+    text) each document, build an m-bit / 4-hash Bloom filter from the
+    held-out reference split (bucket 0 of the deterministic hash
+    split), packed 32-bits-per-BIGINT-word so the whole filter is
+    (m/32) rows — broadcast-sized for tens of millions of reference
+    keys — then probe every other doc with k broadcast word lookups and
+    ZERO shuffle of the corpus. The exact semi-join truth rides along
+    to certify the sketch itself under the hash gate: false negatives
+    must be 0 (Bloom's guarantee), and the measured FP rate lands near
+    the designed (1-e^(-k·keys/m))^k ≈ 0.24%. m sizes from the OBSERVED
+    reference count, so the bound holds at any sf. Both engines derive
+    identical md5 bit positions, so every word — and therefore every
+    flag — matches bit-for-bit."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.md5("text").alias("fp")
+    )
+    bkt = SA.hash_bucket(F.col("doc_id"), seed=_BLOOM_SPLIT_SEED, n_buckets=10)
+    docs = docs.withColumn("bkt", bkt)
+    ref = docs.filter(F.col("bkt") == _BLOOM_REF_BUCKET).select("fp")
+    probe = docs.filter(F.col("bkt") != _BLOOM_REF_BUCKET).select("doc_id", "fp")
+    words = bloom_build(ref, "fp")
+    flagged = bloom_probe(probe, "fp", words)
+    truth = flagged.join(
+        F.broadcast(ref.distinct().withColumn("is_true", F.lit(1))), "fp", "left"
+    ).select("doc_id", "bloom_hit", F.coalesce("is_true", F.lit(0)).alias("is_true"))
+    fp_cases = F.sum(
+        F.when((F.col("bloom_hit") == 1) & (F.col("is_true") == 0), 1).otherwise(0)
+    )
+    return truth.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_probe"),
+        F.sum("bloom_hit").cast("bigint").alias("n_flagged"),
+        F.sum("is_true").cast("bigint").alias("n_true_dups"),
+        fp_cases.cast("bigint").alias("n_false_positives"),
+        F.sum(
+            F.when((F.col("bloom_hit") == 0) & (F.col("is_true") == 1), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_false_negatives"),
+        (
+            fp_cases.cast("double")
+            / (F.count(F.lit(1)) - F.sum("is_true")).cast("double")
+        ).alias("fp_rate"),
+    )

@@ -1041,3 +1041,104 @@ def q_tpch_excess_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_name", "n_name")
         .orderBy("s_name")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q12 faithful — shipmode / commit / receipt surrogates
+# ---------------------------------------------------------------------------
+# Same precedent as partsupp: the generator's lineitem is trimmed of
+# l_shipmode/l_commitdate/l_receiptdate, so derive them deterministically
+# per line from the md5 bucket transport — shipmode uniform over the 7
+# TPC-H modes, commitdate within +-30 days of ship, receiptdate 1..30
+# days after ship — identically in both engines. The columns are
+# semantically arbitrary but the QUERY SHAPE (multi-channel conditional
+# counts under a 3-way date-ordering predicate) is the faithful Q12.
+# The same surrogates would upgrade Q21 to strict receipt>commit
+# lateness; its adapted twin (tpch_waiting_suppliers) already exercises
+# that exact join/window shape under the ship-lag convention.
+
+_SHIPMODES = ("AIR", "FOB", "MAIL", "RAIL", "REG AIR", "SHIP", "TRUCK")
+_LI_KEY_SQL = "CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR)"
+_SHIPMODE_LIST_SQL = "[" + ", ".join(f"'{m}'" for m in _SHIPMODES) + "]"
+
+
+@query(
+    "tpch_shipmode_priority",
+    oracle=f"""
+WITH li AS (
+    SELECT l_orderkey,
+           ({_SHIPMODE_LIST_SQL})[{hash_bucket_sql(_LI_KEY_SQL, seed="mode", n_buckets=7)} + 1]
+             AS l_shipmode,
+           CAST(l_shipdate AS DATE)
+             + ({hash_bucket_sql(_LI_KEY_SQL, seed="commit", n_buckets=61)} - 30)
+             AS l_commitdate,
+           CAST(l_shipdate AS DATE)
+             + (1 + {hash_bucket_sql(_LI_KEY_SQL, seed="receipt", n_buckets=30)})
+             AS l_receiptdate,
+           CAST(l_shipdate AS DATE) AS l_shipdate
+    FROM lineitem
+)
+SELECT li.l_shipmode,
+       SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+         AS high_line_count,
+       SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+         AS low_line_count
+FROM orders o JOIN li ON o.o_orderkey = li.l_orderkey
+WHERE li.l_shipmode IN ('MAIL', 'SHIP')
+  AND li.l_commitdate < li.l_receiptdate
+  AND li.l_shipdate < li.l_commitdate
+  AND li.l_receiptdate >= DATE '1997-01-01'
+  AND li.l_receiptdate < DATE '1998-01-01'
+GROUP BY li.l_shipmode
+ORDER BY li.l_shipmode
+""",
+)
+def q_tpch_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 (shipmode priority, faithful via the surrogate
+    transport): for late-committed MAIL/SHIP lines received in 1997,
+    urgent-vs-other line counts per mode. The three derived columns are
+    pure per-row projections (no shuffle added); the mode + date
+    predicates filter BEFORE the orders join, and the join stays a
+    keyed equi-join with the priority CASE folded into one hash agg
+    with map-side partials."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_shipdate"
+    )
+    key = F.concat(
+        F.col("l_orderkey").cast("string"),
+        F.lit(":"),
+        F.col("l_linenumber").cast("string"),
+    )
+    modes = F.array(*[F.lit(m) for m in _SHIPMODES])
+    ship = F.to_date("l_shipdate")
+    li = li.select(
+        "l_orderkey",
+        F.element_at(modes, hash_bucket(key, seed="mode", n_buckets=7) + F.lit(1)).alias(
+            "l_shipmode"
+        ),
+        F.date_add(ship, hash_bucket(key, seed="commit", n_buckets=61) - F.lit(30)).alias(
+            "l_commitdate"
+        ),
+        F.date_add(
+            ship, F.lit(1) + hash_bucket(key, seed="receipt", n_buckets=30)
+        ).alias("l_receiptdate"),
+        ship.alias("l_shipdate"),
+    )
+    filtered = li.filter(
+        F.col("l_shipmode").isin("MAIL", "SHIP")
+        & (F.col("l_commitdate") < F.col("l_receiptdate"))
+        & (F.col("l_shipdate") < F.col("l_commitdate"))
+        & (F.col("l_receiptdate") >= F.lit("1997-01-01"))
+        & (F.col("l_receiptdate") < F.lit("1998-01-01"))
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        orders.join(filtered, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_shipmode")
+        .agg(
+            F.sum(F.when(urgent, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~urgent, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_shipmode")
+    )

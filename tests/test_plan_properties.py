@@ -1092,3 +1092,22 @@ def test_tpch_excess_stock_pushdown_and_keyed_join(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "PushedFilters: [IsNotNull(l_shipdate)" in plan or "GreaterThanOrEqual(l_shipdate" in plan
     assert "partial_sum" in plan
+
+
+def test_tpch_shipmode_priority_projection_only_surrogates(spark, sf_dir):
+    """Q12's derived shipmode/commit/receipt columns are per-row
+    projections — no extra shuffle, no window; the priority counts fold
+    into one hash agg with partials over a keyed equi-join."""
+    plan = _plan(spark, sf_dir, "tpch_shipmode_priority")
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+    assert "partial_sum" in plan
+
+
+def test_bloom_words_broadcast_probe(spark, sf_dir):
+    """The Bloom word table must enter the probe side as a BROADCAST
+    equi-join — the corpus itself never shuffles against the reference."""
+    plan = _plan(spark, sf_dir, "bloom_decontamination_docs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "partial_min" in plan  # the per-key all-bits fold
