@@ -403,11 +403,13 @@ def bloom_build(ref: DataFrame, key: str) -> DataFrame:
         keys.crossJoin(F.broadcast(mrow))
         .select(F.explode(F.array(*bloom_positions(F.col("k"), F.col("m")))).alias("pos"), "m")
     )
+    # shiftleft with a COLUMN shift amount only exists on the SQL
+    # surface (the Python helper wants a literal), hence F.expr
     return (
         pos.groupBy((F.col("pos") / _BLOOM_WORD_BITS).cast("long").alias("word_idx"))
         .agg(
-            F.bit_or(
-                F.shiftleft(F.lit(1).cast("long"), (F.col("pos") % _BLOOM_WORD_BITS).cast("int"))
+            F.expr(
+                f"bit_or(shiftleft(CAST(1 AS BIGINT), CAST(pos % {_BLOOM_WORD_BITS} AS INT)))"
             ).alias("w"),
             F.max("m").alias("m"),
         )
@@ -434,16 +436,10 @@ def bloom_probe(df: DataFrame, key: str, words: DataFrame) -> DataFrame:
         )
         .select(
             "_bk",
-            F.when(
-                F.shiftright(
-                    F.coalesce(F.col("w"), F.lit(0)),
-                    (F.col("pos") % _BLOOM_WORD_BITS).cast("int"),
-                ).bitwiseAND(F.lit(1))
-                == 1,
-                1,
-            )
-            .otherwise(0)
-            .alias("bit_set"),
+            F.expr(
+                "CASE WHEN (shiftright(coalesce(w, CAST(0 AS BIGINT)), "
+                f"CAST(pos % {_BLOOM_WORD_BITS} AS INT)) & 1) = 1 THEN 1 ELSE 0 END"
+            ).alias("bit_set"),
         )
         .groupBy("_bk")
         .agg(F.min("bit_set").alias("bloom_hit"))

@@ -1079,10 +1079,10 @@ WITH li AS (
     FROM lineitem
 )
 SELECT li.l_shipmode,
-       SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
-         AS high_line_count,
-       SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
-         AS low_line_count
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+            AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+            AS BIGINT) AS low_line_count
 FROM orders o JOIN li ON o.o_orderkey = li.l_orderkey
 WHERE li.l_shipmode IN ('MAIL', 'SHIP')
   AND li.l_commitdate < li.l_receiptdate
