@@ -149,6 +149,7 @@ ROTATION: list[str] = [
     "bh_fdr_events",
     # --- round-9 additions queue here (never sampled) ---
     "bloom_decontamination_docs",
+    "tpch_waiting_suppliers_strict",
     # Already driver-green at least once (kept for stable ordering):
     "triplog_roundtrip_trips",
     "als_ranking_eval",

@@ -1142,3 +1142,98 @@ def q_tpch_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_shipmode")
     )
+
+
+@query(
+    "tpch_waiting_suppliers_strict",
+    oracle=f"""
+WITH li AS (
+    SELECT l_orderkey, l_suppkey,
+           CAST(l_shipdate AS DATE)
+             + ({hash_bucket_sql(_LI_KEY_SQL, seed="commit", n_buckets=61)} - 30)
+             AS l_commitdate,
+           CAST(l_shipdate AS DATE)
+             + (1 + {hash_bucket_sql(_LI_KEY_SQL, seed="receipt", n_buckets=30)})
+             AS l_receiptdate
+    FROM lineitem
+),
+per_os AS (
+    SELECT li.l_orderkey, li.l_suppkey,
+           MAX(CASE WHEN li.l_receiptdate > li.l_commitdate THEN 1 ELSE 0 END) AS late
+    FROM li JOIN orders o ON o.o_orderkey = li.l_orderkey AND o.o_orderstatus = 'F'
+    GROUP BY li.l_orderkey, li.l_suppkey
+),
+flagged AS (
+    SELECT l_orderkey, l_suppkey, late,
+           COUNT(*) OVER (PARTITION BY l_orderkey) AS n_supp,
+           SUM(late) OVER (PARTITION BY l_orderkey) AS n_late
+    FROM per_os
+)
+SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM flagged f
+JOIN supplier s ON s.s_suppkey = f.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE f.late = 1 AND f.n_supp > 1 AND f.n_late = 1
+  AND n.n_name IN ('NATION_3', 'NATION_7')
+GROUP BY s.s_name
+ORDER BY numwait DESC, s.s_name
+LIMIT 25
+""",
+)
+def q_tpch_waiting_suppliers_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21, STRICT lateness (receipt > commit via the SAME
+    surrogate dates as Q12 — one transport, both queries): among
+    finished multi-supplier orders, per-supplier count of orders where
+    it was the ONLY late shipper. Identical decorrelation as the
+    ship-lag twin (tpch_waiting_suppliers): per-(order, supplier) MAX
+    late flag, then both EXISTS/NOT EXISTS collapse into two windows
+    over ONE order-key partitioning — a single extra shuffle on the
+    already-collapsed table; supplier/nation dims broadcast."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_linenumber", "l_shipdate"
+    )
+    key = F.concat(
+        F.col("l_orderkey").cast("string"),
+        F.lit(":"),
+        F.col("l_linenumber").cast("string"),
+    )
+    ship = F.to_date("l_shipdate")
+    li = li.select(
+        "l_orderkey",
+        "l_suppkey",
+        F.date_add(ship, hash_bucket(key, seed="commit", n_buckets=61) - F.lit(30)).alias(
+            "l_commitdate"
+        ),
+        F.date_add(
+            ship, F.lit(1) + hash_bucket(key, seed="receipt", n_buckets=30)
+        ).alias("l_receiptdate"),
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    per_os = (
+        li.join(orders.select("o_orderkey"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.max(
+                F.when(F.col("l_receiptdate") > F.col("l_commitdate"), 1).otherwise(0)
+            ).alias("late")
+        )
+    )
+    w = Window.partitionBy("l_orderkey")
+    flagged = per_os.withColumn("n_supp", F.count(F.lit(1)).over(w)).withColumn(
+        "n_late", F.sum("late").over(w)
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    nat = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_3", "NATION_7")
+    )
+    return (
+        flagged.filter((F.col("late") == 1) & (F.col("n_supp") > 1) & (F.col("n_late") == 1))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nat.select("n_nationkey")), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(25)
+    )
