@@ -708,7 +708,7 @@ rec AS (
 SELECT rn::INT AS n_days,
        l AS final_level,
        b AS final_trend,
-       es / CAST(rn - 1 AS DOUBLE) AS mae,
+       CASE WHEN rn > 1 THEN es / CAST(rn - 1 AS DOUBLE) END AS mae,
        l + b AS forecast_1,
        l + 7.0 * b AS forecast_7
 FROM rec WHERE rn = (SELECT MAX(rn) FROM s)
@@ -747,7 +747,9 @@ def q_holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("s").cast("int").alias("n_days"),
         folded["l"].alias("final_level"),
         folded["b"].alias("final_trend"),
-        (folded["es"] / (F.size("s") - 1).cast("double")).alias("mae"),
+        F.when(
+            F.size("s") > 1, folded["es"] / (F.size("s") - 1).cast("double")
+        ).alias("mae"),
         (folded["l"] + folded["b"]).alias("forecast_1"),
         (folded["l"] + F.lit(7.0) * folded["b"]).alias("forecast_7"),
     )
@@ -949,7 +951,7 @@ rec AS (
 SELECT rn::INT AS n_days,
        l AS final_level,
        b AS final_trend,
-       es / CAST(rn - 1 AS DOUBLE) AS mae,
+       CASE WHEN rn > 1 THEN es / CAST(rn - 1 AS DOUBLE) END AS mae,
        (l + b) + (CASE (dow + 1) % 7 WHEN 0 THEN s0 WHEN 1 THEN s1 WHEN 2 THEN s2
                   WHEN 3 THEN s3 WHEN 4 THEN s4 WHEN 5 THEN s5 ELSE s6 END) AS forecast_1,
        (l + 7.0 * b) + (CASE dow WHEN 0 THEN s0 WHEN 1 THEN s1 WHEN 2 THEN s2
@@ -1003,7 +1005,9 @@ def q_holt_winters_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("s").cast("int").alias("n_days"),
         folded["l"].alias("final_level"),
         folded["b"].alias("final_trend"),
-        (folded["es"] / (F.size("s") - 1).cast("double")).alias("mae"),
+        F.when(
+            F.size("s") > 1, folded["es"] / (F.size("s") - 1).cast("double")
+        ).alias("mae"),
         (
             (folded["l"] + folded["b"])
             + F.element_at(folded["sea"], ((last_dow + 1) % 7) + 1)
@@ -1049,7 +1053,7 @@ rec AS (
 SELECT CAST(rn AS INT) AS n_days,
        l AS final_level,
        b AS final_trend,
-       es / CAST(rn - 1 AS DOUBLE) AS mae,
+       CASE WHEN rn > 1 THEN es / CAST(rn - 1 AS DOUBLE) END AS mae,
        l + b AS forecast_1
 FROM rec WHERE rn = (SELECT MAX(rn) FROM s)
 """

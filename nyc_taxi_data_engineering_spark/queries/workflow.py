@@ -104,19 +104,46 @@ _STEPS = [
 
 @query(
     "sql_workflow_checks",
+    # The oracle COMPUTES each check from the data rather than pinning
+    # 'OK'/0 rows: on referentially-intact driver data the two are
+    # identical, but a pinned ledger silently encodes a data assumption
+    # — the adversarial tiny tier (orphaned supplier FKs by design)
+    # caught exactly that, with the engine honestly reporting 202
+    # violations against a hardcoded 0.
     oracle="""
+WITH dr AS (
+    SELECT l_suppkey, CAST(l_shipdate AS DATE) AS trip_date,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+             AS total_revenue,
+           COUNT(*) AS trip_count
+    FROM lineitem GROUP BY l_suppkey, CAST(l_shipdate AS DATE)
+),
+c1 AS (SELECT COUNT(*) AS v FROM lineitem WHERE l_suppkey IS NULL),
+c2 AS (SELECT COUNT(*) AS v FROM lineitem WHERE l_extendedprice <= 0),
+c3 AS (SELECT COUNT(*) AS v FROM lineitem l
+       LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+       WHERE s.s_suppkey IS NULL),
+c4 AS (SELECT COUNT(*) AS v FROM (
+    SELECT (SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                                 AS DECIMAL(18,4))) AS DOUBLE) FROM lineitem) AS d,
+           (SELECT CAST(SUM(CAST(total_revenue AS DECIMAL(18,4))) AS DOUBLE) FROM dr) AS a
+) WHERE d <> a),
+c5 AS (SELECT COUNT(*) AS v FROM (
+    SELECT (SELECT COUNT(*) FROM lineitem) AS d,
+           (SELECT CAST(SUM(trip_count) AS BIGINT) FROM dr) AS a
+) WHERE d <> a)
 SELECT 'build_daily_revenue' AS step_name, 'transform' AS kind, 'OK' AS status,
        CAST(0 AS BIGINT) AS violations
-UNION ALL
-SELECT 'qc_no_null_suppkey', 'quality', 'OK', CAST(0 AS BIGINT)
-UNION ALL
-SELECT 'qc_positive_amounts', 'quality', 'OK', CAST(0 AS BIGINT)
-UNION ALL
-SELECT 'qc_supplier_fk_orphans', 'quality', 'OK', CAST(0 AS BIGINT)
-UNION ALL
-SELECT 'test_revenue_reconciliation', 'test', 'OK', CAST(0 AS BIGINT)
-UNION ALL
-SELECT 'test_rowcount_consistency', 'test', 'OK', CAST(0 AS BIGINT)
+UNION ALL SELECT 'qc_no_null_suppkey', 'quality',
+       CASE WHEN v > 0 THEN 'VIOLATIONS' ELSE 'OK' END, CAST(v AS BIGINT) FROM c1
+UNION ALL SELECT 'qc_positive_amounts', 'quality',
+       CASE WHEN v > 0 THEN 'VIOLATIONS' ELSE 'OK' END, CAST(v AS BIGINT) FROM c2
+UNION ALL SELECT 'qc_supplier_fk_orphans', 'quality',
+       CASE WHEN v > 0 THEN 'VIOLATIONS' ELSE 'OK' END, CAST(v AS BIGINT) FROM c3
+UNION ALL SELECT 'test_revenue_reconciliation', 'test',
+       CASE WHEN v > 0 THEN 'VIOLATIONS' ELSE 'OK' END, CAST(v AS BIGINT) FROM c4
+UNION ALL SELECT 'test_rowcount_consistency', 'test',
+       CASE WHEN v > 0 THEN 'VIOLATIONS' ELSE 'OK' END, CAST(v AS BIGINT) FROM c5
 """,
 )
 def q_sql_workflow_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -943,19 +970,31 @@ def q_delta_cdf_feed_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(tbl, ignore_errors=True)
     orders = load_table(spark, sf_dir, "orders")
     D.write_delta(orders.repartition(8), tbl, mode="overwrite")  # v0
-    D.enable_change_data_feed(tbl)  # v1
-    D.delete_delta(spark, tbl, "o_orderstatus = 'P'")  # v2
-    D.update_delta(  # v3
-        spark,
-        tbl,
-        "o_orderstatus = 'F' AND o_totalprice < 2000.0",
-        {"o_totalprice": "CAST(o_totalprice * 2.0 AS DECIMAL(18,2))"},
+    v_cdf = D.enable_change_data_feed(tbl)  # v1
+    # 0-row DML is a documented no-op (no commit — delete_delta's
+    # "no-op MERGE" contract), so the feed range is clamped to the
+    # versions the two statements ACTUALLY committed; on degenerate
+    # inputs where neither predicate matches, the feed is empty and
+    # the oracle's reconstructed change set is empty too.
+    v_last = D.delete_delta(spark, tbl, "o_orderstatus = 'P'")  # v2 (if P rows)
+    v_last = max(
+        v_last,
+        D.update_delta(  # v3 (if cheap F rows)
+            spark,
+            tbl,
+            "o_orderstatus = 'F' AND o_totalprice < 2000.0",
+            {"o_totalprice": "CAST(o_totalprice * 2.0 AS DECIMAL(18,2))"},
+        ),
     )
-    feed = D.read_change_feed(spark, tbl, version_from=2, version_to=3)
-    return feed.groupBy("_change_type").agg(
+    agg_cols = [
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total_price"),
-    )
+    ]
+    if v_last <= v_cdf:  # both statements matched nothing
+        empty = spark.createDataFrame([], "_change_type string, o_totalprice double")
+        return empty.groupBy("_change_type").agg(*agg_cols)
+    feed = D.read_change_feed(spark, tbl, version_from=v_cdf + 1, version_to=v_last)
+    return feed.groupBy("_change_type").agg(*agg_cols)
 
 
 @query(

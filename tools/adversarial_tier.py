@@ -1,0 +1,95 @@
+"""Build the ADVERSARIAL degenerate-input tier and sweep every oracle
+against it.
+
+The driver's correctness gate runs at sf0.01, where every key is dense,
+every FK resolves, and every per-key series has plenty of observations —
+so a whole class of latent divergence hides: ANSI divide-by-zero on
+1-observation keys (Spark errors, DuckDB yields NULL/inf), pinned-ledger
+oracles that silently assume referential integrity, version arithmetic
+that assumes every DML statement matched rows. This tier makes all of
+that happen ON PURPOSE:
+
+- single-digit key cardinalities (4 suppliers, 10 customers/users),
+- lineitem keeps its full supplier spread -> FK ORPHANS by design,
+- 30-doc / 30-vector corpora (smaller than most K/topk constants),
+- the final-two-months revenue window can hold a single day.
+
+A query passes only if Spark and DuckDB AGREE on the degenerate input —
+non-empty results are not required (empty = empty is a pass). The round-9
+sweep caught three real issues, all fixed the same day:
+  1. holt_recursive_sql_60d: es/(n-1) ANSI divide-by-zero on a 1-day
+     window (same class the advisor flagged on the per-supplier Holt) —
+     now CASE-guarded identically in both engines, plus every other
+     mae division site.
+  2. delta_cdf_feed_orders: hardcoded feed range [2,3] vs the engine's
+     documented 0-row-DML-is-no-commit semantics — now clamps to the
+     versions the statements actually committed.
+  3. sql_workflow_checks: the oracle PINNED 'OK'/0 for the FK-orphan
+     check, encoding a data assumption; the engine honestly reported
+     202 violations. The oracle now computes each check from the data.
+
+Usage:
+  python tools/adversarial_tier.py            # build + full sweep
+  python tools/adversarial_tier.py --build    # build only
+Then: python tools/oracle_check.py .scale_data/tiny [query ...]
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SRC = "/root/testdata/sf0.001"
+OUT = os.path.join(REPO, ".scale_data", "tiny")
+
+# (table, SELECT) — dims stay intact (fixed size, as TPC-H scales them);
+# fact cuts create the degeneracies described above.
+CUTS = [
+    ("region", "SELECT * FROM {src}"),
+    ("nation", "SELECT * FROM {src}"),
+    ("customer", "SELECT * FROM {src} WHERE c_custkey < 10"),
+    ("supplier", "SELECT * FROM {src} WHERE s_suppkey < 4"),
+    ("part", "SELECT * FROM {src} WHERE p_partkey < 40"),
+    ("orders", "SELECT * FROM {src} WHERE o_custkey < 10"),
+    # kept orders' lines with the FULL supplier spread: orphans on purpose
+    (
+        "lineitem",
+        "SELECT l.* FROM {src} l WHERE l.l_orderkey IN "
+        "(SELECT o_orderkey FROM read_parquet('" + SRC + "/orders.parquet') "
+        "WHERE o_custkey < 10)",
+    ),
+    ("events", "SELECT * FROM {src} WHERE user_id < 10"),
+    ("documents", "SELECT * FROM {src} WHERE doc_id < 30"),
+    ("embeddings", "SELECT * FROM {src} WHERE vec_id < 30"),
+]
+
+
+def build() -> None:
+    import duckdb
+
+    os.makedirs(OUT, exist_ok=True)
+    con = duckdb.connect()
+    for table, sql in CUTS:
+        src = f"read_parquet('{SRC}/{table}.parquet')"
+        con.execute(
+            f"COPY ({sql.format(src=src)}) TO '{OUT}/{table}.parquet' (FORMAT PARQUET)"
+        )
+        n = con.execute(
+            f"SELECT COUNT(*) FROM read_parquet('{OUT}/{table}.parquet')"
+        ).fetchone()[0]
+        print(f"built {table}: {n} rows", file=sys.stderr)
+
+
+def main() -> int:
+    build()
+    if "--build" in sys.argv:
+        return 0
+    return subprocess.call(
+        [sys.executable, os.path.join(REPO, "tools", "oracle_check.py"), OUT]
+    )
+
+
+if __name__ == "__main__":
+    sys.exit(main())
