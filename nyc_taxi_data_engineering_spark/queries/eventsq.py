@@ -193,8 +193,9 @@ SELECT (SELECT COUNT(DISTINCT user_id) FROM events) AS n_users,
        (SELECT COUNT(*) FROM su) AS n_signup_users,
        CAST(COALESCE(SUM(CASE WHEN n_purchases_after > 0 THEN 1 ELSE 0 END), 0) AS BIGINT)
            AS n_converted,
-       ROUND(COALESCE(SUM(CASE WHEN n_purchases_after > 0 THEN 1 ELSE 0 END), 0) * 100.0
-             / (SELECT COUNT(*) FROM su), 2) AS conversion_pct
+       CASE WHEN (SELECT COUNT(*) FROM su) > 0 THEN
+            ROUND(COALESCE(SUM(CASE WHEN n_purchases_after > 0 THEN 1 ELSE 0 END), 0) * 100.0
+                  / (SELECT COUNT(*) FROM su), 2) END AS conversion_pct
 FROM conv
 """,
 )
@@ -225,7 +226,13 @@ def q_events_funnel_signup_purchase(spark: SparkSession, sf_dir: str) -> DataFra
     n_users = ev.agg(F.countDistinct("user_id").alias("n_users"))
     funnel = conv.agg(
         F.count(F.lit(1)).alias("n_signup_users"),
-        F.sum(F.when(F.col("n_purchases_after") > 0, 1).otherwise(0)).alias("n_converted"),
+        # COALESCE like the oracle: a count is 0 on empty input, not a
+        # NULL that arrives as float64 and breaks the dtype contract
+        F.coalesce(
+            F.sum(F.when(F.col("n_purchases_after") > 0, 1).otherwise(0)), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("n_converted"),
     )
     return (
         n_users.crossJoin(funnel)  # 1-row x 1-row
@@ -233,9 +240,10 @@ def q_events_funnel_signup_purchase(spark: SparkSession, sf_dir: str) -> DataFra
             "n_users",
             "n_signup_users",
             "n_converted",
-            F.round(F.col("n_converted") * 100.0 / F.col("n_signup_users"), 2).alias(
-                "conversion_pct"
-            ),
+            F.when(
+                F.col("n_signup_users") > 0,
+                F.round(F.col("n_converted") * 100.0 / F.col("n_signup_users"), 2),
+            ).alias("conversion_pct"),
         )
     )
 

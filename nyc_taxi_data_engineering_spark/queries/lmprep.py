@@ -450,6 +450,12 @@ def q_contrastive_negatives_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("lo"),
         F.max("doc_id").alias("hi"),
     ).first()
+    if stats["n"] == 0:
+        # empty corpus: nothing to sample — empty result, like the
+        # oracle (whose candidate explode is FROM the empty hash table)
+        return spark.createDataFrame(
+            [], "anchor_id bigint, neg_rank int, neg_id bigint"
+        )
     if stats["lo"] != 0 or stats["hi"] != stats["n"] - 1:
         raise ValueError(
             "contrastive_negatives_docs requires dense doc_ids 0..n-1; got "

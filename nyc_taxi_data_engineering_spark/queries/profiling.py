@@ -382,7 +382,9 @@ SELECT n_keys, CAST(n_rows AS BIGINT) AS n_rows,
        round(CAST(max_cnt AS DOUBLE) / n_rows, 6) AS max_share,
        round(CAST(top_cnt AS DOUBLE) / n_rows, 6) AS top10_share,
        CAST(s_ent AS DOUBLE) AS entropy,
-       round(CAST(s_ent AS DOUBLE) / ln(CAST(n_keys AS DOUBLE)), 6) AS entropy_ratio
+       CASE WHEN n_keys > 1 THEN
+            round(CAST(s_ent AS DOUBLE) / ln(CAST(n_keys AS DOUBLE)), 6) END
+         AS entropy_ratio
 FROM tot CROSS JOIN topk CROSS JOIN ent
 """,
 )
@@ -424,8 +426,15 @@ def q_key_skew_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "top10_share"
             ),
             F.col("s_ent").cast("double").alias("entropy"),
-            F.round(
-                F.col("s_ent").cast("double") / F.log(F.col("n_keys").cast("double")), 6
+            # n_keys <= 1: ln(0) ERRORS in DuckDB (Spark yields NULL) and
+            # ln(1)=0 divides by zero — pinned NULL in both engines
+            F.when(
+                F.col("n_keys") > 1,
+                F.round(
+                    F.col("s_ent").cast("double")
+                    / F.log(F.col("n_keys").cast("double")),
+                    6,
+                ),
             ).alias("entropy_ratio"),
         )
     )

@@ -500,7 +500,11 @@ def q_ab_bootstrap_diff_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.agg(
         F.max(F.when(F.col("rn") == 2, F.col("diff"))).alias("ci_lo"),
         F.max(F.when(F.col("rn") == AB_BOOT_B - 1, F.col("diff"))).alias("ci_hi"),
-        F.sum(F.when(F.col("diff") > 0.0, 1).otherwise(0)).cast("long").alias("n_positive"),
+        # COALESCE like the oracle's COUNT: 0 on empty input, not a NULL
+        # that arrives as float64 and breaks the dtype contract
+        F.coalesce(F.sum(F.when(F.col("diff") > 0.0, 1).otherwise(0)), F.lit(0))
+        .cast("long")
+        .alias("n_positive"),
     ).select(
         "ci_lo", "ci_hi", "n_positive", F.lit(AB_BOOT_B).cast("long").alias("n_resamples")
     )

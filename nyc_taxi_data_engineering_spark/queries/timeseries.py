@@ -523,13 +523,17 @@ gmo AS (
   SELECT COUNT(*) AS n, SUM(x) AS s, SUM(xw * xw) AS ssq FROM idx
 ),
 perk AS (
+  -- anchored on ks (LEFT JOIN the day series) so every lag keeps its
+  -- row even over an EMPTY series — matching the Spark side, which
+  -- explodes a literal 7-entry array; on non-empty input this is the
+  -- same cross join as before
   SELECT ks.k,
          SUM(a.xw * b.xw) AS p,
          SUM(CASE WHEN b.x IS NOT NULL THEN a.x END) AS h,
          SUM(b.x) AS t,
          COUNT(b.x) AS nk
-  FROM idx a
-  CROSS JOIN ks
+  FROM ks
+  LEFT JOIN idx a ON TRUE
   LEFT JOIN idx b ON b.rn = a.rn + ks.k
   GROUP BY ks.k
 )
@@ -726,7 +730,9 @@ def q_holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("x")
     )
-    series = daily.agg(F.sort_array(F.collect_list(F.struct("d", "x"))).alias("s"))
+    series = daily.agg(
+        F.sort_array(F.collect_list(F.struct("d", "x"))).alias("s")
+    ).filter(F.size("s") > 0)  # empty input -> 0 rows, like the recursive-CTE oracle
     half = F.lit(0.5)
 
     def step(acc, e):
@@ -975,7 +981,9 @@ def q_holt_winters_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         "d",
         "x",
         (F.datediff(F.col("d"), F.lit("1970-01-01").cast("date")) % 7).alias("dow"),
-    ).agg(F.sort_array(F.collect_list(F.struct("d", "x", "dow"))).alias("s"))
+    ).agg(
+        F.sort_array(F.collect_list(F.struct("d", "x", "dow"))).alias("s")
+    ).filter(F.size("s") > 0)  # empty input -> 0 rows, like the recursive-CTE oracle
     half = F.lit(0.5)
 
     def step(acc, e):

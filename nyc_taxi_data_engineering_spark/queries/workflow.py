@@ -1038,13 +1038,18 @@ def q_delta_constraint_gate_orders(spark: SparkSession, sf_dir: str) -> DataFram
     is_p = F.col("o_orderstatus") == "P"
     D.write_delta(orders.filter(compliant & ~is_p), tbl, mode="overwrite")
     D.add_constraint(spark, tbl, "min_price", "o_totalprice >= 20000.0")
-    try:
-        D.write_delta(orders.filter(~compliant), tbl, mode="append")
-        raise AssertionError(
-            "CHECK constraint min_price failed to reject a violating append"
-        )
-    except D.DeltaLogError:
-        pass  # expected: the violating batch must not commit
+    violating = orders.filter(~compliant)
+    # the rejection assert only makes sense when something violates: an
+    # EMPTY violating batch satisfies the constraint vacuously and must
+    # be allowed to (no-op) commit — degenerate inputs hit this
+    if violating.limit(1).count() > 0:
+        try:
+            D.write_delta(violating, tbl, mode="append")
+            raise AssertionError(
+                "CHECK constraint min_price failed to reject a violating append"
+            )
+        except D.DeltaLogError:
+            pass  # expected: the violating batch must not commit
     D.write_delta(orders.filter(compliant & is_p), tbl, mode="append")
     snap = D.read_delta_log(spark, tbl)
     return snap.groupBy("o_orderstatus").agg(

@@ -28,10 +28,24 @@ sweep caught three real issues, all fixed the same day:
      check, encoding a data assumption; the engine honestly reported
      202 violations. The oracle now computes each check from the data.
 
+The EMPTY tier (--empty) escalates further: every fact table 0 rows,
+dims intact. Its round-9 sweep caught nine more latent divergences in
+one pass — NULL-typed counts breaking the dtype contract (funnel,
+bootstrap CI), F.slice/element_at on the empty collected series (both
+global Holts), ln(0) erroring in DuckDB but not Spark
+(key_skew_diagnostics), ANSI divide-by-zero in the profiler's null_pct,
+the ACF oracle losing its 7 anchored lag rows, a negative-sampler
+precondition that should degrade to empty, a constraint-gate rejection
+assert that is vacuous with nothing to reject — and one documented
+engine deviation (Spark emits NO grand-total row for rollup/cube over
+empty input where the standard emits one; pinned as the contract since
+restoring it costs a second fact scan).
+
 Usage:
-  python tools/adversarial_tier.py            # build + full sweep
-  python tools/adversarial_tier.py --build    # build only
-Then: python tools/oracle_check.py .scale_data/tiny [query ...]
+  python tools/adversarial_tier.py            # build + full sweep (tiny)
+  python tools/adversarial_tier.py --empty    # build + full sweep (empty facts)
+  python tools/adversarial_tier.py --build [--empty]   # build only
+Then: python tools/oracle_check.py .scale_data/{tiny,empty} [query ...]
 """
 
 from __future__ import annotations
@@ -66,28 +80,37 @@ CUTS = [
 ]
 
 
-def build() -> None:
+OUT_EMPTY = os.path.join(REPO, ".scale_data", "empty")
+_DIMS = ("region", "nation", "customer", "supplier", "part")
+_FACTS = ("orders", "lineitem", "events", "documents", "embeddings")
+EMPTY_CUTS = [(t, "SELECT * FROM {src}") for t in _DIMS] + [
+    (t, "SELECT * FROM {src} WHERE 1=0") for t in _FACTS
+]
+
+
+def build(out: str, cuts: list[tuple[str, str]]) -> None:
     import duckdb
 
-    os.makedirs(OUT, exist_ok=True)
+    os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
-    for table, sql in CUTS:
+    for table, sql in cuts:
         src = f"read_parquet('{SRC}/{table}.parquet')"
         con.execute(
-            f"COPY ({sql.format(src=src)}) TO '{OUT}/{table}.parquet' (FORMAT PARQUET)"
+            f"COPY ({sql.format(src=src)}) TO '{out}/{table}.parquet' (FORMAT PARQUET)"
         )
         n = con.execute(
-            f"SELECT COUNT(*) FROM read_parquet('{OUT}/{table}.parquet')"
+            f"SELECT COUNT(*) FROM read_parquet('{out}/{table}.parquet')"
         ).fetchone()[0]
         print(f"built {table}: {n} rows", file=sys.stderr)
 
 
 def main() -> int:
-    build()
+    out, cuts = (OUT_EMPTY, EMPTY_CUTS) if "--empty" in sys.argv else (OUT, CUTS)
+    build(out, cuts)
     if "--build" in sys.argv:
         return 0
     return subprocess.call(
-        [sys.executable, os.path.join(REPO, "tools", "oracle_check.py"), OUT]
+        [sys.executable, os.path.join(REPO, "tools", "oracle_check.py"), out]
     )
 
 
