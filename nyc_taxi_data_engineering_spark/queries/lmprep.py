@@ -111,9 +111,9 @@ WITH tok AS (
 SELECT doc_id,
        count(*) AS n_tokens,
        cast(sum(is_oov) as bigint) AS n_oov,
-       round(cast(sum(neg_logp) as double) / count(*), 6) AS avg_neg_logp,
-       CASE WHEN round(cast(sum(neg_logp) as double) / count(*), 6) < {PPL_FLUENT} THEN 'FLUENT'
-            WHEN round(cast(sum(neg_logp) as double) / count(*), 6) < {PPL_NORMAL} THEN 'NORMAL'
+       cast(sum(neg_logp) as double) / count(*) AS avg_neg_logp,
+       CASE WHEN cast(sum(neg_logp) as double) / count(*) < {PPL_FLUENT} THEN 'FLUENT'
+            WHEN cast(sum(neg_logp) as double) / count(*) < {PPL_NORMAL} THEN 'NORMAL'
             ELSE 'SUSPECT' END AS ppl_bucket
 FROM scored
 GROUP BY doc_id
@@ -164,7 +164,11 @@ def q_unigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("cnt").isNull(), F.lit(1)).otherwise(F.lit(0)).alias("is_oov"),
         )
     )
-    avg = F.round(F.sum("neg_logp").cast("double") / F.count(F.lit(1)), 6)
+    # UNROUNDED double: the decimal sum / count quotient lands exactly on
+    # 5e-7 half boundaries (terminating decimals over small counts), where
+    # the engines' rounding modes disagree by 1e-6 — the raw division of
+    # identical exact operands is bit-identical instead (sf0.1 sweep find)
+    avg = F.sum("neg_logp").cast("double") / F.count(F.lit(1))
     return scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_tokens"),
         F.sum("is_oov").cast("bigint").alias("n_oov"),
@@ -543,7 +547,7 @@ scored AS (
 SELECT doc_id,
        count(*) AS n_bigrams,
        cast(sum(has_oov) as bigint) AS n_oov_bigrams,
-       round(cast(sum(neg_logp) as double) / count(*), 6) AS avg_neg_logp
+       cast(sum(neg_logp) as double) / count(*) AS avg_neg_logp
 FROM scored GROUP BY doc_id
 """,
 )
@@ -616,5 +620,5 @@ def q_bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_bigrams"),
         F.sum("has_oov").cast("bigint").alias("n_oov_bigrams"),
-        F.round(F.sum("neg_logp").cast("double") / F.count(F.lit(1)), 6).alias("avg_neg_logp"),
+        (F.sum("neg_logp").cast("double") / F.count(F.lit(1))).alias("avg_neg_logp"),
     )
