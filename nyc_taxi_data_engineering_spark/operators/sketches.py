@@ -340,108 +340,3 @@ est AS (
                  3) AS est_distinct
     FROM hll
 )"""
-
-
-# ---------------------------------------------------------------------------
-# Bloom filter (broadcastable membership gate)
-# ---------------------------------------------------------------------------
-# The missing classic next to KMV/HLL/CMS: an m-bit array, k md5-derived
-# positions per key, bits OR-packed into 32-bits-per-BIGINT words. The
-# decontamination shape at 100 TB: the word table is (m/32) rows — a few
-# MB for tens of millions of reference keys — so membership against the
-# corpus is a per-row projection plus a BROADCAST equi-join on word
-# index; the reference set itself never shuffles against the corpus.
-# False positives only (never false negatives); m is sized from the
-# OBSERVED reference count (BLOOM_BITS_PER_KEY bits/key), so the FP
-# rate holds at any scale. Both engines derive identical positions from
-# the md5 transport, so the filter is bit-for-bit reproducible.
-
-BLOOM_K = 4  # hash functions
-BLOOM_BITS_PER_KEY = 16  # with k=4: fp ~ (1 - e^(-k/16))^k ~ 0.24%
-_BLOOM_WORD_BITS = 32  # bits packed per BIGINT word (sign-safe)
-
-
-def bloom_positions(key: Column, m: Column) -> list[Column]:
-    """The k bit positions of ``key`` in an ``m``-bit filter: first 8
-    md5 hex digits of (seed_i | key), mod m — the same 32-bit transport
-    as hash_bucket, with a per-hash seed and a DYNAMIC modulus."""
-    return [
-        (
-            F.conv(
-                F.substring(
-                    F.md5(F.concat_ws("|", F.lit(f"bloom{i}"), key.cast("string"))), 1, 8
-                ),
-                16,
-                10,
-            ).cast("long")
-            % m
-        )
-        for i in range(BLOOM_K)
-    ]
-
-
-def bloom_positions_sql(key_expr: str, m_expr: str) -> list[str]:
-    """DuckDB twins of :func:`bloom_positions`."""
-    return [
-        f"('0x' || substr(md5('bloom{i}' || '|' || CAST({key_expr} AS VARCHAR)), 1, 8))::BIGINT"
-        f" % ({m_expr})"
-        for i in range(BLOOM_K)
-    ]
-
-
-def bloom_build(ref: DataFrame, key: str) -> DataFrame:
-    """(word_idx, w) Bloom word table from ``ref[key]`` (distinct keys),
-    m = BLOOM_BITS_PER_KEY * |ref| bits. One explode (k rows/key) + one
-    hash agg with map-side bit_or partials; output is (m/32) rows —
-    broadcastable. Carries ``m`` on every row so probes derive the
-    SAME positions without re-counting the reference."""
-    keys = ref.select(F.col(key).alias("k")).distinct()
-    mrow = keys.agg(
-        (F.lit(BLOOM_BITS_PER_KEY) * F.count(F.lit(1))).cast("long").alias("m")
-    )
-    pos = (
-        keys.crossJoin(F.broadcast(mrow))
-        .select(F.explode(F.array(*bloom_positions(F.col("k"), F.col("m")))).alias("pos"), "m")
-    )
-    # shiftleft with a COLUMN shift amount only exists on the SQL
-    # surface (the Python helper wants a literal), hence F.expr
-    return (
-        pos.groupBy((F.col("pos") / _BLOOM_WORD_BITS).cast("long").alias("word_idx"))
-        .agg(
-            F.expr(
-                f"bit_or(shiftleft(CAST(1 AS BIGINT), CAST(pos % {_BLOOM_WORD_BITS} AS INT)))"
-            ).alias("w"),
-            F.max("m").alias("m"),
-        )
-    )
-
-
-def bloom_probe(df: DataFrame, key: str, words: DataFrame) -> DataFrame:
-    """``df`` plus a ``bloom_hit`` flag: 1 iff ALL k bits of ``key``
-    are set in the (broadcast) word table. The k positions explode to k
-    rows, equi-join the words on word_idx (missing word = bit absent),
-    and a per-key MIN over the k bit tests folds back to one row — at
-    scale this is k broadcast-join probes per input row, zero shuffle
-    of the corpus itself."""
-    mrow = words.agg(F.max("m").alias("m"))
-    pos = df.crossJoin(F.broadcast(mrow)).select(
-        F.col(key).alias("_bk"),
-        F.explode(F.array(*bloom_positions(F.col(key), F.col("m")))).alias("pos"),
-    )
-    tested = (
-        pos.join(
-            F.broadcast(words.select("word_idx", "w")),
-            (F.col("pos") / _BLOOM_WORD_BITS).cast("long") == F.col("word_idx"),
-            "left",
-        )
-        .select(
-            "_bk",
-            F.expr(
-                "CASE WHEN (shiftright(coalesce(w, CAST(0 AS BIGINT)), "
-                f"CAST(pos % {_BLOOM_WORD_BITS} AS INT)) & 1) = 1 THEN 1 ELSE 0 END"
-            ).alias("bit_set"),
-        )
-        .groupBy("_bk")
-        .agg(F.min("bit_set").alias("bloom_hit"))
-    )
-    return df.join(tested, df[key] == tested["_bk"]).drop("_bk")

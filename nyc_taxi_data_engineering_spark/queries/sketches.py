@@ -483,11 +483,11 @@ def q_hll_wau_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Bloom filter decontamination gate
 # ---------------------------------------------------------------------------
 
-from nyc_taxi_data_engineering_spark.operators.sketches import (  # noqa: E402
+from nyc_taxi_data_engineering_spark.operators.bloom import (  # noqa: E402
     BLOOM_BITS_PER_KEY,
-    bloom_build,
-    bloom_positions_sql,
-    bloom_probe,
+    packed_bloom_build,
+    packed_bloom_positions_sql,
+    packed_bloom_probe,
 )
 
 _BLOOM_SPLIT_SEED = "bloomsplit"
@@ -495,7 +495,7 @@ _BLOOM_REF_BUCKET = 0  # bucket 0 of 10 = the held-out reference split
 
 
 def _bloom_pos_unnest_sql(key_expr: str) -> str:
-    return "unnest([" + ", ".join(bloom_positions_sql(key_expr, "m")) + "]) AS pos"
+    return "unnest([" + ", ".join(packed_bloom_positions_sql(key_expr, "m")) + "]) AS pos"
 
 
 @query(
@@ -562,8 +562,8 @@ def q_bloom_decontamination_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = docs.withColumn("bkt", bkt)
     ref = docs.filter(F.col("bkt") == _BLOOM_REF_BUCKET).select("fp")
     probe = docs.filter(F.col("bkt") != _BLOOM_REF_BUCKET).select("doc_id", "fp")
-    words = bloom_build(ref, "fp")
-    flagged = bloom_probe(probe, "fp", words)
+    words = packed_bloom_build(ref, "fp")
+    flagged = packed_bloom_probe(probe, "fp", words)
     truth = flagged.join(
         F.broadcast(ref.distinct().withColumn("is_true", F.lit(1))), "fp", "left"
     ).select("doc_id", "bloom_hit", F.coalesce("is_true", F.lit(0)).alias("is_true"))
