@@ -157,6 +157,38 @@ def pagerank(
     return ranks
 
 
+_CTE_HEADER_RE = None
+
+
+def materialize_ctes(sql: str) -> str:
+    """DuckDB-side twin of :func:`nyc_taxi_data_engineering_spark.operators.pin`
+    for the GENERATED iterative oracles: mark every CTE ``MATERIALIZED``.
+
+    The round-based SQL twins reference each round's CTEs (and the edge
+    build) several times per round — scalar-subquery norms, degree
+    unions, semi-join pairs. DuckDB inlines CTEs it deems cheap, so the
+    same exponential re-evaluation the Spark loops hit pre-pin
+    (SCALE.md round 8) reappears on the ORACLE side one data decade
+    later: at sf0.1 the un-hinted 3-round HITS oracle spilled >70 GB of
+    temp sort state and died on disk, while the MATERIALIZED form runs
+    in 0.7 s. Applied only to DuckDB-run oracle text (``AS
+    MATERIALIZED`` is DuckDB/Postgres syntax); recursive oracles are
+    left alone (their self-reference must stay inline).
+
+    The rewrite targets ``<lowercase_identifier> AS (`` — CTE headers in
+    these generators — which cannot collide with column aliases (no
+    paren), ``CAST(x AS TYPE)`` (uppercase, no paren), window ``OVER
+    (`` (no identifier-AS), or ``VALUES ... AS t(cols)`` (no space
+    before the paren).
+    """
+    import re
+
+    global _CTE_HEADER_RE
+    if _CTE_HEADER_RE is None:
+        _CTE_HEADER_RE = re.compile(r"\b([a-z]\w*) AS \(")
+    return _CTE_HEADER_RE.sub(r"\1 AS MATERIALIZED (", sql)
+
+
 def pagerank_sql(
     edges_cte: str,
     iters: int = PAGERANK_ITERS,
@@ -229,7 +261,7 @@ def pagerank_sql(
       ON s.node = n.node
 )"""
         )
-    return "WITH " + ",\n".join(parts) + f"\nSELECT node, rank FROM r{iters}"
+    return materialize_ctes("WITH " + ",\n".join(parts) + f"\nSELECT node, rank FROM r{iters}")
 
 
 # ---------------------------------------------------------------------------
@@ -304,7 +336,7 @@ def triangle_counts_sql(edges_select: str) -> str:
     """DuckDB twin of :func:`triangle_counts`. ``edges_select`` is a
     full SELECT (or WITH...SELECT) producing columns (a, b), a < b,
     distinct; embedded as a derived table."""
-    return f"""
+    return materialize_ctes(f"""
 WITH edges AS (SELECT a, b FROM ({edges_select})),
 deg AS (
   SELECT node, COUNT(*) AS deg
@@ -337,7 +369,7 @@ counts AS (
   )
   GROUP BY node
 )
-SELECT node, deg AS degree, n_triangles FROM counts JOIN deg USING (node)"""
+SELECT node, deg AS degree, n_triangles FROM counts JOIN deg USING (node)""")
 
 
 # ---------------------------------------------------------------------------
@@ -504,7 +536,7 @@ def label_propagation_sql(edges_cte: str, iters: int = LPA_ITERS) -> str:
     argmax expressed as the row_number window it replaces (highest
     count, then smallest label — identical tie order). ``edges_cte``
     must define a CTE named ``edges`` with integer columns (a, b)."""
-    return (
+    return materialize_ctes(
         "WITH "
         + edges_cte
         + ",\n"
@@ -576,7 +608,7 @@ def modularity_sql(edges_cte: str, labels_cte: str) -> str:
     """DuckDB twin of :func:`modularity`. ``edges_cte`` must define
     ``edges`` (a, b); ``labels_cte`` must define ``labels``
     (node, community) — e.g. :func:`lpa_ctes` plus a rename."""
-    return f"""
+    return materialize_ctes(f"""
 WITH {edges_cte},
 {labels_cte},
 m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM edges),
@@ -606,7 +638,7 @@ SELECT t.community, t.n_nodes,
          - (CAST(t.degree_sum AS DOUBLE) / (2.0 * CAST((SELECT m FROM m) AS DOUBLE)))
            * (CAST(t.degree_sum AS DOUBLE) / (2.0 * CAST((SELECT m FROM m) AS DOUBLE))) AS q_contrib
 FROM tot t LEFT JOIN internal i ON i.community = t.community
-ORDER BY t.community"""
+ORDER BY t.community""")
 
 
 # ---------------------------------------------------------------------------
@@ -817,7 +849,7 @@ def hits_sql(edges_cte: str, iters: int = HITS_ITERS) -> str:
     JOIN auth{i} a ON a.node = n.node
 )"""
         )
-    return "WITH " + ",\n".join(parts) + f"\nSELECT node, hub, auth FROM s{iters}"
+    return materialize_ctes("WITH " + ",\n".join(parts) + f"\nSELECT node, hub, auth FROM s{iters}")
 
 
 # ---------------------------------------------------------------------------
@@ -887,7 +919,7 @@ def kcore_sql(edges_select: str, k: int, rounds: int) -> str:
       AND EXISTS (SELECT 1 FROM k{i} y WHERE y.node = e.b)
 )"""
         )
-    return (
+    return materialize_ctes(
         "WITH "
         + ",\n".join(parts)
         + f"""
@@ -952,7 +984,7 @@ def link_predictions(edges: DataFrame, topk: int, min_common: int = 1) -> DataFr
 
 def link_predictions_sql(edges_select: str, topk: int, min_common: int = 1) -> str:
     """DuckDB twin of :func:`link_predictions`."""
-    return f"""
+    return materialize_ctes(f"""
 WITH e AS (SELECT a, b FROM ({edges_select})),
 sym AS (SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e),
 deg AS (SELECT a AS node, COUNT(*) AS deg FROM sym GROUP BY a),
@@ -974,7 +1006,7 @@ FROM new_pairs n
 JOIN deg da ON da.node = n.a
 JOIN deg db ON db.node = n.b
 ORDER BY n.common_neighbors DESC, jaccard DESC, n.a, n.b
-LIMIT {topk}"""
+LIMIT {topk}""")
 
 
 # ---------------------------------------------------------------------------
@@ -1157,7 +1189,7 @@ def conductance_sql(edges_cte: str, labels_cte: str) -> str:
     """DuckDB twin of :func:`conductance`. ``edges_cte`` must define
     ``edges`` (a, b); ``labels_cte`` must define ``labels``
     (node, community)."""
-    return f"""
+    return materialize_ctes(f"""
 WITH {edges_cte},
 {labels_cte},
 m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM edges),
@@ -1192,7 +1224,7 @@ SELECT v.community, v.n_nodes,
                  / CAST(LEAST(v.volume, 2 * (SELECT m FROM m) - v.volume) AS DOUBLE)
             ELSE 0.0 END AS phi
 FROM vol v LEFT JOIN cut c ON c.community = v.community
-ORDER BY v.community"""
+ORDER BY v.community""")
 
 
 def assortativity(edges: DataFrame) -> DataFrame:
@@ -1244,7 +1276,7 @@ def assortativity(edges: DataFrame) -> DataFrame:
 def assortativity_sql(edges_cte: str) -> str:
     """DuckDB twin of :func:`assortativity`. ``edges_cte`` must define
     ``edges`` (a, b)."""
-    return f"""
+    return materialize_ctes(f"""
 WITH {edges_cte},
 sym AS (SELECT a AS x, b AS y FROM edges UNION ALL SELECT b AS x, a AS y FROM edges),
 deg AS (SELECT x AS node, CAST(COUNT(*) AS BIGINT) AS deg FROM sym GROUP BY x),
@@ -1266,4 +1298,4 @@ SELECT CAST(CAST(m AS BIGINT) / 2 AS BIGINT) AS n_edges,
        / sqrt((CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
               * (CAST(m AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
          AS assortativity
-FROM m"""
+FROM m""")

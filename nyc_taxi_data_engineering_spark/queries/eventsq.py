@@ -893,9 +893,15 @@ _STATIONARY_ITERS_SQL = ",\n".join(
 )
 
 
+from nyc_taxi_data_engineering_spark.operators.graph import materialize_ctes  # noqa: E402
+
+
 @query(
     "markov_stationary_events",
-    oracle=f"""
+    # materialize_ctes: the per-iteration CTE pairs reference tm and the
+    # previous pi multiple times — same DuckDB inlining bomb as the
+    # graph-family oracles (see operators/graph.materialize_ctes)
+    oracle=materialize_ctes(f"""
 WITH seq AS (
     SELECT user_id, event_type,
            lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
@@ -916,7 +922,7 @@ k AS (SELECT CAST(COUNT(DISTINCT prev_type) AS DOUBLE) AS k FROM tm),
 p0 AS (SELECT DISTINCT prev_type AS state, 1.0 / (SELECT k FROM k) AS pi FROM tm),
 {_STATIONARY_ITERS_SQL}
 SELECT state, pi FROM p{MARKOV_POWER_ITERS} ORDER BY state
-""",
+"""),
 )
 def q_markov_stationary_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stationary distribution of the event-type Markov chain — where
