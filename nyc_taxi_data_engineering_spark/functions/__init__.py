@@ -47,6 +47,71 @@ def stable_avg_sql(expr: str, scale: int = 4, precision: int = 18) -> str:
     return f"{stable_sum_sql(expr, scale, precision)} / COUNT({expr})"
 
 
+# ---------------------------------------------------------------------------
+# Decimal-domain arithmetic (VERDICT r9 "What's wrong" #1-#4).
+#
+# stable_sum's double→DECIMAL cast is engine-portable ONLY when the double
+# holds a value already on (or within one ULP of) the target decimal grid.
+# A double that is the product of 3+ doubles can land close enough to a
+# .5 grid boundary that Spark (BigDecimal HALF_UP on the exact binary
+# value) and DuckDB (scale-and-llround through x*10^k, a double-rounding)
+# disagree by one unit in the last place — invisible at rtol 1e-9, fatal
+# to the driver's exact hash. The cure: cast each EXACT-decimal source
+# column to DECIMAL once (deterministic both engines), do all arithmetic
+# in decimal (exact — no rounding anywhere), and cast the exact total to
+# double only at the very end.
+# ---------------------------------------------------------------------------
+
+
+def exact_dec(col: Column | str, precision: int = 12, scale: int = 2) -> Column:
+    """Cast a double that holds an exact scale-`scale` decimal value onto
+    the decimal grid. Deterministic across engines because the nearest
+    double to an on-grid value is ~15 significant digits away from the
+    next half-boundary; only use on source columns known to be on the
+    grid (prices, rates) — never on computed products."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(f"decimal({precision},{scale})")
+
+
+def exact_dec_sql(expr: str, precision: int = 12, scale: int = 2) -> str:
+    """DuckDB twin of :func:`exact_dec`."""
+    return f"CAST({expr} AS DECIMAL({precision},{scale}))"
+
+
+def dec_sum(col: Column | str) -> Column:
+    """Exact SUM of an already-decimal expression, cast to double with NO
+    intermediate rescale — safe at any magnitude (the sub-ULP quantization
+    trap of ``round(double, k)`` cannot occur: nothing is ever rounded
+    until the terminal decimal→double conversion, which is exact-input
+    nearest-double in both engines)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c).cast("double")
+
+
+def dec_sum_sql(expr: str) -> str:
+    """DuckDB twin of :func:`dec_sum` (DuckDB sums DECIMAL as
+    DECIMAL(38,s) — exact)."""
+    return f"CAST(SUM({expr}) AS DOUBLE)"
+
+
+def assert_quantum_above_ulp(max_abs: float, scale: int) -> None:
+    """Guard for any remaining ``round(double, scale)`` site: the decimal
+    quantum 10^-scale must exceed the double ULP at the operand's
+    magnitude, else the two engines' round() can legally disagree
+    (VERDICT r9: round(x², 6) at |x²|~1e14 has ULP ~0.016 > 1e-6).
+    Call with a proven bound on |operand|."""
+    import math
+
+    ulp = math.ulp(max_abs)
+    quantum = 10.0 ** (-scale)
+    if quantum <= 2 * ulp:
+        raise ValueError(
+            f"round(·,{scale}) below ULP at magnitude {max_abs:g}: "
+            f"quantum {quantum:g} <= 2*ulp {2 * ulp:g} — use decimal-domain "
+            "arithmetic (exact_dec/dec_sum) instead"
+        )
+
+
 # NULL marker for change hashes. The reference coalesces NULL to ''
 # (scd2_delta_vendors.py:42), which makes NULL<->'' edits hash-invisible
 # and skips the new SCD2 version; encode NULL as a value no real string

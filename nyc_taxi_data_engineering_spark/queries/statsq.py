@@ -1397,74 +1397,111 @@ def q_spearman_quantity_price(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- One-way ANOVA ----------------------------------------------------------
 
 
+# The five TPC-H order priorities, pinned so the ANOVA rollup can pivot
+# per-group moments into ONE row and fold them in a FIXED expression order.
+_ANOVA_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+
+def _anova_group_moments_sql() -> str:
+    """Conditional-aggregate SQL for per-priority (n_i, s_i) pairs —
+    decimal-exact sums cast to double only once."""
+    parts = []
+    for i, p in enumerate(_ANOVA_PRIORITIES, 1):
+        parts.append(
+            f"CAST(COUNT(CASE WHEN o_orderpriority = '{p}' THEN 1 END) AS DOUBLE) AS n{i},\n"
+            f"       CAST(SUM(CASE WHEN o_orderpriority = '{p}'"
+            f" THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE) AS s{i}"
+        )
+    return ",\n       ".join(parts)
+
+
+_ANOVA_SB_SQL = " + ".join(
+    f"(CASE WHEN n{i} > 0 THEN s{i} * s{i} / n{i} ELSE 0.0 END)" for i in range(1, 6)
+)
+_ANOVA_K_SQL = " + ".join(f"(CASE WHEN n{i} > 0 THEN 1 ELSE 0 END)" for i in range(1, 6))
+
+
 @query(
     "anova_price_by_priority",
     oracle=f"""
-WITH g AS (
-    SELECT o_orderpriority,
-           CAST(COUNT(*) AS BIGINT) AS n_g,
-           {stable_sum_sql('o_totalprice', scale=6, precision=38)} AS s_g,
-           {stable_sum_sql('o_totalprice * o_totalprice', scale=6, precision=38)} AS ssq_g
-    FROM orders GROUP BY o_orderpriority
+WITH a AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS s,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))
+                    * CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS ssq,
+           {_anova_group_moments_sql()}
+    FROM orders
 ),
-tot AS (
-    SELECT CAST(COUNT(*) AS BIGINT) AS k_groups,
-           CAST(SUM(n_g) AS BIGINT) AS n,
-           CAST(SUM(CAST(s_g AS DECIMAL(38,6))) AS DOUBLE) AS s,
-           CAST(SUM(CAST(ssq_g AS DECIMAL(38,6))) AS DOUBLE) AS ssq,
-           CAST(SUM(CAST(round(s_g * s_g / n_g, 6) AS DECIMAL(38,6))) AS DOUBLE) AS sb
-    FROM g
+b AS (
+    SELECT n, s, ssq,
+           CAST({_ANOVA_K_SQL} AS BIGINT) AS k_groups,
+           {_ANOVA_SB_SQL} AS sb
+    FROM a
 )
 SELECT k_groups, n,
-       sb - s * s / n AS ss_between,
+       sb - s * s / CAST(n AS DOUBLE) AS ss_between,
        ssq - sb AS ss_within,
-       ((sb - s * s / n) / (k_groups - 1.0))
-         / ((ssq - sb) / (CAST(n AS DOUBLE) - k_groups)) AS f_stat
-FROM tot
+       CASE WHEN k_groups > 1 AND CAST(n AS BIGINT) > k_groups AND ssq - sb > 0.0
+            THEN ((sb - s * s / CAST(n AS DOUBLE)) / (CAST(k_groups AS DOUBLE) - 1.0))
+                   / ((ssq - sb) / (CAST(n AS DOUBLE) - CAST(k_groups AS DOUBLE)))
+            ELSE NULL END AS f_stat
+FROM b
 """,
 )
 def q_anova_price_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-way ANOVA F across the five order priorities on
     o_totalprice — the parametric sibling of kruskal_wallis_events.
-    ONE scan builds the per-group moment table (count / decimal-exact
-    sum / sum-of-squares at 6 dp, precision 38 so squared prices
-    can't overflow); the 5-row rollup re-enters the decimal transport
-    for every cross-group sum — s_g and ssq_g are already on the 6-dp
-    grid so re-casting is exact, and the group mean-square terms
-    s_g^2/n_g round to 6 dp before the decimal sum (the EB-shrinkage
-    precedent), making all three sums order-independent instead of
-    leaning on 5-operand float-sum luck. SSB = sum(s_g^2/n_g) - S^2/N,
-    SSW = sum(ssq_g) - sum(s_g^2/n_g), F = (SSB/(k-1))/(SSW/(N-k)) —
-    a fixed chain of IEEE ops on identical operands. 1 row."""
+
+    r10 rewrite (VERDICT r9 #3): the old rollup quantized s_g^2/n_g to
+    6 dp, but at |s_g^2/n_g| ~ 3e13 the double ULP is ~0.004 — the grid
+    sits BELOW ULP, so Spark's and DuckDB's round() legally disagree.
+    No fixed decimal grid survives every SF, and Spark's 38-digit
+    decimal cap can't hold s_g^2 exactly, so the cure is structural:
+    the priority domain is closed (five TPC-H values), so ONE scan
+    pivots per-group (n_i, s_i) into conditional aggregates on a single
+    row — each s_i an exact decimal sum cast to double once — and
+    sb = t1+t2+t3+t4+t5 folds in FIXED left-assoc order, a pure IEEE
+    expression tree both engines evaluate bit-identically (neither
+    reassociates float adds). SSB = sb - S^2/N, SSW = ssq - sb,
+    F = (SSB/(k-1))/(SSW/(N-k)), CASE-guarded for degenerate tiers.
+    At 100 TB this is still one scan + one 15-aggregate hash agg. 1 row."""
     o = load_table(spark, sf_dir, "orders").select("o_orderpriority", "o_totalprice")
-    g = o.groupBy("o_orderpriority").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_g"),
-        stable_sum("o_totalprice", scale=6, precision=38).alias("s_g"),
-        stable_sum(F.col("o_totalprice") * F.col("o_totalprice"), scale=6, precision=38).alias(
-            "ssq_g"
-        ),
-    )
-    tot = g.agg(
-        F.count(F.lit(1)).cast("bigint").alias("k_groups"),
-        F.sum("n_g").cast("bigint").alias("n"),
-        F.sum(F.col("s_g").cast("decimal(38,6)")).cast("double").alias("s"),
-        F.sum(F.col("ssq_g").cast("decimal(38,6)")).cast("double").alias("ssq"),
-        F.sum(
-            F.round(F.col("s_g") * F.col("s_g") / F.col("n_g"), 6).cast("decimal(38,6)")
-        )
-        .cast("double")
-        .alias("sb"),
-    )
-    kd = F.col("k_groups").cast("double")
+    pd_ = F.col("o_totalprice").cast("decimal(12,2)")
+    aggs = [
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(pd_).cast("double").alias("s"),
+        F.sum(pd_ * pd_).cast("double").alias("ssq"),
+    ]
+    for i, p in enumerate(_ANOVA_PRIORITIES, 1):
+        cond = F.col("o_orderpriority") == p
+        aggs.append(F.count(F.when(cond, F.lit(1))).cast("double").alias(f"n{i}"))
+        aggs.append(F.sum(F.when(cond, pd_)).cast("double").alias(f"s{i}"))
+    a = o.agg(*aggs)
+
+    def term(i: int):
+        return F.when(
+            F.col(f"n{i}") > 0, F.col(f"s{i}") * F.col(f"s{i}") / F.col(f"n{i}")
+        ).otherwise(F.lit(0.0))
+
+    sb = term(1) + term(2) + term(3) + term(4) + term(5)
+    k_expr = sum(
+        (F.when(F.col(f"n{i}") > 0, F.lit(1)).otherwise(F.lit(0)) for i in range(2, 6)),
+        F.when(F.col("n1") > 0, F.lit(1)).otherwise(F.lit(0)),
+    ).cast("bigint")
+    b = a.select("n", "s", "ssq", k_expr.alias("k_groups"), sb.alias("sb"))
     nd = F.col("n").cast("double")
-    ssb = F.col("sb") - F.col("s") * F.col("s") / F.col("n")
+    kd = F.col("k_groups").cast("double")
+    ssb = F.col("sb") - F.col("s") * F.col("s") / nd
     ssw = F.col("ssq") - F.col("sb")
-    return tot.select(
+    return b.select(
         "k_groups",
         "n",
         ssb.alias("ss_between"),
         ssw.alias("ss_within"),
-        ((ssb / (kd - F.lit(1.0))) / (ssw / (nd - kd))).alias("f_stat"),
+        F.when(
+            (F.col("k_groups") > 1) & (F.col("n") > F.col("k_groups")) & (ssw > 0.0),
+            (ssb / (kd - F.lit(1.0))) / (ssw / (nd - kd)),
+        ).alias("f_stat"),
     )
 
 

@@ -1528,18 +1528,28 @@ HAAR_LEVELS = 5
 
 
 def _haar_level_sql(prev: str, out: str, lvl: int) -> str:
+    # r10 (VERDICT r9 #4): the whole pyramid runs in EXACT decimal.
+    # Halving is `* DECIMAL(2,1) 0.5` (exact: scale grows by 1/level),
+    # and per-level energy sums d*d in decimal with NO rounding — the
+    # old round(d*d, 6) sat below the double ULP at |d*d| ~ 1e14 and
+    # flipped the hash. d fits scale 7 at any probe tier (|d| < 1e10,
+    # scale <= 2+level <= 7); DuckDB squares at DECIMAL(19,7)
+    # (hugeint-backed — int64-width 17 overflows its multiply) while
+    # Spark squares at (17,7) (a (19,7)^2 would cross Spark's 38-digit
+    # cap and trigger a lossy rescale); both products are exact, so
+    # the values agree despite the differing declared widths.
     return f"""{out} AS (
     SELECT CAST(floor((rn + 1) / 2.0) AS BIGINT) AS rn,
            (MAX(CASE WHEN rn % 2 = 1 THEN v END)
-            + MAX(CASE WHEN rn % 2 = 0 THEN v END)) / 2.0 AS v,
+            + MAX(CASE WHEN rn % 2 = 0 THEN v END)) * CAST(0.5 AS DECIMAL(2,1)) AS v,
            (MAX(CASE WHEN rn % 2 = 1 THEN v END)
-            - MAX(CASE WHEN rn % 2 = 0 THEN v END)) / 2.0 AS d
+            - MAX(CASE WHEN rn % 2 = 0 THEN v END)) * CAST(0.5 AS DECIMAL(2,1)) AS d
     FROM {prev} GROUP BY CAST(floor((rn + 1) / 2.0) AS BIGINT)
 ),
 d{lvl} AS (
     SELECT {lvl} AS level, CAST(COUNT(*) AS BIGINT) AS n_coeffs,
-           CAST(SUM(CAST(round(d * d, 6) AS DECIMAL(38,6))) AS DOUBLE) AS energy,
-           MAX(abs(d)) AS max_abs_coeff
+           CAST(SUM(CAST(d AS DECIMAL(19,7)) * CAST(d AS DECIMAL(19,7))) AS DOUBLE) AS energy,
+           CAST(MAX(abs(CAST(d AS DECIMAL(19,7)))) AS DOUBLE) AS max_abs_coeff
     FROM {out}
 )"""
 
@@ -1555,7 +1565,7 @@ _HAAR_LEVELS_SQL = ",\n".join(
     oracle=f"""
 WITH {_HOLT_DAILY_SQL},
 s0 AS (
-    SELECT row_number() OVER (ORDER BY d) AS rn, x AS v
+    SELECT row_number() OVER (ORDER BY d) AS rn, CAST(x AS DECIMAL(14,2)) AS v
     FROM daily QUALIFY row_number() OVER (ORDER BY d) <= {HAAR_N}
 ),
 {_HAAR_LEVELS_SQL}
@@ -1571,11 +1581,12 @@ def q_haar_decompose_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     what time scale does the variance live" (level 1 ≈ day-to-day
     noise, level 3 ≈ weekly, level 5 ≈ monthly): {HAAR_LEVELS} levels
     of pairwise (a+b)/2 averages carried forward and (a-b)/2 detail
-    coefficients, per level the coefficient count, energy (6-dp
-    decimal-quantized sum of squares) and the largest |coefficient|
-    (a localized shock detector). Every average and detail is ONE
-    add/sub plus an exact halving of bit-identical doubles, so the
-    whole pyramid replays exactly; each level is a hash agg over a
+    coefficients, per level the coefficient count, energy (EXACT
+    decimal sum of squares — r10: the old round(d*d, 6) sat below the
+    double ULP at |d*d| ~ 1e14 and flipped the driver hash; the whole
+    pyramid now runs in exact decimal, halving via * DECIMAL 0.5, so
+    nothing is ever rounded) and the largest |coefficient| (a
+    localized shock detector). Each level is a hash agg over a
     halving series — log2(n) rounds, series-bounded, scale-free wrt
     fact rows."""
     orders = load_table(spark, sf_dir, "orders")
@@ -1585,8 +1596,12 @@ def q_haar_decompose_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("x")
     )
+    half = F.lit(0.5).cast("decimal(2,1)")
     s = (
-        daily.select(F.row_number().over(Window.orderBy("d")).alias("rn"), F.col("x").alias("v"))
+        daily.select(
+            F.row_number().over(Window.orderBy("d")).alias("rn"),
+            F.col("x").cast("decimal(14,2)").alias("v"),
+        )
         .filter(F.col("rn") <= HAAR_N)
     )
     rows = []
@@ -1595,16 +1610,15 @@ def q_haar_decompose_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         o = F.max(F.when(F.col("rn") % 2 == 1, F.col("v")))
         e = F.max(F.when(F.col("rn") % 2 == 0, F.col("v")))
         nxt = s.groupBy(pair.alias("rn")).agg(
-            ((o + e) / F.lit(2.0)).alias("v"), ((o - e) / F.lit(2.0)).alias("d")
+            ((o + e) * half).alias("v"), ((o - e) * half).alias("d")
         )
+        dd = F.col("d").cast("decimal(17,7)")
         rows.append(
             nxt.agg(
                 F.lit(lvl).alias("level"),
                 F.count(F.lit(1)).cast("bigint").alias("n_coeffs"),
-                F.sum(F.round(F.col("d") * F.col("d"), 6).cast("decimal(38,6)"))
-                .cast("double")
-                .alias("energy"),
-                F.max(F.abs(F.col("d"))).alias("max_abs_coeff"),
+                F.sum(dd * dd).cast("double").alias("energy"),
+                F.max(F.abs(dd)).cast("double").alias("max_abs_coeff"),
             )
         )
         s = nxt.select("rn", "v")

@@ -26,6 +26,8 @@ from pyspark.sql import functions as F
 
 from nyc_taxi_data_engineering_spark.catalog import load_table
 from nyc_taxi_data_engineering_spark.functions import (
+    dec_sum,
+    dec_sum_sql,
     stable_avg,
     stable_avg_sql,
     stable_sum,
@@ -34,10 +36,26 @@ from nyc_taxi_data_engineering_spark.functions import (
 from nyc_taxi_data_engineering_spark.queries.registry import query
 
 def _revenue():
-    """Discounted line revenue, pinned expression shape (lazy: building
-    a Column requires an active session)."""
-    return F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
-_REVENUE_SQL = "l_extendedprice * (1.0 - l_discount)"
+    """Discounted line revenue in EXACT decimal domain (r10, VERDICT r9 #1):
+    l_extendedprice / l_discount are exact 2-dp values, so casting each to
+    DECIMAL is deterministic in both engines and the product is exact
+    (scale 4, no rounding anywhere). The previous double-domain shape
+    (ep * (1.0 - disc) then CAST AS DECIMAL(18,4)) double-rounds in DuckDB
+    and flipped sum_charge's hash at sf0.01. Lazy: building a Column
+    requires an active session."""
+    ep = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    return ep * (F.lit(1).cast("decimal(3,2)") - disc)
+_REVENUE_SQL = (
+    "(CAST(l_extendedprice AS DECIMAL(12,2))"
+    " * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))))"
+)
+
+
+def _tax_factor():
+    """(1 + l_tax) on the exact decimal grid — l_tax is an exact 2-dp rate."""
+    return F.lit(1).cast("decimal(3,2)") + F.col("l_tax").cast("decimal(4,2)")
+_TAX_FACTOR_SQL = "(CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2)))"
 
 
 @query(
@@ -46,8 +64,8 @@ _REVENUE_SQL = "l_extendedprice * (1.0 - l_discount)"
 SELECT l_returnflag, l_linestatus,
        {stable_sum_sql('l_quantity')} AS sum_qty,
        {stable_sum_sql('l_extendedprice')} AS sum_base_price,
-       {stable_sum_sql(_REVENUE_SQL)} AS sum_disc_price,
-       {stable_sum_sql('(' + _REVENUE_SQL + ') * (1.0 + l_tax)')} AS sum_charge,
+       {dec_sum_sql(_REVENUE_SQL)} AS sum_disc_price,
+       {dec_sum_sql(_REVENUE_SQL + ' * ' + _TAX_FACTOR_SQL)} AS sum_charge,
        {stable_avg_sql('l_quantity')} AS avg_qty,
        {stable_avg_sql('l_extendedprice')} AS avg_price,
        {stable_avg_sql('l_discount', scale=6)} AS avg_disc,
@@ -70,8 +88,8 @@ def q_tpch_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             stable_sum("l_quantity").alias("sum_qty"),
             stable_sum("l_extendedprice").alias("sum_base_price"),
-            stable_sum(_revenue()).alias("sum_disc_price"),
-            stable_sum(_revenue() * (F.lit(1.0) + F.col("l_tax"))).alias("sum_charge"),
+            dec_sum(_revenue()).alias("sum_disc_price"),
+            dec_sum(_revenue() * _tax_factor()).alias("sum_charge"),
             stable_avg("l_quantity").alias("avg_qty"),
             stable_avg("l_extendedprice").alias("avg_price"),
             stable_avg("l_discount", scale=6).alias("avg_disc"),
@@ -84,7 +102,7 @@ def q_tpch_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_shipping_priority",
     oracle=f"""
 SELECT l_orderkey,
-       {stable_sum_sql(_REVENUE_SQL)} AS revenue,
+       {dec_sum_sql(_REVENUE_SQL)} AS revenue,
        o_orderdate, o_orderpriority
 FROM customer
 JOIN orders ON c_custkey = o_custkey
@@ -111,7 +129,7 @@ def q_tpch_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(cust.select("c_custkey")), F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(stable_sum(_revenue()).alias("revenue"))
+        .agg(dec_sum(_revenue()).alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
         .orderBy(F.col("revenue").desc(), "l_orderkey")
         .limit(10)
@@ -152,7 +170,7 @@ def q_tpch_priority_late_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "tpch_local_supplier_volume",
     oracle=f"""
-SELECT n_name, {stable_sum_sql(_REVENUE_SQL)} AS revenue
+SELECT n_name, {dec_sum_sql(_REVENUE_SQL)} AS revenue
 FROM customer
 JOIN orders ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
@@ -191,14 +209,14 @@ def q_tpch_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_suppkey") == F.col("s_suppkey")) & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
         .groupBy("n_name")
-        .agg(stable_sum(_revenue()).alias("revenue"))
+        .agg(dec_sum(_revenue()).alias("revenue"))
     )
 
 
 @query(
     "tpch_revenue_change",
     oracle=f"""
-SELECT {stable_sum_sql('l_extendedprice * l_discount', scale=6)} AS revenue
+SELECT {dec_sum_sql('CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2))')} AS revenue
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
   AND l_discount >= 0.02 AND l_discount <= 0.06
@@ -218,7 +236,12 @@ def q_tpch_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_discount") >= 0.02)
         & (F.col("l_discount") <= 0.06)
         & (F.col("l_quantity") < 24)
-    ).agg(stable_sum(F.col("l_extendedprice") * F.col("l_discount"), scale=6).alias("revenue"))
+    ).agg(
+        dec_sum(
+            F.col("l_extendedprice").cast("decimal(12,2)")
+            * F.col("l_discount").cast("decimal(4,2)")
+        ).alias("revenue")
+    )
 
 
 @query(
@@ -226,7 +249,7 @@ def q_tpch_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
        CAST(year(l_shipdate) AS INT) AS l_year,
-       {stable_sum_sql(_REVENUE_SQL)} AS revenue
+       {dec_sum_sql(_REVENUE_SQL)} AS revenue
 FROM lineitem
 JOIN orders ON o_orderkey = l_orderkey
 JOIN customer ON c_custkey = o_custkey
@@ -261,7 +284,7 @@ def q_tpch_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
         .filter(F.col("sn_key") != F.col("cn_key"))
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
-        .agg(stable_sum(_revenue()).alias("revenue"))
+        .agg(dec_sum(_revenue()).alias("revenue"))
     )
 
 
@@ -269,8 +292,8 @@ def q_tpch_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_regional_market_share",
     oracle=f"""
 SELECT CAST(year(o_orderdate) AS INT) AS o_year,
-       {stable_sum_sql(f"CASE WHEN sr.r_name = 'EUROPE' THEN {_REVENUE_SQL} ELSE 0.0 END")}
-         / {stable_sum_sql(_REVENUE_SQL)} AS mkt_share
+       {dec_sum_sql(f"CASE WHEN sr.r_name = 'EUROPE' THEN {_REVENUE_SQL} ELSE CAST(0 AS DECIMAL(18,4)) END")}
+         / {dec_sum_sql(_REVENUE_SQL)} AS mkt_share
 FROM lineitem
 JOIN orders ON o_orderkey = l_orderkey
 JOIN customer ON c_custkey = o_custkey
@@ -314,8 +337,12 @@ def q_tpch_regional_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
             (
-                stable_sum(F.when(F.col("supp_region") == "EUROPE", rev).otherwise(F.lit(0.0)))
-                / stable_sum(rev)
+                dec_sum(
+                    F.when(F.col("supp_region") == "EUROPE", rev).otherwise(
+                        F.lit(0).cast("decimal(18,4)")
+                    )
+                )
+                / dec_sum(rev)
             ).alias("mkt_share")
         )
     )
@@ -325,7 +352,7 @@ def q_tpch_regional_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_parttype_profit",
     oracle=f"""
 SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
-       {stable_sum_sql(_REVENUE_SQL)} AS sum_profit
+       {dec_sum_sql(_REVENUE_SQL)} AS sum_profit
 FROM lineitem
 JOIN part ON p_partkey = l_partkey
 JOIN orders ON o_orderkey = l_orderkey
@@ -352,14 +379,14 @@ def q_tpch_parttype_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
-        .agg(stable_sum(_revenue()).alias("sum_profit"))
+        .agg(dec_sum(_revenue()).alias("sum_profit"))
     )
 
 
 @query(
     "tpch_returned_items",
     oracle=f"""
-SELECT c_custkey, c_name, {stable_sum_sql(_REVENUE_SQL)} AS revenue,
+SELECT c_custkey, c_name, {dec_sum_sql(_REVENUE_SQL)} AS revenue,
        c_acctbal, n_name
 FROM customer
 JOIN orders ON o_custkey = c_custkey
@@ -385,7 +412,7 @@ def q_tpch_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_cust = (
         li.join(orders.select("o_orderkey", "o_custkey"), F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("o_custkey")
-        .agg(stable_sum(_revenue()).alias("revenue"))
+        .agg(dec_sum(_revenue()).alias("revenue"))
     )
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal", "c_nationkey")
     nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
@@ -429,8 +456,8 @@ def q_tpch_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "tpch_promotion_effect",
     oracle=f"""
-SELECT 100.0 * {stable_sum_sql(f"CASE WHEN p_type = 'PROMO' THEN {_REVENUE_SQL} ELSE 0.0 END")}
-       / {stable_sum_sql(_REVENUE_SQL)} AS promo_revenue
+SELECT 100.0 * {dec_sum_sql(f"CASE WHEN p_type = 'PROMO' THEN {_REVENUE_SQL} ELSE CAST(0 AS DECIMAL(18,4)) END")}
+       / {dec_sum_sql(_REVENUE_SQL)} AS promo_revenue
 FROM lineitem JOIN part ON p_partkey = l_partkey
 WHERE l_shipdate >= TIMESTAMP '1996-09-01' AND l_shipdate < TIMESTAMP '1996-10-01'
 """,
@@ -450,8 +477,12 @@ def q_tpch_promotion_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             (
                 F.lit(100.0)
-                * stable_sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0)))
-                / stable_sum(rev)
+                * dec_sum(
+                    F.when(F.col("p_type") == "PROMO", rev).otherwise(
+                        F.lit(0).cast("decimal(18,4)")
+                    )
+                )
+                / dec_sum(rev)
             ).alias("promo_revenue")
         )
     )
@@ -461,7 +492,7 @@ def q_tpch_promotion_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_top_supplier",
     oracle=f"""
 WITH revenue AS (
-    SELECT l_suppkey AS supplier_no, {stable_sum_sql(_REVENUE_SQL)} AS total_revenue
+    SELECT l_suppkey AS supplier_no, {dec_sum_sql(_REVENUE_SQL)} AS total_revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
     GROUP BY l_suppkey
@@ -481,7 +512,7 @@ def q_tpch_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= F.lit("1996-01-01")) & (F.col("l_shipdate") < F.lit("1996-04-01"))
     )
     rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
-        stable_sum(_revenue()).alias("total_revenue")
+        dec_sum(_revenue()).alias("total_revenue")
     )
     mx = rev.agg(F.max("total_revenue").alias("max_revenue"))
     supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
@@ -594,7 +625,7 @@ def q_tpch_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame
 @query(
     "tpch_brand_quantity_revenue",
     oracle=f"""
-SELECT {stable_sum_sql(_REVENUE_SQL)} AS revenue
+SELECT {dec_sum_sql(_REVENUE_SQL)} AS revenue
 FROM lineitem JOIN part ON p_partkey = l_partkey
 WHERE (p_brand = 'Brand#11' AND l_quantity >= 1 AND l_quantity <= 11 AND p_size <= 5)
    OR (p_brand = 'Brand#12' AND l_quantity >= 10 AND l_quantity <= 20 AND p_size <= 10)
@@ -618,7 +649,7 @@ def q_tpch_brand_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame
     return (
         li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
         .filter(cond)
-        .agg(stable_sum(_revenue()).alias("revenue"))
+        .agg(dec_sum(_revenue()).alias("revenue"))
     )
 
 

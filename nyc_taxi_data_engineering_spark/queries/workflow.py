@@ -809,14 +809,30 @@ def q_delta_dv_delete_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# 10% markup, bit-deterministic cross-engine (r10, VERDICT r9 #2). The old
+# CAST(o_totalprice * 1.1 AS DECIMAL(18,2)) diverged: Spark casts the exact
+# binary product HALF_UP, DuckDB double-rounds through x*100. And a pure
+# decimal fix (price_dec * 1.10 then rescale 4→2) ALSO diverges on exact
+# half-cents: Spark rescales HALF_UP, DuckDB HALF-TO-EVEN (verified:
+# 1.155 → 1.16 vs 1.15). So the markup runs in integer cents with an
+# explicit half-up formula — every step exact or IEEE-identical:
+#   cents     = CAST(price AS DECIMAL(18,2)) * 100  (exact integer value)
+#   new_cents = FLOOR((cents*110 + 50) / 100)       (half-up, integer domain)
+#   price'    = new_cents / 100.0                   (same IEEE double both)
+_DV_MARKUP_EXPR = (
+    "CAST(FLOOR((CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+    " * 110 + 50) / 100) AS DOUBLE) / 100.0"
+)
+
+
 @query(
     "delta_dv_update_orders",
-    oracle="""
+    oracle=f"""
 WITH updated AS (
     SELECT CASE WHEN o_orderstatus = 'P' THEN '1-URGENT'
                 ELSE o_orderpriority END AS o_orderpriority,
            CASE WHEN o_orderstatus = 'P'
-                THEN CAST(CAST(o_totalprice * 1.1 AS DECIMAL(18,2)) AS DOUBLE)
+                THEN {_DV_MARKUP_EXPR}
                 ELSE o_totalprice END AS price
     FROM orders
 )
@@ -835,8 +851,9 @@ def q_delta_dv_update_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate by priority through the snapshot. The oracle applies the
     same transformation with CASE/FILTER arithmetic over the raw
     table, so a row updated twice, missed, or resurrected from a
-    tombstone all hash-mismatch. The updated price rides the same
-    DECIMAL(18,2) transport on both sides.
+    tombstone all hash-mismatch. The updated price is computed by
+    _DV_MARKUP_EXPR — integer-cents half-up, the only markup shape
+    both engines evaluate bit-identically (see the comment above).
 
     100 TB shape: the update writes O(matched rows) new data +
     O(matched rows) bitmap bytes; copy-on-write would rewrite every
@@ -856,7 +873,7 @@ def q_delta_dv_update_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderstatus = 'P'",
         {
             "o_orderpriority": "'1-URGENT'",
-            "o_totalprice": "CAST(o_totalprice * 1.1 AS DECIMAL(18,2))",
+            "o_totalprice": _DV_MARKUP_EXPR,
         },
     )
     snap = D.read_delta_log(spark, tbl)

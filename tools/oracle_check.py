@@ -2,9 +2,13 @@
 
 For every registered query with an oracle: run the Spark query and the
 DuckDB SQL on the same parquet tables, then compare row count, sorted
-column names, and order-insensitive values (floats with tolerance).
+column names, and order-insensitive values. Floats are compared with
+EXACT bit equality (NaN==NaN allowed) — the driver hashes values
+exactly, so any tolerance here is a hole the driver will find.
+Pass --tolerant for np.isclose triage mode (diagnosis only; a query is
+NOT certified until it passes the default exact mode).
 
-Usage: python tools/oracle_check.py [sf_dir] [query ...]
+Usage: python tools/oracle_check.py [--tolerant] [sf_dir] [query ...]
 """
 
 from __future__ import annotations
@@ -47,7 +51,12 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.loc[order].reset_index(drop=True)
 
 
-def compare(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, name: str) -> list[str]:
+def compare(
+    spark_pdf: pd.DataFrame,
+    oracle_pdf: pd.DataFrame,
+    name: str,
+    tolerant: bool = False,
+) -> list[str]:
     errs: list[str] = []
     if sorted(map(str.lower, spark_pdf.columns)) != sorted(map(str.lower, oracle_pdf.columns)):
         errs.append(f"columns differ: spark={sorted(spark_pdf.columns)} oracle={sorted(oracle_pdf.columns)}")
@@ -76,10 +85,18 @@ def compare(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, name: str) -> lis
             fa = sa.astype(float).to_numpy()
             fb = sb.astype(float).to_numpy()
             both_nan = np.isnan(fa) & np.isnan(fb)
-            close = np.isclose(fa, fb, rtol=1e-9, atol=1e-9) | both_nan
+            if tolerant:
+                close = np.isclose(fa, fb, rtol=1e-9, atol=1e-9) | both_nan
+            else:
+                # Driver contract: exact bit equality (the driver hashes
+                # repr'd values; any sub-ULP disagreement fails the hash).
+                close = (fa == fb) | both_nan
             if not close.all():
                 i = int(np.argmin(close))
-                errs.append(f"col {c}: value mismatch at sorted-row {i}: {fa[i]} vs {fb[i]}")
+                errs.append(
+                    f"col {c}: value mismatch at sorted-row {i}: {fa[i]!r} vs {fb[i]!r}"
+                    f" (diff {fa[i] - fb[i]:.3e})"
+                )
         else:
             eq = (sa.astype(str) == sb.astype(str)) | (sa.isna() & sb.isna())
             if not eq.all():
@@ -89,8 +106,12 @@ def compare(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, name: str) -> lis
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = [a for a in sys.argv[1:]]
+    tolerant = "--tolerant" in argv
+    if tolerant:
+        argv.remove("--tolerant")
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     from nyc_taxi_data_engineering_spark.queries import registry
     from nyc_taxi_data_engineering_spark.session import get_spark
@@ -122,7 +143,7 @@ def main() -> int:
             failed.append(name)
             print(f"FAIL {name}: duckdb error: {e}")
             continue
-        errs = compare(spark_pdf, oracle_pdf, name)
+        errs = compare(spark_pdf, oracle_pdf, name, tolerant=tolerant)
         if errs:
             failed.append(name)
             print(f"FAIL {name}: " + "; ".join(errs))
