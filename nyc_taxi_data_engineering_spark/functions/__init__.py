@@ -94,6 +94,33 @@ def dec_sum_sql(expr: str) -> str:
     return f"CAST(SUM({expr}) AS DOUBLE)"
 
 
+def portable_round(col: Column | str, scale: int) -> Column:
+    """Engine-portable quantizer: ``floor(x*10^s + 0.5) / 10^s``.
+
+    Native ``round(double, s)`` is NOT cross-engine-deterministic even
+    when the quantum is far above ULP: Spark rounds the exact binary
+    value (BigDecimal HALF_UP) while DuckDB double-rounds through
+    ``x*10^s`` — on values that land exactly on a grid half-boundary
+    (e.g. re-rounding a grid value scaled by a non-power-of-10) the two
+    can legally disagree by one quantum (found live: embedding_top2_pca
+    round(cv*0.125, 12)). This formula is a fixed chain of IEEE ops —
+    multiply, add, floor, divide, each correctly rounded — so both
+    engines produce the IDENTICAL double, halves resolving by the
+    double-rounded scaled value in BOTH engines (half-up-toward-+inf on
+    exact halves). Requires |x| < 2^53 / 10^s (Spark's floor returns
+    BIGINT); assert the bound at the call site for large magnitudes.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    f = F.lit(float(10**scale))
+    return F.floor(c * f + F.lit(0.5)) / f
+
+
+def portable_round_sql(expr: str, scale: int) -> str:
+    """DuckDB twin of :func:`portable_round` — the same IEEE op chain."""
+    f = float(10**scale)
+    return f"(floor(({expr}) * {f!r} + 0.5) / {f!r})"
+
+
 def assert_quantum_above_ulp(max_abs: float, scale: int) -> None:
     """Guard for any remaining ``round(double, scale)`` site: the decimal
     quantum 10^-scale must exceed the double ULP at the operand's

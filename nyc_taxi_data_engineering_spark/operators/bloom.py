@@ -131,8 +131,15 @@ def packed_bloom_build(ref: DataFrame, key: str) -> DataFrame:
     broadcastable. Carries ``m`` on every row so probes derive the
     SAME positions without re-counting the reference."""
     keys = ref.select(F.col(key).alias("k")).distinct()
+    # GREATEST(m, 1): an empty reference split (plausible on tiny/empty
+    # adversarial tiers) would make m=0 and every position expression
+    # `% 0` — Spark ANSI throws while DuckDB yields NULL, an engine
+    # divergence. m=1 keeps the modulus legal; the word table is still
+    # empty, so every probe misses (bloom_hit=0), the correct answer.
     mrow = keys.agg(
-        (F.lit(BLOOM_BITS_PER_KEY) * F.count(F.lit(1))).cast("long").alias("m")
+        F.greatest(
+            (F.lit(BLOOM_BITS_PER_KEY) * F.count(F.lit(1))).cast("long"), F.lit(1).cast("long")
+        ).alias("m")
     )
     pos = (
         keys.crossJoin(F.broadcast(mrow))
@@ -158,7 +165,10 @@ def packed_bloom_probe(df: DataFrame, key: str, words: DataFrame) -> DataFrame:
     and a per-key MIN over the k bit tests folds back to one row — at
     scale this is k broadcast-join probes per input row, zero shuffle
     of the corpus itself."""
-    mrow = words.agg(F.max("m").alias("m"))
+    # COALESCE(MAX(m), 1): an empty word table (empty reference) has no
+    # m to carry; 1 keeps the position modulus legal and every probe
+    # misses via the left join below.
+    mrow = words.agg(F.coalesce(F.max("m"), F.lit(1).cast("long")).alias("m"))
     pos = df.crossJoin(F.broadcast(mrow)).select(
         F.col(key).alias("_bk"),
         F.explode(F.array(*packed_bloom_positions(F.col(key), F.col("m")))).alias("pos"),

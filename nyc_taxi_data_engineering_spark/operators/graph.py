@@ -175,18 +175,22 @@ def materialize_ctes(sql: str) -> str:
     MATERIALIZED`` is DuckDB/Postgres syntax); recursive oracles are
     left alone (their self-reference must stay inline).
 
-    The rewrite targets ``<lowercase_identifier> AS (`` — CTE headers in
-    these generators — which cannot collide with column aliases (no
-    paren), ``CAST(x AS TYPE)`` (uppercase, no paren), window ``OVER
-    (`` (no identifier-AS), or ``VALUES ... AS t(cols)`` (no space
-    before the paren).
+    The rewrite is anchored to CTE-HEADER positions only (ADVICE r9):
+    the identifier must follow ``WITH`` or the ``,`` that closes the
+    previous CTE, optionally carry a column list, and be followed by
+    `` AS (``. A lowercase ``x AS (`` anywhere else in a
+    caller-supplied ``edges_cte``/``edges_select`` fragment (derived
+    tables, future generators) can no longer be rewritten into invalid
+    or wrongly-hinted SQL.
     """
     import re
 
     global _CTE_HEADER_RE
     if _CTE_HEADER_RE is None:
-        _CTE_HEADER_RE = re.compile(r"\b([a-z]\w*) AS \(")
-    return _CTE_HEADER_RE.sub(r"\1 AS MATERIALIZED (", sql)
+        _CTE_HEADER_RE = re.compile(
+            r"(\bWITH\b|,)(\s*)([a-z]\w*)(\s*\([^()]*\))?( AS \()"
+        )
+    return _CTE_HEADER_RE.sub(r"\1\2\3\4 AS MATERIALIZED (", sql)
 
 
 def pagerank_sql(

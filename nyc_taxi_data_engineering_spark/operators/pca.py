@@ -35,19 +35,24 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from nyc_taxi_data_engineering_spark.functions import (
+    portable_round,
+    portable_round_sql,
+)
+
 PCA_ITERS = 3
 _S = 12  # dp per summed term / per component
 _DEC = f"decimal(38,{_S})"
 
 
 def _dec_sum(term):
-    return F.sum(F.round(term, _S).cast(_DEC)).cast("double")
+    return F.sum(portable_round(term, _S).cast(_DEC)).cast("double")
 
 
 def _centered(x: DataFrame) -> DataFrame:
     """(vec_id, pos, cv) — mean-centered long-form corpus."""
     mean = x.groupBy("pos").agg(
-        F.round(
+        portable_round(
             F.sum(F.col("val").cast("decimal(18,9)")).cast("double") / F.count(F.lit(1)),
             _S,
         ).alias("mu")
@@ -83,7 +88,7 @@ def _power_rounds(cent: DataFrame, iters: int) -> DataFrame:
         # in the SQL twin.
         v = u.crossJoin(F.broadcast(n_row)).select(
             "pos",
-            F.round(
+            portable_round(
                 F.when(F.col("nrm") != 0, F.col("u") / F.col("nrm")), _S
             ).alias("vv"),
         )
@@ -97,7 +102,7 @@ def _signed(v: DataFrame) -> DataFrame:
     )
     return v.crossJoin(F.broadcast(sign_row)).select(
         (F.col("pos") + 1).cast("int").alias("dim"),
-        F.round(F.col("vv") * F.col("sgn"), _S).alias("component"),
+        portable_round(F.col("vv") * F.col("sgn"), _S).alias("component"),
     )
 
 
@@ -116,7 +121,7 @@ def _deflated(cent: DataFrame, v: DataFrame) -> DataFrame:
         .select(
             "vec_id",
             "pos",
-            F.round(F.col("cv") - F.col("dv") * F.col("vv"), _S).alias("cv"),
+            portable_round(F.col("cv") - F.col("dv") * F.col("vv"), _S).alias("cv"),
         )
     )
 
@@ -160,7 +165,7 @@ def _sql_centered(parts: list[str], corpus_cte: str) -> None:
     parts.append(
         f"""mean AS (
     SELECT pos,
-           round(CAST(SUM(CAST(val AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*), {_S}) AS mu
+           {portable_round_sql('CAST(SUM(CAST(val AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*)', _S)} AS mu
     FROM x GROUP BY pos
 )"""
     )
@@ -184,26 +189,31 @@ def _sql_rounds(parts: list[str], cent: str, p: str, iters: int) -> str:
         parts.append(
             f"""{p}w{i} AS MATERIALIZED (
     SELECT vec_id,
-           CAST(SUM(CAST(round(c.cv * v.vv, {_S}) AS {dec})) AS DOUBLE) AS w
+           CAST(SUM(CAST({portable_round_sql('c.cv * v.vv', _S)} AS {dec})) AS DOUBLE) AS w
     FROM {cent} c JOIN {p}v{i - 1} v ON v.pos = c.pos GROUP BY vec_id
 )"""
         )
         parts.append(
             f"""{p}u{i} AS MATERIALIZED (
     SELECT pos,
-           CAST(SUM(CAST(round(c.cv * w.w, {_S}) AS {dec})) AS DOUBLE) AS u
+           CAST(SUM(CAST({portable_round_sql('c.cv * w.w', _S)} AS {dec})) AS DOUBLE) AS u
     FROM {cent} c JOIN {p}w{i} w ON w.vec_id = c.vec_id GROUP BY pos
 )"""
         )
         parts.append(
             f"""{p}n{i} AS (
-    SELECT sqrt(CAST(SUM(CAST(round(u * u, {_S}) AS {dec})) AS DOUBLE)) AS nrm
+    SELECT sqrt(CAST(SUM(CAST({portable_round_sql('u * u', _S)} AS {dec})) AS DOUBLE)) AS nrm
     FROM {p}u{i}
 )"""
         )
         parts.append(
-            f"{p}v{i} AS (SELECT pos, round(CASE WHEN (SELECT nrm FROM {p}n{i}) <> 0 "
-            f"THEN u / (SELECT nrm FROM {p}n{i}) END, {_S}) AS vv FROM {p}u{i})"
+            f"{p}v{i} AS (SELECT pos, "
+            + portable_round_sql(
+                f"CASE WHEN (SELECT nrm FROM {p}n{i}) <> 0 "
+                f"THEN u / (SELECT nrm FROM {p}n{i}) END",
+                _S,
+            )
+            + f" AS vv FROM {p}u{i})"
         )
     return f"{p}v{iters}"
 
@@ -215,7 +225,8 @@ def _sql_signed(parts: list[str], vname: str, p: str) -> str:
     )
     parts.append(
         f"{p}out AS (SELECT CAST(pos + 1 AS INT) AS dim, "
-        f"round(vv * (SELECT s FROM {p}sgn), {_S}) AS component FROM {vname})"
+        + portable_round_sql(f"vv * (SELECT s FROM {p}sgn)", _S)
+        + f" AS component FROM {vname})"
     )
     return f"{p}out"
 
@@ -240,13 +251,13 @@ def top2_components_sql(corpus_cte: str, iters: int = PCA_ITERS) -> str:
     parts.append(
         f"""proj AS MATERIALIZED (
     SELECT vec_id,
-           CAST(SUM(CAST(round(c.cv * v.vv, {_S}) AS {dec})) AS DOUBLE) AS dv
+           CAST(SUM(CAST({portable_round_sql('c.cv * v.vv', _S)} AS {dec})) AS DOUBLE) AS dv
     FROM cent c JOIN {v1} v ON v.pos = c.pos GROUP BY vec_id
 )"""
     )
     parts.append(
         f"""cent2 AS MATERIALIZED (
-    SELECT c.vec_id, c.pos, round(c.cv - p.dv * v.vv, {_S}) AS cv
+    SELECT c.vec_id, c.pos, {portable_round_sql('c.cv - p.dv * v.vv', _S)} AS cv
     FROM cent c JOIN proj p ON p.vec_id = c.vec_id
     JOIN {v1} v ON v.pos = c.pos
 )"""

@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from nyc_taxi_data_engineering_spark.catalog import load_table
 from nyc_taxi_data_engineering_spark.functions import stable_sum, stable_sum_sql
+from nyc_taxi_data_engineering_spark.operators import pin
 from nyc_taxi_data_engineering_spark.operators.skew import salted_agg
 from nyc_taxi_data_engineering_spark.queries.registry import query
 
@@ -969,7 +970,7 @@ def q_markov_stationary_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         # shed mass on the join with tm; dividing by the surviving total
         # keeps pi summing to 1 in both engines. Exact no-op (divisor 1
         # on the decimal grid) when the chain is fully connected.
-        raw = (
+        raw = pin(
             pi.withColumnRenamed("state", "prev_type")
             .join(tm, "prev_type")
             .groupBy(F.col("next_type").alias("state"))
@@ -979,6 +980,11 @@ def q_markov_stationary_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("pi_dec")
             )
         )
+        # pin() (ADVICE r9): the total crossJoin makes raw a 2-consumer
+        # node, so lazily the plan re-embeds the previous round's
+        # subtree 2x/round (2^ITERS leaf copies of the events scan) —
+        # the same growth pagerank/HITS pin away; the checkpoint keeps
+        # it linear in iterations (state is |event_type|-sized, tiny).
         total = raw.agg(F.sum("pi_dec").alias("pi_total"))
         pi = raw.crossJoin(F.broadcast(total)).select(
             "state",

@@ -239,8 +239,25 @@ def _knn_copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 # fact-fact join + top-K window once — at sf10 that build dominates the
 # trio the judge flagged (hits/kcore/linkpred). localCheckpoint blocks
 # live on the session's executors, so entries are keyed by applicationId
-# and dropped when the session changes.
-_KNN_EDGE_MEMO: dict[tuple[str, str], DataFrame] = {}
+# and dropped when the session changes. The key also carries a dataset
+# FINGERPRINT (mtime_ns+size of every parquet under sf_dir — ADVICE r9):
+# if a tool rewrites a tier's files within one session, the stale entry
+# stops matching and is evicted instead of silently serving old edges.
+_KNN_EDGE_MEMO: dict[tuple[str, str], tuple[str, DataFrame]] = {}
+
+
+def _dataset_fingerprint(sf_dir: str) -> str:
+    import os
+
+    parts = []
+    try:
+        for e in sorted(os.scandir(sf_dir), key=lambda e: e.name):
+            if e.name.endswith(".parquet"):
+                st = e.stat()
+                parts.append(f"{e.name}:{st.st_mtime_ns}:{st.st_size}")
+    except FileNotFoundError:
+        pass
+    return ";".join(parts)
 
 
 def _knn_copurchase_edges_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -248,15 +265,20 @@ def _knn_copurchase_edges_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     app = spark.sparkContext.applicationId
     key = (app, os.path.abspath(sf_dir))
-    df = _KNN_EDGE_MEMO.get(key)
-    if df is None:
-        for stale in [k for k in _KNN_EDGE_MEMO if k[0] != app]:
+    fp = _dataset_fingerprint(sf_dir)
+    hit = _KNN_EDGE_MEMO.get(key)
+    if hit is None or hit[0] != fp:
+        # Drop entries from dead sessions AND any stale-fingerprint
+        # entry for this key; the localCheckpoint blocks are freed by
+        # the ContextCleaner once the DataFrame is unreachable.
+        for stale in [k for k in _KNN_EDGE_MEMO if k[0] != app or k == key]:
             del _KNN_EDGE_MEMO[stale]
         from nyc_taxi_data_engineering_spark.operators import pin
 
         df = pin(_knn_copurchase_edges(spark, sf_dir))
-        _KNN_EDGE_MEMO[key] = df
-    return df
+        _KNN_EDGE_MEMO[key] = (fp, df)
+        return df
+    return hit[1]
 
 
 @query(

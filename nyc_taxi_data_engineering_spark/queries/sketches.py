@@ -508,7 +508,7 @@ WITH d AS (
 ),
 ref AS (SELECT DISTINCT fp FROM d WHERE bkt = {_BLOOM_REF_BUCKET}),
 probe AS (SELECT doc_id, fp FROM d WHERE bkt <> {_BLOOM_REF_BUCKET}),
-mm AS (SELECT CAST({BLOOM_BITS_PER_KEY} * COUNT(*) AS BIGINT) AS m FROM ref),
+mm AS (SELECT GREATEST(CAST({BLOOM_BITS_PER_KEY} * COUNT(*) AS BIGINT), 1) AS m FROM ref),
 rpos AS (SELECT {_bloom_pos_unnest_sql('fp')} FROM ref, mm),
 words AS (
     SELECT pos // 32 AS word_idx,
@@ -535,8 +535,10 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_probe,
          AS n_false_positives,
        CAST(SUM(CASE WHEN bloom_hit = 0 AND is_true = 1 THEN 1 ELSE 0 END) AS BIGINT)
          AS n_false_negatives,
-       CAST(SUM(CASE WHEN bloom_hit = 1 AND is_true = 0 THEN 1 ELSE 0 END) AS DOUBLE)
-         / CAST(COUNT(*) - SUM(is_true) AS DOUBLE) AS fp_rate
+       CASE WHEN COUNT(*) - SUM(is_true) > 0
+            THEN CAST(SUM(CASE WHEN bloom_hit = 1 AND is_true = 0 THEN 1 ELSE 0 END) AS DOUBLE)
+                   / CAST(COUNT(*) - SUM(is_true) AS DOUBLE)
+            ELSE NULL END AS fp_rate
 FROM truth
 """,
 )
@@ -580,8 +582,12 @@ def q_bloom_decontamination_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("bigint")
         .alias("n_false_negatives"),
-        (
+        # CASE-guarded like every other ratio (ADVICE r9): all-probes-
+        # are-true-dups makes the denominator 0, and double 0/0 is an
+        # engine divergence (Spark NULL vs DuckDB NaN/inf).
+        F.when(
+            (F.count(F.lit(1)) - F.sum("is_true")) > 0,
             fp_cases.cast("double")
-            / (F.count(F.lit(1)) - F.sum("is_true")).cast("double")
+            / (F.count(F.lit(1)) - F.sum("is_true")).cast("double"),
         ).alias("fp_rate"),
     )

@@ -830,12 +830,18 @@ _PARTSUPP_SQL = f"""partsupp AS (
            CAST({hash_bucket_sql(_PS_KEY_SQL, seed="psc", n_buckets=99999)} + 1 AS DOUBLE)
              / 100.0 AS ps_supplycost
     FROM (
-        SELECT p_partkey AS ps_partkey,
-               (p_partkey + r.i * ((SELECT COUNT(*) FROM supplier) // 4))
-                 % (SELECT COUNT(*) FROM supplier) AS ps_suppkey
+        SELECT DISTINCT p_partkey AS ps_partkey,
+               (p_partkey + r.i * (GREATEST((SELECT COUNT(*) FROM supplier), 1) // 4))
+                 % GREATEST((SELECT COUNT(*) FROM supplier), 1) AS ps_suppkey
         FROM part CROSS JOIN (VALUES (0), (1), (2), (3)) AS r(i)
     )
 )"""
+# DISTINCT + GREATEST (ADVICE r9): with fewer than 4 suppliers the spread
+# S//4 degenerates to 0 and all replicas collapse onto one supplier —
+# DISTINCT stops the surrogate from carrying duplicate (part,supplier)
+# rows that would silently quadruple Q11 stock values; GREATEST(S,1)
+# keeps the modulus legal on an empty supplier tier (DuckDB throws on
+# % 0, Spark yields NULL — an engine divergence).
 
 
 def _partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -843,7 +849,9 @@ def _partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
     (both broadcast — no shuffle), keys spread by the observed supplier
     count, attributes from the shared md5 bucket transport."""
     part = load_table(spark, sf_dir, "part").select("p_partkey")
-    s_cnt = load_table(spark, sf_dir, "supplier").agg(F.count(F.lit(1)).alias("s_count"))
+    s_cnt = load_table(spark, sf_dir, "supplier").agg(
+        F.greatest(F.count(F.lit(1)), F.lit(1).cast("long")).alias("s_count")
+    )
     reps = spark.range(PS_REPLICAS).select(F.col("id").alias("i"))
     ps = (
         part.crossJoin(F.broadcast(reps))
@@ -857,6 +865,7 @@ def _partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("ps_suppkey"),
         )
+        .distinct()  # fewer than 4 suppliers collapses the spread (see SQL twin)
     )
     key = F.concat(
         F.col("ps_partkey").cast("string"),
