@@ -32,9 +32,24 @@ def stable_sum(col: Column | str, scale: int = 4, precision: int = 18) -> Column
     return F.sum(c.cast(f"decimal({precision},{scale})")).cast("double")
 
 
+def dec_to_double_sql(expr: str) -> str:
+    """Engine-portable decimal→double for DuckDB oracle text: hop
+    through VARCHAR. DuckDB's direct CAST(DECIMAL AS DOUBLE) converts
+    the int128 unscaled value to double and then divides by 10^scale —
+    TWO roundings — so once the unscaled value exceeds 2^53 it can
+    differ from the correctly-rounded value by one ULP. Java (Spark's
+    side) converts correctly rounded (BigDecimal.doubleValue falls back
+    to Double.parseDouble(toString())), and so does DuckDB's
+    VARCHAR→DOUBLE strtod — so the string hop makes both engines
+    produce the identical double at ANY magnitude. (Found live by the
+    r10 exact sweep: lineitem_correlations' scale-12 moments at ~1e8
+    have unscaled ~1e20.) Cost: one string per aggregate output row."""
+    return f"CAST(CAST(({expr}) AS VARCHAR) AS DOUBLE)"
+
+
 def stable_sum_sql(expr: str, scale: int = 4, precision: int = 18) -> str:
     """DuckDB-side twin of :func:`stable_sum`."""
-    return f"CAST(SUM(CAST({expr} AS DECIMAL({precision},{scale}))) AS DOUBLE)"
+    return dec_to_double_sql(f"SUM(CAST({expr} AS DECIMAL({precision},{scale})))")
 
 
 def stable_avg(col: Column | str, scale: int = 4, precision: int = 18) -> Column:
@@ -90,8 +105,10 @@ def dec_sum(col: Column | str) -> Column:
 
 def dec_sum_sql(expr: str) -> str:
     """DuckDB twin of :func:`dec_sum` (DuckDB sums DECIMAL as
-    DECIMAL(38,s) — exact)."""
-    return f"CAST(SUM({expr}) AS DOUBLE)"
+    DECIMAL(38,s) — exact; the VARCHAR hop keeps the terminal
+    decimal→double conversion correctly rounded, see
+    :func:`dec_to_double_sql`)."""
+    return dec_to_double_sql(f"SUM({expr})")
 
 
 def portable_round(col: Column | str, scale: int) -> Column:

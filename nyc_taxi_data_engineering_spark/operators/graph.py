@@ -12,10 +12,12 @@ DECIMAL(28,12) — order-independent and engine-exact — and each new
 rank rounds to 12 dp, so both engines walk bit-identical doubles
 through every iteration. The dangling mass likewise sums the (already
 12-dp) ranks as DECIMAL(28,12) before the double divide, so its
-redistribution is bit-identical too. The damping constant enters as
-the expression ``(1 - 0.85)`` on BOTH sides (the literal 0.15 is a
-DIFFERENT double than 1-0.85; writing the same expression keeps the
-teleport term bit-identical).
+redistribution is bit-identical too. The damping constant's
+teleport factor enters the SQL twin as the repr of Spark's
+constant-folded double ``1.0 - 0.85`` (0.15000000000000002): DuckDB
+evaluates a literal ``(1 - 0.85)`` in exact decimal — 0.15, a
+DIFFERENT double — so the folded value must be embedded, not the
+expression.
 
 Scale shape per iteration: one keyed equi-join (ranks ⋈ edges on src,
 both shuffled on the same key — at cluster scale pre-partition edges
@@ -33,6 +35,11 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from nyc_taxi_data_engineering_spark.functions import (
+    portable_round,
+    portable_round_sql,
+)
 from pyspark.sql.types import IntegralType
 
 from nyc_taxi_data_engineering_spark.operators import pin as _pin
@@ -107,7 +114,7 @@ def pagerank(
     for it in range(iters):
         contrib = ranks.join(ew, ranks["node"] == ew["src"]).select(
             F.col("dst").alias("node"),
-            F.round(F.col("rank") * F.col("w") / F.col("strength"), _SCALE)
+            portable_round(F.col("rank") * F.col("w") / F.col("strength"), _SCALE)
             .cast(f"decimal(28,{_SCALE})")
             .alias("c"),
         )
@@ -135,7 +142,7 @@ def pagerank(
             .crossJoin(F.broadcast(dm_row))
             .select(
                 "node",
-                F.round(
+                portable_round(
                     base
                     + F.lit(PAGERANK_DAMPING)
                     * (
@@ -233,7 +240,7 @@ def pagerank_sql(
         parts.append(
             f"""c{i} AS (
     SELECT e.dst AS node,
-           CAST(round(r.rank * e.w / o.strength, {_SCALE}) AS DECIMAL(28,{_SCALE})) AS c
+           CAST({portable_round_sql('r.rank * e.w / o.strength', _SCALE)} AS DECIMAL(28,{_SCALE})) AS c
     FROM r{i - 1} r JOIN we e ON e.src = r.node JOIN outdeg o ON o.src = e.src
 )"""
         )
@@ -245,22 +252,28 @@ def pagerank_sql(
 )"""
         )
         if personalize_literal is None:
-            base = f"(1 - {PAGERANK_DAMPING}) / (SELECT n FROM nn)"
+            # repr of the IEEE result of 1.0-0.85 — DuckDB evaluates the
+            # literal expression (1 - 0.85) in EXACT DECIMAL (0.15), a
+            # DIFFERENT double than Spark's constant-folded subtraction
+            # (0.15000000000000002); embedding the folded double's repr
+            # keeps the teleport term bit-identical (r10, found by the
+            # exact sweep: 1e-12 rank flips on the trade graphs).
+            base = f"CAST({1.0 - PAGERANK_DAMPING!r} AS DOUBLE) / (SELECT n FROM nn)"
             dm_share = f"CAST((SELECT dm FROM d{i}) AS DOUBLE) / (SELECT n FROM nn)"
         else:
             ind = (
                 f"CAST(CASE WHEN n.node = {personalize_literal} "
                 "THEN 1.0 ELSE 0.0 END AS DOUBLE)"
             )
-            base = f"(1 - {PAGERANK_DAMPING}) * {ind}"
+            base = f"CAST({1.0 - PAGERANK_DAMPING!r} AS DOUBLE) * {ind}"
             dm_share = f"CAST((SELECT dm FROM d{i}) AS DOUBLE) * {ind}"
         parts.append(
             f"""r{i} AS (
     SELECT n.node,
-           round({base}
-                 + {PAGERANK_DAMPING} * (CAST(COALESCE(s.s, 0) AS DOUBLE)
-                     + {dm_share}),
-                 {_SCALE}) AS rank
+           {portable_round_sql(
+               f"{base} + {PAGERANK_DAMPING} * (CAST(COALESCE(s.s, 0) AS DOUBLE) + {dm_share})",
+               _SCALE,
+           )} AS rank
     FROM nodes n LEFT JOIN (SELECT node, SUM(c) AS s FROM c{i} GROUP BY node) s
       ON s.node = n.node
 )"""
@@ -755,7 +768,7 @@ def hits(edges: DataFrame, iters: int = HITS_ITERS) -> DataFrame:
             scores.join(edges, scores["node"] == edges["src"])
             .select(
                 F.col("dst").alias("node"),
-                F.round(F.col("hub"), _SCALE).cast(dec).alias("t"),
+                portable_round(F.col("hub"), _SCALE).cast(dec).alias("t"),
             )
             .groupBy("node")
             .agg(F.sum("t").alias("auth_raw"))
@@ -766,7 +779,7 @@ def hits(edges: DataFrame, iters: int = HITS_ITERS) -> DataFrame:
             .crossJoin(F.broadcast(a_norm))
             .select(
                 "node",
-                F.round(
+                portable_round(
                     F.coalesce(F.col("auth_raw").cast("double"), F.lit(0.0))
                     / F.col("an").cast("double"),
                     _SCALE,
@@ -792,7 +805,7 @@ def hits(edges: DataFrame, iters: int = HITS_ITERS) -> DataFrame:
             .crossJoin(F.broadcast(h_norm))
             .select(
                 "node",
-                F.round(
+                portable_round(
                     F.coalesce(F.col("hub_raw").cast("double"), F.lit(0.0))
                     / F.col("hn").cast("double"),
                     _SCALE,
@@ -822,16 +835,18 @@ def hits_sql(edges_cte: str, iters: int = HITS_ITERS) -> str:
         p = i - 1
         parts.append(
             f"""ain{i} AS (
-    SELECT e.dst AS node, SUM(CAST(round(s.hub, {_SCALE}) AS {dec})) AS auth_raw
+    SELECT e.dst AS node, SUM(CAST({portable_round_sql('s.hub', _SCALE)} AS {dec})) AS auth_raw
     FROM s{p} s JOIN edges e ON e.src = s.node GROUP BY e.dst
 )"""
         )
         parts.append(
             f"""auth{i} AS (
     SELECT n.node,
-           round(CAST(COALESCE(a.auth_raw, 0) AS DOUBLE)
-                 / CAST((SELECT SUM(auth_raw) FROM ain{i}) AS DOUBLE),
-                 {_SCALE}) AS auth
+           {portable_round_sql(
+               f"CAST(COALESCE(a.auth_raw, 0) AS DOUBLE)"
+               f" / CAST((SELECT SUM(auth_raw) FROM ain{i}) AS DOUBLE)",
+               _SCALE,
+           )} AS auth
     FROM nodes n LEFT JOIN ain{i} a ON a.node = n.node
 )"""
         )
@@ -844,9 +859,11 @@ def hits_sql(edges_cte: str, iters: int = HITS_ITERS) -> str:
         parts.append(
             f"""s{i} AS (
     SELECT n.node,
-           round(CAST(COALESCE(h.hub_raw, 0) AS DOUBLE)
-                 / CAST((SELECT SUM(hub_raw) FROM hin{i}) AS DOUBLE),
-                 {_SCALE}) AS hub,
+           {portable_round_sql(
+               f"CAST(COALESCE(h.hub_raw, 0) AS DOUBLE)"
+               f" / CAST((SELECT SUM(hub_raw) FROM hin{i}) AS DOUBLE)",
+               _SCALE,
+           )} AS hub,
            a.auth
     FROM nodes n
     LEFT JOIN hin{i} h ON h.node = n.node

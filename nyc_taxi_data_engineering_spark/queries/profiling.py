@@ -34,17 +34,25 @@ _DEC = "DECIMAL(18,6)"
 
 
 def _corr_oracle(cols: list[str]) -> str:
+    from nyc_taxi_data_engineering_spark.functions import dec_to_double_sql
+
     terms = [f"CAST(COUNT(*) AS DOUBLE) AS n"]
     for i, c in enumerate(cols):
-        terms.append(f"CAST(SUM(CAST({c} AS {_DEC})) AS DOUBLE) AS s{i}")
+        terms.append(f"{dec_to_double_sql(f'SUM(CAST({c} AS {_DEC}))')} AS s{i}")
     for i in range(len(cols)):
         for j in range(i, len(cols)):
             # DECIMAL(19,6) factors force DuckDB's multiply into HUGEINT
             # storage (a DECIMAL(18,6)^2 product overflows its int64 path);
             # the 6-dp quantized values are identical either way, so Spark's
-            # decimal(18,6) products stay exactly comparable.
+            # decimal(18,6) products stay exactly comparable. The VARCHAR
+            # hop (dec_to_double_sql) keeps the scale-12 moment's terminal
+            # conversion correctly rounded — unscaled ~1e20 >> 2^53, where
+            # DuckDB's direct cast double-rounds (r10 exact-sweep find).
             terms.append(
-                f"CAST(SUM(CAST({cols[i]} AS DECIMAL(19,6)) * CAST({cols[j]} AS DECIMAL(19,6))) AS DOUBLE) AS p{i}_{j}"
+                dec_to_double_sql(
+                    f"SUM(CAST({cols[i]} AS DECIMAL(19,6)) * CAST({cols[j]} AS DECIMAL(19,6)))"
+                )
+                + f" AS p{i}_{j}"
             )
     moments = ",\n           ".join(terms)
     selects = []

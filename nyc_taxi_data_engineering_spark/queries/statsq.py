@@ -1160,9 +1160,35 @@ def q_mann_whitney_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sums.select("n1", "n2", u1.alias("u1"), z.alias("z_stat"))
 
 
+# The five event types, pinned so the Kruskal-Wallis rollup can fold
+# per-group terms in a FIXED expression order (the old 5-row SUM was
+# order-dependent — Spark and DuckDB summed the same 5 doubles in
+# different orders and H diverged at 1e-12 relative; exact-sweep r10).
+_KW_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def _kw_group_sql() -> str:
+    parts = []
+    for i, t in enumerate(_KW_EVENT_TYPES, 1):
+        parts.append(
+            f"CAST(COUNT(CASE WHEN event_type = '{t}' THEN 1 END) AS BIGINT) AS n{i},\n"
+            f"       CAST(SUM(CASE WHEN event_type = '{t}'"
+            f" THEN 2 * lo + t - 1 END) AS BIGINT) AS tr{i}"
+        )
+    return ",\n       ".join(parts)
+
+
+_KW_TERM_SQL = " + ".join(
+    f"(CASE WHEN n{i} > 0 THEN (CAST(tr{i} AS DOUBLE) / 2.0)"
+    f" * (CAST(tr{i} AS DOUBLE) / 2.0) / CAST(n{i} AS DOUBLE) ELSE 0.0 END)"
+    for i in range(1, 6)
+)
+_KW_K_SQL = " + ".join(f"(CASE WHEN n{i} > 0 THEN 1 ELSE 0 END)" for i in range(1, 6))
+
+
 @query(
     "kruskal_wallis_events",
-    oracle="""
+    oracle=f"""
 WITH r AS (
     SELECT event_type,
            rank() OVER (ORDER BY value) AS lo,
@@ -1170,57 +1196,63 @@ WITH r AS (
     FROM events
 ),
 g AS (
-    SELECT event_type,
-           CAST(COUNT(*) AS BIGINT) AS n_g,
-           CAST(SUM(2 * lo + t - 1) AS BIGINT) AS two_rsum
-    FROM r GROUP BY event_type
-),
-tot AS (SELECT CAST(SUM(n_g) AS BIGINT) AS n FROM g),
-h AS (
-    SELECT
-      12.0 / (CAST(MAX(n) AS DOUBLE) * (CAST(MAX(n) AS DOUBLE) + 1.0))
-        * SUM((CAST(two_rsum AS DOUBLE) / 2.0) * (CAST(two_rsum AS DOUBLE) / 2.0) / CAST(n_g AS DOUBLE))
-        - 3.0 * (CAST(MAX(n) AS DOUBLE) + 1.0) AS h_stat,
-      CAST(MAX(n) AS BIGINT) AS n,
-      CAST(COUNT(*) AS BIGINT) AS k_groups
-    FROM g CROSS JOIN tot
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           {_kw_group_sql()}
+    FROM r
 )
-SELECT n, k_groups, h_stat FROM h
+SELECT n,
+       CAST({_KW_K_SQL} AS BIGINT) AS k_groups,
+       CASE WHEN n > 0 THEN
+         12.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))
+           * ({_KW_TERM_SQL})
+           - 3.0 * (CAST(n AS DOUBLE) + 1.0)
+       ELSE NULL END AS h_stat
+FROM g
 """,
 )
 def q_kruskal_wallis_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kruskal-Wallis rank ANOVA across the five event types on event
     value: midranks via the integer 2*rank + ties - 1 transport, group
-    rank sums exact, H assembled from a FIXED 5-term sum of identical
-    IEEE operands (group order pinned by the single-row aggregation
-    over the 5-row group table — both engines sum the same 5 doubles;
-    determinism holds because the operand set is tiny and identical,
-    not because the sum is decimal). 1 row."""
+    rank sums exact BIGINTs. The event-type domain is closed (five
+    values), so per-group (n_i, 2*ranksum_i) pivot into conditional
+    aggregates on ONE row and H folds in FIXED left-assoc order — a
+    pure IEEE expression tree both engines evaluate bit-identically
+    (r10: the previous 5-row SUM was order-dependent and flipped at
+    1e-12). 1 row."""
     ev = load_table(spark, sf_dir, "events").select("event_type", "value")
     r = ev.select(
         "event_type",
         F.rank().over(Window.orderBy("value")).alias("lo"),
         F.count(F.lit(1)).over(Window.partitionBy("value")).cast("bigint").alias("t"),
     )
-    g = r.groupBy("event_type").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_g"),
-        F.sum(2 * F.col("lo") + F.col("t") - 1).cast("bigint").alias("two_rsum"),
-    )
-    tot = g.agg(F.sum("n_g").cast("bigint").alias("n"))
+    term_expr = 2 * F.col("lo") + F.col("t") - 1
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n")]
+    for i, t in enumerate(_KW_EVENT_TYPES, 1):
+        cond = F.col("event_type") == t
+        aggs.append(F.count(F.when(cond, F.lit(1))).cast("bigint").alias(f"n{i}"))
+        aggs.append(F.sum(F.when(cond, term_expr)).cast("bigint").alias(f"tr{i}"))
+    g = r.agg(*aggs)
+
+    def term(i: int):
+        rs = F.col(f"tr{i}").cast("double") / F.lit(2.0)
+        return F.when(
+            F.col(f"n{i}") > 0, rs * rs / F.col(f"n{i}").cast("double")
+        ).otherwise(F.lit(0.0))
+
+    terms = term(1) + term(2) + term(3) + term(4) + term(5)
+    k_expr = sum(
+        (F.when(F.col(f"n{i}") > 0, F.lit(1)).otherwise(F.lit(0)) for i in range(2, 6)),
+        F.when(F.col("n1") > 0, F.lit(1)).otherwise(F.lit(0)),
+    ).cast("bigint")
     nd = F.col("n").cast("double")
-    rs = F.col("two_rsum").cast("double") / F.lit(2.0)
-    return (
-        g.crossJoin(F.broadcast(tot))
-        .agg(
-            (
-                F.lit(12.0) / (F.max(nd) * (F.max(nd) + F.lit(1.0)))
-                * F.sum(rs * rs / F.col("n_g").cast("double"))
-                - F.lit(3.0) * (F.max(nd) + F.lit(1.0))
-            ).alias("h_stat"),
-            F.max("n").cast("bigint").alias("n"),
-            F.count(F.lit(1)).cast("bigint").alias("k_groups"),
-        )
-        .select("n", "k_groups", "h_stat")
+    return g.select(
+        "n",
+        k_expr.alias("k_groups"),
+        F.when(
+            F.col("n") > 0,
+            F.lit(12.0) / (nd * (nd + F.lit(1.0))) * terms
+            - F.lit(3.0) * (nd + F.lit(1.0)),
+        ).alias("h_stat"),
     )
 
 
