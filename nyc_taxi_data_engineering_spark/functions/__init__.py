@@ -43,8 +43,12 @@ def dec_to_double_sql(expr: str) -> str:
     VARCHAR→DOUBLE strtod — so the string hop makes both engines
     produce the identical double at ANY magnitude. (Found live by the
     r10 exact sweep: lineitem_correlations' scale-12 moments at ~1e8
-    have unscaled ~1e20.) Cost: one string per aggregate output row."""
-    return f"CAST(CAST(({expr}) AS VARCHAR) AS DOUBLE)"
+    have unscaled ~1e20.) Cost: one string per aggregate output row.
+
+    Typed STRING (not VARCHAR): several queries parse this same text
+    with Spark's F.expr, which rejects unsized VARCHAR; both parsers
+    accept STRING."""
+    return f"CAST(CAST(({expr}) AS STRING) AS DOUBLE)"
 
 
 def stable_sum_sql(expr: str, scale: int = 4, precision: int = 18) -> str:

@@ -38,7 +38,14 @@ def main() -> None:
         with open(path) as f:
             data = json.load(f)
         for name, res in data.items():
-            if isinstance(res, dict) and res.get("rows_match") and res.get("err") is None:
+            if not isinstance(res, dict) or res.get("err") is not None:
+                continue
+            # Green requires EVERY recorded check: rows, and — when the
+            # driver recorded them — schema and the exact value hash
+            # (r9's two failures passed rows+schema and failed the hash;
+            # counting those green overstated coverage by 2).
+            checks = [res.get("rows_match"), res.get("schema_match"), res.get("hash_match")]
+            if all(c is not False for c in checks) and res.get("rows_match"):
                 sampled[name] = f"r{int(rnd)}"
 
     never = sorted(n for n in reg if n not in sampled)
