@@ -165,7 +165,7 @@ def _sql_centered(parts: list[str], corpus_cte: str) -> None:
     parts.append(
         f"""mean AS (
     SELECT pos,
-           {portable_round_sql('CAST(SUM(CAST(val AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*)', _S)} AS mu
+           {portable_round_sql('CAST(CAST(SUM(CAST(val AS DECIMAL(18,9))) AS STRING) AS DOUBLE) / COUNT(*)', _S)} AS mu
     FROM x GROUP BY pos
 )"""
     )

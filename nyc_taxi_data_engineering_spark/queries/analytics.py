@@ -331,7 +331,7 @@ WITH daily AS (
     FROM lineitem GROUP BY 1, 2
 )
 SELECT l_suppkey, strftime(d, '%Y-%m-%d') AS ship_date,
-       CAST(SUM(CAST(rev AS DECIMAL(23,4))) OVER w AS DOUBLE) AS rev_7d,
+       CAST(CAST(SUM(CAST(rev AS DECIMAL(23,4))) OVER w AS STRING) AS DOUBLE) AS rev_7d,
        COUNT(*) OVER w AS active_days_7d
 FROM daily
 WINDOW w AS (
@@ -479,8 +479,8 @@ def _pivot_oracle() -> str:
             f" AS {s}_n"
         )
         cols.append(
-            f"CAST(SUM(CASE WHEN o_orderstatus = '{s}'"
-            f" THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS {s}_rev"
+            f"CAST(CAST(SUM(CASE WHEN o_orderstatus = '{s}'"
+            f" THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS STRING) AS DOUBLE) AS {s}_rev"
         )
     return (
         "SELECT o_orderpriority, " + ", ".join(cols) + " FROM orders GROUP BY o_orderpriority"
@@ -606,14 +606,14 @@ def q_orders_status_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TREND_MOMENTS_SQL = f"""
   SELECT l_suppkey,
          COUNT(*) AS n,
-         CAST(SUM(CAST(x AS DECIMAL(18,0))) AS DOUBLE) AS sx,
+         CAST(CAST(SUM(CAST(x AS DECIMAL(18,0))) AS STRING) AS DOUBLE) AS sx,
          {stable_sum_sql('y', 4, 23)} AS sy,
-         CAST(SUM(CAST(x * x AS DECIMAL(28,0))) AS DOUBLE) AS sxx,
-         CAST(SUM(CAST(x * y AS DECIMAL(38,8))) AS DOUBLE) AS sxy,
-         CAST(SUM(CAST(y * y AS DECIMAL(38,8))) AS DOUBLE) AS syy
+         CAST(CAST(SUM(CAST(x * x AS DECIMAL(28,0))) AS STRING) AS DOUBLE) AS sxx,
+         CAST(CAST(SUM(CAST(x * y AS DECIMAL(38,8))) AS STRING) AS DOUBLE) AS sxy,
+         CAST(CAST(SUM(CAST(y * y AS DECIMAL(38,8))) AS STRING) AS DOUBLE) AS syy
   FROM (
     SELECT l_suppkey, date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS x,
-           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(23,4))) AS DOUBLE) AS y
+           CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(23,4))) AS STRING) AS DOUBLE) AS y
     FROM lineitem GROUP BY 1, 2
   )
   GROUP BY 1

@@ -66,7 +66,7 @@ def q_enrich_lineitem_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     "trade_flows_by_nation",
     oracle="""
 SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
-       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+       CAST(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS STRING) AS DOUBLE)
          AS total_revenue,
        COUNT(*) AS line_count
 FROM lineitem l
@@ -97,7 +97,7 @@ def q_trade_flows_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT o.o_orderpriority AS priority, n.n_name AS region_name,
        COUNT(*) AS n_orders,
-       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
+       CAST(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS STRING) AS DOUBLE) AS total_price
 FROM orders o
 JOIN customer c ON o.o_custkey = c.c_custkey
 JOIN nation n ON c.c_nationkey = n.n_nationkey

@@ -141,7 +141,7 @@ def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT user_id,
        COUNT(*) AS n_events,
-       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS STRING) AS DOUBLE) AS total_value,
        MAX(value) AS max_value
 FROM events
 GROUP BY user_id
@@ -693,8 +693,8 @@ shared AS (
     FROM weighted
 )
 SELECT click_id,
-       CAST(SUM(CAST(round(value * decay_share, 6) AS DECIMAL(18,6))) AS DOUBLE) AS decay_value,
-       CAST(SUM(CAST(round(value * position_share, 6) AS DECIMAL(18,6))) AS DOUBLE) AS position_value,
+       CAST(CAST(SUM(CAST(round(value * decay_share, 6) AS DECIMAL(18,6))) AS STRING) AS DOUBLE) AS decay_value,
+       CAST(CAST(SUM(CAST(round(value * position_share, 6) AS DECIMAL(18,6))) AS STRING) AS DOUBLE) AS position_value,
        COUNT(*) AS n_purchases_touched
 FROM shared
 GROUP BY click_id

@@ -200,7 +200,7 @@ SELECT CASE WHEN o.o_orderkey IS NULL THEN 'LINEITEM_ONLY'
             ELSE 'BOTH' END AS status,
        COUNT(*) AS n_keys,
        CAST(COALESCE(SUM(n_lines), 0) AS BIGINT) AS n_lines,
-       CAST(SUM(CAST(gross AS DECIMAL(18,4))) AS DOUBLE) AS gross_value
+       CAST(CAST(SUM(CAST(gross AS DECIMAL(18,4))) AS STRING) AS DOUBLE) AS gross_value
 FROM o FULL OUTER JOIN la ON o.o_orderkey = la.l_orderkey
 GROUP BY 1
 """,

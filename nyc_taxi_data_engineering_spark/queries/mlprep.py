@@ -317,8 +317,8 @@ PIT_USER_MOD = 50  # pinned cohort: every 50th customer
 WITH feats AS (
   SELECT o_orderkey, o_custkey, CAST(o_orderdate AS DATE) AS d, o_totalprice,
          COUNT(*) OVER w AS n_prior_orders,
-         CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(23,2))) OVER w, 0)
-              AS DOUBLE) AS prior_spend,
+         CAST(CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(23,2))) OVER w, 0)
+              AS STRING) AS DOUBLE) AS prior_spend,
          CAST(o_orderdate AS DATE)
            - LAG(CAST(o_orderdate AS DATE)) OVER
                (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)

@@ -193,7 +193,7 @@ nd AS (
 SELECT COUNT(*) AS n_eval_users,
        CAST(SUM(hits) AS BIGINT) AS n_hits,
        CAST(SUM(CASE WHEN hits > 0 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS hit_rate,
-       CAST(SUM(CAST(ndcg AS DECIMAL(18,12))) AS DOUBLE) / COUNT(*) AS mean_ndcg
+       CAST(CAST(SUM(CAST(ndcg AS DECIMAL(18,12))) AS STRING) AS DOUBLE) / COUNT(*) AS mean_ndcg
 FROM nd
 """,
 )

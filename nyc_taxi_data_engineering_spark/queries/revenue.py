@@ -18,7 +18,7 @@ DAILY_REVENUE_ORACLE = """
 SELECT
   l_suppkey,
   CAST(l_shipdate AS DATE) AS trip_date,
-  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS total_revenue,
+  CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS STRING) AS DOUBLE) AS total_revenue,
   COUNT(*) AS trip_count
 FROM lineitem
 JOIN (SELECT DISTINCT s_suppkey FROM supplier WHERE s_acctbal > 0) s

@@ -53,7 +53,7 @@ contrib AS (
 ),
 score AS (
     SELECT query_id, doc_id,
-           CAST(SUM(CAST(c AS DECIMAL(18,9))) AS DOUBLE) AS score
+           CAST(CAST(SUM(CAST(c AS DECIMAL(18,9))) AS STRING) AS DOUBLE) AS score
     FROM contrib GROUP BY query_id, doc_id
 ),
 r AS (
@@ -112,7 +112,7 @@ contrib AS (
 ),
 lex_score AS (
     SELECT query_id, doc_id,
-           CAST(SUM(CAST(c AS DECIMAL(18,9))) AS DOUBLE) AS score
+           CAST(CAST(SUM(CAST(c AS DECIMAL(18,9))) AS STRING) AS DOUBLE) AS score
     FROM contrib GROUP BY query_id, doc_id
 ),
 lex AS (

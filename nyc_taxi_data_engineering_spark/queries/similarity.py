@@ -430,7 +430,7 @@ expl AS (
     SELECT lang, unnest(range(1, len(v) + 1)) AS i, v FROM j
 )
 SELECT lang, CAST(i AS INT) AS dim,
-       CAST(SUM(CAST(v[i] AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*) AS centroid,
+       CAST(CAST(SUM(CAST(v[i] AS DECIMAL(18,9))) AS STRING) AS DOUBLE) / COUNT(*) AS centroid,
        CAST(COUNT(*) AS BIGINT) AS n_vectors
 FROM expl GROUP BY lang, i
 """,
@@ -845,7 +845,7 @@ def _km_assign_cte(cent_cte: str, out: str) -> str:
 def _km_means_cte(assign_cte: str, out: str) -> str:
     return f"""{out} AS (
     SELECT c_id, i AS pos,
-           CAST(SUM(CAST(v[i] AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*) AS val
+           CAST(CAST(SUM(CAST(v[i] AS DECIMAL(18,9))) AS STRING) AS DOUBLE) / COUNT(*) AS val
     FROM (SELECT a.c_id, e.v, unnest(range(1, len(e.v) + 1)) AS i
           FROM e JOIN {assign_cte} a USING (vec_id))
     GROUP BY c_id, i
@@ -1044,14 +1044,14 @@ xx AS (
 ),
 scores AS (
   SELECT xx.vec_id,
-         round(CAST(SUM(CAST(round(xx.val * m.weight, 12) AS DECIMAL(38,12))) AS DOUBLE)
+         round(CAST(CAST(SUM(CAST(round(xx.val * m.weight, 12) AS DECIMAL(38,12))) AS STRING) AS DOUBLE)
                + (SELECT weight FROM model WHERE dim = 0), 12) AS score
   FROM xx JOIN model m ON m.dim = xx.pos + 1
   GROUP BY xx.vec_id
 )
 SELECT e.label,
        COUNT(*) AS n_vectors,
-       round(CAST(SUM(CAST(s.score AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*), 9) AS mean_score
+       round(CAST(CAST(SUM(CAST(s.score AS DECIMAL(38,12))) AS STRING) AS DOUBLE) / COUNT(*), 9) AS mean_score
 FROM scores s JOIN embeddings e ON e.vec_id = s.vec_id
 GROUP BY e.label
 """,
@@ -1138,7 +1138,7 @@ xx AS (
 ),
 scores AS (
   SELECT xx.vec_id,
-         round(CAST(SUM(CAST(round(xx.val * m.weight, 12) AS DECIMAL(38,12))) AS DOUBLE)
+         round(CAST(CAST(SUM(CAST(round(xx.val * m.weight, 12) AS DECIMAL(38,12))) AS STRING) AS DOUBLE)
                + (SELECT weight FROM model WHERE dim = 0), 12) AS score
   FROM xx JOIN model m ON m.dim = xx.pos + 1
   GROUP BY xx.vec_id
@@ -1157,12 +1157,12 @@ labeled AS (
 SELECT bin,
        COUNT(*) AS n,
        CAST(SUM(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
-       round(CAST(SUM(CAST(score AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*), 9)
+       round(CAST(CAST(SUM(CAST(score AS DECIMAL(38,12))) AS STRING) AS DOUBLE) / COUNT(*), 9)
          AS mean_score,
        CAST(SUM(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
          AS pos_rate,
-       round(CAST(SUM(CAST(round((score - y) * (score - y), 12) AS DECIMAL(38,12)))
-                  AS DOUBLE) / COUNT(*), 9) AS bin_brier
+       round(CAST(CAST(SUM(CAST(round((score - y) * (score - y), 12) AS DECIMAL(38,12)))
+                  AS STRING) AS DOUBLE) / COUNT(*), 9) AS bin_brier
 FROM labeled
 GROUP BY bin
 """,
@@ -1258,9 +1258,9 @@ WITH diagram AS ({_brier_oracle()}),
 tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM diagram)
 SELECT CAST(COUNT(*) AS BIGINT) AS n_bins,
        (SELECT total FROM tot) AS n_scored,
-       CAST(SUM(CAST(round(CAST(n AS DOUBLE) / CAST((SELECT total FROM tot) AS DOUBLE)
+       CAST(CAST(SUM(CAST(round(CAST(n AS DOUBLE) / CAST((SELECT total FROM tot) AS DOUBLE)
                            * abs(pos_rate - mean_score), 12) AS DECIMAL(38,12)))
-            AS DOUBLE) AS ece,
+            AS STRING) AS DOUBLE) AS ece,
        MAX(abs(pos_rate - mean_score)) AS max_gap
 FROM diagram
 """,
@@ -1330,7 +1330,7 @@ s AS (
     FROM ab
 )
 SELECT c_id AS cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members,
-       CAST(SUM(CAST(sil AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS mean_silhouette
+       CAST(CAST(SUM(CAST(sil AS DECIMAL(38,6))) AS STRING) AS DOUBLE) / COUNT(*) AS mean_silhouette
 FROM s GROUP BY c_id ORDER BY c_id
 """
 

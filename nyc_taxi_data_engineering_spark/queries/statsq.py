@@ -959,7 +959,7 @@ def q_revenue_concentration_customers(spark: SparkSession, sf_dir: str) -> DataF
     oracle=f"""
 WITH spend AS (
     SELECT c.c_mktsegment AS segment, o.o_custkey AS ck,
-           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS v
+           CAST(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS STRING) AS DOUBLE) AS v
     FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
     GROUP BY c.c_mktsegment, o.o_custkey
 ),
@@ -1278,10 +1278,10 @@ per_cust AS (
 ),
 mom AS (
     SELECT CAST(COUNT(*) AS BIGINT) AS n_cust,
-           CAST(SUM(CAST(round(raw_rate, 12) AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS mu,
-           CAST(SUM(CAST(round(raw_rate * raw_rate, 12) AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*)
-             - (CAST(SUM(CAST(round(raw_rate, 12) AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*))
-             * (CAST(SUM(CAST(round(raw_rate, 12) AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*)) AS var
+           CAST(CAST(SUM(CAST(round(raw_rate, 12) AS DECIMAL(28,12))) AS STRING) AS DOUBLE) / COUNT(*) AS mu,
+           CAST(CAST(SUM(CAST(round(raw_rate * raw_rate, 12) AS DECIMAL(28,12))) AS STRING) AS DOUBLE) / COUNT(*)
+             - (CAST(CAST(SUM(CAST(round(raw_rate, 12) AS DECIMAL(28,12))) AS STRING) AS DOUBLE) / COUNT(*))
+             * (CAST(CAST(SUM(CAST(round(raw_rate, 12) AS DECIMAL(28,12))) AS STRING) AS DOUBLE) / COUNT(*)) AS var
     FROM per_cust
 ),
 prior AS (
@@ -1441,8 +1441,8 @@ def _anova_group_moments_sql() -> str:
     for i, p in enumerate(_ANOVA_PRIORITIES, 1):
         parts.append(
             f"CAST(COUNT(CASE WHEN o_orderpriority = '{p}' THEN 1 END) AS DOUBLE) AS n{i},\n"
-            f"       CAST(SUM(CASE WHEN o_orderpriority = '{p}'"
-            f" THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE) AS s{i}"
+            f"       CAST(CAST(SUM(CASE WHEN o_orderpriority = '{p}'"
+            f" THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS STRING) AS DOUBLE) AS s{i}"
         )
     return ",\n       ".join(parts)
 
@@ -1458,9 +1458,9 @@ _ANOVA_K_SQL = " + ".join(f"(CASE WHEN n{i} > 0 THEN 1 ELSE 0 END)" for i in ran
     oracle=f"""
 WITH a AS (
     SELECT CAST(COUNT(*) AS BIGINT) AS n,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS s,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))
-                    * CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS ssq,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS STRING) AS DOUBLE) AS s,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))
+                    * CAST(o_totalprice AS DECIMAL(12,2))) AS STRING) AS DOUBLE) AS ssq,
            {_anova_group_moments_sql()}
     FROM orders
 ),
@@ -1611,9 +1611,9 @@ WITH u AS (
     SELECT user_id,
            CAST(COUNT(*) AS BIGINT) AS n_events,
            CAST(MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS INT) AS t,
-           CAST(CAST(SUM(CASE WHEN event_type = 'purchase'
+           CAST(CAST(CAST(SUM(CASE WHEN event_type = 'purchase'
                               THEN CAST(value AS DECIMAL(18,6)) ELSE CAST(0 AS DECIMAL(18,6)) END)
-                     AS DECIMAL(18,6)) AS DOUBLE) AS y
+                     AS DECIMAL(18,6)) AS STRING) AS DOUBLE) AS y
     FROM events GROUP BY user_id
 ),
 d AS (
@@ -1636,10 +1636,10 @@ w AS (
 agg AS (
     SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
            CAST(SUM(t) AS BIGINT) AS n_treated,
-           CAST(SUM(CASE WHEN t = 1 THEN CAST(wy AS DECIMAL(38,6)) END) AS DOUBLE) AS s1,
-           CAST(SUM(CASE WHEN t = 0 THEN CAST(wy AS DECIMAL(38,6)) END) AS DOUBLE) AS s0,
-           CAST(SUM(CASE WHEN t = 1 THEN CAST(y AS DECIMAL(38,6)) END) AS DOUBLE) AS y1,
-           CAST(SUM(CASE WHEN t = 0 THEN CAST(y AS DECIMAL(38,6)) END) AS DOUBLE) AS y0
+           CAST(CAST(SUM(CASE WHEN t = 1 THEN CAST(wy AS DECIMAL(38,6)) END) AS STRING) AS DOUBLE) AS s1,
+           CAST(CAST(SUM(CASE WHEN t = 0 THEN CAST(wy AS DECIMAL(38,6)) END) AS STRING) AS DOUBLE) AS s0,
+           CAST(CAST(SUM(CASE WHEN t = 1 THEN CAST(y AS DECIMAL(38,6)) END) AS STRING) AS DOUBLE) AS y1,
+           CAST(CAST(SUM(CASE WHEN t = 0 THEN CAST(y AS DECIMAL(38,6)) END) AS STRING) AS DOUBLE) AS y0
     FROM w
 )
 SELECT n_users, n_treated,
@@ -1751,7 +1751,7 @@ m AS (
            CAST(SUM(x) AS BIGINT) AS sx,
            CAST(SUM(x * x) AS BIGINT) AS sxx,
            CAST(SUM(y) AS DOUBLE) AS sy,
-           CAST(SUM(CAST(x AS DECIMAL(18,6)) * y) AS DOUBLE) AS sxy
+           CAST(CAST(SUM(CAST(x AS DECIMAL(18,6)) * y) AS STRING) AS DOUBLE) AS sxy
     FROM w GROUP BY side
 ),
 fit AS (
@@ -1913,9 +1913,9 @@ OPE_POLICY_DECILE = 6  # target policy: treat iff activity decile >= 6
 WITH u AS (
     SELECT user_id,
            CAST(COUNT(*) AS BIGINT) AS n_events,
-           CAST(CAST(SUM(CASE WHEN event_type = 'purchase'
+           CAST(CAST(CAST(SUM(CASE WHEN event_type = 'purchase'
                               THEN CAST(value AS DECIMAL(18,6)) ELSE CAST(0 AS DECIMAL(18,6)) END)
-                     AS DECIMAL(18,6)) AS DOUBLE) AS r,
+                     AS DECIMAL(18,6)) AS STRING) AS DOUBLE) AS r,
            {hash_bucket_sql('user_id', seed=OPE_SEED, n_buckets=2)} AS a
     FROM events GROUP BY user_id
 ),
@@ -1928,8 +1928,8 @@ d AS (
 agg AS (
     SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
            CAST(SUM(CASE WHEN pi = a THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
-           CAST(SUM(CAST(r AS DECIMAL(38,6))) AS DOUBLE) AS sum_r,
-           CAST(SUM(CASE WHEN pi = a THEN CAST(r AS DECIMAL(38,6)) END) AS DOUBLE)
+           CAST(CAST(SUM(CAST(r AS DECIMAL(38,6))) AS STRING) AS DOUBLE) AS sum_r,
+           CAST(CAST(SUM(CASE WHEN pi = a THEN CAST(r AS DECIMAL(38,6)) END) AS STRING) AS DOUBLE)
              AS sum_r_matched
     FROM d
 )
@@ -2002,7 +2002,7 @@ def q_ope_replay_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH daily AS (
     SELECT o_orderdate AS d,
-           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DECIMAL(14,2)) AS DOUBLE) AS x
+           CAST(CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DECIMAL(14,2)) AS STRING) AS DOUBLE) AS x
     FROM orders GROUP BY o_orderdate
 ),
 chg AS (
@@ -2118,8 +2118,8 @@ contrib AS (
 )
 SELECT CAST(MAX(nn) AS BIGINT) AS n,
        MAX(nrows) AS n_rows, MAX(ncols) AS n_cols,
-       CAST(SUM(CAST(chi AS DECIMAL(38,6))) AS DOUBLE) AS chi2,
-       sqrt(CAST(SUM(CAST(chi AS DECIMAL(38,6))) AS DOUBLE)
+       CAST(CAST(SUM(CAST(chi AS DECIMAL(38,6))) AS STRING) AS DOUBLE) AS chi2,
+       sqrt(CAST(CAST(SUM(CAST(chi AS DECIMAL(38,6))) AS STRING) AS DOUBLE)
             / (CAST(MAX(nn) AS DOUBLE)
                * CAST(LEAST(MAX(nrows), MAX(ncols)) - 1 AS DOUBLE))) AS cramers_v
 FROM contrib

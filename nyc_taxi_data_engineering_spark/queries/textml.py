@@ -232,8 +232,8 @@ ranked AS (
 mom AS (
   SELECT CAST(COUNT(*) AS DOUBLE) AS n,
          CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
-         CAST(SUM(CAST(round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE), 6) AS DECIMAL(18,6))) AS DOUBLE) AS sxx,
-         CAST(SUM(CAST(round(CAST(x AS DOUBLE) * CAST(y AS DOUBLE), 6) AS DECIMAL(18,6))) AS DOUBLE) AS sxy
+         CAST(CAST(SUM(CAST(round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE), 6) AS DECIMAL(18,6))) AS STRING) AS DOUBLE) AS sxx,
+         CAST(CAST(SUM(CAST(round(CAST(x AS DOUBLE) * CAST(y AS DOUBLE), 6) AS DECIMAL(18,6))) AS STRING) AS DOUBLE) AS sxy
   FROM ranked
 )
 SELECT CAST(n AS BIGINT) AS n_tokens,

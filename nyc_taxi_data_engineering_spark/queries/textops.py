@@ -568,8 +568,8 @@ d AS (
     SELECT doc_id,
            CAST(SUM(c) AS BIGINT) AS n_tokens,
            CAST(COUNT(*) AS BIGINT) AS n_distinct,
-           CAST(SUM(CAST(round(CAST(c AS DOUBLE) * round(ln(CAST(c AS DOUBLE)), 6), 6)
-                         AS DECIMAL(38,6))) AS DOUBLE) AS s
+           CAST(CAST(SUM(CAST(round(CAST(c AS DOUBLE) * round(ln(CAST(c AS DOUBLE)), 6), 6)
+                         AS DECIMAL(38,6))) AS STRING) AS DOUBLE) AS s
     FROM tc GROUP BY doc_id
 ),
 h AS (

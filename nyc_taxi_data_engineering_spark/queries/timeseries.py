@@ -688,7 +688,7 @@ def q_revenue_seasonal_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
 _HOLT_DAILY_SQL = """
 daily AS (
   SELECT o_orderdate AS d,
-         CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DECIMAL(14,2)) AS DOUBLE) AS x
+         CAST(CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DECIMAL(14,2)) AS STRING) AS DOUBLE) AS x
   FROM orders GROUP BY o_orderdate
 )
 """
@@ -1042,7 +1042,7 @@ def q_holt_winters_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
 _HOLT60_SQL = """
 WITH RECURSIVE daily AS (
   SELECT o_orderdate AS d,
-         CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DECIMAL(14,2)) AS DOUBLE) AS x
+         CAST(CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DECIMAL(14,2)) AS STRING) AS DOUBLE) AS x
   FROM orders
   WHERE o_orderdate >= TIMESTAMP '2001-06-01 00:00:00'
   GROUP BY o_orderdate
@@ -1136,7 +1136,7 @@ def q_revenue_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH RECURSIVE daily AS (
     SELECT l_suppkey, CAST(l_shipdate AS DATE) AS d,
-           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(16,2))) AS DECIMAL(16,2)) AS DOUBLE) AS x
+           CAST(CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(16,2))) AS DECIMAL(16,2)) AS STRING) AS DOUBLE) AS x
     FROM lineitem GROUP BY l_suppkey, CAST(l_shipdate AS DATE)
 ),
 s AS (SELECT l_suppkey, d, x,
@@ -1221,7 +1221,7 @@ def q_holt_per_supplier_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH RECURSIVE daily AS (
     SELECT l_suppkey, CAST(l_shipdate AS DATE) AS d,
-           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(16,2))) AS DECIMAL(16,2)) AS DOUBLE) AS q
+           CAST(CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(16,2))) AS DECIMAL(16,2)) AS STRING) AS DOUBLE) AS q
     FROM lineitem GROUP BY l_suppkey, CAST(l_shipdate AS DATE)
 ),
 s AS (SELECT l_suppkey, d, q,
@@ -1306,16 +1306,16 @@ t AS (
            CAST(COUNT(*) OVER () AS BIGINT) AS n,
            CASE WHEN row_number() OVER (ORDER BY d) > 3
                  AND row_number() OVER (ORDER BY d) <= CAST(COUNT(*) OVER () AS BIGINT) - 3
-                THEN CAST(CAST(SUM(CAST(CAST(x AS DECIMAL(14,2)) AS DECIMAL(20,2)))
+                THEN CAST(CAST(CAST(CAST(SUM(CAST(CAST(x AS DECIMAL(14,2)) AS DECIMAL(20,2)))
                           OVER (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
-                          AS DOUBLE) / 7.0 AS DOUBLE)
+                          AS STRING) AS DOUBLE) / 7.0 AS STRING) AS DOUBLE)
            END AS trend
     FROM daily
 ),
 det AS (SELECT d, x, dow, rn, n, trend, x - trend AS detrended FROM t),
 sea AS (
     SELECT dow,
-           round(CAST(SUM(CAST(round(detrended, 6) AS DECIMAL(28,6))) AS DOUBLE)
+           round(CAST(CAST(SUM(CAST(round(detrended, 6) AS DECIMAL(28,6))) AS STRING) AS DOUBLE)
                  / COUNT(detrended), 6) AS seasonal
     FROM det WHERE detrended IS NOT NULL GROUP BY dow
 ),
@@ -1548,8 +1548,8 @@ def _haar_level_sql(prev: str, out: str, lvl: int) -> str:
 ),
 d{lvl} AS (
     SELECT {lvl} AS level, CAST(COUNT(*) AS BIGINT) AS n_coeffs,
-           CAST(SUM(CAST(d AS DECIMAL(19,7)) * CAST(d AS DECIMAL(19,7))) AS DOUBLE) AS energy,
-           CAST(MAX(abs(CAST(d AS DECIMAL(19,7)))) AS DOUBLE) AS max_abs_coeff
+           CAST(CAST(SUM(CAST(d AS DECIMAL(19,7)) * CAST(d AS DECIMAL(19,7))) AS STRING) AS DOUBLE) AS energy,
+           CAST(CAST(MAX(abs(CAST(d AS DECIMAL(19,7)))) AS STRING) AS DOUBLE) AS max_abs_coeff
     FROM {out}
 )"""
 

@@ -49,7 +49,7 @@ _STEPS = [
         """
         CREATE OR REPLACE TEMP VIEW daily_revenue AS
         SELECT l_suppkey, CAST(l_shipdate AS DATE) AS trip_date,
-               CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+               CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS STRING) AS DOUBLE)
                  AS total_revenue,
                COUNT(*) AS trip_count
         FROM lineitem GROUP BY l_suppkey, CAST(l_shipdate AS DATE)
@@ -82,9 +82,9 @@ _STEPS = [
         # decimal-exact sums make the equality exact, not approximate.
         """
         SELECT COUNT(*) FROM (
-          SELECT (SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
-                                       AS DECIMAL(18,4))) AS DOUBLE) FROM lineitem) AS d,
-                 (SELECT CAST(SUM(CAST(total_revenue AS DECIMAL(18,4))) AS DOUBLE)
+          SELECT (SELECT CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                                       AS DECIMAL(18,4))) AS STRING) AS DOUBLE) FROM lineitem) AS d,
+                 (SELECT CAST(CAST(SUM(CAST(total_revenue AS DECIMAL(18,4))) AS STRING) AS DOUBLE)
                   FROM daily_revenue) AS a
         ) WHERE d <> a
         """,
@@ -113,7 +113,7 @@ _STEPS = [
     oracle="""
 WITH dr AS (
     SELECT l_suppkey, CAST(l_shipdate AS DATE) AS trip_date,
-           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+           CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS STRING) AS DOUBLE)
              AS total_revenue,
            COUNT(*) AS trip_count
     FROM lineitem GROUP BY l_suppkey, CAST(l_shipdate AS DATE)
@@ -124,9 +124,9 @@ c3 AS (SELECT COUNT(*) AS v FROM lineitem l
        LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
        WHERE s.s_suppkey IS NULL),
 c4 AS (SELECT COUNT(*) AS v FROM (
-    SELECT (SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
-                                 AS DECIMAL(18,4))) AS DOUBLE) FROM lineitem) AS d,
-           (SELECT CAST(SUM(CAST(total_revenue AS DECIMAL(18,4))) AS DOUBLE) FROM dr) AS a
+    SELECT (SELECT CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                                 AS DECIMAL(18,4))) AS STRING) AS DOUBLE) FROM lineitem) AS d,
+           (SELECT CAST(CAST(SUM(CAST(total_revenue AS DECIMAL(18,4))) AS STRING) AS DOUBLE) FROM dr) AS a
 ) WHERE d <> a),
 c5 AS (SELECT COUNT(*) AS v FROM (
     SELECT (SELECT COUNT(*) FROM lineitem) AS d,
@@ -258,7 +258,7 @@ DELTA_SKIP_CUT = 1200  # below every sf's max o_orderkey (1500 at sf0.001)
     "delta_skipping_orders",
     oracle=f"""
 SELECT o_orderstatus, COUNT(*) AS n_orders,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS STRING) AS DOUBLE) AS total_price
 FROM orders WHERE o_orderkey >= {DELTA_SKIP_CUT}
 GROUP BY o_orderstatus
 """,
@@ -301,7 +301,7 @@ DELTA_PART_YEAR = 1995  # present at every sf (orders span 1992-1998)
     "delta_partitioned_orders",
     oracle=f"""
 SELECT o_orderstatus, COUNT(*) AS n_orders,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS STRING) AS DOUBLE) AS total_price
 FROM orders WHERE EXTRACT(year FROM o_orderdate) = {DELTA_PART_YEAR}
 GROUP BY o_orderstatus
 """,
@@ -486,7 +486,7 @@ ZORDER_KEY_CUT = 6000
     "delta_zorder_orders",
     oracle=f"""
 SELECT o_orderstatus, COUNT(*) AS n_orders,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS STRING) AS DOUBLE) AS total_price
 FROM orders
 WHERE o_custkey <= {ZORDER_CUST_CUT} AND o_orderkey <= {ZORDER_KEY_CUT}
 GROUP BY o_orderstatus
@@ -533,7 +533,7 @@ def q_delta_zorder_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "delta_incremental_rollup_orders",
     oracle="""
 SELECT o_orderstatus, COUNT(*) AS n_orders,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS STRING) AS DOUBLE) AS total_price
 FROM orders
 GROUP BY o_orderstatus
 """,
@@ -640,7 +640,7 @@ def q_delta_restore_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT o_orderpriority,
        COUNT(*) AS n_orders,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS STRING) AS DOUBLE) AS total_price
 FROM orders
 GROUP BY o_orderpriority
 """,
@@ -768,7 +768,7 @@ def q_delta_mv_delete_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFra
     "delta_dv_delete_orders",
     oracle="""
 SELECT o_orderstatus, COUNT(*) AS n_orders,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS STRING) AS DOUBLE) AS total_price
 FROM orders
 WHERE NOT (o_orderstatus = 'P' OR o_totalprice < 1000.0)
 GROUP BY o_orderstatus
@@ -820,8 +820,8 @@ def q_delta_dv_delete_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   new_cents = FLOOR((cents*110 + 50) / 100)       (half-up, integer domain)
 #   price'    = new_cents / 100.0                   (same IEEE double both)
 _DV_MARKUP_EXPR = (
-    "CAST(FLOOR((CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
-    " * 110 + 50) / 100) AS DOUBLE) / 100.0"
+    "CAST(CAST(FLOOR((CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+    " * 110 + 50) / 100) AS STRING) AS DOUBLE) / 100.0"
 )
 
 
@@ -837,7 +837,7 @@ WITH updated AS (
     FROM orders
 )
 SELECT o_orderpriority, COUNT(*) AS n_orders,
-       CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+       CAST(CAST(SUM(CAST(price AS DECIMAL(18,2))) AS STRING) AS DOUBLE) AS total_price
 FROM updated
 GROUP BY o_orderpriority
 """,
@@ -887,7 +887,7 @@ def q_delta_dv_update_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "delta_rename_customers",
     oracle="""
 SELECT c_mktsegment AS segment, COUNT(*) AS n_customers,
-       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_balance
+       CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS STRING) AS DOUBLE) AS total_balance
 FROM customer
 GROUP BY c_mktsegment
 """,
@@ -954,12 +954,12 @@ WITH changes AS (
     WHERE o_orderstatus = 'F' AND o_totalprice < 2000.0
     UNION ALL
     SELECT 'update_postimage',
-           CAST(CAST(o_totalprice * 2.0 AS DECIMAL(18,2)) AS DOUBLE)
+           CAST(CAST(CAST(o_totalprice * 2.0 AS DECIMAL(18,2)) AS STRING) AS DOUBLE)
     FROM orders
     WHERE o_orderstatus = 'F' AND o_totalprice < 2000.0
 )
 SELECT _change_type, COUNT(*) AS n_rows,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS STRING) AS DOUBLE) AS total_price
 FROM changes
 GROUP BY _change_type
 """,
@@ -1018,7 +1018,7 @@ def q_delta_cdf_feed_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "delta_constraint_gate_orders",
     oracle="""
 SELECT o_orderstatus, COUNT(*) AS n_orders,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS STRING) AS DOUBLE) AS total_price
 FROM orders
 WHERE o_totalprice >= 20000.0
 GROUP BY o_orderstatus
@@ -1186,7 +1186,7 @@ def q_triplog_roundtrip_trips(spark: SparkSession, sf_dir: str) -> DataFrame:
     "delta_hilbert_orders",
     oracle=f"""
 SELECT o_orderstatus, COUNT(*) AS n_orders,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS STRING) AS DOUBLE) AS total_price
 FROM orders
 WHERE o_custkey <= {ZORDER_CUST_CUT} AND o_orderkey <= {ZORDER_KEY_CUT}
 GROUP BY o_orderstatus
@@ -1233,8 +1233,8 @@ def q_delta_hilbert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT o_orderstatus,
        CAST(COUNT(*) AS BIGINT) AS n_orders,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS STRING) AS DOUBLE) AS total_price,
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS STRING) AS DOUBLE) / COUNT(*) AS avg_price
 FROM orders
 WHERE o_orderpriority = '1-URGENT'
 GROUP BY o_orderstatus
@@ -1342,7 +1342,7 @@ def q_gdpr_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT o_orderpriority,
        CAST(COUNT(*) AS BIGINT) AS n_orders,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS STRING) AS DOUBLE) AS total_price
 FROM orders
 WHERE o_orderstatus = 'F' AND o_custkey % 97 <> 3
 GROUP BY o_orderpriority
@@ -1427,7 +1427,7 @@ VACUUM_KEEP_MOD = 3  # v1 keeps orders with o_orderkey % 3 != 0
     oracle=f"""
 SELECT o_orderstatus,
        COUNT(*) AS n_orders,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS STRING) AS DOUBLE) AS total_price,
        CAST(12 AS BIGINT) AS files_deleted,
        CAST(2 AS BIGINT) AS files_on_disk
 FROM orders
@@ -1680,7 +1680,7 @@ def q_lineage_record_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT o_orderpriority,
        CAST(COUNT(*) AS BIGINT) AS n_orders,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS STRING) AS DOUBLE) AS total_price
 FROM orders GROUP BY o_orderpriority
 """,
 )
