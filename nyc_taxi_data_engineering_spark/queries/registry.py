@@ -38,65 +38,22 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # remainder. Queries pushed past the window keep full local coverage via
 # tests/test_oracle_parity.py, which checks ALL of them.
 ROTATION: list[str] = [
-    # Round-9 window: ALL 96 never-driver-sampled queries lead. The driver
-    # samples the first ~50 each round, so round 9 consumes the first 50 and
-    # round 10 the remaining 46 — finishing the sweep to 319/319 driver-green.
-    # New round-9 queries are inserted AFTER these 96 (sampled round 10+),
-    # EXCEPT the three partsupp-surrogate TPC-H closers, which lead so the
-    # judge's round-9 done-criterion (Q2/Q11/Q20 green in CORRECTNESS_r09)
-    # is driver-checked this round; 47 of the 96 follow inside the window.
-    "tpch_min_cost_supplier",
-    "tpch_important_stock",
-    "tpch_excess_stock",
-    "tpch_shipmode_priority",
-    # (4 closers + 96 never-sampled = 100 = exactly two 50-query windows:
-    # round 9 samples the closers + 46, round 10 the remaining 50.)
-    "events_cusum_changepoint",
-    "daily_revenue_forecast_eval",
-    "events_dau_wau_stickiness",
-    "funnel_time_to_convert",
-    "delta_constraint_gate_orders",
-    "delta_clone_diverge_nation",
+    # Round-10 window (VERDICT r9 task 4): the 2 driver-red rows lead
+    # (tpch_pricing_summary / delta_dv_update_orders — the decimal-domain
+    # fixes), then the 2 judge-found latents (anova / haar), then the
+    # remaining 50 never-driver-sampled queries; the driver samples the
+    # first ~50, so round 10 certifies the fixes + most of the tail and
+    # round 11 finishes it. After those 54 come the previously-green
+    # queries whose VALUES changed this round (portable_round, the
+    # decimal-domain TPC-H revenue, the STRING-hopped oracles) so the
+    # next window re-certifies them under the new code. Queries pushed
+    # past the window keep full local coverage via
+    # tests/test_oracle_parity.py (bit-exact comparator) and the
+    # adversarial tiers (pytest -m adversarial).
     "tpch_pricing_summary",
-    "tpch_shipping_priority",
-    "tpch_priority_late_ship",
-    "tpch_local_supplier_volume",
-    "tpch_revenue_change",
-    "tpch_volume_shipping",
-    "tpch_regional_market_share",
-    "tpch_parttype_profit",
-    "tpch_returned_items",
-    "tpch_customer_distribution",
-    "tpch_promotion_effect",
-    "tpch_top_supplier",
-    "tpch_parts_supplier_counts",
-    "tpch_small_quantity_revenue",
-    "tpch_large_volume_customers",
-    "tpch_brand_quantity_revenue",
-    "tpch_promo_part_suppliers",
-    "tpch_dormant_rich_customers",
-    "hits_purchase_graph",
-    "kcore_copurchase_suppliers",
-    "linkpred_copurchase_suppliers",
-    "feature_scaling_customers",
-    "target_encoding_orders",
-    "gini_split_search_orders",
-    "kfold_assignment_orders",
-    "domain_tag_eval",
-    "tfidf_top_terms",
-    "nb_lang_confusion",
-    "order_price_mad_outliers",
-    "ab_test_events",
-    "cuped_adjusted_ab",
-    "kaplan_meier_customers",
-    "assoc_rules_suppliers",
-    "revenue_bootstrap_ci",
-    "delta_dv_delete_orders",
     "delta_dv_update_orders",
-    "delta_rename_customers",
-    "attribution_multitouch_events",
-    "zipf_fit_tokens",
-    "delta_cdf_feed_orders",
+    "anova_price_by_priority",
+    "haar_decompose_revenue",
     "ab_bootstrap_diff_ci",
     "pareto_skyline_parts",
     "revenue_acf_lags",
@@ -105,7 +62,6 @@ ROTATION: list[str] = [
     "psi_split_drift_orders",
     "key_skew_diagnostics",
     "spearman_quantity_price",
-    "anova_price_by_priority",
     "modularity_copurchase_communities",
     "feature_auc_screen_orders",
     "harmonic_centrality_suppliers",
@@ -139,7 +95,6 @@ ROTATION: list[str] = [
     "media_byte_histogram_arrow",
     "auc_bootstrap_ci_orders",
     "proximity_search_docs",
-    "haar_decompose_revenue",
     "markov_stationary_events",
     "gains_curve_orders",
     "feature_hashing_collisions",
@@ -147,10 +102,66 @@ ROTATION: list[str] = [
     "path_edit_distance_pairs",
     "cramers_v_orders",
     "bh_fdr_events",
-    # --- round-9 additions queue here (never sampled) ---
     "bloom_decontamination_docs",
     "tpch_waiting_suppliers_strict",
-    # Already driver-green at least once (kept for stable ordering):
+    "embedding_top2_pca",
+    "embedding_top_eigvec",
+    "kruskal_wallis_events",
+    "lineitem_correlations",
+    "pagerank_trade_graph",
+    "pagerank_weighted_trade",
+    "pagerank_purchase_sinks",
+    "ppr_supplier_recommendations",
+    "hits_purchase_graph",
+    "tpch_shipping_priority",
+    "tpch_regional_market_share",
+    "tpch_promotion_effect",
+    "tpch_revenue_change",
+    "tpch_top_supplier",
+    "tpch_volume_shipping",
+    "tpch_parttype_profit",
+    "tpch_returned_items",
+    "tpch_local_supplier_volume",
+    "tpch_min_cost_supplier",
+    "tpch_important_stock",
+    "tpch_excess_stock",
+    "did_uplift_events",
+    "uplift_by_decile_events",
+    "tpch_shipmode_priority",
+    "events_cusum_changepoint",
+    "daily_revenue_forecast_eval",
+    "events_dau_wau_stickiness",
+    "funnel_time_to_convert",
+    "delta_constraint_gate_orders",
+    "delta_clone_diverge_nation",
+    "tpch_priority_late_ship",
+    "tpch_customer_distribution",
+    "tpch_parts_supplier_counts",
+    "tpch_small_quantity_revenue",
+    "tpch_large_volume_customers",
+    "tpch_brand_quantity_revenue",
+    "tpch_promo_part_suppliers",
+    "tpch_dormant_rich_customers",
+    "kcore_copurchase_suppliers",
+    "linkpred_copurchase_suppliers",
+    "feature_scaling_customers",
+    "target_encoding_orders",
+    "gini_split_search_orders",
+    "kfold_assignment_orders",
+    "domain_tag_eval",
+    "tfidf_top_terms",
+    "nb_lang_confusion",
+    "order_price_mad_outliers",
+    "ab_test_events",
+    "cuped_adjusted_ab",
+    "kaplan_meier_customers",
+    "assoc_rules_suppliers",
+    "revenue_bootstrap_ci",
+    "delta_dv_delete_orders",
+    "delta_rename_customers",
+    "attribution_multitouch_events",
+    "zipf_fit_tokens",
+    "delta_cdf_feed_orders",
     "triplog_roundtrip_trips",
     "als_ranking_eval",
     "rfm_segments_customers",
@@ -158,7 +169,6 @@ ROTATION: list[str] = [
     "pii_detect_docs",
     "pii_redact_docs",
     "shapley_attribution_events",
-    "did_uplift_events",
     "cohort_ltv_customers",
     "adaboost_stumps_orders",
     "adaboost_eval_orders",
@@ -168,7 +178,6 @@ ROTATION: list[str] = [
     "mv_rewrite_rollup_orders",
     "holt_winters_forecast",
     "gdpr_erasure_audit",
-    "uplift_by_decile_events",
     "holt_recursive_sql_60d",
     "events_variant_paths",
     "itemcf_supplier_neighbors",
@@ -187,7 +196,6 @@ ROTATION: list[str] = [
     "delta_generated_year_orders",
     "ks_test_events",
     "mann_whitney_events",
-    "kruskal_wallis_events",
     "eb_shrunk_urgent_rates",
     "hybrid_rrf_search",
     "holt_linear_forecast",
@@ -201,7 +209,6 @@ ROTATION: list[str] = [
     "supplier_daily_interpolate",
     "pit_customer_features_orders",
     "supplier_daily_gapfill",
-    "ppr_supplier_recommendations",
     "lpa_copurchase_communities",
     "trade_cheapest_costs",
     "prefix_jaccard_pairs",
@@ -213,8 +220,6 @@ ROTATION: list[str] = [
     "pmi_collocations",
     "triangle_copurchase_suppliers",
     "trade_bfs_hops",
-    "embedding_top_eigvec",
-    "embedding_top2_pca",
     "delta_compact_orders",
     "crossdoc_repeated_spans",
     "crossdoc_span_scrub",
@@ -223,7 +228,6 @@ ROTATION: list[str] = [
     "audio_neardup_clips",
     "image_dedup_clusters",
     "embedding_dedup_clusters",
-    "pagerank_purchase_sinks",
     "bigram_lm_scores",
     "kmv_split_overlap",
     "user_retention_cohorts",
@@ -355,7 +359,6 @@ ROTATION: list[str] = [
     "event_transition_matrix",
     "events_rate_anomaly",
     "profile_orders",
-    "lineitem_correlations",
     "orders_benford_audit",
     "cdc_apply_customers",
     "ngram_contamination_docs",
@@ -371,9 +374,7 @@ ROTATION: list[str] = [
     "cms_heavy_hitters",
     "histogram_quantiles_orders",
     "hll_distinct_tokens",
-    "pagerank_trade_graph",
     "supplier_copurchase_pairs",
-    "pagerank_weighted_trade",
 ]
 
 
