@@ -22,10 +22,15 @@ covariance-free.
 
 Determinism contract (same playbook as operators/graph.pagerank): the
 only order-sensitive ops are the sums, and every summed term is
-rounded to 12 dp then accumulated as DECIMAL(38,12) — exact and
+quantized to the 12-dp grid by ``portable_round`` (r10 — native
+round(double, 12) is NOT cross-engine-deterministic: Spark rounds the
+exact binary value HALF_UP while DuckDB double-rounds through x*1e12,
+and a grid value divided by 8 lands exactly on grid halves where they
+disagree; floor(x*1e12+0.5)/1e12 is a fixed IEEE chain both engines
+evaluate identically) then accumulated as DECIMAL(38,12) — exact and
 order-independent — before one double divide/sqrt (IEEE sqrt is
-correctly rounded, so engine-identical). Each new v rounds to 12 dp,
-and the deflated corpus values round back to the grid too. Components'
+correctly rounded, so engine-identical). Each new v quantizes to the
+grid, and the deflated corpus values quantize back too. Components'
 signs are normalized so dim 1 is >= 0 (power iteration converges up to
 sign; both engines see bit-identical values and take the same branch).
 """

@@ -14,9 +14,14 @@ Adaptations (the generator's schema is trimmed): no `partsupp`,
 `l_commitdate`/`l_receiptdate`/`l_shipmode`, `o_shippriority`,
 `c_phone/comment` — Q2/Q11/Q12 have no faithful equivalent (Q21 adapts via the Q4 ship-lag convention) and the
 others substitute the nearest available column (noted per query).
-Aggregates that feed the exact-hash oracle gate sum via
-``stable_sum``'s decimal transport (functions/__init__.py:20) so every
-double matches DuckDB bit-for-bit.
+Aggregates that feed the exact-hash oracle gate run in EXACT decimal
+domain (r10): revenue/charge products cast their exact-2dp sources to
+DECIMAL once and multiply in decimal (``_revenue``/``_tax_factor``,
+summed by ``dec_sum`` with no intermediate rescale), and plain column
+sums ride ``stable_sum``'s decimal transport — so every double matches
+DuckDB bit-for-bit. The double-domain shape (product THEN cast) is
+banned here: Spark and DuckDB round the double→decimal cast
+differently near grid halves (VERDICT r9 #1, the sum_charge break).
 """
 
 from __future__ import annotations
