@@ -32,6 +32,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from nyc_taxi_data_engineering_spark.functions import portable_round
+
 KMEANS_K = 8
 KMEANS_ITERS = 2
 
@@ -75,8 +77,18 @@ def update_centroids(corpus: DataFrame, assign: DataFrame) -> DataFrame:
     — k·dim grouped rows, never a driver collect."""
     memb = corpus.join(assign, "vec_id")
     expl = memb.select("c_id", F.posexplode("v").alias("pos", "x"))
+    # portable_round BEFORE the decimal cast (r10): x is an arbitrary
+    # double, and the two engines round a double onto a decimal grid
+    # differently near grid halves (Spark exact-binary HALF_UP, DuckDB
+    # scale-and-llround) — one element flipping 1e-9 moved a centroid
+    # 4e-12 at sf0.1. Pre-quantizing puts x on the grid with an IEEE op
+    # chain both engines share; the decimal cast of an on-grid double
+    # is then deterministic.
     means = expl.groupBy("c_id", "pos").agg(
-        (F.sum(F.col("x").cast("decimal(18,9)")).cast("double") / F.count(F.lit(1))).alias("val")
+        (
+            F.sum(portable_round(F.col("x"), 9).cast("decimal(18,9)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("val")
     )
     return (
         means.groupBy("c_id")

@@ -58,7 +58,8 @@ def _centered(x: DataFrame) -> DataFrame:
     """(vec_id, pos, cv) — mean-centered long-form corpus."""
     mean = x.groupBy("pos").agg(
         portable_round(
-            F.sum(F.col("val").cast("decimal(18,9)")).cast("double") / F.count(F.lit(1)),
+            F.sum(portable_round(F.col("val"), 9).cast("decimal(18,9)")).cast("double")
+            / F.count(F.lit(1)),
             _S,
         ).alias("mu")
     )
@@ -170,7 +171,7 @@ def _sql_centered(parts: list[str], corpus_cte: str) -> None:
     parts.append(
         f"""mean AS (
     SELECT pos,
-           {portable_round_sql('CAST(CAST(SUM(CAST(val AS DECIMAL(18,9))) AS STRING) AS DOUBLE) / COUNT(*)', _S)} AS mu
+           {portable_round_sql("CAST(CAST(SUM(CAST(" + portable_round_sql('val', 9) + " AS DECIMAL(18,9))) AS STRING) AS DOUBLE) / COUNT(*)", _S)} AS mu
     FROM x GROUP BY pos
 )"""
     )

@@ -97,13 +97,24 @@ def _base_cols() -> list[str]:
     return [f"{_Y_SQL} AS y"] + [f"{_wrong_sql(j)} AS wrong_{j}" for j in range(N_CAND)]
 
 
+def _pr12(expr: str) -> str:
+    """Portable 12-dp quantizer (floor(x*1e12+0.5)/1e12): row weights
+    are ARBITRARY doubles (products of sqrt factors), and the two
+    engines round a double onto the decimal grid differently near grid
+    halves — at sf0.1 ~1e-4 of rows flipped one quantum and epsilon
+    moved 1 ULP (r10 exact-sweep find). The explicit IEEE chain makes
+    both engines quantize identically; the decimal cast of the on-grid
+    result is then deterministic."""
+    return f"(floor(({expr}) * 1e12 + 0.5) / 1e12)"
+
+
 def _round_aggs(w_expr: str, t: int) -> list[str]:
     """Weighted error per candidate + total weight, decimal-exact."""
     aggs = [
-        f"SUM(CAST(({w_expr}) * wrong_{j} AS DECIMAL(28,12))) AS werr_{t}_{j}"
+        f"SUM(CAST({_pr12(f'({w_expr}) * wrong_{j}')} AS DECIMAL(28,12))) AS werr_{t}_{j}"
         for j in range(N_CAND)
     ]
-    aggs.append(f"SUM(CAST(({w_expr}) AS DECIMAL(28,12))) AS wtot_{t}")
+    aggs.append(f"SUM(CAST({_pr12(w_expr)} AS DECIMAL(28,12))) AS wtot_{t}")
     return aggs
 
 
@@ -118,11 +129,15 @@ def _best_sql(t: int) -> str:
 
 
 def _eps_sql(t: int) -> str:
+    # STRING hop: werr/wtot are DECIMAL(38,12) sums whose unscaled
+    # value exceeds 2^53 at sf0.1 — DuckDB's direct decimal->double
+    # double-rounds there, the string hop is correctly rounded in both
+    # engines (functions.dec_to_double_sql rationale).
     w = " ".join(
-        f"WHEN {_best_sql(t)} = {j} THEN CAST(werr_{t}_{j} AS DOUBLE)"
+        f"WHEN {_best_sql(t)} = {j} THEN CAST(CAST(werr_{t}_{j} AS STRING) AS DOUBLE)"
         for j in range(N_CAND)
     )
-    return f"((CASE {w} END) / CAST(wtot_{t} AS DOUBLE))"
+    return f"((CASE {w} END) / CAST(CAST(wtot_{t} AS STRING) AS DOUBLE))"
 
 
 def _factor_sql(t: int) -> str:

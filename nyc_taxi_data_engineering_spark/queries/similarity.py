@@ -28,7 +28,16 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from nyc_taxi_data_engineering_spark.catalog import load_table_parallel as load_table
+from nyc_taxi_data_engineering_spark.functions import portable_round, portable_round_sql
 from nyc_taxi_data_engineering_spark.queries.registry import query
+
+
+def _pr9(expr: str) -> str:
+    """portable 9-dp pre-quantizer for raw embedding doubles feeding a
+    DECIMAL(18,9) transport — the double->decimal cast of an ARBITRARY
+    double is not cross-engine deterministic near grid halves (r10
+    sf0.1 exact-sweep find on the centroid means)."""
+    return portable_round_sql(expr, 9)
 
 N_QUERIES = 8  # vec_id < 8 are the query vectors
 TOP_K = 5
@@ -421,7 +430,7 @@ def q_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "embedding_centroids_by_lang",
-    oracle="""
+    oracle=f"""
 WITH j AS (
     SELECT d.lang, e.embedding::DOUBLE[] AS v
     FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
@@ -430,7 +439,7 @@ expl AS (
     SELECT lang, unnest(range(1, len(v) + 1)) AS i, v FROM j
 )
 SELECT lang, CAST(i AS INT) AS dim,
-       CAST(CAST(SUM(CAST(v[i] AS DECIMAL(18,9))) AS STRING) AS DOUBLE) / COUNT(*) AS centroid,
+       CAST(CAST(SUM(CAST({_pr9('v[i]')} AS DECIMAL(18,9))) AS STRING) AS DOUBLE) / COUNT(*) AS centroid,
        CAST(COUNT(*) AS BIGINT) AS n_vectors
 FROM expl GROUP BY lang, i
 """,
@@ -453,9 +462,12 @@ def q_embedding_centroids_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame
         "lang", F.posexplode("v").alias("pos", "x")
     )
     return expl.groupBy("lang", "pos").agg(
-        (F.sum(F.col("x").cast("decimal(18,9)")).cast("double") / F.count(F.lit(1))).alias(
-            "centroid"
-        ),
+        (
+            # pre-quantize: arbitrary doubles cast to a decimal grid round
+            # differently across engines near grid halves (r10 sf0.1 find)
+            F.sum(portable_round(F.col("x"), 9).cast("decimal(18,9)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("centroid"),
         F.count(F.lit(1)).alias("n_vectors"),
     ).select(
         "lang", (F.col("pos") + 1).cast("int").alias("dim"), "centroid", "n_vectors"
@@ -845,7 +857,7 @@ def _km_assign_cte(cent_cte: str, out: str) -> str:
 def _km_means_cte(assign_cte: str, out: str) -> str:
     return f"""{out} AS (
     SELECT c_id, i AS pos,
-           CAST(CAST(SUM(CAST(v[i] AS DECIMAL(18,9))) AS STRING) AS DOUBLE) / COUNT(*) AS val
+           CAST(CAST(SUM(CAST({_pr9('v[i]')} AS DECIMAL(18,9))) AS STRING) AS DOUBLE) / COUNT(*) AS val
     FROM (SELECT a.c_id, e.v, unnest(range(1, len(e.v) + 1)) AS i
           FROM e JOIN {assign_cte} a USING (vec_id))
     GROUP BY c_id, i

@@ -1375,8 +1375,9 @@ s AS (
     FROM r
 )
 SELECT CAST(n AS BIGINT) AS n,
-       CAST(n * sxy - sx * sy AS DOUBLE)
-         / sqrt(CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE))
+       CAST(CAST(n * sxy - sx * sy AS STRING) AS DOUBLE)
+         / sqrt(CAST(CAST(n * sxx - sx * sx AS STRING) AS DOUBLE)
+                * CAST(CAST(n * syy - sy * sy AS STRING) AS DOUBLE))
          AS rho_spearman
 FROM s
 """,
