@@ -137,9 +137,11 @@ def portable_round(col: Column | str, scale: int) -> Column:
 
 
 def portable_round_sql(expr: str, scale: int) -> str:
-    """DuckDB twin of :func:`portable_round` — the same IEEE op chain."""
-    f = float(10**scale)
-    return f"(floor(({expr}) * {f!r} + 0.5) / {f!r})"
+    """DuckDB twin of :func:`portable_round` — the same IEEE op chain.
+    The factor is written in e-notation so BOTH parsers type it DOUBLE
+    (DuckDB types ``1000000000000.0`` as DECIMAL, which would drag the
+    multiply into decimal arithmetic)."""
+    return f"(floor(({expr}) * 1e{scale} + 0.5) / 1e{scale})"
 
 
 def assert_quantum_above_ulp(max_abs: float, scale: int) -> None:
