@@ -46,7 +46,11 @@ FAST_CUTOFF_S = 1.0  # first-rep walls under this earn the larger rep count
 # with UNCHANGED code and per-rep spans of 1.7-2.8 s — above the fast
 # cutoff, so the 3-rep median couldn't separate JVM/page-cache state
 # left by earlier queries from real regression. A 7-rep median can.
-FORCE_FULL_REPS = {"simhash_docs"}
+# r10: scd2_current_customers (0.853 -> 1.096 s r8->r9, reps
+# 1.576/1.096/0.893 — a warm-in tail the 3-rep median catches
+# mid-slope) and text_fingerprints (0.361 -> 0.401, same shape) join
+# it per VERDICT r9 task 7 so their medians sit on converged tails.
+FORCE_FULL_REPS = {"simhash_docs", "scd2_current_customers", "text_fingerprints"}
 
 # Second board: a fixed 10-query slice of the heaviest engine families
 # (dedup clustering, MinHash LSH, IVF-PQ ANN, LPA communities, TPC-H
