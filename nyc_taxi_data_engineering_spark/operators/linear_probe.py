@@ -21,10 +21,13 @@ round on (vec_id) / (pos) keys with map-side combine; the model side
 is O(d) rows.
 
 Determinism contract (the pagerank/pca playbook): every sum
-accumulates round(term, 12) as DECIMAL(38,12) — order-independent and
-engine-exact — divides happen in doubles on bit-identical inputs, and
-each new weight/bias/residual rounds back to the 12-dp grid, so the
-DuckDB twin replays training bit-for-bit.
+accumulates portable_round(term, 12) as DECIMAL(38,12) —
+order-independent and engine-exact; native round() is banned here
+because Spark and DuckDB disagree on grid-half ties (r10: a tiny-tier
+weight flipped 1e-12 through exactly that) — divides happen in doubles
+on bit-identical inputs, and each new weight/bias/residual quantizes
+back to the 12-dp grid with the same portable chain, so the DuckDB
+twin replays training bit-for-bit.
 """
 
 from __future__ import annotations
@@ -32,6 +35,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from nyc_taxi_data_engineering_spark.functions import (
+    portable_round,
+    portable_round_sql,
+)
 from nyc_taxi_data_engineering_spark.operators import pin
 
 PROBE_ITERS = 3
@@ -41,7 +48,7 @@ _DEC = f"decimal(38,{_S})"
 
 
 def _dec_sum(term):
-    return F.sum(F.round(term, _S).cast(_DEC)).cast("double")
+    return F.sum(portable_round(term, _S).cast(_DEC)).cast("double")
 
 
 def train_linear_probe(
@@ -70,7 +77,7 @@ def train_linear_probe(
         # round deep.
         r = pin(
             pred.join(y, "vec_id").select(
-                "vec_id", F.round(F.col("pred") - F.col("y"), _S).alias("r")
+                "vec_id", portable_round(F.col("pred") - F.col("y"), _S).alias("r")
             )
         )
         g = (
@@ -78,18 +85,20 @@ def train_linear_probe(
             .groupBy("pos")
             .agg(_dec_sum(F.col("val") * F.col("r")).alias("gs"))
             .crossJoin(F.broadcast(n_row))
-            .select("pos", F.round(F.col("gs") / F.col("n"), _S).alias("g"))
+            .select("pos", portable_round(F.col("gs") / F.col("n"), _S).alias("g"))
         )
         w = w.join(g, "pos").select(
-            "pos", F.round(F.col("w") - F.lit(lr) * F.col("g"), _S).alias("w")
+            "pos", portable_round(F.col("w") - F.lit(lr) * F.col("g"), _S).alias("w")
         )
         b = (
             r.agg(_dec_sum(F.col("r")).alias("rs"))
             .crossJoin(F.broadcast(n_row))
             .crossJoin(F.broadcast(b))
             .select(
-                F.round(
-                    F.col("b") - F.lit(lr) * F.round(F.col("rs") / F.col("n"), _S), _S
+                portable_round(
+                    F.col("b")
+                    - F.lit(lr) * portable_round(F.col("rs") / F.col("n"), _S),
+                    _S,
                 ).alias("b")
             )
         )
@@ -117,34 +126,39 @@ def train_linear_probe_sql(
         parts.append(
             f"""p{i} AS (
     SELECT x.vec_id,
-           CAST(SUM(CAST(round(x.val * w.w, {_S}) AS {dec})) AS DOUBLE)
+           CAST(SUM(CAST({portable_round_sql('x.val * w.w', _S)} AS {dec})) AS DOUBLE)
              + (SELECT b FROM b{i - 1}) AS pred
     FROM x JOIN w{i - 1} w ON w.pos = x.pos GROUP BY x.vec_id
 )"""
         )
         parts.append(
             f"""r{i} AS (
-    SELECT p.vec_id, round(p.pred - y.y, {_S}) AS r
+    SELECT p.vec_id, {portable_round_sql('p.pred - y.y', _S)} AS r
     FROM p{i} p JOIN y ON y.vec_id = p.vec_id
 )"""
         )
         parts.append(
             f"""g{i} AS (
     SELECT x.pos,
-           round(CAST(SUM(CAST(round(x.val * r.r, {_S}) AS {dec})) AS DOUBLE)
-                 / (SELECT n FROM nn), {_S}) AS g
+           {portable_round_sql(
+               "CAST(SUM(CAST(" + portable_round_sql('x.val * r.r', _S)
+               + " AS " + dec + ")) AS DOUBLE) / (SELECT n FROM nn)", _S)} AS g
     FROM x JOIN r{i} r ON r.vec_id = x.vec_id GROUP BY x.pos
 )"""
         )
         parts.append(
-            f"w{i} AS (SELECT w.pos, round(w.w - {lr} * g.g, {_S}) AS w "
-            f"FROM w{i - 1} w JOIN g{i} g ON g.pos = w.pos)"
+            f"w{i} AS (SELECT w.pos, "
+            + portable_round_sql(f"w.w - {lr} * g.g", _S)
+            + f" AS w FROM w{i - 1} w JOIN g{i} g ON g.pos = w.pos)"
         )
         parts.append(
             f"""b{i} AS (
-    SELECT round((SELECT b FROM b{i - 1})
-                 - {lr} * round(CAST(SUM(CAST(round(r, {_S}) AS {dec})) AS DOUBLE)
-                                / (SELECT n FROM nn), {_S}), {_S}) AS b
+    SELECT {portable_round_sql(
+        f"(SELECT b FROM b{i - 1}) - {lr} * "
+        + portable_round_sql(
+            "CAST(SUM(CAST(" + portable_round_sql('r', _S)
+            + " AS " + dec + ")) AS DOUBLE) / (SELECT n FROM nn)", _S),
+        _S)} AS b
     FROM r{i}
 )"""
         )
