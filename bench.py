@@ -134,27 +134,45 @@ def main() -> None:
         walls = run_query_reps(reg[name], spark, sf_dir, reps, reps_fast)
         board2[name] = round(statistics.median(walls), 3)
         board2_detail[name] = [round(w, 3) for w in walls]
-    print(
-        json.dumps(
+    # The driver captures only the LAST 2000 bytes of stdout and parses
+    # the final line as JSON: r9's line (rep arrays + board2 detail)
+    # overflowed that window, the head of the line was cut, and
+    # BENCH_r09.json recorded "parsed": null. Keep the stdout line
+    # compact and spill the full per-rep detail to BENCH_DETAIL.json,
+    # dropping optional keys if the line still wouldn't fit.
+    record = {
+        "metric": "total_bench_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        # measurement regime, so cross-round comparisons can detect
+        # apples-to-oranges (r1-r3 records were single-shot: no
+        # "regime" key). tools/bench_compare.py warns on mismatch.
+        "regime": "median-noop",
+        "reps": reps,
+        "reps_fast": reps_fast,
+        "board2_total": round(sum(board2.values()), 3),
+        "board2": board2,
+        "detail_file": "BENCH_DETAIL.json",
+    }
+    with open(os.path.join(REPO, "BENCH_DETAIL.json"), "w") as fh:
+        json.dump(
             {
-                "metric": "total_bench_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                # measurement regime, so cross-round comparisons can detect
-                # apples-to-oranges (r1-r3 records were single-shot: no
-                # "regime" key). tools/bench_compare.py warns on mismatch.
-                "regime": "median-noop",
-                "reps": reps,
-                "reps_fast": reps_fast,
+                **record,
                 "reps_detail": detail,
-                "board2_total": round(sum(board2.values()), 3),
-                "board2": board2,
                 "board2_reps_detail": board2_detail,
-            }
+            },
+            fh,
+            indent=1,
         )
-    )
+    line = json.dumps(record)
+    for drop in ("board2", "queries"):  # degrade gracefully, never overflow
+        if len(line) <= 1800:
+            break
+        record.pop(drop, None)
+        line = json.dumps(record)
+    print(line)
 
 
 if __name__ == "__main__":

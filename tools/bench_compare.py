@@ -9,6 +9,7 @@ Usage: python tools/bench_compare.py BASE.json NEW.json
 from __future__ import annotations
 
 import json
+import os
 import re
 import sys
 
@@ -22,7 +23,23 @@ def _load(path: str) -> dict:
     with open(path) as f:
         doc = json.load(f)
     if "parsed" in doc:  # driver-recorded BENCH_r{N}.json wraps the bench line
+        if doc["parsed"] is None:
+            # r9 regression: the bench line outgrew the driver's 2000-byte
+            # stdout tail, so "parsed" is null and "tail" holds only a
+            # head-truncated fragment — not reconstructable here.
+            raise SystemExit(
+                f"{path}: driver failed to parse the bench line "
+                "(overflowed the 2000-byte tail capture); use the repo's "
+                "BENCH_DETAIL.json from that round instead"
+            )
         doc = doc["parsed"]
+    if "reps_detail" not in doc and doc.get("detail_file"):
+        # Compact stdout records (r10+) spill per-rep arrays to a side
+        # file at the repo root; merge them back when present.
+        cand = os.path.join(os.path.dirname(os.path.abspath(path)), doc["detail_file"])
+        if os.path.exists(cand):
+            with open(cand) as f:
+                doc = {**doc, **json.load(f)}
     return doc
 
 
