@@ -31,7 +31,13 @@ def duckdb_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
     for t in TABLES:
         p = table_path(sf_dir, t)
-        if os.path.exists(p):
+        if os.path.isdir(p):
+            # Spark-written tables (e.g. the .scale_data tiers) are
+            # directories of part files; DuckDB needs the glob form.
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}/*.parquet')"
+            )
+        elif os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     return con
 
