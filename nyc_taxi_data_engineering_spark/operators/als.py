@@ -18,12 +18,16 @@ to, minus the blocked d x d case we don't need for a gate-checkable
 twin.
 
 Determinism contract (the pagerank/linear-probe playbook): every
-accumulated product rounds to 12 dp and sums as DECIMAL(38,12) —
-order-independent and engine-exact; Cramer's rule then runs in doubles
+accumulated product quantizes to the 12-dp grid via portable_round
+(floor(x*1e12 + 0.5)/1e12 — the same IEEE chain in both engines; the
+sf1 exact sweep caught native round()'s half-tie divergence here) and
+sums as DECIMAL(38,12) — order-independent and engine-exact, with the
+terminal decimal->double STRING-hopped on the oracle side so it stays
+correctly rounded at any magnitude; Cramer's rule then runs in doubles
 on bit-identical inputs with the operation order written identically
-in both engines, and each new factor rounds back to the 12-dp grid.
-Init factors and lambda are exact binary fractions (k/8, k/16), so
-round 0 is bit-exact too.
+in both engines, and each new factor portable_rounds back to the
+12-dp grid. Init factors and lambda are exact binary fractions
+(k/8, k/16), so round 0 is bit-exact too.
 
 Scale shape per half-iteration: one shuffle of ratings on the fixed
 key for the join (at cluster scale pre-partition ratings once per
@@ -42,6 +46,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from nyc_taxi_data_engineering_spark.functions import (
+    dec_to_double_sql,
+    portable_round,
+    portable_round_sql,
+)
 from nyc_taxi_data_engineering_spark.operators import pin
 
 ALS_ITERS = 2  # full alternations (user sweep + item sweep each)
@@ -66,7 +75,14 @@ def _init_item_factors(ratings: DataFrame) -> DataFrame:
 
 
 def _dec_sum(term):
-    return F.sum(F.round(term, _S).cast(_DEC)).cast("double")
+    # portable_round BEFORE the decimal cast and a correctly-rounded
+    # terminal decimal->double: the sf1 exact sweep (round 10) caught a
+    # single 12-dp grid flip in one factor — native round(double,12)
+    # half-tie semantics and DuckDB's two-step decimal->double are the
+    # two known engine-divergence classes, and an iterative chain
+    # cascades either one into the served scores. |term| here is
+    # O(r·f) ≈ 1e3, far inside portable_round's 2^53/10^12 bound.
+    return F.sum(portable_round(term, _S).cast(_DEC)).cast("double")
 
 
 def _solve_side(
@@ -93,8 +109,8 @@ def _solve_side(
     w2 = ((F.col("a11") + L) * F.col("b2") - F.col("a12") * F.col("b1")) / det
     return stats.select(
         F.col(solve_key).alias("i"),
-        F.round(w1, _S).alias("f1"),
-        F.round(w2, _S).alias("f2"),
+        portable_round(w1, _S).alias("f1"),
+        portable_round(w2, _S).alias("f2"),
     )
 
 
@@ -144,20 +160,36 @@ def als_sql(ratings_cte: str, iters: int = ALS_ITERS) -> tuple[str, str]:
         "0.25 + (i % 11) * 0.0625 AS f2 FROM (SELECT DISTINCT i FROM ratings))",
     ]
 
+    def _stat(term: str) -> str:
+        # Twin of the Spark _dec_sum: portable_round the term onto the
+        # 12-dp grid, exact decimal sum, STRING-hopped terminal
+        # decimal->double (correctly rounded at any magnitude).
+        return dec_to_double_sql(
+            f"SUM(CAST({portable_round_sql(term, _S)} AS {_DEC.upper()}))"
+        )
+
     def solve(src: str, key: str, out: str) -> str:
+        f1 = portable_round_sql(
+            f"((a22 + {L}) * b1 - a12 * b2)"
+            f" / ((a11 + {L}) * (a22 + {L}) - a12 * a12)",
+            _S,
+        )
+        f2 = portable_round_sql(
+            f"((a11 + {L}) * b2 - a12 * b1)"
+            f" / ((a11 + {L}) * (a22 + {L}) - a12 * a12)",
+            _S,
+        )
         return f"""{out} AS (
   SELECT i,
-         round(((a22 + {L}) * b1 - a12 * b2)
-               / ((a11 + {L}) * (a22 + {L}) - a12 * a12), {_S}) AS f1,
-         round(((a11 + {L}) * b2 - a12 * b1)
-               / ((a11 + {L}) * (a22 + {L}) - a12 * a12), {_S}) AS f2
+         {f1} AS f1,
+         {f2} AS f2
   FROM (
     SELECT r.{key} AS i,
-           CAST(SUM(CAST(round(f.f1 * f.f1, {_S}) AS {_DEC.upper()})) AS DOUBLE) AS a11,
-           CAST(SUM(CAST(round(f.f1 * f.f2, {_S}) AS {_DEC.upper()})) AS DOUBLE) AS a12,
-           CAST(SUM(CAST(round(f.f2 * f.f2, {_S}) AS {_DEC.upper()})) AS DOUBLE) AS a22,
-           CAST(SUM(CAST(round(r.r * f.f1, {_S}) AS {_DEC.upper()})) AS DOUBLE) AS b1,
-           CAST(SUM(CAST(round(r.r * f.f2, {_S}) AS {_DEC.upper()})) AS DOUBLE) AS b2
+           {_stat('f.f1 * f.f1')} AS a11,
+           {_stat('f.f1 * f.f2')} AS a12,
+           {_stat('f.f2 * f.f2')} AS a22,
+           {_stat('r.r * f.f1')} AS b1,
+           {_stat('r.r * f.f2')} AS b2
     FROM ratings r JOIN {src} f ON f.i = r.{'i' if key == 'u' else 'u'}
     GROUP BY r.{key}
   )

@@ -104,6 +104,11 @@ ROTATION: list[str] = [
     "bh_fdr_events",
     "bloom_decontamination_docs",
     "tpch_waiting_suppliers_strict",
+    # r10 late value change (sf1 exact sweep): ALS moved to
+    # portable_round + STRING-hopped decimal->double in both twins;
+    # both consumers re-enter the window for driver re-certification.
+    "als_supplier_recommendations",
+    "als_ranking_eval",
     "embedding_top2_pca",
     "embedding_top_eigvec",
     "kruskal_wallis_events",
@@ -163,7 +168,6 @@ ROTATION: list[str] = [
     "zipf_fit_tokens",
     "delta_cdf_feed_orders",
     "triplog_roundtrip_trips",
-    "als_ranking_eval",
     "rfm_segments_customers",
     "markov_attribution_events",
     "pii_detect_docs",
@@ -204,7 +208,6 @@ ROTATION: list[str] = [
     "geo_pickup_hotspots",
     "geo_radius_pairs_customers",
     "geo_nearest_hub",
-    "als_supplier_recommendations",
     "probe_calibration_brier",
     "supplier_daily_interpolate",
     "pit_customer_features_orders",
