@@ -39,6 +39,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from nyc_taxi_data_engineering_spark.catalog import load_table_parallel as load_table
+from nyc_taxi_data_engineering_spark.functions import portable_round
 from nyc_taxi_data_engineering_spark.functions import text as T
 from nyc_taxi_data_engineering_spark.operators.sampling import hash_bucket, hash_bucket_sql
 from nyc_taxi_data_engineering_spark.queries.registry import query
@@ -94,17 +95,15 @@ tot AS (
 ),
 lr AS (
     SELECT r.bucket,
-           CAST(round(
-               ln((coalesce(t.t_cnt, 0) + 1) / CAST((SELECT t_tot FROM tot) + {DSIR_BUCKETS} AS DOUBLE))
-             - ln((r.r_cnt + 1) / CAST((SELECT r_tot FROM tot) + {DSIR_BUCKETS} AS DOUBLE)),
-           6) AS DECIMAL(18,6)) AS log_ratio
+           CAST((floor((ln((coalesce(t.t_cnt, 0) + 1) / CAST((SELECT t_tot FROM tot) + {DSIR_BUCKETS} AS DOUBLE))
+             - ln((r.r_cnt + 1) / CAST((SELECT r_tot FROM tot) + {DSIR_BUCKETS} AS DOUBLE))) * 1e6 + 0.5) / 1e6) AS DECIMAL(18,6)) AS log_ratio
     FROM raw_b r LEFT JOIN tgt_b t USING (bucket)
 )
 SELECT f.doc_id,
        COUNT(*) AS n_features,
-       CAST(SUM(l.log_ratio) AS DOUBLE) AS dsir_weight,
-       round(CAST(SUM(l.log_ratio) AS DOUBLE) / COUNT(*), 6) AS avg_log_ratio,
-       round(CAST(SUM(l.log_ratio) AS DOUBLE) / COUNT(*), 6) > 0 AS selected
+       CAST(CAST((SUM(l.log_ratio)) AS STRING) AS DOUBLE) AS dsir_weight,
+       (floor((CAST(CAST((SUM(l.log_ratio)) AS STRING) AS DOUBLE) / COUNT(*)) * 1e6 + 0.5) / 1e6) AS avg_log_ratio,
+       (floor((CAST(CAST((SUM(l.log_ratio)) AS STRING) AS DOUBLE) / COUNT(*)) * 1e6 + 0.5) / 1e6) > 0 AS selected
 FROM feats f JOIN lr l USING (bucket)
 GROUP BY f.doc_id
 """,
@@ -130,7 +129,7 @@ def q_dsir_importance_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(totals))
         .select(
             "bucket",
-            F.round(
+            portable_round(
                 F.log(
                     (F.coalesce(F.col("t_cnt"), F.lit(0)) + 1)
                     / (F.col("t_tot") + DSIR_BUCKETS).cast("double")
@@ -143,7 +142,7 @@ def q_dsir_importance_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     weight = F.sum("log_ratio").cast("double")
-    avg = F.round(weight / F.count(F.lit(1)), 6)
+    avg = portable_round(weight / F.count(F.lit(1)), 6)
     return (
         feats.join(F.broadcast(lr), "bucket")
         .groupBy("doc_id")

@@ -14,9 +14,11 @@ expression text and evaluated verbatim by BOTH engines (Spark via
 - conversion probabilities run ``K`` rounds of value iteration
   unrolled as chained column blocks (Spark ``select``s / DuckDB CTEs
   — linear growth, never textual substitution);
-- each round's update is Σ_t n(s,t)·v(t) with every term cast to
-  DECIMAL(28,12) (exact, order-free sum) and ONE terminal double
-  division by the (removal-invariant) row total;
+- each round's update is Σ_t n(s,t)·v(t) with v quantized onto the
+  12-dp grid by the portable floor chain, the product taken as EXACT
+  integer-decimal × on-grid decimal (order-free sum), the terminal
+  decimal→double STRING-hopped, and ONE double division by the
+  (removal-invariant) row total;
 - all literals are CAST(… AS DOUBLE) because Spark parses ``1.0`` as
   a decimal literal while DuckDB reads a double — the one cross-engine
   parser divergence this module must dodge.
@@ -50,19 +52,40 @@ def _v(var: str, s: str, k: int) -> str:
     return f"v_{var}_{s}_{k}"
 
 
+def _q12(expr: str) -> str:
+    """Engine-portable 12-dp quantizer (the portable_round floor chain)
+    for probabilities: |x| <= 1 sits far inside the 2^53/10^12 bound."""
+    return f"(floor(({expr}) * 1e12 + 0.5) / 1e12)"
+
+
 def _round_expr(var: str, s: str, k: int) -> str:
     """One value-iteration update for state ``s`` in variant ``var``
-    ('base' or the removed channel) at round ``k``."""
+    ('base' or the removed channel) at round ``k``.
+
+    Two r10 sf1-sweep fixes, both of the documented divergence classes:
+    the old ``CAST(n * v AS DECIMAL)`` cast an ARBITRARY double product
+    onto the decimal grid (Spark exact-binary HALF_UP vs DuckDB
+    scale-llround — near-half values legally differ), and the terminal
+    ``CAST(decimal-sum AS DOUBLE)`` double-rounds in DuckDB once the
+    unscaled value tops 2^53 (n·1e12 does at sf1 counts). Now: quantize
+    each v onto the 12-dp grid first (portable floor chain, exact both
+    engines), multiply EXACT integer n by the on-grid v in decimal
+    (exact), and STRING-hop the terminal decimal->double (correctly
+    rounded at any magnitude; parses under both DuckDB and F.expr)."""
     terms = []
     for t in TARGETS:
         if var != "base" and t == var:
             continue  # removed channel: its inflow redirects to (end), value 0
         val = "CAST(1.0 AS DOUBLE)" if t == "purchase" else _v(var, t, k - 1)
-        terms.append(f"CAST({_n(s, t)} * {val} AS DECIMAL(28,12))")
+        terms.append(
+            f"(CAST({_n(s, t)} AS DECIMAL(18,0))"
+            f" * CAST({_q12(val)} AS DECIMAL(13,12)))"
+        )
     total = f"tot_{s}"
     return (
         f"CASE WHEN {total} = 0 THEN CAST(0.0 AS DOUBLE) "
-        f"ELSE CAST({' + '.join(terms)} AS DOUBLE) / CAST({total} AS DOUBLE) END"
+        f"ELSE CAST(CAST({' + '.join(terms)} AS STRING) AS DOUBLE)"
+        f" / CAST({total} AS DOUBLE) END"
     )
 
 
@@ -76,7 +99,11 @@ def _effect_exprs() -> dict[str, tuple[str, str]]:
         )
         for c in CHANNELS
     }
-    denom = " + ".join(f"CAST(({effects[c]}) AS DECIMAL(28,12))" for c in CHANNELS)
+    # effects are in [0, 1]: quantize onto the grid BEFORE the decimal
+    # cast (same arbitrary-double-cast divergence as _round_expr)
+    denom = " + ".join(
+        f"CAST({_q12(f'({effects[c]})')} AS DECIMAL(13,12))" for c in CHANNELS
+    )
     out = {}
     for c in CHANNELS:
         share = (

@@ -2,13 +2,14 @@
 table derived from supplier.
 
 Construction: every supplier becomes a vendor; three dup classes are
-injected (dup id = suppkey + 10000, same block):
+injected (dup id = suppkey + OFF where OFF = the smallest power of 10
+above max(suppkey), derived identically in both engines — same block):
 
 - class A (suppkey%10==0): identical name + address   → score 100  → AUTO_MERGE
 - class B (suppkey%10==3): name + ' ltd', same addr   → score 92.3 → STEWARD_REVIEW
 - class C (suppkey%10==7): unrelated name, same addr  → score < 80 → NO_ACTION
 
-Blocking key = vendor_id % 10000, so each base/dup pair shares a block
+Blocking key = vendor_id % OFF, so each base/dup pair shares a block
 and distinct suppliers never pair — candidate generation, routing
 counts, golden records, and the scorecard are all exactly derivable in
 SQL even though scoring itself is the engine's one pandas UDF.
@@ -35,33 +36,57 @@ PAYLOAD = ["vendor_name", "vendor_address"]
 
 def _vendors(spark: SparkSession, sf_dir: str) -> DataFrame:
     sup = load_table(spark, sf_dir, "supplier")
-    base = sup.select(
+    # Dup-id offset and block modulus, DERIVED from the observed key
+    # range as the smallest power of 10 above max(s_suppkey) — libm-free
+    # (string length, exact in both engines). A fixed 10000 broke at the
+    # sf1 scale tier: its 1e8 replica-key offset is 0 mod 10000, so every
+    # replica of a supplier landed in the SAME block and the blocking
+    # self-join exploded with cross-replica pairs the analytic oracles
+    # (which state the expected pairs in closed form) never model. With
+    # off > max(key), base x blocks to x and its dup (x + off) blocks to
+    # x too, while distinct bases stay in distinct blocks at ANY scale.
+    off_row = sup.agg(
+        F.pow(F.lit(10.0), F.length(F.max("s_suppkey").cast("string")))
+        .cast("long")
+        .alias("_off")
+    )
+    base = sup.crossJoin(F.broadcast(off_row)).select(
         F.col("s_suppkey").alias("vendor_id"),
         F.col("s_name").alias("vendor_name"),
         F.concat(F.lit("No "), F.col("s_suppkey").cast("string"), F.lit(" Main Street")).alias(
             "vendor_address"
         ),
+        "_off",
     )
     dup_a = base.filter(F.col("vendor_id") % 10 == 0).select(
-        (F.col("vendor_id") + 10000).alias("vendor_id"), "vendor_name", "vendor_address"
+        (F.col("vendor_id") + F.col("_off")).alias("vendor_id"),
+        "vendor_name",
+        "vendor_address",
+        "_off",
     )
     dup_b = base.filter(F.col("vendor_id") % 10 == 3).select(
-        (F.col("vendor_id") + 10000).alias("vendor_id"),
+        (F.col("vendor_id") + F.col("_off")).alias("vendor_id"),
         F.concat(F.col("vendor_name"), F.lit(" ltd")).alias("vendor_name"),
         "vendor_address",
+        "_off",
     )
     dup_c = base.filter(F.col("vendor_id") % 10 == 7).select(
-        (F.col("vendor_id") + 10000).alias("vendor_id"),
+        (F.col("vendor_id") + F.col("_off")).alias("vendor_id"),
         F.concat(F.lit("Totally Different Co "), F.col("vendor_id").cast("string")).alias(
             "vendor_name"
         ),
         "vendor_address",
+        "_off",
     )
     return (
         base.unionByName(dup_a)
         .unionByName(dup_b)
         .unionByName(dup_c)
-        .withColumn("block_city", F.concat(F.lit("blk"), (F.col("vendor_id") % 10000).cast("string")))
+        .withColumn(
+            "block_city",
+            F.concat(F.lit("blk"), (F.col("vendor_id") % F.col("_off")).cast("string")),
+        )
+        .drop("_off")
     )
 
 
@@ -74,7 +99,7 @@ def _scored(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "mdm_candidate_pairs",
     oracle="""
-SELECT s_suppkey AS a_vendor_id, s_suppkey + 10000 AS b_vendor_id,
+SELECT s_suppkey AS a_vendor_id, s_suppkey + (SELECT CAST(POWER(10, LENGTH(CAST(MAX(s_suppkey) AS VARCHAR))) AS BIGINT) FROM supplier) AS b_vendor_id,
        'blk' || CAST(s_suppkey AS VARCHAR) AS block_city
 FROM supplier WHERE s_suppkey % 10 IN (0, 3, 7)
 """,
@@ -104,7 +129,7 @@ def q_mdm_routing_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "mdm_match_scores",
     oracle="""
-SELECT s_suppkey AS a_vendor_id, s_suppkey + 10000 AS b_vendor_id,
+SELECT s_suppkey AS a_vendor_id, s_suppkey + (SELECT CAST(POWER(10, LENGTH(CAST(MAX(s_suppkey) AS VARCHAR))) AS BIGINT) FROM supplier) AS b_vendor_id,
        CASE WHEN s_suppkey % 10 = 0 THEN CAST(100.0 AS DOUBLE)
             ELSE CAST(92.3 AS DOUBLE) END AS match_score,
        CASE WHEN s_suppkey % 10 = 0 THEN 'HIGH' ELSE 'MEDIUM' END AS confidence
@@ -124,7 +149,7 @@ def q_mdm_match_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT s_suppkey AS golden_vendor_id, s_name AS vendor_name,
        'No ' || CAST(s_suppkey AS VARCHAR) || ' Main Street' AS vendor_address,
-       CAST(s_suppkey AS VARCHAR) || ',' || CAST(s_suppkey + 10000 AS VARCHAR) AS source_ids,
+       CAST(s_suppkey AS VARCHAR) || ',' || CAST(s_suppkey + (SELECT CAST(POWER(10, LENGTH(CAST(MAX(s_suppkey) AS VARCHAR))) AS BIGINT) FROM supplier) AS VARCHAR) AS source_ids,
        CAST(100.0 AS DOUBLE) AS match_score
 FROM supplier WHERE s_suppkey % 10 = 0
 """,
@@ -168,7 +193,7 @@ WITH v AS (
               ELSE 'Totally Different Co ' || CAST(s_suppkey AS VARCHAR) END AS b_name
   FROM supplier WHERE s_suppkey % 10 IN (0, 3, 7)
 )
-SELECT s_suppkey AS a_vendor_id, s_suppkey + 10000 AS b_vendor_id,
+SELECT s_suppkey AS a_vendor_id, s_suppkey + (SELECT CAST(POWER(10, LENGTH(CAST(MAX(s_suppkey) AS VARCHAR))) AS BIGINT) FROM supplier) AS b_vendor_id,
        levenshtein(a_name, b_name) AS edit_distance,
        ROUND(100.0 * (1 - levenshtein(a_name, b_name) * 1.0
              / greatest(length(a_name), length(b_name))), 2) AS lev_similarity
@@ -204,11 +229,11 @@ SNM_WINDOW = 2
 WITH vendors AS (
     SELECT s_suppkey AS vendor_id, s_name AS vendor_name FROM supplier
     UNION ALL
-    SELECT s_suppkey + 10000, s_name FROM supplier WHERE s_suppkey % 10 = 0
+    SELECT s_suppkey + (SELECT CAST(POWER(10, LENGTH(CAST(MAX(s_suppkey) AS VARCHAR))) AS BIGINT) FROM supplier), s_name FROM supplier WHERE s_suppkey % 10 = 0
     UNION ALL
-    SELECT s_suppkey + 10000, s_name || ' ltd' FROM supplier WHERE s_suppkey % 10 = 3
+    SELECT s_suppkey + (SELECT CAST(POWER(10, LENGTH(CAST(MAX(s_suppkey) AS VARCHAR))) AS BIGINT) FROM supplier), s_name || ' ltd' FROM supplier WHERE s_suppkey % 10 = 3
     UNION ALL
-    SELECT s_suppkey + 10000, 'Totally Different Co ' || CAST(s_suppkey AS VARCHAR)
+    SELECT s_suppkey + (SELECT CAST(POWER(10, LENGTH(CAST(MAX(s_suppkey) AS VARCHAR))) AS BIGINT) FROM supplier), 'Totally Different Co ' || CAST(s_suppkey AS VARCHAR)
     FROM supplier WHERE s_suppkey % 10 = 7
 ),
 ranked AS (

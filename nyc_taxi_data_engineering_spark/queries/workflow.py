@@ -928,7 +928,11 @@ def q_delta_rename_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     extra = (
         load_table(spark, sf_dir, "customer")
         .select(
-            (F.col("c_custkey") + 100_000_000).alias("c_custkey"),
+            # Negative keys mark the appended batch: a fixed POSITIVE
+            # offset collided with the scale tiers' replica-key offset
+            # (both 1e8), silently filtering out replicas 1..9 at sf1.
+            # No real tier has negative custkeys at any scale.
+            (-F.col("c_custkey") - 1).alias("c_custkey"),
             F.col("c_nationkey"),
             F.col("c_acctbal").alias("balance"),
             F.col("c_mktsegment").alias("segment"),
@@ -936,7 +940,7 @@ def q_delta_rename_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
     )
     D.write_delta(extra, tbl, mode="append")
-    snap = D.read_delta_log(spark, tbl).filter(F.col("c_custkey") < 100_000_000)
+    snap = D.read_delta_log(spark, tbl).filter(F.col("c_custkey") >= 0)
     return snap.groupBy(F.col("segment")).agg(
         F.count(F.lit(1)).alias("n_customers"),
         F.sum(F.col("balance").cast("decimal(18,2)")).cast("double").alias("total_balance"),

@@ -1205,7 +1205,20 @@ def compact_delta(
     # unchanged, so dataChange:false stays truthful — real OPTIMIZE does
     # exactly this), and on a column-mapped table the logical read +
     # physical re-stage keeps on-disk names stable.
-    df = read_delta_log(spark, table_path).coalesce(target_files)
+    df = read_delta_log(spark, table_path)
+    if part_cols:
+        # partitioned layout: coalesce(target) tasks each write the
+        # partitions they hold -> about one file per partition value
+        df = df.coalesce(target_files)
+    else:
+        # coalesce only LOWERS the scan's partition count, and the scan
+        # packs small files by byte size — at a bigger tier the whole
+        # snapshot can fit one scan partition and coalesce(2) silently
+        # writes 1 file (caught by the sf1 sweep's file-count audit).
+        # repartition honors target_files regardless of input layout,
+        # which is also the real OPTIMIZE shape: the rewrite distributes
+        # across exactly the requested output width.
+        df = df.repartition(target_files)
     if _cm_enabled(state["metaData"]):
         df = _to_physical(df, schema)
     staging = os.path.join(table_path, f".staging-{uuid.uuid4().hex}")

@@ -103,14 +103,17 @@ def test_snm_recall_tradeoff(spark, sf_dir):
         r["s_suppkey"]
         for r in spark.read.parquet(f"{sf_dir}/supplier.parquet").select("s_suppkey").collect()
     ]
-    # exact dup (k%10==0): base k and clone k+10000 share the name -> adjacent
-    exact = [(k, k + 10000) for k in keys if k % 10 == 0]
+    # clone offset = smallest power of 10 above max(key), mirroring
+    # queries.mdm._vendors (data-derived since the sf1-tier fix)
+    off = 10 ** len(str(max(keys)))
+    # exact dup (k%10==0): base k and clone k+off share the name -> adjacent
+    exact = [(k, k + off) for k in keys if k % 10 == 0]
     assert all(p in pairs for p in exact), "exact-name dups must be caught"
     # near-key dup (k%10==3): 'name' vs 'name ltd' sort adjacent
-    near = [(k, k + 10000) for k in keys if k % 10 == 3]
+    near = [(k, k + off) for k in keys if k % 10 == 3]
     assert all(p in pairs for p in near), "' ltd' dups must be caught"
     # full renames (k%10==7) sort far away: SNM misses them
-    renamed = [(k, k + 10000) for k in keys if k % 10 == 7]
+    renamed = [(k, k + off) for k in keys if k % 10 == 7]
     assert not any(p in pairs for p in renamed), "renames are out of reach by design"
     # same_name marks exactly the exact-name pairs among the planted dups
     same = {(r["a_vendor_id"], r["b_vendor_id"]) for r in rows if r["same_name"] == 1}
