@@ -75,6 +75,25 @@ BOARD2 = [
 ]
 
 
+def host_canary() -> float:
+    """Single-core host-speed canary (VERDICT r10 task 3): the
+    BASELINE.md 10M-iteration Python loop, best of 3. The build VM's
+    CPU throughput swings ~2x between sessions (1.48 s <-> 0.65 s on
+    this exact loop, BASELINE.md 'Host-throughput variance note'), so
+    every bench record embeds its own host speed — a cross-round delta
+    whose canaries differ is a host window, not a plan regression.
+    Best-of-3 (not median) because the canary measures the host's
+    PEAK, and transient stalls only ever inflate it."""
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        n = 0
+        for i in range(10_000_000):
+            n += i
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
 def run_query(fn, spark, sf_dir: str) -> float:
     t0 = time.perf_counter()
     fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -99,6 +118,9 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
+
+    canary_s = round(host_canary(), 3)  # before Spark starts: idle host
+    run_id = f"run{int(time.time())}"
 
     spark = get_spark("bench")
     qs = bench_queries()
@@ -155,6 +177,14 @@ def main() -> None:
         "board2_total": round(sum(board2.values()), 3),
         "board2": board2,
         "detail_file": "BENCH_DETAIL.json",
+        # host-speed self-classification + detail-file pairing id:
+        # tools/bench_compare.py warns when canaries differ >1.3x and
+        # refuses to merge a detail file whose run_id doesn't match
+        # (BENCH_DETAIL.json is overwritten every run, so an unstamped
+        # merge would graft the LATEST round's rep arrays onto any
+        # historical record — ADVICE r10).
+        "host_canary_s": canary_s,
+        "run_id": run_id,
     }
     with open(os.path.join(REPO, "BENCH_DETAIL.json"), "w") as fh:
         json.dump(
@@ -172,6 +202,19 @@ def main() -> None:
             break
         record.pop(drop, None)
         line = json.dumps(record)
+    if len(line) > 1800:  # last-resort floor: the stdout contract can
+        # never regress silently into the driver's 2000-byte tail
+        # truncation (ADVICE r10) — a minimal record always fits.
+        record = {
+            "metric": "total_bench_seconds",
+            "value": total,
+            "unit": "sec",
+            "sf": sf,
+            "detail_file": "BENCH_DETAIL.json",
+            "run_id": run_id,
+        }
+        line = json.dumps(record)
+        assert len(line) <= 1800, f"minimal bench record still {len(line)}B"
     print(line)
 
 

@@ -45,8 +45,15 @@ def _vendors(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (which state the expected pairs in closed form) never model. With
     # off > max(key), base x blocks to x and its dup (x + off) blocks to
     # x too, while distinct bases stay in distinct blocks at ANY scale.
+    # Built as the string '1' + k zeros cast to long — genuinely
+    # libm-free (ADVICE r10: F.pow routes through double libm, and a
+    # 1-ulp-low 10^k would truncate to off-1 under cast while DuckDB's
+    # CAST rounds; the string construction has no float in the path).
     off_row = sup.agg(
-        F.pow(F.lit(10.0), F.length(F.max("s_suppkey").cast("string")))
+        F.concat(
+            F.lit("1"),
+            F.repeat(F.lit("0"), F.length(F.max("s_suppkey").cast("string"))),
+        )
         .cast("long")
         .alias("_off")
     )
@@ -99,7 +106,7 @@ def _scored(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "mdm_candidate_pairs",
     oracle="""
-SELECT s_suppkey AS a_vendor_id, s_suppkey + (SELECT CAST(POWER(10, LENGTH(CAST(MAX(s_suppkey) AS VARCHAR))) AS BIGINT) FROM supplier) AS b_vendor_id,
+SELECT s_suppkey AS a_vendor_id, s_suppkey + (SELECT CAST('1' || REPEAT('0', LENGTH(CAST(MAX(s_suppkey) AS VARCHAR))) AS BIGINT) FROM supplier) AS b_vendor_id,
        'blk' || CAST(s_suppkey AS VARCHAR) AS block_city
 FROM supplier WHERE s_suppkey % 10 IN (0, 3, 7)
 """,
@@ -129,7 +136,7 @@ def q_mdm_routing_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "mdm_match_scores",
     oracle="""
-SELECT s_suppkey AS a_vendor_id, s_suppkey + (SELECT CAST(POWER(10, LENGTH(CAST(MAX(s_suppkey) AS VARCHAR))) AS BIGINT) FROM supplier) AS b_vendor_id,
+SELECT s_suppkey AS a_vendor_id, s_suppkey + (SELECT CAST('1' || REPEAT('0', LENGTH(CAST(MAX(s_suppkey) AS VARCHAR))) AS BIGINT) FROM supplier) AS b_vendor_id,
        CASE WHEN s_suppkey % 10 = 0 THEN CAST(100.0 AS DOUBLE)
             ELSE CAST(92.3 AS DOUBLE) END AS match_score,
        CASE WHEN s_suppkey % 10 = 0 THEN 'HIGH' ELSE 'MEDIUM' END AS confidence
@@ -149,7 +156,7 @@ def q_mdm_match_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT s_suppkey AS golden_vendor_id, s_name AS vendor_name,
        'No ' || CAST(s_suppkey AS VARCHAR) || ' Main Street' AS vendor_address,
-       CAST(s_suppkey AS VARCHAR) || ',' || CAST(s_suppkey + (SELECT CAST(POWER(10, LENGTH(CAST(MAX(s_suppkey) AS VARCHAR))) AS BIGINT) FROM supplier) AS VARCHAR) AS source_ids,
+       CAST(s_suppkey AS VARCHAR) || ',' || CAST(s_suppkey + (SELECT CAST('1' || REPEAT('0', LENGTH(CAST(MAX(s_suppkey) AS VARCHAR))) AS BIGINT) FROM supplier) AS VARCHAR) AS source_ids,
        CAST(100.0 AS DOUBLE) AS match_score
 FROM supplier WHERE s_suppkey % 10 = 0
 """,
@@ -193,7 +200,7 @@ WITH v AS (
               ELSE 'Totally Different Co ' || CAST(s_suppkey AS VARCHAR) END AS b_name
   FROM supplier WHERE s_suppkey % 10 IN (0, 3, 7)
 )
-SELECT s_suppkey AS a_vendor_id, s_suppkey + (SELECT CAST(POWER(10, LENGTH(CAST(MAX(s_suppkey) AS VARCHAR))) AS BIGINT) FROM supplier) AS b_vendor_id,
+SELECT s_suppkey AS a_vendor_id, s_suppkey + (SELECT CAST('1' || REPEAT('0', LENGTH(CAST(MAX(s_suppkey) AS VARCHAR))) AS BIGINT) FROM supplier) AS b_vendor_id,
        levenshtein(a_name, b_name) AS edit_distance,
        ROUND(100.0 * (1 - levenshtein(a_name, b_name) * 1.0
              / greatest(length(a_name), length(b_name))), 2) AS lev_similarity
@@ -229,11 +236,11 @@ SNM_WINDOW = 2
 WITH vendors AS (
     SELECT s_suppkey AS vendor_id, s_name AS vendor_name FROM supplier
     UNION ALL
-    SELECT s_suppkey + (SELECT CAST(POWER(10, LENGTH(CAST(MAX(s_suppkey) AS VARCHAR))) AS BIGINT) FROM supplier), s_name FROM supplier WHERE s_suppkey % 10 = 0
+    SELECT s_suppkey + (SELECT CAST('1' || REPEAT('0', LENGTH(CAST(MAX(s_suppkey) AS VARCHAR))) AS BIGINT) FROM supplier), s_name FROM supplier WHERE s_suppkey % 10 = 0
     UNION ALL
-    SELECT s_suppkey + (SELECT CAST(POWER(10, LENGTH(CAST(MAX(s_suppkey) AS VARCHAR))) AS BIGINT) FROM supplier), s_name || ' ltd' FROM supplier WHERE s_suppkey % 10 = 3
+    SELECT s_suppkey + (SELECT CAST('1' || REPEAT('0', LENGTH(CAST(MAX(s_suppkey) AS VARCHAR))) AS BIGINT) FROM supplier), s_name || ' ltd' FROM supplier WHERE s_suppkey % 10 = 3
     UNION ALL
-    SELECT s_suppkey + (SELECT CAST(POWER(10, LENGTH(CAST(MAX(s_suppkey) AS VARCHAR))) AS BIGINT) FROM supplier), 'Totally Different Co ' || CAST(s_suppkey AS VARCHAR)
+    SELECT s_suppkey + (SELECT CAST('1' || REPEAT('0', LENGTH(CAST(MAX(s_suppkey) AS VARCHAR))) AS BIGINT) FROM supplier), 'Totally Different Co ' || CAST(s_suppkey AS VARCHAR)
     FROM supplier WHERE s_suppkey % 10 = 7
 ),
 ranked AS (

@@ -38,75 +38,22 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # remainder. Queries pushed past the window keep full local coverage via
 # tests/test_oracle_parity.py, which checks ALL of them.
 ROTATION: list[str] = [
-    # Round-10 window (VERDICT r9 task 4): the 2 driver-red rows lead
-    # (tpch_pricing_summary / delta_dv_update_orders — the decimal-domain
-    # fixes), then the 2 judge-found latents (anova / haar), then the
-    # remaining 50 never-driver-sampled queries; the driver samples the
-    # first ~50, so round 10 certifies the fixes + most of the tail and
-    # round 11 finishes it. After those 54 come the previously-green
-    # queries whose VALUES changed this round (portable_round, the
-    # decimal-domain TPC-H revenue, the STRING-hopped oracles) so the
-    # next window re-certifies them under the new code. Queries pushed
-    # past the window keep full local coverage via
-    # tests/test_oracle_parity.py (bit-exact comparator) and the
-    # adversarial tiers (pytest -m adversarial).
-    "tpch_pricing_summary",
-    "delta_dv_update_orders",
-    "anova_price_by_priority",
-    "haar_decompose_revenue",
-    "ab_bootstrap_diff_ci",
-    "pareto_skyline_parts",
-    "revenue_acf_lags",
-    "revenue_seasonal_dow",
-    "mi_order_priority_status",
-    "psi_split_drift_orders",
-    "key_skew_diagnostics",
-    "spearman_quantity_price",
-    "modularity_copurchase_communities",
-    "feature_auc_screen_orders",
-    "harmonic_centrality_suppliers",
-    "delta_vacuum_orders",
-    "histogram_auc_orders",
-    "conductance_copurchase_communities",
-    "phrase_search_docs",
-    "probe_calibration_ece",
-    "srm_check_events",
-    "holt_per_supplier_forecast",
-    "token_entropy_docs",
-    "similar_docs_to_anchor",
-    "ipw_ate_events",
-    "croston_per_supplier_demand",
-    "rdd_quantity_discount",
-    "annotator_kappa_langid",
-    "mcnemar_rules_orders",
-    "kmeans_silhouette_embeddings",
-    "assortativity_copurchase",
-    "k_anonymity_audit_customers",
-    "jdbc_roundtrip_nation",
-    "delta_history_audit_orders",
-    "pipeline_run_audit",
-    "lineage_record_audit",
-    "json_metrics_roundtrip",
-    "hll_wau_events",
-    "stl_decompose_revenue",
-    "growth_accounting_weekly",
-    "conformal_forecast_interval",
-    "ope_replay_events",
-    "media_byte_histogram_arrow",
-    "auc_bootstrap_ci_orders",
-    "proximity_search_docs",
-    "markov_stationary_events",
-    "gains_curve_orders",
-    "feature_hashing_collisions",
-    "runs_test_revenue",
-    "path_edit_distance_pairs",
+    # Round-11 window (VERDICT r10 task 1): the 4 never-driver-sampled
+    # queries lead (cramers_v / bh_fdr / bloom_decontamination /
+    # tpch_waiting_suppliers_strict — all judge-exact-verified in r10, so
+    # this closes the loop to 325/325 driver-green), then the r10
+    # value-changed-but-not-yet-resampled names (the portable_round /
+    # STRING-hop conversions: ALS, PCA/eigvec, pagerank/HITS, kmeans,
+    # linear probes) for driver re-certification under the new values.
+    # The 50 names green in CORRECTNESS_r10 move to the BACK of the list
+    # (relative order preserved); everything in between keeps its r10
+    # order. Queries outside the ~50-entry driver window keep full local
+    # coverage via tests/test_oracle_parity.py (bit-exact comparator)
+    # and the adversarial tiers (pytest -m adversarial).
     "cramers_v_orders",
     "bh_fdr_events",
     "bloom_decontamination_docs",
     "tpch_waiting_suppliers_strict",
-    # r10 late value change (sf1 exact sweep): ALS moved to
-    # portable_round + STRING-hopped decimal->double in both twins;
-    # both consumers re-enter the window for driver re-certification.
     "als_supplier_recommendations",
     "als_ranking_eval",
     "embedding_top2_pca",
@@ -378,7 +325,58 @@ ROTATION: list[str] = [
     "histogram_quantiles_orders",
     "hll_distinct_tokens",
     "supplier_copurchase_pairs",
+    "tpch_pricing_summary",
+    "delta_dv_update_orders",
+    "anova_price_by_priority",
+    "haar_decompose_revenue",
+    "ab_bootstrap_diff_ci",
+    "pareto_skyline_parts",
+    "revenue_acf_lags",
+    "revenue_seasonal_dow",
+    "mi_order_priority_status",
+    "psi_split_drift_orders",
+    "key_skew_diagnostics",
+    "spearman_quantity_price",
+    "modularity_copurchase_communities",
+    "feature_auc_screen_orders",
+    "harmonic_centrality_suppliers",
+    "delta_vacuum_orders",
+    "histogram_auc_orders",
+    "conductance_copurchase_communities",
+    "phrase_search_docs",
+    "probe_calibration_ece",
+    "srm_check_events",
+    "holt_per_supplier_forecast",
+    "token_entropy_docs",
+    "similar_docs_to_anchor",
+    "ipw_ate_events",
+    "croston_per_supplier_demand",
+    "rdd_quantity_discount",
+    "annotator_kappa_langid",
+    "mcnemar_rules_orders",
+    "kmeans_silhouette_embeddings",
+    "assortativity_copurchase",
+    "k_anonymity_audit_customers",
+    "jdbc_roundtrip_nation",
+    "delta_history_audit_orders",
+    "pipeline_run_audit",
+    "lineage_record_audit",
+    "json_metrics_roundtrip",
+    "hll_wau_events",
+    "stl_decompose_revenue",
+    "growth_accounting_weekly",
+    "conformal_forecast_interval",
+    "ope_replay_events",
+    "media_byte_histogram_arrow",
+    "auc_bootstrap_ci_orders",
+    "proximity_search_docs",
+    "markov_stationary_events",
+    "gains_curve_orders",
+    "feature_hashing_collisions",
+    "runs_test_revenue",
+    "path_edit_distance_pairs",
 ]
+
 
 
 def query(name: str, oracle: str | None = None, bench: bool = False) -> Callable[[QueryFn], QueryFn]:

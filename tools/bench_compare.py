@@ -35,11 +35,27 @@ def _load(path: str) -> dict:
         doc = doc["parsed"]
     if "reps_detail" not in doc and doc.get("detail_file"):
         # Compact stdout records (r10+) spill per-rep arrays to a side
-        # file at the repo root; merge them back when present.
+        # file at the repo root; merge them back ONLY when the run ids
+        # match — BENCH_DETAIL.json is overwritten every bench run, so
+        # an unconditional merge grafts the LATEST round's rep arrays
+        # onto any historical record and lets the noise-band test
+        # misclassify a real regression as rep spread (ADVICE r10).
+        # Pre-r11 records carry no run_id; for those the merge stays
+        # best-effort (the detail file is equally unstamped).
         cand = os.path.join(os.path.dirname(os.path.abspath(path)), doc["detail_file"])
         if os.path.exists(cand):
             with open(cand) as f:
-                doc = {**doc, **json.load(f)}
+                detail = json.load(f)
+            if doc.get("run_id") == detail.get("run_id"):
+                doc = {**doc, **detail}
+            elif doc.get("run_id") is None and detail.get("run_id") is None:
+                doc = {**doc, **detail}
+            else:
+                print(
+                    f"NOTE: {path}: detail file run_id mismatch "
+                    f"({doc.get('run_id')} vs {detail.get('run_id')}); "
+                    "rep arrays not merged — noise-band test degraded to medians"
+                )
     return doc
 
 
@@ -58,6 +74,17 @@ def _regime(doc: dict, path: str) -> str:
 def main() -> int:
     base_doc, new_doc = _load(sys.argv[1]), _load(sys.argv[2])
     base, new = base_doc["queries"], new_doc["queries"]
+    cb, cn = base_doc.get("host_canary_s"), new_doc.get("host_canary_s")
+    if cb and cn and max(cb, cn) / min(cb, cn) > 1.3:
+        print(
+            f"WARNING: host-speed canaries differ {max(cb, cn) / min(cb, cn):.2f}x "
+            f"(base {cb:.3f}s vs new {cn:.3f}s per 10M-iter loop) — the records "
+            "were taken in different host-CPU windows (BASELINE.md documents a "
+            "~2x swing); per-query ratios below reflect the host as much as the "
+            "engine. Normalized totals: "
+            f"base={sum(base.values()):.2f}s new={sum(new.values()) * cb / cn:.2f}s "
+            "(new scaled by canary ratio)."
+        )
     if _regime(base_doc, sys.argv[1]) != _regime(new_doc, sys.argv[2]):
         print(
             f"WARNING: cross-regime comparison — base is {_regime(base_doc, sys.argv[1])!r}, "

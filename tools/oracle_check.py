@@ -34,9 +34,16 @@ def duckdb_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
         if os.path.isdir(p):
             # Spark-written tables (e.g. the .scale_data tiers) are
             # directories of part files; DuckDB needs the glob form.
+            # Recursive + hive_partitioning so a partitionBy() layout
+            # (part files nested under key=value dirs) reads fully
+            # instead of silently becoming an empty view (ADVICE r10);
+            # the non-empty assert catches any remaining layout drift.
             con.execute(
-                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}/*.parquet')"
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{p}/**/*.parquet', hive_partitioning=true)"
             )
+            n = con.execute(f"SELECT COUNT(*) FROM {t}").fetchone()[0]
+            assert n > 0, f"oracle view {t} is EMPTY — glob missed {p}'s layout"
         elif os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     return con
