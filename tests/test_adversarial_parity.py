@@ -2,11 +2,13 @@
 
 Round 9 ran these sweeps by hand (tools/adversarial_tier.py) and they
 caught 12 real engine divergences; this suite keeps them from rotting
-(VERDICT r9 task 6). Two tiers, both derived from sf0.001:
+(VERDICT r9 task 6). Three tiers, all derived from sf0.001:
 
 - tiny:  single-digit key cardinalities, FK orphans on purpose,
   corpora smaller than most K/topk constants, 1-observation series.
 - empty: every fact table 0 rows, dims intact.
+- skew:  one HOT key owns ~half of every fact table (r11; VERDICT r10
+  task 8) — correctness of the salted-agg/degree-cap/df_cap levers.
 
 A query passes when Spark and DuckDB AGREE on the degenerate input
 under the driver's EXACT comparator (empty == empty is a pass).
@@ -24,7 +26,15 @@ import pytest
 
 from nyc_taxi_data_engineering_spark.catalog import TABLES, table_path
 from nyc_taxi_data_engineering_spark.queries import registry
-from tools.adversarial_tier import CUTS, EMPTY_CUTS, OUT, OUT_EMPTY, build
+from tools.adversarial_tier import (
+    CUTS,
+    EMPTY_CUTS,
+    OUT,
+    OUT_EMPTY,
+    OUT_SKEW,
+    SKEW_CUTS,
+    build,
+)
 from tools.oracle_check import compare
 
 pytestmark = pytest.mark.adversarial
@@ -45,6 +55,11 @@ def tiny_dir() -> str:
 @pytest.fixture(scope="session")
 def empty_dir() -> str:
     return _tier_fixture(OUT_EMPTY, EMPTY_CUTS)
+
+
+@pytest.fixture(scope="session")
+def skew_dir() -> str:
+    return _tier_fixture(OUT_SKEW, SKEW_CUTS)
 
 
 def _duck_for(sf_dir: str) -> duckdb.DuckDBPyConnection:
@@ -70,6 +85,13 @@ def empty_duck(empty_dir):
     con.close()
 
 
+@pytest.fixture(scope="session")
+def skew_duck(skew_dir):
+    con = _duck_for(skew_dir)
+    yield con
+    con.close()
+
+
 def _check(name: str, spark, sf_dir: str, duck) -> None:
     spec = _REG[name]
     spark_pdf = spec.fn(spark, sf_dir).toPandas()
@@ -89,3 +111,13 @@ def test_tiny_tier(name, spark, tiny_dir, tiny_duck):
 @pytest.mark.parametrize("name", sorted(_REG))
 def test_empty_tier(name, spark, empty_dir, empty_duck):
     _check(name, spark, empty_dir, empty_duck)
+
+
+# Third tier (round 11): hot keys — one customer/supplier/user owning
+# ~50% of its fact table, one token in 90% of docs, half the embedding
+# corpus a single identical vector. Exercises the skew levers' ANSWERS
+# (salting, degree caps, df caps, LSH bucket explosion), not just their
+# plan shapes.
+@pytest.mark.parametrize("name", sorted(_REG))
+def test_skew_tier(name, spark, skew_dir, skew_duck):
+    _check(name, spark, skew_dir, skew_duck)

@@ -44,8 +44,9 @@ restoring it costs a second fact scan).
 Usage:
   python tools/adversarial_tier.py            # build + full sweep (tiny)
   python tools/adversarial_tier.py --empty    # build + full sweep (empty facts)
-  python tools/adversarial_tier.py --build [--empty]   # build only
-Then: python tools/oracle_check.py .scale_data/{tiny,empty} [query ...]
+  python tools/adversarial_tier.py --skew     # build + full sweep (hot keys)
+  python tools/adversarial_tier.py --build [--empty|--skew]   # build only
+Then: python tools/oracle_check.py .scale_data/{tiny,empty,skew} [query ...]
 """
 
 from __future__ import annotations
@@ -88,6 +89,59 @@ EMPTY_CUTS = [(t, "SELECT * FROM {src}") for t in _DIMS] + [
 ]
 
 
+# SKEW tier (VERDICT r10 task 8): a deliberately HOT key in every fact
+# table, exercising the engine's skew levers' CORRECTNESS (salted aggs,
+# degree caps, df caps, LSH bucket explosion) under the exact
+# comparator — the plan-shape probes prove they keep plans bounded, this
+# tier proves they still compute the right answer when one key owns half
+# the table:
+# - customer 0 owns ~50% of orders (every even orderkey),
+# - supplier 0 supplies ~50% of lineitems,
+# - user 0 emits ~50% of events,
+# - the token 'zzhotzz' appears in ~90% of documents (df ~ 0.9·N blows
+#   through every df_cap/anchor-choice heuristic),
+# - ~50% of embeddings are the IDENTICAL vector (one LSH/IVF bucket
+#   holds half the corpus; cosine ties everywhere).
+# Rewrites keep FKs valid (key 0 exists in every dim) — unlike tiny,
+# which tests orphans, this tier isolates skew alone.
+OUT_SKEW = os.path.join(REPO, ".scale_data", "skew")
+SKEW_CUTS = [
+    ("region", "SELECT * FROM {src}"),
+    ("nation", "SELECT * FROM {src}"),
+    ("customer", "SELECT * FROM {src}"),
+    ("supplier", "SELECT * FROM {src}"),
+    ("part", "SELECT * FROM {src}"),
+    (
+        "orders",
+        "SELECT * REPLACE (CASE WHEN o_orderkey % 2 = 0 THEN 0 "
+        "ELSE o_custkey END AS o_custkey) FROM {src}",
+    ),
+    (
+        "lineitem",
+        "SELECT * REPLACE (CASE WHEN (l_orderkey + l_linenumber) % 2 = 0 "
+        "THEN 0 ELSE l_suppkey END AS l_suppkey) FROM {src}",
+    ),
+    (
+        "events",
+        "SELECT * REPLACE (CASE WHEN event_id % 2 = 0 THEN 0 "
+        "ELSE user_id END AS user_id) FROM {src}",
+    ),
+    (
+        "documents",
+        "SELECT * REPLACE (CASE WHEN doc_id % 10 < 9 "
+        "THEN text || ' zzhotzz' ELSE text END AS text, "
+        "CASE WHEN doc_id % 10 < 9 THEN n_chars + 8 "
+        "ELSE n_chars END AS n_chars) FROM {src}",
+    ),
+    (
+        "embeddings",
+        "SELECT * REPLACE (CASE WHEN vec_id % 2 = 0 THEN "
+        "(SELECT embedding FROM {src} WHERE vec_id = 1) "
+        "ELSE embedding END AS embedding) FROM {src}",
+    ),
+]
+
+
 def build(out: str, cuts: list[tuple[str, str]]) -> None:
     import duckdb
 
@@ -105,7 +159,12 @@ def build(out: str, cuts: list[tuple[str, str]]) -> None:
 
 
 def main() -> int:
-    out, cuts = (OUT_EMPTY, EMPTY_CUTS) if "--empty" in sys.argv else (OUT, CUTS)
+    if "--skew" in sys.argv:
+        out, cuts = OUT_SKEW, SKEW_CUTS
+    elif "--empty" in sys.argv:
+        out, cuts = OUT_EMPTY, EMPTY_CUTS
+    else:
+        out, cuts = OUT, CUTS
     build(out, cuts)
     if "--build" in sys.argv:
         return 0
