@@ -9,7 +9,7 @@ tokenizer definition with the Spark side via functions/text.py.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from nyc_taxi_data_engineering_spark.catalog import load_table, load_table_parallel
@@ -409,23 +409,29 @@ def _neg_raw_sql(j: int) -> str:
     )
 
 
+# The oracle samples in DENSE index space (ROW_NUMBER over doc_id), so
+# it covers both engine branches: with dense 0..n-1 ids the index IS
+# the doc_id and this reduces exactly to the fast path's arithmetic.
 @query(
     "contrastive_negatives_docs",
     oracle=f"""
 WITH nn AS (SELECT COUNT(*) AS n FROM documents),
-h AS (SELECT doc_id, md5(text) AS ch FROM documents),
+h AS (SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS di,
+             md5(text) AS ch
+      FROM documents),
 cands AS (
-    {" UNION ALL ".join(f"SELECT a.doc_id AS anchor_id, {j} AS neg_rank, {_neg_raw_sql(j)} AS raw FROM h a" for j in range(N_NEGATIVES))}
+    {" UNION ALL ".join(f"SELECT a.doc_id AS anchor_id, a.di AS adi, {j} AS neg_rank, {_neg_raw_sql(j)} AS raw FROM h a" for j in range(N_NEGATIVES))}
 ),
 fixed AS (
     SELECT anchor_id, neg_rank,
-           CASE WHEN raw = anchor_id THEN (raw + 1) % (SELECT n FROM nn) ELSE raw END AS neg_id
+           CASE WHEN raw = adi THEN (raw + 1) % (SELECT n FROM nn) ELSE raw END AS neg_di
     FROM cands
 )
-SELECT f.anchor_id, CAST(f.neg_rank AS INT) AS neg_rank, f.neg_id
+SELECT f.anchor_id, CAST(f.neg_rank AS INT) AS neg_rank, b.doc_id AS neg_id
 FROM fixed f
 JOIN h a ON a.doc_id = f.anchor_id
-JOIN h b ON b.doc_id = f.neg_id
+JOIN h b ON b.di = f.neg_di
 WHERE b.ch <> a.ch
 """,
 )
@@ -441,13 +447,14 @@ def q_contrastive_negatives_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     size, reproducible across runs and engines, which is exactly what
     a training-data pipeline needs from its sampler.
 
-    PRECONDITION (enforced): doc_ids must be DENSE 0..n-1 — the
-    md5-bucket maps straight to a doc_id, so with sparse ids the join
-    would silently return < k negatives per anchor (and the oracle,
-    sharing the scheme, could not catch it).  The guard is one
-    column-pruned (count, min, max) pass over doc_id; sparse corpora
-    should pre-assign a dense index (e.g. a shuffle-shard row number)
-    before sampling."""
+    The md5 bucket addresses DENSE index space 0..n-1. Dense-id corpora
+    take the fast path (the id IS the index — no extra work). Sparse-id
+    corpora are re-indexed in place with a global ROW_NUMBER over
+    doc_id — one sort of the (doc_id) key column, the honest minimum
+    for an exact dense index; at extreme corpus sizes pre-assign dense
+    ids upstream (e.g. a shuffle-shard row number) and the sort is
+    skipped. Both branches emit identical results for dense ids, so one
+    oracle (always the row_number formulation) certifies both."""
     docs = load_table(spark, sf_dir, "documents")
     stats = docs.select("doc_id").agg(
         F.count(F.lit(1)).alias("n"),
@@ -460,13 +467,19 @@ def q_contrastive_negatives_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(
             [], "anchor_id bigint, neg_rank int, neg_id bigint"
         )
-    if stats["lo"] != 0 or stats["hi"] != stats["n"] - 1:
-        raise ValueError(
-            "contrastive_negatives_docs requires dense doc_ids 0..n-1; got "
-            f"min={stats['lo']} max={stats['hi']} n={stats['n']} — re-index "
-            "the corpus (dense ids) before negative sampling"
+    dense = stats["lo"] == 0 and stats["hi"] == stats["n"] - 1
+    if dense:
+        h = docs.select(
+            "doc_id",
+            F.col("doc_id").alias("di"),
+            F.md5(F.col("text")).alias("ch"),
         )
-    h = docs.select("doc_id", F.md5(F.col("text")).alias("ch"))
+    else:
+        h = docs.select(
+            "doc_id",
+            (F.row_number().over(Window.orderBy("doc_id")) - 1).alias("di"),
+            F.md5(F.col("text")).alias("ch"),
+        )
     nn = h.agg(F.count(F.lit(1)).alias("n"))
     raws = [
         F.struct(
@@ -483,21 +496,29 @@ def q_contrastive_negatives_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         for j in range(N_NEGATIVES)
     ]
     cands = (
-        h.select(F.col("doc_id").alias("anchor_id"), F.col("ch").alias("a_ch"))
+        h.select(
+            F.col("doc_id").alias("anchor_id"),
+            F.col("di").alias("adi"),
+            F.col("ch").alias("a_ch"),
+        )
         .crossJoin(F.broadcast(nn))
-        .select("anchor_id", "a_ch", "n", F.explode(F.array(*raws)).alias("c"))
+        .select("anchor_id", "adi", "a_ch", "n", F.explode(F.array(*raws)).alias("c"))
         .select(
             "anchor_id",
             "a_ch",
             F.col("c.neg_rank").cast("int").alias("neg_rank"),
-            F.when(F.col("c.raw") == F.col("anchor_id"), (F.col("c.raw") + 1) % F.col("n"))
+            F.when(F.col("c.raw") == F.col("adi"), (F.col("c.raw") + 1) % F.col("n"))
             .otherwise(F.col("c.raw"))
-            .alias("neg_id"),
+            .alias("neg_di"),
         )
     )
-    b = h.select(F.col("doc_id").alias("neg_id"), F.col("ch").alias("b_ch"))
+    b = h.select(
+        F.col("di").alias("neg_di"),
+        F.col("doc_id").alias("neg_id"),
+        F.col("ch").alias("b_ch"),
+    )
     return (
-        cands.join(b, "neg_id")
+        cands.join(b, "neg_di")
         .filter(F.col("b_ch") != F.col("a_ch"))
         .select("anchor_id", "neg_rank", "neg_id")
     )
