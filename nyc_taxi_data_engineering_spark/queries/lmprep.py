@@ -427,12 +427,23 @@ fixed AS (
     SELECT anchor_id, neg_rank,
            CASE WHEN raw = adi THEN (raw + 1) % (SELECT n FROM nn) ELSE raw END AS neg_di
     FROM cands
+),
+j1 AS MATERIALIZED (
+    -- MATERIALIZED pins the join ORDER: with the 3-way join in one
+    -- block, DuckDB's reorderer may join a with b FIRST on the lone
+    -- (b.ch <> a.ch) predicate — an inequality-only near-cross-join
+    -- that is n^2 rows (2.5e9 at 50k docs; found grinding at 87 GB in
+    -- the r11 sf1 sweep). Splitting at a materialization point leaves
+    -- each block only equi-joins, so the anchor hash join must run
+    -- before the dedup-filter join.
+    SELECT f.anchor_id, f.neg_rank, f.neg_di, a.ch AS a_ch
+    FROM fixed f
+    JOIN h a ON a.doc_id = f.anchor_id
 )
-SELECT f.anchor_id, CAST(f.neg_rank AS INT) AS neg_rank, b.doc_id AS neg_id
-FROM fixed f
-JOIN h a ON a.doc_id = f.anchor_id
-JOIN h b ON b.di = f.neg_di
-WHERE b.ch <> a.ch
+SELECT j1.anchor_id, CAST(j1.neg_rank AS INT) AS neg_rank, b.doc_id AS neg_id
+FROM j1
+JOIN h b ON b.di = j1.neg_di
+WHERE b.ch <> j1.a_ch
 """,
 )
 def q_contrastive_negatives_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
