@@ -1266,7 +1266,7 @@ def _brier_oracle() -> str:
 @query(
     "probe_calibration_ece",
     oracle=f"""
-WITH diagram AS ({_brier_oracle()}),
+WITH diagram AS MATERIALIZED ({_brier_oracle()}),
 tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM diagram)
 SELECT CAST(COUNT(*) AS BIGINT) AS n_bins,
        (SELECT total FROM tot) AS n_scored,
@@ -1287,7 +1287,10 @@ def q_probe_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
     Per-bin terms are pinned double chains on already-bit-identical
     inputs, rounded to 12 dp and summed as DECIMAL — the 10-row sum is
     order-independent, so the one float hazard (sum order across bins)
-    is gone. Aggregating ten rows costs nothing at any scale."""
+    is gone. Aggregating ten rows costs nothing at any scale. The
+    oracle's diagram CTE is MATERIALIZED: it is referenced twice (total
+    + the main scan), and DuckDB otherwise inlines the whole probe
+    training per reference — fine at sf0.01, a 100 GiB OOM at sf1."""
     diagram = q_probe_calibration_brier(spark, sf_dir)
     tot = diagram.agg(F.sum("n").cast("bigint").alias("total"))
     gap = F.abs(F.col("pos_rate") - F.col("mean_score"))
