@@ -116,13 +116,23 @@ def lang_id(c: Column) -> Column:
 
 
 def quality_features(c: Column) -> dict[str, Column]:
-    """Raw quality signals; each in [0, 1] after the caps below."""
+    """Raw quality signals; each in [0, 1] after the caps below.
+
+    Zero-length text (possible in real corpora; planted by the weird
+    adversarial tier) makes ``punct_ratio`` 0/0 — which errors outright
+    under ANSI mode rather than yielding NULL — so it is NULL BY
+    CONTRACT on empty text, mirrored in :func:`sql_quality_score` and
+    every oracle that divides by length(text). Token-denominator ratios
+    need no guard: ``split(trim(''), '\\s+')`` is ``['']`` (size 1) on
+    BOTH engines, so n_tokens is never 0."""
     n_tok = token_count_ws(c)
     return {
         "n_chars": F.length(c),
         "n_tokens": n_tok,
         "type_token_ratio": F.round(distinct_token_count(c) / n_tok, 6),
-        "punct_ratio": F.round(punct_count(c) / F.length(c), 6),
+        "punct_ratio": F.when(
+            F.length(c) > 0, F.round(punct_count(c) / F.length(c), 6)
+        ),
         "stopword_ratio": F.round(stopword_count(c) / n_tok, 6),
     }
 
@@ -130,19 +140,24 @@ def quality_features(c: Column) -> dict[str, Column]:
 def quality_score(c: Column) -> Column:
     """Weighted quality score in [0, 1]:
     len_norm = min(n_tokens/100, 1), ttr, (1 - punct_ratio),
-    stopword closeness to a 10% target."""
+    stopword closeness to a 10% target. NULL on zero-length text (the
+    punct term is 0/0 there — see quality_features); the LOW bucket
+    then applies on both engines via identical CASE/NULL semantics."""
     n_tok = token_count_ws(c)
     len_norm = F.least(n_tok / F.lit(100.0), F.lit(1.0))
     ttr = distinct_token_count(c) / n_tok
     punct = punct_count(c) / F.length(c)
     stop = stopword_count(c) / n_tok
     stop_close = F.lit(1.0) - F.least(F.abs(stop - F.lit(0.1)) * 2, F.lit(1.0))
-    return F.round(
-        F.lit(QUALITY_W_LEN) * len_norm
-        + F.lit(QUALITY_W_TTR) * ttr
-        + F.lit(QUALITY_W_PUNCT) * (F.lit(1.0) - punct)
-        + F.lit(QUALITY_W_STOP) * stop_close,
-        6,
+    return F.when(
+        F.length(c) > 0,
+        F.round(
+            F.lit(QUALITY_W_LEN) * len_norm
+            + F.lit(QUALITY_W_TTR) * ttr
+            + F.lit(QUALITY_W_PUNCT) * (F.lit(1.0) - punct)
+            + F.lit(QUALITY_W_STOP) * stop_close,
+            6,
+        ),
     )
 
 
@@ -336,7 +351,11 @@ def sql_quality_score(col: str) -> str:
     stop = f"({sql_stopword_count(col)} * 1.0 / {n_tok})"
     len_norm = f"least({n_tok} / 100.0, 1.0)"
     stop_close = f"(1.0 - least(abs({stop} - 0.1) * 2, 1.0))"
+    # NULL on zero-length text — the punct term is 0/0 there (twin of
+    # quality_score's F.when guard)
     return (
+        f"CASE WHEN length({col}) > 0 THEN "
         f"round({QUALITY_W_LEN} * {len_norm} + {QUALITY_W_TTR} * {ttr}"
         f" + {QUALITY_W_PUNCT} * (1.0 - {punct}) + {QUALITY_W_STOP} * {stop_close}, 6)"
+        f" END"
     )

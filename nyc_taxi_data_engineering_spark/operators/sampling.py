@@ -157,11 +157,16 @@ def weighted_sample(
     across reruns and cluster layouts (same guarantee as the split
     operators above), which is what makes weighted corpus subsampling
     auditable. Plans as TakeOrderedAndProject: per-task partial top-k,
-    no global sort. Adds ``rank_key`` (rounded) to the output."""
+    no global sort. Adds ``rank_key`` (rounded) to the output.
+
+    Zero-weight rows are EXCLUDED by contract (selection probability 0;
+    A-Res would give them rank +inf, but Spark's ANSI division errors
+    before it can) — mirrored in :func:`weighted_sample_sql`."""
     u = uniform_from_hash(F.col(key), seed)
     rk = -F.log(u) / F.col(weight_col)
     return (
-        df.withColumn("rank_key", rk)
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("rank_key", rk)
         .orderBy(F.col("rank_key").asc(), F.col(key).asc())
         .limit(k)
         .withColumn("rank_key", F.round(F.col("rank_key"), 9))
@@ -176,6 +181,7 @@ def weighted_sample_sql(
     return f"""
 SELECT {cols}, ROUND(-ln({u}) / {weight_expr}, 9) AS rank_key
 FROM {table}
+WHERE {weight_expr} > 0
 ORDER BY -ln({u}) / {weight_expr}, {key_expr}
 LIMIT {k}"""
 

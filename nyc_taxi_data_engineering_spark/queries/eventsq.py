@@ -34,7 +34,9 @@ SESSION_GAP_US = 30 * 60 * 1_000_000  # 30-minute inactivity gap
     "events_props_by_type",
     oracle="""
 WITH e AS (
-  SELECT event_type, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+  SELECT event_type,
+         CASE WHEN json_valid(props)
+              THEN CAST(json_extract_string(props, '$.k') AS INTEGER) END AS k
   FROM events
 )
 SELECT event_type,
@@ -52,9 +54,10 @@ GROUP BY event_type
 def q_events_props_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured extraction: parse the ``props`` JSON column with
     an explicit schema and aggregate the extracted field per event
-    type. ``from_json`` returns NULL for missing/malformed fields,
-    matching ``json_extract_string``'s NULL — both sides agree on bad
-    input. avg is integer-sum / count: exact sums, so the double
+    type. ``from_json`` returns NULL for missing/malformed fields;
+    DuckDB's ``json_extract_string`` ERRORS on non-JSON input (e.g. the
+    weird tier's empty-string props) rather than yielding NULL, so the
+    oracle guards with ``json_valid`` to match Spark's tolerant NULL. avg is integer-sum / count: exact sums, so the double
     division is order-independent."""
     ev = load_table(spark, sf_dir, "events")
     k = F.from_json("props", "k INT").getField("k")

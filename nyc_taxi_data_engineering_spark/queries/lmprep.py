@@ -374,7 +374,8 @@ WITH base AS (
 )
 SELECT doc_id,
        CAST(len(bt) AS INT) AS n_bpe_tokens,
-       array_to_string(bt, ' ') AS bpe_text
+       -- DuckDB array_to_string([]) is NULL; Spark concat_ws([]) is ''
+       COALESCE(array_to_string(bt, ' '), '') AS bpe_text
 FROM toks
 """.replace("{APPLY}", _bpe_apply_sql()),
 )

@@ -48,12 +48,19 @@ def q_media_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH m AS (
     SELECT doc_id,
            octet_length(encode(text)) AS n_bytes,
-           octet_length(encode(text)) % 8 + 1 AS n_frames
+           octet_length(encode(text)) % 8 + 1 AS n_frames,
+           greatest(octet_length(encode(text)) // (octet_length(encode(text)) % 8 + 1), 1)
+             AS fsize
     FROM documents
 )
 SELECT doc_id,
        ((n_frames + 1) // 2)::BIGINT AS n_frames_sampled,
-       ((n_frames + 1) // 2) * greatest(n_bytes // n_frames, 1) AS total_frame_bytes
+       -- exact byte count of payload[f*size:(f+1)*size] per sampled
+       -- frame: short payloads (n_bytes < n_frames, incl. 0) yield
+       -- truncated/empty slices, so the frame is NOT always fsize
+       list_sum([least(fsize, greatest(n_bytes - f * fsize, 0))
+                 for f in generate_series(0, n_frames - 1, 2)])::BIGINT
+         AS total_frame_bytes
 FROM m
 """,
 )
@@ -71,12 +78,19 @@ def q_media_frame_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "media_features",
     oracle="""
-WITH chars AS (
-    SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS i FROM documents
+WITH d2 AS (
+    SELECT doc_id, hex(encode(text)) AS hx,
+           octet_length(encode(text)) AS nb
+    FROM documents
 ),
 hist AS (
-    SELECT doc_id, ord(substr(text, i, 1)) // 16 AS bin, COUNT(*) AS cnt
-    FROM chars GROUP BY doc_id, bin
+    -- bin = byte // 16 = the byte's FIRST hex digit; byte-exact for
+    -- multi-byte UTF-8, where ord(char)//16 would bin the codepoint
+    SELECT doc_id,
+           ('0x' || substr(hx, 2 * CAST(g.i AS INTEGER) + 1, 1))::INT AS bin,
+           COUNT(*) AS cnt
+    FROM d2, UNNEST(generate_series(0, nb - 1)) AS g(i)
+    GROUP BY doc_id, bin
 ),
 ranked AS (
     SELECT doc_id, bin, cnt, MAX(cnt) OVER (PARTITION BY doc_id) AS max_cnt FROM hist
@@ -95,7 +109,7 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched feature extraction. The byte-histogram extractor is
     deterministic, so the vector's shape and argmax are EXACTLY
     oracle-checkable: the oracle recomputes the 16-bin histogram of the
-    payload bytes in SQL (documents are ASCII, so ord(char) == byte) and
+    payload bytes in SQL (byte-exact via the hex dump — UTF-8 safe) and
     takes the first max bin — matching array_position's first-match
     semantics on normalized counts (count ties normalize to equal
     floats; distinct counts stay distinct in float32 at any plausible
@@ -117,10 +131,18 @@ def _ppm_images(spark: SparkSession, sf_dir: str) -> DataFrame:
     "media_decoded_stats",
     oracle="""
 WITH k AS (SELECT unnest(range(0, 192)) AS k),
+d2 AS (SELECT doc_id, hex(encode(text)) AS hx,
+              octet_length(encode(text)) AS nb
+       FROM documents),
 px AS (
+    -- payload byte k = UTF-8 byte (k mod nb) of the text; empty text
+    -- is the operator's single \\x00 fallback. Indexing the hex dump
+    -- keeps this BYTE-exact for multi-byte UTF-8 (ord(char) is the
+    -- codepoint, not the byte).
     SELECT d.doc_id, k.k % 3 AS ch,
-           ord(substr(d.text, (k.k % length(d.text)) + 1, 1)) AS b
-    FROM documents d CROSS JOIN k
+           CASE WHEN d.nb = 0 THEN 0
+                ELSE ('0x' || substr(d.hx, 2 * (k.k % d.nb) + 1, 2))::INT END AS b
+    FROM d2 d CROSS JOIN k
 )
 SELECT doc_id,
        CAST(8 AS INT) AS width,
@@ -150,10 +172,18 @@ WITH yxc AS (
     CROSS JOIN (SELECT unnest(range(0, 4)) AS x) x
     CROSS JOIN (SELECT unnest(range(0, 3)) AS c) c
 ),
+d2 AS (SELECT doc_id, hex(encode(text)) AS hx,
+              octet_length(encode(text)) AS nb
+       FROM documents),
 px AS (
+    -- source raster byte j = UTF-8 byte (j mod nb); byte-exact via the
+    -- hex dump (see media_decoded_stats), \\x00 fallback on empty text
     SELECT d.doc_id, yxc.c AS ch,
-           ord(substr(d.text, ((((2 * yxc.y) * 8 + 2 * yxc.x) * 3 + yxc.c) % length(d.text)) + 1, 1)) AS b
-    FROM documents d CROSS JOIN yxc
+           CASE WHEN d.nb = 0 THEN 0
+                ELSE ('0x' || substr(d.hx,
+                        2 * ((((2 * yxc.y) * 8 + 2 * yxc.x) * 3 + yxc.c) % d.nb) + 1,
+                        2))::INT END AS b
+    FROM d2 d CROSS JOIN yxc
 )
 SELECT doc_id,
        CAST(59 AS BIGINT) AS thumb_n_bytes,
@@ -226,12 +256,33 @@ _IMG_SRC_CTE = f"""src AS (
     WHERE doc_id < {DHASH_PLANT_N} AND length(text) >= {DHASH_PLANT_MIN_CHARS}
 )"""
 
-_IMG_HASH_CTES = """g AS (
+
+def _sql_byte(idx: str) -> str:
+    """UTF-8 byte (``idx`` mod nb) of a srcb row's text, as INT — the
+    operators index PAYLOAD BYTES, so the oracle must too (ord(char)
+    is the codepoint, wrong for multi-byte UTF-8; the weird tier's
+    long-unicode doc pins this). Empty text = the operators' single
+    \\x00 fallback."""
+    return (
+        f"CASE WHEN s.nb = 0 THEN 0 "
+        f"ELSE ('0x' || substr(s.hx, 2 * (({idx}) % s.nb) + 1, 2))::INT END"
+    )
+
+
+# hex dump of each src row, computed once and indexed byte-wise below
+_SRCB_CTE = """srcb AS (
+    SELECT doc_id, hex(encode(text)) AS hx,
+           octet_length(encode(text)) AS nb
+    FROM src
+)"""
+
+_IMG_HASH_CTES = f"""{_SRCB_CTE},
+g AS (
     SELECT s.doc_id, y.y, x.x,
-           (ord(substr(s.text, ((y.y * 8 + x.x) * 3 + 0) % length(s.text) + 1, 1))
-          + ord(substr(s.text, ((y.y * 8 + x.x) * 3 + 1) % length(s.text) + 1, 1))
-          + ord(substr(s.text, ((y.y * 8 + x.x) * 3 + 2) % length(s.text) + 1, 1))) AS gv
-    FROM src s
+           ({_sql_byte('(y.y * 8 + x.x) * 3 + 0')}
+          + {_sql_byte('(y.y * 8 + x.x) * 3 + 1')}
+          + {_sql_byte('(y.y * 8 + x.x) * 3 + 2')}) AS gv
+    FROM srcb s
     CROSS JOIN (SELECT unnest(range(0, 8)) AS y) y
     CROSS JOIN (SELECT unnest(range(0, 8)) AS x) x
 ),
@@ -299,15 +350,20 @@ def q_image_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "audio_frame_features",
     oracle=f"""
 WITH base AS (
-    SELECT doc_id, text, length(text) AS n FROM documents
-    WHERE length(text) >= {M.AUDIO_FRAME}
+    -- samples are UTF-8 BYTES (attach_audio's n_samples is
+    -- octet_length): both the short-clip gate and the sample lookup
+    -- must be byte-based, or multi-byte UTF-8 docs diverge
+    SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n
+    FROM documents
+    WHERE octet_length(encode(text)) >= {M.AUDIO_FRAME}
 ),
 fr AS (
-    SELECT doc_id, text, f
+    SELECT doc_id, hx, f
     FROM base, unnest(generate_series(0, (n - {M.AUDIO_FRAME}) // {M.AUDIO_HOP})) AS t(f)
 ),
 samp AS (
-    SELECT doc_id, f, j, ord(substr(text, f * {M.AUDIO_HOP} + j, 1)) AS s
+    SELECT doc_id, f, j,
+           ('0x' || substr(hx, 2 * (f * {M.AUDIO_HOP} + j - 1) + 1, 2))::INT AS s
     FROM fr, unnest(generate_series(1, {M.AUDIO_FRAME})) AS u(j)
 ),
 agg AS (
@@ -357,13 +413,23 @@ def q_audio_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH k AS (SELECT unnest(range(0, {M.VIDEO_FRAME_BYTES})) AS k),
 fp AS (SELECT unnest(range(0, {M.VIDEO_FRAMES - 1})) AS p),
+d2 AS (SELECT doc_id, hex(encode(text)) AS hx,
+              octet_length(encode(text)) AS nb
+       FROM documents),
 b AS (
+    -- frame byte = UTF-8 byte ((k + f*stride) mod nb), byte-exact via
+    -- the hex dump (ord(char) is the codepoint, not the byte); empty
+    -- text is the operator's single \\x00 fallback
     SELECT doc.doc_id, fp.p, k.k,
-           CASE WHEN fp.p + 1 >= {M.VIDEO_CUT_FRAME} THEN 0
-                ELSE ord(substr(doc.text, ((k.k + (fp.p + 1) * {M.VIDEO_STRIDE}) % length(doc.text)) + 1, 1)) END AS nxt,
-           CASE WHEN fp.p >= {M.VIDEO_CUT_FRAME} THEN 0
-                ELSE ord(substr(doc.text, ((k.k + fp.p * {M.VIDEO_STRIDE}) % length(doc.text)) + 1, 1)) END AS cur
-    FROM documents doc CROSS JOIN fp CROSS JOIN k
+           CASE WHEN fp.p + 1 >= {M.VIDEO_CUT_FRAME} OR doc.nb = 0 THEN 0
+                ELSE ('0x' || substr(doc.hx,
+                        2 * ((k.k + (fp.p + 1) * {M.VIDEO_STRIDE}) % doc.nb) + 1,
+                        2))::INT END AS nxt,
+           CASE WHEN fp.p >= {M.VIDEO_CUT_FRAME} OR doc.nb = 0 THEN 0
+                ELSE ('0x' || substr(doc.hx,
+                        2 * ((k.k + fp.p * {M.VIDEO_STRIDE}) % doc.nb) + 1,
+                        2))::INT END AS cur
+    FROM d2 doc CROSS JOIN fp CROSS JOIN k
 ),
 d AS (
     SELECT doc_id, p, SUM(ABS(nxt - cur)) AS l1 FROM b GROUP BY doc_id, p
@@ -401,16 +467,16 @@ def _video_frame_pair_ctes() -> str:
     """Per pre-cut frame f: dhash CTE (the image pipeline's closed form
     shifted by the clip's per-frame byte offset f*stride) + the
     all-pairs hamming compare at the gate."""
-    parts = []
+    parts = [_SRCB_CTE]
     for f in range(M.VIDEO_CUT_FRAME):
         off = f * M.VIDEO_STRIDE
         parts.append(f"""
 g{f} AS (
     SELECT s.doc_id, y.y, x.x,
-           (ord(substr(s.text, ((y.y * 8 + x.x) * 3 + 0 + {off}) % length(s.text) + 1, 1))
-          + ord(substr(s.text, ((y.y * 8 + x.x) * 3 + 1 + {off}) % length(s.text) + 1, 1))
-          + ord(substr(s.text, ((y.y * 8 + x.x) * 3 + 2 + {off}) % length(s.text) + 1, 1))) AS gv
-    FROM src s
+           ({_sql_byte(f'(y.y * 8 + x.x) * 3 + 0 + {off}')}
+          + {_sql_byte(f'(y.y * 8 + x.x) * 3 + 1 + {off}')}
+          + {_sql_byte(f'(y.y * 8 + x.x) * 3 + 2 + {off}')}) AS gv
+    FROM srcb s
     CROSS JOIN (SELECT unnest(range(0, 8)) AS y) y
     CROSS JOIN (SELECT unnest(range(0, 8)) AS x) x
 ),
@@ -514,18 +580,22 @@ WITH src AS (
     FROM documents
     WHERE doc_id < {DHASH_PLANT_N} AND length(text) >= {DHASH_PLANT_MIN_CHARS}
 ),
+{_SRCB_CTE},
 blocks AS (
+    -- PCM samples are UTF-8 BYTES: block size and every sample lookup
+    -- are byte-based via the hex dump (char-based substr diverges on
+    -- multi-byte UTF-8)
     SELECT s.doc_id, bb.b,
-           SUM(CAST(ord(substr(s.text,
-                   CAST(bb.b * (length(s.text) // {M.AUDIO_FP_BLOCKS}) + i.i AS INT) + 1, 1)) AS BIGINT)
-             * CAST(ord(substr(s.text,
-                   CAST(bb.b * (length(s.text) // {M.AUDIO_FP_BLOCKS}) + i.i AS INT) + 1, 1)) AS BIGINT)
+           SUM(CAST(('0x' || substr(s.hx,
+                   2 * (bb.b * (s.nb // {M.AUDIO_FP_BLOCKS}) + i.i) + 1, 2))::INT AS BIGINT)
+             * CAST(('0x' || substr(s.hx,
+                   2 * (bb.b * (s.nb // {M.AUDIO_FP_BLOCKS}) + i.i) + 1, 2))::INT AS BIGINT)
            ) AS en
-    FROM src s
+    FROM srcb s
     CROSS JOIN (SELECT unnest(range(0, {M.AUDIO_FP_BLOCKS})) AS b) bb
     JOIN (SELECT unnest(range(0, 256)) AS i) i
-      ON i.i < length(s.text) // {M.AUDIO_FP_BLOCKS}
-    WHERE length(s.text) >= {M.AUDIO_FP_BLOCKS}
+      ON i.i < s.nb // {M.AUDIO_FP_BLOCKS}
+    WHERE s.nb >= {M.AUDIO_FP_BLOCKS}
     GROUP BY s.doc_id, bb.b
 ),
 fp AS (
@@ -632,16 +702,20 @@ _HIST_COLS = ",\n       ".join(
 @query(
     "media_byte_histogram_arrow",
     oracle=f"""
-WITH bytes AS (
-    SELECT d.doc_id,
-           octet_length(encode(d.text)) AS n_bytes,
-           ord(substr(d.text, CAST(g.i AS INTEGER), 1)) AS b
-    FROM documents d,
-         UNNEST(generate_series(1, octet_length(encode(d.text)))) AS g(i)
+WITH d2 AS (SELECT doc_id, hex(encode(text)) AS hx,
+                   octet_length(encode(text)) AS nb
+            FROM documents),
+bytes AS (
+    -- byte-exact via the hex dump: substr-by-char diverges on
+    -- multi-byte UTF-8, and generate_series(1, 0) would DROP
+    -- zero-byte docs the engine still emits (all-zero histogram)
+    SELECT d.doc_id, ('0x' || substr(d.hx, 2 * CAST(g.i AS INTEGER) + 1, 2))::INT AS b
+    FROM d2 d, UNNEST(generate_series(0, d.nb - 1)) AS g(i)
 )
-SELECT doc_id, CAST(MAX(n_bytes) AS BIGINT) AS n_bytes,
+SELECT d2.doc_id, CAST(d2.nb AS BIGINT) AS n_bytes,
        {_HIST_COLS}
-FROM bytes GROUP BY doc_id
+FROM d2 LEFT JOIN bytes USING (doc_id)
+GROUP BY d2.doc_id, d2.nb
 """,
 )
 def q_media_byte_histogram_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -649,7 +723,7 @@ def q_media_byte_histogram_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     16-bin byte histograms computed on raw Arrow RecordBatches —
     zero pandas materialization, numpy counting on zero-copy buffer
     views — hash-matched against the oracle recomputing every byte's
-    bin in SQL (documents are ASCII, so ord(char) == byte). Beside the
+    bin in SQL (byte-exact via the hex dump — UTF-8 safe). Beside the
     mapInPandas family this pins the third Python execution surface
     (row UDF < pandas UDF < Arrow-native) the engine exposes."""
     return M.byte_histogram_arrow(_media(spark, sf_dir))

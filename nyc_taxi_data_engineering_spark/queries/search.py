@@ -121,9 +121,11 @@ lex AS (
     FROM lex_score
 ),
 e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-n AS (SELECT vec_id, v,
-             sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
-      FROM e),
+-- zero-norm vectors excluded, twin of similarity._corpus's contract
+n AS (SELECT * FROM (
+        SELECT vec_id, v,
+               sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+        FROM e) WHERE nrm > 0),
 anchors AS ({_ANCHOR_SQL}),
 qv AS (
     SELECT a.query_id, n.v, n.nrm, n.vec_id AS anchor_id

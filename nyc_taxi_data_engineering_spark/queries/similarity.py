@@ -51,9 +51,16 @@ def dot(a: Column, b: Column) -> Column:
 
 
 def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings with precomputed L2 norms. Zero-norm vectors are
+    excluded BY CONTRACT (mirrored in _ORACLE_CORPUS): cosine is
+    undefined on them — under ANSI mode the division errors outright —
+    and a retrieval answer that includes a direction-free vector is
+    meaningless. The weird adversarial tier plants one to pin this."""
     v = F.col("embedding").cast("array<double>")
-    return load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", v.alias("v"), F.sqrt(dot(v, v)).alias("nrm")
+    return (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", v.alias("v"), F.sqrt(dot(v, v)).alias("nrm"))
+        .filter(F.col("nrm") > 0)
     )
 
 
@@ -97,9 +104,10 @@ def nearest_centroid(corpus: DataFrame, cent: DataFrame, out: str = "cluster_id"
 
 _ORACLE_CORPUS = """
 e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-n AS (SELECT vec_id, v,
-             sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
-      FROM e)
+n AS (SELECT * FROM (
+        SELECT vec_id, v,
+               sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+        FROM e) WHERE nrm > 0)
 """
 
 _ORACLE_COS = (
@@ -338,7 +346,12 @@ def _planted_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform(F.col("v"), lambda x, i: x + (i % 7 - 3) * F.lit(0.005)).alias("v"),
     )
     u = base.unionByName(pert)
-    return u.select("vec_id", "v", F.sqrt(dot(F.col("v"), F.col("v"))).alias("nrm"))
+    # zero-norm exclusion: same contract as _corpus (the zero vector's
+    # planted twin is the pure perturbation pattern — nonzero — so only
+    # the base vector drops, identically in _ORACLE_PLANTED)
+    return u.select(
+        "vec_id", "v", F.sqrt(dot(F.col("v"), F.col("v"))).alias("nrm")
+    ).filter(F.col("nrm") > 0)
 
 
 _ORACLE_PLANTED = f"""
@@ -347,9 +360,10 @@ p AS (SELECT vec_id + {PLANT_OFFSET} AS vec_id,
              list_transform(range(1, len(v) + 1), i -> v[i] + ((i - 1) % 7 - 3) * 0.005) AS v
       FROM e WHERE vec_id < {N_PLANTED}),
 u AS (SELECT * FROM e UNION ALL SELECT * FROM p),
-n AS (SELECT vec_id, v,
-             sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
-      FROM u)
+n AS (SELECT * FROM (
+        SELECT vec_id, v,
+               sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+        FROM u) WHERE nrm > 0)
 """
 
 _ORACLE_BANDS = " UNION ALL ".join(

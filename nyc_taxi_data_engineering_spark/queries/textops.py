@@ -46,7 +46,9 @@ SELECT doc_id,
        len({T.sql_tokens('text')}) AS n_tokens,
        round(len(list_distinct({T.sql_tokens('text')})) * 1.0 / len({T.sql_tokens('text')}), 6)
            AS type_token_ratio,
-       round({T.sql_punct_count('text')} * 1.0 / length(text), 6) AS punct_ratio,
+       CASE WHEN length(text) > 0
+            THEN round({T.sql_punct_count('text')} * 1.0 / length(text), 6)
+       END AS punct_ratio,
        round({T.sql_stopword_count('text')} * 1.0 / len({T.sql_tokens('text')}), 6)
            AS stopword_ratio,
        {T.sql_quality_score('text')} AS quality_score,

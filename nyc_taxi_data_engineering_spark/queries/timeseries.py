@@ -8,7 +8,12 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from nyc_taxi_data_engineering_spark.catalog import load_table
-from nyc_taxi_data_engineering_spark.functions import stable_sum, stable_sum_sql
+from nyc_taxi_data_engineering_spark.functions import (
+    portable_round,
+    portable_round_sql,
+    stable_sum,
+    stable_sum_sql,
+)
 from nyc_taxi_data_engineering_spark.operators.timeseries import forward_fill, gap_fill
 from nyc_taxi_data_engineering_spark.queries.registry import query
 
@@ -353,7 +358,8 @@ joined AS (
 SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
        {stable_sum_sql('ABS(rev - fc)', 2, 23)} / COUNT(*) AS mae,
        {stable_sum_sql('rev - fc', 2, 23)} / COUNT(*) AS bias,
-       {stable_sum_sql('ROUND(ABS(rev - fc) / rev, 9)', 9, 18)} / COUNT(*) AS mape
+       {stable_sum_sql('CASE WHEN rev <> 0 THEN ROUND(ABS(rev - fc) / rev, 9) END', 9, 18)}
+         / COUNT(CASE WHEN rev <> 0 THEN 1 END) AS mape
 FROM joined
 """,
 )
@@ -367,7 +373,11 @@ def q_daily_revenue_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame
     calendar shift — window lag would silently mis-lag across date
     gaps). Revenue is decimal-exact; MAPE's per-day ratio is an IEEE
     division of two exact doubles rounded to a 9-dp grid before the
-    decimal sum, so every metric replays bit-identically."""
+    decimal sum, so every metric replays bit-identically. Zero-revenue
+    days are excluded from MAPE by the standard convention (the ratio
+    is undefined there; ANSI mode would error) — identical CASE +
+    count-of-defined-terms denominator on both engines, a no-op on
+    data without zero days."""
     o = load_table(spark, sf_dir, "orders")
     daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
         stable_sum("o_totalprice", 2, 23).alias("rev")
@@ -376,11 +386,14 @@ def q_daily_revenue_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame
     joined = daily.join(fc, F.col("fd") == F.date_sub(F.col("d"), 7)).select("d", "rev", "fc")
     diff = F.col("rev") - F.col("fc")
     n = F.count(F.lit(1))
+    mape_term = F.when(
+        F.col("rev") != 0, F.round(F.abs(diff) / F.col("rev"), 9)
+    )
     return joined.agg(
         n.cast("long").alias("n_days"),
         (stable_sum(F.abs(diff), 2, 23) / n).alias("mae"),
         (stable_sum(diff, 2, 23) / n).alias("bias"),
-        (stable_sum(F.round(F.abs(diff) / F.col("rev"), 9), 9, 18) / n).alias("mape"),
+        (stable_sum(mape_term, 9, 18) / F.count(mape_term)).alias("mape"),
     )
 
 
@@ -617,7 +630,7 @@ def q_revenue_acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "revenue_seasonal_dow",
-    oracle="""
+    oracle=f"""
 WITH daily AS (
   SELECT o_orderdate AS d,
          CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DECIMAL(14,2)) AS x
@@ -626,9 +639,9 @@ WITH daily AS (
 gmo AS (SELECT COUNT(*) AS n, SUM(x) AS s FROM daily)
 SELECT isodow(d) - 1 AS dow,
        COUNT(*) AS n_days,
-       round(CAST(SUM(x) AS DOUBLE) / COUNT(*), 6) AS dow_avg,
-       round((CAST(SUM(x) AS DOUBLE) / COUNT(*))
-             / (CAST(s AS DOUBLE) / n), 6) AS seasonal_index
+       {portable_round_sql('CAST(SUM(x) AS DOUBLE) / COUNT(*)', 6)} AS dow_avg,
+       {portable_round_sql('(CAST(SUM(x) AS DOUBLE) / COUNT(*)) / (CAST(s AS DOUBLE) / n)', 6)}
+         AS seasonal_index
 FROM daily CROSS JOIN gmo
 GROUP BY isodow(d) - 1, s, n
 ORDER BY dow
@@ -641,7 +654,11 @@ def q_revenue_seasonal_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
     pre-aggregate contract as revenue_acf_lags: one hash agg to the
     day series, then a 7-group rollup against a 1-row broadcast of the
     grand moments. Exact decimal day totals; averages and the index
-    derived in pinned double shape, rounded to 6 dp."""
+    derived in pinned double shape, portable_round to 6 dp — native
+    round() flipped one 6-dp grid unit at sf10 (dow_avg magnitude
+    1.55e9, a near-half tie two decades above bench; the sixth-tier
+    sweep's one real finding). Bound: |dow_avg| < 2^53/1e6 ≈ 9e9,
+    holds through ~sf50."""
     orders = load_table(spark, sf_dir, "orders")
     daily = orders.groupBy(F.col("o_orderdate").alias("d")).agg(
         F.sum(F.col("o_totalprice").cast("decimal(14,2)"))
@@ -658,8 +675,8 @@ def q_revenue_seasonal_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "dow",
             "n_days",
-            F.round(davg, 6).alias("dow_avg"),
-            F.round(davg / (F.col("s").cast("double") / F.col("n")), 6).alias(
+            portable_round(davg, 6).alias("dow_avg"),
+            portable_round(davg / (F.col("s").cast("double") / F.col("n")), 6).alias(
                 "seasonal_index"
             ),
         )

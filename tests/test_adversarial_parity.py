@@ -9,12 +9,21 @@ caught 12 real engine divergences; this suite keeps them from rotting
 - empty: every fact table 0 rows, dims intact.
 - skew:  one HOT key owns ~half of every fact table (r11; VERDICT r10
   task 8) — correctness of the salted-agg/degree-cap/df_cap levers.
+- weird: hostile VALUES at normal volume/shape (r11) — zero-norm and
+  constant embeddings, empty/whitespace/unicode/5000-char-token docs,
+  zero prices, 100% discounts, empty props, identical-timestamp event
+  ties. First full sweep flushed 28 latents in 6 classes (zero-norm
+  cosine under ANSI, codepoint-vs-byte oracle indexing, DuckDB
+  erroring where Spark NULLs on malformed JSON, array_to_string([])
+  NULL vs concat_ws '' , empty-payload frame math, MAPE on zero
+  actuals) — all fixed same-session.
 
 A query passes when Spark and DuckDB AGREE on the degenerate input
 under the driver's EXACT comparator (empty == empty is a pass).
 
 Excluded from the default pytest run (see pytest.ini addopts) — run
-with `python -m pytest tests/ -q -m adversarial`.
+with `python -m pytest tests/ -q -m adversarial`. Four tiers x 325
+registered queries = 1300 cases.
 """
 
 from __future__ import annotations
@@ -32,7 +41,9 @@ from tools.adversarial_tier import (
     OUT,
     OUT_EMPTY,
     OUT_SKEW,
+    OUT_WEIRD,
     SKEW_CUTS,
+    WEIRD_CUTS,
     build,
 )
 from tools.oracle_check import compare
@@ -62,6 +73,11 @@ def skew_dir() -> str:
     return _tier_fixture(OUT_SKEW, SKEW_CUTS)
 
 
+@pytest.fixture(scope="session")
+def weird_dir() -> str:
+    return _tier_fixture(OUT_WEIRD, WEIRD_CUTS)
+
+
 def _duck_for(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
     for t in TABLES:
@@ -88,6 +104,13 @@ def empty_duck(empty_dir):
 @pytest.fixture(scope="session")
 def skew_duck(skew_dir):
     con = _duck_for(skew_dir)
+    yield con
+    con.close()
+
+
+@pytest.fixture(scope="session")
+def weird_duck(weird_dir):
+    con = _duck_for(weird_dir)
     yield con
     con.close()
 
@@ -121,3 +144,12 @@ def test_empty_tier(name, spark, empty_dir, empty_duck):
 @pytest.mark.parametrize("name", sorted(_REG))
 def test_skew_tier(name, spark, skew_dir, skew_duck):
     _check(name, spark, skew_dir, skew_duck)
+
+
+# Fourth tier (round 11): hostile values — the axis the other three
+# never touch. Volume (tiny/empty) and distribution (skew) leave the
+# VALUE DOMAIN well-formed; this tier plants the values a real corpus
+# contains and the generator never emits (see module docstring).
+@pytest.mark.parametrize("name", sorted(_REG))
+def test_weird_tier(name, spark, weird_dir, weird_duck):
+    _check(name, spark, weird_dir, weird_duck)

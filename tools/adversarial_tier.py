@@ -45,8 +45,9 @@ Usage:
   python tools/adversarial_tier.py            # build + full sweep (tiny)
   python tools/adversarial_tier.py --empty    # build + full sweep (empty facts)
   python tools/adversarial_tier.py --skew     # build + full sweep (hot keys)
-  python tools/adversarial_tier.py --build [--empty|--skew]   # build only
-Then: python tools/oracle_check.py .scale_data/{tiny,empty,skew} [query ...]
+  python tools/adversarial_tier.py --weird    # build + full sweep (hostile values)
+  python tools/adversarial_tier.py --build [--empty|--skew|--weird]  # build only
+Then: python tools/oracle_check.py .scale_data/{tiny,empty,skew,weird} [query ...]
 """
 
 from __future__ import annotations
@@ -142,6 +143,103 @@ SKEW_CUTS = [
 ]
 
 
+# WEIRD tier (round 11): hostile VALUES, normal volume and key shape.
+# tiny/empty attack cardinality, skew attacks distribution — this tier
+# attacks the value domain itself, the third axis the driver's generated
+# data never exercises: the generator emits well-formed ASCII text,
+# unit-ish embeddings, positive money, and distinct timestamps, so none
+# of the value-level guards (zero-norm cosine, empty-token text,
+# 100%-discount revenue terms, window-order ties) have ever been forced
+# under the exact comparator. Every mutation keeps keys unique, FKs
+# valid, and generator INVARIANTS consistent (n_chars = length(text)):
+# - documents: empty text / whitespace-only / single char / a 5000-char
+#   single token (longer than any shingle-k or BPE merge window) /
+#   non-Latin+emoji+RTL unicode / punctuation-only,
+# - embeddings: an all-zero vector (norm 0 -> every cosine guard),
+#   an all-equal 0.5 vector, an all-equal 2.0 vector (above-unit
+#   magnitude). Larger constants were tried and REJECTED as domain
+#   violations, not divergences — the boundary they mapped is itself
+#   a documented result: at 1e6 the 64-dim PCA/GD iterates overflow
+#   the DECIMAL(38,12) transport on both engines; at 1e3 the GD
+#   probes' iterates pass ~4.5e3, where the 12-dp portable_round grid
+#   drops below 1 ulp and stops pinning the cross-engine float chains
+#   (the |x| < 2^52 * 1e-12 domain that assert_quantum_above_ulp
+#   guards). Unit-ish embeddings are the probes' documented domain;
+#   2.0 stresses above-unit magnitude while staying inside it,
+# - customer: empty name, unicode name, whitespace+apostrophe name
+#   (MDM normalize/tokenize/similarity edge cases),
+# - lineitem: 100% discount (revenue term exactly 0) and zero
+#   extendedprice rows; orders: zero totalprice rows,
+# - events: zero value, empty props (corrupt-JSON path), empty
+#   event_type, and a CLUSTER of rows pinned to one identical timestamp
+#   (every window/sessionization tie-break must be deterministic on
+#   both engines, not arrival-order luck).
+OUT_WEIRD = os.path.join(REPO, ".scale_data", "weird")
+_WEIRD_DOC_TEXT = (
+    "CASE WHEN doc_id % 13 = 1 THEN '' "
+    "WHEN doc_id % 13 = 2 THEN '   ' "
+    "WHEN doc_id % 13 = 3 THEN 'a' "
+    "WHEN doc_id % 13 = 4 THEN repeat('x', 5000) "
+    "WHEN doc_id % 13 = 5 THEN 'héllo 世界 🌍 مرحبا Straße ﬁ' "
+    "WHEN doc_id % 13 = 6 THEN '!!! ... ??? ;;; --- ///' "
+    # LONG unicode (~480 chars / ~880 UTF-8 bytes): clears every
+    # byte-length gate (192-byte image raster, 128-sample audio frame,
+    # 64-block fingerprint) so the image/audio/video modality paths run
+    # the multi-byte case where ord(char) != byte — the divergence the
+    # short unicode doc above cannot reach
+    "WHEN doc_id % 13 = 7 THEN repeat('héllo 世界 🌍 ', 40) "
+    "ELSE text END"
+)
+WEIRD_CUTS = [
+    ("region", "SELECT * FROM {src}"),
+    ("nation", "SELECT * FROM {src}"),
+    (
+        "customer",
+        "SELECT * REPLACE (CASE WHEN c_custkey % 17 = 3 THEN '' "
+        "WHEN c_custkey % 17 = 5 THEN 'Müller Ángel 世界' "
+        "WHEN c_custkey % 17 = 7 THEN '  O''Brien-D''Arcy  ' "
+        "ELSE c_name END AS c_name) FROM {src}",
+    ),
+    ("supplier", "SELECT * FROM {src}"),
+    ("part", "SELECT * FROM {src}"),
+    (
+        "orders",
+        "SELECT * REPLACE (CASE WHEN o_orderkey % 97 = 0 THEN 0.0 "
+        "ELSE o_totalprice END AS o_totalprice) FROM {src}",
+    ),
+    (
+        "lineitem",
+        "SELECT * REPLACE ("
+        "CASE WHEN l_orderkey % 101 = 0 THEN 1.0 ELSE l_discount END AS l_discount, "
+        "CASE WHEN l_orderkey % 103 = 0 THEN 0.0 ELSE l_extendedprice END AS l_extendedprice"
+        ") FROM {src}",
+    ),
+    (
+        "events",
+        "SELECT * REPLACE ("
+        "CASE WHEN event_id % 89 = 0 THEN 0.0 ELSE value END AS value, "
+        "CASE WHEN event_id % 97 = 0 THEN '' ELSE props END AS props, "
+        "CASE WHEN event_id % 93 = 0 THEN '' ELSE event_type END AS event_type, "
+        "CASE WHEN event_id % 91 = 0 THEN TIMESTAMP '2024-03-15 12:00:00' "
+        "ELSE ts END AS ts"
+        ") FROM {src}",
+    ),
+    (
+        "documents",
+        "SELECT doc_id, " + _WEIRD_DOC_TEXT + " AS text, lang, source, "
+        "length(" + _WEIRD_DOC_TEXT + ") AS n_chars FROM {src}",
+    ),
+    (
+        "embeddings",
+        "SELECT * REPLACE (CASE "
+        "WHEN vec_id % 11 = 1 THEN list_transform(embedding, x -> CAST(0.0 AS FLOAT)) "
+        "WHEN vec_id % 11 = 2 THEN list_transform(embedding, x -> CAST(0.5 AS FLOAT)) "
+        "WHEN vec_id % 11 = 3 THEN list_transform(embedding, x -> CAST(2.0 AS FLOAT)) "
+        "ELSE embedding END AS embedding) FROM {src}",
+    ),
+]
+
+
 def build(out: str, cuts: list[tuple[str, str]]) -> None:
     import duckdb
 
@@ -159,7 +257,9 @@ def build(out: str, cuts: list[tuple[str, str]]) -> None:
 
 
 def main() -> int:
-    if "--skew" in sys.argv:
+    if "--weird" in sys.argv:
+        out, cuts = OUT_WEIRD, WEIRD_CUTS
+    elif "--skew" in sys.argv:
         out, cuts = OUT_SKEW, SKEW_CUTS
     elif "--empty" in sys.argv:
         out, cuts = OUT_EMPTY, EMPTY_CUTS
