@@ -522,7 +522,9 @@ WITH totals AS (
   SELECT o_custkey, {stable_sum_sql('o_totalprice', 2, 18)} AS spend
   FROM orders GROUP BY 1
 ),
-ths AS (SELECT quantile_cont(spend, {_DECILE_QS}) AS ths FROM totals),
+ths AS (SELECT list_transform(quantile_cont(spend, {_DECILE_QS}),
+                              t -> floor(t * 1e4 + 0.5) / 1e4) AS ths
+        FROM totals),
 dec AS (
   SELECT o_custkey, spend,
          CAST(len(list_filter(ths.ths, t -> spend > t)) + 1 AS INTEGER) AS decile
@@ -550,7 +552,20 @@ def q_customer_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         stable_sum("o_totalprice", 2, 18).alias("spend")
     )
     qs = ", ".join(str(q) for q in _DECILE_QS)
-    ths = totals.agg(F.expr(f"percentile(spend, array({qs}))").alias("ths"))
+    # Thresholds quantized to the 1e-4 grid (portable_round form): with
+    # 2-dp spends every interpolated threshold is mathematically ON that
+    # grid (g is k/10, neighbor gaps are whole cents), so the rounding
+    # only absorbs the ±1-ulp noise of the two engines' different
+    # interpolation expressions — at sf10 a 100-replica tie group sat
+    # EXACTLY on a threshold that DuckDB computed 1 ulp below (equal
+    # neighbors: Spark's a+g*(b-a) is exactly a, (1-g)*a+g*b is not),
+    # flipping the whole group's bucket.
+    ths = totals.agg(
+        F.transform(
+            F.expr(f"percentile(spend, array({qs}))"),
+            lambda t: F.floor(t * F.lit(1e4) + F.lit(0.5)) / F.lit(1e4),
+        ).alias("ths")
+    )
     dec = totals.crossJoin(F.broadcast(ths)).select(  # 1-row threshold side
         "o_custkey",
         "spend",

@@ -76,6 +76,11 @@ ROTATION: list[str] = [
     # magnitude — re-certify under the new values (locally green at
     # sf0.01/sf0.1/sf1/sf10).
     "revenue_seasonal_dow",
+    # r11 in-round change: decile thresholds quantized to the 1e-4 grid
+    # after the sf10 sweep caught a tie-group flip on a 1-ulp threshold
+    # difference (locally green at sf0.01/0.1/1/10 + all 4 adversarial
+    # tiers under the new form).
+    "customer_spend_deciles",
     "tpch_shipping_priority",
     "tpch_regional_market_share",
     "tpch_promotion_effect",
@@ -296,7 +301,6 @@ ROTATION: list[str] = [
     "customer_reach_by_nation",
     "order_price_outliers",
     "orders_priority_status_pivot",
-    "customer_spend_deciles",
     "orders_status_melt",
     "supplier_revenue_trend",
     "customer_balance_ranks",

@@ -863,10 +863,14 @@ ranked AS (
     FROM spend
 ),
 gini AS (
+    -- STRING-hop decimal->double (dec_to_double_sql rationale): rx's
+    -- unscaled value passes 2^53 at sf10 (r*x sums to ~1.5e18 at
+    -- scale 2), where DuckDB's direct CAST double-rounds 1 ulp off
+    -- Spark — the sixth-tier sweep caught the flip in gini
     SELECT MAX(n) AS n,
-           CAST(MAX(tot) AS DOUBLE) AS tot,
-           CAST(SUM(r * x) AS DOUBLE) AS rx,
-           {stable_sum_sql("round((CAST(x AS DOUBLE) / CAST(tot AS DOUBLE)) * (CAST(x AS DOUBLE) / CAST(tot AS DOUBLE)), 12)", scale=12, precision=28)} AS hhi
+           CAST(CAST(MAX(tot) AS VARCHAR) AS DOUBLE) AS tot,
+           CAST(CAST(SUM(r * x) AS VARCHAR) AS DOUBLE) AS rx,
+           {stable_sum_sql("round((CAST(x AS DOUBLE) / CAST(CAST(tot AS VARCHAR) AS DOUBLE)) * (CAST(x AS DOUBLE) / CAST(CAST(tot AS VARCHAR) AS DOUBLE)), 12)", scale=12, precision=28)} AS hhi
     FROM ranked
 ),
 deciles AS (
@@ -875,7 +879,7 @@ deciles AS (
 lorenz AS (
     SELECT decile,
            CAST(COUNT(*) AS BIGINT) AS n_customers,
-           CAST(SUM(x) AS DOUBLE) AS decile_spend
+           CAST(CAST(SUM(x) AS VARCHAR) AS DOUBLE) AS decile_spend
     FROM deciles GROUP BY decile
 )
 SELECT l.decile, l.n_customers, l.decile_spend,
