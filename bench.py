@@ -156,6 +156,26 @@ def main() -> None:
         walls = run_query_reps(reg[name], spark, sf_dir, reps, reps_fast)
         board2[name] = round(statistics.median(walls), 3)
         board2_detail[name] = [round(w, 3) for w in walls]
+
+    # Skew probe (VERDICT r11 task 8): the hot-key tier certifies the
+    # salting levers' ANSWERS (pytest -m adversarial); this records
+    # their WALL-TIME behavior under a hot key in the same bench
+    # record. Skipped silently when the local-only .scale_data/skew
+    # tier isn't built (it is gitignored; `python
+    # tools/adversarial_tier.py --build --skew` creates it).
+    skew_board: dict[str, float] = {}
+    skew_detail: dict[str, list[float]] = {}
+    skew_dir = os.path.join(REPO, ".scale_data", "skew")
+    if os.path.isdir(skew_dir):
+        for name in (
+            "events_user_stats_salted",
+            "supplier_copurchase_pairs",
+            "key_skew_diagnostics",
+        ):
+            spark.catalog.clearCache()
+            walls = run_query_reps(reg[name], spark, skew_dir, reps, reps_fast)
+            skew_board[name] = round(statistics.median(walls), 3)
+            skew_detail[name] = [round(w, 3) for w in walls]
     # The driver captures only the LAST 2000 bytes of stdout and parses
     # the final line as JSON: r9's line (rep arrays + board2 detail)
     # overflowed that window, the head of the line was cut, and
@@ -186,18 +206,23 @@ def main() -> None:
         "host_canary_s": canary_s,
         "run_id": run_id,
     }
-    with open(os.path.join(REPO, "BENCH_DETAIL.json"), "w") as fh:
-        json.dump(
-            {
-                **record,
-                "reps_detail": detail,
-                "board2_reps_detail": board2_detail,
-            },
-            fh,
-            indent=1,
-        )
+    if skew_board:
+        record["skew_probe"] = skew_board
+    detail_doc = {
+        **record,
+        "reps_detail": detail,
+        "board2_reps_detail": board2_detail,
+        "skew_reps_detail": skew_detail,
+    }
+    # Written twice: the unversioned name is the driver-facing latest,
+    # the run_id-stamped copy makes rep arrays recoverable for ANY two
+    # historical rounds (VERDICT r11 task 5 — BENCH_DETAIL.json alone
+    # is overwritten every run, so only the latest round could merge).
+    for fname in ("BENCH_DETAIL.json", f"BENCH_DETAIL_{run_id}.json"):
+        with open(os.path.join(REPO, fname), "w") as fh:
+            json.dump(detail_doc, fh, indent=1)
     line = json.dumps(record)
-    for drop in ("board2", "queries"):  # degrade gracefully, never overflow
+    for drop in ("skew_probe", "board2", "queries"):  # degrade gracefully, never overflow
         if len(line) <= 1800:
             break
         record.pop(drop, None)

@@ -47,13 +47,26 @@ def _l2sq(a: Column, b: Column) -> Column:
 
 def seed_centroids(corpus: DataFrame, k: int = KMEANS_K) -> DataFrame:
     """The k smallest-id vectors as (c_id, cv) — c_id re-numbered
-    0..k-1 by id order so cluster ids are dense and stable."""
-    w = corpus.select("vec_id").orderBy("vec_id").limit(k)
-    seeded = corpus.join(F.broadcast(w), "vec_id")
-    from pyspark.sql import Window
+    0..k-1 by id order so cluster ids are dense and stable.
 
-    rn = F.row_number().over(Window.orderBy("vec_id")) - 1
-    return seeded.select(rn.alias("c_id"), F.col("v").alias("cv"))
+    The id→c_id map is a control-plane collect of the k seed ids
+    (k-bounded, not data-bounded) baked in as a broadcast map literal:
+    no window, and — since the old k-row ``row_number`` window lineage
+    was re-evaluated on every kmeans iteration — no repeated
+    recompute either. Values identical to the windowed form (dense
+    rank by vec_id order)."""
+    ids = [r[0] for r in corpus.select("vec_id").orderBy("vec_id").limit(k).collect()]
+    if not ids:
+        return corpus.select(
+            F.lit(0).cast("int").alias("c_id"), F.col("v").alias("cv")
+        ).limit(0)
+    mapping = F.create_map(
+        *[x for i, vid in enumerate(ids) for x in (F.lit(vid), F.lit(i))]
+    )
+    return corpus.filter(F.col("vec_id").isin(ids)).select(
+        mapping[F.col("vec_id")].cast("int").alias("c_id"),
+        F.col("v").alias("cv"),
+    )
 
 
 def assign_clusters(corpus: DataFrame, cent: DataFrame) -> DataFrame:

@@ -159,9 +159,13 @@ def weighted_sample(
     auditable. Plans as TakeOrderedAndProject: per-task partial top-k,
     no global sort. Adds ``rank_key`` (rounded) to the output.
 
-    Zero-weight rows are EXCLUDED by contract (selection probability 0;
-    A-Res would give them rank +inf, but Spark's ANSI division errors
-    before it can) — mirrored in :func:`weighted_sample_sql`."""
+    NON-POSITIVE and NULL weights are EXCLUDED by contract (the filter
+    is ``weight_col > 0``): zero weight means selection probability 0
+    (A-Res would give it rank +inf, but Spark's ANSI division errors
+    before it can), negative and NULL weights are ill-defined for
+    A-Res and are dropped the same way rather than erroring — so a
+    caller passing bad weights gets fewer than ``k`` rows back, not an
+    exception. Mirrored in :func:`weighted_sample_sql`."""
     u = uniform_from_hash(F.col(key), seed)
     rk = -F.log(u) / F.col(weight_col)
     return (

@@ -38,81 +38,44 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # remainder. Queries pushed past the window keep full local coverage via
 # tests/test_oracle_parity.py, which checks ALL of them.
 ROTATION: list[str] = [
-    # Round-11 window (VERDICT r10 task 1): the 4 never-driver-sampled
-    # queries lead (cramers_v / bh_fdr / bloom_decontamination /
-    # tpch_waiting_suppliers_strict — all judge-exact-verified in r10, so
-    # this closes the loop to 325/325 driver-green), then the r10
-    # value-changed-but-not-yet-resampled names (the portable_round /
-    # STRING-hop conversions: ALS, PCA/eigvec, pagerank/HITS, kmeans,
-    # linear probes) for driver re-certification under the new values.
-    # The 50 names green in CORRECTNESS_r10 move to the BACK of the list
-    # (relative order preserved); everything in between keeps its r10
-    # order. Queries outside the ~50-entry driver window keep full local
+    # Round-12 window (VERDICT r11 tasks 1+4): the NINE global-window
+    # conversions lead (mann_whitney / kruskal_wallis / ks_test /
+    # uplift_by_decile / revenue_concentration / quantile_normalize —
+    # the judge's six weak queries — plus spearman / ipw_ate /
+    # ope_replay, the three same-class sites converted alongside), all
+    # now on operators/distrank's two-phase distributed prefix (values
+    # bit-identical: re-certified locally at sf0.01/0.1/1/10 + all four
+    # adversarial tiers before this re-pin). Then
+    # daily_revenue_forecast_eval (MAPE ratio moved to portable_round,
+    # ADVICE r11), the r11 zero-norm-contract similarity family the
+    # verdict asked to re-certify, and the two kmeans queries (seeding
+    # moved from a k-row window to a broadcast map literal — values
+    # identical, re-certified at every tier). r11-green names move to the BACK
+    # (relative order preserved); everything else keeps its r11 order.
+    # Queries outside the ~50-entry driver window keep full local
     # coverage via tests/test_oracle_parity.py (bit-exact comparator)
     # and the adversarial tiers (pytest -m adversarial).
-    "cramers_v_orders",
-    "bh_fdr_events",
-    "bloom_decontamination_docs",
-    "tpch_waiting_suppliers_strict",
-    "als_supplier_recommendations",
-    "als_ranking_eval",
-    "embedding_top2_pca",
-    "embedding_top_eigvec",
+    "mann_whitney_events",
     "kruskal_wallis_events",
-    "lineitem_correlations",
-    "pagerank_trade_graph",
-    "pagerank_weighted_trade",
-    "pagerank_purchase_sinks",
-    "ppr_supplier_recommendations",
-    "hits_purchase_graph",
-    # r11 in-round change: contrastive_negatives re-indexes sparse doc_ids
-    # and its oracle was rewritten around a DuckDB join-order blowup
-    # (2306559, b94e226) — values are unchanged on dense driver data
-    # (test_oracle_parity covers it) but it was last driver-sampled in r6,
-    # so pull it into the window for re-certification under the new code.
-    "contrastive_negatives_docs",
-    # r11 in-round change: dow_avg/seasonal_index moved to portable_round
-    # after the sf10 sweep caught a 6-dp near-half flip at 1.55e9
-    # magnitude — re-certify under the new values (locally green at
-    # sf0.01/sf0.1/sf1/sf10).
-    "revenue_seasonal_dow",
-    # r11 in-round change: decile thresholds quantized to the 1e-4 grid
-    # after the sf10 sweep caught a tie-group flip on a 1-ulp threshold
-    # difference (locally green at sf0.01/0.1/1/10 + all 4 adversarial
-    # tiers under the new form).
-    "customer_spend_deciles",
-    "tpch_shipping_priority",
-    "tpch_regional_market_share",
-    "tpch_promotion_effect",
-    "tpch_revenue_change",
-    "tpch_top_supplier",
-    "tpch_volume_shipping",
-    "tpch_parttype_profit",
-    "tpch_returned_items",
-    "tpch_local_supplier_volume",
-    "tpch_min_cost_supplier",
-    "tpch_important_stock",
-    "tpch_excess_stock",
-    "did_uplift_events",
+    "ks_test_events",
     "uplift_by_decile_events",
-    "tpch_shipmode_priority",
-    "events_cusum_changepoint",
+    "revenue_concentration_customers",
+    "quantile_normalize_spend",
+    "spearman_quantity_price",
+    "ipw_ate_events",
+    "ope_replay_events",
     "daily_revenue_forecast_eval",
-    "events_dau_wau_stickiness",
-    "funnel_time_to_convert",
-    "delta_constraint_gate_orders",
-    "delta_clone_diverge_nation",
-    "tpch_priority_late_ship",
-    "tpch_customer_distribution",
-    "tpch_parts_supplier_counts",
-    "tpch_small_quantity_revenue",
-    "tpch_large_volume_customers",
-    "tpch_brand_quantity_revenue",
-    "tpch_promo_part_suppliers",
-    "tpch_dormant_rich_customers",
-    "kcore_copurchase_suppliers",
-    "linkpred_copurchase_suppliers",
-    "feature_scaling_customers",
+    "ann_cosine_topk",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "pq_ann_topk",
+    "ivfpq_ann_topk",
+    "embedding_neardup_pairs",
+    "similar_docs_to_anchor",
+    "semantic_dedup_prune",
+    "probe_calibration_ece",
+    "kmeans_embeddings",
+    "kmeans_silhouette_embeddings",
     "target_encoding_orders",
     "gini_split_search_orders",
     "kfold_assignment_orders",
@@ -152,17 +115,13 @@ ROTATION: list[str] = [
     "unigram_tokenize_docs",
     "nelson_aalen_customers",
     "mdm_snm_candidate_pairs",
-    "revenue_concentration_customers",
     "attribution_decay_position_events",
-    "quantile_normalize_spend",
     "delta_partitioned_dv_orders",
     "textrank_keywords",
     "event_path_trigrams",
     "user_activity_streaks",
     "revenue_max_drawdown",
     "delta_generated_year_orders",
-    "ks_test_events",
-    "mann_whitney_events",
     "eb_shrunk_urgent_rates",
     "hybrid_rrf_search",
     "holt_linear_forecast",
@@ -202,7 +161,6 @@ ROTATION: list[str] = [
     "minhash_recall_audit",
     "fuzzy_contamination_docs",
     "bpe_tokenize_docs",
-    "ivfpq_ann_topk",
     "image_dhash_pairs",
     "delta_restore_nation",
     "conditional_counts_orders",
@@ -269,14 +227,7 @@ ROTATION: list[str] = [
     "shingle_df_histogram",
     "oph_minhash_pairs",
     "incremental_dedup_docs",
-    "ann_cosine_topk",
-    "ann_lsh_topk",
-    "ann_ivf_topk",
-    "embedding_neardup_pairs",
     "embedding_centroids_by_lang",
-    "semantic_dedup_prune",
-    "pq_ann_topk",
-    "kmeans_embeddings",
     "events_tumbling_stats",
     "events_sliding_stats",
     "events_user_sessions",
@@ -349,7 +300,6 @@ ROTATION: list[str] = [
     "mi_order_priority_status",
     "psi_split_drift_orders",
     "key_skew_diagnostics",
-    "spearman_quantity_price",
     "modularity_copurchase_communities",
     "feature_auc_screen_orders",
     "harmonic_centrality_suppliers",
@@ -357,17 +307,13 @@ ROTATION: list[str] = [
     "histogram_auc_orders",
     "conductance_copurchase_communities",
     "phrase_search_docs",
-    "probe_calibration_ece",
     "srm_check_events",
     "holt_per_supplier_forecast",
     "token_entropy_docs",
-    "similar_docs_to_anchor",
-    "ipw_ate_events",
     "croston_per_supplier_demand",
     "rdd_quantity_discount",
     "annotator_kappa_langid",
     "mcnemar_rules_orders",
-    "kmeans_silhouette_embeddings",
     "assortativity_copurchase",
     "k_anonymity_audit_customers",
     "jdbc_roundtrip_nation",
@@ -379,7 +325,6 @@ ROTATION: list[str] = [
     "stl_decompose_revenue",
     "growth_accounting_weekly",
     "conformal_forecast_interval",
-    "ope_replay_events",
     "media_byte_histogram_arrow",
     "auc_bootstrap_ci_orders",
     "proximity_search_docs",
@@ -388,6 +333,53 @@ ROTATION: list[str] = [
     "feature_hashing_collisions",
     "runs_test_revenue",
     "path_edit_distance_pairs",
+    "cramers_v_orders",
+    "bh_fdr_events",
+    "bloom_decontamination_docs",
+    "tpch_waiting_suppliers_strict",
+    "als_supplier_recommendations",
+    "als_ranking_eval",
+    "embedding_top2_pca",
+    "embedding_top_eigvec",
+    "lineitem_correlations",
+    "pagerank_trade_graph",
+    "pagerank_weighted_trade",
+    "pagerank_purchase_sinks",
+    "ppr_supplier_recommendations",
+    "hits_purchase_graph",
+    "contrastive_negatives_docs",
+    "revenue_seasonal_dow",
+    "customer_spend_deciles",
+    "tpch_shipping_priority",
+    "tpch_regional_market_share",
+    "tpch_promotion_effect",
+    "tpch_revenue_change",
+    "tpch_top_supplier",
+    "tpch_volume_shipping",
+    "tpch_parttype_profit",
+    "tpch_returned_items",
+    "tpch_local_supplier_volume",
+    "tpch_min_cost_supplier",
+    "tpch_important_stock",
+    "tpch_excess_stock",
+    "did_uplift_events",
+    "tpch_shipmode_priority",
+    "events_cusum_changepoint",
+    "events_dau_wau_stickiness",
+    "funnel_time_to_convert",
+    "delta_constraint_gate_orders",
+    "delta_clone_diverge_nation",
+    "tpch_priority_late_ship",
+    "tpch_customer_distribution",
+    "tpch_parts_supplier_counts",
+    "tpch_small_quantity_revenue",
+    "tpch_large_volume_customers",
+    "tpch_brand_quantity_revenue",
+    "tpch_promo_part_suppliers",
+    "tpch_dormant_rich_customers",
+    "kcore_copurchase_suppliers",
+    "linkpred_copurchase_suppliers",
+    "feature_scaling_customers",
 ]
 
 

@@ -22,6 +22,11 @@ from pyspark.sql import functions as F
 
 from nyc_taxi_data_engineering_spark.catalog import load_table
 from nyc_taxi_data_engineering_spark.functions import stable_sum, stable_sum_sql
+from nyc_taxi_data_engineering_spark.operators.distrank import (
+    global_row_number,
+    ntile_from_rn,
+    ordered_prefix,
+)
 from nyc_taxi_data_engineering_spark.operators.sampling import hash_bucket, hash_bucket_sql
 from nyc_taxi_data_engineering_spark.queries.registry import query
 
@@ -642,8 +647,9 @@ ORDER BY decile
 def q_uplift_by_decile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per pre-engagement decile: treated/control user counts, mean
     post-period purchase value per arm, and the uplift. 10 rows; one
-    user-keyed agg, one ntile window over the per-user table, one
-    decile agg."""
+    user-keyed agg, a distributed global row number + exact NTILE
+    arithmetic (operators/distrank — no single-partition ntile window
+    over the grows-with-users table), one decile agg."""
     ev = load_table(spark, sf_dir, "events")
     cut = f"TIMESTAMP '{_DID_CUTOVER}'"
     per_user = ev.groupBy("user_id").agg(
@@ -657,8 +663,11 @@ def q_uplift_by_decile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"CAST(SUM(CASE WHEN ts >= {cut} AND event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)"
         ).alias("post_n"),
     )
-    ranked = per_user.withColumn(
-        "decile", F.ntile(10).over(Window.orderBy("pre_value", "user_id"))
+    n_total = per_user.agg(F.count(F.lit(1)).cast("bigint").alias("_n_total"))
+    ranked = (
+        global_row_number(per_user, ["pre_value", "user_id"], out="_rn")
+        .crossJoin(F.broadcast(n_total))
+        .withColumn("decile", ntile_from_rn(F.col("_rn"), F.col("_n_total"), 10))
     )
     t = F.col("treat") == 1
     n_t = F.sum(F.when(t, 1).otherwise(0))
@@ -894,18 +903,21 @@ def q_revenue_concentration_customers(spark: SparkSession, sf_dir: str) -> DataF
     """Customer revenue concentration: per spend decile the customer
     count, spend, and share, with the corpus-level Gini coefficient
     and Herfindahl index repeated alongside (one 1-row broadcast). The
-    fact collapses to customer grain first; every window runs over the
-    customer table."""
+    fact collapses to customer grain first; the rank is a distributed
+    global row number (operators/distrank) and n/tot ride a 1-row
+    broadcast — no single-partition window over the customer table."""
     orders = load_table(spark, sf_dir, "orders")
     spend = orders.groupBy("o_custkey").agg(
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("x")
     )
-    w_all = Window.orderBy("x", "o_custkey")
-    ranked = spend.select(
-        "x",
-        F.row_number().over(w_all).alias("r"),
-        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
-        F.sum("x").over(Window.partitionBy()).alias("tot"),
+    scal = spend.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("tot"),
+    )
+    ranked = (
+        global_row_number(spend, ["x", "o_custkey"], out="r")
+        .crossJoin(F.broadcast(scal))
+        .select("x", "r", "n", "tot")
     )
     gini = ranked.agg(
         F.max("n").alias("n"),
@@ -922,7 +934,7 @@ def q_revenue_concentration_customers(spark: SparkSession, sf_dir: str) -> DataF
         .alias("hhi"),
     )
     deciles = ranked.select(
-        F.ntile(10).over(Window.orderBy("x", "r")).cast("int").alias("decile"), "x"
+        ntile_from_rn(F.col("r"), F.col("n"), 10).cast("int").alias("decile"), "x"
     )
     lorenz = deciles.groupBy("decile").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_customers"),
@@ -997,7 +1009,14 @@ def q_quantile_normalize_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantile-normalize customer spend across market segments: per
     segment the raw mean and the mean after mapping each customer onto
     the pooled distribution's value at the equivalent rank. Segment
-    means differ before, converge after — the aligner working."""
+    means differ before, converge after — the aligner working.
+
+    Scale: the segment domain is dim-bounded (collected control-plane
+    from the customer dim), so ONE distributed prefix pass
+    (operators/distrank) carries the pooled row number AND every
+    per-segment row number as indicator prefixes — no single-partition
+    pooled window, and no per-segment window whose 5 partitions each
+    hold a fifth of all customers."""
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     spend = (
@@ -1005,12 +1024,28 @@ def q_quantile_normalize_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("c_mktsegment").alias("segment"), F.col("o_custkey").alias("ck"))
         .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("v"))
     )
-    pooled = spend.select("v", F.row_number().over(Window.orderBy("v", "ck")).alias("pr"))
-    ws = Window.partitionBy("segment")
+    segs = sorted(
+        r[0]
+        for r in cust.select("c_mktsegment").distinct().collect()
+        if r[0] is not None
+    )
+    accs: dict = {"pr": F.lit(1).cast("bigint")}
+    for i, s in enumerate(segs):
+        accs[f"_r{i}"] = (
+            F.when(F.col("segment") == s, 1).otherwise(0).cast("bigint")
+        )
+    pref = ordered_prefix(spend, ["v", "ck"], accs)
+    pooled = pref.select("v", "pr")
+    r_expr = F.lit(None).cast("bigint")
+    for i, s in enumerate(segs):
+        r_expr = F.when(F.col("segment") == s, F.col(f"_r{i}")).otherwise(r_expr)
+    seg_counts = spend.groupBy("segment").agg(F.count(F.lit(1)).alias("ng"))
+    n_total = spend.agg(F.count(F.lit(1)).alias("n"))
     grouped = (
-        spend.withColumn("r", F.row_number().over(ws.orderBy("v", "ck")))
-        .withColumn("ng", F.count(F.lit(1)).over(ws))
-        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy()))
+        pref.withColumn("r", r_expr)
+        .drop("pr", *[f"_r{i}" for i in range(len(segs))])
+        .join(F.broadcast(seg_counts), "segment")
+        .crossJoin(F.broadcast(n_total))
     )
     pos = F.greatest(
         F.lit(1).cast("bigint"),
@@ -1082,11 +1117,14 @@ def q_ks_test_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("arm").cast("bigint").alias("n1"),
         F.sum(F.lit(1) - F.col("arm")).cast("bigint").alias("n2"),
     )
-    w = Window.orderBy("v", "event_id").rowsBetween(Window.unboundedPreceding, 0)
-    cum = ev.select(
-        F.sum("arm").over(w).alias("c1"),
-        F.sum(F.lit(1) - F.col("arm")).over(w).alias("c2"),
-    )
+    # Cumulative arm counts over the merged (v, event_id) order via the
+    # distributed two-phase prefix sum (operators/distrank) — the
+    # event_id tiebreaker makes intra-tie positions significant, so
+    # this stays row-grain, but no longer funnels all events into a
+    # single-partition window.
+    cum = ordered_prefix(
+        ev, ["v", "event_id"], {"c1": F.col("arm"), "c2": F.lit(1) - F.col("arm")}
+    ).select("c1", "c2")
     gap = cum.crossJoin(F.broadcast(n)).agg(
         F.max(F.abs(F.col("n2") * F.col("c1") - F.col("n1") * F.col("c2"))).alias("num"),
         F.max("n1").alias("n1"),
@@ -1134,24 +1172,28 @@ def q_mann_whitney_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     arms: midranks kept as the integer 2*midrank = 2*rank + ties - 1
     so the rank sum is exact; U and the normal-approximation z (no tie
     correction — values are effectively continuous) each take one
-    terminal double step. 1 row."""
+    terminal double step. 1 row.
+
+    Scale: the fact collapses to VALUE grain first (per distinct value:
+    tie count t and arm-1 count s1), then lo = exclusive prefix of t
+    over the value order rides the distributed two-phase prefix sum
+    (operators/distrank.ordered_prefix) — no single-partition rank
+    window over raw events; each arm-1 row's 2*lo + t - 1 folds in as
+    s1 * (2*lo + t - 1), the identical integer."""
     ev = load_table(spark, sf_dir, "events").select(
         F.col("value").alias("v"),
         F.when(F.col("user_id") % 2 == 1, 1).otherwise(0).alias("arm"),
     )
-    r = ev.select(
-        "arm",
-        F.rank().over(Window.orderBy("v")).alias("lo"),
-        F.count(F.lit(1)).over(Window.partitionBy("v")).cast("bigint").alias("t"),
+    vg = ev.groupBy("v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("t"),
+        F.sum("arm").cast("bigint").alias("s1"),
     )
-    sums = r.agg(
-        F.sum(
-            F.when(F.col("arm") == 1, 2 * F.col("lo") + F.col("t") - 1).otherwise(0)
-        )
-        .cast("bigint")
-        .alias("two_r1"),
-        F.sum("arm").cast("bigint").alias("n1"),
-        F.sum(F.lit(1) - F.col("arm")).cast("bigint").alias("n2"),
+    vg = ordered_prefix(vg, ["v"], {"cum_t": F.col("t")})
+    lo = F.col("cum_t") - F.col("t") + 1
+    sums = vg.agg(
+        F.sum(F.col("s1") * (2 * lo + F.col("t") - 1)).cast("bigint").alias("two_r1"),
+        F.sum("s1").cast("bigint").alias("n1"),
+        F.sum(F.col("t") - F.col("s1")).cast("bigint").alias("n2"),
     )
     n1d = F.col("n1").cast("double")
     n2d = F.col("n2").cast("double")
@@ -1222,20 +1264,34 @@ def q_kruskal_wallis_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregates on ONE row and H folds in FIXED left-assoc order — a
     pure IEEE expression tree both engines evaluate bit-identically
     (r10: the previous 5-row SUM was order-dependent and flipped at
-    1e-12). 1 row."""
+    1e-12). 1 row.
+
+    Scale: collapses to VALUE grain first (per distinct value: tie
+    count t and one count per event type), then lo = distributed
+    prefix of t over the value order (operators/distrank) — the same
+    shape as mann_whitney_events, no single-partition rank window
+    over raw events; per-group rank sums fold in as cnt_i*(2*lo+t-1)."""
     ev = load_table(spark, sf_dir, "events").select("event_type", "value")
-    r = ev.select(
-        "event_type",
-        F.rank().over(Window.orderBy("value")).alias("lo"),
-        F.count(F.lit(1)).over(Window.partitionBy("value")).cast("bigint").alias("t"),
-    )
-    term_expr = 2 * F.col("lo") + F.col("t") - 1
-    aggs = [F.count(F.lit(1)).cast("bigint").alias("n")]
+    vg_aggs = [F.count(F.lit(1)).cast("bigint").alias("t")]
     for i, t in enumerate(_KW_EVENT_TYPES, 1):
-        cond = F.col("event_type") == t
-        aggs.append(F.count(F.when(cond, F.lit(1))).cast("bigint").alias(f"n{i}"))
-        aggs.append(F.sum(F.when(cond, term_expr)).cast("bigint").alias(f"tr{i}"))
-    g = r.agg(*aggs)
+        vg_aggs.append(
+            F.sum(F.when(F.col("event_type") == t, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"c{i}")
+        )
+    vg = ev.groupBy("value").agg(*vg_aggs)
+    vg = ordered_prefix(vg, ["value"], {"cum_t": F.col("t")})
+    lo = F.col("cum_t") - F.col("t") + 1
+    term_expr = 2 * lo + F.col("t") - 1
+    aggs = [F.coalesce(F.sum("t"), F.lit(0)).cast("bigint").alias("n")]
+    for i in range(1, len(_KW_EVENT_TYPES) + 1):
+        aggs.append(
+            F.coalesce(F.sum(f"c{i}"), F.lit(0)).cast("bigint").alias(f"n{i}")
+        )
+        aggs.append(
+            F.sum(F.col(f"c{i}") * term_expr).cast("bigint").alias(f"tr{i}")
+        )
+    g = vg.agg(*aggs)
 
     def term(i: int):
         rs = F.col(f"tr{i}").cast("double") / F.lit(2.0)
@@ -1395,24 +1451,31 @@ def q_spearman_quantity_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     DECIMAL(38,0) (bigint SUM would overflow past sf1: sum(ax*ay) ~
     n^3), the centered numerator/denominators stay decimal-exact, and
     the ONLY floating steps are the final two casts, one multiply,
-    sqrt, and divide — identical operands in both engines. The two
-    global rank windows are the documented single-partition
-    global-order term shared with the KS/percentile battery; at scale
-    Spearman over a sample or banded rank approximation replaces the
-    exact global sort. 1 row."""
+    sqrt, and divide — identical operands in both engines.
+
+    Scale: each column's midrank map is built at VALUE grain (tie
+    count per distinct value, lo via the distributed prefix sum —
+    operators/distrank, no single-partition rank window over the
+    FACT), then hash-joined back onto lineitem by value; the fact is
+    never globally sorted. 1 row."""
     li = load_table(spark, sf_dir, "lineitem").select("l_quantity", "l_extendedprice")
     dec = "decimal(38,0)"
-    r = li.select(
-        (
-            2 * F.rank().over(Window.orderBy("l_quantity"))
-            + F.count(F.lit(1)).over(Window.partitionBy("l_quantity")).cast("bigint")
-            - 1
-        ).alias("ax"),
-        (
-            2 * F.rank().over(Window.orderBy("l_extendedprice"))
-            + F.count(F.lit(1)).over(Window.partitionBy("l_extendedprice")).cast("bigint")
-            - 1
-        ).alias("ay"),
+
+    def rank_map(col: str, out: str) -> DataFrame:
+        vg = li.groupBy(col).agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+        vg = ordered_prefix(vg, [col], {"cum_t": F.col("t")})
+        # 2*rank + ties - 1 = 2*(cum_t - t + 1) + t - 1 = 2*cum_t - t + 1
+        return vg.select(
+            F.col(col).alias(f"_k_{out}"),
+            (2 * F.col("cum_t") - F.col("t") + 1).alias(out),
+        )
+
+    mx = rank_map("l_quantity", "ax")
+    my = rank_map("l_extendedprice", "ay")
+    r = (
+        li.join(mx, F.col("l_quantity").eqNullSafe(F.col("_k_ax")))
+        .join(my, F.col("l_extendedprice").eqNullSafe(F.col("_k_ay")))
+        .select("ax", "ay")
     )
     s = r.agg(
         F.count(F.lit(1)).cast(dec).alias("n"),
@@ -1669,8 +1732,9 @@ def q_ipw_ate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic.
 
     Scale: one user-grain hash agg, a 10-row propensity table
-    broadcast back, one more agg. The ntile runs on the USER grain
-    (documented single-sort term shared with uplift_by_decile)."""
+    broadcast back, one more agg. Decile assignment is a distributed
+    global row number + exact NTILE arithmetic (operators/distrank) —
+    no single-partition window on the user grain."""
     ev = load_table(spark, sf_dir, "events")
     u = ev.groupBy("user_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_events"),
@@ -1687,10 +1751,15 @@ def q_ipw_ate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("y"),
     )
-    d = u.select(
-        "t",
-        "y",
-        F.ntile(IPW_DECILES).over(Window.orderBy("n_events", "user_id")).alias("decile"),
+    n_total = u.agg(F.count(F.lit(1)).cast("bigint").alias("_n_total"))
+    d = (
+        global_row_number(u, ["n_events", "user_id"], out="_rn")
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "t",
+            "y",
+            ntile_from_rn(F.col("_rn"), F.col("_n_total"), IPW_DECILES).alias("decile"),
+        )
     )
     p = d.groupBy("decile").agg(
         F.least(
@@ -1956,8 +2025,9 @@ def q_ope_replay_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = 1/2 the weight is EXACTLY 2, so the estimator is a pure
     decimal sum doubled, no rounding contract at all. The
     self-normalized variant (SNIPS, lower variance) and the logging
-    policy's own value ride along. One user-grain hash agg + the
-    user-grain ntile; scales like the IPW query."""
+    policy's own value ride along. One user-grain hash agg + a
+    distributed row number / exact NTILE arithmetic
+    (operators/distrank); scales like the IPW query."""
     ev = load_table(spark, sf_dir, "events")
     u = ev.groupBy("user_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_events"),
@@ -1971,16 +2041,21 @@ def q_ope_replay_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("r"),
         F.first(hash_bucket(F.col("user_id"), seed=OPE_SEED, n_buckets=2)).alias("a"),
     )
-    d = u.select(
-        "r",
-        "a",
-        F.when(
-            F.ntile(10).over(Window.orderBy("n_events", "user_id"))
-            >= OPE_POLICY_DECILE,
-            1,
+    n_total = u.agg(F.count(F.lit(1)).cast("bigint").alias("_n_total"))
+    d = (
+        global_row_number(u, ["n_events", "user_id"], out="_rn")
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "r",
+            "a",
+            F.when(
+                ntile_from_rn(F.col("_rn"), F.col("_n_total"), 10)
+                >= OPE_POLICY_DECILE,
+                1,
+            )
+            .otherwise(0)
+            .alias("pi"),
         )
-        .otherwise(0)
-        .alias("pi"),
     )
     agg = d.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_users"),

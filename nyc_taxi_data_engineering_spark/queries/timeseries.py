@@ -358,7 +358,7 @@ joined AS (
 SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
        {stable_sum_sql('ABS(rev - fc)', 2, 23)} / COUNT(*) AS mae,
        {stable_sum_sql('rev - fc', 2, 23)} / COUNT(*) AS bias,
-       {stable_sum_sql('CASE WHEN rev <> 0 THEN ROUND(ABS(rev - fc) / rev, 9) END', 9, 18)}
+       {stable_sum_sql(f"CASE WHEN rev <> 0 THEN {portable_round_sql('ABS(rev - fc) / rev', 9)} END", 9, 18)}
          / COUNT(CASE WHEN rev <> 0 THEN 1 END) AS mape
 FROM joined
 """,
@@ -386,8 +386,12 @@ def q_daily_revenue_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame
     joined = daily.join(fc, F.col("fd") == F.date_sub(F.col("d"), 7)).select("d", "rev", "fc")
     diff = F.col("rev") - F.col("fc")
     n = F.count(F.lit(1))
+    # portable_round, not native round: the per-day ratio is an
+    # off-grid double, the exact cross-engine half-rounding hazard the
+    # r11 sweep flushed in revenue_seasonal_dow (|ratio| is O(1), far
+    # inside the 2^53/1e9 bound).
     mape_term = F.when(
-        F.col("rev") != 0, F.round(F.abs(diff) / F.col("rev"), 9)
+        F.col("rev") != 0, portable_round(F.abs(diff) / F.col("rev"), 9)
     )
     return joined.agg(
         n.cast("long").alias("n_days"),

@@ -976,12 +976,17 @@ def test_itemcf_and_textrank_stay_keyed_joins(spark, sf_dir):
 
 
 def test_uplift_deciles_rank_over_user_grain(spark, sf_dir):
-    """The ntile must run AFTER the per-user collapse: the single
-    global-order window sees |users| rows, never raw events."""
+    """Decile assignment must never funnel a grows-with-users grain
+    into one task: since r12 the ranking rides operators/distrank, so
+    every Window node in the plan must be partitioned by the distrank
+    bucket — zero empty-partition ("No Partition Defined") windows."""
     plan = _plan(spark, sf_dir, "uplift_by_decile_events")
-    first_scan = plan.index("FileScan")
-    # the only Window sits above the user-grain HashAggregate
-    assert "Window" not in plan[first_scan:]
+    win_lines = [l for l in plan.splitlines() if "Window [" in l]
+    assert win_lines, "expected distrank bucket windows in the plan"
+    for l in win_lines:
+        assert "windowspecdefinition(_dr_bucket" in l, (
+            f"unpartitioned window survived: {l.strip()[:160]}"
+        )
 
 
 def test_gdpr_and_partitioned_dv_read_prunes(spark, sf_dir):

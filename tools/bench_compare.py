@@ -42,20 +42,30 @@ def _load(path: str) -> dict:
         # misclassify a real regression as rep spread (ADVICE r10).
         # Pre-r11 records carry no run_id; for those the merge stays
         # best-effort (the detail file is equally unstamped).
-        cand = os.path.join(os.path.dirname(os.path.abspath(path)), doc["detail_file"])
-        if os.path.exists(cand):
+        root = os.path.dirname(os.path.abspath(path))
+        cands = []
+        if doc.get("run_id"):
+            # r12+: a run_id-stamped copy survives later rounds'
+            # overwrites, so ANY two historical records can merge.
+            cands.append(os.path.join(root, f"BENCH_DETAIL_{doc['run_id']}.json"))
+        cands.append(os.path.join(root, doc["detail_file"]))
+        for cand in cands:
+            if not os.path.exists(cand):
+                continue
             with open(cand) as f:
                 detail = json.load(f)
             if doc.get("run_id") == detail.get("run_id"):
                 doc = {**doc, **detail}
-            elif doc.get("run_id") is None and detail.get("run_id") is None:
+                break
+            if doc.get("run_id") is None and detail.get("run_id") is None:
                 doc = {**doc, **detail}
-            else:
-                print(
-                    f"NOTE: {path}: detail file run_id mismatch "
-                    f"({doc.get('run_id')} vs {detail.get('run_id')}); "
-                    "rep arrays not merged — noise-band test degraded to medians"
-                )
+                break
+        else:
+            print(
+                f"NOTE: {path}: no detail file with matching run_id "
+                f"({doc.get('run_id')}); "
+                "rep arrays not merged — noise-band test degraded to medians"
+            )
     return doc
 
 

@@ -54,6 +54,10 @@ def _spark_aggs(df):
                 F.min(c).alias(f"{f.name}__min"),
                 F.max(c).alias(f"{f.name}__max"),
                 F.sum(quant).cast("string").alias(f"{f.name}__sum"),
+                # domain guard: floor(x*1e6+0.5) yields LONG — overflow
+                # (ANSI error) at |x| >= ~9.2e12; main() fails loudly on
+                # this instead of reporting a confusing checksum mismatch
+                F.max(F.abs(c)).alias(f"{f.name}__absmax"),
             ]
         elif isinstance(f.dataType, (T.LongType, T.IntegerType, T.ShortType, T.DecimalType)):
             aggs += [
@@ -91,6 +95,7 @@ def _duck_aggs(con, oracle_sql: str):
                 f"MAX({q}) AS {name}__max",
                 f"CAST(SUM(CAST(floor({q} * 1e6 + 0.5) AS DECIMAL(38,0))) AS VARCHAR)"
                 f" AS {name}__sum",
+                f"MAX(ABS({q})) AS {name}__absmax",
             ]
         elif t.startswith(("BIGINT", "INTEGER", "SMALLINT", "DECIMAL", "HUGEINT", "TINYINT")):
             parts += [
@@ -135,6 +140,22 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             failed.append(name)
             print(f"FAIL {name}: {e}")
+            continue
+        out_of_domain = [
+            c
+            for c in spark_pdf.columns
+            if c.endswith("__absmax")
+            and spark_pdf[c][0] is not None
+            and float(spark_pdf[c][0]) >= 9.2e12
+        ]
+        if out_of_domain:
+            failed.append(name)
+            print(
+                f"FAIL {name}: out of tool domain — |x| >= 9.2e12 in "
+                f"{[c[: -len('__absmax')] for c in out_of_domain]}; the 1e6 "
+                f"quantizer's floor() would overflow LONG. Use a decimal-domain "
+                f"checksum for these columns instead."
+            )
             continue
         errs = compare(spark_pdf, oracle_pdf, name)
         if errs:
