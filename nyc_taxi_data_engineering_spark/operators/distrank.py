@@ -46,12 +46,30 @@ from pyspark.sql import functions as F
 _B = "_dr_bucket"
 
 
-def _bucket_col(df: DataFrame, lead_col: str, n_buckets: int) -> Column:
+def string_lead(col: Column | str) -> Column:
+    """Order-preserving numeric image of a STRING column for
+    ``ordered_prefix``'s ``lead=``: the first 8 bytes, NUL-right-padded,
+    read as a big-endian integer. Monotone non-decreasing in Spark's
+    binary (UTF-8 code point) string order — strings sharing an 8-byte
+    prefix collapse to one bucket key, which bucketing tolerates."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.hex(F.rpad(c, 8, "\x00")), 16, 10).cast("double")
+
+
+def descending_lead(col: Column | str) -> Column:
+    """Numeric lead for a DESC-ordered leading column: negation flips
+    monotonicity, so ``ordered_prefix(..., order_cols=[F.col(c).desc(),
+    ...], lead=descending_lead(c))`` buckets correctly."""
+    c = F.col(col) if isinstance(col, str) else col
+    return -c.cast("double")
+
+
+def _bucket_col(df: DataFrame, lead: Column, n_buckets: int) -> Column:
     """Monotone bucket id from broadcast approximate quantiles of the
-    (double-cast) leading order column. Double-casting keeps
-    ``percentile_approx`` happy for decimal/long inputs and preserves
-    monotonicity, which is the only property bucketing needs."""
-    g = F.col(lead_col).cast("double")
+    numeric lead expression. Double-casting keeps ``percentile_approx``
+    happy for decimal/long inputs and preserves monotonicity, which is
+    the only property bucketing needs."""
+    g = lead.cast("double")
     qs = [i / n_buckets for i in range(1, n_buckets)]
     row = df.agg(F.percentile_approx(g, F.lit(qs), F.lit(10_000)).alias("b")).first()
     bounds = [b for b in (row["b"] or []) if b is not None]
@@ -79,9 +97,10 @@ def _bucket_col(df: DataFrame, lead_col: str, n_buckets: int) -> Column:
 
 def ordered_prefix(
     df: DataFrame,
-    order_cols: Sequence[str],
+    order_cols: Sequence[str | Column],
     sums: Mapping[str, Column],
     n_buckets: int | None = None,
+    lead: Column | None = None,
 ) -> DataFrame:
     """Return ``df`` with one extra column per ``sums`` entry holding
     the INCLUSIVE global running sum of that expression over the total
@@ -89,10 +108,15 @@ def ordered_prefix(
     ``F.sum(expr).over(Window.orderBy(*order_cols).rowsBetween(unboundedPreceding, 0))``
     but without moving all data to a single partition.
 
-    ``order_cols[0]`` must be numeric-castable (it drives the quantile
-    bucketing); the full ``order_cols`` tuple should be a total order
+    ``order_cols`` entries are column names (ASC) or Column expressions
+    (may carry ``.desc()``); the full tuple should be a total order
     (unique) whenever individual row positions matter — the same
     requirement the single-partition window had for determinism.
+    ``lead`` is a NUMERIC expression monotone non-decreasing along that
+    total order, used only for bucketing; it defaults to the first
+    order column cast to double (correct when that column is a plain
+    ASC numeric name — pass :func:`descending_lead` /
+    :func:`string_lead` for DESC or string leaders).
     """
     spark = df.sparkSession
     if n_buckets is None:
@@ -100,10 +124,17 @@ def ordered_prefix(
             n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
         except ValueError:  # e.g. "auto" under some AQE configs
             n_buckets = 32
+    if lead is None:
+        first = order_cols[0]
+        assert isinstance(first, str), (
+            "pass lead= explicitly when the leading order column is an "
+            "expression (DESC / computed)"
+        )
+        lead = F.col(first)
     names = list(sums)
     vals = [sums[k].alias(f"_dr_val_{k}") for k in names]
     staged = df.select("*", *vals).withColumn(
-        _B, _bucket_col(df, order_cols[0], n_buckets)
+        _B, _bucket_col(df, lead, n_buckets)
     )
     w_run = (
         Window.partitionBy(_B)
@@ -148,14 +179,19 @@ def ordered_prefix(
 
 def global_row_number(
     df: DataFrame,
-    order_cols: Sequence[str],
+    order_cols: Sequence[str | Column],
     out: str = "rn",
     n_buckets: int | None = None,
+    lead: Column | None = None,
 ) -> DataFrame:
     """``row_number() OVER (ORDER BY order_cols)`` (which must be a
     total order for the numbering to be well-defined) as a distributed
-    prefix count; returns ``df`` + bigint column ``out``."""
-    res = ordered_prefix(df, order_cols, {out: F.lit(1).cast("bigint")}, n_buckets)
+    prefix count; returns ``df`` + bigint column ``out``. NULL lead
+    values land in the first bucket (ASC NULLS FIRST semantics) — for
+    DESC leaders pass a NULL-free ``lead``."""
+    res = ordered_prefix(
+        df, order_cols, {out: F.lit(1).cast("bigint")}, n_buckets, lead=lead
+    )
     return res.withColumn(out, F.col(out).cast("bigint"))
 
 

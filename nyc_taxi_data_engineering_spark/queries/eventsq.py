@@ -587,12 +587,18 @@ def q_funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("hours")
         )
     )
-    ranked = conv.select(
-        "hours",
-        F.row_number().over(Window.orderBy("hours", "user_id")).alias("rn"),
-        F.count(F.lit(1)).over(
-            Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-        ).alias("n"),
+    from nyc_taxi_data_engineering_spark.operators.distrank import global_row_number
+
+    # distributed rank + broadcast count: the converted-user grain
+    # grows with users, so no single-partition window (r12). Cached so
+    # the count pass and the rank pass share ONE events scan (the
+    # key_skew/theil_sen cache pattern).
+    conv = conv.cache()
+    n_tot = conv.agg(F.count(F.lit(1)).alias("n"))
+    ranked = (
+        global_row_number(conv, ["hours", "user_id"], out="rn")
+        .crossJoin(F.broadcast(n_tot))
+        .select("hours", "rn", "n")
     )
     pick = lambda cond: F.max(F.when(cond, F.col("hours")))
     med_rn = F.floor((F.col("n") + 1) / 2)

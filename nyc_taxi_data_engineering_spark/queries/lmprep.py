@@ -461,12 +461,12 @@ def q_contrastive_negatives_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The md5 bucket addresses DENSE index space 0..n-1. Dense-id corpora
     take the fast path (the id IS the index — no extra work). Sparse-id
-    corpora are re-indexed in place with a global ROW_NUMBER over
-    doc_id — one sort of the (doc_id) key column, the honest minimum
-    for an exact dense index; at extreme corpus sizes pre-assign dense
-    ids upstream (e.g. a shuffle-shard row number) and the sort is
-    skipped. Both branches emit identical results for dense ids, so one
-    oracle (always the row_number formulation) certifies both."""
+    corpora are re-indexed in place with a DISTRIBUTED row number over
+    doc_id (operators/distrank — bucketed prefix count, no
+    single-partition sort of the corpus); at extreme corpus sizes
+    pre-assign dense ids upstream and even that is skipped. Both
+    branches emit identical results for dense ids, so one oracle
+    (always the row_number formulation) certifies both."""
     docs = load_table(spark, sf_dir, "documents")
     stats = docs.select("doc_id").agg(
         F.count(F.lit(1)).alias("n"),
@@ -487,11 +487,15 @@ def q_contrastive_negatives_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5(F.col("text")).alias("ch"),
         )
     else:
-        h = docs.select(
-            "doc_id",
-            (F.row_number().over(Window.orderBy("doc_id")) - 1).alias("di"),
-            F.md5(F.col("text")).alias("ch"),
+        from nyc_taxi_data_engineering_spark.operators.distrank import (
+            global_row_number,
         )
+
+        h = global_row_number(
+            docs.select("doc_id", F.md5(F.col("text")).alias("ch")),
+            ["doc_id"],
+            out="_rn",
+        ).select("doc_id", (F.col("_rn") - 1).alias("di"), "ch")
     nn = h.agg(F.count(F.lit(1)).alias("n"))
     raws = [
         F.struct(

@@ -272,19 +272,46 @@ def q_mdm_snm_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     {SNM_WINDOW} neighbors via lead windows. Catches near-key
     duplicates equality blocks miss ('X' vs 'X ltd' sort adjacent)
     while missing full renames — the documented recall trade-off
-    (tests assert both). At scale the single sort becomes
-    repartitionByRange + per-partition windows with a boundary-overlap
-    pass; here the vendor dim is dimension-sized so one window is the
-    right plan."""
+    (tests assert both). Since r12 the sort IS the distributed form:
+    a bucketed global row number over (vendor_name, vendor_id)
+    (operators/distrank, string-keyed lead) with the lead-1/lead-2
+    neighbors recovered by equi-joins on rn+1 / rn+2 — no
+    single-partition window, and the neighbor joins shuffle on the
+    dense rank, which cannot skew."""
+    from nyc_taxi_data_engineering_spark.operators.distrank import (
+        global_row_number,
+        string_lead,
+    )
+
     v = _vendors(spark, sf_dir)
-    w = Window.orderBy("vendor_name", "vendor_id")
-    ranked = v.select(
-        "vendor_id",
-        "vendor_name",
-        F.lead("vendor_id", 1).over(w).alias("id1"),
-        F.lead("vendor_name", 1).over(w).alias("nm1"),
-        F.lead("vendor_id", 2).over(w).alias("id2"),
-        F.lead("vendor_name", 2).over(w).alias("nm2"),
+    rn_df = global_row_number(
+        v, ["vendor_name", "vendor_id"], out="_rn", lead=string_lead("vendor_name")
+    )
+    nbr = rn_df.select(
+        F.col("_rn").alias("_rn_n"),
+        F.col("vendor_id").alias("_nid"),
+        F.col("vendor_name").alias("_nnm"),
+    )
+    ranked = (
+        rn_df.join(
+            nbr.select(
+                (F.col("_rn_n") - 1).alias("_rn"),
+                F.col("_nid").alias("id1"),
+                F.col("_nnm").alias("nm1"),
+            ),
+            "_rn",
+            "left",
+        )
+        .join(
+            nbr.select(
+                (F.col("_rn_n") - 2).alias("_rn"),
+                F.col("_nid").alias("id2"),
+                F.col("_nnm").alias("nm2"),
+            ),
+            "_rn",
+            "left",
+        )
+        .select("vendor_id", "vendor_name", "id1", "nm1", "id2", "nm2")
     )
     def _branch(idc, nmc, gap):
         return (

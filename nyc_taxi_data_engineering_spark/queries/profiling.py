@@ -407,14 +407,18 @@ def q_key_skew_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
     so both engines add identical numbers."""
     li = load_table(spark, sf_dir, "lineitem")
     per = li.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("cnt")).cache()
-    w = Window.orderBy(F.col("cnt").desc(), F.col("l_suppkey"))
-    ranked = per.withColumn("rk", F.row_number().over(w))
     tot = per.agg(
         F.count(F.lit(1)).alias("n_keys"),
         F.sum("cnt").alias("n_rows"),
         F.max("cnt").alias("max_cnt"),
     )
-    topk = ranked.filter(F.col("rk") <= 10).agg(F.sum("cnt").alias("top_cnt"))
+    # top-10 hottest keys via TakeOrderedAndProject (per-partition
+    # top-K merge) — no single-partition rank window on the key grain
+    topk = (
+        per.orderBy(F.col("cnt").desc(), F.col("l_suppkey"))
+        .limit(10)
+        .agg(F.sum("cnt").alias("top_cnt"))
+    )
     p = F.col("cnt").cast("double") / F.col("n_rows")
     ent = (
         per.crossJoin(F.broadcast(tot))

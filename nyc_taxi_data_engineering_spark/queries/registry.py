@@ -50,7 +50,13 @@ ROTATION: list[str] = [
     # ADVICE r11), the r11 zero-norm-contract similarity family the
     # verdict asked to re-certify, and the two kmeans queries (seeding
     # moved from a k-row window to a broadcast map literal — values
-    # identical, re-certified at every tier). r11-green names move to the BACK
+    # identical, re-certified at every tier). Then the SECOND-wave
+    # conversions: funnel (user-grain rank), zipf + key_skew
+    # (global-sort top-K -> TakeOrderedAndProject), theil_sen (pair- /
+    # day-grain median ranks -> distrank), mdm_snm (lead windows ->
+    # distrank rn + neighbor equi-joins), and contrastive's sparse
+    # re-index branch — all re-certified at every applicable tier.
+    # r11-green names move to the BACK
     # (relative order preserved); everything else keeps its r11 order.
     # Queries outside the ~50-entry driver window keep full local
     # coverage via tests/test_oracle_parity.py (bit-exact comparator)
@@ -76,6 +82,12 @@ ROTATION: list[str] = [
     "probe_calibration_ece",
     "kmeans_embeddings",
     "kmeans_silhouette_embeddings",
+    "funnel_time_to_convert",
+    "zipf_fit_tokens",
+    "key_skew_diagnostics",
+    "theil_sen_trend",
+    "mdm_snm_candidate_pairs",
+    "contrastive_negatives_docs",
     "target_encoding_orders",
     "gini_split_search_orders",
     "kfold_assignment_orders",
@@ -91,7 +103,6 @@ ROTATION: list[str] = [
     "delta_dv_delete_orders",
     "delta_rename_customers",
     "attribution_multitouch_events",
-    "zipf_fit_tokens",
     "delta_cdf_feed_orders",
     "triplog_roundtrip_trips",
     "rfm_segments_customers",
@@ -114,7 +125,6 @@ ROTATION: list[str] = [
     "trimmed_winsor_price_stats",
     "unigram_tokenize_docs",
     "nelson_aalen_customers",
-    "mdm_snm_candidate_pairs",
     "attribution_decay_position_events",
     "delta_partitioned_dv_orders",
     "textrank_keywords",
@@ -125,7 +135,6 @@ ROTATION: list[str] = [
     "eb_shrunk_urgent_rates",
     "hybrid_rrf_search",
     "holt_linear_forecast",
-    "theil_sen_trend",
     "geo_od_cell_flows",
     "geo_pickup_hotspots",
     "geo_radius_pairs_customers",
@@ -299,7 +308,6 @@ ROTATION: list[str] = [
     "revenue_acf_lags",
     "mi_order_priority_status",
     "psi_split_drift_orders",
-    "key_skew_diagnostics",
     "modularity_copurchase_communities",
     "feature_auc_screen_orders",
     "harmonic_centrality_suppliers",
@@ -347,7 +355,6 @@ ROTATION: list[str] = [
     "pagerank_purchase_sinks",
     "ppr_supplier_recommendations",
     "hits_purchase_graph",
-    "contrastive_negatives_docs",
     "revenue_seasonal_dow",
     "customer_spend_deciles",
     "tpch_shipping_priority",
@@ -366,7 +373,6 @@ ROTATION: list[str] = [
     "tpch_shipmode_priority",
     "events_cusum_changepoint",
     "events_dau_wau_stickiness",
-    "funnel_time_to_convert",
     "delta_constraint_gate_orders",
     "delta_clone_diverge_nation",
     "tpch_priority_late_ship",

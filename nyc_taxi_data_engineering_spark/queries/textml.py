@@ -259,11 +259,14 @@ def q_zipf_fit_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("f"))
     )
+    # top-K via TakeOrderedAndProject (per-partition top-K, no global
+    # sort of the vocabulary); the rank window then runs over the
+    # {ZIPF_TOPK}-row result — bounded by the constant, not the corpus.
+    topk = freq.orderBy(F.col("f").desc(), "w").limit(ZIPF_TOPK)
     ranked = (
-        freq.withColumn(
+        topk.withColumn(
             "rnk", F.row_number().over(Window.orderBy(F.col("f").desc(), "w"))
         )
-        .filter(F.col("rnk") <= ZIPF_TOPK)
         .select(
             F.round(F.log(F.col("rnk").cast("double")), 6).cast("decimal(18,6)").alias("x"),
             F.round(F.log(F.col("f").cast("double")), 6).cast("decimal(18,6)").alias("y"),

@@ -867,9 +867,14 @@ def q_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.signum(F.col("xb") - F.col("xa")).cast("bigint").alias("sgn"),
     )
     np_df = pairs.agg(F.count(F.lit(1)).alias("n_pairs"), F.sum("sgn").alias("s_stat"))
-    w = Window.orderBy("slope")
+    # median slope by distributed rank (operators/distrank): the pair
+    # grain is days² — no single-partition sort. Ties in slope make the
+    # row numbering order-dependent but the VALUE at the median
+    # position is unique, which is all this extracts.
+    from nyc_taxi_data_engineering_spark.operators.distrank import global_row_number
+
     med = (
-        pairs.withColumn("rn", F.row_number().over(w))
+        global_row_number(pairs, ["slope"], out="rn")
         .crossJoin(F.broadcast(np_df.select("n_pairs")))
         .filter(F.col("rn") == F.expr("(n_pairs + 1) div 2"))
         .select(F.col("slope").alias("theil_slope"))
@@ -897,9 +902,8 @@ def q_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     resid = daily.crossJoin(F.broadcast(med)).select(
         (F.col("x") - F.col("theil_slope") * F.col("dd").cast("double")).alias("r")
     )
-    w_r = Window.orderBy("r")
     med_i = (
-        resid.withColumn("rn", F.row_number().over(w_r))
+        global_row_number(resid, ["r"], out="rn")
         .crossJoin(F.broadcast(nd))
         .filter(F.col("rn") == F.expr("(n_days + 1) div 2"))
         .select(F.col("r").alias("intercept"))

@@ -122,3 +122,48 @@ def test_no_single_partition_window_in_plan(spark):
         if "Window" in line:
             assert "partitionBy" not in line or "_dr_bucket" in line
             assert "_dr_bucket" in line, f"unexpected window: {line}"
+
+
+def test_desc_lead_matches_window(spark):
+    rows = [(float(i % 9), i % 2, i) for i in range(150)]
+    df = _mk(spark, rows)
+    from nyc_taxi_data_engineering_spark.operators.distrank import descending_lead
+
+    want = sorted(
+        df.select(
+            "id",
+            F.row_number()
+            .over(Window.orderBy(F.col("v").desc(), "id"))
+            .cast("bigint")
+            .alias("rn"),
+        ).collect()
+    )
+    got = sorted(
+        global_row_number(
+            df, [F.col("v").desc(), "id"], n_buckets=4, lead=descending_lead("v")
+        )
+        .select("id", "rn")
+        .collect()
+    )
+    assert got == want
+
+
+def test_string_lead_matches_window(spark):
+    from nyc_taxi_data_engineering_spark.operators.distrank import string_lead
+
+    words = ["", "a", "A", "AB", "ABA", "B", "ab", "zebra", "zebr", "zebras!", "Z9",
+             "supplier-0001", "supplier-0002", "supplier-00021", "vendor x", "vendor"]
+    rows = [(w + str(i % 3), i) for i in range(120) for w in [words[i % len(words)]]]
+    df = spark.createDataFrame([(w, i) for i, (w, _) in enumerate(rows)], "s string, id bigint")
+    want = sorted(
+        df.select(
+            "id",
+            F.row_number().over(Window.orderBy("s", "id")).cast("bigint").alias("rn"),
+        ).collect()
+    )
+    got = sorted(
+        global_row_number(df, ["s", "id"], n_buckets=5, lead=string_lead("s"))
+        .select("id", "rn")
+        .collect()
+    )
+    assert got == want

@@ -730,12 +730,18 @@ def test_forecast_eval_single_fact_scan_chain(spark, sf_dir):
 
 
 def test_funnel_latency_window_only_on_converted(spark, sf_dir):
-    """The ranking window runs over the per-user summary (one row per
-    converted user), after two keyed aggregates — no window touches
-    the raw events scan side of the plan."""
+    """The ranking runs over the per-user summary (one row per
+    converted user), after two keyed aggregates: the converted-user
+    table is CACHED (one signup pass + one purchase pass materialize
+    it; every reuse is an InMemoryTableScan), and since r12 the rank
+    itself is the distrank bucketed prefix — every Window node is
+    bucket-partitioned, none global."""
     plan = _plan(spark, sf_dir, "funnel_time_to_convert")
     assert "CartesianProduct" not in plan
-    assert plan.count("FileScan") <= 2  # signup pass + purchase pass
+    assert "InMemoryTableScan" in plan  # conv computed once, reused
+    for l in plan.splitlines():
+        if "Window [" in l:
+            assert "windowspecdefinition(_dr_bucket" in l, l.strip()[:160]
 
 
 def test_als_serving_broadcasts_items_and_partitions_topk(spark, sf_dir):
