@@ -196,7 +196,7 @@ def histogram_quantiles(
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    w = Window.orderBy("bucket")
+    w = Window.orderBy("bucket")  # global-window-ok: sketch register grain, fixed 2^p buckets
     cum = hist.select(
         "bucket",
         "cnt",
