@@ -48,12 +48,21 @@ _B = "_dr_bucket"
 
 def string_lead(col: Column | str) -> Column:
     """Order-preserving numeric image of a STRING column for
-    ``ordered_prefix``'s ``lead=``: the first 8 bytes, NUL-right-padded,
+    ``ordered_prefix``'s ``lead=``: the first 8 BYTES, NUL-right-padded,
     read as a big-endian integer. Monotone non-decreasing in Spark's
-    binary (UTF-8 code point) string order — strings sharing an 8-byte
-    prefix collapse to one bucket key, which bucketing tolerates."""
+    binary (UTF-8) string order — strings sharing an 8-byte prefix
+    collapse to one bucket key, which bucketing tolerates.
+
+    ``rpad`` counts CHARACTERS, so a multibyte string can carry more
+    than 8 bytes into ``hex``; the ``substring(.., 1, 16)`` then keeps
+    exactly the first 8 bytes (16 hex digits — always available, every
+    char is >= 1 byte), which both fits ``conv``'s unsigned-64 domain
+    (an unbounded hex string overflows ANSI conv) and stays monotone:
+    UTF-8 byte order IS Spark's string comparison order."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.conv(F.hex(F.rpad(c, 8, "\x00")), 16, 10).cast("double")
+    return F.conv(F.substring(F.hex(F.rpad(c, 8, "\x00")), 1, 16), 16, 10).cast(
+        "double"
+    )
 
 
 def descending_lead(col: Column | str) -> Column:

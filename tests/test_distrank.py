@@ -151,8 +151,12 @@ def test_desc_lead_matches_window(spark):
 def test_string_lead_matches_window(spark):
     from nyc_taxi_data_engineering_spark.operators.distrank import string_lead
 
+    # Includes multibyte strings: rpad pads by CHARACTERS, so these carry
+    # more than 8 bytes — an unbounded hex into ANSI conv() overflowed
+    # before string_lead truncated to the first 8 bytes (16 hex digits).
     words = ["", "a", "A", "AB", "ABA", "B", "ab", "zebra", "zebr", "zebras!", "Z9",
-             "supplier-0001", "supplier-0002", "supplier-00021", "vendor x", "vendor"]
+             "supplier-0001", "supplier-0002", "supplier-00021", "vendor x", "vendor",
+             "abécdefg", "éééééééé", "中文字符串测试长", "中文", "￿￿"]
     rows = [(w + str(i % 3), i) for i in range(120) for w in [words[i % len(words)]]]
     df = spark.createDataFrame([(w, i) for i, (w, _) in enumerate(rows)], "s string, id bigint")
     want = sorted(
@@ -163,6 +167,63 @@ def test_string_lead_matches_window(spark):
     )
     got = sorted(
         global_row_number(df, ["s", "id"], n_buckets=5, lead=string_lead("s"))
+        .select("id", "rn")
+        .collect()
+    )
+    assert got == want
+
+
+# --- property tests (hypothesis): ANY value distribution must match ---------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_PROP_SETTINGS = dict(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+# Small value spaces force heavy ties; NULLs, negatives, and huge
+# magnitudes exercise the bucket-boundary and NULL-first paths.
+_vals = st.one_of(
+    st.none(),
+    st.sampled_from([-1e12, -3.5, -1.0, 0.0, 0.5, 1.0, 2.0, 7.25, 1e12]),
+)
+
+
+@given(data=st.lists(st.tuples(_vals, st.integers(0, 1)), max_size=80),
+       nb=st.integers(1, 7))
+@settings(**_PROP_SETTINGS)
+def test_ordered_prefix_property_matches_global_window(spark, data, nb):
+    rows = [(v, t, i) for i, (v, t) in enumerate(data)]
+    df = _mk(spark, rows)
+    w = Window.orderBy("v", "id").rowsBetween(Window.unboundedPreceding, 0)
+    want = sorted(df.select("id", F.sum("tag").over(w).alias("c")).collect())
+    got = sorted(
+        ordered_prefix(df, ["v", "id"], {"c": F.col("tag")}, n_buckets=nb)
+        .select("id", "c")
+        .collect()
+    )
+    assert got == want
+
+
+@given(words=st.lists(st.text(max_size=12), min_size=1, max_size=40))
+@settings(**_PROP_SETTINGS)
+def test_string_lead_property_matches_window(spark, words):
+    """Arbitrary unicode keys (any byte length, any plane): the
+    string-keyed distributed row number must equal the single-partition
+    window's, and string_lead must never overflow ANSI conv."""
+    from nyc_taxi_data_engineering_spark.operators.distrank import string_lead
+
+    df = spark.createDataFrame(list(enumerate(words)), "id bigint, s string")
+    want = sorted(
+        df.select(
+            "id", F.row_number().over(Window.orderBy("s", "id")).cast("bigint").alias("rn")
+        ).collect()
+    )
+    got = sorted(
+        global_row_number(df, ["s", "id"], n_buckets=4, lead=string_lead("s"))
         .select("id", "rn")
         .collect()
     )
