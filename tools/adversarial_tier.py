@@ -200,7 +200,21 @@ WEIRD_CUTS = [
         "WHEN c_custkey % 17 = 7 THEN '  O''Brien-D''Arcy  ' "
         "ELSE c_name END AS c_name) FROM {src}",
     ),
-    ("supplier", "SELECT * FROM {src}"),
+    (
+        # Multibyte + empty + whitespace SUPPLIER names: the MDM family
+        # keys on s_name (customer mutations never reach it), and the
+        # string-keyed distributed row number (distrank.string_lead)
+        # feeds the first 8 BYTES of the name into ANSI conv() — a
+        # class that r12 found can overflow on multibyte input. Keys
+        # spread across %19 residues so mutated names land in different
+        # SNM sort neighborhoods.
+        "supplier",
+        "SELECT * REPLACE (CASE WHEN s_suppkey % 19 = 4 THEN 'Müller Ángel 世界 GmbH' "
+        "WHEN s_suppkey % 19 = 6 THEN '中文供应商株式会社' "
+        "WHEN s_suppkey % 19 = 8 THEN '' "
+        "WHEN s_suppkey % 19 = 10 THEN '  Ærø-Œuvre  ' "
+        "ELSE s_name END AS s_name) FROM {src}",
+    ),
     ("part", "SELECT * FROM {src}"),
     (
         "orders",
