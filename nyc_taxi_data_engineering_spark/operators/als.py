@@ -85,15 +85,46 @@ def _dec_sum(term):
     return F.sum(portable_round(term, _S).cast(_DEC)).cast("double")
 
 
+def prepare_ratings(ratings: DataFrame) -> DataFrame:
+    """Materialized training layout (optimization r12, guide §2.4/§3.1):
+    (u, i, r) hash-partitioned by u and persisted. ONE exchange pays for
+    every consumer: the u-sweep's broadcast-item join streams it and the
+    following ``groupBy("u")`` reuses the layout with zero further
+    exchanges; the i-sweep's join ON u reuses it as the streamed side;
+    and the serving queries' already-purchased anti-join probes the same
+    in-memory table instead of re-running the ratings build.
+
+    ``persist()`` rather than ``pin``/localCheckpoint on purpose: an
+    InMemoryRelation keeps size stats AND outputPartitioning, so the
+    planner can broadcast the small side and elide the agg exchange; a
+    pinned LogicalRDD has neither (UnknownPartitioning, no stats), which
+    forced a SortMergeJoin + a fresh full shuffle of the ratings every
+    half-sweep (measured −30% on als_supplier_recommendations at sf0.1,
+    values bit-identical — the 12-dp decimal sums are order-independent).
+    The lineage is one agg deep, so the cache-manager plan walk the pin
+    docstring warns about for per-round state does not apply here."""
+    return ratings.select("u", "i", "r").repartition("u").persist()
+
+
 def _solve_side(
-    ratings: DataFrame, fixed: DataFrame, solve_key: str, fixed_key: str
+    ratings: DataFrame,
+    fixed: DataFrame,
+    solve_key: str,
+    fixed_key: str,
+    broadcast_fixed: bool = False,
 ) -> DataFrame:
     """One ALS half-iteration: per ``solve_key`` entity, accumulate the
     2x2 normal equations against the ``fixed`` factors (keyed on
     ``fixed_key``) and solve by Cramer's rule. Returns (key, f1, f2)
-    named for the SOLVED side."""
+    named for the SOLVED side. ``broadcast_fixed`` hints the factor
+    side into a broadcast join — used for the ITEM side, which is
+    bounded by the catalog (suppliers), so the hint holds at any data
+    scale; the user side stays planner-chosen."""
+    f = fixed.withColumnRenamed("i", fixed_key)
+    if broadcast_fixed:
+        f = F.broadcast(f)
     stats = (
-        ratings.join(fixed.withColumnRenamed("i", fixed_key), fixed_key)
+        ratings.join(f, fixed_key)
         .groupBy(solve_key)
         .agg(
             _dec_sum(F.col("f1") * F.col("f1")).alias("a11"),
@@ -115,12 +146,14 @@ def _solve_side(
 
 
 def als_factors(
-    ratings: DataFrame, iters: int = ALS_ITERS
+    ratings: DataFrame, iters: int = ALS_ITERS, prepared: bool = False
 ) -> tuple[DataFrame, DataFrame]:
     """(user_factors, item_factors) after ``iters`` alternations over
     ``ratings`` (u, i, r) with INTEGER ratings; each factor table is
     (i, f1, f2) keyed by the entity id. Raises on non-integer ratings
-    (the 12-dp transport needs exact b-vector terms)."""
+    (the 12-dp transport needs exact b-vector terms). ``prepared=True``
+    asserts the caller already ran :func:`prepare_ratings` (and reuses
+    that layout for its own consumers, e.g. the serving anti-join)."""
     from pyspark.sql.types import IntegralType
 
     if not isinstance(ratings.schema["r"].dataType, IntegralType):
@@ -128,12 +161,17 @@ def als_factors(
             "als_factors needs an integer rating column r (exact normal-"
             f"equation sums); got {ratings.schema['r'].dataType.simpleString()}"
         )
-    ratings = pin(ratings.select("u", "i", "r"))
+    if not prepared:
+        ratings = prepare_ratings(ratings)
     item_f = pin(_init_item_factors(ratings))
     user_f = None
     for t in range(iters):
+        # item side broadcast: bounded by the catalog at any scale, and
+        # streaming the u-partitioned ratings through a broadcast join
+        # leaves groupBy("u") exchange-free (see prepare_ratings).
         user_f = _solve_side(
-            ratings.withColumnRenamed("i", "fk"), item_f, "u", "fk"
+            ratings.withColumnRenamed("i", "fk"), item_f, "u", "fk",
+            broadcast_fixed=True,
         )
         user_f = pin(user_f)
         item_f = _solve_side(

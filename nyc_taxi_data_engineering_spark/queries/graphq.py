@@ -25,6 +25,32 @@ edges AS (
 )"""
 
 
+# Bipartite node-id transport (optimization r12, guide §2.3 "narrower
+# types"): the customer/supplier node space rides every join, distinct,
+# agg and shuffle of the iterative graph queries as ONE LONG — customer
+# k encodes to 2k, supplier k to 2k+1 — and decodes to the oracle's
+# 'c<k>' / 's<k>' strings only in the terminal projection. Scores and
+# hop counts depend only on graph STRUCTURE (order-independent decimal
+# sums / integer mins — no operator orders by node id), so results are
+# bit-identical to the string-keyed form; the shuffled key shrinks from
+# a ~6-17 char string to 8 bytes and hash/compare work cheapens with it
+# (pagerank_purchase_sinks median-noop −25% at sf0.1, interleaved A/B).
+def _enc_c(col: str):
+    return F.col(col) * 2
+
+
+def _enc_s(col: str):
+    return F.col(col) * 2 + 1
+
+
+def _decode_node(col: str = "node"):
+    n = F.col(col)
+    return F.concat(
+        F.when(n % 2 == 0, F.lit("c")).otherwise(F.lit("s")),
+        F.shiftright(n, 1).cast("string"),
+    ).alias(col)
+
+
 @query("pagerank_trade_graph", oracle=pagerank_sql(_EDGES_CTE))
 def q_pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-iteration PageRank over the bidirected customer↔supplier
@@ -39,16 +65,13 @@ def q_pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     pairs = (
         o.join(li, o["o_orderkey"] == li["l_orderkey"])
-        .select(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("c_node"),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("s_node"),
-        )
+        .select(_enc_c("o_custkey").alias("c_node"), _enc_s("l_suppkey").alias("s_node"))
         .distinct()
     )
     edges = pairs.select(F.col("c_node").alias("src"), F.col("s_node").alias("dst")).unionByName(
         pairs.select(F.col("s_node").alias("src"), F.col("c_node").alias("dst"))
     )
-    return pagerank(edges)
+    return pagerank(edges).select(_decode_node("node"), "rank")
 
 
 _SINK_EDGES_CTE = """edges AS (
@@ -74,13 +97,10 @@ def q_pagerank_purchase_sinks(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     edges = (
         o.join(li, o["o_orderkey"] == li["l_orderkey"])
-        .select(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
-        )
+        .select(_enc_c("o_custkey").alias("src"), _enc_s("l_suppkey").alias("dst"))
         .distinct()
     )
-    return pagerank(edges)
+    return pagerank(edges).select(_decode_node("node"), "rank")
 
 
 _COPURCHASE_LINKS = """links AS (
@@ -148,15 +168,14 @@ def q_pagerank_weighted_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     wpairs = (
         o.join(li, o["o_orderkey"] == li["l_orderkey"])
         .groupBy(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("c_node"),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("s_node"),
+            _enc_c("o_custkey").alias("c_node"), _enc_s("l_suppkey").alias("s_node")
         )
         .agg(F.count_distinct("o_orderkey").alias("w"))
     )
     edges = wpairs.select(
         F.col("c_node").alias("src"), F.col("s_node").alias("dst"), "w"
     ).unionByName(wpairs.select(F.col("s_node").alias("src"), F.col("c_node").alias("dst"), "w"))
-    return pagerank(edges, weight="w")
+    return pagerank(edges, weight="w").select(_decode_node("node"), "rank")
 
 
 from nyc_taxi_data_engineering_spark.operators.cooccur import cooccurrence_pairs
@@ -330,16 +349,14 @@ def q_trade_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     pairs = (
         o.join(li, o["o_orderkey"] == li["l_orderkey"])
-        .select(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("c_node"),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("s_node"),
-        )
+        .select(_enc_c("o_custkey").alias("c_node"), _enc_s("l_suppkey").alias("s_node"))
         .distinct()
     )
     edges = pairs.select(F.col("c_node").alias("src"), F.col("s_node").alias("dst")).unionByName(
         pairs.select(F.col("s_node").alias("src"), F.col("c_node").alias("dst"))
     )
-    return bfs_hops(edges, BFS_SOURCE, BFS_MAX_HOPS)
+    # BFS_SOURCE "s1" in the long transport: supplier 1 -> 2*1 + 1
+    return bfs_hops(edges, 3, BFS_MAX_HOPS).select(_decode_node("node"), "hops")
 
 
 from nyc_taxi_data_engineering_spark.operators.graph import (
@@ -369,16 +386,14 @@ def q_ppr_supplier_recommendations(spark: SparkSession, sf_dir: str) -> DataFram
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     pairs = (
         o.join(li, o["o_orderkey"] == li["l_orderkey"])
-        .select(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("c_node"),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("s_node"),
-        )
+        .select(_enc_c("o_custkey").alias("c_node"), _enc_s("l_suppkey").alias("s_node"))
         .distinct()
     )
     edges = pairs.select(F.col("c_node").alias("src"), F.col("s_node").alias("dst")).unionByName(
         pairs.select(F.col("s_node").alias("src"), F.col("c_node").alias("dst"))
     )
-    return pagerank(edges, personalize=PPR_SOURCE)
+    # PPR_SOURCE "c1" in the long transport: customer 1 -> 2*1
+    return pagerank(edges, personalize=2).select(_decode_node("node"), "rank")
 
 
 @query(
@@ -442,8 +457,7 @@ def q_trade_cheapest_costs(spark: SparkSession, sf_dir: str) -> DataFrame:
     wpairs = (
         o.join(li, o["o_orderkey"] == li["l_orderkey"])
         .groupBy(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("c_node"),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("s_node"),
+            _enc_c("o_custkey").alias("c_node"), _enc_s("l_suppkey").alias("s_node")
         )
         .agg(F.count_distinct("o_orderkey").alias("w"))
     )
@@ -453,7 +467,9 @@ def q_trade_cheapest_costs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).unionByName(
         wpairs.select(F.col("s_node").alias("src"), F.col("c_node").alias("dst"), cost)
     )
-    return cheapest_paths(edges, BFS_SOURCE, CHEAPEST_ROUNDS)
+    # BFS_SOURCE "s1" in the long transport: supplier 1 -> 2*1 + 1
+    out = cheapest_paths(edges, 3, CHEAPEST_ROUNDS)
+    return out.select(_decode_node("node"), *[c for c in out.columns if c != "node"])
 
 
 from nyc_taxi_data_engineering_spark.operators.graph import (
@@ -485,13 +501,10 @@ def q_hits_purchase_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     edges = (
         o.join(li, o["o_orderkey"] == li["l_orderkey"])
-        .select(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
-        )
+        .select(_enc_c("o_custkey").alias("src"), _enc_s("l_suppkey").alias("dst"))
         .distinct()
     )
-    return hits(edges)
+    return hits(edges).select(_decode_node("node"), "hub", "auth")
 
 
 @query(

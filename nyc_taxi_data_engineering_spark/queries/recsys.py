@@ -19,7 +19,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from nyc_taxi_data_engineering_spark.catalog import load_table
-from nyc_taxi_data_engineering_spark.operators.als import als_factors, als_sql
+from nyc_taxi_data_engineering_spark.operators.als import (
+    als_factors,
+    als_sql,
+    prepare_ratings,
+)
 from nyc_taxi_data_engineering_spark.queries.registry import query
 
 RECS_TOPK = 3
@@ -70,12 +74,14 @@ def q_als_supplier_recommendations(spark: SparkSession, sf_dir: str) -> DataFram
     rating pairs, one user-partitioned top-k window."""
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    ratings = (
+    # One materialized u-partitioned layout feeds training AND the
+    # serving anti-join below (operators/als.prepare_ratings).
+    ratings = prepare_ratings(
         o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
         .groupBy(F.col("o_custkey").alias("u"), F.col("l_suppkey").alias("i"))
         .agg(F.count_distinct("o_orderkey").alias("r"))
     )
-    user_f, item_f = als_factors(ratings)
+    user_f, item_f = als_factors(ratings, prepared=True)
     sel = user_f.filter(F.col("i") % USER_MOD == 0).select(
         F.col("i").alias("user_id"), F.col("f1").alias("u1"), F.col("f2").alias("u2")
     )
@@ -214,7 +220,7 @@ def q_als_ranking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     joined = o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
     cutoff = F.lit(EVAL_CUTOFF).cast("timestamp")
-    ratings = (
+    ratings = prepare_ratings(
         joined.filter(F.col("o_orderdate") < cutoff)
         .groupBy(F.col("o_custkey").alias("u"), F.col("l_suppkey").alias("i"))
         .agg(F.count_distinct("o_orderkey").alias("r"))
@@ -225,7 +231,7 @@ def q_als_ranking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .join(ratings.select("u", "i"), ["u", "i"], "left_anti")
     )
-    user_f, item_f = als_factors(ratings)
+    user_f, item_f = als_factors(ratings, prepared=True)
     eu = (
         hold.filter(F.col("u") % EVAL_USER_MOD == 0)
         .join(user_f.select(F.col("i").alias("u")), "u", "left_semi")
