@@ -608,15 +608,23 @@ def connected_components(
     # Materialize the symmetric edge list ONCE: ``edges`` is typically the
     # output of an expensive candidate-pair pipeline (shingle inverted-index
     # join), and every propagation round + convergence probe re-reads it.
-    # Without this checkpoint the edge pipeline re-executes per round and
-    # dominates the runtime; with it each round touches only the (small)
+    # Without this materialization the edge pipeline re-executes per round
+    # and dominates the runtime; with it each round touches only the (small)
     # pair list. At cluster scale this is the persist-the-edge-list step
-    # every iterative graph job starts with.
+    # every iterative graph job starts with. repartition("src")+persist
+    # rather than localCheckpoint (optimization r12, guide §2.4/§3.1): the
+    # InMemoryRelation keeps size stats and outputPartitioning, so the
+    # per-round propagate join can broadcast a near-dup pair list that is
+    # tiny relative to the node set (the common case) or reuse the src
+    # layout under SMJ — a pinned LogicalRDD has neither and forced a
+    # fresh edge shuffle every round. Loop-invariant with a flat plan, so
+    # the pin() cache-manager caveat for per-round state does not apply.
     sym = (
         edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .unionByName(edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .repartition("src")
+        .persist()
     )
     ids = sym.select(F.col("src").alias("id")).distinct()
     if nodes is not None:
