@@ -61,6 +61,12 @@ ROTATION: list[str] = [
     # Queries outside the ~50-entry driver window keep full local
     # coverage via tests/test_oracle_parity.py (bit-exact comparator)
     # and the adversarial tiers (pytest -m adversarial).
+    # r12 OPTIMIZATION-round re-pin: the 14 plan-rewritten queries
+    # (graph long-id transport, ALS materialized ratings layout,
+    # connected-components persisted edge list) follow the distrank
+    # block — values verified bit-identical locally (oracle-exact at
+    # sf0.01 + sf0.1), but the driver should re-certify plan-touched
+    # names, same policy as r11's contrastive_negatives.
     "mann_whitney_events",
     "kruskal_wallis_events",
     "ks_test_events",
@@ -71,6 +77,20 @@ ROTATION: list[str] = [
     "ipw_ate_events",
     "ope_replay_events",
     "daily_revenue_forecast_eval",
+    "pagerank_purchase_sinks",
+    "als_supplier_recommendations",
+    "pagerank_trade_graph",
+    "pagerank_weighted_trade",
+    "ppr_supplier_recommendations",
+    "hits_purchase_graph",
+    "trade_bfs_hops",
+    "trade_cheapest_costs",
+    "als_ranking_eval",
+    "dedup_clusters_docs",
+    "neardup_canonical_docs",
+    "image_dedup_clusters",
+    "embedding_dedup_clusters",
+    "corpus_curation_funnel",
     "ann_cosine_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",
@@ -144,7 +164,6 @@ ROTATION: list[str] = [
     "pit_customer_features_orders",
     "supplier_daily_gapfill",
     "lpa_copurchase_communities",
-    "trade_cheapest_costs",
     "prefix_jaccard_pairs",
     "delta_mv_delete_rollup_orders",
     "events_ewma_spikes",
@@ -153,15 +172,12 @@ ROTATION: list[str] = [
     "linear_probe_class_scores",
     "pmi_collocations",
     "triangle_copurchase_suppliers",
-    "trade_bfs_hops",
     "delta_compact_orders",
     "crossdoc_repeated_spans",
     "crossdoc_span_scrub",
     "video_scene_cuts",
     "video_neardup_clips",
     "audio_neardup_clips",
-    "image_dedup_clusters",
-    "embedding_dedup_clusters",
     "bigram_lm_scores",
     "kmv_split_overlap",
     "user_retention_cohorts",
@@ -231,8 +247,6 @@ ROTATION: list[str] = [
     "minhash_lsh_pairs",
     "simhash_docs",
     "simhash_neardup_pairs",
-    "dedup_clusters_docs",
-    "neardup_canonical_docs",
     "shingle_df_histogram",
     "oph_minhash_pairs",
     "incremental_dedup_docs",
@@ -275,7 +289,6 @@ ROTATION: list[str] = [
     "temperature_mixture_by_source",
     "split_drift_chi2",
     "bm25_search_topk",
-    "corpus_curation_funnel",
     "token_budget_selection",
     "events_props_by_type",
     "events_sessions",
@@ -345,16 +358,9 @@ ROTATION: list[str] = [
     "bh_fdr_events",
     "bloom_decontamination_docs",
     "tpch_waiting_suppliers_strict",
-    "als_supplier_recommendations",
-    "als_ranking_eval",
     "embedding_top2_pca",
     "embedding_top_eigvec",
     "lineitem_correlations",
-    "pagerank_trade_graph",
-    "pagerank_weighted_trade",
-    "pagerank_purchase_sinks",
-    "ppr_supplier_recommendations",
-    "hits_purchase_graph",
     "revenue_seasonal_dow",
     "customer_spend_deciles",
     "tpch_shipping_priority",
