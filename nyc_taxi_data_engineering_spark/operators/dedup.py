@@ -534,6 +534,14 @@ def simhash_neardup_pairs(
     and the xor+bit_count rescore are all keyed operations."""
     if not 0 < max_hamming < SIMHASH_BLOCKS:
         raise ValueError(f"max_hamming must be in 1..{SIMHASH_BLOCKS - 1}, got {max_hamming}")
+    # Optimization r12 (guide §8 "decide with small rows"): the signature
+    # table feeds BOTH sides of the block self-join, and for the media
+    # callers it is a mapInArrow decode pipeline (PPM/PCM bytes through
+    # Python) that would otherwise re-execute once per side — measured
+    # 17.6 -> 5.1 s on image_dedup_clusters at sf0.01. The persisted
+    # proxy is (id, simhash): 16 bytes/row at ANY corpus scale, the
+    # canonical fingerprints-only intermediate.
+    sim = sim.select(id_col, "simhash").persist()
     combos = list(combinations(range(SIMHASH_BLOCKS), SIMHASH_BLOCKS - max_hamming))
     pack_shift = max(SIMHASH_BLOCK_SIZES)
     blocks = [

@@ -57,6 +57,18 @@ def token_sort_ratio(a: pd.Series, b: pd.Series) -> pd.Series:
     return pd.Series([score(x, y) for x, y in zip(a, b)], dtype="int32")
 
 
+# Optimization r12 (guide §4.4): every mdm consumer filters on columns
+# DERIVED from the scorer (action / match_score), and the optimizer
+# pushes that filter below the projection, evaluating the pandas_udf
+# TWICE per candidate pair (ArrowEvalPython -> Filter -> ArrowEvalPython,
+# observed live in mdm_match_scores' physical plan). The scorer is pure;
+# marking it non-deterministic only forbids the optimizer to duplicate,
+# reorder or constant-fold the call — one evaluation per pair, identical
+# values. score_pairs uses this variant; the plain UDF stays exported
+# for callers that want the optimizer unconstrained.
+_token_sort_ratio_once = token_sort_ratio.asNondeterministic()
+
+
 def candidate_pairs(
     records: DataFrame,
     id_col: str,
@@ -115,8 +127,8 @@ def score_pairs(
     an, bn = normalize_text(f"a_{name_col}"), normalize_text(f"b_{name_col}")
     aa, ba = normalize_text(f"a_{addr_col}"), normalize_text(f"b_{addr_col}")
     out = (
-        pairs.withColumn("name_score", token_sort_ratio(an, bn))
-        .withColumn("addr_score", token_sort_ratio(aa, ba))
+        pairs.withColumn("name_score", _token_sort_ratio_once(an, bn))
+        .withColumn("addr_score", _token_sort_ratio_once(aa, ba))
         .withColumn(
             "match_score",
             F.round(name_weight * F.col("name_score") + addr_weight * F.col("addr_score"), 2),
