@@ -95,21 +95,28 @@ def pagerank(
         .distinct()
     )
     dangling = _pin(nodes.join(srcs, "node", "left_anti"))
-    n_row = nodes.agg(F.count(F.lit(1)).cast("double").alias("n"))
     outdeg = edges.groupBy("src").agg(F.sum("w").alias("strength"))
     # (src, dst, w, strength) is loop-invariant: build once, reuse every round
     ew = _pin(edges.join(outdeg, "src"))
     if personalize is None:
-        ranks = nodes.crossJoin(F.broadcast(n_row)).select(
-            "node", (F.lit(1.0) / F.col("n")).alias("rank")
-        )
+        # |V| is a loop-invariant bounded scalar over the already-pinned
+        # node table: counting it once (a cheap scan of checkpointed
+        # blocks) and folding the literal into the rank expressions
+        # removes a 1-row aggregate + crossJoin broadcast from EVERY
+        # round's plan (optimization r12, guide §2.4). Same double, so
+        # every downstream rank is bit-identical. The personalized walk
+        # never uses |V| (teleport and dangling mass return to the
+        # source), so it skips the count entirely.
+        n = float(nodes.count())
+        ranks = nodes.select("node", (F.lit(1.0) / F.lit(n)).alias("rank"))
     else:
         ind = (
             F.when(F.col("node") == F.lit(personalize), F.lit(1.0))
             .otherwise(F.lit(0.0))
         )
         ranks = nodes.select("node", ind.alias("rank"))
-    teleport = (F.lit(1.0) - F.lit(PAGERANK_DAMPING)) / F.col("n")
+    if personalize is None:
+        teleport = (F.lit(1.0) - F.lit(PAGERANK_DAMPING)) / F.lit(n)
     zero_dm = F.lit(0).cast(f"decimal(28,{_SCALE})")
     for it in range(iters):
         contrib = ranks.join(ew, ranks["node"] == ew["src"]).select(
@@ -128,7 +135,7 @@ def pagerank(
         )
         if personalize is None:
             base = teleport
-            dm_share = F.col("dm").cast("double") / F.col("n")
+            dm_share = F.col("dm").cast("double") / F.lit(n)
         else:
             ind = (
                 F.when(F.col("node") == F.lit(personalize), F.lit(1.0))
@@ -138,7 +145,6 @@ def pagerank(
             dm_share = F.col("dm").cast("double") * ind
         ranks = (
             nodes.join(in_sum, "node", "left")
-            .crossJoin(F.broadcast(n_row))
             .crossJoin(F.broadcast(dm_row))
             .select(
                 "node",

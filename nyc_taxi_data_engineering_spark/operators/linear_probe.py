@@ -58,7 +58,12 @@ def train_linear_probe(
     all-zero start: dim 0 is the bias, dim k (1-based) the weight of
     feature pos k-1. ``x`` is the long-form corpus (vec_id, pos,
     val: double); ``y`` is (vec_id, y: double) targets."""
-    n_row = y.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    # |targets| is a loop-invariant bounded scalar: count it once and
+    # fold the literal into every round's gradient/bias expressions
+    # instead of crossJoin-broadcasting a 1-row aggregate twice per
+    # round (optimization r12, guide §2.4). Same double, identical
+    # weights.
+    n = float(y.count())
     w = (
         x.select("pos").distinct().select("pos", F.lit(0.0).alias("w"))
     )
@@ -84,20 +89,18 @@ def train_linear_probe(
             x.join(r, "vec_id")
             .groupBy("pos")
             .agg(_dec_sum(F.col("val") * F.col("r")).alias("gs"))
-            .crossJoin(F.broadcast(n_row))
-            .select("pos", portable_round(F.col("gs") / F.col("n"), _S).alias("g"))
+            .select("pos", portable_round(F.col("gs") / F.lit(n), _S).alias("g"))
         )
         w = w.join(g, "pos").select(
             "pos", portable_round(F.col("w") - F.lit(lr) * F.col("g"), _S).alias("w")
         )
         b = (
             r.agg(_dec_sum(F.col("r")).alias("rs"))
-            .crossJoin(F.broadcast(n_row))
             .crossJoin(F.broadcast(b))
             .select(
                 portable_round(
                     F.col("b")
-                    - F.lit(lr) * portable_round(F.col("rs") / F.col("n"), _S),
+                    - F.lit(lr) * portable_round(F.col("rs") / F.lit(n), _S),
                     _S,
                 ).alias("b")
             )
