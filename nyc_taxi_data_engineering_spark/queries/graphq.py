@@ -9,7 +9,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from nyc_taxi_data_engineering_spark.catalog import load_table_parallel as load_table
+# Plain loader on purpose (optimization r12, guide §2.4 "remove shuffles
+# outright"): every graphq input feeds a fact-fact JOIN whose own
+# exchange already parallelizes downstream work, so fan_out's
+# round-robin repartition was a pure extra shuffle of the fact tables
+# (interleaved A/B on the purchase edge build at sf0.1: 1.8-2.1 s with
+# fan_out vs 1.3-1.4 s without; at cluster scale fan_out is a no-op for
+# multi-row-group inputs, so this only removes local overhead).
+from nyc_taxi_data_engineering_spark.catalog import load_table
 from nyc_taxi_data_engineering_spark.operators.cooccur import cooccurrence_pairs_sql
 from nyc_taxi_data_engineering_spark.operators.graph import pagerank, pagerank_sql
 from nyc_taxi_data_engineering_spark.queries.registry import query
