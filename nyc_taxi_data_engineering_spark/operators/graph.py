@@ -103,12 +103,17 @@ def pagerank(
         # node table: counting it once (a cheap scan of checkpointed
         # blocks) and folding the literal into the rank expressions
         # removes a 1-row aggregate + crossJoin broadcast from EVERY
-        # round's plan (optimization r12, guide §2.4). Same double, so
-        # every downstream rank is bit-identical. The personalized walk
-        # never uses |V| (teleport and dangling mass return to the
-        # source), so it skips the count entirely.
+        # round's plan (optimization r12, guide §2.4). The quotients are
+        # precomputed in Python — the same IEEE double division the
+        # runtime previously did against the broadcast count, so every
+        # downstream rank is bit-identical; precomputing also keeps an
+        # EMPTY graph safe (a literal x/0 would constant-fold into an
+        # ANSI divide-by-zero at plan time, even though no row ever
+        # evaluates it — caught by the empty adversarial tier). The
+        # personalized walk never uses |V| and skips the count entirely.
         n = float(nodes.count())
-        ranks = nodes.select("node", (F.lit(1.0) / F.lit(n)).alias("rank"))
+        inv_n = 1.0 / n if n else 0.0
+        ranks = nodes.select("node", F.lit(inv_n).alias("rank"))
     else:
         ind = (
             F.when(F.col("node") == F.lit(personalize), F.lit(1.0))
@@ -116,7 +121,9 @@ def pagerank(
         )
         ranks = nodes.select("node", ind.alias("rank"))
     if personalize is None:
-        teleport = (F.lit(1.0) - F.lit(PAGERANK_DAMPING)) / F.lit(n)
+        # (1.0 - 0.85) then the divide, both as IEEE doubles — identical
+        # to the previous constant-folded (lit(1.0)-lit(0.85)) / col(n).
+        teleport = F.lit((1.0 - PAGERANK_DAMPING) / n if n else 0.0)
     zero_dm = F.lit(0).cast(f"decimal(28,{_SCALE})")
     for it in range(iters):
         contrib = ranks.join(ew, ranks["node"] == ew["src"]).select(
@@ -135,7 +142,10 @@ def pagerank(
         )
         if personalize is None:
             base = teleport
-            dm_share = F.col("dm").cast("double") / F.lit(n)
+            # n == 0 leaves no node row to evaluate this on; lit(1.0)
+            # only dodges the plan-time foldability of x/0 (the divide
+            # by the true n is preserved bit-for-bit when rows exist)
+            dm_share = F.col("dm").cast("double") / F.lit(n if n else 1.0)
         else:
             ind = (
                 F.when(F.col("node") == F.lit(personalize), F.lit(1.0))
