@@ -64,8 +64,9 @@ def token_sort_ratio(a: pd.Series, b: pd.Series) -> pd.Series:
 # observed live in mdm_match_scores' physical plan). The scorer is pure;
 # marking it non-deterministic only forbids the optimizer to duplicate,
 # reorder or constant-fold the call — one evaluation per pair, identical
-# values. score_pairs uses this variant; the plain UDF stays exported
-# for callers that want the optimizer unconstrained.
+# values. NOTE: asNondeterministic mutates the UDF object in place, so
+# the marker applies to every caller of token_sort_ratio (the only other
+# caller is a direct value test, which the flag cannot affect).
 _token_sort_ratio_once = token_sort_ratio.asNondeterministic()
 
 
