@@ -59,9 +59,9 @@ def train_linear_probe(
     feature pos k-1. ``x`` is the long-form corpus (vec_id, pos,
     val: double); ``y`` is (vec_id, y: double) targets."""
     # |targets| is a loop-invariant bounded scalar: count it once and
-    # fold the literal into every round's gradient/bias expressions
+    # fold the literal into every iteration's gradient/bias expressions
     # instead of crossJoin-broadcasting a 1-row aggregate twice per
-    # round (optimization r12, guide §2.4). Same double, identical
+    # iteration — optimization r12, guide §2.4. Same double, identical
     # weights.
     n = float(y.count())
     w = (
