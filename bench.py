@@ -94,6 +94,34 @@ def host_canary() -> float:
     return best
 
 
+def _canary_loop(_: int) -> float:
+    t0 = time.perf_counter()
+    n = 0
+    for i in range(10_000_000):
+        n += i
+    return time.perf_counter() - t0
+
+
+def host_canary_mc(procs: int = 8) -> float:
+    """MULTI-core host-speed canary (optimization r12). The single-core
+    canary repeatedly classified a window "fast" (0.37 s) while every
+    32-way stage in the same run measured 2-4x slow — this VM's
+    multi-core throughput swings independently of single-core
+    (hypervisor neighbors stealing whole cores). Runs the same
+    10M-iteration loop in ``procs`` concurrent processes and returns
+    the total wall: on an uncontended host it tracks host_canary_s
+    closely; a contended window inflates it, which is the signal.
+    Recorded as ``host_canary_mc_s`` so cross-round deltas can be
+    classified as host-window effects from the artifacts alone even
+    when the single-core canary looks healthy."""
+    from multiprocessing import Pool
+
+    t0 = time.perf_counter()
+    with Pool(procs) as pool:
+        pool.map(_canary_loop, range(procs))
+    return time.perf_counter() - t0
+
+
 def run_query(fn, spark, sf_dir: str) -> float:
     t0 = time.perf_counter()
     fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -120,6 +148,7 @@ def main() -> None:
     sf = float(m.group(1)) if m else None
 
     canary_s = round(host_canary(), 3)  # before Spark starts: idle host
+    canary_mc_s = round(host_canary_mc(), 3)
     run_id = f"run{int(time.time())}"
 
     spark = get_spark("bench")
@@ -204,6 +233,7 @@ def main() -> None:
         # merge would graft the LATEST round's rep arrays onto any
         # historical record — ADVICE r10).
         "host_canary_s": canary_s,
+        "host_canary_mc_s": canary_mc_s,
         "run_id": run_id,
     }
     if skew_board:

@@ -95,6 +95,15 @@ def main() -> int:
             f"base={sum(base.values()):.2f}s new={sum(new.values()) * cb / cn:.2f}s "
             "(new scaled by canary ratio)."
         )
+    mb, mn = base_doc.get("host_canary_mc_s"), new_doc.get("host_canary_mc_s")
+    if mb and mn and max(mb, mn) / min(mb, mn) > 1.3:
+        print(
+            f"WARNING: MULTI-core canaries differ {max(mb, mn) / min(mb, mn):.2f}x "
+            f"(base {mb:.3f}s vs new {mn:.3f}s for 8 concurrent 10M-iter loops) — "
+            "multi-core throughput swings independently of the single-core canary "
+            "on this VM (r12: a 0.37s 'fast' single-core window measured 2-4x slow "
+            "on every 32-way stage); treat per-query ratios accordingly."
+        )
     if _regime(base_doc, sys.argv[1]) != _regime(new_doc, sys.argv[2]):
         print(
             f"WARNING: cross-regime comparison — base is {_regime(base_doc, sys.argv[1])!r}, "
