@@ -32,3 +32,47 @@ def pin(df: DataFrame) -> DataFrame:
     semantics, HDFS-backed). Values are unchanged either way, so the
     decimal-grid determinism contracts are untouched."""
     return df.localCheckpoint(eager=True)
+
+
+# ---------------------------------------------------------------------------
+# Session cache registry (optimization r13 — VERDICT r12 "What's wrong" #2):
+# operators that persist() a reusable layout (ALS ratings, CC edge lists,
+# simhash proxies, probe/PCA corpora) register it here so callers can
+# RELEASE executor storage when the query is done. persist() alone leaks
+# for the life of the session — local benches hide it behind
+# catalog.clearCache(), but a long-lived multi-tenant job at 100 TB holds
+# storage memory forever (guide §5 "unpersist when done").
+#
+# Contract: an operator calls ``session_cache(df)`` instead of
+# ``df.persist()``; the application calls ``release_session_caches()``
+# after the terminal action of the queries that used those operators
+# (bench.py does so between reps and between board2 queries). Releasing
+# is always SAFE — a released DataFrame recomputes from lineage — so the
+# registry can be drained at any query boundary.
+# ---------------------------------------------------------------------------
+
+_SESSION_CACHES: list[DataFrame] = []
+
+
+def session_cache(df: DataFrame) -> DataFrame:
+    """``df.persist()`` + registration for :func:`release_session_caches`.
+    Returns the persisted DataFrame (MEMORY_AND_DESERIALIZED default —
+    the InMemoryRelation keeps size stats and outputPartitioning, the
+    planner levers the r12 optimizations rely on)."""
+    df = df.persist()
+    _SESSION_CACHES.append(df)
+    return df
+
+
+def release_session_caches() -> int:
+    """Unpersist every registered cache (LIFO); returns how many were
+    released. Idempotent — an already-unpersisted DataFrame is a no-op."""
+    n = 0
+    while _SESSION_CACHES:
+        df = _SESSION_CACHES.pop()
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:
+            pass  # session already stopped — nothing to release
+    return n

@@ -51,10 +51,19 @@ from nyc_taxi_data_engineering_spark.functions import (
     portable_round,
     portable_round_sql,
 )
-from nyc_taxi_data_engineering_spark.operators import pin
+from nyc_taxi_data_engineering_spark.operators import pin, session_cache
 
 ALS_ITERS = 2  # full alternations (user sweep + item sweep each)
 ALS_LAMBDA = 0.125  # exact binary fraction -> bit-identical regularizer
+# Item-side broadcast gate (ADVICE r12): the item count scales with the
+# data (TPC-H suppliers = 10k x SF), and a broadcast() hint BYPASSES the
+# planner's size check — past the 8 GB / 512M-row broadcast cap a forced
+# hint fails the job outright. 20M factor rows (~3 narrow columns,
+# roughly 1-2 GB as a hash relation) stays comfortably under the cap;
+# above the gate the persisted ratings layout's stats + AQE let the
+# planner pick the strategy itself. Join strategy only — values are
+# bit-identical either way.
+ALS_BROADCAST_MAX_ITEMS = 20_000_000
 _S = 12
 _DEC = f"decimal(38,{_S})"
 
@@ -103,7 +112,7 @@ def prepare_ratings(ratings: DataFrame) -> DataFrame:
     values bit-identical — the 12-dp decimal sums are order-independent).
     The lineage is one agg deep, so the cache-manager plan walk the pin
     docstring warns about for per-round state does not apply here."""
-    return ratings.select("u", "i", "r").repartition("u").persist()
+    return session_cache(ratings.select("u", "i", "r").repartition("u"))
 
 
 def _solve_side(
@@ -164,14 +173,18 @@ def als_factors(
     if not prepared:
         ratings = prepare_ratings(ratings)
     item_f = pin(_init_item_factors(ratings))
+    # One cheap count over the pinned init factors gates the broadcast
+    # hint (every sweep's item side has the same cardinality — one row
+    # per distinct item in ratings). See ALS_BROADCAST_MAX_ITEMS.
+    broadcast_items = item_f.count() <= ALS_BROADCAST_MAX_ITEMS
     user_f = None
     for t in range(iters):
-        # item side broadcast: bounded by the catalog at any scale, and
-        # streaming the u-partitioned ratings through a broadcast join
-        # leaves groupBy("u") exchange-free (see prepare_ratings).
+        # item side broadcast (when it fits): streaming the
+        # u-partitioned ratings through a broadcast join leaves
+        # groupBy("u") exchange-free (see prepare_ratings).
         user_f = _solve_side(
             ratings.withColumnRenamed("i", "fk"), item_f, "u", "fk",
-            broadcast_fixed=True,
+            broadcast_fixed=broadcast_items,
         )
         user_f = pin(user_f)
         item_f = _solve_side(

@@ -33,6 +33,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from nyc_taxi_data_engineering_spark.functions import text as T
+from nyc_taxi_data_engineering_spark.operators import session_cache
 
 MINHASH_HASHES = 16
 LSH_BANDS = 4  # 4 bands x 4 rows: P(candidate) = 1-(1-j^4)^4
@@ -541,7 +542,7 @@ def simhash_neardup_pairs(
     # 17.6 -> 5.1 s on image_dedup_clusters at sf0.01. The persisted
     # proxy is (id, simhash): 16 bytes/row at ANY corpus scale, the
     # canonical fingerprints-only intermediate.
-    sim = sim.select(id_col, "simhash").persist()
+    sim = session_cache(sim.select(id_col, "simhash"))
     combos = list(combinations(range(SIMHASH_BLOCKS), SIMHASH_BLOCKS - max_hamming))
     pack_shift = max(SIMHASH_BLOCK_SIZES)
     blocks = [
@@ -632,8 +633,8 @@ def connected_components(
         .unionByName(edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
         .distinct()
         .repartition("src")
-        .persist()
     )
+    sym = session_cache(sym)
     ids = sym.select(F.col("src").alias("id")).distinct()
     if nodes is not None:
         ids = ids.unionByName(nodes.select(F.col(node_col).alias("id"))).distinct()

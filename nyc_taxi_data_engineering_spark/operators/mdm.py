@@ -40,10 +40,7 @@ from nyc_taxi_data_engineering_spark.functions import (
 )
 
 
-# DataType object (not DDL string): string return types are parsed at
-# decoration time and require a live SparkContext, which breaks import.
-@F.pandas_udf(T.IntegerType())
-def token_sort_ratio(a: pd.Series, b: pd.Series) -> pd.Series:
+def _token_sort_ratio_fn(a: pd.Series, b: pd.Series) -> pd.Series:
     """Vectorized token-sort-ratio (0–100). Inputs should already be
     normalized (lowercase, alnum+space only) — see normalize_text."""
 
@@ -57,6 +54,10 @@ def token_sort_ratio(a: pd.Series, b: pd.Series) -> pd.Series:
     return pd.Series([score(x, y) for x, y in zip(a, b)], dtype="int32")
 
 
+# DataType object (not DDL string): string return types are parsed at
+# decoration time and require a live SparkContext, which breaks import.
+token_sort_ratio = F.pandas_udf(T.IntegerType())(_token_sort_ratio_fn)
+
 # Optimization r12 (guide §4.4): every mdm consumer filters on columns
 # DERIVED from the scorer (action / match_score), and the optimizer
 # pushes that filter below the projection, evaluating the pandas_udf
@@ -64,10 +65,13 @@ def token_sort_ratio(a: pd.Series, b: pd.Series) -> pd.Series:
 # observed live in mdm_match_scores' physical plan). The scorer is pure;
 # marking it non-deterministic only forbids the optimizer to duplicate,
 # reorder or constant-fold the call — one evaluation per pair, identical
-# values. NOTE: asNondeterministic mutates the UDF object in place, so
-# the marker applies to every caller of token_sort_ratio (the only other
-# caller is a direct value test, which the flag cannot affect).
-_token_sort_ratio_once = token_sort_ratio.asNondeterministic()
+# values. An INDEPENDENT udf instance (ADVICE r12): asNondeterministic
+# mutates in place, so re-wrap the plain function rather than flagging
+# the exported token_sort_ratio, which stays deterministic for any use
+# (join condition, aggregate) where non-determinism fails analysis.
+_token_sort_ratio_once = F.pandas_udf(T.IntegerType())(
+    _token_sort_ratio_fn
+).asNondeterministic()
 
 
 def candidate_pairs(

@@ -50,6 +50,20 @@ def _enc_s(col: str):
     return F.col(col) * 2 + 1
 
 
+# Source-node constants ('c<k>' / 's<k>') encoded into the long
+# transport by the SAME mapping — derived, not hardcoded (ADVICE r12:
+# a literal 2/3 next to BFS_SOURCE='s1' desynchronizes silently if
+# either constant changes).
+def _enc_c_id(node: str) -> int:
+    assert node.startswith("c"), node
+    return int(node[1:]) * 2
+
+
+def _enc_s_id(node: str) -> int:
+    assert node.startswith("s"), node
+    return int(node[1:]) * 2 + 1
+
+
 def _decode_node(col: str = "node"):
     n = F.col(col)
     return F.concat(
@@ -362,8 +376,9 @@ def q_trade_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairs.select(F.col("c_node").alias("src"), F.col("s_node").alias("dst")).unionByName(
         pairs.select(F.col("s_node").alias("src"), F.col("c_node").alias("dst"))
     )
-    # BFS_SOURCE "s1" in the long transport: supplier 1 -> 2*1 + 1
-    return bfs_hops(edges, 3, BFS_MAX_HOPS).select(_decode_node("node"), "hops")
+    return bfs_hops(edges, _enc_s_id(BFS_SOURCE), BFS_MAX_HOPS).select(
+        _decode_node("node"), "hops"
+    )
 
 
 from nyc_taxi_data_engineering_spark.operators.graph import (
@@ -399,8 +414,9 @@ def q_ppr_supplier_recommendations(spark: SparkSession, sf_dir: str) -> DataFram
     edges = pairs.select(F.col("c_node").alias("src"), F.col("s_node").alias("dst")).unionByName(
         pairs.select(F.col("s_node").alias("src"), F.col("c_node").alias("dst"))
     )
-    # PPR_SOURCE "c1" in the long transport: customer 1 -> 2*1
-    return pagerank(edges, personalize=2).select(_decode_node("node"), "rank")
+    return pagerank(edges, personalize=_enc_c_id(PPR_SOURCE)).select(
+        _decode_node("node"), "rank"
+    )
 
 
 @query(
@@ -474,8 +490,7 @@ def q_trade_cheapest_costs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).unionByName(
         wpairs.select(F.col("s_node").alias("src"), F.col("c_node").alias("dst"), cost)
     )
-    # BFS_SOURCE "s1" in the long transport: supplier 1 -> 2*1 + 1
-    out = cheapest_paths(edges, 3, CHEAPEST_ROUNDS)
+    out = cheapest_paths(edges, _enc_s_id(BFS_SOURCE), CHEAPEST_ROUNDS)
     return out.select(_decode_node("node"), *[c for c in out.columns if c != "node"])
 
 

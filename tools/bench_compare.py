@@ -85,7 +85,9 @@ def main() -> int:
     base_doc, new_doc = _load(sys.argv[1]), _load(sys.argv[2])
     base, new = base_doc["queries"], new_doc["queries"]
     cb, cn = base_doc.get("host_canary_s"), new_doc.get("host_canary_s")
-    if cb and cn and max(cb, cn) / min(cb, cn) > 1.3:
+    # `is not None` (ADVICE r12): a recorded-but-zero canary must not
+    # silently skip the window warning.
+    if cb is not None and cn is not None and min(cb, cn) > 0 and max(cb, cn) / min(cb, cn) > 1.3:
         print(
             f"WARNING: host-speed canaries differ {max(cb, cn) / min(cb, cn):.2f}x "
             f"(base {cb:.3f}s vs new {cn:.3f}s per 10M-iter loop) — the records "
@@ -96,7 +98,7 @@ def main() -> int:
             "(new scaled by canary ratio)."
         )
     mb, mn = base_doc.get("host_canary_mc_s"), new_doc.get("host_canary_mc_s")
-    if mb and mn and max(mb, mn) / min(mb, mn) > 1.3:
+    if mb is not None and mn is not None and min(mb, mn) > 0 and max(mb, mn) / min(mb, mn) > 1.3:
         print(
             f"WARNING: MULTI-core canaries differ {max(mb, mn) / min(mb, mn):.2f}x "
             f"(base {mb:.3f}s vs new {mn:.3f}s for 8 concurrent 10M-iter loops) — "

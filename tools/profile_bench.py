@@ -56,7 +56,13 @@ def main() -> None:
     ap.add_argument("--tag", default="r12")
     ap.add_argument("--suffix", default="before")
     ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
-    ap.add_argument("--reps", type=int, default=3)
+    def _positive_int(v: str) -> int:
+        n = int(v)
+        if n < 1:  # ADVICE r12: --reps 0 left keep_df unbound (NameError)
+            raise argparse.ArgumentTypeError("--reps must be >= 1")
+        return n
+
+    ap.add_argument("--reps", type=_positive_int, default=3)
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
@@ -89,6 +95,11 @@ def main() -> None:
         spark.catalog.clearCache()
         best = None
         for rep in range(args.reps):
+            # r13: clear between REPS too — persist()-based operators
+            # otherwise hand reps 2..N a warm cache and best-of-reps
+            # reports a build-skipping wall (VERDICT r12 "What's wrong" #1).
+            if rep:
+                spark.catalog.clearCache()
             sc.setJobDescription(f"profile:{name}")
             j0, t0 = jobs_snapshot()
             w0 = time.perf_counter()
