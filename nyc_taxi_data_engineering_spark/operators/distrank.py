@@ -150,14 +150,22 @@ def ordered_prefix(
         .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    w_tot = Window.partitionBy(_B)  # full-partition frame, same exchange
     local = staged.select(
         "*",
         *[F.sum(f"_dr_val_{k}").over(w_run).alias(f"_dr_loc_{k}") for k in names],
-        *[F.sum(f"_dr_val_{k}").over(w_tot).alias(f"_dr_tot_{k}") for k in names],
     )
-    tots = local.groupBy(_B).agg(
-        *[F.first(f"_dr_tot_{k}").alias(f"_dr_tot_{k}") for k in names]
+    # Bucket totals come from a map-side-combined hash aggregate over
+    # ``staged``, NOT from a full-partition window frame riding
+    # ``local`` (optimization r13): ``local`` — the exchange + per-
+    # bucket SORT + running-sum window, the expensive pass — used to
+    # feed both the totals and the output join, so the sort+window
+    # executed TWICE per call (guide §2.4: don't compute things twice
+    # that one cheap pass can provide). A partial-aggregated sum per
+    # bucket collapses to ≤ n_buckets rows before its exchange and is
+    # bit-identical (same associative sums over the same rows), while
+    # the window pass now runs exactly once.
+    tots = staged.groupBy(_B).agg(
+        *[F.sum(f"_dr_val_{k}").alias(f"_dr_tot_{k}") for k in names]
     )
     # Exclusive prefix across buckets via a triangle self-join over the
     # ≤ n_buckets-row totals table (bounded by config, not data) — NOT

@@ -846,8 +846,10 @@ FROM nd, np, vs, med, med_i
 def q_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Theil–Sen median slope + intercept and the Mann–Kendall S/z
     trend statistics for daily order revenue. One row."""
+    from nyc_taxi_data_engineering_spark.operators import session_cache
+
     orders = load_table(spark, sf_dir, "orders")
-    daily = (
+    daily = session_cache(
         orders.groupBy(F.col("o_orderdate").alias("d"))
         .agg(
             F.sum(F.col("o_totalprice").cast("decimal(14,2)"))
@@ -856,15 +858,23 @@ def q_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("x")
         )
         .select("x", F.datediff(F.col("d"), F.lit("1970-01-01")).alias("dd"))
-        .cache()
     )
     a = daily.select(F.col("x").alias("xa"), F.col("dd").alias("dda"))
     b = daily.select(F.col("x").alias("xb"), F.col("dd").alias("ddb"))
-    pairs = a.join(b, F.col("dda") < F.col("ddb")).select(
-        ((F.col("xb") - F.col("xa")) / (F.col("ddb") - F.col("dda")).cast("double")).alias(
-            "slope"
-        ),
-        F.signum(F.col("xb") - F.col("xa")).cast("bigint").alias("sgn"),
+    # Pair table persisted ONCE (optimization r13, VERDICT r12 task 2):
+    # it is calendar²-bounded (days² rows of 16 bytes — scale-free with
+    # respect to data volume), yet it feeds THREE consumers (the
+    # n_pairs/S aggregate and both phases of the distributed median
+    # rank), so lazily the non-equi day-pair join — the registry's only
+    # CartesianProduct-class plan — re-executed once per consumer.
+    # One InMemoryRelation now pays for all of them.
+    pairs = session_cache(
+        a.join(b, F.col("dda") < F.col("ddb")).select(
+            ((F.col("xb") - F.col("xa")) / (F.col("ddb") - F.col("dda")).cast("double")).alias(
+                "slope"
+            ),
+            F.signum(F.col("xb") - F.col("xa")).cast("bigint").alias("sgn"),
+        )
     )
     np_df = pairs.agg(F.count(F.lit(1)).alias("n_pairs"), F.sum("sgn").alias("s_stat"))
     # median slope by distributed rank (operators/distrank): the pair
@@ -873,7 +883,13 @@ def q_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     # position is unique, which is all this extracts.
     from nyc_taxi_data_engineering_spark.operators.distrank import global_row_number
 
-    med = (
+    from nyc_taxi_data_engineering_spark.operators import pin
+
+    # pin(): the 1-row median is referenced by the residual chain (which
+    # itself ranks -> several plan branches) AND the terminal projection;
+    # lazily each reference re-ran the whole pair-rank machinery over the
+    # cached pairs (optimization r13, guide §2.4).
+    med = pin(
         global_row_number(pairs, ["slope"], out="rn")
         .crossJoin(F.broadcast(np_df.select("n_pairs")))
         .filter(F.col("rn") == F.expr("(n_pairs + 1) div 2"))
