@@ -1151,17 +1151,28 @@ def q_triplog_roundtrip_trips(spark: SparkSession, sf_dir: str) -> DataFrame:
     — so the gate proves the bespoke text format roundtrips every
     double BIT-EXACTLY (repr-out/float-in) and the source's
     partition-parallel read loses nothing."""
-    from nyc_taxi_data_engineering_spark.catalog import load_table
+    from nyc_taxi_data_engineering_spark.catalog import fan_out, load_table
     from nyc_taxi_data_engineering_spark.functions import stable_sum
     from nyc_taxi_data_engineering_spark.operators.geo import derive_point, distance_km
     from nyc_taxi_data_engineering_spark.sources.triplog import register
 
     register(spark)
-    orders = derive_point(
-        derive_point(load_table(spark, sf_dir, "orders"), "o_orderkey", "pu", "pu"),
-        "o_orderkey",
-        "do",
-        "do",
+    # fan_out BEFORE the triplog write (optimization r13, guide §2 —
+    # VERDICT r12 task 4): the Python-datasource writer runs one Python
+    # worker per input partition, and a single-row-group parquet orders
+    # scan yields ONE partition, serializing every row's format/parse
+    # work onto one task (profiled: 10 tasks, 4.2 s build at sf0.1).
+    # fan_out is scale-adaptive — a no-op when the scan is already
+    # parallel — and the per-vendor aggregate is order-independent
+    # (counts + decimal stable_sums), so values are unchanged.
+    orders = fan_out(
+        derive_point(
+            derive_point(load_table(spark, sf_dir, "orders"), "o_orderkey", "pu", "pu"),
+            "o_orderkey",
+            "do",
+            "do",
+        ),
+        spark,
     )
     trips = orders.select(
         F.col("o_orderkey").alias("trip_id"),
