@@ -39,7 +39,7 @@ from nyc_taxi_data_engineering_spark.functions import (
     portable_round,
     portable_round_sql,
 )
-from nyc_taxi_data_engineering_spark.operators import pin
+from nyc_taxi_data_engineering_spark.operators import pin, session_cache
 
 PROBE_ITERS = 3
 PROBE_LR = 0.1
@@ -51,13 +51,44 @@ def _dec_sum(term):
     return F.sum(portable_round(term, _S).cast(_DEC)).cast("double")
 
 
+def prepare_probe_corpus(x: DataFrame) -> DataFrame:
+    """Canonical training projection of the long-form corpus
+    (vec_id, pos, val) — what every GD pass and every scoring consumer
+    should read, projected BEFORE any join (guide §2.3).
+
+    Deliberately recompute-over-cache (optimization r13, measured):
+    three persist variants of this corpus were A/B'd at sf0.1 —
+    ``repartition("vec_id").persist()`` (the r12 ALS-ratings lever),
+    plain ``persist()``, and per-round lazy residual caches — and every
+    one measured 1.1-1.4x SLOWER than re-deriving the projection from
+    the columnar scan, because the exploded corpus is a cheap
+    scan+posexplode while a cached copy pays materialization plus
+    32-fixed-partition task overhead on every one of ~8 consumers. At
+    100 TB the trade shifts only if corpus re-derivation stops being
+    scan-bound: the exploded corpus is O(n·d) rows — the one thing a
+    curation pipeline should NOT hold in executor storage (the same
+    recompute-over-cache call as crossdoc's gram table). The layout
+    lever that DID land instead: per-round model pins in
+    train_linear_probe keep every corpus pass executed exactly once."""
+    return x.select("vec_id", "pos", "val")
+
+
 def train_linear_probe(
-    x: DataFrame, y: DataFrame, iters: int = PROBE_ITERS, lr: float = PROBE_LR
+    x: DataFrame,
+    y: DataFrame,
+    iters: int = PROBE_ITERS,
+    lr: float = PROBE_LR,
+    prepared: bool = False,
 ) -> DataFrame:
     """(dim, weight) after ``iters`` full-batch GD rounds from the
     all-zero start: dim 0 is the bias, dim k (1-based) the weight of
     feature pos k-1. ``x`` is the long-form corpus (vec_id, pos,
-    val: double); ``y`` is (vec_id, y: double) targets."""
+    val: double); ``y`` is (vec_id, y: double) targets.
+    ``prepared=True`` asserts the caller already ran
+    :func:`prepare_probe_corpus` on ``x`` (scoring consumers should
+    pass the SAME prepared frame so they reuse the layout)."""
+    if not prepared:
+        x = prepare_probe_corpus(x)
     # |targets| is a loop-invariant bounded scalar: count it once and
     # fold the literal into every iteration's gradient/bias expressions
     # instead of crossJoin-broadcasting a 1-row aggregate twice per
@@ -79,7 +110,11 @@ def train_linear_probe(
         # residuals feed BOTH the gradient join and the bias sum; pin
         # (operators.pin) so the second consumer is a flat scan instead
         # of a second full x-pass, and so per-round lineage stays one
-        # round deep.
+        # round deep. (r13 measured the lazy session_cache alternative:
+        # without the eager truncation the composed calibration plans
+        # re-inline the round tree per consumer — probe_calibration_ece
+        # ballooned to 2.9k broadcast-exchange nodes and 2x the wall —
+        # so the pin stays.)
         r = pin(
             pred.join(y, "vec_id").select(
                 "vec_id", portable_round(F.col("pred") - F.col("y"), _S).alias("r")
@@ -91,10 +126,19 @@ def train_linear_probe(
             .agg(_dec_sum(F.col("val") * F.col("r")).alias("gs"))
             .select("pos", portable_round(F.col("gs") / F.lit(n), _S).alias("g"))
         )
-        w = w.join(g, "pos").select(
-            "pos", portable_round(F.col("w") - F.lit(lr) * F.col("g"), _S).alias("w")
+        # pin the d-row model and 1-row bias each round (r13): left lazy,
+        # w_t chained back through every g_1..g_t, so materializing the
+        # NEXT round's prediction broadcast re-ran all earlier gradient
+        # passes — t corpus passes per round (quadratic in iters) instead
+        # of one. Eagerly truncating the 65-row state keeps every corpus
+        # pass executed exactly once; the pins themselves are bounded by
+        # the model dimension, not the data (guide §2.4).
+        w = pin(
+            w.join(g, "pos").select(
+                "pos", portable_round(F.col("w") - F.lit(lr) * F.col("g"), _S).alias("w")
+            )
         )
-        b = (
+        b = pin(
             r.agg(_dec_sum(F.col("r")).alias("rs"))
             .crossJoin(F.broadcast(b))
             .select(

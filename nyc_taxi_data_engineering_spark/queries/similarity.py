@@ -1023,6 +1023,7 @@ def q_embedding_top_eigvec(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 from nyc_taxi_data_engineering_spark.operators.linear_probe import (
+    prepare_probe_corpus,
     train_linear_probe,
     train_linear_probe_sql,
 )
@@ -1099,7 +1100,10 @@ def q_linear_probe_class_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.when(F.col("label") == 0, F.lit(1.0)).otherwise(F.lit(0.0)).alias("y"),
     )
-    model = train_linear_probe(x, y)
+    # One prepared corpus layout serves training (2 reads/round) AND the
+    # scoring pass (optimization r13 — see prepare_probe_corpus).
+    x = prepare_probe_corpus(x)
+    model = train_linear_probe(x, y, prepared=True)
     bias_row = model.filter(F.col("dim") == 0).select(F.col("weight").alias("bias"))
     wpos = model.filter(F.col("dim") > 0).select(
         (F.col("dim") - 1).alias("pos"), F.col("weight").alias("w")
@@ -1217,7 +1221,9 @@ def q_probe_calibration_brier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.when(F.col("label") == 0, F.lit(1.0)).otherwise(F.lit(0.0)).alias("y"),
     )
-    model = train_linear_probe(x, y)
+    # One prepared corpus layout serves training AND scoring (r13).
+    x = prepare_probe_corpus(x)
+    model = train_linear_probe(x, y, prepared=True)
     bias_row = model.filter(F.col("dim") == 0).select(F.col("weight").alias("bias"))
     wpos = model.filter(F.col("dim") > 0).select(
         (F.col("dim") - 1).alias("pos"), F.col("weight").alias("w")
