@@ -44,6 +44,7 @@ from nyc_taxi_data_engineering_spark.functions import (
     portable_round,
     portable_round_sql,
 )
+from nyc_taxi_data_engineering_spark.operators import pin
 
 PCA_ITERS = 3
 _S = 12  # dp per summed term / per component
@@ -54,25 +55,38 @@ def _dec_sum(term):
     return F.sum(portable_round(term, _S).cast(_DEC)).cast("double")
 
 
-def _centered(x: DataFrame) -> DataFrame:
-    """(vec_id, pos, cv) — mean-centered long-form corpus."""
-    mean = x.groupBy("pos").agg(
-        portable_round(
-            F.sum(portable_round(F.col("val"), 9).cast("decimal(18,9)")).cast("double")
-            / F.count(F.lit(1)),
-            _S,
-        ).alias("mu")
+def _centered(x: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """((vec_id, pos, cv) mean-centered long-form corpus, pinned
+    (pos, mu) mean). The d-row mean is pinned (optimization r13): it is
+    bounded by the dimension, and lazily every re-derivation of the
+    centered corpus re-ran the full mean aggregate — a corpus pass —
+    where the broadcast join it feeds is otherwise scan-bound. The mean
+    doubles as the dims table for :func:`_power_rounds` (its groupBy
+    keys ARE the distinct positions), saving the separate
+    distinct-over-corpus pass."""
+    mean = pin(
+        x.groupBy("pos").agg(
+            portable_round(
+                F.sum(portable_round(F.col("val"), 9).cast("decimal(18,9)")).cast(
+                    "double"
+                )
+                / F.count(F.lit(1)),
+                _S,
+            ).alias("mu")
+        )
     )
-    return x.join(F.broadcast(mean), "pos").select(
+    cent = x.join(F.broadcast(mean), "pos").select(
         "vec_id", "pos", (F.col("val") - F.col("mu")).alias("cv")
     )
+    return cent, mean
 
 
-def _power_rounds(cent: DataFrame, iters: int) -> DataFrame:
+def _power_rounds(cent: DataFrame, iters: int, dims: DataFrame) -> DataFrame:
     """(pos, vv) after ``iters`` rounds from the uniform unit start
-    over a centered corpus (vec_id, pos, cv). The start 1/sqrt(d) must
+    over a centered corpus (vec_id, pos, cv). ``dims`` is the d-row
+    (pos) table (the pinned mean's keys — same set as
+    ``cent.select("pos").distinct()``). The start 1/sqrt(d) must
     be exact in doubles — d a power of 4 (64-dim gives 1/8)."""
-    dims = cent.select("pos").distinct()
     d_row = dims.agg(F.count(F.lit(1)).cast("double").alias("d"))
     v = dims.crossJoin(F.broadcast(d_row)).select(
         "pos", (F.lit(1.0) / F.sqrt(F.col("d"))).alias("vv")
@@ -83,7 +97,14 @@ def _power_rounds(cent: DataFrame, iters: int) -> DataFrame:
             .groupBy("vec_id")
             .agg(_dec_sum(F.col("cv") * F.col("vv")).alias("w"))
         )
-        u = (
+        # pin the d-row u each round (optimization r13, the linear-probe
+        # lever): u feeds BOTH the norm aggregate and the new v, and the
+        # v chain feeds the next round twice more — left lazy, the
+        # per-round tree doubles and every reference re-runs the two
+        # corpus passes (plan before: 382 Exchange nodes for 3 rounds).
+        # One eager pin bounded by the dimension keeps each round's two
+        # corpus passes executed exactly once.
+        u = pin(
             cent.join(w, "vec_id")
             .groupBy("pos")
             .agg(_dec_sum(F.col("cv") * F.col("w")).alias("u"))
@@ -135,8 +156,15 @@ def _deflated(cent: DataFrame, v: DataFrame) -> DataFrame:
 def power_iteration_component(x: DataFrame, iters: int = PCA_ITERS) -> DataFrame:
     """(dim, component) — the dominant eigenvector of the mean-centered
     covariance of a long-form corpus ``x`` (vec_id, pos, val: double),
-    after ``iters`` power-iteration rounds. ``dim`` is 1-based."""
-    return _signed(_power_rounds(_centered(x), iters))
+    after ``iters`` power-iteration rounds. ``dim`` is 1-based.
+
+    The centered corpus is deliberately NOT materialized (recompute-
+    over-cache, same call as prepare_probe_corpus): each of the two
+    passes per round re-derives it as scan + d-row broadcast join —
+    scan-bound, no shuffle — while the per-round d-row pins keep every
+    pass executed exactly once."""
+    cent, mean = _centered(x)
+    return _signed(_power_rounds(cent, iters, mean.select("pos")))
 
 
 def top2_components(x: DataFrame, iters: int = PCA_ITERS) -> DataFrame:
@@ -153,10 +181,12 @@ def top2_components(x: DataFrame, iters: int = PCA_ITERS) -> DataFrame:
     # truncates the lineage so the composed plan stays linear in the
     # round count; nothing crosses the driver (the data stays in
     # executor storage).
-    cent = _centered(x).localCheckpoint()
-    v1 = _power_rounds(cent, iters).localCheckpoint()
+    cent, mean = _centered(x)
+    dims = mean.select("pos")
+    cent = cent.localCheckpoint()
+    v1 = _power_rounds(cent, iters, dims).localCheckpoint()
     cent2 = _deflated(cent, v1).localCheckpoint()
-    v2 = _power_rounds(cent2, iters)
+    v2 = _power_rounds(cent2, iters, dims)
     p1 = _signed(v1).withColumnRenamed("component", "pc1")
     p2 = _signed(v2).withColumnRenamed("component", "pc2")
     return p1.join(p2, "dim")
