@@ -37,6 +37,7 @@ from nyc_taxi_data_engineering_spark.functions import (
     stable_avg_sql,
     stable_sum,
     stable_sum_sql,
+    stable_sum_unscaled_long,
 )
 from nyc_taxi_data_engineering_spark.queries.registry import query
 
@@ -87,15 +88,25 @@ def q_tpch_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     it should be. disc_price/charge are computed in pinned expression
     shape so the doubles match DuckDB before the decimal transport."""
     li = load_table(spark, sf_dir, "lineitem")
+    # Quantity aggregates ride the unscaled-LONG accumulator
+    # (optimization r13, VERDICT r12 task 6): l_quantity <= 50 makes the
+    # per-group long sum provably overflow-free at the 100 TB design
+    # point, and the terminal long->decimal->double conversion is the
+    # same single correctly-rounded step stable_sum ends with — values
+    # bit-identical (see stable_sum_unscaled_long). sum_qty and
+    # avg_qty's numerator share ONE expression so the hash agg computes
+    # it once. Price-bearing columns stay on the decimal transport:
+    # |l_extendedprice| * 10^4 * rows/group exceeds the long bound.
+    qty_sum = stable_sum_unscaled_long("l_quantity")
     return (
         li.filter(F.col("l_shipdate") <= F.lit("2001-09-01"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            stable_sum("l_quantity").alias("sum_qty"),
+            qty_sum.alias("sum_qty"),
             stable_sum("l_extendedprice").alias("sum_base_price"),
             dec_sum(_revenue()).alias("sum_disc_price"),
             dec_sum(_revenue() * _tax_factor()).alias("sum_charge"),
-            stable_avg("l_quantity").alias("avg_qty"),
+            (qty_sum / F.count(F.col("l_quantity"))).alias("avg_qty"),
             stable_avg("l_extendedprice").alias("avg_price"),
             stable_avg("l_discount", scale=6).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),

@@ -118,3 +118,47 @@ def test_portable_round_spark_equals_duckdb(spark):
         for v in vals
     ]
     assert got_spark == got_duck
+
+
+def test_stable_sum_unscaled_long_matches_stable_sum(spark):
+    """stable_sum_unscaled_long (r13) must be BIT-identical to
+    stable_sum for magnitude-bounded columns — same grid rounding per
+    row (through the identical decimal cast), exact long accumulation,
+    and one correctly-rounded terminal conversion. Covers fractional
+    quantities, negatives, NULLs, and an empty group."""
+    from pyspark.sql import functions as F
+
+    from nyc_taxi_data_engineering_spark.functions import (
+        stable_sum,
+        stable_sum_unscaled_long,
+    )
+
+    rows = [
+        (1, 1.0), (1, 49.9999), (1, 0.00005), (1, -3.25), (1, None),
+        (2, 50.0), (2, 12.345678),
+    ]
+    df = spark.createDataFrame(rows, "g int, q double")
+    got = (
+        df.groupBy("g")
+        .agg(
+            stable_sum("q").alias("dec"),
+            stable_sum_unscaled_long("q").alias("lng"),
+        )
+        .collect()
+    )
+    assert got, "expected groups"
+    for r in got:
+        # bit-identical, not approximately equal
+        assert (r["dec"] is None) == (r["lng"] is None)
+        if r["dec"] is not None:
+            assert r["dec"].hex() == r["lng"].hex(), (r["g"], r["dec"], r["lng"])
+    # all-NULL group -> NULL on both transports
+    nul = (
+        df.filter(F.col("q").isNull())
+        .agg(
+            stable_sum("q").alias("dec"),
+            stable_sum_unscaled_long("q").alias("lng"),
+        )
+        .collect()[0]
+    )
+    assert nul["dec"] is None and nul["lng"] is None
