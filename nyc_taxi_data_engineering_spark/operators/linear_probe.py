@@ -126,10 +126,10 @@ def train_linear_probe(
             .agg(_dec_sum(F.col("val") * F.col("r")).alias("gs"))
             .select("pos", portable_round(F.col("gs") / F.lit(n), _S).alias("g"))
         )
-        # pin the d-row model and 1-row bias each round (r13): left lazy,
-        # w_t chained back through every g_1..g_t, so materializing the
-        # NEXT round's prediction broadcast re-ran all earlier gradient
-        # passes — t corpus passes per round (quadratic in iters) instead
+        # pin the d-row model and 1-row bias each GD round — r13: left
+        # lazy, w_t chained back through every g_1..g_t, so materializing
+        # the NEXT round's prediction broadcast re-ran all earlier gradient
+        # passes — t corpus passes per round, quadratic in iters, instead
         # of one. Eagerly truncating the 65-row state keeps every corpus
         # pass executed exactly once; the pins themselves are bounded by
         # the model dimension, not the data (guide §2.4).

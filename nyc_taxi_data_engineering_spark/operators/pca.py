@@ -97,8 +97,8 @@ def _power_rounds(cent: DataFrame, iters: int, dims: DataFrame) -> DataFrame:
             .groupBy("vec_id")
             .agg(_dec_sum(F.col("cv") * F.col("vv")).alias("w"))
         )
-        # pin the d-row u each round (optimization r13, the linear-probe
-        # lever): u feeds BOTH the norm aggregate and the new v, and the
+        # pin the d-row u each round — optimization r13, the linear-probe
+        # lever: u feeds BOTH the norm aggregate and the new v, and the
         # v chain feeds the next round twice more — left lazy, the
         # per-round tree doubles and every reference re-runs the two
         # corpus passes (plan before: 382 Exchange nodes for 3 rounds).
